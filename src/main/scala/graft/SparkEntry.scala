@@ -1,13 +1,66 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.drift._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
+  *
+  * Each entry in [[queries]] is one operator of the rebuilt engine
+  * (SURVEY.md §2.b inventory + training-pipeline extensions), evaluated over
+  * the driver testdata at `sfDir`; [[oracleSql]] carries the equivalent
+  * DuckDB SQL over the same parquet tables. Column names and row order are
+  * aligned between both engines and all floating outputs are rounded to 6
+  * decimals for stable hash comparison.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): TPC-H-Q1-style
+    * pricing summary — one scan, partial-agg-friendly, whole-stage codegen. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        avg("l_quantity").as("avg_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        avg("l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    drift.table(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        drift.r6(sum("l_quantity")).as("sum_qty"),
+        drift.r6(sum("l_extendedprice")).as("sum_base_price"),
+        drift.r6(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        drift.r6(avg("l_quantity")).as("avg_qty"),
+        drift.r6(avg("l_extendedprice")).as("avg_price"),
+        drift.r6(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1Sql =
+    "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 6) AS sum_qty, " +
+      "ROUND(SUM(l_extendedprice), 6) AS sum_base_price, " +
+      "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 6) AS sum_disc_price, " +
+      "ROUND(AVG(l_quantity), 6) AS avg_qty, ROUND(AVG(l_extendedprice), 6) AS avg_price, " +
+      "ROUND(AVG(l_discount), 6) AS avg_disc, COUNT(*) AS count_order " +
+      "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame]("q1_pricing_summary" -> (q1 _)) ++
+      NumericDrift.queries ++
+      CategoricalDrift.queries
+
+  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
+    * same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    Map("q1_pricing_summary" -> q1Sql) ++
+      NumericDrift.oracles ++
+      CategoricalDrift.oracles
 }

@@ -1,0 +1,621 @@
+package graft.drift
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.drift.{splits => S}
+
+/** Categorical distribution + drift operators (reference O15–O19, O22, O23,
+  * O34, O35 — SURVEY.md §2.b; semantics from
+  * /root/reference/categorical_analyzer.py, distribution_analyzer.py,
+  * rare_event_analyzer.py).
+  *
+  * Scale design: the reference collects value counts to the driver and does
+  * Python math (categorical_analyzer.py:323-335). Here every step — counts,
+  * ref↔curr alignment, JS/χ² term sums — stays distributed: one
+  * `groupBy(side, value)` (map-side combined) per column, then per-value
+  * pivots and a scalar aggregation. Nothing driver-side except the final
+  * tiny result. Top-20 truncation (a reference SEMANTIC, not just perf —
+  * SURVEY.md §8.9) is a rank-filter with a deterministic (count desc, value
+  * asc) tie-break so Spark and the DuckDB oracle agree.
+  */
+object CategoricalDrift {
+
+  /** Standard-profile defaults (/root/reference/categorical_analyzer.py:32-35). */
+  val CategoryThreshold = 0.03
+  val ChiSquarePValue = 0.05
+  val NullThreshold = 0.005
+
+  // ------------------------------------------------------- building blocks
+
+  /** Per-side value counts for one split column. `nonNull=true` mirrors the
+    * O15/O18 isNotNull filter; `false` keeps the null group (O22/O23/O35). */
+  private def sideCounts(spark: SparkSession, dir: String, sp: S.CatSplit,
+      c: String, nonNull: Boolean): DataFrame = {
+    val base = withSide(table(spark, dir, sp.tableName), sp.ref)
+      .select(col("side"), col(c).cast("string").as("value"))
+    (if (nonNull) base.filter(col("value").isNotNull) else base)
+      .groupBy("side", "value").agg(count(lit(1)).as("cnt"))
+  }
+
+  private def sideCountsSql(sp: S.CatSplit, c: String, nonNull: Boolean): String = {
+    val where = if (nonNull) s"WHERE $c IS NOT NULL " else ""
+    s"SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, " +
+      s"CAST($c AS VARCHAR) AS value, COUNT(*) AS cnt FROM ${sp.tableName} ${where}GROUP BY 1, 2"
+  }
+
+  /** Pivot per-value counts to (value, ref_cnt, curr_cnt) with absent → 0. */
+  private def pivotCounts(cnts: DataFrame): DataFrame =
+    cnts.groupBy("value").agg(
+      coalesce(sum(when(col("side") === "ref", col("cnt"))), lit(0L)).as("ref_cnt"),
+      coalesce(sum(when(col("side") === "curr", col("cnt"))), lit(0L)).as("curr_cnt"))
+
+  private val pivotCountsSql =
+    "SELECT value, COALESCE(SUM(CASE WHEN side = 'ref' THEN cnt END), 0)::BIGINT AS ref_cnt, " +
+      "COALESCE(SUM(CASE WHEN side = 'curr' THEN cnt END), 0)::BIGINT AS curr_cnt " +
+      "FROM cnts GROUP BY value"
+
+  /** Rank values per side by (cnt desc, value asc) — the deterministic form
+    * of the reference's `orderBy(desc("count")).limit(20)`. */
+  private def ranked(cnts: DataFrame): DataFrame =
+    cnts.withColumn("rk", row_number().over(
+      Window.partitionBy("side").orderBy(col("cnt").desc, col("value").asc)))
+
+  // ----------------------------------------------- value_counts (O15 base)
+
+  /** Per-side value counts + relative frequency over non-null rows. */
+  def valueCounts(spark: SparkSession, dir: String): DataFrame = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield {
+      val cnts = sideCounts(spark, dir, sp, c, nonNull = true)
+      val totals = cnts.groupBy("side").agg(sum("cnt").as("total"))
+      cnts.join(totals, "side")
+        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+          col("side"), col("value"), col("cnt"),
+          r6(col("cnt") / col("total")).as("freq"))
+    }
+    per.reduce(_ union _).orderBy("table_name", "column_name", "side", "value")
+  }
+
+  def valueCountsSql: String = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield
+      s"SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, side, value, cnt, " +
+        "ROUND(cnt * 1e0 / SUM(cnt) OVER (PARTITION BY side), 6) AS freq " +
+        s"FROM (${sideCountsSql(sp, c, nonNull = true)}) t"
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name, side, value")
+  }
+
+  // -------------------------------------------- topk_entropy (O15 profile)
+
+  /** Full-table distribution profile: null stats, distinct count, top-20
+    * entropy. The entropy is over the TOP-20 probabilities only (probs need
+    * not sum to 1) — a reference semantic preserved deliberately
+    * (/root/reference/categorical_analyzer.py:151-167, SURVEY.md §8.9). */
+  private val profileTables: Seq[(String, Seq[String])] = Seq(
+    "lineitem" -> Seq("l_returnflag", "l_linestatus"),
+    "orders" -> Seq("o_orderstatus", "o_orderpriority"),
+    "customer" -> Seq("c_mktsegment"),
+    "nation" -> Seq("n_name"),
+    "part" -> Seq("p_brand"),
+    "events" -> Seq("event_type"),
+    "documents" -> Seq("lang", "source"),
+  )
+
+  def topkEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val per = for ((t, cols) <- profileTables; c <- cols) yield {
+      val df = table(spark, dir, t)
+      val base = df.agg(count(lit(1)).as("n_total"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"))
+      val cnts = df.filter(col(c).isNotNull)
+        .groupBy(col(c).cast("string").as("value")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("value").asc)))
+      val distinctCnt = cnts.agg(count(lit(1)).as("distinct_count"))
+      val entropy = cnts.filter(col("rk") <= 20)
+        .crossJoin(broadcast(base.select((col("n_total") - col("n_null")).as("nn"))))
+        .agg(coalesce(sum(expr("-(cnt * 1e0 / nn) * log2(cnt * 1e0 / nn)")), lit(0.0)).as("entropy"))
+      base.crossJoin(broadcast(distinctCnt)).crossJoin(broadcast(entropy))
+        .select(lit(t).as("table_name"), lit(c).as("column_name"),
+          col("n_total"), col("n_null"),
+          r6(col("n_null") * 1e0 / col("n_total")).as("null_proportion"),
+          col("distinct_count"),
+          r6(col("entropy")).as("entropy_top20"))
+    }
+    per.reduce(_ union _).orderBy("table_name", "column_name")
+  }
+
+  def topkEntropySql: String = {
+    val per = for ((t, cols) <- profileTables; c <- cols) yield
+      s"SELECT '$t' AS table_name, '$c' AS column_name, b.n_total, b.n_null, " +
+        "ROUND(b.n_null * 1e0 / b.n_total, 6) AS null_proportion, d.distinct_count, " +
+        "ROUND(e.entropy, 6) AS entropy_top20 FROM " +
+        s"(SELECT COUNT(*) AS n_total, SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null FROM $t) b, " +
+        s"(SELECT COUNT(*) AS distinct_count FROM (SELECT $c FROM $t WHERE $c IS NOT NULL GROUP BY 1) x) d, " +
+        "(SELECT COALESCE(SUM(-(cnt * 1e0 / nn) * LOG2(cnt * 1e0 / nn)), 0.0) AS entropy FROM " +
+        s"(SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS rk FROM " +
+        s"(SELECT CAST($c AS VARCHAR) AS value, COUNT(*) AS cnt FROM $t WHERE $c IS NOT NULL GROUP BY 1) vc) r, " +
+        s"(SELECT COUNT($c) AS nn FROM $t) n WHERE r.rk <= 20) e"
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
+  }
+
+  // ------------------------------- dist_diff + category_changes (O16/O17)
+
+  /** Top-20 per-side distributions (probability over non-null) for one
+    * column, pivoted: (value, p, q, in_ref, in_curr). */
+  private def top20Dists(spark: SparkSession, dir: String, sp: S.CatSplit, c: String): DataFrame = {
+    val cnts = sideCounts(spark, dir, sp, c, nonNull = true)
+    val totals = cnts.groupBy("side").agg(sum("cnt").as("nn"))
+    val top = ranked(cnts).filter(col("rk") <= 20).join(totals, "side")
+      .select(col("side"), col("value"), (col("cnt") * 1e0 / col("nn")).as("prob"))
+    top.groupBy("value").agg(
+      max(when(col("side") === "ref", col("prob"))).as("p"),
+      max(when(col("side") === "curr", col("prob"))).as("q"))
+  }
+
+  private def top20DistsSql(sp: S.CatSplit, c: String): String =
+    s"SELECT value, MAX(CASE WHEN side = 'ref' THEN prob END) AS p, " +
+      "MAX(CASE WHEN side = 'curr' THEN prob END) AS q FROM " +
+      "(SELECT side, value, cnt * 1e0 / SUM(cnt) OVER (PARTITION BY side) AS prob, " +
+      "ROW_NUMBER() OVER (PARTITION BY side ORDER BY cnt DESC, value ASC) AS rk " +
+      s"FROM (${sideCountsSql(sp, c, nonNull = true)}) t) r WHERE rk <= 20 GROUP BY value"
+
+  /** O16 distribution-diff summary per split column (top-20 supports). */
+  def distDiff(spark: SparkSession, dir: String): DataFrame = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield {
+      val dists = top20Dists(spark, dir, sp, c)
+      val sets = dists.agg(
+        sum(when(col("p").isNotNull, 1).otherwise(0)).as("ref_k"),
+        sum(when(col("q").isNotNull, 1).otherwise(0)).as("curr_k"),
+        sum(when(col("p").isNotNull && col("q").isNotNull, 1).otherwise(0)).as("common_k"),
+        coalesce(sum(when(col("p").isNotNull, expr("-p * log2(p)"))), lit(0.0)).as("ref_entropy"),
+        coalesce(sum(when(col("q").isNotNull, expr("-q * log2(q)"))), lit(0.0)).as("curr_entropy"))
+      val cnts = sideCounts(spark, dir, sp, c, nonNull = true)
+      val distincts = cnts.groupBy("side").agg(count(lit(1)).as("k"))
+        .groupBy().agg(
+          coalesce(max(when(col("side") === "ref", col("k"))), lit(0L)).as("ref_distinct"),
+          coalesce(max(when(col("side") === "curr", col("k"))), lit(0L)).as("curr_distinct"))
+      val nulls = withSide(table(spark, dir, sp.tableName), sp.ref)
+        .groupBy("side").agg(count(lit(1)).as("n"), sum(when(col(c).isNull, 1L).otherwise(0L)).as("nl"))
+        .groupBy().agg(
+          max(when(col("side") === "ref", col("nl") * 1e0 / col("n"))).as("ref_null_prop"),
+          max(when(col("side") === "curr", col("nl") * 1e0 / col("n"))).as("curr_null_prop"))
+      sets.crossJoin(distincts).crossJoin(nulls)
+        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"), col("*"))
+        .selectExpr(distDiffFinal: _*)
+    }
+    per.reduce(_ union _).orderBy("table_name", "column_name")
+  }
+
+  private val distDiffFinal: Seq[String] = Seq(
+    "table_name", "column_name",
+    "curr_k - common_k AS new_categories_count",
+    "ROUND((curr_k - common_k) * 1e0 / ref_k, 6) AS new_categories_ratio",
+    "ref_k - common_k AS missing_categories_count",
+    "ROUND((ref_k - common_k) * 1e0 / ref_k, 6) AS missing_categories_ratio",
+    "common_k AS common_categories_count",
+    "ROUND(curr_null_prop - ref_null_prop, 6) AS null_proportion_diff",
+    "ROUND(ref_entropy, 6) AS ref_entropy", "ROUND(curr_entropy, 6) AS curr_entropy",
+    "ROUND(curr_entropy - ref_entropy, 6) AS entropy_diff",
+    "ROUND(CASE WHEN ref_entropy > 0 THEN (curr_entropy - ref_entropy) / ref_entropy ELSE 0 END, 6) AS entropy_rel_diff",
+    "curr_distinct - ref_distinct AS distinct_count_diff",
+    "ROUND(CASE WHEN ref_distinct > 0 THEN (curr_distinct - ref_distinct) * 1e0 / ref_distinct ELSE 0 END, 6) AS distinct_count_rel_diff")
+
+  def distDiffSql: String = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield {
+      val inner =
+        s"(SELECT SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS ref_k, " +
+          "SUM(CASE WHEN q IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS curr_k, " +
+          "SUM(CASE WHEN p IS NOT NULL AND q IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS common_k, " +
+          "COALESCE(SUM(CASE WHEN p IS NOT NULL THEN -p * LOG2(p) END), 0.0) AS ref_entropy, " +
+          "COALESCE(SUM(CASE WHEN q IS NOT NULL THEN -q * LOG2(q) END), 0.0) AS curr_entropy " +
+          s"FROM (${top20DistsSql(sp, c)}) d) s, " +
+          "(SELECT COALESCE(MAX(CASE WHEN side = 'ref' THEN k END), 0)::BIGINT AS ref_distinct, " +
+          "COALESCE(MAX(CASE WHEN side = 'curr' THEN k END), 0)::BIGINT AS curr_distinct FROM " +
+          s"(SELECT side, COUNT(*) AS k FROM (${sideCountsSql(sp, c, nonNull = true)}) cc GROUP BY side) kk) dd, " +
+          "(SELECT MAX(CASE WHEN side = 'ref' THEN nl * 1e0 / n END) AS ref_null_prop, " +
+          "MAX(CASE WHEN side = 'curr' THEN nl * 1e0 / n END) AS curr_null_prop FROM " +
+          s"(SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, COUNT(*) AS n, " +
+          s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS nl FROM ${sp.tableName} GROUP BY 1) nn) np"
+      s"SELECT ${distDiffFinal.mkString(", ")} FROM " +
+        s"(SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, * FROM $inner) z"
+    }
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
+  }
+
+  /** O16 per-common-category changes, top-10 by |abs_diff| (deterministic
+    * tie-break on category). */
+  def categoryChanges(spark: SparkSession, dir: String): DataFrame = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield {
+      top20Dists(spark, dir, sp, c)
+        .filter(col("p").isNotNull && col("q").isNotNull)
+        .selectExpr("value AS category", "p AS ref_prob", "q AS curr_prob",
+          "q - p AS abs_diff",
+          "CASE WHEN p > 0 THEN (q - p) / p WHEN q > 0 THEN 1.0 ELSE 0.0 END AS rel_diff")
+        .withColumn("rk", row_number().over(Window.orderBy(abs(col("abs_diff")).desc, col("category").asc)))
+        .filter(col("rk") <= 10)
+        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+          col("category"), r6(col("ref_prob")).as("ref_prob"), r6(col("curr_prob")).as("curr_prob"),
+          r6(col("abs_diff")).as("abs_diff"), r6(col("rel_diff")).as("rel_diff"), col("rk"))
+    }
+    per.reduce(_ union _).orderBy("table_name", "column_name", "rk")
+  }
+
+  def categoryChangesSql: String = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield
+      s"SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, category, " +
+        "ROUND(ref_prob, 6) AS ref_prob, ROUND(curr_prob, 6) AS curr_prob, " +
+        "ROUND(abs_diff, 6) AS abs_diff, ROUND(rel_diff, 6) AS rel_diff, rk FROM " +
+        "(SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(abs_diff) DESC, category ASC) AS rk FROM " +
+        "(SELECT value AS category, p AS ref_prob, q AS curr_prob, q - p AS abs_diff, " +
+        "CASE WHEN p > 0 THEN (q - p) / p WHEN q > 0 THEN 1.0 ELSE 0.0 END AS rel_diff " +
+        s"FROM (${top20DistsSql(sp, c)}) d WHERE p IS NOT NULL AND q IS NOT NULL) x) y WHERE rk <= 10"
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name, rk")
+  }
+
+  // --------------------------------------------------- js_full (O22)
+
+  /** Full-support JS distance (frequencies over ALL rows incl. the null
+    * group — /root/reference/distribution_analyzer.py:229-319). */
+  def jsFull(spark: SparkSession, dir: String): DataFrame = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield {
+      val cnts = sideCounts(spark, dir, sp, c, nonNull = false)
+      val totals = cnts.groupBy("side").agg(sum("cnt").as("n"))
+      val dists = cnts.join(totals, "side")
+        .select(col("side"), col("value"), (col("cnt") * 1e0 / col("n")).as("prob"))
+        .groupBy("value").agg(
+          max(when(col("side") === "ref", col("prob"))).as("p"),
+          max(when(col("side") === "curr", col("prob"))).as("q"))
+      dists
+        .agg(expr(s"SQRT((${jsKlPm} + ${jsKlQm}) / 2)").as("js_distance"),
+          sum(when(col("p").isNull, 1).otherwise(0)).as("new_values_count"),
+          sum(when(col("q").isNull, 1).otherwise(0)).as("disappeared_values_count"))
+        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+          r6(col("js_distance")).as("js_distance"),
+          (col("js_distance") > 0.1).as("significant_change"),
+          col("new_values_count").cast("long"), col("disappeared_values_count").cast("long"))
+    }
+    per.reduce(_ union _).orderBy("table_name", "column_name")
+  }
+
+  private val jsKlPm =
+    "SUM(CASE WHEN COALESCE(p, 0) > 0 AND (COALESCE(p, 0) + COALESCE(q, 0)) > 0 " +
+      "THEN COALESCE(p, 0) * LOG2(COALESCE(p, 0) / ((COALESCE(p, 0) + COALESCE(q, 0)) / 2)) ELSE 0 END)"
+  private val jsKlQm =
+    "SUM(CASE WHEN COALESCE(q, 0) > 0 AND (COALESCE(p, 0) + COALESCE(q, 0)) > 0 " +
+      "THEN COALESCE(q, 0) * LOG2(COALESCE(q, 0) / ((COALESCE(p, 0) + COALESCE(q, 0)) / 2)) ELSE 0 END)"
+
+  def jsFullSql: String = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield
+      s"SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, " +
+        s"ROUND(SQRT(($jsKlPm + $jsKlQm) / 2), 6) AS js_distance, " +
+        s"(SQRT(($jsKlPm + $jsKlQm) / 2) > 0.1) AS significant_change, " +
+        "SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END)::BIGINT AS new_values_count, " +
+        "SUM(CASE WHEN q IS NULL THEN 1 ELSE 0 END)::BIGINT AS disappeared_values_count FROM " +
+        "(SELECT value, MAX(CASE WHEN side = 'ref' THEN prob END) AS p, " +
+        "MAX(CASE WHEN side = 'curr' THEN prob END) AS q FROM " +
+        "(SELECT side, value, cnt * 1e0 / SUM(cnt) OVER (PARTITION BY side) AS prob " +
+        s"FROM (${sideCountsSql(sp, c, nonNull = false)}) t) f GROUP BY value) d"
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
+  }
+
+  // --------------------------------------------------- chi_square (O18)
+
+  /** χ² homogeneity statistic + the reference's banded p-value approximation
+    * (/root/reference/categorical_analyzer.py:305-437), fully distributed. */
+  private val chiCv =
+    "CASE WHEN dof > 10 THEN dof + SQRT(2.0 * dof) WHEN dof = 1 THEN 3.84 WHEN dof = 2 THEN 5.99 " +
+      "WHEN dof = 3 THEN 7.81 WHEN dof = 4 THEN 9.49 WHEN dof = 5 THEN 11.07 WHEN dof = 6 THEN 12.59 " +
+      "WHEN dof = 7 THEN 14.07 WHEN dof = 8 THEN 15.51 WHEN dof = 9 THEN 16.92 WHEN dof = 10 THEN 18.31 " +
+      "ELSE 3.84 END"
+
+  private val chiFinal: Seq[String] = Seq(
+    "table_name", "column_name", "ROUND(chi_square, 6) AS chi_square", "dof",
+    s"ROUND(CASE WHEN chi_square < 0.001 THEN 1.0 WHEN chi_square > 3 * ($chiCv) THEN 0.001 " +
+      s"WHEN chi_square > 2 * ($chiCv) THEN 0.01 WHEN chi_square > ($chiCv) THEN 0.05 " +
+      s"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi_square / ($chiCv)) * 0.95)) END, 6) AS p_value")
+
+  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield {
+      val piv = pivotCounts(sideCounts(spark, dir, sp, c, nonNull = true))
+      val tot = piv.agg(sum("ref_cnt").as("ref_sum"), sum("curr_cnt").as("curr_sum"))
+      piv.crossJoin(broadcast(tot))
+        .selectExpr("ref_cnt", "curr_cnt",
+          "ref_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_ref",
+          "curr_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_curr")
+        .agg(
+          coalesce(sum(expr("CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN " +
+            "POW(ref_cnt - exp_ref, 2) / exp_ref + POW(curr_cnt - exp_curr, 2) / exp_curr ELSE 0 END")), lit(0.0))
+            .as("chi_square"),
+          (count(lit(1)) - 1).as("dof"))
+        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+          col("chi_square"), col("dof"))
+        .selectExpr(chiFinal: _*)
+    }
+    per.reduce(_ union _).orderBy("table_name", "column_name")
+  }
+
+  def chiSquareSql: String = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield
+      s"SELECT ${chiFinal.mkString(", ")} FROM (" +
+        s"SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, " +
+        "COALESCE(SUM(CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN " +
+        "POW(ref_cnt - exp_ref, 2) / exp_ref + POW(curr_cnt - exp_curr, 2) / exp_curr ELSE 0 END), 0.0) AS chi_square, " +
+        "COUNT(*) - 1 AS dof FROM " +
+        "(SELECT ref_cnt, curr_cnt, ref_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_ref, " +
+        "curr_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_curr FROM " +
+        s"(WITH cnts AS (${sideCountsSql(sp, c, nonNull = true)}) $pivotCountsSql) piv, " +
+        s"(WITH cnts AS (${sideCountsSql(sp, c, nonNull = true)}) " +
+        "SELECT SUM(CASE WHEN side = 'ref' THEN cnt ELSE 0 END) AS ref_sum, " +
+        "SUM(CASE WHEN side = 'curr' THEN cnt ELSE 0 END) AS curr_sum FROM cnts) tot) e) z"
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
+  }
+
+  // ------------------------------------------- categorical_drift (O19)
+
+  /** O19 verdict + weighted score, assembled from the O15/O17/O18 pieces. */
+  private val o19Final: Seq[String] = {
+    val chiScore = "CASE WHEN p_value <= 0.001 THEN 1.0 WHEN p_value <= 0.01 THEN 0.8 " +
+      "WHEN p_value <= 0.05 THEN 0.6 WHEN p_value <= 0.1 THEN 0.3 ELSE 0.0 END"
+    val score = s"LEAST(1.0, 0.4 * LEAST(1.0, js_divergence * 4) + 0.3 * ($chiScore) + " +
+      "0.1 * LEAST(1.0, ABS(null_diff) * 10) + " +
+      "0.2 * LEAST(1.0, GREATEST(new_ratio, missing_ratio) * 2))"
+    val conds = Seq(
+      s"js_divergence > $CategoryThreshold" -> "distribution_change",
+      s"p_value < $ChiSquarePValue" -> "statistical_significance",
+      s"ABS(null_diff) > $NullThreshold" -> "null_proportion",
+      s"new_ratio > $CategoryThreshold" -> "new_categories",
+      s"missing_ratio > $CategoryThreshold" -> "missing_categories")
+    val causes = conds.map { case (cond, n) => s"CASE WHEN $cond THEN '$n' END" }
+      .mkString("CONCAT_WS(',', ", ", ", ")")
+    Seq("table_name", "column_name",
+      "ROUND(js_divergence, 6) AS js_divergence", "ROUND(p_value, 6) AS chi_p_value",
+      "ROUND(null_diff, 6) AS null_proportion_diff",
+      "ROUND(new_ratio, 6) AS new_categories_ratio", "ROUND(missing_ratio, 6) AS missing_categories_ratio",
+      s"(${conds.map(_._1).mkString(" OR ")}) AS drift_detected",
+      s"$causes AS drift_causes",
+      s"ROUND($score, 6) AS drift_score",
+      s"${severitySql(score)} AS drift_severity")
+  }
+
+  def categoricalDrift(spark: SparkSession, dir: String): DataFrame = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield {
+      // JS over top-20 distributions (O17 as called by O19)
+      val js = top20Dists(spark, dir, sp, c)
+        .agg(expr(s"SQRT(($jsKlPm + $jsKlQm) / 2)").as("js_divergence"),
+          sum(when(col("p").isNotNull, 1).otherwise(0)).as("ref_k"),
+          sum(when(col("q").isNotNull && col("p").isNull, 1).otherwise(0)).as("new_k"),
+          sum(when(col("p").isNotNull && col("q").isNull, 1).otherwise(0)).as("missing_k"))
+      val chi = {
+        val piv = pivotCounts(sideCounts(spark, dir, sp, c, nonNull = true))
+        val tot = piv.agg(sum("ref_cnt").as("ref_sum"), sum("curr_cnt").as("curr_sum"))
+        piv.crossJoin(broadcast(tot))
+          .selectExpr("ref_cnt", "curr_cnt",
+            "ref_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_ref",
+            "curr_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_curr")
+          .agg(coalesce(sum(expr("CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN " +
+            "POW(ref_cnt - exp_ref, 2) / exp_ref + POW(curr_cnt - exp_curr, 2) / exp_curr ELSE 0 END")), lit(0.0))
+            .as("chi_square"), (count(lit(1)) - 1).as("dof"))
+          .selectExpr("chi_square", "dof")
+          .selectExpr("CASE WHEN chi_square < 0.001 THEN 1.0 " +
+            s"WHEN chi_square > 3 * ($chiCv) THEN 0.001 WHEN chi_square > 2 * ($chiCv) THEN 0.01 " +
+            s"WHEN chi_square > ($chiCv) THEN 0.05 " +
+            s"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi_square / ($chiCv)) * 0.95)) END AS p_value")
+      }
+      val nulls = withSide(table(spark, dir, sp.tableName), sp.ref)
+        .groupBy("side").agg(count(lit(1)).as("n"), sum(when(col(c).isNull, 1L).otherwise(0L)).as("nl"))
+        .groupBy().agg(
+          max(when(col("side") === "ref", col("nl") * 1e0 / col("n"))).as("ref_null_prop"),
+          max(when(col("side") === "curr", col("nl") * 1e0 / col("n"))).as("curr_null_prop"))
+      js.crossJoin(broadcast(chi)).crossJoin(broadcast(nulls))
+        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+          col("js_divergence"), col("p_value"),
+          (col("curr_null_prop") - col("ref_null_prop")).as("null_diff"),
+          (col("new_k") * 1e0 / col("ref_k")).as("new_ratio"),
+          (col("missing_k") * 1e0 / col("ref_k")).as("missing_ratio"))
+        .selectExpr(o19Final: _*)
+    }
+    per.reduce(_ union _).orderBy("table_name", "column_name")
+  }
+
+  def categoricalDriftSql: String = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield {
+      val jsSub = s"(SELECT SQRT(($jsKlPm + $jsKlQm) / 2) AS js_divergence, " +
+        "SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS ref_k, " +
+        "SUM(CASE WHEN q IS NOT NULL AND p IS NULL THEN 1 ELSE 0 END) AS new_k, " +
+        "SUM(CASE WHEN p IS NOT NULL AND q IS NULL THEN 1 ELSE 0 END) AS missing_k " +
+        s"FROM (${top20DistsSql(sp, c)}) d) js"
+      val chiSub = "(SELECT CASE WHEN chi_square < 0.001 THEN 1.0 " +
+        s"WHEN chi_square > 3 * ($chiCv) THEN 0.001 WHEN chi_square > 2 * ($chiCv) THEN 0.01 " +
+        s"WHEN chi_square > ($chiCv) THEN 0.05 " +
+        s"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi_square / ($chiCv)) * 0.95)) END AS p_value FROM " +
+        "(SELECT COALESCE(SUM(CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN " +
+        "POW(ref_cnt - exp_ref, 2) / exp_ref + POW(curr_cnt - exp_curr, 2) / exp_curr ELSE 0 END), 0.0) AS chi_square, " +
+        "COUNT(*) - 1 AS dof FROM " +
+        "(SELECT ref_cnt, curr_cnt, ref_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_ref, " +
+        "curr_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_curr FROM " +
+        s"(WITH cnts AS (${sideCountsSql(sp, c, nonNull = true)}) $pivotCountsSql) piv, " +
+        s"(WITH cnts AS (${sideCountsSql(sp, c, nonNull = true)}) " +
+        "SELECT SUM(CASE WHEN side = 'ref' THEN cnt ELSE 0 END) AS ref_sum, " +
+        "SUM(CASE WHEN side = 'curr' THEN cnt ELSE 0 END) AS curr_sum FROM cnts) tot) e) x) chi"
+      val nullSub = "(SELECT MAX(CASE WHEN side = 'ref' THEN nl * 1e0 / n END) AS ref_null_prop, " +
+        "MAX(CASE WHEN side = 'curr' THEN nl * 1e0 / n END) AS curr_null_prop FROM " +
+        s"(SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, COUNT(*) AS n, " +
+        s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS nl FROM ${sp.tableName} GROUP BY 1) nn) np"
+      s"SELECT ${o19Final.mkString(", ")} FROM " +
+        s"(SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, js.js_divergence, chi.p_value, " +
+        "np.curr_null_prop - np.ref_null_prop AS null_diff, " +
+        "js.new_k * 1e0 / js.ref_k AS new_ratio, js.missing_k * 1e0 / js.ref_k AS missing_ratio " +
+        s"FROM $jsSub, $chiSub, $nullSub) z"
+    }
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
+  }
+
+  // ------------------------------------------- rare values (O23) + (O35)
+
+  /** (table, column, rareThreshold) for O23; high-cardinality columns so the
+    * rare-frequency band is populated. */
+  private val rareCols: Seq[(S.CatSplit, String, Double)] = Seq(
+    (S.categorical.head.copy(cols = Seq("l_partkey")), "l_partkey", 0.0005),
+    (S.categorical.find(_.tableName == "orders").get.copy(cols = Seq("o_custkey")), "o_custkey", 0.0005))
+
+  /** Per-value frequencies over ALL rows (null group kept), pivoted. */
+  private def freqPivot(spark: SparkSession, dir: String, sp: S.CatSplit, c: String): DataFrame = {
+    val cnts = sideCounts(spark, dir, sp, c, nonNull = false)
+    val totals = cnts.groupBy("side").agg(sum("cnt").as("n"))
+    cnts.join(totals, "side")
+      .groupBy("value").agg(
+        max(when(col("side") === "ref", col("cnt"))).as("ref_cnt0"),
+        max(when(col("side") === "curr", col("cnt"))).as("curr_cnt0"),
+        max(when(col("side") === "ref", col("cnt") * 1e0 / col("n"))).as("ref_freq0"),
+        max(when(col("side") === "curr", col("cnt") * 1e0 / col("n"))).as("curr_freq0"))
+  }
+
+  private def freqPivotSql(sp: S.CatSplit, c: String): String =
+    "SELECT value, MAX(CASE WHEN side = 'ref' THEN cnt END) AS ref_cnt0, " +
+      "MAX(CASE WHEN side = 'curr' THEN cnt END) AS curr_cnt0, " +
+      "MAX(CASE WHEN side = 'ref' THEN freq END) AS ref_freq0, " +
+      "MAX(CASE WHEN side = 'curr' THEN freq END) AS curr_freq0 FROM " +
+      "(SELECT side, value, cnt, cnt * 1e0 / SUM(cnt) OVER (PARTITION BY side) AS freq " +
+      s"FROM (${sideCountsSql(sp, c, nonNull = false)}) t) f GROUP BY value"
+
+  /** O23 per-column rare-value census summary. `rare` = freq ≤ threshold in
+    * that side's distribution; new_rare/disappeared_rare only count values
+    * PRESENT in the other side (distribution_analyzer.py:366-377). */
+  def rareValueSummary(spark: SparkSession, dir: String): DataFrame = {
+    val per = rareCols.map { case (sp, c, thr) =>
+      freqPivot(spark, dir, sp, c)
+        .agg(
+          sum(when(col("ref_freq0") <= thr, 1).otherwise(0)).as("ref_rare_count"),
+          sum(when(col("curr_freq0") <= thr, 1).otherwise(0)).as("curr_rare_count"),
+          sum(when(col("curr_freq0") <= thr && !(col("ref_freq0") <= thr) && col("ref_freq0").isNotNull, 1)
+            .otherwise(0)).as("new_rare_count"),
+          sum(when(col("ref_freq0") <= thr && !(col("curr_freq0") <= thr) && col("curr_freq0").isNotNull, 1)
+            .otherwise(0)).as("disappeared_rare_count"))
+        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+          col("ref_rare_count").cast("long"), col("curr_rare_count").cast("long"),
+          (col("curr_rare_count") - col("ref_rare_count")).cast("long").as("rare_count_change"),
+          col("new_rare_count").cast("long"), col("disappeared_rare_count").cast("long"))
+    }
+    per.reduce(_ union _).orderBy("table_name", "column_name")
+  }
+
+  def rareValueSummarySql: String = {
+    val per = rareCols.map { case (sp, c, thr) =>
+      s"SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, " +
+        s"SUM(CASE WHEN ref_freq0 <= $thr THEN 1 ELSE 0 END)::BIGINT AS ref_rare_count, " +
+        s"SUM(CASE WHEN curr_freq0 <= $thr THEN 1 ELSE 0 END)::BIGINT AS curr_rare_count, " +
+        s"(SUM(CASE WHEN curr_freq0 <= $thr THEN 1 ELSE 0 END) - SUM(CASE WHEN ref_freq0 <= $thr THEN 1 ELSE 0 END))::BIGINT AS rare_count_change, " +
+        s"SUM(CASE WHEN curr_freq0 <= $thr AND NOT (ref_freq0 <= $thr) AND ref_freq0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS new_rare_count, " +
+        s"SUM(CASE WHEN ref_freq0 <= $thr AND NOT (curr_freq0 <= $thr) AND curr_freq0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS disappeared_rare_count " +
+        s"FROM (${freqPivotSql(sp, c)}) p"
+    }
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
+  }
+
+  /** O35 rare-category change detection (full port of
+    * /root/reference/rare_event_analyzer.py:12-113; the one real join). */
+  private val o35Final: Seq[String] = {
+    val rel = "CASE WHEN ref_cnt > 0 THEN (curr_cnt - ref_cnt) * 1e0 / ref_cnt " +
+      "WHEN curr_cnt > 0 THEN 1.0 ELSE 0.0 END"
+    Seq("table_name", "column_name", "value AS category",
+      "ref_cnt AS ref_count", "curr_cnt AS curr_count",
+      "ROUND(ref_freq, 6) AS ref_freq", "ROUND(curr_freq, 6) AS curr_freq",
+      s"ROUND($rel, 6) AS rel_change",
+      s"CASE WHEN ref_cnt = 0 THEN 'new_rare_category' WHEN curr_cnt = 0 THEN 'disappeared_rare_category' " +
+        s"WHEN ($rel) > 0 THEN 'increased_rare_category' ELSE 'decreased_rare_category' END AS change_type",
+      s"CASE WHEN ref_cnt = 0 OR curr_cnt = 0 THEN 'high' " +
+        s"WHEN ($rel) > 0 THEN (CASE WHEN ($rel) > 1.0 THEN 'high' ELSE 'medium' END) " +
+        s"ELSE (CASE WHEN ABS($rel) > 0.5 THEN 'high' ELSE 'medium' END) END AS severity")
+  }
+
+  def rareCategories(spark: SparkSession, dir: String): DataFrame = {
+    val minCount = 10
+    val maxFreq = 0.01
+    val per = rareCols.map { case (sp, c, _) =>
+      freqPivot(spark, dir, sp, c)
+        .selectExpr("value",
+          "COALESCE(ref_cnt0, 0) AS ref_cnt", "COALESCE(curr_cnt0, 0) AS curr_cnt",
+          "COALESCE(ref_freq0, 0) AS ref_freq", "COALESCE(curr_freq0, 0) AS curr_freq")
+        .filter(expr(s"((ref_freq <= $maxFreq AND ref_cnt >= $minCount) OR " +
+          s"(curr_freq <= $maxFreq AND curr_cnt >= $minCount))"))
+        .filter(expr("ABS(CASE WHEN ref_cnt > 0 THEN (curr_cnt - ref_cnt) * 1e0 / ref_cnt " +
+          "WHEN curr_cnt > 0 THEN 1.0 ELSE 0.0 END) >= 0.3 OR ref_cnt = 0 OR curr_cnt = 0"))
+        .filter(col("value").isNotNull)
+        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"), col("*"))
+        .selectExpr(o35Final: _*)
+    }
+    per.reduce(_ union _)
+      .orderBy(when(col("severity") === "high", 0).otherwise(1),
+        abs(col("rel_change")).desc, col("table_name"), col("column_name"), col("category"))
+  }
+
+  def rareCategoriesSql: String = {
+    val minCount = 10
+    val maxFreq = 0.01
+    val rel = "CASE WHEN ref_cnt > 0 THEN (curr_cnt - ref_cnt) * 1e0 / ref_cnt " +
+      "WHEN curr_cnt > 0 THEN 1.0 ELSE 0.0 END"
+    val per = rareCols.map { case (sp, c, _) =>
+      s"SELECT ${o35Final.mkString(", ")} FROM " +
+        s"(SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, value, " +
+        "COALESCE(ref_cnt0, 0) AS ref_cnt, COALESCE(curr_cnt0, 0) AS curr_cnt, " +
+        "COALESCE(ref_freq0, 0) AS ref_freq, COALESCE(curr_freq0, 0) AS curr_freq " +
+        s"FROM (${freqPivotSql(sp, c)}) p) z " +
+        s"WHERE ((ref_freq <= $maxFreq AND ref_cnt >= $minCount) OR (curr_freq <= $maxFreq AND curr_cnt >= $minCount)) " +
+        s"AND (ABS($rel) >= 0.3 OR ref_cnt = 0 OR curr_cnt = 0) AND value IS NOT NULL"
+    }
+    s"SELECT * FROM (${per.mkString(" UNION ALL ")}) u " +
+      "ORDER BY CASE WHEN severity = 'high' THEN 0 ELSE 1 END, ABS(rel_change) DESC, table_name, column_name, category"
+  }
+
+  // ------------------------------------------------- top-N combined (O34)
+
+  /** O34: top-N categories by ref_count + curr_count, fully distributed
+    * (the reference collects both sides and sorts in Python —
+    * /root/reference/group_analyzer.py:167-204). */
+  def topCombined(spark: SparkSession, dir: String): DataFrame = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield {
+      pivotCounts(sideCounts(spark, dir, sp, c, nonNull = false))
+        .withColumn("combined", col("ref_cnt") + col("curr_cnt"))
+        .withColumn("rk", row_number().over(Window.orderBy(col("combined").desc, col("value").asc)))
+        .filter(col("rk") <= 20)
+        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+          col("rk"), col("value"), col("ref_cnt"), col("curr_cnt"), col("combined"))
+    }
+    per.reduce(_ union _).orderBy("table_name", "column_name", "rk")
+  }
+
+  def topCombinedSql: String = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield
+      s"SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, rk, value, ref_cnt, curr_cnt, combined FROM " +
+        "(SELECT *, ref_cnt + curr_cnt AS combined, " +
+        "ROW_NUMBER() OVER (ORDER BY ref_cnt + curr_cnt DESC, value ASC) AS rk FROM " +
+        s"(WITH cnts AS (${sideCountsSql(sp, c, nonNull = false)}) $pivotCountsSql) p) r WHERE rk <= 20"
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name, rk")
+  }
+
+  // ----------------------------------------------------------------- API
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "value_counts" -> ((s, d) => valueCounts(s, d)),
+    "topk_entropy" -> ((s, d) => topkEntropy(s, d)),
+    "dist_diff" -> ((s, d) => distDiff(s, d)),
+    "category_changes" -> ((s, d) => categoryChanges(s, d)),
+    "js_full" -> ((s, d) => jsFull(s, d)),
+    "chi_square" -> ((s, d) => chiSquare(s, d)),
+    "categorical_drift" -> ((s, d) => categoricalDrift(s, d)),
+    "rare_value_summary" -> ((s, d) => rareValueSummary(s, d)),
+    "rare_categories" -> ((s, d) => rareCategories(s, d)),
+    "top_combined" -> ((s, d) => topCombined(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "value_counts" -> valueCountsSql,
+    "topk_entropy" -> topkEntropySql,
+    "dist_diff" -> distDiffSql,
+    "category_changes" -> categoryChangesSql,
+    "js_full" -> jsFullSql,
+    "chi_square" -> chiSquareSql,
+    "categorical_drift" -> categoricalDriftSql,
+    "rare_value_summary" -> rareValueSummarySql,
+    "rare_categories" -> rareCategoriesSql,
+    "top_combined" -> topCombinedSql,
+  )
+}

@@ -1,0 +1,563 @@
+package graft.drift
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.drift.{splits => S}
+
+/** Numeric column statistics + drift (reference operators O11–O14, O20, O21,
+  * O24, O36 — SURVEY.md §2.b; semantics from
+  * /root/reference/numerical_analyzer.py, distribution_analyzer.py,
+  * rare_event_analyzer.py).
+  *
+  * Scale design: every per-column statistic for a snapshot pair is computed in
+  * ONE `groupBy("side")` aggregation over a single scan — the reference runs
+  * ~5 Spark jobs per column per frame (numerical_analyzer.py:124-143); we run
+  * one job for all columns of a table, with map-side partial aggregation, so
+  * the cost at 100 TB is one scan + a 2-row shuffle. The drift math is then a
+  * join of two 1-row-per-column frames (broadcast, no shuffle).
+  *
+  * The final drift arithmetic is expressed as SQL strings shared verbatim
+  * with the DuckDB oracle (`selectExpr` on the Spark side), so the two
+  * engines cannot diverge on formula details.
+  */
+object NumericDrift {
+
+  // ---------------------------------------------------------------- stats
+
+  /** Full-table per-column stats over several tables (O11). */
+  private val statsTables: Seq[(String, Seq[String])] = Seq(
+    "lineitem" -> Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "orders" -> Seq("o_totalprice"),
+    "customer" -> Seq("c_acctbal"),
+    "supplier" -> Seq("s_acctbal"),
+    "part" -> Seq("p_retailprice", "p_size"),
+    "events" -> Seq("value"),
+  )
+
+  private def statAggs(c: String): Seq[Column] = Seq(
+    count(lit(1)).as(s"${c}__total"),
+    count(col(c)).as(s"${c}__nonnull"),
+    avg(col(c)).as(s"${c}__mean"),
+    stddev(col(c)).as(s"${c}__std"),
+    min(col(c)).cast("double").as(s"${c}__min"),
+    max(col(c)).cast("double").as(s"${c}__max"),
+    expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"${c}__pct"),
+  )
+
+  /** Unpivot the wide agg row into (table_name, column_name, stats...) rows. */
+  private def stackStats(tableName: String, cols: Seq[String]): String = {
+    val rows = cols.map { c =>
+      s"'$tableName', '$c', ${c}__total, ${c}__nonnull, ${c}__mean, ${c}__std, " +
+        s"${c}__min, ${c}__max, ${c}__pct[0], ${c}__pct[1], ${c}__pct[2]"
+    }.mkString(", ")
+    s"stack(${cols.size}, $rows) as " +
+      "(table_name, column_name, n_total, n_nonnull, mean, std, vmin, vmax, p25, p50, p75)"
+  }
+
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val longs = statsTables.map { case (t, cols) =>
+      val aggs = cols.flatMap(statAggs)
+      table(spark, dir, t).agg(aggs.head, aggs.tail: _*).select(expr(stackStats(t, cols)))
+    }
+    longs.reduce(_ unionAll _)
+      .selectExpr(
+        "table_name", "column_name",
+        "n_total", "n_total - n_nonnull AS n_null",
+        "round(mean, 6) AS mean", "round(std, 6) AS std",
+        "round(vmin, 6) AS vmin", "round(vmax, 6) AS vmax",
+        "round(p25, 6) AS p25", "round(p50, 6) AS p50", "round(p75, 6) AS p75")
+      .orderBy("table_name", "column_name")
+  }
+
+  def statsSql: String = {
+    val selects = statsTables.flatMap { case (t, cols) =>
+      cols.map { c =>
+        s"SELECT '$t' AS table_name, '$c' AS column_name, COUNT(*) AS n_total, " +
+          s"COUNT(*) - COUNT($c) AS n_null, ROUND(AVG($c), 6) AS mean, " +
+          s"ROUND(STDDEV($c), 6) AS std, ROUND(MIN($c)::DOUBLE, 6) AS vmin, " +
+          s"ROUND(MAX($c)::DOUBLE, 6) AS vmax, ROUND(quantile_cont($c, 0.25), 6) AS p25, " +
+          s"ROUND(quantile_cont($c, 0.5), 6) AS p50, ROUND(quantile_cont($c, 0.75), 6) AS p75 " +
+          s"FROM $t"
+      }
+    }
+    selects.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
+  }
+
+  // ------------------------------------------------------------- ref/curr
+
+  /** One-pass per-side stats for a split table, long format:
+    * (table_name, column_name, side, n_total, n_nonnull, mean, std, vmin,
+    * vmax, p25, p50, p75, p95, p99, p01, p05). */
+  private def sideStatsLong(spark: SparkSession, dir: String, sp: S.NumSplit): DataFrame = {
+    val aggs = sp.cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__total"),
+        count(col(c)).as(s"${c}__nonnull"),
+        avg(col(c)).as(s"${c}__mean"),
+        stddev(col(c)).as(s"${c}__std"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        expr(s"percentile($c, array(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99))").as(s"${c}__pct"),
+      )
+    }
+    val rows = sp.cols.map { c =>
+      s"'${sp.tableName}', '$c', ${c}__total, ${c}__nonnull, ${c}__mean, ${c}__std, " +
+        s"${c}__min, ${c}__max, ${c}__pct[0], ${c}__pct[1], ${c}__pct[2], ${c}__pct[3], " +
+        s"${c}__pct[4], ${c}__pct[5], ${c}__pct[6]"
+    }.mkString(", ")
+    withSide(table(spark, dir, sp.tableName), sp.ref)
+      .groupBy(col("side")).agg(aggs.head, aggs.tail: _*)
+      .select(col("side"), expr(s"stack(${sp.cols.size}, $rows) as " +
+        "(table_name, column_name, n_total, n_nonnull, mean, std, vmin, vmax, " +
+        "p01, p05, p25, p50, p75, p95, p99)"))
+  }
+
+  /** SQL mirror of [[sideStatsLong]] for all numeric splits (a UNION ALL CTE
+    * body named `sides`). */
+  private def sideStatsLongSql: String =
+    S.numeric.flatMap { sp =>
+      sp.cols.map { c =>
+        s"SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, " +
+          s"'${sp.tableName}' AS table_name, '$c' AS column_name, " +
+          s"COUNT(*) AS n_total, COUNT($c) AS n_nonnull, AVG($c) AS mean, " +
+          s"STDDEV($c) AS std, MIN($c)::DOUBLE AS vmin, MAX($c)::DOUBLE AS vmax, " +
+          s"quantile_cont($c, 0.01) AS p01, quantile_cont($c, 0.05) AS p05, " +
+          s"quantile_cont($c, 0.25) AS p25, quantile_cont($c, 0.5) AS p50, " +
+          s"quantile_cont($c, 0.75) AS p75, quantile_cont($c, 0.95) AS p95, " +
+          s"quantile_cont($c, 0.99) AS p99 FROM ${sp.tableName} GROUP BY 1, 2, 3"
+      }
+    }.mkString(" UNION ALL ")
+
+  private val sideStatCols = Seq("n_total", "n_nonnull", "mean", "std", "vmin",
+    "vmax", "p01", "p05", "p25", "p50", "p75", "p95", "p99")
+
+  /** Pivot the long side stats into one row per column with ref_/curr_
+    * prefixes (Spark side — a tiny broadcast self-join). */
+  private def pivotSides(longDf: DataFrame): DataFrame = {
+    def side(s: String) = longDf.filter(col("side") === s).drop("side")
+      .select(col("table_name") +: col("column_name") +:
+        sideStatCols.map(c => col(c).as(s"${s}_$c")): _*)
+    side("ref").join(side("curr"), Seq("table_name", "column_name"))
+  }
+
+  /** SQL mirror of [[pivotSides]] given CTE `sides`. */
+  private def pivotSidesSql: String = {
+    def cols(s: String) = sideStatCols.map(c => s"$c AS ${s}_$c").mkString(", ")
+    s"SELECT r.table_name, r.column_name, ${sideStatCols.map(c => s"r.ref_$c").mkString(", ")}, " +
+      s"${sideStatCols.map(c => s"c.curr_$c").mkString(", ")} FROM " +
+      s"(SELECT table_name, column_name, ${cols("ref")} FROM sides WHERE side = 'ref') r " +
+      s"JOIN (SELECT table_name, column_name, ${cols("curr")} FROM sides WHERE side = 'curr') c " +
+      s"ON r.table_name = c.table_name AND r.column_name = c.column_name"
+  }
+
+  // ------------------------------------------- O11/O12 drift metrics query
+
+  /** Stage-1 derived quantities (shared SQL text, Spark `selectExpr` +
+    * DuckDB). Semantics: /root/reference/numerical_analyzer.py:194-276. */
+  private val driftStage1: Seq[String] = {
+    val derived = Seq(
+      "ref_p75 - ref_p25 AS ref_iqr", "curr_p75 - curr_p25 AS curr_iqr",
+      "ref_vmax - ref_vmin AS ref_range", "curr_vmax - curr_vmin AS curr_range",
+      "(ref_n_total - ref_n_nonnull) * 1e0 / ref_n_total AS ref_null_prop",
+      "(curr_n_total - curr_n_nonnull) * 1e0 / curr_n_total AS curr_null_prop")
+    Seq("*") ++ derived
+  }
+
+  private val driftStats = Seq("mean" -> "mean", "median" -> "p50",
+    "std_dev" -> "std", "min" -> "vmin", "max" -> "vmax", "iqr" -> "iqr",
+    "range" -> "range")
+
+  private val driftStage2: Seq[String] = {
+    val diffs = driftStats.flatMap { case (name, c) =>
+      Seq(
+        s"curr_$c - ref_$c AS ${name}_abs_diff",
+        s"${relDiffSql(s"ref_$c", s"curr_$c")} AS ${name}_rel_diff")
+    }
+    Seq("table_name", "column_name",
+      "ref_mean", "curr_mean", "ref_p50", "curr_p50", "ref_std", "curr_std",
+      "ref_vmin", "curr_vmin", "ref_vmax", "curr_vmax", "ref_iqr", "curr_iqr",
+      "ref_range", "curr_range", "ref_null_prop", "curr_null_prop",
+      "curr_null_prop - ref_null_prop AS null_diff") ++ diffs
+  }
+
+  /** Weighted drift score + detection (standard-profile defaults,
+    * /root/reference/numerical_analyzer.py:30-36,69-76,253-260). */
+  private val driftStage3: Seq[String] = {
+    val score = "LEAST(1.0, 0.25 * ABS(mean_rel_diff) + 0.2 * ABS(median_rel_diff) + " +
+      "0.15 * ABS(std_dev_rel_diff) + 0.15 * ABS(iqr_rel_diff) + " +
+      "0.1 * ABS(null_diff) + 0.15 * ABS(range_rel_diff))"
+    val conds = Seq(
+      "ABS(mean_rel_diff) > 0.05" -> "mean",
+      "ABS(median_rel_diff) > 0.05" -> "median",
+      "ABS(std_dev_rel_diff) > 0.1" -> "std_dev",
+      "ABS(iqr_rel_diff) > 0.1" -> "iqr",
+      "ABS(null_diff) > 0.005" -> "null_proportion",
+      "ABS(range_rel_diff) > 0.1" -> "range")
+    val causes = conds.map { case (cond, name) => s"CASE WHEN $cond THEN '$name' END" }
+      .mkString("CONCAT_WS(',', ", ", ", ")")
+    Seq("table_name", "column_name") ++
+      Seq("ref_mean", "curr_mean", "ref_p50", "curr_p50", "ref_std", "curr_std",
+        "ref_iqr", "curr_iqr", "ref_range", "curr_range", "ref_null_prop",
+        "curr_null_prop", "null_diff").map(c => s"ROUND($c, 6) AS $c") ++
+      driftStats.flatMap { case (n, _) =>
+        Seq(s"ROUND(${n}_abs_diff, 6) AS ${n}_abs_diff", s"ROUND(${n}_rel_diff, 6) AS ${n}_rel_diff") } ++
+      Seq(
+        s"ROUND($score, 6) AS drift_score",
+        s"(${conds.map(_._1).mkString(" OR ")}) AS drift_detected",
+        s"$causes AS drift_causes",
+        s"${severitySql(s"$score")} AS drift_severity")
+  }
+
+  def drift(spark: SparkSession, dir: String): DataFrame = {
+    val long = S.numeric.map(sideStatsLong(spark, dir, _)).reduce(_ unionAll _)
+    pivotSides(long)
+      .selectExpr(driftStage1: _*)
+      .selectExpr(driftStage2: _*)
+      .selectExpr(driftStage3: _*)
+      .orderBy("table_name", "column_name")
+  }
+
+  def driftSql: String =
+    s"WITH sides AS ($sideStatsLongSql), piv AS ($pivotSidesSql), " +
+      s"st1 AS (SELECT ${driftStage1.mkString(", ")} FROM piv), " +
+      s"st2 AS (SELECT ${driftStage2.mkString(", ")} FROM st1) " +
+      s"SELECT ${driftStage3.mkString(", ")} FROM st2 ORDER BY table_name, column_name"
+
+  // ------------------------------------------------ O13/O14 flat drift score
+
+  /** Outlier/extreme counts against reference IQR bounds (O14) — one extra
+    * pass per table, bounds broadcast from the stats row (no collect). */
+  private def outlierCounts(spark: SparkSession, dir: String, sp: S.NumSplit): DataFrame = {
+    val df = withSide(table(spark, dir, sp.tableName), sp.ref)
+    val longStats = sideStatsLong(spark, dir, sp)
+    val bounds = longStats.filter(col("side") === "ref")
+      .select(col("column_name").as("b_column"), col("p25").as("ref_q1"), col("p75").as("ref_q3"))
+    val perCol = sp.cols.map { c =>
+      df.select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+          col("side"), col(c).cast("double").as("x"))
+        .join(broadcast(bounds.filter(col("b_column") === c)))
+        .select(col("table_name"), col("column_name"), col("side"), col("x"),
+          (col("ref_q3") - col("ref_q1")).as("iqr"), col("ref_q1"), col("ref_q3"))
+        .groupBy("table_name", "column_name", "side")
+        .agg(
+          sum(when(col("x").isNotNull &&
+            (col("x") < col("ref_q1") - col("iqr") * 1.5 ||
+             col("x") > col("ref_q3") + col("iqr") * 1.5), 1L).otherwise(0L)).as("n_out"),
+          sum(when(col("x").isNotNull &&
+            (col("x") < col("ref_q1") - col("iqr") * 3.0 ||
+             col("x") > col("ref_q3") + col("iqr") * 3.0), 1L).otherwise(0L)).as("n_ext"))
+    }
+    perCol.reduce(_ unionAll _)
+  }
+
+  private def outlierCountsSql: String =
+    S.numeric.flatMap { sp =>
+      sp.cols.map { c =>
+        s"SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, " +
+          s"'${sp.tableName}' AS table_name, '$c' AS column_name, " +
+          s"SUM(CASE WHEN $c IS NOT NULL AND ($c < b.ref_q1 - 1.5 * (b.ref_q3 - b.ref_q1) " +
+          s"OR $c > b.ref_q3 + 1.5 * (b.ref_q3 - b.ref_q1)) THEN 1 ELSE 0 END)::BIGINT AS n_out, " +
+          s"SUM(CASE WHEN $c IS NOT NULL AND ($c < b.ref_q1 - 3.0 * (b.ref_q3 - b.ref_q1) " +
+          s"OR $c > b.ref_q3 + 3.0 * (b.ref_q3 - b.ref_q1)) THEN 1 ELSE 0 END)::BIGINT AS n_ext " +
+          s"FROM ${sp.tableName}, (SELECT quantile_cont($c, 0.25) AS ref_q1, " +
+          s"quantile_cont($c, 0.75) AS ref_q3 FROM ${sp.tableName} WHERE ${sp.refSql}) b " +
+          s"GROUP BY 1, 2, 3"
+      }
+    }.mkString(" UNION ALL ")
+
+  /** Drift-score components, shared SQL. Exact semantics of
+    * /root/reference/numerical_analyzer.py:278-559 (calculate_drift_scores
+    * with detect_outliers=true), with one documented deviation: exact
+    * `percentile` instead of `percentile_approx(·,0.01)` so the DuckDB oracle
+    * can reproduce values bit-for-bit.
+    *
+    * NB two reference quirks preserved deliberately: "count" is the NON-null
+    * count (F.count(col)), so null_fraction = nulls/nonnull; and the outlier
+    * rate denominator is count − null_count = nonnull − nulls. */
+  private val scoreStage: Seq[String] = {
+    val e = "1e-10"
+    val comps = Seq(
+      "c_null" -> ("ABS((CASE WHEN curr_n_nonnull > 0 THEN (curr_n_total - curr_n_nonnull) * 1e0 / curr_n_nonnull ELSE 0 END) - " +
+        "(CASE WHEN ref_n_nonnull > 0 THEN (ref_n_total - ref_n_nonnull) * 1e0 / ref_n_nonnull ELSE 0 END))"),
+      "c_mean" -> s"LEAST(ABS(curr_mean - ref_mean) / GREATEST(ref_std, $e), 1.0)",
+      "c_std" -> (s"CASE WHEN curr_std > $e THEN " +
+        s"LEAST(ABS(LN(curr_std / GREATEST(ref_std, $e))) / LN(2), 1.0) END"),
+      "c_med" -> s"LEAST(ABS(curr_p50 - ref_p50) / GREATEST(ref_std, $e), 1.0)",
+      "c_range" -> (s"CASE WHEN ABS(ref_vmax - ref_vmin) > $e AND curr_vmax - curr_vmin > $e THEN " +
+        s"LEAST(ABS(LN((curr_vmax - curr_vmin + $e) / (ref_vmax - ref_vmin + $e))) / LN(2), 1.0) " +
+        s"WHEN ABS(ref_vmax - ref_vmin) <= $e AND ABS(curr_vmax - curr_vmin) > $e THEN 1.0 END"),
+      "c_iqr" -> (s"CASE WHEN ABS(ref_p75 - ref_p25) > $e THEN " +
+        s"(CASE WHEN curr_p75 - curr_p25 > $e THEN " +
+        s"LEAST(ABS(LN((curr_p75 - curr_p25 + $e) / (ref_p75 - ref_p25 + $e))) / LN(2), 1.0) " +
+        s"ELSE 1.0 END) END"),
+      "c_p95" -> s"CASE WHEN ref_std > $e THEN LEAST(ABS(curr_p95 - ref_p95) / ref_std, 1.0) END",
+      "c_p99" -> s"CASE WHEN ref_std > $e THEN LEAST(ABS(curr_p99 - ref_p99) / ref_std, 1.0) END",
+      "c_out" -> (s"CASE WHEN ref_p75 - ref_p25 > $e THEN LEAST(ABS(" +
+        "curr_n_out * 1e0 / (curr_n_nonnull - (curr_n_total - curr_n_nonnull)) - " +
+        "ref_n_out * 1e0 / (ref_n_nonnull - (ref_n_total - ref_n_nonnull))) * 10, 1.0) END"),
+      "c_ext" -> (s"CASE WHEN ref_p75 - ref_p25 > $e THEN LEAST(ABS(" +
+        "curr_n_ext * 1e0 / (curr_n_nonnull - (curr_n_total - curr_n_nonnull)) - " +
+        "ref_n_ext * 1e0 / (ref_n_nonnull - (ref_n_total - ref_n_nonnull))) * 20, 1.0) END"),
+    )
+    Seq("table_name", "column_name") ++ comps.map { case (n, sql) => s"$sql AS $n" }
+  }
+
+  private val scoreFinal: Seq[String] = {
+    val names = Seq("c_null", "c_mean", "c_std", "c_med", "c_range", "c_iqr",
+      "c_p95", "c_p99", "c_out", "c_ext")
+    val total = names.map(n => s"COALESCE($n, 0)").mkString(" + ")
+    val cnt = names.map(n => s"(CASE WHEN $n IS NOT NULL THEN 1 ELSE 0 END)").mkString(" + ")
+    Seq("table_name", "column_name", "'numerical' AS column_type", "'all' AS dimension_id",
+      s"ROUND(GREATEST(0.0, LEAST(1.0, ($total) / ($cnt))), 6) AS drift_score",
+      s"${severitySql(s"GREATEST(0.0, LEAST(1.0, ($total) / ($cnt)))")} AS drift_severity") ++
+      names.map(n => s"ROUND($n, 6) AS $n")
+  }
+
+  def driftScore(spark: SparkSession, dir: String): DataFrame = {
+    val long = S.numeric.map(sideStatsLong(spark, dir, _)).reduce(_ unionAll _)
+    val outs = S.numeric.map(outlierCounts(spark, dir, _)).reduce(_ unionAll _)
+    def outSide(s: String) = outs.filter(col("side") === s).drop("side")
+      .withColumnRenamed("n_out", s"${s}_n_out").withColumnRenamed("n_ext", s"${s}_n_ext")
+    pivotSides(long)
+      .join(outSide("ref"), Seq("table_name", "column_name"))
+      .join(outSide("curr"), Seq("table_name", "column_name"))
+      .selectExpr(scoreStage: _*)
+      .selectExpr(scoreFinal: _*)
+      .orderBy("table_name", "column_name")
+  }
+
+  def driftScoreSql: String =
+    s"WITH sides AS ($sideStatsLongSql), piv AS ($pivotSidesSql), " +
+      s"outs AS ($outlierCountsSql), " +
+      "outp AS (SELECT r.table_name, r.table_name tn, r.column_name, r.n_out AS ref_n_out, " +
+      "r.n_ext AS ref_n_ext, c.n_out AS curr_n_out, c.n_ext AS curr_n_ext FROM " +
+      "(SELECT * FROM outs WHERE side = 'ref') r JOIN (SELECT * FROM outs WHERE side = 'curr') c " +
+      "ON r.table_name = c.table_name AND r.column_name = c.column_name), " +
+      "joined AS (SELECT piv.*, outp.ref_n_out, outp.ref_n_ext, outp.curr_n_out, outp.curr_n_ext " +
+      "FROM piv JOIN outp ON piv.table_name = outp.tn AND piv.column_name = outp.column_name), " +
+      s"st AS (SELECT ${scoreStage.mkString(", ")} FROM joined) " +
+      s"SELECT ${scoreFinal.mkString(", ")} FROM st ORDER BY table_name, column_name"
+
+  // --------------------------------------------------- O20 quantile shifts
+
+  private val shiftQs = Seq("0.01" -> "p01", "0.05" -> "p05", "0.25" -> "p25",
+    "0.5" -> "p50", "0.75" -> "p75", "0.95" -> "p95", "0.99" -> "p99")
+
+  /** Per-quantile shifts with the distribution-analyzer zero rule
+    * (/root/reference/distribution_analyzer.py:83-151). */
+  def quantileShifts(spark: SparkSession, dir: String): DataFrame = {
+    val long = S.numeric.map(sideStatsLong(spark, dir, _)).reduce(_ unionAll _)
+    val rows = shiftQs.map { case (q, c) =>
+      s"'$q', ref_$c, curr_$c"
+    }.mkString(", ")
+    pivotSides(long)
+      .select(col("table_name"), col("column_name"),
+        expr(s"stack(${shiftQs.size}, $rows) as (quantile, ref_value, curr_value)"))
+      .selectExpr("table_name", "column_name", "quantile",
+        "ROUND(ref_value, 6) AS ref_value", "ROUND(curr_value, 6) AS curr_value",
+        "ROUND(ABS(curr_value - ref_value), 6) AS abs_diff",
+        "ROUND(CASE WHEN ref_value <> 0 THEN ABS((curr_value - ref_value) / ref_value) " +
+          "WHEN curr_value <> 0 THEN ABS(curr_value - ref_value) / GREATEST(ABS(curr_value), 1e-10) " +
+          "ELSE 0.0 END, 6) AS rel_diff")
+      .orderBy("table_name", "column_name", "quantile")
+  }
+
+  def quantileShiftsSql: String = {
+    val un = shiftQs.map { case (q, c) =>
+      s"SELECT table_name, column_name, '$q' AS quantile, ref_$c AS ref_value, curr_$c AS curr_value FROM piv"
+    }.mkString(" UNION ALL ")
+    s"WITH sides AS ($sideStatsLongSql), piv AS ($pivotSidesSql), longq AS ($un) " +
+      "SELECT table_name, column_name, quantile, ROUND(ref_value, 6) AS ref_value, " +
+      "ROUND(curr_value, 6) AS curr_value, ROUND(ABS(curr_value - ref_value), 6) AS abs_diff, " +
+      "ROUND(CASE WHEN ref_value <> 0 THEN ABS((curr_value - ref_value) / ref_value) " +
+      "WHEN curr_value <> 0 THEN ABS(curr_value - ref_value) / GREATEST(ABS(curr_value), 1e-10) " +
+      "ELSE 0.0 END, 6) AS rel_diff " +
+      "FROM longq ORDER BY table_name, column_name, quantile"
+  }
+
+  // ------------------------------------------------- O21 shape drift
+
+  private val shapeFinal: Seq[String] = Seq(
+    "table_name", "column_name",
+    "ROUND(ref_skew, 6) AS ref_skewness", "ROUND(curr_skew, 6) AS curr_skewness",
+    "ROUND(ABS(curr_skew - ref_skew), 6) AS skew_diff",
+    "ROUND(ref_kurt, 6) AS ref_kurtosis", "ROUND(curr_kurt, 6) AS curr_kurtosis",
+    "ROUND(ABS(curr_kurt - ref_kurt), 6) AS kurt_diff",
+    "CASE WHEN ABS(curr_skew - ref_skew) > 0.5 THEN " +
+      "(CASE WHEN curr_skew > ref_skew THEN 'more_right_skewed' ELSE 'more_left_skewed' END) " +
+      "ELSE 'none' END AS skew_change",
+    "CASE WHEN ABS(curr_kurt - ref_kurt) > 1.0 THEN " +
+      "(CASE WHEN curr_kurt > ref_kurt THEN 'more_outliers' ELSE 'fewer_outliers' END) " +
+      "ELSE 'none' END AS kurt_change")
+
+  /** Skewness/kurtosis drift (/root/reference/distribution_analyzer.py:153-227).
+    * Spark's built-in `skewness`/`kurtosis` are population (biased) moments;
+    * the oracle computes the identical definition via two-pass central
+    * moments (DuckDB's built-ins use the sample-corrected formulas, which
+    * would NOT match). */
+  def shapes(spark: SparkSession, dir: String): DataFrame = {
+    val per = S.numeric.map { sp =>
+      val aggs = sp.cols.flatMap { c =>
+        Seq(skewness(col(c)).as(s"${c}__skew"), kurtosis(col(c)).as(s"${c}__kurt"))
+      }
+      val rows = sp.cols.map(c => s"'${sp.tableName}', '$c', ${c}__skew, ${c}__kurt").mkString(", ")
+      withSide(table(spark, dir, sp.tableName), sp.ref)
+        .groupBy(col("side")).agg(aggs.head, aggs.tail: _*)
+        .select(col("side"), expr(s"stack(${sp.cols.size}, $rows) as (table_name, column_name, skew, kurt)"))
+    }
+    val long = per.reduce(_ unionAll _)
+    def side(s: String) = long.filter(col("side") === s)
+      .select(col("table_name"), col("column_name"), col("skew").as(s"${s}_skew"), col("kurt").as(s"${s}_kurt"))
+    side("ref").join(side("curr"), Seq("table_name", "column_name"))
+      .selectExpr(shapeFinal: _*)
+      .orderBy("table_name", "column_name")
+  }
+
+  def shapesSql: String = {
+    val moments = S.numeric.flatMap { sp =>
+      sp.cols.map { c =>
+        s"SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, " +
+          s"'${sp.tableName}' AS table_name, '$c' AS column_name, " +
+          s"AVG(POW($c - mu, 2)) AS m2, AVG(POW($c - mu, 3)) AS m3, AVG(POW($c - mu, 4)) AS m4 " +
+          s"FROM ${sp.tableName}, (SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS mside, " +
+          s"AVG($c) AS mu FROM ${sp.tableName} GROUP BY 1) m " +
+          s"WHERE (CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END) = m.mside GROUP BY 1, 2, 3"
+      }
+    }.mkString(" UNION ALL ")
+    s"WITH moments AS ($moments), " +
+      "sk AS (SELECT side, table_name, column_name, m3 / POW(m2, 1.5) AS skew, " +
+      "m4 / (m2 * m2) - 3 AS kurt FROM moments), " +
+      "piv AS (SELECT r.table_name, r.column_name, r.skew AS ref_skew, r.kurt AS ref_kurt, " +
+      "c.skew AS curr_skew, c.kurt AS curr_kurt FROM " +
+      "(SELECT * FROM sk WHERE side = 'ref') r JOIN (SELECT * FROM sk WHERE side = 'curr') c " +
+      "ON r.table_name = c.table_name AND r.column_name = c.column_name) " +
+      s"SELECT ${shapeFinal.mkString(", ")} FROM piv ORDER BY table_name, column_name"
+  }
+
+  // ----------------------------------------------------- O24 histogram
+
+  private val histCols: Seq[(String, String, Column, String)] = Seq(
+    ("lineitem", "l_extendedprice", S.lineitemRef, S.lineitemRefSql),
+    ("orders", "o_totalprice", S.ordersRef, S.ordersRefSql))
+
+  /** 10-bin histogram per snapshot side. Replaces the reference's RDD
+    * `histogram(10)` escape hatch (/root/reference/distribution_analyzer.py:
+    * 440-449) with SQL binning over global min/max — bins identical across
+    * sides, whole plan stays in Tungsten codegen. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val per = histCols.map { case (t, c, ref, _) =>
+      val df = withSide(table(spark, dir, t), ref)
+      val bounds = table(spark, dir, t).agg(
+        min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi"))
+      df.select(col("side"), col(c).cast("double").as("x"))
+        .crossJoin(broadcast(bounds))
+        .select(col("side"), col("x"), col("lo"),
+          ((col("hi") - col("lo")) / 10.0).as("w"))
+        .where(col("x").isNotNull)
+        .select(col("side"), least(floor((col("x") - col("lo")) / col("w")), lit(9)).cast("int").as("bin"),
+          col("lo"), col("w"))
+        .groupBy("bin")
+        .agg(first("lo").as("lo"), first("w").as("w"),
+          sum(when(col("side") === "ref", 1L).otherwise(0L)).as("ref_cnt"),
+          sum(when(col("side") === "curr", 1L).otherwise(0L)).as("curr_cnt"))
+        .select(lit(t).as("table_name"), lit(c).as("column_name"), col("bin"),
+          r6(col("lo") + col("bin") * col("w")).as("bin_lo"),
+          r6(col("lo") + (col("bin") + 1) * col("w")).as("bin_hi"),
+          col("ref_cnt"), col("curr_cnt"))
+    }
+    per.reduce(_ unionAll _).orderBy("table_name", "column_name", "bin")
+  }
+
+  def histogramSql: String =
+    histCols.map { case (t, c, _, refSql) =>
+      s"SELECT '$t' AS table_name, '$c' AS column_name, " +
+        s"LEAST(FLOOR(($c - b.lo) / b.w), 9)::INT AS bin, " +
+        s"ROUND(b.lo + LEAST(FLOOR(($c - b.lo) / b.w), 9) * b.w, 6) AS bin_lo, " +
+        s"ROUND(b.lo + (LEAST(FLOOR(($c - b.lo) / b.w), 9) + 1) * b.w, 6) AS bin_hi, " +
+        s"SUM(CASE WHEN $refSql THEN 1 ELSE 0 END)::BIGINT AS ref_cnt, " +
+        s"SUM(CASE WHEN $refSql THEN 0 ELSE 1 END)::BIGINT AS curr_cnt " +
+        s"FROM $t, (SELECT MIN($c)::DOUBLE AS lo, (MAX($c)::DOUBLE - MIN($c)::DOUBLE) / 10.0 AS w FROM $t) b " +
+        s"WHERE $c IS NOT NULL GROUP BY 1, 2, 3, 4, 5"
+    }.mkString("", " UNION ALL ", " ORDER BY table_name, column_name, bin")
+
+  // ----------------------------------------------------- O36 z-outliers
+
+  /** Z-score outlier drift: current frame judged by REFERENCE mean/std
+    * (/root/reference/rare_event_analyzer.py:115-185). Deviation: rows are
+    * always emitted with a `significant` flag (the reference silently drops
+    * insignificant columns). */
+  def zOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val per = S.numeric.flatMap { sp =>
+      sp.cols.map { c =>
+        val df = withSide(table(spark, dir, sp.tableName), sp.ref)
+        val refStats = df.filter(col("side") === "ref")
+          .agg(avg(col(c)).as("ref_mean"), stddev(col(c)).as("ref_std"))
+        df.select(col("side"), col(c).cast("double").as("x"))
+          .crossJoin(broadcast(refStats))
+          .groupBy("side")
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs((col("x") - col("ref_mean")) / col("ref_std")) > 3.0, 1L).otherwise(0L)).as("n_out"))
+          .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+            col("side"), col("n"), col("n_out"))
+      }
+    }
+    val long = per.reduce(_ unionAll _)
+    def side(s: String) = long.filter(col("side") === s)
+      .select(col("table_name"), col("column_name"), col("n").as(s"${s}_n"), col("n_out").as(s"${s}_out"))
+    side("ref").join(side("curr"), Seq("table_name", "column_name"))
+      .selectExpr(zFinal: _*)
+      .orderBy("table_name", "column_name")
+  }
+
+  private val zFinal: Seq[String] = {
+    val refRatio = "ref_out * 1e0 / ref_n"
+    val currRatio = "curr_out * 1e0 / curr_n"
+    val rel = s"CASE WHEN $refRatio > 0 THEN ($currRatio - $refRatio) / $refRatio " +
+      s"WHEN $currRatio > 0 THEN 1.0 ELSE 0.0 END"
+    Seq("table_name", "column_name",
+      "ref_out AS ref_outlier_count", "curr_out AS curr_outlier_count",
+      s"ROUND($refRatio, 6) AS ref_outlier_ratio", s"ROUND($currRatio, 6) AS curr_outlier_ratio",
+      s"ROUND($rel, 6) AS rel_change",
+      s"(ABS($rel) >= 0.3 OR ABS($currRatio - $refRatio) >= 0.01) AS significant",
+      s"CASE WHEN ABS($rel) >= 1.0 OR ABS($currRatio - $refRatio) >= 0.05 THEN 'high' ELSE 'medium' END AS severity")
+  }
+
+  def zOutliersSql: String = {
+    val un = S.numeric.flatMap { sp =>
+      sp.cols.map { c =>
+        s"SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, " +
+          s"'${sp.tableName}' AS table_name, '$c' AS column_name, COUNT(*) AS n, " +
+          s"SUM(CASE WHEN ABS(($c - m.ref_mean) / m.ref_std) > 3.0 THEN 1 ELSE 0 END)::BIGINT AS n_out " +
+          s"FROM ${sp.tableName}, (SELECT AVG($c) AS ref_mean, STDDEV($c) AS ref_std " +
+          s"FROM ${sp.tableName} WHERE ${sp.refSql}) m GROUP BY 1, 2, 3"
+      }
+    }.mkString(" UNION ALL ")
+    s"WITH long AS ($un), piv AS (SELECT r.table_name, r.column_name, r.n AS ref_n, " +
+      "r.n_out AS ref_out, c.n AS curr_n, c.n_out AS curr_out FROM " +
+      "(SELECT * FROM long WHERE side = 'ref') r JOIN (SELECT * FROM long WHERE side = 'curr') c " +
+      "ON r.table_name = c.table_name AND r.column_name = c.column_name) " +
+      s"SELECT ${zFinal.mkString(", ")} FROM piv ORDER BY table_name, column_name"
+  }
+
+  // ----------------------------------------------------------------- API
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "numeric_stats" -> ((s, d) => stats(s, d)),
+    "numeric_drift" -> ((s, d) => drift(s, d)),
+    "numeric_drift_score" -> ((s, d) => driftScore(s, d)),
+    "quantile_shifts" -> ((s, d) => quantileShifts(s, d)),
+    "dist_shapes" -> ((s, d) => shapes(s, d)),
+    "histogram" -> ((s, d) => histogram(s, d)),
+    "z_outliers" -> ((s, d) => zOutliers(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "numeric_stats" -> statsSql,
+    "numeric_drift" -> driftSql,
+    "numeric_drift_score" -> driftScoreSql,
+    "quantile_shifts" -> quantileShiftsSql,
+    "dist_shapes" -> shapesSql,
+    "histogram" -> histogramSql,
+    "z_outliers" -> zOutliersSql,
+  )
+}

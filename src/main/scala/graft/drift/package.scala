@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the drift engine.
+  *
+  * The engine compares a "reference" and a "current" snapshot of a table
+  * (reference design: /root/reference/data_drift_detector.py:53-54). The
+  * driver testdata has single-snapshot parquet tables, so snapshot pairs are
+  * derived from one table by a deterministic, SQL-expressible predicate
+  * (FIXTURES.md §B) — e.g. `lineitem` split on `l_shipdate`.
+  *
+  * Scale note: every helper here keeps work declarative (Catalyst plans the
+  * scan/shuffle). The ref/curr pair is computed in a SINGLE pass with a
+  * `side` tag + `groupBy(side)` instead of two scans, so at 100 TB one shuffle
+  * of partial aggregates replaces 2× full reads.
+  */
+package object drift {
+
+  /** Epsilon used by the reference's score math
+    * (/root/reference/numerical_analyzer.py:344). */
+  val Eps = 1e-10
+
+  /** Table loader. `events.ts` is TIMESTAMP(NANOS) parquet, which Spark 4
+    * only reads as long (spark.sql.legacy.parquet.nanosAsLong) — convert to
+    * a microsecond TimestampType column so downstream ops see a timestamp. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else df
+  }
+
+  /** Tag rows ref/curr in one pass; groupBy("side") then does a map-side
+    * partial agg — one job for both snapshots. */
+  def withSide(df: DataFrame, refPred: Column): DataFrame =
+    df.withColumn("side", when(refPred, "ref").otherwise("curr"))
+
+  /** Round floating outputs so Spark and the DuckDB oracle hash identically
+    * (SURVEY.md §7.3 floating-point determinism). */
+  def r6(c: Column): Column = round(c, 6)
+
+  /** Relative difference with the reference's zero-denominator rule
+    * (/root/reference/numerical_analyzer.py:214-219):
+    * ref==0 → 1.0 if curr!=0 else 0.0; otherwise (curr-ref)/abs(ref). */
+  def relDiff(ref: Column, curr: Column): Column =
+    when(ref === 0.0, when(curr =!= 0.0, lit(1.0)).otherwise(lit(0.0)))
+      .otherwise((curr - ref) / abs(ref))
+
+  /** SQL form of [[relDiff]] for the DuckDB oracle. */
+  def relDiffSql(ref: String, curr: String): String =
+    s"CASE WHEN $ref = 0 THEN (CASE WHEN $curr <> 0 THEN 1.0 ELSE 0.0 END) " +
+      s"ELSE ($curr - $ref) / ABS($ref) END"
+
+  /** Percent change with the group-analyzer rule
+    * (/root/reference/group_analyzer.py:516-532): old==0 → 0 if new==0 else 1. */
+  def pctChange(oldV: Column, newV: Column): Column =
+    when(oldV === 0.0, when(newV === 0.0, lit(0.0)).otherwise(lit(1.0)))
+      .otherwise((newV - oldV) / abs(oldV))
+
+  def pctChangeSql(oldV: String, newV: String): String =
+    s"CASE WHEN $oldV = 0 THEN (CASE WHEN $newV = 0 THEN 0.0 ELSE 1.0 END) " +
+      s"ELSE ($newV - $oldV) / ABS($oldV) END"
+
+  /** Severity bucketing (/root/reference/result_handler.py:54-73,93-100). */
+  def severity(score: Column): Column =
+    when(score < 0.1, "None")
+      .when(score < 0.25, "Low")
+      .when(score < 0.5, "Medium")
+      .when(score < 0.75, "High")
+      .otherwise("Critical")
+
+  def severitySql(score: String): String =
+    s"CASE WHEN $score < 0.1 THEN 'None' WHEN $score < 0.25 THEN 'Low' " +
+      s"WHEN $score < 0.5 THEN 'Medium' WHEN $score < 0.75 THEN 'High' " +
+      s"ELSE 'Critical' END"
+
+  /** Deterministic snapshot-split predicates per driver table (FIXTURES.md §B).
+    * Each is expressible as the same ANSI SQL for the DuckDB oracle. */
+  object splits {
+    val lineitemCutoff = "1998-07-01"
+    val ordersCutoff = "1998-07-01"
+    val eventsCutoff = "2024-01-16"
+
+    def lineitemRef: Column = col("l_shipdate") < lit(lineitemCutoff).cast("timestamp")
+    val lineitemRefSql = s"l_shipdate < TIMESTAMP '$lineitemCutoff'"
+    def ordersRef: Column = col("o_orderdate") < lit(ordersCutoff).cast("timestamp")
+    val ordersRefSql = s"o_orderdate < TIMESTAMP '$ordersCutoff'"
+    def eventsRef: Column = col("ts") < lit(eventsCutoff).cast("timestamp")
+    val eventsRefSql = s"ts < TIMESTAMP '$eventsCutoff'"
+
+    /** (table, refPredicate, refPredicateSql) triples for numeric columns. */
+    case class NumSplit(tableName: String, cols: Seq[String], ref: Column, refSql: String)
+    val numeric: Seq[NumSplit] = Seq(
+      NumSplit("lineitem", Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        lineitemRef, lineitemRefSql),
+      NumSplit("orders", Seq("o_totalprice"), ordersRef, ordersRefSql),
+      NumSplit("events", Seq("value"), eventsRef, eventsRefSql),
+    )
+
+    case class CatSplit(tableName: String, cols: Seq[String], ref: Column, refSql: String)
+    val categorical: Seq[CatSplit] = Seq(
+      CatSplit("lineitem", Seq("l_returnflag", "l_linestatus"), lineitemRef, lineitemRefSql),
+      CatSplit("orders", Seq("o_orderstatus", "o_orderpriority"), ordersRef, ordersRefSql),
+      CatSplit("events", Seq("event_type"), eventsRef, eventsRefSql),
+    )
+  }
+}
