@@ -55,12 +55,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame]("q1_pricing_summary" -> (q1 _)) ++
       NumericDrift.queries ++
-      CategoricalDrift.queries
+      CategoricalDrift.queries ++
+      CorrelationDrift.queries ++
+      GroupDrift.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Map("q1_pricing_summary" -> q1Sql) ++
       NumericDrift.oracles ++
-      CategoricalDrift.oracles
+      CategoricalDrift.oracles ++
+      CorrelationDrift.oracles ++
+      GroupDrift.oracles
 }

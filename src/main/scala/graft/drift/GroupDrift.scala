@@ -1,0 +1,331 @@
+package graft.drift
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.drift.{splits => S}
+
+/** Group (dimension-slice) drift — reference O32/O33/O34 (SURVEY.md §2.b;
+  * semantics from /root/reference/group_analyzer.py).
+  *
+  * Scale design: the reference is the job-count explosion center — per
+  * dimension it collects top-20 categories, then per category runs two
+  * `filter(dim === cat)` frames and 3-6 jobs per metric column: O(dims ×
+  * 20 × cols) Spark jobs (group_analyzer.py:64-102, 206-447). Here each
+  * dimension is ONE `groupBy(side, dim)` aggregation computing every metric
+  * for every category at once, plus one `groupBy(side, dim, value)` for the
+  * categorical frequency tables — two shuffles per dimension total,
+  * independent of category count. At 100 TB that is the difference between
+  * ~hundreds of scans and two.
+  */
+object GroupDrift {
+
+  case class GroupSpec(tableName: String, dim: String, numMetrics: Seq[String],
+      catMetrics: Seq[String], ref: Column, refSql: String)
+
+  val specs: Seq[GroupSpec] = Seq(
+    GroupSpec("lineitem", "l_returnflag", Seq("l_extendedprice", "l_quantity"),
+      Seq("l_linestatus"), S.lineitemRef, S.lineitemRefSql),
+    GroupSpec("orders", "o_orderpriority", Seq("o_totalprice"),
+      Seq("o_orderstatus"), S.ordersRef, S.ordersRefSql),
+  )
+
+  val MinGroupRows = 20 // group_analyzer.py:72
+  val TopCategories = 20 // group_analyzer.py:58
+
+  // ------------------------------------------------------ eligibility (O34)
+
+  /** Eligible categories: ≥20 rows in BOTH frames, top-20 by combined count
+    * (deterministic tie-break on category). */
+  private def eligible(spark: SparkSession, dir: String, sp: GroupSpec): DataFrame =
+    withSide(table(spark, dir, sp.tableName), sp.ref)
+      .groupBy(col("side"), col(sp.dim).cast("string").as("category"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("category").agg(
+        coalesce(max(when(col("side") === "ref", col("n"))), lit(0L)).as("ref_n"),
+        coalesce(max(when(col("side") === "curr", col("n"))), lit(0L)).as("curr_n"))
+      .filter(col("ref_n") >= MinGroupRows && col("curr_n") >= MinGroupRows)
+      .withColumn("rk", row_number().over(
+        Window.orderBy((col("ref_n") + col("curr_n")).desc, col("category").asc)))
+      .filter(col("rk") <= TopCategories)
+      .drop("rk")
+
+  private def eligibleSql(sp: GroupSpec): String =
+    "SELECT category, ref_n, curr_n FROM (SELECT *, ROW_NUMBER() OVER " +
+      "(ORDER BY ref_n + curr_n DESC, category ASC) AS rk FROM " +
+      "(SELECT category, COALESCE(MAX(CASE WHEN side = 'ref' THEN n END), 0)::BIGINT AS ref_n, " +
+      "COALESCE(MAX(CASE WHEN side = 'curr' THEN n END), 0)::BIGINT AS curr_n FROM " +
+      s"(SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, " +
+      s"CAST(${sp.dim} AS VARCHAR) AS category, COUNT(*) AS n FROM ${sp.tableName} GROUP BY 1, 2) c " +
+      s"GROUP BY category) p WHERE ref_n >= $MinGroupRows AND curr_n >= $MinGroupRows) r " +
+      s"WHERE rk <= $TopCategories"
+
+  // --------------------------------------------- numeric group metrics (O32)
+
+  /** Per-(category, metric) side stats, pivoted. Nulls coalesced to 0 as the
+    * reference does post-collect (group_analyzer.py:311-333). */
+  private def numPivot(spark: SparkSession, dir: String, sp: GroupSpec): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: sp.numMetrics.flatMap { m =>
+      Seq(
+        sum(when(col(m).isNull, 1L).otherwise(0L)).as(s"${m}__nulls"),
+        coalesce(avg(col(m)), lit(0.0)).as(s"${m}__mean"),
+        coalesce(stddev(col(m)), lit(0.0)).as(s"${m}__std"),
+        coalesce(min(col(m)).cast("double"), lit(0.0)).as(s"${m}__min"),
+        coalesce(max(col(m)).cast("double"), lit(0.0)).as(s"${m}__max"),
+        coalesce(expr(s"percentile($m, 0.5)"), lit(0.0)).as(s"${m}__med"))
+    }
+    val rows = sp.numMetrics.map { m =>
+      s"'$m', ${m}__nulls, ${m}__mean, ${m}__std, ${m}__min, ${m}__max, ${m}__med"
+    }.mkString(", ")
+    val long = withSide(table(spark, dir, sp.tableName), sp.ref)
+      .groupBy(col("side"), col(sp.dim).cast("string").as("category"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("side"), col("category"), col("n"),
+        expr(s"stack(${sp.numMetrics.size}, $rows) as (metric, nulls, mean, std, vmin, vmax, med)"))
+    def side(s: String) = long.filter(col("side") === s).select(
+      col("category"), col("metric"), col("n").as(s"${s}_n"), col("nulls").as(s"${s}_nulls"),
+      col("mean").as(s"${s}_mean"), col("std").as(s"${s}_std"), col("vmin").as(s"${s}_min"),
+      col("vmax").as(s"${s}_max"), col("med").as(s"${s}_med"))
+    side("ref").join(side("curr"), Seq("category", "metric"))
+  }
+
+  private def numPivotSql(sp: GroupSpec): String = {
+    val un = sp.numMetrics.map { m =>
+      s"SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, " +
+        s"CAST(${sp.dim} AS VARCHAR) AS category, '$m' AS metric, COUNT(*) AS n, " +
+        s"SUM(CASE WHEN $m IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls, " +
+        s"COALESCE(AVG($m), 0.0) AS mean, COALESCE(STDDEV($m), 0.0) AS std, " +
+        s"COALESCE(MIN($m)::DOUBLE, 0.0) AS vmin, COALESCE(MAX($m)::DOUBLE, 0.0) AS vmax, " +
+        s"COALESCE(quantile_cont($m, 0.5), 0.0) AS med FROM ${sp.tableName} GROUP BY 1, 2, 3"
+    }.mkString(" UNION ALL ")
+    s"SELECT r.category, r.metric, r.n AS ref_n, r.nulls AS ref_nulls, r.mean AS ref_mean, " +
+      "r.std AS ref_std, r.vmin AS ref_min, r.vmax AS ref_max, r.med AS ref_med, " +
+      "c.n AS curr_n, c.nulls AS curr_nulls, c.mean AS curr_mean, c.std AS curr_std, " +
+      "c.vmin AS curr_min, c.vmax AS curr_max, c.med AS curr_med FROM " +
+      s"(SELECT * FROM ($un) x WHERE side = 'ref') r JOIN (SELECT * FROM ($un) y WHERE side = 'curr') c " +
+      "ON r.category = c.category AND r.metric = c.metric"
+  }
+
+  /** Shared final select: pct changes use the group-analyzer zero rule. */
+  private val numFinal: Seq[String] = Seq(
+    "table_name", "dimension", "category", "metric",
+    "ref_n AS ref_count", "curr_n AS curr_count",
+    "ROUND(ref_mean, 6) AS ref_mean", "ROUND(curr_mean, 6) AS curr_mean",
+    s"ROUND(${pctChangeSql("ref_mean", "curr_mean")}, 6) AS mean_pct_change",
+    "ROUND(ref_std, 6) AS ref_stddev", "ROUND(curr_std, 6) AS curr_stddev",
+    s"ROUND(${pctChangeSql("ref_std", "curr_std")}, 6) AS stddev_pct_change",
+    "ROUND(ref_med, 6) AS ref_median", "ROUND(curr_med, 6) AS curr_median",
+    s"ROUND(${pctChangeSql("ref_med", "curr_med")}, 6) AS median_pct_change",
+    "ROUND(ref_max - ref_min, 6) AS ref_range", "ROUND(curr_max - curr_min, 6) AS curr_range",
+    s"ROUND(${pctChangeSql("(ref_max - ref_min)", "(curr_max - curr_min)")}, 6) AS range_pct_change",
+    "ROUND(ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n), 6) AS null_drift")
+
+  def groupNumericMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val per = specs.map { sp =>
+      numPivot(spark, dir, sp)
+        .join(eligible(spark, dir, sp).select("category"), "category")
+        .select(lit(sp.tableName).as("table_name"), lit(sp.dim).as("dimension"), col("*"))
+        .selectExpr(numFinal: _*)
+    }
+    per.reduce(_ union _).orderBy("table_name", "dimension", "category", "metric")
+  }
+
+  def groupNumericMetricsSql: String = {
+    val per = specs.map { sp =>
+      s"SELECT ${numFinal.mkString(", ")} FROM " +
+        s"(SELECT '${sp.tableName}' AS table_name, '${sp.dim}' AS dimension, np.* FROM " +
+        s"(${numPivotSql(sp)}) np JOIN (${eligibleSql(sp)}) e ON np.category = e.category) z"
+    }
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, dimension, category, metric")
+  }
+
+  // ----------------------------------------- categorical group metrics (O32)
+
+  /** Per-(category, cat-metric): top-10 value frequency tables per side
+    * (freq over ALL group rows incl. nulls — window normalization in the
+    * reference, group_analyzer.py:378-387), then common/new/disappeared and
+    * avg frequency drift. */
+  private def catPivot(spark: SparkSession, dir: String, sp: GroupSpec, m: String): DataFrame = {
+    val vc = withSide(table(spark, dir, sp.tableName), sp.ref)
+      .groupBy(col("side"), col(sp.dim).cast("string").as("category"), col(m).cast("string").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("side", "category")
+    val top = vc
+      .withColumn("freq", col("cnt") / sum("cnt").over(w))
+      .withColumn("rk", row_number().over(w.orderBy(col("cnt").desc, col("v").asc)))
+      .filter(col("rk") <= 10)
+    top.groupBy("category", "v").agg(
+      max(when(col("side") === "ref", col("freq"))).as("p"),
+      max(when(col("side") === "curr", col("freq"))).as("q"))
+  }
+
+  private def catPivotSql(sp: GroupSpec, m: String): String =
+    "SELECT category, v, MAX(CASE WHEN side = 'ref' THEN freq END) AS p, " +
+      "MAX(CASE WHEN side = 'curr' THEN freq END) AS q FROM " +
+      "(SELECT *, cnt * 1e0 / SUM(cnt) OVER (PARTITION BY side, category) AS freq, " +
+      "ROW_NUMBER() OVER (PARTITION BY side, category ORDER BY cnt DESC, v ASC) AS rk FROM " +
+      s"(SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, " +
+      s"CAST(${sp.dim} AS VARCHAR) AS category, CAST($m AS VARCHAR) AS v, COUNT(*) AS cnt " +
+      s"FROM ${sp.tableName} GROUP BY 1, 2, 3) vc) t WHERE rk <= 10 GROUP BY category, v"
+
+  private val catAggs: Seq[String] = Seq(
+    "SUM(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) AS ref_distinct",
+    "SUM(CASE WHEN q IS NOT NULL THEN 1 ELSE 0 END) AS curr_distinct",
+    "SUM(CASE WHEN p IS NOT NULL AND q IS NOT NULL THEN 1 ELSE 0 END) AS common_count",
+    "SUM(CASE WHEN q IS NOT NULL AND p IS NULL THEN 1 ELSE 0 END) AS new_count",
+    "SUM(CASE WHEN p IS NOT NULL AND q IS NULL THEN 1 ELSE 0 END) AS disappeared_count",
+    "CASE WHEN SUM(CASE WHEN p IS NOT NULL AND q IS NOT NULL THEN 1 ELSE 0 END) > 0 THEN " +
+      "SUM(CASE WHEN p IS NOT NULL AND q IS NOT NULL THEN ABS(q - p) ELSE 0 END) / " +
+      "SUM(CASE WHEN p IS NOT NULL AND q IS NOT NULL THEN 1 ELSE 0 END) ELSE 1.0 END AS avg_freq_drift")
+
+  private val catFinal: Seq[String] = Seq(
+    "table_name", "dimension", "category", "metric",
+    "CAST(ref_distinct AS BIGINT) AS ref_distinct", "CAST(curr_distinct AS BIGINT) AS curr_distinct",
+    s"ROUND(${pctChangeSql("ref_distinct", "curr_distinct")}, 6) AS distinct_pct_change",
+    "CAST(common_count AS BIGINT) AS common_count", "CAST(new_count AS BIGINT) AS new_count",
+    "CAST(disappeared_count AS BIGINT) AS disappeared_count",
+    "ROUND(avg_freq_drift, 6) AS avg_freq_drift")
+
+  def groupCatMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val per = for (sp <- specs; m <- sp.catMetrics) yield {
+      catPivot(spark, dir, sp, m)
+        .groupBy("category").agg(catAggs.map(expr).head, catAggs.map(expr).tail: _*)
+        .join(eligible(spark, dir, sp).select("category"), "category")
+        .select(lit(sp.tableName).as("table_name"), lit(sp.dim).as("dimension"),
+          lit(m).as("metric"), col("*"))
+        .selectExpr(catFinal: _*)
+    }
+    per.reduce(_ union _).orderBy("table_name", "dimension", "category", "metric")
+  }
+
+  def groupCatMetricsSql: String = {
+    val per = for (sp <- specs; m <- sp.catMetrics) yield
+      s"SELECT ${catFinal.mkString(", ")} FROM " +
+        s"(SELECT '${sp.tableName}' AS table_name, '${sp.dim}' AS dimension, '$m' AS metric, cp.* FROM " +
+        s"(SELECT category, ${catAggs.mkString(", ")} FROM (${catPivotSql(sp, m)}) d GROUP BY category) cp " +
+        s"JOIN (${eligibleSql(sp)}) e ON cp.category = e.category) z"
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, dimension, category, metric")
+  }
+
+  // ------------------------------------------------ group drift verdict (O33)
+
+  /** Component rows per eligible category: kind ∈ null|mean|std|median|freq
+    * feed the score (mean of components, capped at 1); row_pct and
+    * distinct_pct only feed the detection rule (group_analyzer.py:449-514). */
+  private def componentsSql(sp: GroupSpec): String = {
+    val numComps =
+      s"SELECT category, 'null' AS kind, ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n) AS value " +
+        s"FROM np UNION ALL " +
+        s"SELECT category, 'mean', ABS(${pctChangeSql("ref_mean", "curr_mean")}) FROM np UNION ALL " +
+        s"SELECT category, 'std', ABS(${pctChangeSql("ref_std", "curr_std")}) FROM np UNION ALL " +
+        s"SELECT category, 'median', ABS(${pctChangeSql("ref_med", "curr_med")}) FROM np"
+    val catComps = sp.catMetrics.map { m =>
+      s"SELECT category, 'null' AS kind, ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n) AS value FROM cn_$m " +
+        s"UNION ALL SELECT category, 'freq', avg_freq_drift FROM cm_$m " +
+        s"UNION ALL SELECT category, 'distinct_pct', ABS(${pctChangeSql("ref_distinct", "curr_distinct")}) FROM cm_$m"
+    }.mkString(" UNION ALL ")
+    val rowComp = s"SELECT category, 'row_pct' AS kind, ${pctChangeSql("ref_n", "curr_n")} AS value FROM e"
+    s"$numComps UNION ALL $catComps UNION ALL $rowComp"
+  }
+
+  /** Null counts of a categorical metric per group (needed for its null
+    * component — the reference computes null_counts for every metric column
+    * regardless of type, group_analyzer.py:263-281). */
+  private def catNullsSql(sp: GroupSpec, m: String): String =
+    "SELECT r.category, r.n AS ref_n, r.nulls AS ref_nulls, c.n AS curr_n, c.nulls AS curr_nulls FROM " +
+      s"(SELECT CAST(${sp.dim} AS VARCHAR) AS category, COUNT(*) AS n, " +
+      s"SUM(CASE WHEN $m IS NULL THEN 1 ELSE 0 END) AS nulls FROM ${sp.tableName} WHERE ${sp.refSql} GROUP BY 1) r " +
+      s"JOIN (SELECT CAST(${sp.dim} AS VARCHAR) AS category, COUNT(*) AS n, " +
+      s"SUM(CASE WHEN $m IS NULL THEN 1 ELSE 0 END) AS nulls FROM ${sp.tableName} WHERE NOT (${sp.refSql}) GROUP BY 1) c " +
+      "ON r.category = c.category"
+
+  private val verdictAggs: Seq[String] = Seq(
+    "LEAST(1.0, AVG(CASE WHEN kind IN ('null', 'mean', 'std', 'median', 'freq') THEN value END)) AS overall_drift_score",
+    "SUM(CASE WHEN (kind = 'null' AND value > 0.05) OR (kind = 'mean' AND value > 0.1) OR " +
+      "(kind = 'std' AND value > 0.2) OR (kind = 'median' AND value > 0.1) OR " +
+      "(kind = 'freq' AND value > 0.1) THEN 1 ELSE 0 END) AS n_metrics_with_drift",
+    "MAX(CASE WHEN kind = 'row_pct' THEN value END) AS row_pct_change",
+    "MAX(CASE WHEN kind = 'null' THEN value ELSE 0 END) AS max_null_drift",
+    "MAX(CASE WHEN kind = 'mean' THEN value ELSE 0 END) AS max_mean_change",
+    "MAX(CASE WHEN kind = 'median' THEN value ELSE 0 END) AS max_median_change",
+    "MAX(CASE WHEN kind = 'freq' THEN value ELSE 0 END) AS max_freq_drift",
+    "MAX(CASE WHEN kind = 'distinct_pct' THEN value ELSE 0 END) AS max_distinct_pct")
+
+  private val verdictFinal: Seq[String] = Seq(
+    "table_name", "dimension", "category",
+    "ROUND(overall_drift_score, 6) AS overall_drift_score",
+    "CAST(n_metrics_with_drift AS BIGINT) AS n_metrics_with_drift",
+    "ROUND(row_pct_change, 6) AS row_pct_change",
+    "(overall_drift_score >= 0.1 OR n_metrics_with_drift >= 3 OR ABS(row_pct_change) >= 0.25 OR " +
+      "max_null_drift >= 0.1 OR max_mean_change >= 0.2 OR max_median_change >= 0.2 OR " +
+      "max_freq_drift >= 0.15 OR max_distinct_pct >= 0.25) AS drift_detected")
+
+  def groupDriftVerdict(spark: SparkSession, dir: String): DataFrame = {
+    val per = specs.map { sp =>
+      val np = numPivot(spark, dir, sp)
+      val elig = eligible(spark, dir, sp)
+      val numComps = Seq(
+        ("null", "ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n)"),
+        ("mean", s"ABS(${pctChangeSql("ref_mean", "curr_mean")})"),
+        ("std", s"ABS(${pctChangeSql("ref_std", "curr_std")})"),
+        ("median", s"ABS(${pctChangeSql("ref_med", "curr_med")})"))
+        .map { case (k, e) => np.selectExpr("category", s"'$k' AS kind", s"$e AS value") }
+        .reduce(_ union _)
+      val catComps = sp.catMetrics.map { m =>
+        val cm = catPivot(spark, dir, sp, m)
+          .groupBy("category").agg(catAggs.map(expr).head, catAggs.map(expr).tail: _*)
+        val cn = withSide(table(spark, dir, sp.tableName), sp.ref)
+          .groupBy(col("side"), col(sp.dim).cast("string").as("category"))
+          .agg(count(lit(1)).as("n"), sum(when(col(m).isNull, 1L).otherwise(0L)).as("nulls"))
+          .groupBy("category").agg(
+            max(when(col("side") === "ref", col("n"))).as("ref_n"),
+            max(when(col("side") === "ref", col("nulls"))).as("ref_nulls"),
+            max(when(col("side") === "curr", col("n"))).as("curr_n"),
+            max(when(col("side") === "curr", col("nulls"))).as("curr_nulls"))
+        cn.selectExpr("category", "'null' AS kind",
+            "ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n) AS value")
+          .union(cm.selectExpr("category", "'freq' AS kind", "avg_freq_drift AS value"))
+          .union(cm.selectExpr("category", "'distinct_pct' AS kind",
+            s"ABS(${pctChangeSql("ref_distinct", "curr_distinct")}) AS value"))
+      }.reduce(_ union _)
+      val rowComp = elig.selectExpr("category", "'row_pct' AS kind",
+        s"${pctChangeSql("ref_n", "curr_n")} AS value")
+      numComps.union(catComps).union(rowComp)
+        .join(elig.select("category"), "category")
+        .groupBy("category").agg(verdictAggs.map(expr).head, verdictAggs.map(expr).tail: _*)
+        .select(lit(sp.tableName).as("table_name"), lit(sp.dim).as("dimension"), col("*"))
+        .selectExpr(verdictFinal: _*)
+    }
+    per.reduce(_ union _).orderBy("table_name", "dimension", "category")
+  }
+
+  def groupDriftVerdictSql: String = {
+    val per = specs.map { sp =>
+      val catCtes = sp.catMetrics.flatMap { m =>
+        Seq(s"cn_$m AS (${catNullsSql(sp, m)})",
+          s"cm_$m AS (SELECT category, ${catAggs.mkString(", ")} FROM (${catPivotSql(sp, m)}) d GROUP BY category)")
+      }.mkString(", ")
+      s"SELECT ${verdictFinal.mkString(", ")} FROM " +
+        s"(SELECT '${sp.tableName}' AS table_name, '${sp.dim}' AS dimension, v.* FROM " +
+        s"(WITH np AS (${numPivotSql(sp)}), e AS (${eligibleSql(sp)}), $catCtes " +
+        s"SELECT category, ${verdictAggs.mkString(", ")} FROM " +
+        s"(SELECT comps.* FROM (${componentsSql(sp)}) comps JOIN e ON comps.category = e.category) j " +
+        "GROUP BY category) v) z"
+    }
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, dimension, category")
+  }
+
+  // ----------------------------------------------------------------- API
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "group_numeric_metrics" -> ((s, d) => groupNumericMetrics(s, d)),
+    "group_cat_metrics" -> ((s, d) => groupCatMetrics(s, d)),
+    "group_drift" -> ((s, d) => groupDriftVerdict(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "group_numeric_metrics" -> groupNumericMetricsSql,
+    "group_cat_metrics" -> groupCatMetricsSql,
+    "group_drift" -> groupDriftVerdictSql,
+  )
+}
