@@ -57,7 +57,10 @@ object SparkEntry {
       NumericDrift.queries ++
       CategoricalDrift.queries ++
       CorrelationDrift.queries ++
-      GroupDrift.queries
+      GroupDrift.queries ++
+      SchemaOps.queries ++
+      AdaptiveThresholds.queries ++
+      Report.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -66,5 +69,8 @@ object SparkEntry {
       NumericDrift.oracles ++
       CategoricalDrift.oracles ++
       CorrelationDrift.oracles ++
-      GroupDrift.oracles
+      GroupDrift.oracles ++
+      SchemaOps.oracles ++
+      AdaptiveThresholds.oracles ++
+      Report.oracles
 }

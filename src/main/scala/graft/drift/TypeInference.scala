@@ -1,0 +1,126 @@
+package graft.drift
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Semantic column-type inference — reference O4
+  * (/root/reference/column_analyzer.py:72-151): date/timestamp → temporal;
+  * numeric with distinct/total < 0.05 among non-null → categorical else
+  * numerical; boolean → categorical; string with >90% timestamp-castable →
+  * temporal else categorical; anything else categorical.
+  *
+  * Scale design: the reference runs 2 jobs per column (distinct + count,
+  * column_analyzer.py:100-101). Here ONE aggregation computes every column's
+  * probe in a single scan. Deviation (documented): the string→timestamp
+  * probe is over all rows, not a nondeterministic `limit(100)` sample, so
+  * the DuckDB oracle can reproduce it; `approxDistinct=true` swaps the exact
+  * distinct for `approx_count_distinct` — the right choice at 100 TB, where
+  * exactness is irrelevant against a 0.05 ratio threshold.
+  */
+object TypeInference {
+
+  val CardinalityRatio = 0.05
+  val TimestampCastable = 0.9
+
+  private def isNumeric(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Infer all columns of `df` in one aggregation pass. */
+  def infer(df: DataFrame, approxDistinct: Boolean = false): Map[String, String] = {
+    val fields = df.schema.fields
+    val probes = fields.flatMap { f =>
+      f.dataType match {
+        case dt if isNumeric(dt) =>
+          val d = if (approxDistinct) approx_count_distinct(col(f.name))
+                  else countDistinct(col(f.name))
+          Seq(d.as(s"${f.name}__d"), count(col(f.name)).as(s"${f.name}__n"))
+        case _: StringType =>
+          // try_cast: ANSI-mode cast would throw on unparseable strings
+          Seq(count(when(expr(s"try_cast(${f.name} AS TIMESTAMP)").isNotNull, 1)).as(s"${f.name}__ts"),
+            count(col(f.name)).as(s"${f.name}__n"))
+        case _ => Seq.empty
+      }
+    }
+    val row = if (probes.nonEmpty) Some(df.agg(probes.head, probes.tail: _*).collect()(0)) else None
+    fields.map { f =>
+      val t = f.dataType match {
+        case _: DateType | _: TimestampType | _: TimestampNTZType => "temporal"
+        case dt if isNumeric(dt) =>
+          val r = row.get
+          val d = r.getAs[Long](s"${f.name}__d").toDouble
+          val n = r.getAs[Long](s"${f.name}__n").toDouble
+          if (n > 0 && d / n < CardinalityRatio) "categorical" else "numerical"
+        case _: BooleanType => "categorical"
+        case _: StringType =>
+          val r = row.get
+          val ts = r.getAs[Long](s"${f.name}__ts").toDouble
+          val n = r.getAs[Long](s"${f.name}__n").toDouble
+          if (n > 0 && ts / n > TimestampCastable) "temporal" else "categorical"
+        case _ => "categorical"
+      }
+      f.name -> t
+    }.toMap
+  }
+
+  private val tables = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def typeInferenceQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rows = tables.flatMap { t =>
+      val df = table(spark, dir, t)
+      infer(df).toSeq.map { case (c, st) => (t, c, st) }
+    }
+    rows.toDF("table_name", "column_name", "semantic_type")
+      .orderBy("table_name", "column_name")
+  }
+
+  /** Static physical-schema spec of the driver testdata (TESTDATA.md /
+    * FIXTURES.md §B) — the physical-type BRANCH is schema-determined, the
+    * data-dependent probes run in DuckDB. Kinds: N numeric-cardinality
+    * probe, S string-timestamp probe, T temporal, C categorical default. */
+  private val staticSchema: Seq[(String, Seq[(String, Char)])] = Seq(
+    "region" -> Seq("r_regionkey" -> 'N', "r_name" -> 'S'),
+    "nation" -> Seq("n_nationkey" -> 'N', "n_name" -> 'S', "n_regionkey" -> 'N'),
+    "customer" -> Seq("c_custkey" -> 'N', "c_name" -> 'S', "c_nationkey" -> 'N',
+      "c_acctbal" -> 'N', "c_mktsegment" -> 'S'),
+    "supplier" -> Seq("s_suppkey" -> 'N', "s_name" -> 'S', "s_nationkey" -> 'N', "s_acctbal" -> 'N'),
+    "part" -> Seq("p_partkey" -> 'N', "p_name" -> 'S', "p_brand" -> 'S', "p_type" -> 'S',
+      "p_size" -> 'N', "p_retailprice" -> 'N'),
+    "orders" -> Seq("o_orderkey" -> 'N', "o_custkey" -> 'N', "o_orderstatus" -> 'S',
+      "o_totalprice" -> 'N', "o_orderdate" -> 'T', "o_orderpriority" -> 'S'),
+    "lineitem" -> Seq("l_orderkey" -> 'N', "l_partkey" -> 'N', "l_suppkey" -> 'N',
+      "l_linenumber" -> 'N', "l_quantity" -> 'N', "l_extendedprice" -> 'N',
+      "l_discount" -> 'N', "l_tax" -> 'N', "l_returnflag" -> 'S', "l_linestatus" -> 'S',
+      "l_shipdate" -> 'T'),
+    "events" -> Seq("event_id" -> 'N', "ts" -> 'T', "user_id" -> 'N', "event_type" -> 'S',
+      "value" -> 'N', "props" -> 'S'),
+    "documents" -> Seq("doc_id" -> 'N', "text" -> 'S', "lang" -> 'S', "source" -> 'S',
+      "n_chars" -> 'N'),
+    "embeddings" -> Seq("vec_id" -> 'N', "embedding" -> 'C', "label" -> 'N'),
+  )
+
+  def typeInferenceSql: String = {
+    val per = staticSchema.flatMap { case (t, cols) =>
+      cols.map { case (c, kind) =>
+        val e = kind match {
+          case 'T' => "'temporal'"
+          case 'C' => "'categorical'"
+          case 'N' =>
+            s"(SELECT CASE WHEN COUNT($c) > 0 AND COUNT(DISTINCT $c) * 1e0 / COUNT($c) < $CardinalityRatio " +
+              s"THEN 'categorical' ELSE 'numerical' END FROM $t)"
+          case 'S' =>
+            s"(SELECT CASE WHEN COUNT($c) > 0 AND " +
+              s"COUNT(TRY_CAST($c AS TIMESTAMP)) * 1e0 / COUNT($c) > $TimestampCastable " +
+              s"THEN 'temporal' ELSE 'categorical' END FROM $t)"
+        }
+        s"SELECT '$t' AS table_name, '$c' AS column_name, $e AS semantic_type"
+      }
+    }
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
+  }
+}
