@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.drift._
+import graft.pipeline._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + BASELINE.md.
   *
@@ -60,7 +61,12 @@ object SparkEntry {
       GroupDrift.queries ++
       SchemaOps.queries ++
       AdaptiveThresholds.queries ++
-      Report.queries
+      Report.queries ++
+      Dedup.queries ++
+      Similarity.queries ++
+      TextAnalysis.queries ++
+      Sessions.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -72,5 +78,10 @@ object SparkEntry {
       GroupDrift.oracles ++
       SchemaOps.oracles ++
       AdaptiveThresholds.oracles ++
-      Report.oracles
+      Report.oracles ++
+      Dedup.oracles ++
+      Similarity.oracles ++
+      TextAnalysis.oracles ++
+      Sessions.oracles ++
+      Multimodal.oracles
 }

@@ -28,7 +28,9 @@ package object drift {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer div, not `/1000` — double division loses sub-µs precision
+      // on 1.7e18-scale nanosecond values (2^53 mantissa)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

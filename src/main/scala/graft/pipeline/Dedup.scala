@@ -1,0 +1,245 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.drift.{r6, table}
+
+/** Document deduplication for training-data pipelines: exact (hash groups),
+  * n-gram Jaccard, MinHash+LSH banding, and SimHash.
+  *
+  * Scale design (100 TB): every path avoids the O(n²) all-pairs join —
+  * exact dedup is a hash `groupBy`; Jaccard joins only on shared shingles
+  * (shuffle keyed by shingle, so co-occurring docs meet without a cross
+  * join); MinHash compresses each doc to k minima computed in ONE
+  * `groupBy(doc)` pass, and LSH banding turns near-dup search into an
+  * equi-join on band signatures — the classic shingle→minhash→band→bucket
+  * pipeline. SimHash reduces each doc to one 60-bit word; pair search is a
+  * popcount over XOR. All hash primitives (md5-hex → integer, affine
+  * mod-prime) are chosen to be reproducible in DuckDB for the oracle.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct_texts"))
+      .selectExpr("n_docs", "n_distinct_texts", "n_docs - n_distinct_texts AS n_dup_docs")
+
+  val dedupExactSql: String =
+    "SELECT COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct_texts, " +
+      "COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs FROM documents"
+
+  // ------------------------------------------------ word-trigram shingles
+
+  /** Distinct word-trigram shingles per doc (Spark): explode of an in-plan
+    * sliding window — no UDF, whole-stage codegen. */
+  private[pipeline] def shingles(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))")).as("sh"))
+
+  /** DuckDB mirror of [[shingles]] (1-based list indexing). */
+  private[pipeline] val shinglesSql: String =
+    "SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM " +
+      "(SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents) t " +
+      "WHERE len(w) >= 3"
+
+  // --------------------------------------------------- n-gram Jaccard
+
+  val JaccardThreshold = 0.8
+
+  /** Exact trigram-Jaccard near-dup pairs (J ≥ 0.8). The join is keyed on
+    * shingle — only documents sharing a shingle ever meet. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val tri = shingles(spark, dir).cache()
+    val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tri.as("a").join(tri.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "ROUND(i * 1e0 / (na + nb - i), 6) AS jaccard")
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def ngramJaccardSql: String =
+    s"WITH tri AS ($shinglesSql), sz AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i FROM tri a " +
+      "JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, ROUND(i * 1e0 / (sa.n + sb.n - i), 6) AS jaccard " +
+      "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+      s"WHERE ROUND(i * 1e0 / (sa.n + sb.n - i), 6) >= $JaccardThreshold ORDER BY doc_a, doc_b"
+
+  // ------------------------------------------------------ MinHash + LSH
+
+  /** k=16 affine hashes mod a >2³² prime; coefficients from a fixed seed so
+    * both engines embed identical literals. a < 2²⁰ keeps a*x < 2⁶³ (DuckDB
+    * errors on BIGINT overflow; Spark would silently wrap). */
+  val MinhashPrime = 4294967311L
+  val NumHashes = 16
+  val BandRows = 4 // → 4 bands
+  private val hashCoefs: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(NumHashes)((rnd.nextInt(1000000).toLong + 1, rnd.nextInt(1000000).toLong))
+  }
+
+  /** Shingle → integer: first 8 hex chars of md5 (shared with DuckDB). */
+  private val shingleCodeSpark = "CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)"
+  private val shingleCodeDuck = "CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT)"
+
+  /** Per-doc minhash signature: ONE groupBy(doc) with k MIN aggregates. */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
+      expr(s"MIN(($a * x + $b) % $MinhashPrime)").as(s"m$i")
+    }
+    shingles(spark, dir)
+      .select(col("doc_id"), expr(shingleCodeSpark).as("x"))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  private def signaturesSql: String = {
+    val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * x + $b) % $MinhashPrime) AS m$i"
+    }.mkString(", ")
+    s"SELECT doc_id, $mins FROM (SELECT doc_id, $shingleCodeDuck AS x FROM ($shinglesSql) s) t GROUP BY doc_id"
+  }
+
+  /** LSH candidates: docs sharing ≥1 band signature, then exact-Jaccard
+    * verified. The candidate search is an equi-join on (band, signature). */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val nBands = NumHashes / BandRows
+    val bandRows = (0 until nBands).map { bIdx =>
+      val sig = (0 until BandRows).map(r => s"m${bIdx * BandRows + r}").mkString("concat_ws(',', ", ", ", ")")
+      s"$bIdx, $sig"
+    }.mkString(", ")
+    val bands = signatures(spark, dir)
+      .select(col("doc_id"), expr(s"stack($nBands, $bandRows) as (band, sig)"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val jac = ngramJaccardAll(spark, dir)
+    cands.join(jac, Seq("doc_a", "doc_b"), "left")
+      .selectExpr("doc_a", "doc_b", "n_shared_bands", "COALESCE(jaccard, 0.0) AS jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Jaccard for ALL co-shingled pairs (no threshold) — used to verify LSH
+    * candidates. */
+  private def ngramJaccardAll(spark: SparkSession, dir: String): DataFrame = {
+    val tri = shingles(spark, dir)
+    val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    tri.as("a").join(tri.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "ROUND(i * 1e0 / (na + nb - i), 6) AS jaccard")
+  }
+
+  def minhashLshSql: String = {
+    val nBands = NumHashes / BandRows
+    val bandSelects = (0 until nBands).map { bIdx =>
+      val sig = (0 until BandRows).map(r => s"m${bIdx * BandRows + r}").mkString("CONCAT_WS(',', ", ", ", ")")
+      s"SELECT doc_id, $bIdx AS band, $sig AS sig FROM sigs"
+    }.mkString(" UNION ALL ")
+    s"WITH tri AS ($shinglesSql), sigs AS (${signaturesSql.replace(s"($shinglesSql)", "tri")}), " +
+      s"bands AS ($bandSelects), " +
+      "cands AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands " +
+      "FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i FROM tri a " +
+      "JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "jac AS (SELECT doc_a, doc_b, ROUND(i * 1e0 / (sa.n + sb.n - i), 6) AS jaccard " +
+      "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) " +
+      "SELECT c.doc_a, c.doc_b, c.n_shared_bands, COALESCE(j.jaccard, 0.0) AS jaccard " +
+      "FROM cands c LEFT JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b ORDER BY c.doc_a, c.doc_b"
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 60-bit SimHash from per-word md5 hashes (15 hex chars keeps the value
+    * positive in an int64 in both engines); weighted by word occurrence. */
+  val SimhashBits = 60
+
+  private def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    val sums = (0 until SimhashBits).map { j =>
+      expr(s"SUM(CASE WHEN (shiftright(h, $j) & 1) = 1 THEN 1 ELSE -1 END)").as(s"s$j")
+    }
+    val recompose = (0 until SimhashBits).map { j =>
+      s"(CASE WHEN s$j > 0 THEN shiftleft(CAST(1 AS BIGINT), $j) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(md5(word), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .selectExpr("doc_id", s"$recompose AS simhash")
+  }
+
+  private def simhashesSql: String = {
+    val sums = (0 until SimhashBits).map { j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j"
+    }.mkString(", ")
+    val recompose = (0 until SimhashBits).map { j =>
+      s"(CASE WHEN s$j > 0 THEN CAST(1 AS BIGINT) << $j ELSE 0 END)"
+    }.mkString(" + ")
+    s"SELECT doc_id, $recompose AS simhash FROM (SELECT doc_id, $sums FROM " +
+      "(SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS h FROM " +
+      "(SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS word FROM documents) w) t " +
+      "GROUP BY doc_id) s"
+  }
+
+  /** Top-20 closest SimHash pairs by Hamming distance (popcount over XOR). */
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    // materialize signatures once: the self-join would otherwise evaluate
+    // the 60-aggregate signature pipeline on both sides
+    val sh = simhashes(spark, dir).cache()
+    // orderBy.limit plans TakeOrderedAndProject (distributed top-k, no
+    // single-partition window); rk is attached after on 20 rows
+    // broadcast one side: without it the non-equi self-join plans as a
+    // CartesianProduct that re-executes the signature pipeline per
+    // partition pair (~10x slower); signatures are 1 row/doc — tiny
+    sh.as("a").join(broadcast(sh.as("b")), col("a.doc_id") < col("b.doc_id"))
+      .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
+        "bit_count(a.simhash ^ b.simhash) AS hamming")
+      .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
+      .limit(20)
+      .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)))
+      .select("rk", "doc_a", "doc_b", "hamming")
+      .orderBy("rk")
+  }
+
+  def simhashPairsSql: String =
+    s"WITH sh AS ($simhashesSql), pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "bit_count(xor(a.simhash, b.simhash)) AS hamming FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+      "SELECT rk, doc_a, doc_b, hamming FROM (SELECT *, ROW_NUMBER() OVER " +
+      "(ORDER BY hamming ASC, doc_a ASC, doc_b ASC) AS rk FROM pairs) r WHERE rk <= 20 ORDER BY rk"
+
+  // ----------------------------------------------------------------- API
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) => dedupExact(s, d)),
+    "ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
+    "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" -> dedupExactSql,
+    "ngram_jaccard" -> ngramJaccardSql,
+    "minhash_lsh" -> minhashLshSql,
+    "simhash_pairs" -> simhashPairsSql,
+  )
+}

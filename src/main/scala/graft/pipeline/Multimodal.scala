@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.drift.table
+
+/** Multimodal-column plumbing: image/audio/video payloads as opaque
+  * `binary` columns with typed metadata, batch-shaped decode / feature-
+  * extract stubs.
+  *
+  * The container has no media libraries, so the DECODE step is a
+  * deterministic stub ([[stubDecode]]) — but the Spark-side plumbing is
+  * real: a typed `Dataset[MediaRecord]`, a binary payload column, schema'd
+  * metadata, and `mapPartitions` processing (the Scala analogue of
+  * `mapInPandas` batch processing: one iterator per partition, so a real
+  * decoder would amortize model/codec init per partition, not per row).
+  * Partitioning note for 100 TB: payloads stay opaque bytes until the
+  * map stage — no shuffle ever carries decoded frames; repartition by
+  * byte-size bucket before heavy decode to even out skew.
+  */
+object Multimodal {
+
+  /** One media item: opaque payload + typed metadata. */
+  case class MediaRecord(media_id: Long, mime: String, n_bytes: Long, payload: Array[Byte])
+
+  /** Extracted features (what a real decoder would emit). */
+  case class MediaFeatures(media_id: Long, mime: String, n_bytes: Long,
+      width: Int, height: Int, checksum: Long)
+
+  /** Build a media table from `documents` (payload = utf-8 bytes of text —
+    * an opaque stand-in for image/audio bytes). */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .select(col("doc_id").as("media_id"), lit("text/plain").as("mime"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decoder: deterministic pseudo-features from the payload bytes.
+    * A real implementation would decode image dimensions / audio duration
+    * here; the iterator shape (per-partition batch) is the real contract. */
+  def stubDecode(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
+    records.map { r =>
+      val sum = r.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+      MediaFeatures(r.media_id, r.mime, r.n_bytes,
+        width = (sum % 1920).toInt, height = (sum % 1080).toInt, checksum = sum)
+    }
+
+  /** Feature extraction over partition iterators (mapPartitions, the
+    * Scala-side batch-processing idiom). */
+  def extractFeatures(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(stubDecode)
+  }
+
+  /** Oracle-checkable query: the checksum here equals the text rolling hash
+    * (payload is utf-8 text), so DuckDB reproduces the full pipeline. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(spark, dir).toDF()
+      .selectExpr("media_id", "mime", "n_bytes", "width", "height", "checksum")
+      .orderBy("media_id")
+  }
+
+  val mediaMetaSql: String =
+    "SELECT doc_id AS media_id, 'text/plain' AS mime, octet_length(encode(text))::BIGINT AS n_bytes, " +
+      "(h % 1920)::INT AS width, (h % 1080)::INT AS height, h AS checksum FROM " +
+      "(SELECT doc_id, text, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(acc, c) -> (acc * 31 + c) % 1000000007) AS h FROM documents) t ORDER BY media_id"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "media_meta" -> ((s, d) => mediaMeta(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "media_meta" -> mediaMetaSql,
+  )
+}

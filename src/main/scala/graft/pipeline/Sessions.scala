@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.drift.table
+
+/** Event-stream operators over the `events` table: tumbling-window
+  * aggregation and gap-based sessionization.
+  *
+  * Batch forms are below (oracle-checked); the same logic runs incrementally
+  * in [[graft.streaming.StreamingDrift]] via Structured Streaming
+  * (`window()` + watermark / `mapGroupsWithState`). Sessionization
+  * partitions by user — the window functions shuffle once on user_id and
+  * never see a global ordering, so the plan scales with users, not events.
+  */
+object Sessions {
+
+  /** Daily tumbling window per event type: count, sum/avg of value. */
+  def eventWindow(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("sum_value"),
+        round(avg("value"), 6).as("avg_value"))
+      .orderBy("day", "event_type")
+
+  val eventWindowSql: String =
+    "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, " +
+      "COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value, ROUND(AVG(value), 6) AS avg_value " +
+      "FROM events GROUP BY 1, 2 ORDER BY day, event_type"
+
+  /** Gap-based sessionization (30-min inactivity closes a session), then a
+    * per-user rollup: session count, events/session, mean session duration.
+    * lag + running sum over (user_id ORDER BY ts) — one shuffle on user. */
+  val SessionGapMinutes = 30
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = SessionGapMinutes * 60L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val sessions = table(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) > gapUs, 1L)
+          .when(lag("ts_us", 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        ((max("ts_us") - min("ts_us")) / 1000000.0).as("duration_sec"))
+    sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg("n_events"), 6).as("avg_events_per_session"),
+        round(avg("duration_sec"), 6).as("avg_session_duration_sec"),
+        sum("n_events").as("total_events"))
+      .orderBy("user_id")
+  }
+
+  def sessionizeSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+       |marked AS (SELECT user_id, event_id, ts_us,
+       |  CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > ${SessionGapMinutes * 60L * 1000000L}
+       |       THEN 1 WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL THEN 1 ELSE 0 END AS new_session
+       |  FROM e),
+       |sess AS (SELECT user_id, event_id, ts_us,
+       |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM marked),
+       |per_session AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+       |  (MAX(ts_us) - MIN(ts_us)) / 1000000.0 AS duration_sec FROM sess GROUP BY 1, 2)
+       |SELECT user_id, COUNT(*) AS n_sessions, ROUND(AVG(n_events), 6) AS avg_events_per_session,
+       |  ROUND(AVG(duration_sec), 6) AS avg_session_duration_sec, SUM(n_events)::BIGINT AS total_events
+       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_window" -> ((s, d) => eventWindow(s, d)),
+    "sessionize" -> ((s, d) => sessionize(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "event_window" -> eventWindowSql,
+    "sessionize" -> sessionizeSql,
+  )
+}

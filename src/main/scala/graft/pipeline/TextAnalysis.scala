@@ -1,0 +1,166 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.drift.table
+
+/** Text analysis for training-data curation: language ID (stopword-marker
+  * scoring), quality scoring (length / punctuation / stopword-ratio bands),
+  * token counting (whitespace + a BPE-ish chars/4 estimate), and document
+  * fingerprinting (polynomial rolling hash).
+  *
+  * Everything is built from codegen'd higher-order functions (`split`,
+  * `filter`, `aggregate`) — no UDFs — so the same computation runs as plain
+  * SQL in the DuckDB oracle and scales linearly with a single scan per
+  * query. Per-doc outputs shuffle nothing; per-source rollups shuffle one
+  * small aggregate.
+  */
+object TextAnalysis {
+
+  /** Marker stopwords per language (tiny but real n-gram-style signal;
+    * deterministic — the mechanism is what scales, swap in fuller lists for
+    * production). */
+  val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+  )
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Language ID: argmax marker-hit ratio, ties → lexicographically first;
+    * no hits at all → 'und'. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val scores = markers.map { case (lang, ws) =>
+      s"size(filter(toks, t -> t IN ${inList(ws)})) * 1e0 / size(toks) AS score_$lang"
+    }
+    val best = markers.map { case (lang, _) => s"score_$lang" }.mkString("GREATEST(", ", ", ")")
+    val pick = markers.map { case (lang, _) =>
+      s"WHEN score_$lang = best THEN '$lang'"
+    }.mkString("CASE WHEN best = 0 THEN 'und' ", " ", " END")
+    table(spark, dir, "documents")
+      .selectExpr("doc_id", "split(text, '\\\\s+') AS toks")
+      .selectExpr(Seq("doc_id") ++ scores: _*)
+      .selectExpr(Seq("doc_id", s"$best AS best") ++
+        markers.map { case (l, _) => s"score_$l" }: _*)
+      .selectExpr("doc_id", s"$pick AS predicted_lang", "ROUND(best, 6) AS best_score")
+      .orderBy("doc_id")
+  }
+
+  def langIdSql: String = {
+    val scores = markers.map { case (lang, ws) =>
+      s"len(list_filter(toks, t -> t IN ${inList(ws)})) * 1e0 / len(toks) AS score_$lang"
+    }.mkString(", ")
+    val best = markers.map { case (lang, _) => s"score_$lang" }.mkString("GREATEST(", ", ", ")")
+    val pick = markers.map { case (lang, _) =>
+      s"WHEN score_$lang = best THEN '$lang'"
+    }.mkString("CASE WHEN best = 0 THEN 'und' ", " ", " END")
+    s"SELECT doc_id, $pick AS predicted_lang, ROUND(best, 6) AS best_score FROM " +
+      s"(SELECT s.*, $best AS best FROM (SELECT doc_id, $scores FROM " +
+      "(SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents) t) s) b " +
+      "ORDER BY doc_id"
+  }
+
+  // --------------------------------------------------------- quality score
+
+  /** Quality components: length band, punctuation ratio, stopword-ratio
+    * band, mean token length band; score = weighted sum (deterministic,
+    * shared text). */
+  private val qualityStage1: Seq[String] = Seq(
+    "doc_id",
+    "LENGTH(text) AS n_chars",
+    "size(toks) AS n_tokens",
+    "LENGTH(regexp_replace(text, '[a-zA-Z0-9\\\\s]', '')) * 1e0 / LENGTH(text) AS punct_ratio",
+    s"size(filter(toks, t -> t IN ${inList(markers.flatMap(_._2))})) * 1e0 / size(toks) AS stopword_ratio",
+    "(LENGTH(text) - size(toks) + 1) * 1e0 / size(toks) AS avg_token_len")
+
+  private val qualityStage2: Seq[String] = Seq(
+    "doc_id", "n_chars", "CAST(n_tokens AS BIGINT) AS n_tokens",
+    "ROUND(punct_ratio, 6) AS punct_ratio",
+    "ROUND(stopword_ratio, 6) AS stopword_ratio",
+    "ROUND(avg_token_len, 6) AS avg_token_len",
+    "ROUND(0.3 * LEAST(n_chars / 500e0, 1.0) + " +
+      "0.2 * (1.0 - LEAST(punct_ratio * 5, 1.0)) + " +
+      "0.3 * (CASE WHEN stopword_ratio >= 0.05 AND stopword_ratio <= 0.6 THEN 1.0 ELSE 0.5 END) + " +
+      "0.2 * (CASE WHEN avg_token_len >= 3 AND avg_token_len <= 10 THEN 1.0 ELSE 0.5 END), 6) AS quality_score")
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .selectExpr("doc_id", "text", "split(text, '\\\\s+') AS toks")
+      .selectExpr(qualityStage1: _*)
+      .selectExpr(qualityStage2: _*)
+      .orderBy("doc_id")
+
+  def textQualitySql: String = {
+    val stage1 = qualityStage1
+      .map(_.replace("size(filter(toks", "len(list_filter(toks"))
+      .map(_.replace("size(toks)", "len(toks)"))
+      .map(_.replace("regexp_replace(text, '[a-zA-Z0-9\\\\s]', '')", "regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')"))
+      .mkString(", ")
+    s"SELECT ${qualityStage2.mkString(", ")} FROM (SELECT $stage1 FROM " +
+      "(SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks FROM documents) t) s ORDER BY doc_id"
+  }
+
+  // ---------------------------------------------------------- token stats
+
+  /** Per-source corpus rollup: docs, whitespace tokens, BPE-ish token
+    * estimate (ceil(chars/4)), distinct vocabulary. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val base = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(expr("size(split(text, '\\\\s+'))")).as("total_tokens"),
+      sum(expr("CAST(ceil(LENGTH(text) / 4e0) AS BIGINT)")).as("est_bpe_tokens"))
+    val vocab = docs
+      .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
+      .groupBy("source").agg(countDistinct("w").as("distinct_words"))
+    base.join(vocab, "source")
+      .selectExpr("source", "n_docs", "total_tokens",
+        "ROUND(total_tokens * 1e0 / n_docs, 6) AS avg_tokens_per_doc",
+        "est_bpe_tokens", "distinct_words")
+      .orderBy("source")
+  }
+
+  def tokenStatsSql: String =
+    "SELECT b.source, n_docs, total_tokens, ROUND(total_tokens * 1e0 / n_docs, 6) AS avg_tokens_per_doc, " +
+      "est_bpe_tokens, distinct_words FROM " +
+      "(SELECT source, COUNT(*) AS n_docs, SUM(len(regexp_split_to_array(text, '\\s+')))::BIGINT AS total_tokens, " +
+      "SUM(CAST(ceil(LENGTH(text) / 4e0) AS BIGINT))::BIGINT AS est_bpe_tokens FROM documents GROUP BY 1) b " +
+      "JOIN (SELECT source, COUNT(DISTINCT w) AS distinct_words FROM " +
+      "(SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) x GROUP BY 1) v " +
+      "ON b.source = v.source ORDER BY b.source"
+
+  // ------------------------------------------------------- fingerprinting
+
+  /** Polynomial rolling hash over characters ((h*31 + ascii) mod 1e9+7) via
+    * the `aggregate` higher-order function — a deterministic 63-bit-safe
+    * document fingerprint. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .selectExpr("doc_id",
+        "aggregate(filter(split(text, ''), c -> c <> ''), CAST(0 AS BIGINT), " +
+          "(acc, c) -> (acc * 31 + ascii(c)) % 1000000007) AS fingerprint")
+      .orderBy("doc_id")
+
+  def fingerprintsSql: String =
+    "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id"
+
+  // ----------------------------------------------------------------- API
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lang_id" -> ((s, d) => langId(s, d)),
+    "text_quality" -> ((s, d) => textQuality(s, d)),
+    "token_stats" -> ((s, d) => tokenStats(s, d)),
+    "doc_fingerprint" -> ((s, d) => fingerprints(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "lang_id" -> langIdSql,
+    "text_quality" -> textQualitySql,
+    "token_stats" -> tokenStatsSql,
+    "doc_fingerprint" -> fingerprintsSql,
+  )
+}
