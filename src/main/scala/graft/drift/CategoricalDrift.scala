@@ -31,9 +31,12 @@ object CategoricalDrift {
   /** Per-side value counts for one split column. `nonNull=true` mirrors the
     * O15/O18 isNotNull filter; `false` keeps the null group (O22/O23/O35). */
   private def sideCounts(spark: SparkSession, dir: String, sp: S.CatSplit,
-      c: String, nonNull: Boolean): DataFrame = {
-    val base = withSide(table(spark, dir, sp.tableName), sp.ref)
-      .select(col("side"), col(c).cast("string").as("value"))
+      c: String, nonNull: Boolean): DataFrame =
+    sideCountsFrom(withSide(table(spark, dir, sp.tableName), sp.ref), c, nonNull)
+
+  /** Same per-side value counts over any side-tagged frame. */
+  private def sideCountsFrom(tagged: DataFrame, c: String, nonNull: Boolean): DataFrame = {
+    val base = tagged.select(col("side"), col(c).cast("string").as("value"))
     (if (nonNull) base.filter(col("value").isNotNull) else base)
       .groupBy("side", "value").agg(count(lit(1)).as("cnt"))
   }
@@ -446,6 +449,85 @@ object CategoricalDrift {
         s"FROM $jsSub, $chiSub, $nullSub) z"
     }
     per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
+  }
+
+  /** Generic O19 categorical drift for an arbitrary snapshot pair. */
+  def categoricalDriftForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
+      label: String = "pair"): DataFrame = {
+    val per = cols.map { c =>
+      val tagged = NumericDrift.tagPair(ref, curr, Seq(c))
+      val cnts = sideCountsFrom(tagged, c, nonNull = true)
+      val totals = cnts.groupBy("side").agg(sum("cnt").as("nn"))
+      val dists = ranked(cnts).filter(col("rk") <= 20).join(totals, "side")
+        .select(col("side"), col("value"), (col("cnt") * 1e0 / col("nn")).as("prob"))
+        .groupBy("value").agg(
+          max(when(col("side") === "ref", col("prob"))).as("p"),
+          max(when(col("side") === "curr", col("prob"))).as("q"))
+      val js = dists.agg(expr(s"SQRT(($jsKlPm + $jsKlQm) / 2)").as("js_divergence"),
+        sum(when(col("p").isNotNull, 1).otherwise(0)).as("ref_k"),
+        sum(when(col("q").isNotNull && col("p").isNull, 1).otherwise(0)).as("new_k"),
+        sum(when(col("p").isNotNull && col("q").isNull, 1).otherwise(0)).as("missing_k"))
+      val chi = chiPFromCounts(cnts)
+      val nulls = tagged
+        .groupBy("side").agg(count(lit(1)).as("n"), sum(when(col(c).isNull, 1L).otherwise(0L)).as("nl"))
+        .groupBy().agg(
+          max(when(col("side") === "ref", col("nl") * 1e0 / col("n"))).as("ref_null_prop"),
+          max(when(col("side") === "curr", col("nl") * 1e0 / col("n"))).as("curr_null_prop"))
+      js.crossJoin(broadcast(chi)).crossJoin(broadcast(nulls))
+        .select(lit(label).as("table_name"), lit(c).as("column_name"),
+          col("js_divergence"), col("p_value"),
+          (col("curr_null_prop") - col("ref_null_prop")).as("null_diff"),
+          (col("new_k") * 1e0 / col("ref_k")).as("new_ratio"),
+          (col("missing_k") * 1e0 / col("ref_k")).as("missing_ratio"))
+        .selectExpr(o19Final: _*)
+    }
+    per.reduce(_ union _).orderBy("column_name")
+  }
+
+  /** χ² banded p-value from a per-side counts frame (shared by the query
+    * path and the generic pair path). */
+  private def chiPFromCounts(cnts: DataFrame): DataFrame = {
+    val piv = pivotCounts(cnts)
+    val tot = piv.agg(sum("ref_cnt").as("ref_sum"), sum("curr_cnt").as("curr_sum"))
+    piv.crossJoin(broadcast(tot))
+      .selectExpr("ref_cnt", "curr_cnt",
+        "ref_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_ref",
+        "curr_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_curr")
+      .agg(coalesce(sum(expr("CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN " +
+        "POW(ref_cnt - exp_ref, 2) / exp_ref + POW(curr_cnt - exp_curr, 2) / exp_curr ELSE 0 END")), lit(0.0))
+        .as("chi_square"), (count(lit(1)) - 1).as("dof"))
+      .selectExpr("CASE WHEN chi_square < 0.001 THEN 1.0 " +
+        s"WHEN chi_square > 3 * ($chiCv) THEN 0.001 WHEN chi_square > 2 * ($chiCv) THEN 0.01 " +
+        s"WHEN chi_square > ($chiCv) THEN 0.05 " +
+        s"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi_square / ($chiCv)) * 0.95)) END AS p_value")
+  }
+
+  /** Generic O35 rare-category changes for an arbitrary snapshot pair. */
+  def rareCategoriesForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
+      label: String = "pair", minCount: Int = 10, maxFreq: Double = 0.01): DataFrame = {
+    val per = cols.map { c =>
+      val cnts = sideCountsFrom(NumericDrift.tagPair(ref, curr, Seq(c)), c, nonNull = false)
+      val totals = cnts.groupBy("side").agg(sum("cnt").as("n"))
+      cnts.join(totals, "side")
+        .groupBy("value").agg(
+          max(when(col("side") === "ref", col("cnt"))).as("ref_cnt0"),
+          max(when(col("side") === "curr", col("cnt"))).as("curr_cnt0"),
+          max(when(col("side") === "ref", col("cnt") * 1e0 / col("n"))).as("ref_freq0"),
+          max(when(col("side") === "curr", col("cnt") * 1e0 / col("n"))).as("curr_freq0"))
+        .selectExpr("value",
+          "COALESCE(ref_cnt0, 0) AS ref_cnt", "COALESCE(curr_cnt0, 0) AS curr_cnt",
+          "COALESCE(ref_freq0, 0) AS ref_freq", "COALESCE(curr_freq0, 0) AS curr_freq")
+        .filter(expr(s"((ref_freq <= $maxFreq AND ref_cnt >= $minCount) OR " +
+          s"(curr_freq <= $maxFreq AND curr_cnt >= $minCount))"))
+        .filter(expr("ABS(CASE WHEN ref_cnt > 0 THEN (curr_cnt - ref_cnt) * 1e0 / ref_cnt " +
+          "WHEN curr_cnt > 0 THEN 1.0 ELSE 0.0 END) >= 0.3 OR ref_cnt = 0 OR curr_cnt = 0"))
+        .filter(col("value").isNotNull)
+        .select(lit(label).as("table_name"), lit(c).as("column_name"), col("*"))
+        .selectExpr(o35Final: _*)
+    }
+    per.reduce(_ union _)
+      .orderBy(when(col("severity") === "high", 0).otherwise(1),
+        abs(col("rel_change")).desc, col("column_name"), col("category"))
   }
 
   // ------------------------------------------- rare values (O23) + (O35)

@@ -55,6 +55,29 @@ object CorrelationDrift {
 
   // ------------------------------------------------- corr_matrix (O25)
 
+  /** Generic O25 for an arbitrary snapshot pair (orchestrator entry). */
+  def forPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
+      config: DriftConfig = DriftConfig()): DataFrame = {
+    val prs = cols.combinations(2).map(p => (p(0), p(1))).toSeq
+    val aggs = prs.zipWithIndex.map { case ((a, b), i) => corr(col(a), col(b)).as(s"c$i") }
+    val rows = prs.zipWithIndex.map { case ((a, b), i) => s"'$a', '$b', c$i" }.mkString(", ")
+    val long = NumericDrift.tagPair(ref, curr, cols)
+      .groupBy(col("side")).agg(aggs.head, aggs.tail: _*)
+      .select(col("side"), expr(s"stack(${prs.size}, $rows) as (col1, col2, corr)"))
+    pivotPairs(long)
+      .selectExpr(corrFinalFor(config.correlationChangeThreshold, config.correlationThreshold): _*)
+      .orderBy("col1", "col2")
+  }
+
+  private def corrFinalFor(chg: Double, strong: Double): Seq[String] = Seq(
+    "col1", "col2",
+    "ROUND(ref_corr, 6) AS ref_correlation", "ROUND(curr_corr, 6) AS curr_correlation",
+    "ROUND(ABS(curr_corr - ref_corr), 6) AS abs_change",
+    s"(ABS(curr_corr - ref_corr) >= $chg) AS significant_shift",
+    "CASE WHEN ABS(curr_corr) < ABS(ref_corr) THEN 'weaker' ELSE 'stronger' END AS change_type",
+    s"(ABS(ref_corr) < $strong AND ABS(curr_corr) >= $strong) AS new_strong",
+    s"(ABS(ref_corr) >= $strong AND ABS(curr_corr) < $strong) AS disappeared_strong")
+
   private val corrFinal: Seq[String] = Seq(
     "col1", "col2",
     "ROUND(ref_corr, 6) AS ref_correlation", "ROUND(curr_corr, 6) AS curr_correlation",

@@ -88,8 +88,12 @@ object NumericDrift {
   /** One-pass per-side stats for a split table, long format:
     * (table_name, column_name, side, n_total, n_nonnull, mean, std, vmin,
     * vmax, p25, p50, p75, p95, p99, p01, p05). */
-  private def sideStatsLong(spark: SparkSession, dir: String, sp: S.NumSplit): DataFrame = {
-    val aggs = sp.cols.flatMap { c =>
+  private def sideStatsLong(spark: SparkSession, dir: String, sp: S.NumSplit): DataFrame =
+    sideStatsFrom(withSide(table(spark, dir, sp.tableName), sp.ref), sp.tableName, sp.cols)
+
+  /** Same one-pass stats over any side-tagged frame (generic pair entry). */
+  private def sideStatsFrom(tagged: DataFrame, tableName: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__total"),
         count(col(c)).as(s"${c}__nonnull"),
@@ -100,16 +104,97 @@ object NumericDrift {
         expr(s"percentile($c, array(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99))").as(s"${c}__pct"),
       )
     }
-    val rows = sp.cols.map { c =>
-      s"'${sp.tableName}', '$c', ${c}__total, ${c}__nonnull, ${c}__mean, ${c}__std, " +
+    val rows = cols.map { c =>
+      s"'$tableName', '$c', ${c}__total, ${c}__nonnull, ${c}__mean, ${c}__std, " +
         s"${c}__min, ${c}__max, ${c}__pct[0], ${c}__pct[1], ${c}__pct[2], ${c}__pct[3], " +
         s"${c}__pct[4], ${c}__pct[5], ${c}__pct[6]"
     }.mkString(", ")
-    withSide(table(spark, dir, sp.tableName), sp.ref)
+    tagged
       .groupBy(col("side")).agg(aggs.head, aggs.tail: _*)
-      .select(col("side"), expr(s"stack(${sp.cols.size}, $rows) as " +
+      .select(col("side"), expr(s"stack(${cols.size}, $rows) as " +
         "(table_name, column_name, n_total, n_nonnull, mean, std, vmin, vmax, " +
         "p01, p05, p25, p50, p75, p95, p99)"))
+  }
+
+  /** Tag + union two snapshots on their common requested columns. */
+  private[drift] def tagPair(ref: DataFrame, curr: DataFrame, cols: Seq[String]): DataFrame =
+    ref.select(cols.map(col): _*).withColumn("side", lit("ref"))
+      .unionByName(curr.select(cols.map(col): _*).withColumn("side", lit("curr")))
+
+  /** Generic O11/O12 drift metrics for an arbitrary snapshot pair. */
+  def driftForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
+      label: String = "pair"): DataFrame =
+    pivotSides(sideStatsFrom(tagPair(ref, curr, cols), label, cols))
+      .selectExpr(driftStage1: _*)
+      .selectExpr(driftStage2: _*)
+      .selectExpr(driftStage3: _*)
+      .orderBy("column_name")
+
+  /** Generic O13 drift score (without the O14 outlier components) for an
+    * arbitrary snapshot pair. */
+  def scoreForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
+      label: String = "pair"): DataFrame = {
+    val piv = pivotSides(sideStatsFrom(tagPair(ref, curr, cols), label, cols))
+      .withColumn("ref_n_out", lit(null).cast("long"))
+      .withColumn("ref_n_ext", lit(null).cast("long"))
+      .withColumn("curr_n_out", lit(null).cast("long"))
+      .withColumn("curr_n_ext", lit(null).cast("long"))
+    piv.selectExpr(scoreStage: _*).selectExpr(scoreFinal: _*).orderBy("column_name")
+  }
+
+  /** Generic O20 quantile shifts for an arbitrary snapshot pair. */
+  def quantileShiftsForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
+      label: String = "pair"): DataFrame = {
+    val rows = shiftQs.map { case (q, c) => s"'$q', ref_$c, curr_$c" }.mkString(", ")
+    pivotSides(sideStatsFrom(tagPair(ref, curr, cols), label, cols))
+      .select(col("table_name"), col("column_name"),
+        expr(s"stack(${shiftQs.size}, $rows) as (quantile, ref_value, curr_value)"))
+      .selectExpr("table_name", "column_name", "quantile",
+        "ROUND(ref_value, 6) AS ref_value", "ROUND(curr_value, 6) AS curr_value",
+        "ROUND(ABS(curr_value - ref_value), 6) AS abs_diff",
+        "ROUND(CASE WHEN ref_value <> 0 THEN ABS((curr_value - ref_value) / ref_value) " +
+          "WHEN curr_value <> 0 THEN ABS(curr_value - ref_value) / GREATEST(ABS(curr_value), 1e-10) " +
+          "ELSE 0.0 END, 6) AS rel_diff")
+      .orderBy("column_name", "quantile")
+  }
+
+  /** Generic O21 shape drift for an arbitrary snapshot pair. */
+  def shapesForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
+      label: String = "pair"): DataFrame = {
+    val tagged = tagPair(ref, curr, cols)
+    val aggs = cols.flatMap { c =>
+      Seq(skewness(col(c)).as(s"${c}__skew"), kurtosis(col(c)).as(s"${c}__kurt"))
+    }
+    val rows = cols.map(c => s"'$label', '$c', ${c}__skew, ${c}__kurt").mkString(", ")
+    val long = tagged.groupBy(col("side")).agg(aggs.head, aggs.tail: _*)
+      .select(col("side"), expr(s"stack(${cols.size}, $rows) as (table_name, column_name, skew, kurt)"))
+    def side(s: String) = long.filter(col("side") === s)
+      .select(col("table_name"), col("column_name"), col("skew").as(s"${s}_skew"), col("kurt").as(s"${s}_kurt"))
+    side("ref").join(side("curr"), Seq("table_name", "column_name"))
+      .selectExpr(shapeFinal: _*)
+      .orderBy("column_name")
+  }
+
+  /** Generic O36 z-score outlier drift for an arbitrary snapshot pair. */
+  def zOutliersForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
+      label: String = "pair"): DataFrame = {
+    val per = cols.map { c =>
+      val tagged = tagPair(ref, curr, Seq(c))
+      val refStats = ref.agg(avg(col(c)).as("ref_mean"), stddev(col(c)).as("ref_std"))
+      tagged.select(col("side"), col(c).cast("double").as("x"))
+        .crossJoin(broadcast(refStats))
+        .groupBy("side")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs((col("x") - col("ref_mean")) / col("ref_std")) > 3.0, 1L).otherwise(0L)).as("n_out"))
+        .select(lit(label).as("table_name"), lit(c).as("column_name"),
+          col("side"), col("n"), col("n_out"))
+    }
+    val long = per.reduce(_ union _)
+    def side(s: String) = long.filter(col("side") === s)
+      .select(col("table_name"), col("column_name"), col("n").as(s"${s}_n"), col("n_out").as(s"${s}_out"))
+    side("ref").join(side("curr"), Seq("table_name", "column_name"))
+      .selectExpr(zFinal: _*)
+      .orderBy("column_name")
   }
 
   /** SQL mirror of [[sideStatsLong]] for all numeric splits (a UNION ALL CTE

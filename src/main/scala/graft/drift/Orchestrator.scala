@@ -1,0 +1,220 @@
+package graft.drift
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** User-facing drift-detection API — reference O1–O3, O40, O42
+  * (/root/reference/data_loader.py, data_drift_detector.py,
+  * config_generator.py). A user of the reference calls
+  * `run_data_drift_detection(config)`; here the equivalent is
+  * `DriftDetector(spark).detectDrift(ref, curr, config)` over any two
+  * snapshot DataFrames obtained from a [[SnapshotSource]].
+  */
+
+/** Profile-driven configuration (config_generator.py:25-104 defaults).
+  * Thresholds per profile: (summary, standard, deep_dive). */
+case class DriftConfig(
+    profile: String = "standard",
+    includeColumns: Seq[String] = Seq.empty,
+    excludeColumns: Seq[String] = Seq.empty,
+    customColumnTypes: Map[String, String] = Map.empty,
+    groupColumns: Seq[String] = Seq.empty,
+    targetColumn: Option[String] = None,
+    sampleSize: Long = 100000L,
+    analyzeDistributions: Boolean = true,
+    analyzeCorrelations: Boolean = true,
+    analyzeGroups: Boolean = true,
+    detectRareEvents: Boolean = true) {
+
+  private def pick(summary: Double, standard: Double, deep: Double): Double =
+    profile match {
+      case "summary" => summary
+      case "deep_dive" => deep
+      case _ => standard
+    }
+
+  // numerical thresholds (config_generator.py:40-103)
+  def meanThreshold: Double = pick(0.1, 0.05, 0.03)
+  def medianThreshold: Double = pick(0.1, 0.05, 0.03)
+  def stdThreshold: Double = pick(0.2, 0.1, 0.05)
+  def iqrThreshold: Double = pick(0.2, 0.1, 0.05)
+  def numericNullThreshold: Double = pick(0.01, 0.005, 0.001)
+  def rangeThreshold: Double = pick(0.2, 0.1, 0.05)
+  // categorical
+  def categoryThreshold: Double = pick(0.05, 0.03, 0.01)
+  def chiSquarePValue: Double = pick(0.01, 0.05, 0.05)
+  def categoricalNullThreshold: Double = pick(0.01, 0.005, 0.001)
+  // correlation
+  def correlationThreshold: Double = pick(0.7, 0.7, 0.6)
+  def correlationChangeThreshold: Double = pick(0.3, 0.2, 0.15)
+  def jsDistanceThreshold: Double = pick(0.1, 0.1, 0.05)
+  def rareValueThreshold: Double = pick(0.01, 0.01, 0.005)
+}
+
+/** Versioned-snapshot abstraction (O1/O2). The reference reads Delta with
+  * `versionAsOf` time travel (data_loader.py:24); this environment has no
+  * Delta jars, so the provided impls are parquet-based. A Delta impl is the
+  * same trait with `format("delta").option("versionAsOf", v)`. */
+trait SnapshotSource {
+  def load(spark: SparkSession, version: Long): DataFrame
+  def latestVersion(spark: SparkSession): Long
+}
+
+/** One parquet directory per version: `<root>/v<N>/`. */
+class ParquetDirSource(root: String) extends SnapshotSource {
+  def load(spark: SparkSession, version: Long): DataFrame = {
+    // cache + eager count, as the reference does (data_loader.py:30-33):
+    // both snapshots are re-read by every analyzer
+    val df = spark.read.parquet(s"$root/v$version").cache()
+    df.count()
+    df
+  }
+  def latestVersion(spark: SparkSession): Long = {
+    val dirs = new java.io.File(root).listFiles()
+    if (dirs == null) -1L
+    else dirs.map(_.getName).filter(_.matches("v\\d+")).map(_.drop(1).toLong).max
+  }
+}
+
+/** Deterministic ≤n-row sample (O3, data_loader.py:67-90 — defined but
+  * never wired in the reference, SURVEY.md §8.8; wired here for real). */
+object Sampling {
+  def sample(df: DataFrame, n: Long, seed: Long = 42L): DataFrame = {
+    val total = df.count()
+    if (total <= n) df
+    else df.sample(withReplacement = false, math.min(1.0, n.toDouble / total * 1.2), seed).limit(n.toInt)
+  }
+}
+
+// ------------------------------------------------------------ report model
+
+case class NumericColumnDrift(column: String, refMean: Double, currMean: Double,
+    meanRelDiff: Double, medianRelDiff: Double, stdRelDiff: Double,
+    iqrRelDiff: Double, rangeRelDiff: Double, nullDiff: Double,
+    driftScore: Double, driftDetected: Boolean, driftCauses: Seq[String])
+
+case class CategoricalColumnDrift(column: String, jsDivergence: Double,
+    chiPValue: Double, nullDiff: Double, newCategoriesRatio: Double,
+    missingCategoriesRatio: Double, driftScore: Double, driftDetected: Boolean,
+    driftCauses: Seq[String])
+
+case class DriftReport(
+    schemaChanges: Seq[SchemaOps.SchemaChange],
+    columnTypes: Map[String, String],
+    numeric: Seq[NumericColumnDrift],
+    categorical: Seq[CategoricalColumnDrift],
+    quantileShifts: DataFrame,
+    shapes: DataFrame,
+    zOutliers: DataFrame,
+    correlationChanges: DataFrame,
+    rareCategories: DataFrame,
+    driftDetected: Boolean,
+    assessment: String,
+    recommendations: Seq[String],
+    executionTimeSec: Double)
+
+/** O40 orchestrator: run every analyzer family over a snapshot pair per the
+  * config flags and assemble the nested report. Each family is one or two
+  * aggregation jobs (SURVEY.md §4.2 rewrites), never per-column job storms. */
+class DriftDetector(spark: SparkSession) {
+
+  def detectDrift(refIn: DataFrame, currIn: DataFrame,
+      config: DriftConfig = DriftConfig()): DriftReport = {
+    val t0 = System.nanoTime()
+    val ref = if (config.sampleSize > 0) Sampling.sample(refIn, config.sampleSize) else refIn
+    val curr = if (config.sampleSize > 0) Sampling.sample(currIn, config.sampleSize) else currIn
+
+    // 1. schema diff (driver-side)
+    val schemaChanges = SchemaOps.diff(ref.schema, curr.schema)
+
+    // 2. semantic types on common columns (+ config overrides)
+    val common = ref.columns.toSeq.intersect(curr.columns.toSeq)
+      .filter(c => config.includeColumns.isEmpty || config.includeColumns.contains(c))
+      .filterNot(config.excludeColumns.contains)
+    val inferred = TypeInference.infer(ref.select(common.map(col): _*))
+    val types = inferred ++ config.customColumnTypes.filter { case (k, _) => common.contains(k) }
+    val numericCols = common.filter(c => types(c) == "numerical")
+    val catCols = common.filter(c => types(c) == "categorical")
+
+    // 3. numeric drift (O12 metrics + verdicts)
+    val numeric =
+      if (numericCols.isEmpty) Seq.empty
+      else NumericDrift.driftForPair(ref, curr, numericCols).collect().toSeq.map { r =>
+        NumericColumnDrift(
+          r.getAs[String]("column_name"),
+          r.getAs[Double]("ref_mean"), r.getAs[Double]("curr_mean"),
+          r.getAs[Double]("mean_rel_diff"), r.getAs[Double]("median_rel_diff"),
+          r.getAs[Double]("std_dev_rel_diff"), r.getAs[Double]("iqr_rel_diff"),
+          r.getAs[Double]("range_rel_diff"), r.getAs[Double]("null_diff"),
+          r.getAs[Double]("drift_score"), r.getAs[Boolean]("drift_detected"),
+          Option(r.getAs[String]("drift_causes")).filter(_.nonEmpty)
+            .map(_.split(",").toSeq).getOrElse(Seq.empty))
+      }
+
+    // 4. categorical drift (O19)
+    val categorical =
+      if (catCols.isEmpty) Seq.empty
+      else CategoricalDrift.categoricalDriftForPair(ref, curr, catCols).collect().toSeq.map { r =>
+        CategoricalColumnDrift(
+          r.getAs[String]("column_name"),
+          r.getAs[Double]("js_divergence"), r.getAs[Double]("chi_p_value"),
+          r.getAs[Double]("null_proportion_diff"),
+          r.getAs[Double]("new_categories_ratio"), r.getAs[Double]("missing_categories_ratio"),
+          r.getAs[Double]("drift_score"), r.getAs[Boolean]("drift_detected"),
+          Option(r.getAs[String]("drift_causes")).filter(_.nonEmpty)
+            .map(_.split(",").toSeq).getOrElse(Seq.empty))
+      }
+
+    // 5. distribution module (O20/O21), correlations (O25), rare events (O35/O36)
+    val empty = spark.emptyDataFrame
+    val quantiles = if (config.analyzeDistributions && numericCols.nonEmpty)
+      NumericDrift.quantileShiftsForPair(ref, curr, numericCols) else empty
+    val shapes = if (config.analyzeDistributions && numericCols.nonEmpty)
+      NumericDrift.shapesForPair(ref, curr, numericCols) else empty
+    val zOut = if (config.detectRareEvents && numericCols.nonEmpty)
+      NumericDrift.zOutliersForPair(ref, curr, numericCols) else empty
+    val corr = if (config.analyzeCorrelations && numericCols.size >= 2)
+      CorrelationDrift.forPair(ref, curr, numericCols, config) else empty
+    val rare = if (config.detectRareEvents && catCols.nonEmpty)
+      CategoricalDrift.rareCategoriesForPair(ref, curr, catCols,
+        maxFreq = config.rareValueThreshold) else empty
+
+    // 6. assessment + recommendations (data_drift_detector.py:286-421)
+    val numDriftCols = numeric.filter(_.driftDetected).map(_.column)
+    val catDriftCols = categorical.filter(_.driftDetected).map(_.column)
+    val corrShifts = if (corr.columns.contains("significant_shift"))
+      corr.filter(col("significant_shift")).count().toInt else 0
+    val driftCount = numDriftCols.size + catDriftCols.size + corrShifts
+    val severity = if (driftCount > 10) "high" else if (driftCount > 5) "medium" else "low"
+    val assessment = (severity match {
+      case "high" => "Significant data drift detected across multiple dimensions and metrics."
+      case "medium" => "Moderate data drift detected in several columns and relationships."
+      case _ => "Minor data drift detected in a few columns or metrics."
+    }) + s" Severity: ${severity.toUpperCase}"
+
+    val driftDetected = numDriftCols.nonEmpty || catDriftCols.nonEmpty || corrShifts > 0
+    def listOf(cols: Seq[String]) =
+      cols.take(3).mkString(", ") + (if (cols.size > 3) "..." else "")
+    val recommendations = Seq(
+      if (schemaChanges.exists(c => c.changeType == "added" || c.changeType == "removed"))
+        Some("Review schema changes. Schema evolution may require updates to downstream processes.")
+      else None,
+      if (numDriftCols.nonEmpty)
+        Some(s"Investigate numerical drift in ${numDriftCols.size} columns: ${listOf(numDriftCols)}")
+      else None,
+      if (catDriftCols.nonEmpty)
+        Some(s"Investigate categorical drift in ${catDriftCols.size} columns: ${listOf(catDriftCols)}")
+      else None,
+      if (corrShifts > 0)
+        Some("Previously strong correlations have shifted. Validate feature importance in models.")
+      else None,
+      if (driftDetected)
+        Some("Consider monitoring affected columns more frequently to establish trends.")
+      else None,
+    ).flatten
+
+    DriftReport(schemaChanges, types, numeric, categorical, quantiles, shapes,
+      zOut, corr, rare, driftDetected, assessment, recommendations,
+      (System.nanoTime() - t0) / 1e9)
+  }
+}

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming drift monitoring: the batch drift operators applied
+  * incrementally to an event stream.
+  *
+  * The reference is batch-only; this is the streaming extension a
+  * production pipeline needs — windowed per-key statistics with a
+  * watermark, joined against static reference statistics, emitting a drift
+  * flag per (window, key). State is bounded by the watermark; the
+  * aggregation is a standard streaming hash-agg, so it scales exactly like
+  * the batch groupBy (partial aggregation per micro-batch, shuffle by
+  * (window, key)).
+  */
+object StreamingDrift {
+
+  /** Per-(event_type) reference statistics from a batch frame. */
+  def referenceStats(ref: DataFrame): DataFrame =
+    ref.groupBy("event_type").agg(
+      avg("value").as("ref_mean"),
+      stddev("value").as("ref_std"),
+      count(lit(1)).as("ref_n"))
+
+  /** Windowed mean-shift monitor over a STREAMING events frame
+    * (schema: ts timestamp, event_type string, value double).
+    * Emits one row per closed window per key with a z-scored mean shift
+    * against the static reference. */
+  def monitor(events: DataFrame, refStats: DataFrame,
+      windowDuration: String = "10 minutes",
+      watermarkDelay: String = "20 minutes",
+      zThreshold: Double = 3.0): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n"), avg("value").as("win_mean"))
+      .join(broadcast(refStats), "event_type")
+      .withColumn("mean_z",
+        abs(col("win_mean") - col("ref_mean")) / (col("ref_std") / sqrt(col("n"))))
+      .withColumn("drift_detected", col("mean_z") > zThreshold)
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("win_mean"), col("ref_mean"),
+        col("mean_z"), col("drift_detected"))
+
+  /** Streaming categorical frequency monitor: windowed value counts with
+    * relative frequency per window — the streaming form of the O15 value
+    * counts (join downstream against reference frequencies for JS/χ²). */
+  def categoricalMonitor(events: DataFrame,
+      windowDuration: String = "10 minutes",
+      watermarkDelay: String = "20 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("cnt"))
+}

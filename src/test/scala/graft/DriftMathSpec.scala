@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.drift._
+
+/** Unit tests for the scalar drift math: zero-denominator rules, severity
+  * bucketing, JS/χ² invariants (SURVEY.md §5.1/5.2). */
+class DriftMathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def eval1(c: org.apache.spark.sql.Column): Any =
+    Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
+
+  test("relDiff zero-denominator rule (numerical_analyzer.py:214-219)") {
+    assert(eval1(relDiff(lit(0.0), lit(0.0))) == 0.0)
+    assert(eval1(relDiff(lit(0.0), lit(5.0))) == 1.0)
+    assert(eval1(relDiff(lit(2.0), lit(3.0))) == 0.5)
+    assert(eval1(relDiff(lit(-2.0), lit(-3.0))) == -0.5) // denominator abs()
+  }
+
+  test("pctChange zero rule (group_analyzer.py:516-532)") {
+    assert(eval1(pctChange(lit(0.0), lit(0.0))) == 0.0)
+    assert(eval1(pctChange(lit(0.0), lit(7.0))) == 1.0)
+    assert(eval1(pctChange(lit(4.0), lit(2.0))) == -0.5)
+  }
+
+  test("severity bucketing (result_handler.py:54-73)") {
+    val got = Seq(0.05, 0.1, 0.2, 0.25, 0.4, 0.5, 0.7, 0.75, 0.99)
+      .map(s => eval1(severity(lit(s))))
+    assert(got == Seq("None", "Low", "Low", "Medium", "Medium", "High", "High",
+      "Critical", "Critical"))
+  }
+
+  test("identical frames -> zero numeric drift at any profile") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 100.0).toDF("x")
+    val row = NumericDrift.driftForPair(df, df, Seq("x")).collect()(0)
+    assert(row.getAs[Double]("drift_score") == 0.0)
+    assert(!row.getAs[Boolean]("drift_detected"))
+    assert(row.getAs[String]("drift_severity") == "None")
+  }
+
+  test("identical frames -> zero categorical drift, JS = 0") {
+    val df = Seq("a", "a", "b", "c", "c", "c").toDF("x")
+    val row = CategoricalDrift.categoricalDriftForPair(df, df, Seq("x")).collect()(0)
+    assert(row.getAs[Double]("js_divergence") == 0.0)
+    assert(!row.getAs[Boolean]("drift_detected"))
+  }
+
+  test("JS distance is symmetric and in [0,1]") {
+    val p = Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c")
+    val q = Seq.fill(20)("a") ++ Seq.fill(30)("b") ++ Seq.fill(50)("d")
+    val dfP = p.toDF("x"); val dfQ = q.toDF("x")
+    val pq = CategoricalDrift.categoricalDriftForPair(dfP, dfQ, Seq("x"))
+      .collect()(0).getAs[Double]("js_divergence")
+    val qp = CategoricalDrift.categoricalDriftForPair(dfQ, dfP, Seq("x"))
+      .collect()(0).getAs[Double]("js_divergence")
+    assert(math.abs(pq - qp) < 1e-9)
+    assert(pq > 0.0 && pq <= 1.0)
+  }
+
+  test("disjoint supports -> JS distance = 1") {
+    val dfP = Seq.fill(50)("a").toDF("x")
+    val dfQ = Seq.fill(50)("z").toDF("x")
+    val js = CategoricalDrift.categoricalDriftForPair(dfP, dfQ, Seq("x"))
+      .collect()(0).getAs[Double]("js_divergence")
+    assert(math.abs(js - 1.0) < 1e-6)
+  }
+
+  test("drift scores stay in [0,1] under extreme shifts") {
+    val ref = Seq(1.0, 1.1, 0.9, 1.05, 0.95).toDF("x")
+    val curr = Seq(1e6, 2e6, 3e6, 4e6, 5e6).toDF("x")
+    val s = NumericDrift.scoreForPair(ref, curr, Seq("x")).collect()(0)
+      .getAs[Double]("drift_score")
+    assert(s >= 0.0 && s <= 1.0)
+  }
+
+  test("correlation components: BFS grouping") {
+    val corrs = Map(("a", "b") -> 0.9, ("b", "c") -> 0.8, ("c", "d") -> 0.1)
+    val comp = CorrelationDrift.correlationComponents(corrs, Seq("a", "b", "c", "d"), 0.7)
+    assert(comp("a") == "a" && comp("b") == "a" && comp("c") == "a")
+    assert(comp("d") == "d")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.drift._
+
+/** Golden end-to-end tests over the seeded port of the reference's
+  * synthetic drift table (example.py:12-87; expectations per FIXTURES.md §A
+  * and SURVEY.md §5.3). */
+class GoldenDriftSpec extends SparkSpec {
+
+  private lazy val v1 = SyntheticDrift.version(spark, 1).cache()
+  private lazy val v2 = SyntheticDrift.version(spark, 2).cache()
+  private lazy val v3 = SyntheticDrift.version(spark, 3).cache()
+  private lazy val detector = new DriftDetector(spark)
+
+  test("v1 vs v1 -> no drift anywhere") {
+    val r = detector.detectDrift(v1, v1, DriftConfig(sampleSize = 0))
+    assert(!r.driftDetected)
+    assert(r.numeric.forall(_.driftScore == 0.0))
+    assert(r.categorical.forall(_.driftScore == 0.0))
+    assert(r.schemaChanges.isEmpty)
+  }
+
+  test("v1 vs v2 -> mild numeric + categorical + null drift") {
+    val r = detector.detectDrift(v1, v2, DriftConfig(sampleSize = 0))
+    assert(r.driftDetected)
+    val normal = r.numeric.find(_.column == "numeric_normal").get
+    assert(normal.meanRelDiff > 0.03) // mean 100 -> 105
+    val nullCol = r.numeric.find(_.column == "null_col").get
+    assert(nullCol.nullDiff > 0.005) // nulls 10% -> 12%
+    val imb = r.categorical.find(_.column == "category_imbalanced").get
+    assert(imb.driftDetected) // 70/20/10 -> 65/25/10 (chi-square significant at n=10000)
+  }
+
+  test("v1 vs v3 -> heavy drift + schema change + new/missing category") {
+    val r = detector.detectDrift(v1, v3, DriftConfig(sampleSize = 0))
+    assert(r.driftDetected)
+    assert(r.schemaChanges.exists(c => c.changeType == "added" && c.path == "new_feature"))
+    val normal = r.numeric.find(_.column == "numeric_normal").get
+    assert(normal.meanRelDiff > 0.15 && normal.stdRelDiff > 0.3)
+    val uniform = r.numeric.find(_.column == "numeric_uniform").get
+    assert(uniform.rangeRelDiff > 0.2) // U(0,100) -> U(0,150)
+    val bal = r.categorical.find(_.column == "category_balanced").get
+    assert(bal.newCategoriesRatio > 0.0 && bal.missingCategoriesRatio > 0.0) // D -> E
+    assert(r.assessment.nonEmpty && r.recommendations.nonEmpty)
+  }
+
+  test("type inference on the golden table") {
+    val r = detector.detectDrift(v1, v2, DriftConfig(sampleSize = 0))
+    assert(r.columnTypes("numeric_normal") == "numerical")
+    assert(r.columnTypes("category_balanced") == "categorical")
+    assert(r.columnTypes("binary_feature") == "categorical") // low-cardinality numeric rule
+    assert(r.columnTypes("date_col") == "temporal") // string that casts to timestamp
+  }
+
+  test("PCA anomaly drift runs and flags the heavy-drift pair (O37)") {
+    val cols = Seq("numeric_normal", "numeric_uniform", "null_col")
+    val same = PcaAnomaly.detect(spark, v1, v1, cols).get
+    assert(math.abs(same.meanErrorChange) < 0.05)
+    val drifted = PcaAnomaly.detect(spark, v1, v3, cols).get
+    assert(drifted.currAnomalyRatio > same.refAnomalyRatio)
+    assert(drifted.significant)
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Dedup / similarity / text-analysis behavior on planted fixtures. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Temp dir with documents.parquet + embeddings.parquet: 20 base docs +
+    * 3 planted near-duplicates (one word changed) + 1 exact duplicate. */
+  private lazy val fixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fixture").toString
+    val r = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu")
+    def doc() = Seq.fill(40)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 20).map(i => (i.toLong, doc()))
+    val nearDups = (0 until 3).map { i =>
+      val words = base(i)._2.split(" ")
+      words(20) = "CHANGED"
+      (100L + i, words.mkString(" "))
+    }
+    val exactDup = Seq((200L, base(5)._2))
+    (base ++ nearDups ++ exactDup).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // embeddings: 30 random vectors; vec 100/101 are tiny perturbations of 0/1
+    def vec(seed: Int) = { val rr = new scala.util.Random(seed); Array.fill(64)(rr.nextGaussian().toFloat) }
+    val embs = (0 until 30).map(i => (i.toLong, vec(i), i % 3)) ++
+      Seq((100L, vec(0).map(x => x + 0.001f), 0), (101L, vec(1).map(x => x + 0.001f), 1))
+    embs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("exact dedup finds the planted exact duplicate") {
+    val r = Dedup.dedupExact(spark, fixtureDir).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 24)
+    assert(r.getAs[Long]("n_dup_docs") == 1)
+  }
+
+  test("trigram Jaccard finds planted near-duplicates (and the exact dup)") {
+    val pairs = Dedup.ngramJaccard(spark, fixtureDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 100L)) && pairs.contains((1L, 101L)) && pairs.contains((2L, 102L)))
+    assert(pairs.contains((5L, 200L)))
+  }
+
+  test("MinHash LSH surfaces the same near-dup candidates with high jaccard") {
+    val cands = Dedup.minhashLsh(spark, fixtureDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap
+    for (p <- Seq((0L, 100L), (1L, 101L), (2L, 102L), (5L, 200L))) {
+      assert(cands.contains(p), s"LSH missed planted pair $p")
+      assert(cands(p) > 0.7)
+    }
+  }
+
+  test("SimHash ranks planted near-dups as closest pairs") {
+    val top = Dedup.simhashPairs(spark, fixtureDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).take(4).toSet
+    assert(top.contains((5L, 200L))) // hamming 0 for the exact dup
+    assert(top.exists(p => p._2 >= 100L)) // near-dups in the closest set
+  }
+
+  test("brute-force ANN finds the perturbed twin as nearest neighbor") {
+    val nn = Similarity.annCosine(spark, fixtureDir).collect()
+      .filter(r => r.getAs[Long]("query_id") == 0L && r.getAs[Int]("rk") == 1)
+    assert(nn.head.getAs[Long]("neighbor_id") == 100L)
+    assert(nn.head.getAs[Double]("cosine") > 0.999)
+  }
+
+  test("LSH ANN recalls the near-identical twin (same bucket)") {
+    val res = Similarity.lshTopK(spark, fixtureDir).collect()
+      .filter(r => r.getAs[Long]("query_id") == 0L)
+    assert(res.nonEmpty && res.head.getAs[Long]("neighbor_id") == 100L)
+  }
+
+  test("embedding near-dup pass ranks the planted twins first") {
+    val top2 = Similarity.embedNeardup(spark, fixtureDir).collect().take(2)
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(top2 == Set((0L, 100L), (1L, 101L)))
+  }
+
+  test("text quality + fingerprints are deterministic and sane") {
+    val q = TextAnalysis.textQuality(spark, fixtureDir).collect()
+    assert(q.length == 24)
+    assert(q.forall(r => { val s = r.getAs[Double]("quality_score"); s >= 0 && s <= 1 }))
+    val fp = TextAnalysis.fingerprints(spark, fixtureDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fingerprint"))).toMap
+    assert(fp(5L) == fp(200L)) // exact duplicate -> same fingerprint
+    assert(fp(0L) != fp(100L)) // near dup -> different fingerprint
+  }
+
+  test("multimodal plumbing: payload bytes -> typed features via mapPartitions") {
+    val feats = Multimodal.extractFeatures(spark, fixtureDir).collect()
+    assert(feats.length == 24)
+    assert(feats.forall(f => f.n_bytes > 0 && f.mime == "text/plain"))
+    val byId = feats.map(f => f.media_id -> f.checksum).toMap
+    assert(byId(5L) == byId(200L)) // deterministic stub features
+  }
+}
