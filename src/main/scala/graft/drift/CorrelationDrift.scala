@@ -42,16 +42,17 @@ object CorrelationDrift {
         s"'$a' AS col1, '$b' AS col2, CORR($a, $b) AS corr FROM lineitem GROUP BY 1, 2, 3"
     }.mkString(" UNION ALL ")
 
-  private def pivotPairs(long: DataFrame): DataFrame = {
-    def side(s: String) = long.filter(col("side") === s)
-      .select(col("col1"), col("col2"), coalesce(col("corr"), lit(0.0)).as(s"${s}_corr"))
-    side("ref").join(side("curr"), Seq("col1", "col2"))
-  }
+  /** Conditional-aggregation pivot (no self-join — one scan, see
+    * NumericDrift.pivotSides). */
+  private def pivotPairs(long: DataFrame): DataFrame =
+    long.groupBy("col1", "col2").agg(
+      coalesce(max(when(col("side") === "ref", col("corr"))), lit(0.0)).as("ref_corr"),
+      coalesce(max(when(col("side") === "curr", col("corr"))), lit(0.0)).as("curr_corr"))
 
   private val pivotPairsSql =
-    "SELECT r.col1, r.col2, COALESCE(r.corr, 0.0) AS ref_corr, COALESCE(c.corr, 0.0) AS curr_corr " +
-      "FROM (SELECT * FROM pc WHERE side = 'ref') r JOIN (SELECT * FROM pc WHERE side = 'curr') c " +
-      "ON r.col1 = c.col1 AND r.col2 = c.col2"
+    "SELECT col1, col2, COALESCE(MAX(CASE WHEN side = 'ref' THEN corr END), 0.0) AS ref_corr, " +
+      "COALESCE(MAX(CASE WHEN side = 'curr' THEN corr END), 0.0) AS curr_corr " +
+      "FROM pc GROUP BY col1, col2"
 
   // ------------------------------------------------- corr_matrix (O25)
 
@@ -112,9 +113,11 @@ object CorrelationDrift {
     val ranked = long.withColumn("rk", row_number().over(
       org.apache.spark.sql.expressions.Window.partitionBy("side")
         .orderBy(col("importance").desc, col("column_name").asc)))
-    def side(s: String) = ranked.filter(col("side") === s)
-      .select(col("column_name"), col("importance").as(s"${s}_importance"), col("rk").as(s"${s}_rank"))
-    side("ref").join(side("curr"), "column_name")
+    ranked.groupBy("column_name").agg(
+        max(when(col("side") === "ref", col("importance"))).as("ref_importance"),
+        max(when(col("side") === "ref", col("rk"))).as("ref_rank"),
+        max(when(col("side") === "curr", col("importance"))).as("curr_importance"),
+        max(when(col("side") === "curr", col("rk"))).as("curr_rank"))
       .selectExpr(fiFinal: _*).orderBy("column_name")
   }
 
@@ -135,10 +138,10 @@ object CorrelationDrift {
     }.mkString(" UNION ALL ")
     s"WITH long AS ($un), ranked AS (SELECT *, ROW_NUMBER() OVER " +
       "(PARTITION BY side ORDER BY importance DESC, column_name ASC) AS rk FROM long), " +
-      "piv AS (SELECT r.column_name, r.importance AS ref_importance, r.rk AS ref_rank, " +
-      "c.importance AS curr_importance, c.rk AS curr_rank FROM " +
-      "(SELECT * FROM ranked WHERE side = 'ref') r JOIN (SELECT * FROM ranked WHERE side = 'curr') c " +
-      "ON r.column_name = c.column_name) " +
+      "piv AS (SELECT column_name, MAX(CASE WHEN side = 'ref' THEN importance END) AS ref_importance, " +
+      "MAX(CASE WHEN side = 'ref' THEN rk END) AS ref_rank, " +
+      "MAX(CASE WHEN side = 'curr' THEN importance END) AS curr_importance, " +
+      "MAX(CASE WHEN side = 'curr' THEN rk END) AS curr_rank FROM ranked GROUP BY 1) " +
       s"SELECT ${fiFinal.mkString(", ")} FROM piv ORDER BY column_name"
   }
 
@@ -173,9 +176,9 @@ object CorrelationDrift {
     val long = withSide(table(spark, dir, "lineitem"), S.lineitemRef)
       .groupBy(col("side")).agg(aggs.head, aggs.tail: _*)
       .select(col("side"), expr(s"stack(${corrCols.size}, $rows) as (target_column, corr)"))
-    def side(s: String) = long.filter(col("side") === s)
-      .select(col("target_column"), coalesce(col("corr"), lit(0.0)).as(s"${s}_corr"))
-    side("ref").join(side("curr"), "target_column")
+    long.groupBy("target_column").agg(
+        coalesce(max(when(col("side") === "ref", col("corr"))), lit(0.0)).as("ref_corr"),
+        coalesce(max(when(col("side") === "curr", col("corr"))), lit(0.0)).as("curr_corr"))
       .selectExpr(
         s"'$keyCol' AS key_column", "target_column",
         "ROUND(ref_corr, 6) AS ref_correlation", "ROUND(curr_corr, 6) AS curr_correlation",
@@ -190,9 +193,9 @@ object CorrelationDrift {
         s"'$t' AS target_column, COALESCE(CORR(CAST($keyCol AS DOUBLE), CAST($t AS DOUBLE)), 0.0) AS corr " +
         "FROM lineitem GROUP BY 1, 2"
     }.mkString(" UNION ALL ")
-    s"WITH long AS ($un), piv AS (SELECT r.target_column, r.corr AS ref_corr, c.corr AS curr_corr FROM " +
-      "(SELECT * FROM long WHERE side = 'ref') r JOIN (SELECT * FROM long WHERE side = 'curr') c " +
-      "ON r.target_column = c.target_column) " +
+    s"WITH long AS ($un), piv AS (SELECT target_column, " +
+      "COALESCE(MAX(CASE WHEN side = 'ref' THEN corr END), 0.0) AS ref_corr, " +
+      "COALESCE(MAX(CASE WHEN side = 'curr' THEN corr END), 0.0) AS curr_corr FROM long GROUP BY 1) " +
       s"SELECT '$keyCol' AS key_column, target_column, ROUND(ref_corr, 6) AS ref_correlation, " +
       "ROUND(curr_corr, 6) AS curr_correlation, ROUND(ABS(curr_corr - ref_corr), 6) AS abs_change, " +
       s"(ABS(curr_corr - ref_corr) >= $RelationshipChangeThreshold) AS significant_change " +
@@ -216,10 +219,11 @@ object CorrelationDrift {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("side"), col("category"), col("n"),
         expr(s"stack(${pairs.size}, $rows) as (col1, col2, corr)"))
-    def side(s: String) = long.filter(col("side") === s)
-      .select(col("category"), col("col1"), col("col2"),
-        col("n").as(s"${s}_n"), coalesce(col("corr"), lit(0.0)).as(s"${s}_corr"))
-    side("ref").join(side("curr"), Seq("category", "col1", "col2"))
+    long.groupBy("category", "col1", "col2").agg(
+        max(when(col("side") === "ref", col("n"))).as("ref_n"),
+        coalesce(max(when(col("side") === "ref", col("corr"))), lit(0.0)).as("ref_corr"),
+        max(when(col("side") === "curr", col("n"))).as("curr_n"),
+        coalesce(max(when(col("side") === "curr", col("corr"))), lit(0.0)).as("curr_corr"))
       .filter(col("ref_n") >= 30 && col("curr_n") >= 30)
       .selectExpr(s"'$groupDim' AS dimension", "category", "col1", "col2",
         "ROUND(ref_corr, 6) AS ref_correlation", "ROUND(curr_corr, 6) AS curr_correlation",
@@ -234,10 +238,12 @@ object CorrelationDrift {
         s"CAST($groupDim AS VARCHAR) AS category, '$a' AS col1, '$b' AS col2, " +
         s"COUNT(*) AS n, CORR($a, $b) AS corr FROM lineitem GROUP BY 1, 2, 3, 4"
     }.mkString(" UNION ALL ")
-    s"WITH long AS ($un), piv AS (SELECT r.category, r.col1, r.col2, r.n AS ref_n, " +
-      "COALESCE(r.corr, 0.0) AS ref_corr, c.n AS curr_n, COALESCE(c.corr, 0.0) AS curr_corr FROM " +
-      "(SELECT * FROM long WHERE side = 'ref') r JOIN (SELECT * FROM long WHERE side = 'curr') c " +
-      "ON r.category = c.category AND r.col1 = c.col1 AND r.col2 = c.col2) " +
+    s"WITH long AS ($un), piv AS (SELECT category, col1, col2, " +
+      "MAX(CASE WHEN side = 'ref' THEN n END) AS ref_n, " +
+      "COALESCE(MAX(CASE WHEN side = 'ref' THEN corr END), 0.0) AS ref_corr, " +
+      "MAX(CASE WHEN side = 'curr' THEN n END) AS curr_n, " +
+      "COALESCE(MAX(CASE WHEN side = 'curr' THEN corr END), 0.0) AS curr_corr " +
+      "FROM long GROUP BY 1, 2, 3) " +
       s"SELECT '$groupDim' AS dimension, category, col1, col2, ROUND(ref_corr, 6) AS ref_correlation, " +
       "ROUND(curr_corr, 6) AS curr_correlation, ROUND(ABS(curr_corr - ref_corr), 6) AS abs_change, " +
       s"(ABS(curr_corr - ref_corr) >= $GroupCorrChangeThreshold) AS significant_shift " +

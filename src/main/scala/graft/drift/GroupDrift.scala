@@ -82,11 +82,13 @@ object GroupDrift {
       .agg(aggs.head, aggs.tail: _*)
       .select(col("side"), col("category"), col("n"),
         expr(s"stack(${sp.numMetrics.size}, $rows) as (metric, nulls, mean, std, vmin, vmax, med)"))
-    def side(s: String) = long.filter(col("side") === s).select(
-      col("category"), col("metric"), col("n").as(s"${s}_n"), col("nulls").as(s"${s}_nulls"),
-      col("mean").as(s"${s}_mean"), col("std").as(s"${s}_std"), col("vmin").as(s"${s}_min"),
-      col("vmax").as(s"${s}_max"), col("med").as(s"${s}_med"))
-    side("ref").join(side("curr"), Seq("category", "metric"))
+    val statCols = Seq("n", "nulls", "mean", "std", "vmin", "vmax", "med")
+    val names = Map("vmin" -> "min", "vmax" -> "max")
+    val pivAggs = statCols.flatMap { c => Seq(
+      max(when(col("side") === "ref", col(c))).as(s"ref_${names.getOrElse(c, c)}"),
+      max(when(col("side") === "curr", col(c))).as(s"curr_${names.getOrElse(c, c)}")) }
+    long.groupBy("category", "metric").agg(pivAggs.head, pivAggs.tail: _*)
+      .filter(col("ref_n").isNotNull && col("curr_n").isNotNull)
   }
 
   private def numPivotSql(sp: GroupSpec): String = {
@@ -98,12 +100,12 @@ object GroupDrift {
         s"COALESCE(MIN($m)::DOUBLE, 0.0) AS vmin, COALESCE(MAX($m)::DOUBLE, 0.0) AS vmax, " +
         s"COALESCE(quantile_cont($m, 0.5), 0.0) AS med FROM ${sp.tableName} GROUP BY 1, 2, 3"
     }.mkString(" UNION ALL ")
-    s"SELECT r.category, r.metric, r.n AS ref_n, r.nulls AS ref_nulls, r.mean AS ref_mean, " +
-      "r.std AS ref_std, r.vmin AS ref_min, r.vmax AS ref_max, r.med AS ref_med, " +
-      "c.n AS curr_n, c.nulls AS curr_nulls, c.mean AS curr_mean, c.std AS curr_std, " +
-      "c.vmin AS curr_min, c.vmax AS curr_max, c.med AS curr_med FROM " +
-      s"(SELECT * FROM ($un) x WHERE side = 'ref') r JOIN (SELECT * FROM ($un) y WHERE side = 'curr') c " +
-      "ON r.category = c.category AND r.metric = c.metric"
+    val piv = Seq("n", "nulls", "mean", "std", "vmin", "vmax", "med").flatMap { c =>
+      val out = Map("vmin" -> "min", "vmax" -> "max").getOrElse(c, c)
+      Seq(s"MAX(CASE WHEN side = 'ref' THEN $c END) AS ref_$out",
+        s"MAX(CASE WHEN side = 'curr' THEN $c END) AS curr_$out") }.mkString(", ")
+    s"SELECT * FROM (SELECT category, metric, $piv FROM ($un) x GROUP BY 1, 2) p " +
+      "WHERE ref_n IS NOT NULL AND curr_n IS NOT NULL"
   }
 
   /** Shared final select: pct changes use the group-analyzer zero rule. */

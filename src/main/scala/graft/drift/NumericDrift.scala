@@ -168,9 +168,7 @@ object NumericDrift {
     val rows = cols.map(c => s"'$label', '$c', ${c}__skew, ${c}__kurt").mkString(", ")
     val long = tagged.groupBy(col("side")).agg(aggs.head, aggs.tail: _*)
       .select(col("side"), expr(s"stack(${cols.size}, $rows) as (table_name, column_name, skew, kurt)"))
-    def side(s: String) = long.filter(col("side") === s)
-      .select(col("table_name"), col("column_name"), col("skew").as(s"${s}_skew"), col("kurt").as(s"${s}_kurt"))
-    side("ref").join(side("curr"), Seq("table_name", "column_name"))
+    pivotShapes(long)
       .selectExpr(shapeFinal: _*)
       .orderBy("column_name")
   }
@@ -190,11 +188,7 @@ object NumericDrift {
           col("side"), col("n"), col("n_out"))
     }
     val long = per.reduce(_ union _)
-    def side(s: String) = long.filter(col("side") === s)
-      .select(col("table_name"), col("column_name"), col("n").as(s"${s}_n"), col("n_out").as(s"${s}_out"))
-    side("ref").join(side("curr"), Seq("table_name", "column_name"))
-      .selectExpr(zFinal: _*)
-      .orderBy("column_name")
+    pivotZ(long).selectExpr(zFinal: _*).orderBy("column_name")
   }
 
   /** SQL mirror of [[sideStatsLong]] for all numeric splits (a UNION ALL CTE
@@ -218,21 +212,26 @@ object NumericDrift {
 
   /** Pivot the long side stats into one row per column with ref_/curr_
     * prefixes (Spark side — a tiny broadcast self-join). */
+  /** Pivot via conditional aggregation, NOT a ref/curr self-join: a
+    * self-join would duplicate the whole upstream aggregation pipeline and
+    * scan every table twice (verified with .explain — 2x ReadSchema per
+    * table before this form). */
   private def pivotSides(longDf: DataFrame): DataFrame = {
-    def side(s: String) = longDf.filter(col("side") === s).drop("side")
-      .select(col("table_name") +: col("column_name") +:
-        sideStatCols.map(c => col(c).as(s"${s}_$c")): _*)
-    side("ref").join(side("curr"), Seq("table_name", "column_name"))
+    val aggs = sideStatCols.flatMap { c => Seq(
+      max(when(col("side") === "ref", col(c))).as(s"ref_$c"),
+      max(when(col("side") === "curr", col(c))).as(s"curr_$c")) }
+    longDf.groupBy("table_name", "column_name").agg(aggs.head, aggs.tail: _*)
+      // drop columns missing on either side (schema drift between snapshots)
+      .filter(col("ref_n_total").isNotNull && col("curr_n_total").isNotNull)
   }
 
   /** SQL mirror of [[pivotSides]] given CTE `sides`. */
   private def pivotSidesSql: String = {
-    def cols(s: String) = sideStatCols.map(c => s"$c AS ${s}_$c").mkString(", ")
-    s"SELECT r.table_name, r.column_name, ${sideStatCols.map(c => s"r.ref_$c").mkString(", ")}, " +
-      s"${sideStatCols.map(c => s"c.curr_$c").mkString(", ")} FROM " +
-      s"(SELECT table_name, column_name, ${cols("ref")} FROM sides WHERE side = 'ref') r " +
-      s"JOIN (SELECT table_name, column_name, ${cols("curr")} FROM sides WHERE side = 'curr') c " +
-      s"ON r.table_name = c.table_name AND r.column_name = c.column_name"
+    val aggs = sideStatCols.flatMap { c => Seq(
+      s"MAX(CASE WHEN side = 'ref' THEN $c END) AS ref_$c",
+      s"MAX(CASE WHEN side = 'curr' THEN $c END) AS curr_$c") }.mkString(", ")
+    s"SELECT * FROM (SELECT table_name, column_name, $aggs FROM sides GROUP BY 1, 2) p " +
+      "WHERE ref_n_total IS NOT NULL AND curr_n_total IS NOT NULL"
   }
 
   // ------------------------------------------- O11/O12 drift metrics query
@@ -314,25 +313,31 @@ object NumericDrift {
     * pass per table, bounds broadcast from the stats row (no collect). */
   private def outlierCounts(spark: SparkSession, dir: String, sp: S.NumSplit): DataFrame = {
     val df = withSide(table(spark, dir, sp.tableName), sp.ref)
+    // one wide 1-row frame of all columns' reference IQR bounds, broadcast
+    // onto ONE counting scan for every column (the per-column variant would
+    // rescan the table len(cols) times)
     val longStats = sideStatsLong(spark, dir, sp)
-    val bounds = longStats.filter(col("side") === "ref")
-      .select(col("column_name").as("b_column"), col("p25").as("ref_q1"), col("p75").as("ref_q3"))
-    val perCol = sp.cols.map { c =>
-      df.select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
-          col("side"), col(c).cast("double").as("x"))
-        .join(broadcast(bounds.filter(col("b_column") === c)))
-        .select(col("table_name"), col("column_name"), col("side"), col("x"),
-          (col("ref_q3") - col("ref_q1")).as("iqr"), col("ref_q1"), col("ref_q3"))
-        .groupBy("table_name", "column_name", "side")
-        .agg(
-          sum(when(col("x").isNotNull &&
-            (col("x") < col("ref_q1") - col("iqr") * 1.5 ||
-             col("x") > col("ref_q3") + col("iqr") * 1.5), 1L).otherwise(0L)).as("n_out"),
-          sum(when(col("x").isNotNull &&
-            (col("x") < col("ref_q1") - col("iqr") * 3.0 ||
-             col("x") > col("ref_q3") + col("iqr") * 3.0), 1L).otherwise(0L)).as("n_ext"))
+    val boundsWide = longStats.filter(col("side") === "ref")
+      .groupBy().agg(
+        sp.cols.flatMap(c => Seq(
+          max(when(col("column_name") === c, col("p25"))).as(s"${c}__q1"),
+          max(when(col("column_name") === c, col("p75"))).as(s"${c}__q3"))).head,
+        sp.cols.flatMap(c => Seq(
+          max(when(col("column_name") === c, col("p25"))).as(s"${c}__q1"),
+          max(when(col("column_name") === c, col("p75"))).as(s"${c}__q3"))).tail: _*)
+    val aggs = sp.cols.flatMap { c =>
+      def outPred(mult: Double) =
+        s"$c IS NOT NULL AND ($c < ${c}__q1 - (${c}__q3 - ${c}__q1) * $mult OR " +
+          s"$c > ${c}__q3 + (${c}__q3 - ${c}__q1) * $mult)"
+      Seq(
+        expr(s"SUM(CASE WHEN ${outPred(1.5)} THEN 1 ELSE 0 END)").cast("long").as(s"${c}__out"),
+        expr(s"SUM(CASE WHEN ${outPred(3.0)} THEN 1 ELSE 0 END)").cast("long").as(s"${c}__ext"))
     }
-    perCol.reduce(_ unionAll _)
+    val rows = sp.cols.map(c => s"'${sp.tableName}', '$c', ${c}__out, ${c}__ext").mkString(", ")
+    df.crossJoin(broadcast(boundsWide))
+      .groupBy("side").agg(aggs.head, aggs.tail: _*)
+      .select(col("side"), expr(s"stack(${sp.cols.size}, $rows) as (table_name, column_name, n_out, n_ext)"))
+      .select(col("table_name"), col("column_name"), col("side"), col("n_out"), col("n_ext"))
   }
 
   private def outlierCountsSql: String =
@@ -491,12 +496,17 @@ object NumericDrift {
         .select(col("side"), expr(s"stack(${sp.cols.size}, $rows) as (table_name, column_name, skew, kurt)"))
     }
     val long = per.reduce(_ unionAll _)
-    def side(s: String) = long.filter(col("side") === s)
-      .select(col("table_name"), col("column_name"), col("skew").as(s"${s}_skew"), col("kurt").as(s"${s}_kurt"))
-    side("ref").join(side("curr"), Seq("table_name", "column_name"))
+    pivotShapes(long)
       .selectExpr(shapeFinal: _*)
       .orderBy("table_name", "column_name")
   }
+
+  private def pivotShapes(long: DataFrame): DataFrame =
+    long.groupBy("table_name", "column_name").agg(
+      max(when(col("side") === "ref", col("skew"))).as("ref_skew"),
+      max(when(col("side") === "ref", col("kurt"))).as("ref_kurt"),
+      max(when(col("side") === "curr", col("skew"))).as("curr_skew"),
+      max(when(col("side") === "curr", col("kurt"))).as("curr_kurt"))
 
   def shapesSql: String = {
     val moments = S.numeric.flatMap { sp =>
@@ -512,10 +522,11 @@ object NumericDrift {
     s"WITH moments AS ($moments), " +
       "sk AS (SELECT side, table_name, column_name, m3 / POW(m2, 1.5) AS skew, " +
       "m4 / (m2 * m2) - 3 AS kurt FROM moments), " +
-      "piv AS (SELECT r.table_name, r.column_name, r.skew AS ref_skew, r.kurt AS ref_kurt, " +
-      "c.skew AS curr_skew, c.kurt AS curr_kurt FROM " +
-      "(SELECT * FROM sk WHERE side = 'ref') r JOIN (SELECT * FROM sk WHERE side = 'curr') c " +
-      "ON r.table_name = c.table_name AND r.column_name = c.column_name) " +
+      "piv AS (SELECT table_name, column_name, " +
+      "MAX(CASE WHEN side = 'ref' THEN skew END) AS ref_skew, " +
+      "MAX(CASE WHEN side = 'ref' THEN kurt END) AS ref_kurt, " +
+      "MAX(CASE WHEN side = 'curr' THEN skew END) AS curr_skew, " +
+      "MAX(CASE WHEN side = 'curr' THEN kurt END) AS curr_kurt FROM sk GROUP BY 1, 2) " +
       s"SELECT ${shapeFinal.mkString(", ")} FROM piv ORDER BY table_name, column_name"
   }
 
@@ -587,12 +598,15 @@ object NumericDrift {
       }
     }
     val long = per.reduce(_ unionAll _)
-    def side(s: String) = long.filter(col("side") === s)
-      .select(col("table_name"), col("column_name"), col("n").as(s"${s}_n"), col("n_out").as(s"${s}_out"))
-    side("ref").join(side("curr"), Seq("table_name", "column_name"))
-      .selectExpr(zFinal: _*)
-      .orderBy("table_name", "column_name")
+    pivotZ(long).selectExpr(zFinal: _*).orderBy("table_name", "column_name")
   }
+
+  private def pivotZ(long: DataFrame): DataFrame =
+    long.groupBy("table_name", "column_name").agg(
+      max(when(col("side") === "ref", col("n"))).as("ref_n"),
+      max(when(col("side") === "ref", col("n_out"))).as("ref_out"),
+      max(when(col("side") === "curr", col("n"))).as("curr_n"),
+      max(when(col("side") === "curr", col("n_out"))).as("curr_out"))
 
   private val zFinal: Seq[String] = {
     val refRatio = "ref_out * 1e0 / ref_n"
@@ -617,10 +631,11 @@ object NumericDrift {
           s"FROM ${sp.tableName} WHERE ${sp.refSql}) m GROUP BY 1, 2, 3"
       }
     }.mkString(" UNION ALL ")
-    s"WITH long AS ($un), piv AS (SELECT r.table_name, r.column_name, r.n AS ref_n, " +
-      "r.n_out AS ref_out, c.n AS curr_n, c.n_out AS curr_out FROM " +
-      "(SELECT * FROM long WHERE side = 'ref') r JOIN (SELECT * FROM long WHERE side = 'curr') c " +
-      "ON r.table_name = c.table_name AND r.column_name = c.column_name) " +
+    s"WITH long AS ($un), piv AS (SELECT table_name, column_name, " +
+      "MAX(CASE WHEN side = 'ref' THEN n END) AS ref_n, " +
+      "MAX(CASE WHEN side = 'ref' THEN n_out END) AS ref_out, " +
+      "MAX(CASE WHEN side = 'curr' THEN n END) AS curr_n, " +
+      "MAX(CASE WHEN side = 'curr' THEN n_out END) AS curr_out FROM long GROUP BY 1, 2) " +
       s"SELECT ${zFinal.mkString(", ")} FROM piv ORDER BY table_name, column_name"
   }
 
