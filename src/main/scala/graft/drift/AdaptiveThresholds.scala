@@ -106,6 +106,16 @@ object AdaptiveThresholds {
     ("orders", "o_orderpriority", S.ordersRefSql, S.ordersRef, false),
   )
 
+  /** Entropy-interpolated categorical threshold
+    * (adaptive_threshold.py:412-481): natural-log entropy over the full
+    * value distribution (null group included, probs over all rows),
+    * normalized by ln(distinct incl. null); uniform → min 0.05,
+    * concentrated → max 0.5, linear in between; degenerate → base 0.2. */
+  val entropyThresholdSql: String =
+    "CASE WHEN max_ent IS NULL OR max_ent = 0 THEN 0.2 " +
+      "WHEN ent / max_ent > 0.8 THEN 0.05 WHEN ent / max_ent < 0.3 THEN 0.5 " +
+      "ELSE 0.5 - (0.5 - 0.05) * (ent / max_ent - 0.3) / 0.5 END"
+
   private def colFinal(isNum: Boolean, sizeF: String, compF: Double): Seq[String] = {
     val vol = if (isNum) volatilitySql else "1.0" // dead categorical branch → 1.0
     val base = if (isNum) BaseNumerical else BaseCategorical
@@ -115,7 +125,10 @@ object AdaptiveThresholds {
       s"ROUND(CAST(($cardinalitySql) AS DOUBLE), 6) AS cardinality_factor",
       s"ROUND(CAST(($nullFactorSql) AS DOUBLE), 6) AS null_factor",
       s"ROUND(CAST($base * ($sizeF) * $compF * ($vol) * ($cardinalitySql) * ($nullFactorSql) AS DOUBLE), 6) AS threshold") ++
-      (if (isNum) Seq(s"ROUND(CAST(($cvThresholdSql) AS DOUBLE), 6) AS cv_threshold") else Seq("CAST(NULL AS DOUBLE) AS cv_threshold"))
+      (if (isNum) Seq(s"ROUND(CAST(($cvThresholdSql) AS DOUBLE), 6) AS cv_threshold")
+       else Seq("CAST(NULL AS DOUBLE) AS cv_threshold")) ++
+      (if (isNum) Seq("CAST(NULL AS DOUBLE) AS entropy_threshold")
+       else Seq(s"ROUND(CAST(($entropyThresholdSql) AS DOUBLE), 6) AS entropy_threshold"))
   }
 
   def columnQuery(spark: SparkSession, dir: String): DataFrame = {
@@ -136,12 +149,22 @@ object AdaptiveThresholds {
         .groupBy().agg(
           max(when(col("side") === "ref", col("sn"))).as("ref_n"),
           max(when(col("side") === "curr", col("sn"))).as("curr_n"))
-      probe.crossJoin(sizes)
+      val entropy =
+        if (isNum) ref.limit(1).agg(lit(null).cast("double").as("ent"), lit(null).cast("double").as("max_ent"))
+        else {
+          val vc = ref.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+          val total = ref.count()
+          vc.agg(
+            (-sum(col("cnt") * 1e0 / total * log(col("cnt") * 1e0 / total))).as("ent"),
+            log(count(lit(1)).cast("double")).as("max_ent"))
+        }
+      probe.crossJoin(sizes).crossJoin(broadcast(entropy))
         .select(lit(t).as("table_name"), lit(c).as("column_name"),
           col("mean0").as("mean"), col("std0").as("std"),
           ((col("d_nonnull") + col("has_null")) * 1e0 / col("n")).as("card_ratio"),
           (col("nulls") * 1e0 / col("n")).as("null_ratio"),
-          least(col("ref_n"), col("curr_n")).as("least_n"))
+          least(col("ref_n"), col("curr_n")).as("least_n"),
+          col("ent"), col("max_ent"))
         .selectExpr(colFinal(isNum, sizeFactorSql, complexityFactor(nCols)): _*)
     }
     per.reduce(_ union _).orderBy("table_name", "column_name")
@@ -153,15 +176,19 @@ object AdaptiveThresholds {
       val numProbe = if (isNum)
         s"COALESCE(AVG(CAST($c AS DOUBLE)), 0.0) AS mean, COALESCE(STDDEV(CAST($c AS DOUBLE)), 0.0) AS std"
       else "0.0 AS mean, 0.0 AS std"
+      val entSub = if (isNum) "SELECT CAST(NULL AS DOUBLE) AS ent, CAST(NULL AS DOUBLE) AS max_ent"
+        else s"SELECT -SUM(cnt * 1e0 / tot * LN(cnt * 1e0 / tot)) AS ent, LN(COUNT(*) * 1e0) AS max_ent FROM " +
+          s"(SELECT COUNT(*) AS cnt FROM $t WHERE $refSql GROUP BY $c) g, " +
+          s"(SELECT COUNT(*) AS tot FROM $t WHERE $refSql) x GROUP BY tot"
       s"SELECT ${colFinal(isNum, sizeFactorSql, complexityFactor(nColsOf(t))).mkString(", ")} FROM " +
         s"(SELECT '$t' AS table_name, '$c' AS column_name, p.mean, p.std, p.card_ratio, p.null_ratio, " +
-        "LEAST(s.ref_n, s.curr_n) AS least_n FROM " +
+        "LEAST(s.ref_n, s.curr_n) AS least_n, e.ent, e.max_ent FROM " +
         s"(SELECT $numProbe, " +
         s"(COUNT(DISTINCT $c) + MAX(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)) * 1e0 / COUNT(*) AS card_ratio, " +
         s"SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) * 1e0 / COUNT(*) AS null_ratio " +
         s"FROM $t WHERE $refSql) p, " +
         s"(SELECT SUM(CASE WHEN $refSql THEN 1 ELSE 0 END)::BIGINT AS ref_n, " +
-        s"SUM(CASE WHEN $refSql THEN 0 ELSE 1 END)::BIGINT AS curr_n FROM $t) s) z"
+        s"SUM(CASE WHEN $refSql THEN 0 ELSE 1 END)::BIGINT AS curr_n FROM $t) s, ($entSub) e) z"
     }
     per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
   }

@@ -592,6 +592,41 @@ object CategoricalDrift {
     per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
   }
 
+  /** O23 per-value rare-value changes: new_rare (rare now, present but not
+    * rare before) and disappeared_rare (rare before, present but not rare
+    * now) with prev/curr freq + count
+    * (/root/reference/distribution_analyzer.py:366-401). */
+  def rareValueChanges(spark: SparkSession, dir: String): DataFrame = {
+    val per = rareCols.map { case (sp, c, thr) =>
+      freqPivot(spark, dir, sp, c)
+        .selectExpr("value",
+          s"CASE WHEN curr_freq0 <= $thr AND NOT (ref_freq0 <= $thr) AND ref_freq0 IS NOT NULL THEN 'new_rare' " +
+            s"WHEN ref_freq0 <= $thr AND NOT (curr_freq0 <= $thr) AND curr_freq0 IS NOT NULL THEN 'disappeared_rare' END AS change_type",
+          "COALESCE(ref_freq0, 0) AS prev_freq", "COALESCE(curr_freq0, 0) AS curr_freq",
+          "COALESCE(ref_cnt0, 0) AS prev_count", "COALESCE(curr_cnt0, 0) AS curr_count")
+        .filter(col("change_type").isNotNull)
+        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+          col("change_type"), col("value"),
+          r6(col("prev_freq")).as("prev_freq"), r6(col("curr_freq")).as("curr_freq"),
+          col("prev_count"), col("curr_count"))
+    }
+    per.reduce(_ union _).orderBy("table_name", "column_name", "change_type", "value")
+  }
+
+  def rareValueChangesSql: String = {
+    val per = rareCols.map { case (sp, c, thr) =>
+      s"SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, change_type, value, " +
+        "ROUND(prev_freq, 6) AS prev_freq, ROUND(curr_freq, 6) AS curr_freq, prev_count, curr_count FROM " +
+        "(SELECT value, " +
+        s"CASE WHEN curr_freq0 <= $thr AND NOT (ref_freq0 <= $thr) AND ref_freq0 IS NOT NULL THEN 'new_rare' " +
+        s"WHEN ref_freq0 <= $thr AND NOT (curr_freq0 <= $thr) AND curr_freq0 IS NOT NULL THEN 'disappeared_rare' END AS change_type, " +
+        "COALESCE(ref_freq0, 0) AS prev_freq, COALESCE(curr_freq0, 0) AS curr_freq, " +
+        "COALESCE(ref_cnt0, 0)::BIGINT AS prev_count, COALESCE(curr_cnt0, 0)::BIGINT AS curr_count " +
+        s"FROM (${freqPivotSql(sp, c)}) p) z WHERE change_type IS NOT NULL"
+    }
+    per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name, change_type, value")
+  }
+
   /** O35 rare-category change detection (full port of
     * /root/reference/rare_event_analyzer.py:12-113; the one real join). */
   private val o35Final: Seq[String] = {
@@ -684,6 +719,7 @@ object CategoricalDrift {
     "chi_square" -> ((s, d) => chiSquare(s, d)),
     "categorical_drift" -> ((s, d) => categoricalDrift(s, d)),
     "rare_value_summary" -> ((s, d) => rareValueSummary(s, d)),
+    "rare_value_changes" -> ((s, d) => rareValueChanges(s, d)),
     "rare_categories" -> ((s, d) => rareCategories(s, d)),
     "top_combined" -> ((s, d) => topCombined(s, d)),
   )
@@ -697,6 +733,7 @@ object CategoricalDrift {
     "chi_square" -> chiSquareSql,
     "categorical_drift" -> categoricalDriftSql,
     "rare_value_summary" -> rareValueSummarySql,
+    "rare_value_changes" -> rareValueChangesSql,
     "rare_categories" -> rareCategoriesSql,
     "top_combined" -> topCombinedSql,
   )

@@ -250,6 +250,21 @@ object CorrelationDrift {
       "FROM piv WHERE ref_n >= 30 AND curr_n >= 30 ORDER BY category, col1, col2"
   }
 
+  /** O29 valid-column screen: keep columns whose non-null ratio is ≥
+    * `minRatio` in BOTH frames — one aggregation over the tagged pair
+    * (the reference batches the agg then collects per column in a loop,
+    * correlation_analyzer.py:643-663). */
+  def validColumns(ref: DataFrame, curr: DataFrame, cols: Seq[String],
+      minRatio: Double = 0.7): Seq[String] = {
+    if (cols.isEmpty) return Seq.empty
+    val aggs = cols.map(c => (count(col(c)) / count(lit(1))).as(c))
+    val refRow = ref.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val currRow = curr.agg(aggs.head, aggs.tail: _*).collect()(0)
+    cols.zipWithIndex.filter { case (_, i) =>
+      refRow.getDouble(i) >= minRatio && currRow.getDouble(i) >= minRatio
+    }.map(_._1)
+  }
+
   // --------------------------------- connected components (O28, driver-side)
 
   /** BFS connected components over the |corr| ≥ threshold adjacency — driver

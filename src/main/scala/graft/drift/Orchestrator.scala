@@ -173,8 +173,11 @@ class DriftDetector(spark: SparkSession) {
       NumericDrift.shapesForPair(ref, curr, numericCols) else empty
     val zOut = if (config.detectRareEvents && numericCols.nonEmpty)
       NumericDrift.zOutliersForPair(ref, curr, numericCols) else empty
-    val corr = if (config.analyzeCorrelations && numericCols.size >= 2)
-      CorrelationDrift.forPair(ref, curr, numericCols, config) else empty
+    // O29 screen: drop columns with non-null ratio < 0.7 in either frame
+    val corrCols = if (config.analyzeCorrelations && numericCols.size >= 2)
+      CorrelationDrift.validColumns(ref, curr, numericCols) else Seq.empty
+    val corr = if (corrCols.size >= 2)
+      CorrelationDrift.forPair(ref, curr, corrCols, config) else empty
     val rare = if (config.detectRareEvents && catCols.nonEmpty)
       CategoricalDrift.rareCategoriesForPair(ref, curr, catCols,
         maxFreq = config.rareValueThreshold) else empty

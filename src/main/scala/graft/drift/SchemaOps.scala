@@ -96,6 +96,20 @@ object SchemaOps {
     }).map(_.name).toSeq.sorted,
     "non_nullable_columns" -> schema.fields.filterNot(_.nullable).map(_.name).toSeq.sorted)
 
+  /** O10 profile diff (schema_analyzer.py:601-647). */
+  def compareProfiles(p1: Map[String, Any], p2: Map[String, Any]): Map[String, Any] = {
+    val h1 = p1("type_histogram").asInstanceOf[Map[String, Int]]
+    val h2 = p2("type_histogram").asInstanceOf[Map[String, Int]]
+    Map(
+      "column_count_change" -> (p2("column_count").asInstanceOf[Int] - p1("column_count").asInstanceOf[Int]),
+      "type_histogram_changes" -> (h1.keySet ++ h2.keySet).toSeq.sorted
+        .map(t => t -> (h2.getOrElse(t, 0) - h1.getOrElse(t, 0))).filter(_._2 != 0).toMap,
+      "complex_columns_added" -> (p2("complex_columns").asInstanceOf[Seq[String]]
+        .diff(p1("complex_columns").asInstanceOf[Seq[String]])),
+      "non_nullable_changes" -> (p2("non_nullable_columns").asInstanceOf[Seq[String]]
+        .diff(p1("non_nullable_columns").asInstanceOf[Seq[String]])))
+  }
+
   // --------------------------------------------------- schema_diff query
 
   /** Schema-diff as a driver-checkable query: diff a projected "v1" of
