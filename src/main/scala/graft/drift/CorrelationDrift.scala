@@ -130,6 +130,27 @@ object CorrelationDrift {
     "ref_rank", "curr_rank", "ref_rank - curr_rank AS rank_shift",
     "(ABS(ref_rank - curr_rank) >= 2) AS significant_rank_shift")
 
+  /** Generic O27 for an arbitrary snapshot pair. */
+  def featureImportanceForPair(ref: DataFrame, curr: DataFrame, target: String,
+      predictors: Seq[String]): DataFrame = {
+    val aggs = predictors.zipWithIndex.map { case (p, i) => corr(col(p), col(target)).as(s"c$i") }
+    val rows = predictors.zipWithIndex.map { case (p, i) => s"'$p', c$i" }.mkString(", ")
+    val long = NumericDrift.tagPair(ref, curr, (predictors :+ target).distinct)
+      .groupBy(col("side")).agg(aggs.head, aggs.tail: _*)
+      .select(col("side"), expr(s"stack(${predictors.size}, $rows) as (column_name, corr)"))
+      .select(col("side"), col("column_name"), abs(coalesce(col("corr"), lit(0.0))).as("importance"))
+    val ranked = long.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("side")
+        .orderBy(col("importance").desc, col("column_name").asc)))
+    ranked.groupBy("column_name").agg(
+        max(when(col("side") === "ref", col("importance"))).as("ref_importance"),
+        max(when(col("side") === "ref", col("rk"))).as("ref_rank"),
+        max(when(col("side") === "curr", col("importance"))).as("curr_importance"),
+        max(when(col("side") === "curr", col("rk"))).as("curr_rank"))
+      .selectExpr(fiFinal.map(_.replace(s"'$fiTarget'", s"'$target'")): _*)
+      .orderBy("column_name")
+  }
+
   def featureImportanceSql: String = {
     val un = fiPredictors.map { p =>
       s"SELECT CASE WHEN ${S.lineitemRefSql} THEN 'ref' ELSE 'curr' END AS side, " +

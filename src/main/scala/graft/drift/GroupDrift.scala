@@ -317,6 +317,96 @@ object GroupDrift {
     per.mkString("", " UNION ALL ", " ORDER BY table_name, dimension, category")
   }
 
+  // ------------------------------------------------- generic pair entry
+
+  /** Generic O32/O33 for an arbitrary snapshot pair: per-category verdict
+    * over one dimension. Same two-shuffles-per-dimension plan as the query
+    * path. */
+  def forPair(ref: DataFrame, curr: DataFrame, dim: String,
+      numMetrics: Seq[String], catMetrics: Seq[String]): DataFrame = {
+    val allCols = (Seq(dim) ++ numMetrics ++ catMetrics).distinct
+    val tagged = NumericDrift.tagPair(ref, curr, allCols)
+
+    val elig = tagged
+      .groupBy(col("side"), col(dim).cast("string").as("category"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("category").agg(
+        coalesce(max(when(col("side") === "ref", col("n"))), lit(0L)).as("ref_n"),
+        coalesce(max(when(col("side") === "curr", col("n"))), lit(0L)).as("curr_n"))
+      .filter(col("ref_n") >= MinGroupRows && col("curr_n") >= MinGroupRows)
+      .withColumn("rk", row_number().over(
+        Window.orderBy((col("ref_n") + col("curr_n")).desc, col("category").asc)))
+      .filter(col("rk") <= TopCategories)
+      .drop("rk")
+
+    val numComps = if (numMetrics.isEmpty) Seq.empty else {
+      val aggs = count(lit(1)).as("n") +: numMetrics.flatMap { m =>
+        Seq(
+          sum(when(col(m).isNull, 1L).otherwise(0L)).as(s"${m}__nulls"),
+          coalesce(avg(col(m)), lit(0.0)).as(s"${m}__mean"),
+          coalesce(stddev(col(m)), lit(0.0)).as(s"${m}__std"),
+          coalesce(expr(s"percentile($m, 0.5)"), lit(0.0)).as(s"${m}__med"))
+      }
+      val rows = numMetrics.map { m =>
+        s"'$m', ${m}__nulls, ${m}__mean, ${m}__std, ${m}__med"
+      }.mkString(", ")
+      val long = tagged
+        .groupBy(col("side"), col(dim).cast("string").as("category"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("side"), col("category"), col("n"),
+          expr(s"stack(${numMetrics.size}, $rows) as (metric, nulls, mean, std, med)"))
+      val pivAggs = Seq("n", "nulls", "mean", "std", "med").flatMap { c => Seq(
+        max(when(col("side") === "ref", col(c))).as(s"ref_$c"),
+        max(when(col("side") === "curr", col(c))).as(s"curr_$c")) }
+      val piv = long.groupBy("category", "metric").agg(pivAggs.head, pivAggs.tail: _*)
+        .filter(col("ref_n").isNotNull && col("curr_n").isNotNull)
+      Seq(
+        ("null", "ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n)"),
+        ("mean", s"ABS(${pctChangeSql("ref_mean", "curr_mean")})"),
+        ("std", s"ABS(${pctChangeSql("ref_std", "curr_std")})"),
+        ("median", s"ABS(${pctChangeSql("ref_med", "curr_med")})"))
+        .map { case (k, e) => piv.selectExpr("category", s"'$k' AS kind", s"$e AS value") }
+    }
+
+    val catComps = catMetrics.filterNot(_ == dim).flatMap { m =>
+      val vc = tagged
+        .groupBy(col("side"), col(dim).cast("string").as("category"), col(m).cast("string").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("side", "category")
+      val top = vc.withColumn("freq", col("cnt") / sum("cnt").over(w))
+        .withColumn("rk", row_number().over(w.orderBy(col("cnt").desc, col("v").asc)))
+        .filter(col("rk") <= 10)
+      val cm = top.groupBy("category", "v").agg(
+          max(when(col("side") === "ref", col("freq"))).as("p"),
+          max(when(col("side") === "curr", col("freq"))).as("q"))
+        .groupBy("category").agg(catAggs.map(expr).head, catAggs.map(expr).tail: _*)
+      val cn = tagged
+        .groupBy(col("side"), col(dim).cast("string").as("category"))
+        .agg(count(lit(1)).as("n"), sum(when(col(m).isNull, 1L).otherwise(0L)).as("nulls"))
+        .groupBy("category").agg(
+          max(when(col("side") === "ref", col("n"))).as("ref_n"),
+          max(when(col("side") === "ref", col("nulls"))).as("ref_nulls"),
+          max(when(col("side") === "curr", col("n"))).as("curr_n"),
+          max(when(col("side") === "curr", col("nulls"))).as("curr_nulls"))
+        .filter(col("ref_n").isNotNull && col("curr_n").isNotNull)
+      Seq(
+        cn.selectExpr("category", "'null' AS kind",
+          "ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n) AS value"),
+        cm.selectExpr("category", "'freq' AS kind", "avg_freq_drift AS value"),
+        cm.selectExpr("category", "'distinct_pct' AS kind",
+          s"ABS(${pctChangeSql("ref_distinct", "curr_distinct")}) AS value"))
+    }
+
+    val rowComp = elig.selectExpr("category", "'row_pct' AS kind",
+      s"${pctChangeSql("ref_n", "curr_n")} AS value")
+    (numComps ++ catComps :+ rowComp).reduce(_ union _)
+      .join(elig.select("category"), "category")
+      .groupBy("category").agg(verdictAggs.map(expr).head, verdictAggs.map(expr).tail: _*)
+      .select(lit("pair").as("table_name"), lit(dim).as("dimension"), col("*"))
+      .selectExpr(verdictFinal: _*)
+      .orderBy("category")
+  }
+
   // ----------------------------------------------------------------- API
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -108,6 +108,8 @@ case class DriftReport(
     zOutliers: DataFrame,
     correlationChanges: DataFrame,
     rareCategories: DataFrame,
+    groupDrift: DataFrame,
+    featureImportance: DataFrame,
     driftDetected: Boolean,
     assessment: String,
     recommendations: Seq[String],
@@ -182,6 +184,24 @@ class DriftDetector(spark: SparkSession) {
       CategoricalDrift.rareCategoriesForPair(ref, curr, catCols,
         maxFreq = config.rareValueThreshold) else empty
 
+    // group analysis (O32/O33): configured dims, else first ≤3 categorical
+    // columns as the reference defaults (data_drift_detector.py:168-175)
+    val groupDims =
+      (if (config.groupColumns.nonEmpty) config.groupColumns.filter(catCols.contains)
+       else catCols.take(3))
+    val groups = if (config.analyzeGroups && groupDims.nonEmpty)
+      groupDims.map(d => GroupDrift.forPair(ref, curr, d, numericCols,
+        catCols.filterNot(_ == d))).reduce(_ union _)
+    else empty
+
+    // feature-importance drift (O27) when a numeric target is configured
+    val featureImportance = config.targetColumn
+      .filter(t => numericCols.contains(t) && numericCols.size >= 2)
+      .map { t =>
+        val predictors = numericCols.filterNot(_ == t)
+        CorrelationDrift.featureImportanceForPair(ref, curr, t, predictors)
+      }.getOrElse(empty)
+
     // 6. assessment + recommendations (data_drift_detector.py:286-421)
     val numDriftCols = numeric.filter(_.driftDetected).map(_.column)
     val catDriftCols = categorical.filter(_.driftDetected).map(_.column)
@@ -217,7 +237,7 @@ class DriftDetector(spark: SparkSession) {
     ).flatten
 
     DriftReport(schemaChanges, types, numeric, categorical, quantiles, shapes,
-      zOut, corr, rare, driftDetected, assessment, recommendations,
-      (System.nanoTime() - t0) / 1e9)
+      zOut, corr, rare, groups, featureImportance, driftDetected, assessment,
+      recommendations, (System.nanoTime() - t0) / 1e9)
   }
 }

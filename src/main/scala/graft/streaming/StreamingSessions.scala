@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization via `flatMapGroupsWithState` — the
+  * incremental form of [[graft.pipeline.Sessions.sessionize]]: a session
+  * closes after `gapMinutes` of user inactivity, tracked with event-time
+  * timeouts against the watermark.
+  *
+  * Scale: state is one small record per ACTIVE user (not per event), keyed
+  * and shuffled by user_id; closed sessions are emitted and state dropped
+  * on timeout, so state size is bounded by concurrently-active users. */
+object StreamingSessions {
+
+  case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+  case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+  case class ClosedSession(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
+      n_events: Long, duration_sec: Double)
+
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def toUs(t: Timestamp): Long = t.getTime * 1000L
+    def close(userId: Long, st: SessionState): ClosedSession =
+      ClosedSession(userId, new Timestamp(st.startUs / 1000L), new Timestamp(st.lastUs / 1000L),
+        st.nEvents, (st.lastUs - st.startUs) / 1e6)
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (toUs(e.ts), e.value))
+            var st = state.getOption.orNull
+            val closed = scala.collection.mutable.Buffer[ClosedSession]()
+            for (e <- sorted) {
+              val us = toUs(e.ts)
+              st = if (st == null) SessionState(us, us, 1L)
+              else if (us - st.lastUs > gapUs) { closed += close(userId, st); SessionState(us, us, 1L) }
+              else st.copy(lastUs = math.max(st.lastUs, us), nEvents = st.nEvents + 1)
+            }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutTimestamp(st.lastUs / 1000L + gapMinutes * 60L * 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+}

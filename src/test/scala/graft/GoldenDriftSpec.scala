@@ -52,6 +52,26 @@ class GoldenDriftSpec extends SparkSpec {
     assert(r.columnTypes("date_col") == "temporal") // string that casts to timestamp
   }
 
+  test("group drift over a dimension flags drifted slices in v3 (O32/O33)") {
+    val r = detector.detectDrift(v1, v3, DriftConfig(sampleSize = 0,
+      groupColumns = Seq("category_imbalanced"), targetColumn = Some("numeric_normal")))
+    val groups = r.groupDrift.collect()
+    assert(groups.nonEmpty)
+    // mean 100->120 within every slice: every eligible category drifts
+    assert(groups.forall(_.getAs[Boolean]("drift_detected")))
+    val fi = r.featureImportance.collect()
+    assert(fi.map(_.getAs[String]("column_name")).toSet.contains("numeric_uniform"))
+  }
+
+  test("group drift on identical frames is quiet") {
+    val r = detector.detectDrift(v1, v1, DriftConfig(sampleSize = 0,
+      groupColumns = Seq("category_imbalanced")))
+    val groups = r.groupDrift.collect()
+    assert(groups.nonEmpty)
+    assert(groups.forall(g => !g.getAs[Boolean]("drift_detected")))
+    assert(groups.forall(_.getAs[Double]("overall_drift_score") == 0.0))
+  }
+
   test("PCA anomaly drift runs and flags the heavy-drift pair (O37)") {
     val cols = Seq("numeric_normal", "numeric_uniform", "null_col")
     val same = PcaAnomaly.detect(spark, v1, v1, cols).get

@@ -37,6 +37,33 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionization closes sessions on inactivity gaps (flatMapGroupsWithState)") {
+    import graft.streaming.StreamingSessions
+    import graft.streaming.StreamingSessions.Event
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val out = StreamingSessions.sessionize(input.toDS(), gapMinutes = 30)
+    val q = out.writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // user 1: burst at 10:00-10:05 (6 events), then again at 11:30 (new session)
+      input.addData((0 to 5).map(i => Event(ts(i), 1L, "click", i.toDouble)): _*)
+      input.addData(Event(Timestamp.valueOf("2024-01-01 11:30:00"), 1L, "click", 9.0))
+      // push watermark beyond 11:30 + 30min to time out the second session
+      input.addData(Event(Timestamp.valueOf("2024-01-01 13:00:00"), 2L, "click", 0.0))
+      input.addData(Event(Timestamp.valueOf("2024-01-01 15:00:00"), 2L, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_out").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Timestamp]("start_ts").toString, r.getAs[Long]("n_events"),
+          r.getAs[Double]("duration_sec")))
+        .sortBy(_._1)
+      assert(rows.length == 2)
+      assert(rows(0) == ("2024-01-01 10:00:00.0", 6L, 300.0))
+      assert(rows(1)._2 == 1L && rows(1)._3 == 0.0)
+    } finally q.stop()
+  }
+
   test("categorical windowed counts emit per-window frequencies") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
