@@ -59,12 +59,47 @@ object Similarity {
     * orderBy.limit plans distributed TakeOrderedAndProject — no
     * single-partition window over the n² pair stream. */
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val a = withNorm(table(spark, dir, "embeddings"), "a")
-    val b = withNorm(table(spark, dir, "embeddings"), "b")
-    a.join(broadcast(b), col("a_id") < col("b_id"))
-      .withColumn("cosine", expr(
-        "round(aggregate(zip_with(a_v, b_v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / (a_n * b_n), 6)"))
-      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"), col("cosine"))
+    import spark.implicits._
+    // block brute force: broadcast the (id, vector, norm) block, stream the
+    // other side through mapPartitions with a tight double loop and keep a
+    // per-partition partial top-k — no per-pair array allocation, and only
+    // ~20 rows per partition reach the global TakeOrdered. Math matches the
+    // oracle bit-for-bit: sequential-index dot product, BigDecimal HALF_UP
+    // rounding (what Spark's round() does).
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+    val block = emb.collect().map { case (id, v) =>
+      val arr = v.toArray
+      var s = 0.0; var i = 0
+      while (i < arr.length) { s += arr(i) * arr(i); i += 1 }
+      (id, arr, math.sqrt(s))
+    }
+    val bc = spark.sparkContext.broadcast(block)
+    implicit val ord: Ordering[(Double, Long, Long)] =
+      Ordering.Tuple3(Ordering[Double].reverse, Ordering[Long], Ordering[Long])
+    val partial = emb.repartition(spark.sparkContext.defaultParallelism).mapPartitions { it =>
+      val cands = bc.value
+      val best = scala.collection.mutable.ArrayBuffer[(Double, Long, Long)]()
+      for ((aId, aSeq) <- it) {
+        val aV = aSeq.toArray
+        var an = 0.0; var i = 0
+        while (i < aV.length) { an += aV(i) * aV(i); i += 1 }
+        an = math.sqrt(an)
+        for ((bId, bV, bn) <- cands if aId < bId) {
+          var dot = 0.0; var j = 0
+          while (j < aV.length) { dot += aV(j) * bV(j); j += 1 }
+          val c = BigDecimal(dot / (an * bn))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          best += ((c, aId, bId))
+          if (best.length > 400) {
+            val keep = best.sorted(ord).take(20); best.clear(); best ++= keep
+          }
+        }
+      }
+      best.sorted(ord).take(20).iterator
+    }.toDF("cosine", "doc_a", "doc_b")
+    partial
       .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(20)
       .withColumn("rk", row_number().over(
