@@ -91,8 +91,16 @@ object NumericDrift {
   private def sideStatsLong(spark: SparkSession, dir: String, sp: S.NumSplit): DataFrame =
     sideStatsFrom(withSide(table(spark, dir, sp.tableName), sp.ref), sp.tableName, sp.cols)
 
-  /** Same one-pass stats over any side-tagged frame (generic pair entry). */
-  private def sideStatsFrom(tagged: DataFrame, tableName: String, cols: Seq[String]): DataFrame = {
+  /** Same one-pass stats over any side-tagged frame (generic pair entry).
+    * `approx=true` is the 100 TB path: `percentile_approx` (the reference's
+    * own choice, numerical_analyzer.py:306-307, rel. err 0.01 ≈ accuracy
+    * 10000) instead of the exact sort-based `percentile`. The oracle-checked
+    * queries use exact so DuckDB can reproduce values; at scale flip the
+    * flag. */
+  private def sideStatsFrom(tagged: DataFrame, tableName: String, cols: Seq[String],
+      approx: Boolean = false): DataFrame = {
+    val pctFn = if (approx) "percentile_approx" else "percentile"
+    val acc = if (approx) ", 10000" else ""
     val aggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__total"),
@@ -101,7 +109,8 @@ object NumericDrift {
         stddev(col(c)).as(s"${c}__std"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
-        expr(s"percentile($c, array(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99))").as(s"${c}__pct"),
+        expr(s"$pctFn($c, array(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)$acc)")
+          .cast("array<double>").as(s"${c}__pct"),
       )
     }
     val rows = cols.map { c =>
@@ -123,8 +132,8 @@ object NumericDrift {
 
   /** Generic O11/O12 drift metrics for an arbitrary snapshot pair. */
   def driftForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
-      label: String = "pair"): DataFrame =
-    pivotSides(sideStatsFrom(tagPair(ref, curr, cols), label, cols))
+      label: String = "pair", approx: Boolean = false): DataFrame =
+    pivotSides(sideStatsFrom(tagPair(ref, curr, cols), label, cols, approx))
       .selectExpr(driftStage1: _*)
       .selectExpr(driftStage2: _*)
       .selectExpr(driftStage3: _*)
@@ -311,12 +320,13 @@ object NumericDrift {
 
   /** Outlier/extreme counts against reference IQR bounds (O14) — one extra
     * pass per table, bounds broadcast from the stats row (no collect). */
-  private def outlierCounts(spark: SparkSession, dir: String, sp: S.NumSplit): DataFrame = {
+  private def outlierCounts(spark: SparkSession, dir: String, sp: S.NumSplit,
+      longStats0: DataFrame = null): DataFrame = {
     val df = withSide(table(spark, dir, sp.tableName), sp.ref)
     // one wide 1-row frame of all columns' reference IQR bounds, broadcast
     // onto ONE counting scan for every column (the per-column variant would
     // rescan the table len(cols) times)
-    val longStats = sideStatsLong(spark, dir, sp)
+    val longStats = Option(longStats0).getOrElse(sideStatsLong(spark, dir, sp))
     val boundsWide = longStats.filter(col("side") === "ref")
       .groupBy().agg(
         sp.cols.flatMap(c => Seq(
@@ -404,8 +414,11 @@ object NumericDrift {
   }
 
   def driftScore(spark: SparkSession, dir: String): DataFrame = {
-    val long = S.numeric.map(sideStatsLong(spark, dir, _)).reduce(_ unionAll _)
-    val outs = S.numeric.map(outlierCounts(spark, dir, _)).reduce(_ unionAll _)
+    // cache the per-side stats: they feed both the score pivot and the
+    // outlier bounds, and exact percentiles are the expensive part
+    val longs = S.numeric.map(sp => sp -> sideStatsLong(spark, dir, sp).cache()).toMap
+    val long = S.numeric.map(longs).reduce(_ unionAll _)
+    val outs = S.numeric.map(sp => outlierCounts(spark, dir, sp, longs(sp))).reduce(_ unionAll _)
     def outSide(s: String) = outs.filter(col("side") === s).drop("side")
       .withColumnRenamed("n_out", s"${s}_n_out").withColumnRenamed("n_ext", s"${s}_n_ext")
     pivotSides(long)

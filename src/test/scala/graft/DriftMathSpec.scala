@@ -74,6 +74,16 @@ class DriftMathSpec extends SparkSpec {
     assert(s >= 0.0 && s <= 1.0)
   }
 
+  test("approx scale path tracks the exact path closely") {
+    val r = new scala.util.Random(1)
+    val ref = Seq.fill(5000)(50.0 + 10 * r.nextGaussian()).toDF("x")
+    val curr = Seq.fill(5000)(55.0 + 12 * r.nextGaussian()).toDF("x")
+    val exact = NumericDrift.driftForPair(ref, curr, Seq("x")).collect()(0)
+    val approx = NumericDrift.driftForPair(ref, curr, Seq("x"), approx = true).collect()(0)
+    assert(math.abs(exact.getAs[Double]("drift_score") - approx.getAs[Double]("drift_score")) < 0.02)
+    assert(exact.getAs[Boolean]("drift_detected") == approx.getAs[Boolean]("drift_detected"))
+  }
+
   test("correlation components: BFS grouping") {
     val corrs = Map(("a", "b") -> 0.9, ("b", "c") -> 0.8, ("c", "d") -> 0.1)
     val comp = CorrelationDrift.correlationComponents(corrs, Seq("a", "b", "c", "d"), 0.7)
