@@ -1,0 +1,63 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.types._
+import graft.drift.{CorrelationDrift, SchemaOps}
+
+/** Property-based invariants (SURVEY.md §5.2) over the pure driver-side
+  * machinery — ScalaCheck, no Spark session needed. */
+object PropertySpec extends Properties("graft.drift") {
+
+  private val genType: Gen[DataType] = Gen.oneOf(
+    IntegerType, LongType, DoubleType, StringType, BooleanType, FloatType)
+  private val genField: Gen[StructField] = for {
+    n <- Gen.identifier.map(_.take(8))
+    t <- genType
+    nullable <- Gen.oneOf(true, false)
+  } yield StructField(n, t, nullable)
+  private val genSchema: Gen[StructType] = for {
+    n <- Gen.choose(1, 8)
+    fs <- Gen.listOfN(n, genField)
+  } yield StructType(fs.distinctBy(_.name))
+
+  property("diff(s, s) is empty") = forAll(genSchema) { s =>
+    SchemaOps.diff(s, s).isEmpty
+  }
+
+  property("added in diff(a,b) = removed in diff(b,a)") =
+    forAll(genSchema, genSchema) { (a, b) =>
+      val ab = SchemaOps.diff(a, b).filter(_.changeType == "added").map(_.path).toSet
+      val ba = SchemaOps.diff(b, a).filter(_.changeType == "removed").map(_.path).toSet
+      ab == ba
+    }
+
+  property("isCompatible is reflexive") = forAll(genType) { t =>
+    SchemaOps.isCompatible(t, t)
+  }
+
+  property("widening is one-way (no narrowing compatible)") =
+    forAll(genType, genType) { (a, b) =>
+      !(a != b && SchemaOps.isCompatible(a, b) && SchemaOps.isCompatible(b, a))
+    }
+
+  private val genCols: Gen[Seq[String]] =
+    Gen.choose(2, 8).map(n => (0 until n).map(i => s"c$i"))
+
+  property("correlation components partition the column set") =
+    forAll(genCols, Gen.choose(0L, Long.MaxValue)) { (cols, seed) =>
+      val r = new scala.util.Random(seed)
+      val corrs = cols.combinations(2).map(p => (p(0), p(1)) -> (r.nextDouble() * 2 - 1)).toMap
+      val comp = CorrelationDrift.correlationComponents(corrs, cols)
+      // every column has a component id, and ids are members of their component
+      comp.keySet == cols.toSet && comp.forall { case (c, id) => comp(id) == id }
+    }
+
+  property("components merge symmetric pairs") =
+    forAll(genCols) { cols =>
+      // chain all columns with corr 1.0 -> single component = min name
+      val corrs = cols.sliding(2).collect { case Seq(a, b) => (a, b) -> 1.0 }.toMap
+      val comp = CorrelationDrift.correlationComponents(corrs, cols)
+      comp.values.toSet.size == 1 && comp.values.head == cols.min
+    }
+}
