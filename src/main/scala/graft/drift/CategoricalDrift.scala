@@ -299,6 +299,52 @@ object CategoricalDrift {
     per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
   }
 
+  /** O22 top increased/decreased values over the FULL support (frequencies
+    * over all rows incl. nulls): top-5 each way per column
+    * (/root/reference/distribution_analyzer.py:287-299). */
+  def topMovers(spark: SparkSession, dir: String): DataFrame = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield {
+      val cnts = sideCounts(spark, dir, sp, c, nonNull = false)
+      val totals = cnts.groupBy("side").agg(sum("cnt").as("n"))
+      val dists = cnts.join(totals, "side")
+        .select(col("side"), col("value"), (col("cnt") * 1e0 / col("n")).as("prob"))
+        .groupBy("value").agg(
+          max(when(col("side") === "ref", col("prob"))).as("p"),
+          max(when(col("side") === "curr", col("prob"))).as("q"))
+        .filter(col("p").isNotNull && col("q").isNotNull)
+        .withColumn("diff", col("q") - col("p"))
+      val inc = dists.filter(col("diff") > 0)
+        .withColumn("rk", row_number().over(Window.orderBy(col("diff").desc, col("value").asc)))
+        .filter(col("rk") <= 5).withColumn("direction", lit("increased"))
+      val dec = dists.filter(col("diff") < 0)
+        .withColumn("rk", row_number().over(Window.orderBy(col("diff").asc, col("value").asc)))
+        .filter(col("rk") <= 5).withColumn("direction", lit("decreased"))
+      inc.union(dec)
+        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+          col("direction"), col("rk"), col("value"), r6(abs(col("diff"))).as("abs_prob_change"))
+    }
+    per.reduce(_ union _).orderBy("table_name", "column_name", "direction", "rk")
+  }
+
+  def topMoversSql: String = {
+    val per = for (sp <- S.categorical; c <- sp.cols) yield {
+      val dists = "SELECT value, MAX(CASE WHEN side = 'ref' THEN prob END) AS p, " +
+        "MAX(CASE WHEN side = 'curr' THEN prob END) AS q FROM " +
+        "(SELECT side, value, cnt * 1e0 / SUM(cnt) OVER (PARTITION BY side) AS prob " +
+        s"FROM (${sideCountsSql(sp, c, nonNull = false)}) t) f GROUP BY value"
+      s"SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, direction, rk, value, " +
+        "ROUND(ABS(diff), 6) AS abs_prob_change FROM " +
+        "(SELECT value, diff, 'increased' AS direction, " +
+        "ROW_NUMBER() OVER (ORDER BY diff DESC, value ASC) AS rk FROM " +
+        s"(SELECT value, q - p AS diff FROM ($dists) d WHERE p IS NOT NULL AND q IS NOT NULL) x WHERE diff > 0 " +
+        "UNION ALL SELECT value, diff, 'decreased', " +
+        "ROW_NUMBER() OVER (ORDER BY diff ASC, value ASC) FROM " +
+        s"(SELECT value, q - p AS diff FROM ($dists) d2 WHERE p IS NOT NULL AND q IS NOT NULL) y WHERE diff < 0) m " +
+        "WHERE rk <= 5"
+    }
+    s"SELECT * FROM (${per.mkString(" UNION ALL ")}) u ORDER BY table_name, column_name, direction, rk"
+  }
+
   // --------------------------------------------------- chi_square (O18)
 
   /** χ² homogeneity statistic + the reference's banded p-value approximation
@@ -716,6 +762,7 @@ object CategoricalDrift {
     "dist_diff" -> ((s, d) => distDiff(s, d)),
     "category_changes" -> ((s, d) => categoryChanges(s, d)),
     "js_full" -> ((s, d) => jsFull(s, d)),
+    "top_movers" -> ((s, d) => topMovers(s, d)),
     "chi_square" -> ((s, d) => chiSquare(s, d)),
     "categorical_drift" -> ((s, d) => categoricalDrift(s, d)),
     "rare_value_summary" -> ((s, d) => rareValueSummary(s, d)),
@@ -730,6 +777,7 @@ object CategoricalDrift {
     "dist_diff" -> distDiffSql,
     "category_changes" -> categoryChangesSql,
     "js_full" -> jsFullSql,
+    "top_movers" -> topMoversSql,
     "chi_square" -> chiSquareSql,
     "categorical_drift" -> categoricalDriftSql,
     "rare_value_summary" -> rareValueSummarySql,

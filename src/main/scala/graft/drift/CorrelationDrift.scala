@@ -271,6 +271,32 @@ object CorrelationDrift {
       "FROM piv WHERE ref_n >= 30 AND curr_n >= 30 ORDER BY category, col1, col2"
   }
 
+  /** Generic O26: per-category pair correlations over a dimension for an
+    * arbitrary snapshot pair — one groupBy(side, dim) pass. */
+  def groupCorrelationsForPair(ref: DataFrame, curr: DataFrame, dim: String,
+      cols: Seq[String], minRows: Int = 30, threshold: Double = GroupCorrChangeThreshold): DataFrame = {
+    val prs = cols.combinations(2).map(p => (p(0), p(1))).toSeq
+    val aggs = count(lit(1)).as("n") +:
+      prs.zipWithIndex.map { case ((a, b), i) => corr(col(a), col(b)).as(s"c$i") }
+    val rows = prs.zipWithIndex.map { case ((a, b), i) => s"'$a', '$b', c$i" }.mkString(", ")
+    val long = NumericDrift.tagPair(ref, curr, (dim +: cols).distinct)
+      .groupBy(col("side"), col(dim).cast("string").as("category"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("side"), col("category"), col("n"),
+        expr(s"stack(${prs.size}, $rows) as (col1, col2, corr)"))
+    long.groupBy("category", "col1", "col2").agg(
+        max(when(col("side") === "ref", col("n"))).as("ref_n"),
+        coalesce(max(when(col("side") === "ref", col("corr"))), lit(0.0)).as("ref_corr"),
+        max(when(col("side") === "curr", col("n"))).as("curr_n"),
+        coalesce(max(when(col("side") === "curr", col("corr"))), lit(0.0)).as("curr_corr"))
+      .filter(col("ref_n") >= minRows && col("curr_n") >= minRows)
+      .selectExpr(s"'$dim' AS dimension", "category", "col1", "col2",
+        "ROUND(ref_corr, 6) AS ref_correlation", "ROUND(curr_corr, 6) AS curr_correlation",
+        "ROUND(ABS(curr_corr - ref_corr), 6) AS abs_change",
+        s"(ABS(curr_corr - ref_corr) >= $threshold) AS significant_shift")
+      .orderBy("category", "col1", "col2")
+  }
+
   /** O29 valid-column screen: keep columns whose non-null ratio is ≥
     * `minRatio` in BOTH frames — one aggregation over the tagged pair
     * (the reference batches the agg then collects per column in a loop,

@@ -109,7 +109,9 @@ case class DriftReport(
     correlationChanges: DataFrame,
     rareCategories: DataFrame,
     groupDrift: DataFrame,
+    groupCorrelations: DataFrame,
     featureImportance: DataFrame,
+    errors: Seq[String],
     driftDetected: Boolean,
     assessment: String,
     recommendations: Seq[String],
@@ -167,22 +169,30 @@ class DriftDetector(spark: SparkSession) {
             .map(_.split(",").toSeq).getOrElse(Seq.empty))
       }
 
-    // 5. distribution module (O20/O21), correlations (O25), rare events (O35/O36)
+    // 5. distribution module (O20/O21), correlations (O25/O26), rare events
+    // (O35/O36) — each family isolated per the reference's graceful-error
+    // policy (never fail the whole run; SURVEY.md §4.1)
     val empty = spark.emptyDataFrame
+    val errors = scala.collection.mutable.Buffer[String]()
+    def safe(family: String)(body: => DataFrame): DataFrame =
+      try body catch {
+        case scala.util.control.NonFatal(e) =>
+          errors += s"$family: ${e.getMessage}"; empty
+      }
     val quantiles = if (config.analyzeDistributions && numericCols.nonEmpty)
-      NumericDrift.quantileShiftsForPair(ref, curr, numericCols) else empty
+      safe("quantile_shifts")(NumericDrift.quantileShiftsForPair(ref, curr, numericCols)) else empty
     val shapes = if (config.analyzeDistributions && numericCols.nonEmpty)
-      NumericDrift.shapesForPair(ref, curr, numericCols) else empty
+      safe("shapes")(NumericDrift.shapesForPair(ref, curr, numericCols)) else empty
     val zOut = if (config.detectRareEvents && numericCols.nonEmpty)
-      NumericDrift.zOutliersForPair(ref, curr, numericCols) else empty
+      safe("z_outliers")(NumericDrift.zOutliersForPair(ref, curr, numericCols)) else empty
     // O29 screen: drop columns with non-null ratio < 0.7 in either frame
     val corrCols = if (config.analyzeCorrelations && numericCols.size >= 2)
       CorrelationDrift.validColumns(ref, curr, numericCols) else Seq.empty
     val corr = if (corrCols.size >= 2)
-      CorrelationDrift.forPair(ref, curr, corrCols, config) else empty
+      safe("correlations")(CorrelationDrift.forPair(ref, curr, corrCols, config)) else empty
     val rare = if (config.detectRareEvents && catCols.nonEmpty)
-      CategoricalDrift.rareCategoriesForPair(ref, curr, catCols,
-        maxFreq = config.rareValueThreshold) else empty
+      safe("rare_categories")(CategoricalDrift.rareCategoriesForPair(ref, curr, catCols,
+        maxFreq = config.rareValueThreshold)) else empty
 
     // group analysis (O32/O33): configured dims, else first ≤3 categorical
     // columns as the reference defaults (data_drift_detector.py:168-175)
@@ -190,16 +200,23 @@ class DriftDetector(spark: SparkSession) {
       (if (config.groupColumns.nonEmpty) config.groupColumns.filter(catCols.contains)
        else catCols.take(3))
     val groups = if (config.analyzeGroups && groupDims.nonEmpty)
-      groupDims.map(d => GroupDrift.forPair(ref, curr, d, numericCols,
-        catCols.filterNot(_ == d))).reduce(_ union _)
+      safe("group_drift")(groupDims.map(d => GroupDrift.forPair(ref, curr, d, numericCols,
+        catCols.filterNot(_ == d))).reduce(_ union _))
     else empty
+
+    // O26: per-category correlations over the first group dimension
+    val groupCorr = if (config.analyzeGroups && config.analyzeCorrelations &&
+        groupDims.nonEmpty && corrCols.size >= 2)
+      safe("group_correlations")(CorrelationDrift.groupCorrelationsForPair(
+        ref, curr, groupDims.head, corrCols)) else empty
 
     // feature-importance drift (O27) when a numeric target is configured
     val featureImportance = config.targetColumn
       .filter(t => numericCols.contains(t) && numericCols.size >= 2)
       .map { t =>
         val predictors = numericCols.filterNot(_ == t)
-        CorrelationDrift.featureImportanceForPair(ref, curr, t, predictors)
+        safe("feature_importance")(
+          CorrelationDrift.featureImportanceForPair(ref, curr, t, predictors))
       }.getOrElse(empty)
 
     // 6. assessment + recommendations (data_drift_detector.py:286-421)
@@ -237,7 +254,7 @@ class DriftDetector(spark: SparkSession) {
     ).flatten
 
     DriftReport(schemaChanges, types, numeric, categorical, quantiles, shapes,
-      zOut, corr, rare, groups, featureImportance, driftDetected, assessment,
-      recommendations, (System.nanoTime() - t0) / 1e9)
+      zOut, corr, rare, groups, groupCorr, featureImportance, errors.toSeq,
+      driftDetected, assessment, recommendations, (System.nanoTime() - t0) / 1e9)
   }
 }
