@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.drift._
+
+/** Micro-fixtures for the zero-denominator and degenerate paths
+  * (FIXTURES.md §C): zero-variance column, all-null column, single
+  * category, tiny frames. The engine must never throw — worst case it
+  * reports no drift or a null-safe score. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zero-variance column: no drift between identical constants") {
+    val df = Seq.fill(50)(7.0).toDF("x")
+    val r = NumericDrift.driftForPair(df, df, Seq("x")).collect()(0)
+    assert(r.getAs[Double]("drift_score") == 0.0)
+    assert(!r.getAs[Boolean]("drift_detected"))
+  }
+
+  test("zero-variance ref vs shifted curr: caps hold, no division blowup") {
+    val ref = Seq.fill(50)(7.0).toDF("x")
+    val curr = Seq.fill(50)(9.0).toDF("x")
+    val r = NumericDrift.scoreForPair(ref, curr, Seq("x")).collect()(0)
+    val s = r.getAs[Double]("drift_score")
+    assert(s >= 0.0 && s <= 1.0)
+  }
+
+  test("all-null numeric column does not throw") {
+    val ref = Seq.tabulate(20)(_ => (1.0, Option.empty[Double])).toDF("ok", "nul")
+    val rows = NumericDrift.driftForPair(ref, ref, Seq("ok", "nul")).collect()
+    assert(rows.length == 2)
+    val nul = rows.find(_.getAs[String]("column_name") == "nul").get
+    assert(nul.getAs[Double]("null_diff") == 0.0)
+  }
+
+  test("single-category column: JS 0, chi-square guarded") {
+    val df = Seq.fill(30)("only").toDF("c")
+    val r = CategoricalDrift.categoricalDriftForPair(df, df, Seq("c")).collect()(0)
+    assert(r.getAs[Double]("js_divergence") == 0.0)
+    assert(!r.getAs[Boolean]("drift_detected"))
+  }
+
+  test("tiny frames (below chi-square minimum) still produce verdicts") {
+    val ref = Seq("a", "b", "a").toDF("c")
+    val curr = Seq("a", "b", "b").toDF("c")
+    val r = CategoricalDrift.categoricalDriftForPair(ref, curr, Seq("c")).collect()(0)
+    val score = r.getAs[Double]("drift_score")
+    assert(score >= 0.0 && score <= 1.0)
+  }
+
+  test("orchestrator survives a frame with only an id-like column") {
+    val ref = (1L to 100L).toDF("id")
+    val curr = (50L to 150L).toDF("id")
+    val rep = new DriftDetector(spark).detectDrift(ref, curr, DriftConfig(sampleSize = 0))
+    assert(rep.errors.isEmpty)
+    assert(rep.numeric.nonEmpty)
+  }
+
+  test("sessionize handles a single-event user") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 42L, "t", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = graft.pipeline.Sessions.sessionize(spark, dir).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n_sessions") == 1L)
+    assert(r(0).getAs[Double]("avg_session_duration_sec") == 0.0)
+  }
+}
