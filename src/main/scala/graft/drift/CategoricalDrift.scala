@@ -32,7 +32,21 @@ object CategoricalDrift {
     * O15/O18 isNotNull filter; `false` keeps the null group (O22/O23/O35). */
   private def sideCounts(spark: SparkSession, dir: String, sp: S.CatSplit,
       c: String, nonNull: Boolean): DataFrame =
-    sideCountsFrom(withSide(table(spark, dir, sp.tableName), sp.ref), c, nonNull)
+    sideCountsMulti(spark, dir, sp, nonNull)
+      .filter(col("column_name") === c).drop("column_name")
+
+  /** ALL columns of a table unpivoted through one stack + one
+    * groupBy(side, column, value): per-column branches filter this same
+    * subplan, so Spark's ReusedExchange collapses them to a single scan +
+    * shuffle per table per query (instead of one scan per column). */
+  private def sideCountsMulti(spark: SparkSession, dir: String, sp: S.CatSplit,
+      nonNull: Boolean): DataFrame = {
+    val rows = sp.cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    val base = withSide(table(spark, dir, sp.tableName), sp.ref)
+      .select(col("side"), expr(s"stack(${sp.cols.size}, $rows) as (column_name, value)"))
+    (if (nonNull) base.filter(col("value").isNotNull) else base)
+      .groupBy("side", "column_name", "value").agg(count(lit(1)).as("cnt"))
+  }
 
   /** Same per-side value counts over any side-tagged frame. */
   private def sideCountsFrom(tagged: DataFrame, c: String, nonNull: Boolean): DataFrame = {
