@@ -13,8 +13,9 @@ import graft.drift.{r6, table}
   * join); MinHash compresses each doc to k minima computed in ONE
   * `groupBy(doc)` pass, and LSH banding turns near-dup search into an
   * equi-join on band signatures — the classic shingle→minhash→band→bucket
-  * pipeline. SimHash reduces each doc to one 60-bit word; pair search is a
-  * popcount over XOR. All hash primitives (md5-hex → integer, affine
+  * pipeline. SimHash reduces each doc to one 60-bit word; pair search
+  * equi-joins on 10-bit chunks (pigeonhole banding) before the popcount
+  * filter. All hash primitives (md5-hex → integer, affine
   * mod-prime) are chosen to be reproducible in DuckDB for the oracle.
   */
 object Dedup {
@@ -200,19 +201,36 @@ object Dedup {
       "GROUP BY doc_id) s"
   }
 
-  /** Top-20 closest SimHash pairs by Hamming distance (popcount over XOR). */
+  /** 6 chunks of 10 bits: by pigeonhole, any pair within Hamming distance
+    * [[SimhashMaxHamming]] = 5 agrees exactly on at least one chunk, so the
+    * chunk equi-join finds EVERY such pair — the result is exact, not
+    * recall-approximate, while the plan never forms the O(n²) pair stream
+    * (Manku et al., WWW'07 block-permuted simhash search). */
+  val SimhashChunks = 6
+  val SimhashChunkBits: Int = SimhashBits / SimhashChunks
+  val SimhashMaxHamming: Int = SimhashChunks - 1
+
+  /** Top-20 near-dup pairs with Hamming ≤ [[SimhashMaxHamming]], found via
+    * the chunk equi-join (no all-pairs join, no broadcast of the full
+    * signature table). `orderBy.limit` plans TakeOrderedAndProject; rk is
+    * attached after on ≤20 rows. */
   def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    // materialize signatures once: the self-join would otherwise evaluate
-    // the 60-aggregate signature pipeline on both sides
+    val mask = (1L << SimhashChunkBits) - 1
+    // cache: the 60-aggregate signature pipeline feeds both join sides;
+    // 1 row/doc (16 bytes), so the cache stays tiny relative to the corpus
     val sh = simhashes(spark, dir).cache()
-    // orderBy.limit plans TakeOrderedAndProject (distributed top-k, no
-    // single-partition window); rk is attached after on 20 rows
-    // broadcast one side: without it the non-equi self-join plans as a
-    // CartesianProduct that re-executes the signature pipeline per
-    // partition pair (~10x slower); signatures are 1 row/doc — tiny
-    sh.as("a").join(broadcast(sh.as("b")), col("a.doc_id") < col("b.doc_id"))
+    val chunkArgs = (0 until SimhashChunks).map { c =>
+      s"$c, shiftright(simhash, ${c * SimhashChunkBits}) & $mask"
+    }.mkString(", ")
+    val chunks = sh.select(col("doc_id"), col("simhash"),
+      expr(s"stack($SimhashChunks, $chunkArgs) as (chunk, cv)"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
       .selectExpr("a.doc_id AS doc_a", "b.doc_id AS doc_b",
         "bit_count(a.simhash ^ b.simhash) AS hamming")
+      .filter(col("hamming") <= SimhashMaxHamming)
+      .distinct()
       .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
       .limit(20)
       .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
@@ -221,11 +239,19 @@ object Dedup {
       .orderBy("rk")
   }
 
-  def simhashPairsSql: String =
-    s"WITH sh AS ($simhashesSql), pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-      "bit_count(xor(a.simhash, b.simhash)) AS hamming FROM sh a JOIN sh b ON a.doc_id < b.doc_id) " +
+  def simhashPairsSql: String = {
+    val mask = (1L << SimhashChunkBits) - 1
+    val chunkSelects = (0 until SimhashChunks).map { c =>
+      s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${c * SimhashChunkBits}) & $mask AS cv FROM sh"
+    }.mkString(" UNION ALL ")
+    s"WITH sh AS ($simhashesSql), chunks AS ($chunkSelects), " +
+      "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+      "bit_count(xor(a.simhash, b.simhash)) AS hamming FROM chunks a " +
+      "JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc_id < b.doc_id " +
+      s"WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimhashMaxHamming) " +
       "SELECT rk, doc_a, doc_b, hamming FROM (SELECT *, ROW_NUMBER() OVER " +
       "(ORDER BY hamming ASC, doc_a ASC, doc_b ASC) AS rk FROM pairs) r WHERE rk <= 20 ORDER BY rk"
+  }
 
   // ----------------------------------------------------------------- API
 

@@ -11,16 +11,21 @@ import graft.drift.table
   * Brute-force cosine top-k is the correctness baseline: dot products via
   * the `aggregate`/`zip_with` higher-order functions (codegen'd, no UDF),
   * query side broadcast so the scan of the candidate side is
-  * embarrassingly parallel. The scale path is [[lshTopK]]: random-
-  * hyperplane signatures bucket the vectors, so each query only scores its
-  * bucket — at 10⁹ vectors the bucket join replaces the full scan. Cosines
-  * are rounded to 6 decimals BEFORE ranking so Spark and DuckDB rank
-  * identically.
+  * embarrassingly parallel. The scale paths are LSH-bucketed: random-
+  * hyperplane sign bits bucket the vectors, so candidate generation is an
+  * equi-join on (band, signature) — never an all-pairs product and never a
+  * driver-side collect. The hyperplanes are seeded Scala constants embedded
+  * as plan literals, and the SAME literals are embedded in the DuckDB
+  * oracle SQL (doubles round-trip through toString; both engines fold the
+  * dot product left-to-right), so the bucketed queries are hash-checkable.
+  * Cosines are rounded to 6 decimals BEFORE ranking so Spark and DuckDB
+  * rank identically.
   */
 object Similarity {
 
   val TopK = 5
   val NumQueries = 10 // query set: vec_id < 10
+  val Dim = 64
 
   private def withNorm(df: DataFrame, prefix: String): DataFrame =
     df.select(col("vec_id").as(s"${prefix}_id"),
@@ -55,51 +60,68 @@ object Similarity {
       s"SELECT q_id AS query_id, rk, c_id AS neighbor_id, cosine FROM ranked WHERE rk <= $TopK " +
       "ORDER BY query_id, rk"
 
-  /** Top-20 most-similar pairs over ALL vectors (embedding near-dup pass).
-    * orderBy.limit plans distributed TakeOrderedAndProject — no
-    * single-partition window over the n² pair stream. */
+  // --------------------------------------- seeded hyperplanes (plan literals)
+
+  /** Seeded gaussian hyperplanes. Rendered into BOTH the Spark plan and the
+    * DuckDB oracle as decimal literals — Double.toString round-trips, so the
+    * two engines evaluate identical IEEE arithmetic. */
+  private def hyperplanes(n: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(n, Dim)(rnd.nextGaussian())
+  }
+
+  /** One integer signature expression per band: `bits` sign-bits of
+    * dot(v, plane). The plane is an array literal and the dot product a
+    * single fold — keeps the expression tree small (the inline 64-term sum
+    * form blew Janino's 64 KB method limit and dropped the stage out of
+    * codegen). Both engines fold products left-to-right. */
+  private def bandSigExprs(planes: Array[Array[Double]], bands: Int, bits: Int,
+                           vecCol: String, duck: Boolean): Seq[String] =
+    (0 until bands).map { b =>
+      (0 until bits).map { k =>
+        val w = planes(b * bits + k).mkString(", ")
+        val dot =
+          if (duck) s"list_dot_product($vecCol, [$w])"
+          else s"aggregate(zip_with($vecCol, array($w), (x, w) -> x * w), 0d, (acc, t) -> acc + t)"
+        s"(CASE WHEN $dot > 0 THEN ${1 << k} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+
+  // ------------------------------------- embedding near-dup pass (bucketed)
+
+  /** 4 bands of 8 sign-bits each: a pair of near-identical vectors agrees on
+    * all 8 bits of at least one band with probability ~1, while random pairs
+    * collide on a 256-bucket band rarely — candidate generation is an
+    * equi-join on (band, sig) with no driver collect and no O(n²) stream. */
+  val NeardupBands = 4
+  val NeardupBandBits = 8
+  private lazy val neardupPlanes = hyperplanes(NeardupBands * NeardupBandBits, 7L)
+
+  /** Top-20 most-similar candidate pairs (embedding near-dup pass).
+    * Candidates come from the band equi-join; exact cosine is computed only
+    * for candidates; `orderBy.limit` plans a distributed
+    * TakeOrderedAndProject. The oracle SQL replays the identical banding, so
+    * the result is engine-exact, not recall-approximate. */
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    // block brute force: broadcast the (id, vector, norm) block, stream the
-    // other side through mapPartitions with a tight double loop and keep a
-    // per-partition partial top-k — no per-pair array allocation, and only
-    // ~20 rows per partition reach the global TakeOrdered. Math matches the
-    // oracle bit-for-bit: sequential-index dot product, BigDecimal HALF_UP
-    // rounding (what Spark's round() does).
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .as[(Long, Seq[Double])]
-    val block = emb.collect().map { case (id, v) =>
-      val arr = v.toArray
-      var s = 0.0; var i = 0
-      while (i < arr.length) { s += arr(i) * arr(i); i += 1 }
-      (id, arr, math.sqrt(s))
-    }
-    val bc = spark.sparkContext.broadcast(block)
-    implicit val ord: Ordering[(Double, Long, Long)] =
-      Ordering.Tuple3(Ordering[Double].reverse, Ordering[Long], Ordering[Long])
-    val partial = emb.repartition(spark.sparkContext.defaultParallelism).mapPartitions { it =>
-      val cands = bc.value
-      val best = scala.collection.mutable.ArrayBuffer[(Double, Long, Long)]()
-      for ((aId, aSeq) <- it) {
-        val aV = aSeq.toArray
-        var an = 0.0; var i = 0
-        while (i < aV.length) { an += aV(i) * aV(i); i += 1 }
-        an = math.sqrt(an)
-        for ((bId, bV, bn) <- cands if aId < bId) {
-          var dot = 0.0; var j = 0
-          while (j < aV.length) { dot += aV(j) * bV(j); j += 1 }
-          val c = BigDecimal(dot / (an * bn))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          best += ((c, aId, bId))
-          if (best.length > 400) {
-            val keep = best.sorted(ord).take(20); best.clear(); best ++= keep
-          }
-        }
-      }
-      best.sorted(ord).take(20).iterator
-    }.toDF("cosine", "doc_a", "doc_b")
-    partial
+    val normed = emb.withColumn("n",
+      expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
+    val sigs = bandSigExprs(neardupPlanes, NeardupBands, NeardupBandBits, "v", duck = false)
+    val stackArgs = sigs.zipWithIndex
+      .map { case (s, b) => s"$b, CAST($s AS INT)" }.mkString(", ")
+    val bands = emb.select(col("vec_id"),
+      expr(s"stack($NeardupBands, $stackArgs) as (band, sig)"))
+    val cands = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(normed.select(col("vec_id").as("doc_a"), col("v").as("va"), col("n").as("na")), "doc_a")
+      .join(normed.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("n").as("nb")), "doc_b")
+      .withColumn("cosine", expr(
+        "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / (na * nb), 6)"))
       .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(20)
       .withColumn("rk", row_number().over(
@@ -108,37 +130,48 @@ object Similarity {
       .orderBy("rk")
   }
 
-  def embedNeardupSql: String =
-    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, " +
+  def embedNeardupSql: String = {
+    val sigs = bandSigExprs(neardupPlanes, NeardupBands, NeardupBandBits, "v", duck = true)
+    val bandSelects = sigs.zipWithIndex.map { case (s, b) =>
+      s"SELECT vec_id, $b AS band, CAST($s AS INT) AS sig FROM v"
+    }.mkString(" UNION ALL ")
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
       "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings), " +
-      "pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, " +
-      "ROUND(list_dot_product(a.e, b.e) / (a.n * b.n), 6) AS cosine FROM v a JOIN v b ON a.vec_id < b.vec_id) " +
+      s"bands AS ($bandSelects), " +
+      "cands AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id), " +
+      "scored AS (SELECT doc_a, doc_b, ROUND(list_dot_product(va.v, vb.v) / (va.n * vb.n), 6) AS cosine " +
+      "FROM cands JOIN v va ON va.vec_id = doc_a JOIN v vb ON vb.vec_id = doc_b) " +
       "SELECT rk, doc_a, doc_b, cosine FROM (SELECT *, ROW_NUMBER() OVER " +
-      "(ORDER BY cosine DESC, doc_a ASC, doc_b ASC) AS rk FROM pairs) r WHERE rk <= 20 ORDER BY rk"
+      "(ORDER BY cosine DESC, doc_a ASC, doc_b ASC) AS rk FROM scored) r WHERE rk <= 20 ORDER BY rk"
+  }
 
   // ------------------------------------------- LSH-bucketed ANN (scale path)
 
-  /** Random-hyperplane signature: `bits` sign-bits of dot(v, h_b) with
-    * seeded hyperplanes embedded as plan literals. Vectors sharing a
-    * signature land in one bucket; queries only score their bucket. Not
-    * oracle-checked (hyperplane literals are seeded Scala constants);
+  /** Random-hyperplane signature: `bits` sign-bits of dot(v, h_b). Vectors
+    * sharing a signature land in one bucket; queries only score their
+    * bucket. Not oracle-checked (bit width adapts to the data size);
     * covered by SimilaritySpec recall tests against [[annCosine]]. */
   def lshBuckets(df: DataFrame, bits: Int = 8, seed: Long = 42L): DataFrame = {
-    val dim = 64
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
-    val sigExpr = (0 until bits).map { b =>
-      val dot = planes(b).zipWithIndex
-        .map { case (wv, i) => s"(v[$i] * $wv)" }.mkString(" + ")
-      s"(CASE WHEN ($dot) > 0 THEN ${1L << b} ELSE 0 END)"
-    }.mkString(" + ")
+    val sig = bandSigExprs(hyperplanes(bits, seed), 1, bits, "v", duck = false).head
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", expr(s"CAST($sigExpr AS BIGINT)"))
+      .withColumn("bucket", expr(s"CAST($sig AS BIGINT)"))
   }
 
-  /** Bucketed top-k: exact cosine within each bucket only. */
+  /** Signature width for n vectors targeting ~`targetBucket` vectors per
+    * bucket: in-bucket work stays bounded as the corpus grows (10⁹ vectors →
+    * 24 bits → ~60/bucket), instead of buckets growing linearly with n. */
+  def bitsForCorpus(n: Long, targetBucket: Int = 64): Int = {
+    val b = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(28, math.max(8, b))
+  }
+
+  /** Bucketed top-k: exact cosine within each bucket only. Bit width scales
+    * with the corpus size (one cheap count against the parquet footer). */
   def lshTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
-    val b = lshBuckets(table(spark, dir, "embeddings"))
+    val emb = table(spark, dir, "embeddings")
+    val bits = bitsForCorpus(emb.count())
+    val b = lshBuckets(emb, bits)
       .withColumn("n", expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
     b.as("q").join(b.as("c"), col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("cosine", expr(
@@ -161,6 +194,6 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "ann_cosine" -> annCosineSql,
     "embed_neardup" -> embedNeardupSql,
-    // ann_lsh: rows-only (seeded hyperplane literals, verified in SimilaritySpec)
+    // ann_lsh: rows-only (data-adaptive bit width, verified in SimilaritySpec)
   )
 }
