@@ -68,6 +68,19 @@ object SparkEntry {
       Sessions.queries ++
       Multimodal.queries
 
+  /** The benchmark surface: same operators, but the percentile-heavy
+    * queries run their `approx = true` scale path (fixed-size mergeable
+    * sketches instead of exact sort-based `percentile`, which buffers every
+    * value per agg buffer and OOMs at 100 TB). Verify keeps the exact forms
+    * so the DuckDB oracle reproduces values bit-for-bit; DriftMathSpec
+    * asserts the approx results track exact within tolerance. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ Map[String, (SparkSession, String) => DataFrame](
+      "numeric_stats" -> ((s, d) => NumericDrift.stats(s, d, approx = true)),
+      "group_numeric_metrics" -> ((s, d) => GroupDrift.groupNumericMetrics(s, d, approx = true)),
+      "group_drift" -> ((s, d) => GroupDrift.groupDriftVerdict(s, d, approx = true)),
+    )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =

@@ -67,6 +67,73 @@ object CategoricalDrift {
       coalesce(sum(when(col("side") === "ref", col("cnt"))), lit(0L)).as("ref_cnt"),
       coalesce(sum(when(col("side") === "curr", col("cnt"))), lit(0L)).as("curr_cnt"))
 
+  // ------------------------------------- fused all-column building blocks
+  //
+  // Each takes the sideCountsMulti frame (side, column_name, value, cnt —
+  // null-value group kept) and computes a per-column result for EVERY split
+  // column in one groupBy(column_name, ...) pass, so a query over k columns
+  // costs one scan + a handful of shuffles instead of k scalar-agg subplans.
+  // All split columns carry non-null values at every SF, so the per-column
+  // groupBy frames are never empty (no spine join needed).
+
+  /** Per-(column, side) totals: all rows, non-null rows, null rows. */
+  private def sideTotalsMulti(all: DataFrame): DataFrame =
+    all.groupBy("column_name", "side").agg(
+      sum("cnt").as("n"),
+      coalesce(sum(when(col("value").isNotNull, col("cnt"))), lit(0L)).as("nn"),
+      coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L)).as("nl"))
+
+  /** Per-column ref/curr null proportions. */
+  private def nullPropsMulti(all: DataFrame): DataFrame =
+    sideTotalsMulti(all).groupBy("column_name").agg(
+      max(when(col("side") === "ref", col("nl") * 1e0 / col("n"))).as("ref_null_prop"),
+      max(when(col("side") === "curr", col("nl") * 1e0 / col("n"))).as("curr_null_prop"))
+
+  /** Per-column top-20 per-side distributions (probability over non-null),
+    * pivoted to (column_name, value, p, q). The rank window is partitioned
+    * by (column, side) — never a single-partition global sort. */
+  private def top20DistsMulti(all: DataFrame): DataFrame = {
+    val tot = sideTotalsMulti(all).select(col("column_name"), col("side"), col("nn"))
+    all.filter(col("value").isNotNull)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("column_name", "side").orderBy(col("cnt").desc, col("value").asc)))
+      .filter(col("rk") <= 20)
+      .join(tot, Seq("column_name", "side"))
+      .select(col("column_name"), col("side"), col("value"), (col("cnt") * 1e0 / col("nn")).as("prob"))
+      .groupBy("column_name", "value").agg(
+        max(when(col("side") === "ref", col("prob"))).as("p"),
+        max(when(col("side") === "curr", col("prob"))).as("q"))
+  }
+
+  /** Per-column FULL-support distributions (frequencies over all rows incl.
+    * the null group), pivoted to (column_name, value, p, q). */
+  private def fullDistsMulti(all: DataFrame): DataFrame = {
+    val tot = sideTotalsMulti(all).select(col("column_name"), col("side"), col("n"))
+    all.join(tot, Seq("column_name", "side"))
+      .select(col("column_name"), col("value"), col("side"), (col("cnt") * 1e0 / col("n")).as("prob"))
+      .groupBy("column_name", "value").agg(
+        max(when(col("side") === "ref", col("prob"))).as("p"),
+        max(when(col("side") === "curr", col("prob"))).as("q"))
+  }
+
+  /** Per-column χ² banded p-value, all columns in two groupBy passes. */
+  private def chiPMulti(all: DataFrame): DataFrame = {
+    val piv = all.filter(col("value").isNotNull)
+      .groupBy("column_name", "value").agg(
+        coalesce(sum(when(col("side") === "ref", col("cnt"))), lit(0L)).as("ref_cnt"),
+        coalesce(sum(when(col("side") === "curr", col("cnt"))), lit(0L)).as("curr_cnt"))
+    val sums = piv.groupBy("column_name")
+      .agg(sum("ref_cnt").as("ref_sum"), sum("curr_cnt").as("curr_sum"))
+    piv.join(broadcast(sums), "column_name")
+      .selectExpr("column_name", "ref_cnt", "curr_cnt",
+        "ref_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_ref",
+        "curr_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_curr")
+      .groupBy("column_name")
+      .agg(coalesce(sum(expr("CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN " +
+        "POW(ref_cnt - exp_ref, 2) / exp_ref + POW(curr_cnt - exp_curr, 2) / exp_curr ELSE 0 END")), lit(0.0))
+        .as("chi_square"), (count(lit(1)) - 1).as("dof"))
+  }
+
   private val pivotCountsSql =
     "SELECT value, COALESCE(SUM(CASE WHEN side = 'ref' THEN cnt END), 0)::BIGINT AS ref_cnt, " +
       "COALESCE(SUM(CASE WHEN side = 'curr' THEN cnt END), 0)::BIGINT AS curr_cnt " +
@@ -82,11 +149,11 @@ object CategoricalDrift {
 
   /** Per-side value counts + relative frequency over non-null rows. */
   def valueCounts(spark: SparkSession, dir: String): DataFrame = {
-    val per = for (sp <- S.categorical; c <- sp.cols) yield {
-      val cnts = sideCounts(spark, dir, sp, c, nonNull = true)
-      val totals = cnts.groupBy("side").agg(sum("cnt").as("total"))
-      cnts.join(totals, "side")
-        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+    val per = S.categorical.map { sp =>
+      val cnts = sideCountsMulti(spark, dir, sp, nonNull = true)
+      val totals = cnts.groupBy("column_name", "side").agg(sum("cnt").as("total"))
+      cnts.join(totals, Seq("column_name", "side"))
+        .select(lit(sp.tableName).as("table_name"), col("column_name"),
           col("side"), col("value"), col("cnt"),
           r6(col("cnt") / col("total")).as("freq"))
     }
@@ -118,23 +185,28 @@ object CategoricalDrift {
   )
 
   def topkEntropy(spark: SparkSession, dir: String): DataFrame = {
-    val per = for ((t, cols) <- profileTables; c <- cols) yield {
-      val df = table(spark, dir, t)
-      val base = df.agg(count(lit(1)).as("n_total"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"))
-      val cnts = df.filter(col(c).isNotNull)
-        .groupBy(col(c).cast("string").as("value")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("value").asc)))
-      val distinctCnt = cnts.agg(count(lit(1)).as("distinct_count"))
-      val entropy = cnts.filter(col("rk") <= 20)
-        .crossJoin(broadcast(base.select((col("n_total") - col("n_null")).as("nn"))))
+    val per = profileTables.map { case (t, cols) =>
+      val rows = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+      val cnts = table(spark, dir, t)
+        .select(expr(s"stack(${cols.size}, $rows) as (column_name, value)"))
+        .groupBy("column_name", "value").agg(count(lit(1)).as("cnt"))
+      val base = cnts.groupBy("column_name").agg(
+        sum("cnt").as("n_total"),
+        coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L)).as("n_null"),
+        count(when(col("value").isNotNull, 1)).as("distinct_count"))
+      val entropy = cnts.filter(col("value").isNotNull)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("column_name").orderBy(col("cnt").desc, col("value").asc)))
+        .filter(col("rk") <= 20)
+        .join(base.select(col("column_name"), (col("n_total") - col("n_null")).as("nn")), "column_name")
+        .groupBy("column_name")
         .agg(coalesce(sum(expr("-(cnt * 1e0 / nn) * log2(cnt * 1e0 / nn)")), lit(0.0)).as("entropy"))
-      base.crossJoin(broadcast(distinctCnt)).crossJoin(broadcast(entropy))
-        .select(lit(t).as("table_name"), lit(c).as("column_name"),
+      base.join(entropy, Seq("column_name"), "left")
+        .select(lit(t).as("table_name"), col("column_name"),
           col("n_total"), col("n_null"),
           r6(col("n_null") * 1e0 / col("n_total")).as("null_proportion"),
           col("distinct_count"),
-          r6(col("entropy")).as("entropy_top20"))
+          r6(coalesce(col("entropy"), lit(0.0))).as("entropy_top20"))
     }
     per.reduce(_ union _).orderBy("table_name", "column_name")
   }
@@ -155,18 +227,6 @@ object CategoricalDrift {
 
   // ------------------------------- dist_diff + category_changes (O16/O17)
 
-  /** Top-20 per-side distributions (probability over non-null) for one
-    * column, pivoted: (value, p, q, in_ref, in_curr). */
-  private def top20Dists(spark: SparkSession, dir: String, sp: S.CatSplit, c: String): DataFrame = {
-    val cnts = sideCounts(spark, dir, sp, c, nonNull = true)
-    val totals = cnts.groupBy("side").agg(sum("cnt").as("nn"))
-    val top = ranked(cnts).filter(col("rk") <= 20).join(totals, "side")
-      .select(col("side"), col("value"), (col("cnt") * 1e0 / col("nn")).as("prob"))
-    top.groupBy("value").agg(
-      max(when(col("side") === "ref", col("prob"))).as("p"),
-      max(when(col("side") === "curr", col("prob"))).as("q"))
-  }
-
   private def top20DistsSql(sp: S.CatSplit, c: String): String =
     s"SELECT value, MAX(CASE WHEN side = 'ref' THEN prob END) AS p, " +
       "MAX(CASE WHEN side = 'curr' THEN prob END) AS q FROM " +
@@ -176,26 +236,22 @@ object CategoricalDrift {
 
   /** O16 distribution-diff summary per split column (top-20 supports). */
   def distDiff(spark: SparkSession, dir: String): DataFrame = {
-    val per = for (sp <- S.categorical; c <- sp.cols) yield {
-      val dists = top20Dists(spark, dir, sp, c)
-      val sets = dists.agg(
+    val per = S.categorical.map { sp =>
+      val all = sideCountsMulti(spark, dir, sp, nonNull = false)
+      val sets = top20DistsMulti(all).groupBy("column_name").agg(
         sum(when(col("p").isNotNull, 1).otherwise(0)).as("ref_k"),
         sum(when(col("q").isNotNull, 1).otherwise(0)).as("curr_k"),
         sum(when(col("p").isNotNull && col("q").isNotNull, 1).otherwise(0)).as("common_k"),
         coalesce(sum(when(col("p").isNotNull, expr("-p * log2(p)"))), lit(0.0)).as("ref_entropy"),
         coalesce(sum(when(col("q").isNotNull, expr("-q * log2(q)"))), lit(0.0)).as("curr_entropy"))
-      val cnts = sideCounts(spark, dir, sp, c, nonNull = true)
-      val distincts = cnts.groupBy("side").agg(count(lit(1)).as("k"))
-        .groupBy().agg(
+      val distincts = all.filter(col("value").isNotNull)
+        .groupBy("column_name", "side").agg(count(lit(1)).as("k"))
+        .groupBy("column_name").agg(
           coalesce(max(when(col("side") === "ref", col("k"))), lit(0L)).as("ref_distinct"),
           coalesce(max(when(col("side") === "curr", col("k"))), lit(0L)).as("curr_distinct"))
-      val nulls = withSide(table(spark, dir, sp.tableName), sp.ref)
-        .groupBy("side").agg(count(lit(1)).as("n"), sum(when(col(c).isNull, 1L).otherwise(0L)).as("nl"))
-        .groupBy().agg(
-          max(when(col("side") === "ref", col("nl") * 1e0 / col("n"))).as("ref_null_prop"),
-          max(when(col("side") === "curr", col("nl") * 1e0 / col("n"))).as("curr_null_prop"))
-      sets.crossJoin(distincts).crossJoin(nulls)
-        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"), col("*"))
+      val nulls = nullPropsMulti(all)
+      sets.join(distincts, "column_name").join(nulls, "column_name")
+        .select(lit(sp.tableName).as("table_name"), col("*"))
         .selectExpr(distDiffFinal: _*)
     }
     per.reduce(_ union _).orderBy("table_name", "column_name")
@@ -240,15 +296,16 @@ object CategoricalDrift {
   /** O16 per-common-category changes, top-10 by |abs_diff| (deterministic
     * tie-break on category). */
   def categoryChanges(spark: SparkSession, dir: String): DataFrame = {
-    val per = for (sp <- S.categorical; c <- sp.cols) yield {
-      top20Dists(spark, dir, sp, c)
+    val per = S.categorical.map { sp =>
+      top20DistsMulti(sideCountsMulti(spark, dir, sp, nonNull = false))
         .filter(col("p").isNotNull && col("q").isNotNull)
-        .selectExpr("value AS category", "p AS ref_prob", "q AS curr_prob",
+        .selectExpr("column_name", "value AS category", "p AS ref_prob", "q AS curr_prob",
           "q - p AS abs_diff",
           "CASE WHEN p > 0 THEN (q - p) / p WHEN q > 0 THEN 1.0 ELSE 0.0 END AS rel_diff")
-        .withColumn("rk", row_number().over(Window.orderBy(abs(col("abs_diff")).desc, col("category").asc)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("column_name").orderBy(abs(col("abs_diff")).desc, col("category").asc)))
         .filter(col("rk") <= 10)
-        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+        .select(lit(sp.tableName).as("table_name"), col("column_name"),
           col("category"), r6(col("ref_prob")).as("ref_prob"), r6(col("curr_prob")).as("curr_prob"),
           r6(col("abs_diff")).as("abs_diff"), r6(col("rel_diff")).as("rel_diff"), col("rk"))
     }
@@ -272,19 +329,13 @@ object CategoricalDrift {
   /** Full-support JS distance (frequencies over ALL rows incl. the null
     * group — /root/reference/distribution_analyzer.py:229-319). */
   def jsFull(spark: SparkSession, dir: String): DataFrame = {
-    val per = for (sp <- S.categorical; c <- sp.cols) yield {
-      val cnts = sideCounts(spark, dir, sp, c, nonNull = false)
-      val totals = cnts.groupBy("side").agg(sum("cnt").as("n"))
-      val dists = cnts.join(totals, "side")
-        .select(col("side"), col("value"), (col("cnt") * 1e0 / col("n")).as("prob"))
-        .groupBy("value").agg(
-          max(when(col("side") === "ref", col("prob"))).as("p"),
-          max(when(col("side") === "curr", col("prob"))).as("q"))
-      dists
+    val per = S.categorical.map { sp =>
+      fullDistsMulti(sideCountsMulti(spark, dir, sp, nonNull = false))
+        .groupBy("column_name")
         .agg(expr(s"SQRT((${jsKlPm} + ${jsKlQm}) / 2)").as("js_distance"),
           sum(when(col("p").isNull, 1).otherwise(0)).as("new_values_count"),
           sum(when(col("q").isNull, 1).otherwise(0)).as("disappeared_values_count"))
-        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+        .select(lit(sp.tableName).as("table_name"), col("column_name"),
           r6(col("js_distance")).as("js_distance"),
           (col("js_distance") > 0.1).as("significant_change"),
           col("new_values_count").cast("long"), col("disappeared_values_count").cast("long"))
@@ -317,24 +368,20 @@ object CategoricalDrift {
     * over all rows incl. nulls): top-5 each way per column
     * (/root/reference/distribution_analyzer.py:287-299). */
   def topMovers(spark: SparkSession, dir: String): DataFrame = {
-    val per = for (sp <- S.categorical; c <- sp.cols) yield {
-      val cnts = sideCounts(spark, dir, sp, c, nonNull = false)
-      val totals = cnts.groupBy("side").agg(sum("cnt").as("n"))
-      val dists = cnts.join(totals, "side")
-        .select(col("side"), col("value"), (col("cnt") * 1e0 / col("n")).as("prob"))
-        .groupBy("value").agg(
-          max(when(col("side") === "ref", col("prob"))).as("p"),
-          max(when(col("side") === "curr", col("prob"))).as("q"))
+    val per = S.categorical.map { sp =>
+      val dists = fullDistsMulti(sideCountsMulti(spark, dir, sp, nonNull = false))
         .filter(col("p").isNotNull && col("q").isNotNull)
         .withColumn("diff", col("q") - col("p"))
       val inc = dists.filter(col("diff") > 0)
-        .withColumn("rk", row_number().over(Window.orderBy(col("diff").desc, col("value").asc)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("column_name").orderBy(col("diff").desc, col("value").asc)))
         .filter(col("rk") <= 5).withColumn("direction", lit("increased"))
       val dec = dists.filter(col("diff") < 0)
-        .withColumn("rk", row_number().over(Window.orderBy(col("diff").asc, col("value").asc)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("column_name").orderBy(col("diff").asc, col("value").asc)))
         .filter(col("rk") <= 5).withColumn("direction", lit("decreased"))
       inc.union(dec)
-        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+        .select(lit(sp.tableName).as("table_name"), col("column_name"),
           col("direction"), col("rk"), col("value"), r6(abs(col("diff"))).as("abs_prob_change"))
     }
     per.reduce(_ union _).orderBy("table_name", "column_name", "direction", "rk")
@@ -376,19 +423,9 @@ object CategoricalDrift {
       s"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi_square / ($chiCv)) * 0.95)) END, 6) AS p_value")
 
   def chiSquare(spark: SparkSession, dir: String): DataFrame = {
-    val per = for (sp <- S.categorical; c <- sp.cols) yield {
-      val piv = pivotCounts(sideCounts(spark, dir, sp, c, nonNull = true))
-      val tot = piv.agg(sum("ref_cnt").as("ref_sum"), sum("curr_cnt").as("curr_sum"))
-      piv.crossJoin(broadcast(tot))
-        .selectExpr("ref_cnt", "curr_cnt",
-          "ref_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_ref",
-          "curr_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_curr")
-        .agg(
-          coalesce(sum(expr("CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN " +
-            "POW(ref_cnt - exp_ref, 2) / exp_ref + POW(curr_cnt - exp_curr, 2) / exp_curr ELSE 0 END")), lit(0.0))
-            .as("chi_square"),
-          (count(lit(1)) - 1).as("dof"))
-        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+    val per = S.categorical.map { sp =>
+      chiPMulti(sideCountsMulti(spark, dir, sp, nonNull = false))
+        .select(lit(sp.tableName).as("table_name"), col("column_name"),
           col("chi_square"), col("dof"))
         .selectExpr(chiFinal: _*)
     }
@@ -439,36 +476,22 @@ object CategoricalDrift {
   }
 
   def categoricalDrift(spark: SparkSession, dir: String): DataFrame = {
-    val per = for (sp <- S.categorical; c <- sp.cols) yield {
+    val per = S.categorical.map { sp =>
+      val all = sideCountsMulti(spark, dir, sp, nonNull = false)
       // JS over top-20 distributions (O17 as called by O19)
-      val js = top20Dists(spark, dir, sp, c)
+      val js = top20DistsMulti(all).groupBy("column_name")
         .agg(expr(s"SQRT(($jsKlPm + $jsKlQm) / 2)").as("js_divergence"),
           sum(when(col("p").isNotNull, 1).otherwise(0)).as("ref_k"),
           sum(when(col("q").isNotNull && col("p").isNull, 1).otherwise(0)).as("new_k"),
           sum(when(col("p").isNotNull && col("q").isNull, 1).otherwise(0)).as("missing_k"))
-      val chi = {
-        val piv = pivotCounts(sideCounts(spark, dir, sp, c, nonNull = true))
-        val tot = piv.agg(sum("ref_cnt").as("ref_sum"), sum("curr_cnt").as("curr_sum"))
-        piv.crossJoin(broadcast(tot))
-          .selectExpr("ref_cnt", "curr_cnt",
-            "ref_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_ref",
-            "curr_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_curr")
-          .agg(coalesce(sum(expr("CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN " +
-            "POW(ref_cnt - exp_ref, 2) / exp_ref + POW(curr_cnt - exp_curr, 2) / exp_curr ELSE 0 END")), lit(0.0))
-            .as("chi_square"), (count(lit(1)) - 1).as("dof"))
-          .selectExpr("chi_square", "dof")
-          .selectExpr("CASE WHEN chi_square < 0.001 THEN 1.0 " +
-            s"WHEN chi_square > 3 * ($chiCv) THEN 0.001 WHEN chi_square > 2 * ($chiCv) THEN 0.01 " +
-            s"WHEN chi_square > ($chiCv) THEN 0.05 " +
-            s"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi_square / ($chiCv)) * 0.95)) END AS p_value")
-      }
-      val nulls = withSide(table(spark, dir, sp.tableName), sp.ref)
-        .groupBy("side").agg(count(lit(1)).as("n"), sum(when(col(c).isNull, 1L).otherwise(0L)).as("nl"))
-        .groupBy().agg(
-          max(when(col("side") === "ref", col("nl") * 1e0 / col("n"))).as("ref_null_prop"),
-          max(when(col("side") === "curr", col("nl") * 1e0 / col("n"))).as("curr_null_prop"))
-      js.crossJoin(broadcast(chi)).crossJoin(broadcast(nulls))
-        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+      val chi = chiPMulti(all)
+        .selectExpr("column_name", "CASE WHEN chi_square < 0.001 THEN 1.0 " +
+          s"WHEN chi_square > 3 * ($chiCv) THEN 0.001 WHEN chi_square > 2 * ($chiCv) THEN 0.01 " +
+          s"WHEN chi_square > ($chiCv) THEN 0.05 " +
+          s"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi_square / ($chiCv)) * 0.95)) END AS p_value")
+      val nulls = nullPropsMulti(all)
+      js.join(chi, "column_name").join(nulls, "column_name")
+        .select(lit(sp.tableName).as("table_name"), col("column_name"),
           col("js_divergence"), col("p_value"),
           (col("curr_null_prop") - col("ref_null_prop")).as("null_diff"),
           (col("new_k") * 1e0 / col("ref_k")).as("new_ratio"),
@@ -748,12 +771,16 @@ object CategoricalDrift {
     * (the reference collects both sides and sorts in Python —
     * /root/reference/group_analyzer.py:167-204). */
   def topCombined(spark: SparkSession, dir: String): DataFrame = {
-    val per = for (sp <- S.categorical; c <- sp.cols) yield {
-      pivotCounts(sideCounts(spark, dir, sp, c, nonNull = false))
+    val per = S.categorical.map { sp =>
+      sideCountsMulti(spark, dir, sp, nonNull = false)
+        .groupBy("column_name", "value").agg(
+          coalesce(sum(when(col("side") === "ref", col("cnt"))), lit(0L)).as("ref_cnt"),
+          coalesce(sum(when(col("side") === "curr", col("cnt"))), lit(0L)).as("curr_cnt"))
         .withColumn("combined", col("ref_cnt") + col("curr_cnt"))
-        .withColumn("rk", row_number().over(Window.orderBy(col("combined").desc, col("value").asc)))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("column_name").orderBy(col("combined").desc, col("value").asc)))
         .filter(col("rk") <= 20)
-        .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
+        .select(lit(sp.tableName).as("table_name"), col("column_name"),
           col("rk"), col("value"), col("ref_cnt"), col("curr_cnt"), col("combined"))
     }
     per.reduce(_ union _).orderBy("table_name", "column_name", "rk")

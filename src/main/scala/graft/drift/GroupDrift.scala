@@ -45,10 +45,10 @@ object GroupDrift {
         coalesce(max(when(col("side") === "ref", col("n"))), lit(0L)).as("ref_n"),
         coalesce(max(when(col("side") === "curr", col("n"))), lit(0L)).as("curr_n"))
       .filter(col("ref_n") >= MinGroupRows && col("curr_n") >= MinGroupRows)
-      .withColumn("rk", row_number().over(
-        Window.orderBy((col("ref_n") + col("curr_n")).desc, col("category").asc)))
-      .filter(col("rk") <= TopCategories)
-      .drop("rk")
+      // orderBy.limit plans TakeOrderedAndProject — distributed top-k, not a
+      // single-partition rank window over every category
+      .orderBy((col("ref_n") + col("curr_n")).desc, col("category").asc)
+      .limit(TopCategories)
 
   private def eligibleSql(sp: GroupSpec): String =
     "SELECT category, ref_n, curr_n FROM (SELECT *, ROW_NUMBER() OVER " +
@@ -64,7 +64,10 @@ object GroupDrift {
 
   /** Per-(category, metric) side stats, pivoted. Nulls coalesced to 0 as the
     * reference does post-collect (group_analyzer.py:311-333). */
-  private def numPivot(spark: SparkSession, dir: String, sp: GroupSpec): DataFrame = {
+  private def numPivot(spark: SparkSession, dir: String, sp: GroupSpec,
+      approx: Boolean = false): DataFrame = {
+    val med = (m: String) =>
+      if (approx) s"CAST(percentile_approx($m, 0.5, 10000) AS DOUBLE)" else s"percentile($m, 0.5)"
     val aggs = count(lit(1)).as("n") +: sp.numMetrics.flatMap { m =>
       Seq(
         sum(when(col(m).isNull, 1L).otherwise(0L)).as(s"${m}__nulls"),
@@ -72,7 +75,7 @@ object GroupDrift {
         coalesce(stddev(col(m)), lit(0.0)).as(s"${m}__std"),
         coalesce(min(col(m)).cast("double"), lit(0.0)).as(s"${m}__min"),
         coalesce(max(col(m)).cast("double"), lit(0.0)).as(s"${m}__max"),
-        coalesce(expr(s"percentile($m, 0.5)"), lit(0.0)).as(s"${m}__med"))
+        coalesce(expr(med(m)), lit(0.0)).as(s"${m}__med"))
     }
     val rows = sp.numMetrics.map { m =>
       s"'$m', ${m}__nulls, ${m}__mean, ${m}__std, ${m}__min, ${m}__max, ${m}__med"
@@ -122,9 +125,12 @@ object GroupDrift {
     s"ROUND(${pctChangeSql("(ref_max - ref_min)", "(curr_max - curr_min)")}, 6) AS range_pct_change",
     "ROUND(ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n), 6) AS null_drift")
 
-  def groupNumericMetrics(spark: SparkSession, dir: String): DataFrame = {
+  /** `approx=true` is the benchmarked 100 TB path (sketch-based group
+    * medians); the oracle-checked query keeps exact `percentile` so DuckDB's
+    * `quantile_cont` reproduces values. */
+  def groupNumericMetrics(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     val per = specs.map { sp =>
-      numPivot(spark, dir, sp)
+      numPivot(spark, dir, sp, approx)
         .join(eligible(spark, dir, sp).select("category"), "category")
         .select(lit(sp.tableName).as("table_name"), lit(sp.dim).as("dimension"), col("*"))
         .selectExpr(numFinal: _*)
@@ -262,9 +268,9 @@ object GroupDrift {
       "max_null_drift >= 0.1 OR max_mean_change >= 0.2 OR max_median_change >= 0.2 OR " +
       "max_freq_drift >= 0.15 OR max_distinct_pct >= 0.25) AS drift_detected")
 
-  def groupDriftVerdict(spark: SparkSession, dir: String): DataFrame = {
+  def groupDriftVerdict(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     val per = specs.map { sp =>
-      val np = numPivot(spark, dir, sp)
+      val np = numPivot(spark, dir, sp, approx)
       val elig = eligible(spark, dir, sp)
       val numComps = Seq(
         ("null", "ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n)"),
@@ -323,7 +329,8 @@ object GroupDrift {
     * over one dimension. Same two-shuffles-per-dimension plan as the query
     * path. */
   def forPair(ref: DataFrame, curr: DataFrame, dim: String,
-      numMetrics: Seq[String], catMetrics: Seq[String]): DataFrame = {
+      numMetrics: Seq[String], catMetrics: Seq[String],
+      approx: Boolean = false): DataFrame = {
     val allCols = (Seq(dim) ++ numMetrics ++ catMetrics).distinct
     val tagged = NumericDrift.tagPair(ref, curr, allCols)
 
@@ -334,10 +341,8 @@ object GroupDrift {
         coalesce(max(when(col("side") === "ref", col("n"))), lit(0L)).as("ref_n"),
         coalesce(max(when(col("side") === "curr", col("n"))), lit(0L)).as("curr_n"))
       .filter(col("ref_n") >= MinGroupRows && col("curr_n") >= MinGroupRows)
-      .withColumn("rk", row_number().over(
-        Window.orderBy((col("ref_n") + col("curr_n")).desc, col("category").asc)))
-      .filter(col("rk") <= TopCategories)
-      .drop("rk")
+      .orderBy((col("ref_n") + col("curr_n")).desc, col("category").asc)
+      .limit(TopCategories)
 
     val numComps = if (numMetrics.isEmpty) Seq.empty else {
       val aggs = count(lit(1)).as("n") +: numMetrics.flatMap { m =>
@@ -345,7 +350,8 @@ object GroupDrift {
           sum(when(col(m).isNull, 1L).otherwise(0L)).as(s"${m}__nulls"),
           coalesce(avg(col(m)), lit(0.0)).as(s"${m}__mean"),
           coalesce(stddev(col(m)), lit(0.0)).as(s"${m}__std"),
-          coalesce(expr(s"percentile($m, 0.5)"), lit(0.0)).as(s"${m}__med"))
+          coalesce(expr(if (approx) s"CAST(percentile_approx($m, 0.5, 10000) AS DOUBLE)"
+            else s"percentile($m, 0.5)"), lit(0.0)).as(s"${m}__med"))
       }
       val rows = numMetrics.map { m =>
         s"'$m', ${m}__nulls, ${m}__mean, ${m}__std, ${m}__med"

@@ -34,14 +34,16 @@ object NumericDrift {
     "events" -> Seq("value"),
   )
 
-  private def statAggs(c: String): Seq[Column] = Seq(
+  private def statAggs(c: String, approx: Boolean): Seq[Column] = Seq(
     count(lit(1)).as(s"${c}__total"),
     count(col(c)).as(s"${c}__nonnull"),
     avg(col(c)).as(s"${c}__mean"),
     stddev(col(c)).as(s"${c}__std"),
     min(col(c)).cast("double").as(s"${c}__min"),
     max(col(c)).cast("double").as(s"${c}__max"),
-    expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"${c}__pct"),
+    (if (approx) expr(s"percentile_approx($c, array(0.25, 0.5, 0.75), 10000)")
+     else expr(s"percentile($c, array(0.25, 0.5, 0.75))"))
+      .cast("array<double>").as(s"${c}__pct"),
   )
 
   /** Unpivot the wide agg row into (table_name, column_name, stats...) rows. */
@@ -54,9 +56,13 @@ object NumericDrift {
       "(table_name, column_name, n_total, n_nonnull, mean, std, vmin, vmax, p25, p50, p75)"
   }
 
-  def stats(spark: SparkSession, dir: String): DataFrame = {
+  /** `approx=true` is the 100 TB path (benchmarked): `percentile_approx` is
+    * a fixed-size sketch mergeable map-side, where exact `percentile`
+    * buffers every value per agg buffer. The oracle-checked query keeps
+    * exact so DuckDB's `quantile_cont` reproduces values bit-for-bit. */
+  def stats(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     val longs = statsTables.map { case (t, cols) =>
-      val aggs = cols.flatMap(statAggs)
+      val aggs = cols.flatMap(statAggs(_, approx))
       table(spark, dir, t).agg(aggs.head, aggs.tail: _*).select(expr(stackStats(t, cols)))
     }
     longs.reduce(_ unionAll _)
@@ -182,21 +188,11 @@ object NumericDrift {
       .orderBy("column_name")
   }
 
-  /** Generic O36 z-score outlier drift for an arbitrary snapshot pair. */
+  /** Generic O36 z-score outlier drift for an arbitrary snapshot pair —
+    * every column in one stats pass + one counting pass. */
   def zOutliersForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
       label: String = "pair"): DataFrame = {
-    val per = cols.map { c =>
-      val tagged = tagPair(ref, curr, Seq(c))
-      val refStats = ref.agg(avg(col(c)).as("ref_mean"), stddev(col(c)).as("ref_std"))
-      tagged.select(col("side"), col(c).cast("double").as("x"))
-        .crossJoin(broadcast(refStats))
-        .groupBy("side")
-        .agg(count(lit(1)).as("n"),
-          sum(when(abs((col("x") - col("ref_mean")) / col("ref_std")) > 3.0, 1L).otherwise(0L)).as("n_out"))
-        .select(lit(label).as("table_name"), lit(c).as("column_name"),
-          col("side"), col("n"), col("n_out"))
-    }
-    val long = per.reduce(_ union _)
+    val long = zOutliersLong(tagPair(ref, curr, cols), label, cols)
     pivotZ(long).selectExpr(zFinal: _*).orderBy("column_name")
   }
 
@@ -596,22 +592,30 @@ object NumericDrift {
     * always emitted with a `significant` flag (the reference silently drops
     * insignificant columns). */
   def zOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val per = S.numeric.flatMap { sp =>
-      sp.cols.map { c =>
-        val df = withSide(table(spark, dir, sp.tableName), sp.ref)
-        val refStats = df.filter(col("side") === "ref")
-          .agg(avg(col(c)).as("ref_mean"), stddev(col(c)).as("ref_std"))
-        df.select(col("side"), col(c).cast("double").as("x"))
-          .crossJoin(broadcast(refStats))
-          .groupBy("side")
-          .agg(count(lit(1)).as("n"),
-            sum(when(abs((col("x") - col("ref_mean")) / col("ref_std")) > 3.0, 1L).otherwise(0L)).as("n_out"))
-          .select(lit(sp.tableName).as("table_name"), lit(c).as("column_name"),
-            col("side"), col("n"), col("n_out"))
-      }
+    val per = S.numeric.map { sp =>
+      zOutliersLong(withSide(table(spark, dir, sp.tableName), sp.ref), sp.tableName, sp.cols)
     }
     val long = per.reduce(_ unionAll _)
     pivotZ(long).selectExpr(zFinal: _*).orderBy("table_name", "column_name")
+  }
+
+  /** All columns' z-outlier counts in TWO jobs per table: one agg for every
+    * column's reference mean/std (a 1-row broadcast), one counting pass with
+    * a conditional sum per column — instead of a scan pair per column. */
+  private def zOutliersLong(tagged: DataFrame, tableName: String, cols: Seq[String]): DataFrame = {
+    val statAggs = cols.flatMap { c =>
+      Seq(avg(col(c)).as(s"${c}__mean"), stddev(col(c)).as(s"${c}__std"))
+    }
+    val refStats = tagged.filter(col("side") === "ref").agg(statAggs.head, statAggs.tail: _*)
+    val cntAggs = count(lit(1)).as("n") +: cols.map { c =>
+      sum(when(abs((col(c).cast("double") - col(s"${c}__mean")) / col(s"${c}__std")) > 3.0, 1L)
+        .otherwise(0L)).as(s"${c}__out")
+    }
+    val rows = cols.map(c => s"'$tableName', '$c', n, ${c}__out").mkString(", ")
+    tagged.crossJoin(broadcast(refStats))
+      .groupBy("side").agg(cntAggs.head, cntAggs.tail: _*)
+      .select(col("side"), expr(s"stack(${cols.size}, $rows) as (table_name, column_name, n, n_out)"))
+      .select(col("table_name"), col("column_name"), col("side"), col("n"), col("n_out"))
   }
 
   private def pivotZ(long: DataFrame): DataFrame =

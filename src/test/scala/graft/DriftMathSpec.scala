@@ -84,6 +84,20 @@ class DriftMathSpec extends SparkSpec {
     assert(exact.getAs[Boolean]("drift_detected") == approx.getAs[Boolean]("drift_detected"))
   }
 
+  test("approx group medians track exact group medians closely") {
+    val r = new scala.util.Random(2)
+    def frame(shift: Double) = Seq.tabulate(4000) { i =>
+      (if (i % 2 == 0) "g1" else "g2", shift + 10 * r.nextGaussian())
+    }.toDF("dim", "m")
+    val (ref, curr) = (frame(50).cache(), frame(53).cache())
+    val exact = GroupDrift.forPair(ref, curr, "dim", Seq("m"), Seq.empty)
+      .collect().map(row => row.getAs[String]("category") -> row.getAs[Double]("overall_drift_score")).toMap
+    val approx = GroupDrift.forPair(ref, curr, "dim", Seq("m"), Seq.empty, approx = true)
+      .collect().map(row => row.getAs[String]("category") -> row.getAs[Double]("overall_drift_score")).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (cat, s) => assert(math.abs(s - approx(cat)) < 0.02, s"group $cat") }
+  }
+
   test("correlation components: BFS grouping") {
     val corrs = Map(("a", "b") -> 0.9, ("b", "c") -> 0.8, ("c", "d") -> 0.1)
     val comp = CorrelationDrift.correlationComponents(corrs, Seq("a", "b", "c", "d"), 0.7)
