@@ -233,8 +233,9 @@ object Dedup {
       .distinct()
       .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
       .limit(20)
+      .withColumn("one", lit(1))
       .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)))
+        .partitionBy("one").orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)))
       .select("rk", "doc_a", "doc_b", "hamming")
       .orderBy("rk")
   }

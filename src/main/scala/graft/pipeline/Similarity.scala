@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.drift.table
@@ -70,21 +70,36 @@ object Similarity {
     Array.fill(n, Dim)(rnd.nextGaussian())
   }
 
-  /** One integer signature expression per band: `bits` sign-bits of
-    * dot(v, plane). The plane is an array literal and the dot product a
-    * single fold — keeps the expression tree small (the inline 64-term sum
-    * form blew Janino's 64 KB method limit and dropped the stage out of
-    * codegen). Both engines fold products left-to-right. */
-  private def bandSigExprs(planes: Array[Array[Double]], bands: Int, bits: Int,
-                           vecCol: String, duck: Boolean): Seq[String] =
+  /** DuckDB rendering of the band signatures: `bits` sign-bits of
+    * dot(v, plane) per band, planes as decimal literals (list_dot_product
+    * folds products left-to-right like the Spark side). */
+  private def bandSigExprsDuck(planes: Array[Array[Double]], bands: Int, bits: Int,
+                               vecCol: String): Seq[String] =
     (0 until bands).map { b =>
       (0 until bits).map { k =>
         val w = planes(b * bits + k).mkString(", ")
-        val dot =
-          if (duck) s"list_dot_product($vecCol, [$w])"
-          else s"aggregate(zip_with($vecCol, array($w), (x, w) -> x * w), 0d, (acc, t) -> acc + t)"
-        s"(CASE WHEN $dot > 0 THEN ${1 << k} ELSE 0 END)"
+        s"(CASE WHEN list_dot_product($vecCol, [$w]) > 0 THEN ${1 << k} ELSE 0 END)"
       }.mkString("(", " + ", ")")
+    }
+
+  /** Spark side of the same signatures. The planes are ONE nested-array
+    * `typedLit` and the dots one `transform` fold (same left-to-right
+    * product sum as `list_dot_product`): rendering them as inline SQL
+    * literals instead costs seconds of parse/analysis per query on a
+    * ~2000-literal expression tree. Returns (dotsColumn, perBandSig(dots)).
+    * Materialize dots with withColumn before deriving sigs so the 32-dot
+    * transform is evaluated once per row, not once per sign bit. */
+  private def bandDots(planes: Array[Array[Double]], vec: Column): Column = {
+    val planesLit = typedLit(planes.map(_.toSeq).toSeq)
+    transform(planesLit, p =>
+      aggregate(zip_with(vec, p, (x, w) => x * w), lit(0.0), (acc, t) => acc + t))
+  }
+
+  private def bandSigCols(dots: Column, bands: Int, bits: Int): Seq[Column] =
+    (0 until bands).map { b =>
+      (0 until bits).map { k =>
+        when(dots.getItem(b * bits + k) > 0, lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _)
     }
 
   // ------------------------------------- embedding near-dup pass (bucketed)
@@ -107,11 +122,10 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val normed = emb.withColumn("n",
       expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
-    val sigs = bandSigExprs(neardupPlanes, NeardupBands, NeardupBandBits, "v", duck = false)
-    val stackArgs = sigs.zipWithIndex
-      .map { case (s, b) => s"$b, CAST($s AS INT)" }.mkString(", ")
-    val bands = emb.select(col("vec_id"),
-      expr(s"stack($NeardupBands, $stackArgs) as (band, sig)"))
+    val sigCols = bandSigCols(col("dots"), NeardupBands, NeardupBandBits)
+    val bands = emb.withColumn("dots", bandDots(neardupPlanes, col("v")))
+      .select(col("vec_id"), posexplode(array(sigCols: _*)))
+      .toDF("vec_id", "band", "sig")
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -124,14 +138,17 @@ object Similarity {
         "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / (na * nb), 6)"))
       .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(20)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)))
+      // rank attaches to the ≤20 surviving rows; the constant partition key
+      // keeps WindowExec off its no-partition single-partition path
+      .withColumn("one", lit(1))
+      .withColumn("rk", row_number().over(Window.partitionBy("one")
+        .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)))
       .select("rk", "doc_a", "doc_b", "cosine")
       .orderBy("rk")
   }
 
   def embedNeardupSql: String = {
-    val sigs = bandSigExprs(neardupPlanes, NeardupBands, NeardupBandBits, "v", duck = true)
+    val sigs = bandSigExprsDuck(neardupPlanes, NeardupBands, NeardupBandBits, "v")
     val bandSelects = sigs.zipWithIndex.map { case (s, b) =>
       s"SELECT vec_id, $b AS band, CAST($s AS INT) AS sig FROM v"
     }.mkString(" UNION ALL ")
@@ -152,11 +169,11 @@ object Similarity {
     * sharing a signature land in one bucket; queries only score their
     * bucket. Not oracle-checked (bit width adapts to the data size);
     * covered by SimilaritySpec recall tests against [[annCosine]]. */
-  def lshBuckets(df: DataFrame, bits: Int = 8, seed: Long = 42L): DataFrame = {
-    val sig = bandSigExprs(hyperplanes(bits, seed), 1, bits, "v", duck = false).head
+  def lshBuckets(df: DataFrame, bits: Int = 8, seed: Long = 42L): DataFrame =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", expr(s"CAST($sig AS BIGINT)"))
-  }
+      .withColumn("dots", bandDots(hyperplanes(bits, seed), col("v")))
+      .withColumn("bucket", bandSigCols(col("dots"), 1, bits).head.cast("bigint"))
+      .drop("dots")
 
   /** Signature width for n vectors targeting ~`targetBucket` vectors per
     * bucket: in-bucket work stays bounded as the corpus grows (10⁹ vectors →
