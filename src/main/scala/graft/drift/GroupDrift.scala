@@ -243,8 +243,10 @@ object GroupDrift {
     "SELECT r.category, r.n AS ref_n, r.nulls AS ref_nulls, c.n AS curr_n, c.nulls AS curr_nulls FROM " +
       s"(SELECT CAST(${sp.dim} AS VARCHAR) AS category, COUNT(*) AS n, " +
       s"SUM(CASE WHEN $m IS NULL THEN 1 ELSE 0 END) AS nulls FROM ${sp.tableName} WHERE ${sp.refSql} GROUP BY 1) r " +
+      // COALESCE so NULL-predicate rows land on curr, matching withSide
       s"JOIN (SELECT CAST(${sp.dim} AS VARCHAR) AS category, COUNT(*) AS n, " +
-      s"SUM(CASE WHEN $m IS NULL THEN 1 ELSE 0 END) AS nulls FROM ${sp.tableName} WHERE NOT (${sp.refSql}) GROUP BY 1) c " +
+      s"SUM(CASE WHEN $m IS NULL THEN 1 ELSE 0 END) AS nulls FROM ${sp.tableName} " +
+      s"WHERE NOT COALESCE(${sp.refSql}, FALSE) GROUP BY 1) c " +
       "ON r.category = c.category"
 
   private val verdictAggs: Seq[String] = Seq(

@@ -181,7 +181,160 @@ object SchemaOps {
       "(ABS(c.null_ratio - r.null_ratio) > 0.1) AS null_drift, " +
       "(ABS(c.empty_ratio - r.empty_ratio) > 0.1) AS empty_drift, " +
       s"(ABS(${relDiffSql("r.avg_size", "c.avg_size")}) > 0.2) AS size_drift " +
-      s"FROM (${sideAgg(splits.lineitemRefSql)}) r, (${sideAgg(s"NOT (${splits.lineitemRefSql})")}) c"
+      // NOT COALESCE(pred, FALSE), not NOT(pred): rows whose split column is
+      // NULL land on the curr side in Spark's withSide otherwise-branch, and
+      // a bare NOT(pred) would drop them in DuckDB (NOT NULL is NULL)
+      s"FROM (${sideAgg(splits.lineitemRefSql)}) r, " +
+      s"(${sideAgg(s"NOT COALESCE(${splits.lineitemRefSql}, FALSE)")}) c"
+  }
+
+  // ------------------------------------------- O8 struct content drift
+
+  /** O8 struct-field null drift over a side-tagged frame, any struct column
+    * (/root/reference/schema_analyzer.py:156-223). One aggregation computes
+    * the column-level null ratio and every dotted field's null ratio; the
+    * field denominator is total − struct_nulls while the numerator counts
+    * field-null rows INCLUDING struct-null rows — a reference quirk
+    * preserved deliberately. Deviation (like z_outliers): every field is
+    * emitted with a `significant` flag instead of silently dropping
+    * sub-threshold fields. */
+  def structDriftForFrames(tagged: DataFrame, column: String,
+      threshold: Double = 0.1): DataFrame = {
+    val fields = tagged.schema(column).dataType.asInstanceOf[StructType].fields.map(_.name).toSeq
+    val aggs = Seq(
+      count(lit(1)).as("total"),
+      sum(when(col(column).isNull, 1L).otherwise(0L)).as("col_null")) ++
+      fields.map(f => sum(when(col(column).getField(f).isNull, 1L).otherwise(0L)).as(s"${f}__null"))
+    val statNames = Seq("total", "col_null") ++ fields.map(f => s"${f}__null")
+    val pivAggs = statNames.flatMap { c => Seq(
+      max(when(col("side") === "ref", col(c))).as(s"ref_$c"),
+      max(when(col("side") === "curr", col(c))).as(s"curr_$c")) }
+    val piv = tagged.groupBy("side").agg(aggs.head, aggs.tail: _*)
+      .groupBy().agg(pivAggs.head, pivAggs.tail: _*)
+    val colRow = "CAST(NULL AS STRING), ref_col_null * 1e0 / ref_total, curr_col_null * 1e0 / curr_total"
+    val fieldRows = fields.map { f =>
+      s"'$f', CASE WHEN ref_total - ref_col_null > 0 THEN ref_${f}__null * 1e0 / (ref_total - ref_col_null) ELSE 0e0 END, " +
+        s"CASE WHEN curr_total - curr_col_null > 0 THEN curr_${f}__null * 1e0 / (curr_total - curr_col_null) ELSE 0e0 END"
+    }
+    piv.select(expr(s"stack(${fields.size + 1}, $colRow, ${fieldRows.mkString(", ")}) as " +
+        "(field, ref_null_ratio, curr_null_ratio)"))
+      .select(lit(column).as("struct_column"), col("field"),
+        r6(col("ref_null_ratio")).as("ref_null_ratio"),
+        r6(col("curr_null_ratio")).as("curr_null_ratio"),
+        r6(abs(col("curr_null_ratio") - col("ref_null_ratio"))).as("null_ratio_change"),
+        (abs(col("curr_null_ratio") - col("ref_null_ratio")) >= threshold).as("significant"))
+  }
+
+  /** struct_drift query: a struct column synthesized from `orders` (the
+    * driver tables have no nested columns) with deterministic struct-level
+    * and field-level nulls, so both drift denominators are exercised. */
+  def structDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = withSide(table(spark, dir, "orders"), splits.ordersRef)
+      .withColumn("order_info", when(col("o_orderkey") % 19 === 0, lit(null)).otherwise(
+        struct(col("o_orderstatus").as("status"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")).as("price"))))
+    structDriftForFrames(tagged, "order_info").orderBy("field")
+  }
+
+  val structDriftSql: String = {
+    val ref = splits.ordersRefSql
+    "WITH t AS (SELECT CASE WHEN " + ref + " THEN 'ref' ELSE 'curr' END AS side, " +
+      "CASE WHEN o_orderkey % 19 = 0 THEN NULL ELSE struct_pack(status := o_orderstatus, " +
+      "price := CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END) END AS s FROM orders), " +
+      "w AS (SELECT side, COUNT(*) AS total, SUM(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS col_null, " +
+      "SUM(CASE WHEN s.status IS NULL THEN 1 ELSE 0 END) AS status__null, " +
+      "SUM(CASE WHEN s.price IS NULL THEN 1 ELSE 0 END) AS price__null FROM t GROUP BY 1), " +
+      "piv AS (SELECT MAX(CASE WHEN side = 'ref' THEN total END) AS ref_total, " +
+      "MAX(CASE WHEN side = 'curr' THEN total END) AS curr_total, " +
+      "MAX(CASE WHEN side = 'ref' THEN col_null END) AS ref_col_null, " +
+      "MAX(CASE WHEN side = 'curr' THEN col_null END) AS curr_col_null, " +
+      "MAX(CASE WHEN side = 'ref' THEN status__null END) AS ref_status__null, " +
+      "MAX(CASE WHEN side = 'curr' THEN status__null END) AS curr_status__null, " +
+      "MAX(CASE WHEN side = 'ref' THEN price__null END) AS ref_price__null, " +
+      "MAX(CASE WHEN side = 'curr' THEN price__null END) AS curr_price__null FROM w), " +
+      "rows_ AS (SELECT CAST(NULL AS VARCHAR) AS field, ref_col_null * 1e0 / ref_total AS r, " +
+      "curr_col_null * 1e0 / curr_total AS c FROM piv " +
+      "UNION ALL SELECT 'status', CASE WHEN ref_total - ref_col_null > 0 THEN ref_status__null * 1e0 / (ref_total - ref_col_null) ELSE 0e0 END, " +
+      "CASE WHEN curr_total - curr_col_null > 0 THEN curr_status__null * 1e0 / (curr_total - curr_col_null) ELSE 0e0 END FROM piv " +
+      "UNION ALL SELECT 'price', CASE WHEN ref_total - ref_col_null > 0 THEN ref_price__null * 1e0 / (ref_total - ref_col_null) ELSE 0e0 END, " +
+      "CASE WHEN curr_total - curr_col_null > 0 THEN curr_price__null * 1e0 / (curr_total - curr_col_null) ELSE 0e0 END FROM piv) " +
+      "SELECT 'order_info' AS struct_column, field, ROUND(r, 6) AS ref_null_ratio, " +
+      "ROUND(c, 6) AS curr_null_ratio, ROUND(ABS(c - r), 6) AS null_ratio_change, " +
+      "(ABS(c - r) >= 0.1) AS significant FROM rows_ ORDER BY field"
+  }
+
+  // ------------------------------------------- O9 map content drift
+
+  /** O9 map-content drift over a side-tagged frame
+    * (/root/reference/schema_analyzer.py:286-345): null ratio over all rows,
+    * empty ratio and avg size over non-null rows, thresholds 0.1/0.1/0.2.
+    * The size-change ratio uses the reference's own formula
+    * (|curr−ref|/ref, 0 when ref=0). */
+  def mapDriftForFrames(tagged: DataFrame, column: String): DataFrame = {
+    val stats = tagged.groupBy("side").agg(
+      count(lit(1)).as("total"),
+      sum(when(col(column).isNull, 1L).otherwise(0L)).as("nulls"),
+      sum(when(col(column).isNotNull && size(col(column)) === 0, 1L).otherwise(0L)).as("empties"),
+      sum(when(col(column).isNotNull, size(col(column)).cast("long")).otherwise(0L)).as("size_sum"))
+    def side(s: String) = stats.filter(col("side") === s).select(
+      col("total").as(s"${s}_n"),
+      (col("nulls") * 1e0 / col("total")).as(s"${s}_null_ratio"),
+      when(col("total") - col("nulls") > 0, col("empties") * 1e0 / (col("total") - col("nulls")))
+        .otherwise(0.0).as(s"${s}_empty_ratio"),
+      when(col("total") - col("nulls") > 0, col("size_sum") * 1e0 / (col("total") - col("nulls")))
+        .otherwise(0.0).as(s"${s}_avg_size"))
+    side("ref").crossJoin(side("curr"))
+      .selectExpr(
+        s"'$column' AS map_column",
+        "ref_n", "curr_n",
+        "ROUND(ref_null_ratio, 6) AS ref_null_ratio", "ROUND(curr_null_ratio, 6) AS curr_null_ratio",
+        "ROUND(ref_empty_ratio, 6) AS ref_empty_ratio", "ROUND(curr_empty_ratio, 6) AS curr_empty_ratio",
+        "ROUND(ref_avg_size, 6) AS ref_avg_size", "ROUND(curr_avg_size, 6) AS curr_avg_size",
+        "(ABS(curr_null_ratio - ref_null_ratio) >= 0.1) AS null_drift",
+        "(ABS(curr_empty_ratio - ref_empty_ratio) >= 0.1) AS empty_drift",
+        "((CASE WHEN ref_avg_size > 0 THEN ABS(curr_avg_size - ref_avg_size) / ref_avg_size ELSE 0e0 END) >= 0.2) AS size_drift")
+  }
+
+  /** map_drift query: a map column synthesized from `lineitem` with
+    * deterministic nulls, empty maps and varying cardinality. */
+  def mapDriftQuery(spark: SparkSession, dir: String): DataFrame = {
+    val small = map(lit("returnflag"), col("l_returnflag"), lit("linestatus"), col("l_linestatus"))
+    val big = map(lit("returnflag"), col("l_returnflag"), lit("linestatus"), col("l_linestatus"),
+      lit("linenumber"), col("l_linenumber").cast("string"))
+    val tagged = withSide(table(spark, dir, "lineitem"), splits.lineitemRef)
+      .withColumn("attrs",
+        when(col("l_orderkey") % 23 === 0, lit(null))
+          .when(col("l_orderkey") % 11 === 0, typedLit(Map.empty[String, String]))
+          .when(col("l_linenumber") % 2 === 0, big)
+          .otherwise(small))
+    mapDriftForFrames(tagged, "attrs")
+  }
+
+  val mapDriftSql: String = {
+    def sideAgg(pred: String) =
+      "SELECT COUNT(*) AS total, SUM(CASE WHEN m IS NULL THEN 1 ELSE 0 END) AS nulls, " +
+        "SUM(CASE WHEN m IS NOT NULL AND cardinality(m) = 0 THEN 1 ELSE 0 END) AS empties, " +
+        "SUM(CASE WHEN m IS NOT NULL THEN cardinality(m) ELSE 0 END) AS size_sum FROM " +
+        "(SELECT CASE WHEN l_orderkey % 23 = 0 THEN NULL " +
+        "WHEN l_orderkey % 11 = 0 THEN MAP([],[])::MAP(VARCHAR, VARCHAR) " +
+        "WHEN l_linenumber % 2 = 0 THEN MAP(['returnflag','linestatus','linenumber'], [l_returnflag, l_linestatus, CAST(l_linenumber AS VARCHAR)]) " +
+        "ELSE MAP(['returnflag','linestatus'], [l_returnflag, l_linestatus]) END AS m " +
+        s"FROM lineitem WHERE $pred) t"
+    def ratios(a: String, p: String) = Seq(
+      s"$a.nulls * 1e0 / $a.total AS ${p}_null_ratio",
+      s"CASE WHEN $a.total - $a.nulls > 0 THEN $a.empties * 1e0 / ($a.total - $a.nulls) ELSE 0e0 END AS ${p}_empty_ratio",
+      s"CASE WHEN $a.total - $a.nulls > 0 THEN $a.size_sum * 1e0 / ($a.total - $a.nulls) ELSE 0e0 END AS ${p}_avg_size")
+    "SELECT 'attrs' AS map_column, ref_n, curr_n, " +
+      "ROUND(ref_null_ratio, 6) AS ref_null_ratio, ROUND(curr_null_ratio, 6) AS curr_null_ratio, " +
+      "ROUND(ref_empty_ratio, 6) AS ref_empty_ratio, ROUND(curr_empty_ratio, 6) AS curr_empty_ratio, " +
+      "ROUND(ref_avg_size, 6) AS ref_avg_size, ROUND(curr_avg_size, 6) AS curr_avg_size, " +
+      "(ABS(curr_null_ratio - ref_null_ratio) >= 0.1) AS null_drift, " +
+      "(ABS(curr_empty_ratio - ref_empty_ratio) >= 0.1) AS empty_drift, " +
+      "((CASE WHEN ref_avg_size > 0 THEN ABS(curr_avg_size - ref_avg_size) / ref_avg_size ELSE 0e0 END) >= 0.2) AS size_drift FROM " +
+      s"(SELECT r.total AS ref_n, c.total AS curr_n, ${ratios("r", "ref").mkString(", ")}, " +
+      s"${ratios("c", "curr").mkString(", ")} FROM (${sideAgg(splits.lineitemRefSql)}) r, " +
+      s"(${sideAgg(s"NOT COALESCE(${splits.lineitemRefSql}, FALSE)")}) c) z"
   }
 
   // ----------------------------------------------------------------- API
@@ -189,12 +342,16 @@ object SchemaOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "schema_diff" -> ((s, d) => schemaDiffQuery(s, d)),
     "array_drift" -> ((s, d) => arrayDriftQuery(s, d)),
+    "struct_drift" -> ((s, d) => structDriftQuery(s, d)),
+    "map_drift" -> ((s, d) => mapDriftQuery(s, d)),
     "type_inference" -> ((s, d) => TypeInference.typeInferenceQuery(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "schema_diff" -> schemaDiffSql,
     "array_drift" -> arrayDriftSql,
+    "struct_drift" -> structDriftSql,
+    "map_drift" -> mapDriftSql,
     "type_inference" -> TypeInference.typeInferenceSql,
   )
 }
