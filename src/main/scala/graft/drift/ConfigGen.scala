@@ -46,6 +46,9 @@ object ConfigGen {
     }.mkString("{", ", ", "}")
     s"""{"table_path": ${jstr(tablePath)}, "reference_version": $refVersion, """ +
       s""""current_version": $currVersion, "profile": ${jstr(profile)}, """ +
+      s""""analyze_distributions": true, "analyze_correlations": true, """ +
+      s""""analyze_groups": true, "analyze_feature_importance": false, """ +
+      s""""target_column": null, """ +
       s""""sample_size": 100000, "include_columns": [], "exclude_columns": [], """ +
       s""""group_columns": [], "custom_column_types": {}, "thresholds": $thr}"""
   }

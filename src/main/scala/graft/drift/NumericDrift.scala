@@ -559,7 +559,11 @@ object NumericDrift {
         .select(col("side"), col("x"), col("lo"),
           ((col("hi") - col("lo")) / 10.0).as("w"))
         .where(col("x").isNotNull)
-        .select(col("side"), least(floor((col("x") - col("lo")) / col("w")), lit(9)).cast("int").as("bin"),
+        // w=0 (constant column) → bin 0 in BOTH engines: Spark's x/0 is
+        // NaN→null while DuckDB's FLOOR(inf) clamps to 9 via LEAST
+        .select(col("side"),
+          when(col("w") === 0.0, lit(0))
+            .otherwise(least(floor((col("x") - col("lo")) / col("w")), lit(9))).cast("int").as("bin"),
           col("lo"), col("w"))
         .groupBy("bin")
         .agg(first("lo").as("lo"), first("w").as("w"),
@@ -575,10 +579,11 @@ object NumericDrift {
 
   def histogramSql: String =
     histCols.map { case (t, c, _, refSql) =>
+      val bin = s"CASE WHEN b.w = 0 THEN 0 ELSE LEAST(FLOOR(($c - b.lo) / b.w), 9) END"
       s"SELECT '$t' AS table_name, '$c' AS column_name, " +
-        s"LEAST(FLOOR(($c - b.lo) / b.w), 9)::INT AS bin, " +
-        s"ROUND(b.lo + LEAST(FLOOR(($c - b.lo) / b.w), 9) * b.w, 6) AS bin_lo, " +
-        s"ROUND(b.lo + (LEAST(FLOOR(($c - b.lo) / b.w), 9) + 1) * b.w, 6) AS bin_hi, " +
+        s"($bin)::INT AS bin, " +
+        s"ROUND(b.lo + ($bin) * b.w, 6) AS bin_lo, " +
+        s"ROUND(b.lo + (($bin) + 1) * b.w, 6) AS bin_hi, " +
         s"SUM(CASE WHEN $refSql THEN 1 ELSE 0 END)::BIGINT AS ref_cnt, " +
         s"SUM(CASE WHEN $refSql THEN 0 ELSE 1 END)::BIGINT AS curr_cnt " +
         s"FROM $t, (SELECT MIN($c)::DOUBLE AS lo, (MAX($c)::DOUBLE - MIN($c)::DOUBLE) / 10.0 AS w FROM $t) b " +

@@ -60,6 +60,23 @@ trait SnapshotSource {
   def latestVersion(spark: SparkSession): Long
 }
 
+/** Delta Lake time-travel source — the reference's only ingestion path
+  * (/root/reference/data_loader.py:24 `versionAsOf`; :56-59
+  * `DESCRIBE HISTORY` for the latest version). Uses only the generic
+  * DataFrameReader/SQL surface, so it compiles without Delta jars; at
+  * runtime it needs `delta-spark` on the classpath and the Delta
+  * SparkSessionExtensions (both absent in this zero-egress environment —
+  * the resolution attempt and exact failure are recorded in README.md).
+  * DeltaSourceSpec asserts the graceful failure path here and the code
+  * path is exercised for real on any Delta-enabled deployment. */
+class DeltaSource(path: String) extends SnapshotSource {
+  def load(spark: SparkSession, version: Long): DataFrame =
+    spark.read.format("delta").option("versionAsOf", version).load(path)
+  def latestVersion(spark: SparkSession): Long =
+    spark.sql(s"DESCRIBE HISTORY delta.`$path`")
+      .agg(org.apache.spark.sql.functions.max("version")).collect()(0).getLong(0)
+}
+
 /** One parquet directory per version: `<root>/v<N>/`. */
 class ParquetDirSource(root: String) extends SnapshotSource {
   def load(spark: SparkSession, version: Long): DataFrame = {
@@ -122,6 +139,23 @@ case class DriftReport(
   * aggregation jobs (SURVEY.md §4.2 rewrites), never per-column job storms. */
 class DriftDetector(spark: SparkSession) {
 
+  /** Config-file entry point, the reference's
+    * `run_data_drift_detection(config_path)` shape
+    * (data_drift_detector.py:423-435): load both snapshot versions from the
+    * configured table path, run the analyzers, optionally persist flat
+    * results to the configured output table. */
+  def detectDrift(configPath: String): DriftReport =
+    detectDrift(ConfigReader.readFile(configPath))
+
+  def detectDrift(run: ConfigReader.DriftRun): DriftReport = {
+    val source = new ParquetDirSource(run.tablePath)
+    val ref = source.load(spark, run.refVersion)
+    val curr = source.load(spark, run.currVersion)
+    val report = detectDrift(ref, curr, run.config)
+    run.outputTable.foreach(out => Results.writeResults(spark, report, out))
+    report
+  }
+
   def detectDrift(refIn: DataFrame, currIn: DataFrame,
       config: DriftConfig = DriftConfig()): DriftReport = {
     val t0 = System.nanoTime()
@@ -174,8 +208,16 @@ class DriftDetector(spark: SparkSession) {
     // policy (never fail the whole run; SURVEY.md §4.1)
     val empty = spark.emptyDataFrame
     val errors = scala.collection.mutable.Buffer[String]()
+    // cache+count forces the (per-column/category-sized, tiny) family result
+    // HERE: Spark plans are lazy, so without it a runtime failure would
+    // surface at the caller's first action and abort the whole report,
+    // violating the never-fail-the-run policy below
     def safe(family: String)(body: => DataFrame): DataFrame =
-      try body catch {
+      try {
+        val df = body.cache()
+        df.count()
+        df
+      } catch {
         case scala.util.control.NonFatal(e) =>
           errors += s"$family: ${e.getMessage}"; empty
       }
@@ -223,7 +265,10 @@ class DriftDetector(spark: SparkSession) {
     val numDriftCols = numeric.filter(_.driftDetected).map(_.column)
     val catDriftCols = categorical.filter(_.driftDetected).map(_.column)
     val corrShifts = if (corr.columns.contains("significant_shift"))
-      corr.filter(col("significant_shift")).count().toInt else 0
+      try corr.filter(col("significant_shift")).count().toInt
+      catch { case scala.util.control.NonFatal(e) =>
+        errors += s"corr_shift_count: ${e.getMessage}"; 0 }
+    else 0
     val driftCount = numDriftCols.size + catDriftCols.size + corrShifts
     val severity = if (driftCount > 10) "high" else if (driftCount > 5) "medium" else "low"
     val assessment = (severity match {

@@ -22,8 +22,16 @@ object Results {
     * metrics JSON). */
   def flatResults(spark: SparkSession, report: DriftReport): DataFrame = {
     import spark.implicits._
+    // non-finite doubles (possible for rel-diffs/stddev on degenerate
+    // columns) serialize as null — bare NaN/Infinity is invalid JSON
     def j(kv: (String, Any)*): String =
-      kv.map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+      kv.map { case (k, v) =>
+        val jv = v match {
+          case d: Double if d.isNaN || d.isInfinite => "null"
+          case other => other.toString
+        }
+        s""""$k": $jv"""
+      }.mkString("{", ", ", "}")
     val num = report.numeric.map { n =>
       (n.column, "numerical", "all", n.driftScore,
         j("mean_ref" -> n.refMean, "mean_curr" -> n.currMean,

@@ -79,6 +79,48 @@ object Dedup {
       "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
       s"WHERE ROUND(i * 1e0 / (sa.n + sb.n - i), 6) >= $JaccardThreshold ORDER BY doc_a, doc_b"
 
+  /** Corpus fraction above which a shingle is "hot" and excluded from the
+    * capped variant's shingle universe. */
+  val MaxShingleDocFrac = 0.2
+
+  /** [[ngramJaccard]] with a doc-frequency ceiling: shingles occurring in
+    * more than [[MaxShingleDocFrac]] of documents (stopword-like trigrams)
+    * are dropped from the universe BEFORE the shingle-keyed join, and the
+    * Jaccard is exact over the remaining sets. At scale hot shingles are
+    * the join's skew bombs — each contributes O(df²) candidate pairs — so
+    * the cap bounds per-key fan-out while near-dup pairs (which share many
+    * rare shingles) keep their high scores. */
+  def ngramJaccardCapped(spark: SparkSession, dir: String,
+      maxDfFrac: Double = MaxShingleDocFrac): DataFrame = {
+    val nDocs = table(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val dfreq = shingles(spark, dir).groupBy("sh").agg(count(lit(1)).as("df"))
+    val keepSh = dfreq.crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs") * maxDfFrac).select("sh")
+    val tri = shingles(spark, dir).join(keepSh, "sh").cache()
+    val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tri.as("a").join(tri.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .selectExpr("doc_a", "doc_b", "ROUND(i * 1e0 / (na + nb - i), 6) AS jaccard")
+      .filter(col("jaccard") >= JaccardThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def ngramJaccardCappedSql: String =
+    s"WITH tri0 AS ($shinglesSql), " +
+      s"hot AS (SELECT sh FROM tri0 GROUP BY sh HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * $MaxShingleDocFrac), " +
+      "tri AS (SELECT * FROM tri0 WHERE sh NOT IN (SELECT sh FROM hot)), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i FROM tri a " +
+      "JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, ROUND(i * 1e0 / (sa.n + sb.n - i), 6) AS jaccard " +
+      "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+      s"WHERE ROUND(i * 1e0 / (sa.n + sb.n - i), 6) >= $JaccardThreshold ORDER BY doc_a, doc_b"
+
   // ------------------------------------------------------ MinHash + LSH
 
   /** k=16 affine hashes mod a >2³² prime; coefficients from a fixed seed so
@@ -259,6 +301,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
+    "ngram_jaccard_capped" -> ((s, d) => ngramJaccardCapped(s, d)),
     "minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
   )
@@ -266,6 +309,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
     "ngram_jaccard" -> ngramJaccardSql,
+    "ngram_jaccard_capped" -> ngramJaccardCappedSql,
     "minhash_lsh" -> minhashLshSql,
     "simhash_pairs" -> simhashPairsSql,
   )

@@ -38,12 +38,17 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB decoder: deterministic pseudo-features from the payload bytes.
+  /** STUB decoder: deterministic pseudo-features from the payload.
     * A real implementation would decode image dimensions / audio duration
-    * here; the iterator shape (per-partition batch) is the real contract. */
+    * here; the iterator shape (per-partition batch) is the real contract.
+    * The checksum folds over UNICODE CODEPOINTS of the decoded text (not
+    * utf-8 bytes) so it matches the oracle's ascii(c) fold and
+    * TextAnalysis.fingerprints for non-ASCII payloads. */
   def stubDecode(records: Iterator[MediaRecord]): Iterator[MediaFeatures] =
     records.map { r =>
-      val sum = r.payload.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+      val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      var sum = 0L
+      text.codePoints().forEach(cp => sum = (sum * 31 + cp) % 1000000007L)
       MediaFeatures(r.media_id, r.mime, r.n_bytes,
         width = (sum % 1920).toInt, height = (sum % 1080).toInt, checksum = sum)
     }

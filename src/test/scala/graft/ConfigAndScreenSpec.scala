@@ -45,4 +45,61 @@ class ConfigAndScreenSpec extends SparkSpec {
     assert(DriftConfig("deep_dive").stdThreshold == 0.05)
     assert(DriftConfig("deep_dive").correlationThreshold == 0.6)
   }
+
+  test("config round-trip: generate -> load -> same run + thresholds (O42)") {
+    for (profile <- Seq("summary", "standard", "deep_dive")) {
+      val json = ConfigGen.sampleConfigJson("/data/tbl", 3, 7, profile)
+      val run = ConfigReader.read(json)
+      assert(run.tablePath == "/data/tbl" && run.refVersion == 3 && run.currVersion == 7)
+      assert(run.outputTable.isEmpty && run.config.targetColumn.isEmpty)
+      assert(run.config.profile == profile && run.config.sampleSize == 100000L)
+      // the thresholds the loaded config resolves must equal the threshold
+      // table the file carries for its profile (reference-default parity,
+      // config_generator.py:40-103)
+      val table = ConfigGen.profileThresholds(profile)
+      val c = run.config
+      assert(c.meanThreshold == table("numerical")("mean_threshold"))
+      assert(c.stdThreshold == table("numerical")("std_threshold"))
+      assert(c.numericNullThreshold == table("numerical")("null_threshold"))
+      assert(c.categoryThreshold == table("categorical")("category_threshold"))
+      assert(c.chiSquarePValue == table("categorical")("chi_square_pvalue"))
+      assert(c.correlationThreshold == table("correlation")("correlation_threshold"))
+      assert(c.correlationChangeThreshold == table("correlation")("correlation_change_threshold"))
+      assert(c.jsDistanceThreshold == table("correlation")("js_distance_threshold"))
+      assert(c.rareValueThreshold == table("correlation")("rare_value_threshold"))
+    }
+  }
+
+  test("config reader parses lists, maps and flags from the dialect") {
+    val json = """{"table_path": "/t", "reference_version": 1, "current_version": 2,
+      "profile": "standard", "include_columns": ["a", "b"], "exclude_columns": ["c"],
+      "group_columns": ["g"], "custom_column_types": {"a": "numerical", "g": "categorical"},
+      "target_column": "a", "sample_size": 5000, "analyze_groups": false,
+      "output_table": "/out",
+      "thresholds": {"standard": {"detect_rare_values": false, "analyze_distributions": true}}}"""
+    val run = ConfigReader.read(json)
+    assert(run.config.includeColumns == Seq("a", "b"))
+    assert(run.config.excludeColumns == Seq("c"))
+    assert(run.config.groupColumns == Seq("g"))
+    assert(run.config.customColumnTypes == Map("a" -> "numerical", "g" -> "categorical"))
+    assert(run.config.targetColumn.contains("a"))
+    assert(run.config.sampleSize == 5000L)
+    assert(!run.config.analyzeGroups && run.config.analyzeCorrelations)
+    assert(!run.config.detectRareEvents && run.config.analyzeDistributions)
+    assert(run.outputTable.contains("/out"))
+  }
+
+  test("detectDrift(configPath) runs end-to-end from a config file") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cfg").toString
+    SyntheticDrift.version(spark, 1, 500).write.mode("overwrite").parquet(s"$root/v0")
+    SyntheticDrift.version(spark, 3, 500).write.mode("overwrite").parquet(s"$root/v1")
+    val cfg = ConfigGen.sampleConfigJson(root, 0, 1)
+      .replace("\"output_table\": null, ", "")
+      .replace("\"sample_size\": 100000", "\"sample_size\": 0")
+    val cfgPath = s"$root/config.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(cfgPath), cfg)
+    val report = new DriftDetector(spark).detectDrift(cfgPath)
+    assert(report.schemaChanges.exists(_.changeType == "added")) // new_feature in v3
+    assert(report.driftDetected)
+  }
 }
