@@ -3,14 +3,23 @@ package graft.drift
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Flat result consolidation + run summary — reference O39/O40
+/** Flat result consolidation + run summaries — reference O39/O40
   * (/root/reference/result_handler.py, data_drift_detector.py).
   *
   * The flat result schema is `(column_name, column_type, dimension_id,
   * drift_score, drift_severity)` rows from every analyzer family
-  * (result_handler.py:14-21), and the summary is the severity histogram +
-  * average score (result_handler.py:75-120). Everything stays in-plan; the
-  * union of analyzer outputs is a cheap union of already-tiny aggregates.
+  * (result_handler.py:14-21), and the summaries are the severity histogram +
+  * average score (result_handler.py:75-120), the per-dimension summaries
+  * (result_handler.py:122-141), the top-dimensions-by-drift ranking
+  * (result_handler.py:143-167) and the top-5 drifted columns
+  * (result_handler.py:105-107). Everything stays in-plan; the union of
+  * analyzer outputs is a cheap union of already-tiny aggregates.
+  *
+  * The scoring DAG (numeric O13 + categorical O19) is the expensive part, so
+  * the flat frame is memoized per (session, dir) and Spark-cached: every
+  * summary in the family aggregates the SAME cached frame instead of
+  * re-executing the scoring pipelines (round-2 verdict: drift_summary was
+  * paying the whole DAG again on top of drift_results).
   */
 object Report {
 
@@ -33,6 +42,48 @@ object Report {
       s"drift_score, drift_severity FROM (${CategoricalDrift.categoricalDriftSql}) c " +
       "ORDER BY table_name, column_name"
 
+  // ------------------------------------------------- shared cached frames
+
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** [[driftResults]] memoized per (session, dir) and Spark-cached (the
+    * frame is column-count-sized, a few dozen rows). Every summary below
+    * consumes this, so one run of the scoring DAG feeds the whole report
+    * family. */
+  def driftResultsCached(spark: SparkSession, dir: String): DataFrame =
+    memo.computeIfAbsent((spark, dir), k => driftResults(k._1, k._2).cache())
+
+  private val dimMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Flat results EXTENDED with per-dimension-slice rows (main.py:129-141's
+    * dimensional analysis): one row per eligible (dimension, category) group
+    * with `dimension_id = '<dim>=<category>'` and the O33 group verdict
+    * score. This is the frame the reference's dimensional summaries run
+    * over. Memoized+cached like [[driftResultsCached]]. */
+  def dimensionalResults(spark: SparkSession, dir: String): DataFrame =
+    dimMemo.computeIfAbsent((spark, dir), k => {
+      val groups = GroupDrift.groupDriftVerdict(k._1, k._2).selectExpr(
+        "table_name", "dimension AS column_name", "'group' AS column_type",
+        "CONCAT(dimension, '=', category) AS dimension_id",
+        "overall_drift_score AS drift_score",
+        s"${severitySql("overall_drift_score")} AS drift_severity")
+      driftResultsCached(k._1, k._2).union(groups).cache()
+    })
+
+  private def dimensionalResultsSql: String = {
+    val flat = driftResultsSql.stripSuffix(" ORDER BY table_name, column_name")
+    val groups = GroupDrift.groupDriftVerdictSql
+      .stripSuffix(" ORDER BY table_name, dimension, category")
+    s"$flat UNION ALL SELECT table_name, dimension AS column_name, " +
+      "'group' AS column_type, CONCAT(dimension, '=', category) AS dimension_id, " +
+      "overall_drift_score AS drift_score, " +
+      s"${severitySql("overall_drift_score")} AS drift_severity FROM ($groups) g"
+  }
+
+  // ------------------------------------------------- O39 get_drift_summary
+
   /** O39 get_drift_summary: severity histogram + average drift score. */
   private val summaryFinal: Seq[String] = Seq(
     "COUNT(*) AS total_columns_analyzed",
@@ -43,28 +94,93 @@ object Report {
     "SUM(CASE WHEN drift_severity = 'High' THEN 1 ELSE 0 END) AS n_high",
     "SUM(CASE WHEN drift_severity = 'Critical' THEN 1 ELSE 0 END) AS n_critical")
 
+  private val summaryCast: Seq[String] = Seq(
+    "total_columns_analyzed", "average_drift_score",
+    "CAST(n_none AS BIGINT) AS n_none", "CAST(n_low AS BIGINT) AS n_low",
+    "CAST(n_medium AS BIGINT) AS n_medium", "CAST(n_high AS BIGINT) AS n_high",
+    "CAST(n_critical AS BIGINT) AS n_critical")
+
   def driftSummary(spark: SparkSession, dir: String): DataFrame =
-    driftResults(spark, dir)
+    driftResultsCached(spark, dir)
       .agg(expr(summaryFinal.head), summaryFinal.tail.map(expr): _*)
-      .selectExpr("'all' AS dimension_id", "total_columns_analyzed", "average_drift_score",
-        "CAST(n_none AS BIGINT) AS n_none", "CAST(n_low AS BIGINT) AS n_low",
-        "CAST(n_medium AS BIGINT) AS n_medium", "CAST(n_high AS BIGINT) AS n_high",
-        "CAST(n_critical AS BIGINT) AS n_critical")
+      .selectExpr("'all' AS dimension_id" +: summaryCast: _*)
 
   def driftSummarySql: String =
-    s"SELECT dimension_id, total_columns_analyzed, average_drift_score, " +
-      "CAST(n_none AS BIGINT) AS n_none, CAST(n_low AS BIGINT) AS n_low, " +
-      "CAST(n_medium AS BIGINT) AS n_medium, CAST(n_high AS BIGINT) AS n_high, " +
-      "CAST(n_critical AS BIGINT) AS n_critical FROM " +
+    s"SELECT ${("dimension_id" +: summaryCast).mkString(", ")} FROM " +
       s"(SELECT 'all' AS dimension_id, ${summaryFinal.mkString(", ")} FROM (${driftResultsSql.stripSuffix(" ORDER BY table_name, column_name")}) r) s"
 
+  // ------------------------------------- O39 get_dimensional_summaries
+
+  /** Per-dimension summaries (result_handler.py:122-141): one
+    * severity-histogram row per distinct dimension_id, including 'all'. */
+  def dimensionalSummary(spark: SparkSession, dir: String): DataFrame =
+    dimensionalResults(spark, dir)
+      .groupBy("dimension_id")
+      .agg(expr(summaryFinal.head), summaryFinal.tail.map(expr): _*)
+      .selectExpr("dimension_id" +: summaryCast: _*)
+      .orderBy("dimension_id")
+
+  def dimensionalSummarySql: String =
+    s"SELECT ${("dimension_id" +: summaryCast).mkString(", ")} FROM " +
+      s"(SELECT dimension_id, ${summaryFinal.mkString(", ")} FROM ($dimensionalResultsSql) r " +
+      "GROUP BY dimension_id) s ORDER BY dimension_id"
+
+  // ------------------------------------- O39 get_top_dimensions_by_drift
+
+  /** Top-5 dimension slices by average drift (result_handler.py:143-167),
+    * 'all' excluded, severity of the average attached. Deviation: a
+    * deterministic tie-break on dimension_id (the reference sorts by score
+    * alone, which is nondeterministic under ties). */
+  def topDimensions(spark: SparkSession, dir: String): DataFrame =
+    dimensionalResults(spark, dir)
+      .filter(col("dimension_id") =!= "all")
+      .groupBy("dimension_id")
+      .agg(round(avg("drift_score"), 6).as("avg_drift_score"),
+        count(lit(1)).as("column_count"))
+      .selectExpr("dimension_id", "avg_drift_score",
+        "CAST(column_count AS BIGINT) AS column_count",
+        s"${severitySql("avg_drift_score")} AS severity")
+      .orderBy(col("avg_drift_score").desc, col("dimension_id").asc)
+      .limit(5)
+
+  def topDimensionsSql: String =
+    "SELECT dimension_id, avg_drift_score, column_count, " +
+      s"${severitySql("avg_drift_score")} AS severity FROM " +
+      "(SELECT dimension_id, ROUND(AVG(drift_score), 6) AS avg_drift_score, " +
+      s"COUNT(*)::BIGINT AS column_count FROM ($dimensionalResultsSql) r " +
+      "WHERE dimension_id <> 'all' GROUP BY dimension_id) s " +
+      "ORDER BY avg_drift_score DESC, dimension_id ASC LIMIT 5"
+
+  // ------------------------------------------- O39 top-5 drifted columns
+
+  /** Top-5 drifted columns (result_handler.py:105-107), deterministic
+    * tie-break on (column, table). */
+  def topDriftedColumns(spark: SparkSession, dir: String): DataFrame =
+    driftResultsCached(spark, dir)
+      .orderBy(col("drift_score").desc, col("column_name").asc, col("table_name").asc)
+      .limit(5)
+      .select("table_name", "column_name", "drift_score", "drift_severity")
+
+  def topDriftedColumnsSql: String =
+    "SELECT table_name, column_name, drift_score, drift_severity FROM " +
+      s"(${driftResultsSql.stripSuffix(" ORDER BY table_name, column_name")}) r " +
+      "ORDER BY drift_score DESC, column_name ASC, table_name ASC LIMIT 5"
+
+  // ----------------------------------------------------------------- API
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "drift_results" -> ((s, d) => driftResults(s, d)),
+    "drift_results" -> ((s, d) => driftResultsCached(s, d)),
     "drift_summary" -> ((s, d) => driftSummary(s, d)),
+    "dimensional_summary" -> ((s, d) => dimensionalSummary(s, d)),
+    "top_dimensions" -> ((s, d) => topDimensions(s, d)),
+    "top_drifted_columns" -> ((s, d) => topDriftedColumns(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "drift_results" -> driftResultsSql,
     "drift_summary" -> driftSummarySql,
+    "dimensional_summary" -> dimensionalSummarySql,
+    "top_dimensions" -> topDimensionsSql,
+    "top_drifted_columns" -> topDriftedColumnsSql,
   )
 }

@@ -55,7 +55,13 @@ object Dedup {
   val JaccardThreshold = 0.8
 
   /** Exact trigram-Jaccard near-dup pairs (J ≥ 0.8). The join is keyed on
-    * shingle — only documents sharing a shingle ever meet. */
+    * shingle — only documents sharing a shingle ever meet.
+    *
+    * SMALL-CORPUS VERIFICATION BASELINE ONLY: per-shingle fan-out is
+    * O(df²), so stopword-like trigrams make this a skew bomb at scale.
+    * The production dedup surface is [[ngramJaccardCapped]] (doc-frequency
+    * ceiling) or the banded paths ([[minhashLsh]], [[simhashPairs]]) —
+    * [[Dedup.dedupe]] defaults to the capped variant. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val tri = shingles(spark, dir).cache()
     val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -121,6 +127,13 @@ object Dedup {
       "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
       s"WHERE ROUND(i * 1e0 / (sa.n + sb.n - i), 6) >= $JaccardThreshold ORDER BY doc_a, doc_b"
 
+  /** Default near-duplicate surface. The capped variant is the one safe to
+    * run on an unbounded corpus (bounded per-key fan-out); the uncapped
+    * [[ngramJaccard]] exists to verify it on small fixtures. */
+  def dedupe(spark: SparkSession, dir: String,
+      maxDfFrac: Double = MaxShingleDocFrac): DataFrame =
+    ngramJaccardCapped(spark, dir, maxDfFrac)
+
   // ------------------------------------------------------ MinHash + LSH
 
   /** k=16 affine hashes mod a >2³² prime; coefficients from a fixed seed so
@@ -138,16 +151,9 @@ object Dedup {
   private val shingleCodeSpark = "CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT)"
   private val shingleCodeDuck = "CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT)"
 
-  /** Per-doc minhash signature: ONE groupBy(doc) with k MIN aggregates. */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
-      expr(s"MIN(($a * x + $b) % $MinhashPrime)").as(s"m$i")
-    }
-    shingles(spark, dir)
-      .select(col("doc_id"), expr(shingleCodeSpark).as("x"))
-      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
-  }
-
+  /** DuckDB mirror of the per-doc minhash signature (ONE groupBy(doc) with
+    * k MIN aggregates; the Spark side is inlined in [[minhashLsh]] so the
+    * cached shingle frame is shared). */
   private def signaturesSql: String = {
     val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * x + $b) % $MinhashPrime) AS m$i"
@@ -156,38 +162,48 @@ object Dedup {
   }
 
   /** LSH candidates: docs sharing ≥1 band signature, then exact-Jaccard
-    * verified. The candidate search is an equi-join on (band, signature). */
+    * verified. The candidate search is an equi-join on (band, signature),
+    * and — crucially for scale — the verification Jaccard is computed ONLY
+    * for candidate pairs: candidates are joined back onto the shingle table
+    * by doc id, so the intersection groupBy sees O(|cands| × shingles/doc)
+    * rows, never the O(Σ df²) all-co-shingled-pair stream LSH exists to
+    * prune. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // one cached shingle frame feeds signatures, sizes, and verification
+    // (1 row per (doc, shingle) — bounded by the corpus token count)
+    val tri = shingles(spark, dir).cache()
+    val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
+      expr(s"MIN(($a * x + $b) % $MinhashPrime)").as(s"m$i")
+    }
+    val sigs = tri
+      .select(col("doc_id"), expr(shingleCodeSpark).as("x"))
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
     val nBands = NumHashes / BandRows
     val bandRows = (0 until nBands).map { bIdx =>
       val sig = (0 until BandRows).map(r => s"m${bIdx * BandRows + r}").mkString("concat_ws(',', ", ", ", ")")
       s"$bIdx, $sig"
     }.mkString(", ")
-    val bands = signatures(spark, dir)
+    val bands = sigs
       .select(col("doc_id"), expr(s"stack($nBands, $bandRows) as (band, sig)"))
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-    val jac = ngramJaccardAll(spark, dir)
-    cands.join(jac, Seq("doc_a", "doc_b"), "left")
-      .selectExpr("doc_a", "doc_b", "n_shared_bands", "COALESCE(jaccard, 0.0) AS jaccard")
-      .orderBy("doc_a", "doc_b")
-  }
-
-  /** Jaccard for ALL co-shingled pairs (no threshold) — used to verify LSH
-    * candidates. */
-  private def ngramJaccardAll(spark: SparkSession, dir: String): DataFrame = {
-    val tri = shingles(spark, dir)
     val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    tri.as("a").join(tri.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
+    // candidate-restricted intersection: expand each candidate pair by
+    // doc_a's shingles, then equi-join doc_b's shingles on (doc_id, sh)
+    val inter = cands.select("doc_a", "doc_b")
+      .join(tri.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(tri.as("b"), col("doc_b") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+    cands
+      .join(inter, Seq("doc_a", "doc_b"), "left")
       .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .selectExpr("doc_a", "doc_b", "ROUND(i * 1e0 / (na + nb - i), 6) AS jaccard")
+      .selectExpr("doc_a", "doc_b", "n_shared_bands",
+        "COALESCE(ROUND(i * 1e0 / (na + nb - i), 6), 0.0) AS jaccard")
+      .orderBy("doc_a", "doc_b")
   }
 
   def minhashLshSql: String = {
@@ -201,12 +217,13 @@ object Dedup {
       "cands AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands " +
       "FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
       "sz AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1), " +
-      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i FROM tri a " +
-      "JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
-      "jac AS (SELECT doc_a, doc_b, ROUND(i * 1e0 / (sa.n + sb.n - i), 6) AS jaccard " +
-      "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b) " +
-      "SELECT c.doc_a, c.doc_b, c.n_shared_bands, COALESCE(j.jaccard, 0.0) AS jaccard " +
-      "FROM cands c LEFT JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b ORDER BY c.doc_a, c.doc_b"
+      "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i FROM cands c " +
+      "JOIN tri a ON a.doc_id = c.doc_a JOIN tri b ON b.doc_id = c.doc_b AND b.sh = a.sh GROUP BY 1, 2) " +
+      "SELECT c.doc_a, c.doc_b, c.n_shared_bands, " +
+      "COALESCE(ROUND(ix.i * 1e0 / (sa.n + sb.n - ix.i), 6), 0.0) AS jaccard " +
+      "FROM cands c LEFT JOIN inter ix ON ix.doc_a = c.doc_a AND ix.doc_b = c.doc_b " +
+      "JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b " +
+      "ORDER BY c.doc_a, c.doc_b"
   }
 
   // ------------------------------------------------------------- SimHash
