@@ -55,6 +55,17 @@ object CategoricalDrift {
       .groupBy("side", "value").agg(count(lit(1)).as("cnt"))
   }
 
+  /** All-column unpivoted per-side counts over any side-tagged frame (the
+    * pair-path analogue of [[sideCountsMulti]] — one scan for every column). */
+  private def sideCountsMultiFrom(tagged: DataFrame, cols: Seq[String],
+      nonNull: Boolean): DataFrame = {
+    val rows = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    val base = tagged.select(col("side"),
+      expr(s"stack(${cols.size}, $rows) as (column_name, value)"))
+    (if (nonNull) base.filter(col("value").isNotNull) else base)
+      .groupBy("side", "column_name", "value").agg(count(lit(1)).as("cnt"))
+  }
+
   private def sideCountsSql(sp: S.CatSplit, c: String, nonNull: Boolean): String = {
     val where = if (nonNull) s"WHERE $c IS NOT NULL " else ""
     s"SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, " +
@@ -364,6 +375,25 @@ object CategoricalDrift {
     per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
   }
 
+  /** Generic O22 full-support JS distance for an arbitrary snapshot pair
+    * (the nested report's categorical distribution module,
+    * /root/reference/distribution_analyzer.py:229-319). One unpivot scan for
+    * every column. */
+  def jsFullForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
+      label: String = "pair", threshold: Double = 0.1): DataFrame = {
+    val all = sideCountsMultiFrom(NumericDrift.tagPair(ref, curr, cols), cols, nonNull = false)
+    fullDistsMulti(all)
+      .groupBy("column_name")
+      .agg(expr(s"SQRT(($jsKlPm + $jsKlQm) / 2)").as("js_distance"),
+        sum(when(col("p").isNull, 1).otherwise(0)).as("new_values_count"),
+        sum(when(col("q").isNull, 1).otherwise(0)).as("disappeared_values_count"))
+      .select(lit(label).as("table_name"), col("column_name"),
+        r6(col("js_distance")).as("js_distance"),
+        (col("js_distance") > threshold).as("significant_change"),
+        col("new_values_count").cast("long"), col("disappeared_values_count").cast("long"))
+      .orderBy("column_name")
+  }
+
   /** O22 top increased/decreased values over the FULL support (frequencies
     * over all rows incl. nulls): top-5 each way per column
     * (/root/reference/distribution_analyzer.py:287-299). */
@@ -622,8 +652,11 @@ object CategoricalDrift {
     (S.categorical.find(_.tableName == "orders").get.copy(cols = Seq("o_custkey")), "o_custkey", 0.0005))
 
   /** Per-value frequencies over ALL rows (null group kept), pivoted. */
-  private def freqPivot(spark: SparkSession, dir: String, sp: S.CatSplit, c: String): DataFrame = {
-    val cnts = sideCounts(spark, dir, sp, c, nonNull = false)
+  private def freqPivot(spark: SparkSession, dir: String, sp: S.CatSplit, c: String): DataFrame =
+    freqPivotFromCounts(sideCounts(spark, dir, sp, c, nonNull = false))
+
+  /** Same pivot from any per-side counts frame (shared with the pair path). */
+  private def freqPivotFromCounts(cnts: DataFrame): DataFrame = {
     val totals = cnts.groupBy("side").agg(sum("cnt").as("n"))
     cnts.join(totals, "side")
       .groupBy("value").agg(
@@ -708,6 +741,28 @@ object CategoricalDrift {
         s"FROM (${freqPivotSql(sp, c)}) p) z WHERE change_type IS NOT NULL"
     }
     per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name, change_type, value")
+  }
+
+  /** Generic O23 per-value rare-value changes for an arbitrary snapshot pair
+    * (the nested report's rare-value module,
+    * /root/reference/distribution_analyzer.py:366-401). */
+  def rareValueChangesForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
+      label: String = "pair", thr: Double = 0.01): DataFrame = {
+    val per = cols.map { c =>
+      freqPivotFromCounts(
+          sideCountsFrom(NumericDrift.tagPair(ref, curr, Seq(c)), c, nonNull = false))
+        .selectExpr("value",
+          s"CASE WHEN curr_freq0 <= $thr AND NOT (ref_freq0 <= $thr) AND ref_freq0 IS NOT NULL THEN 'new_rare' " +
+            s"WHEN ref_freq0 <= $thr AND NOT (curr_freq0 <= $thr) AND curr_freq0 IS NOT NULL THEN 'disappeared_rare' END AS change_type",
+          "COALESCE(ref_freq0, 0) AS prev_freq", "COALESCE(curr_freq0, 0) AS curr_freq",
+          "COALESCE(ref_cnt0, 0) AS prev_count", "COALESCE(curr_cnt0, 0) AS curr_count")
+        .filter(col("change_type").isNotNull)
+        .select(lit(label).as("table_name"), lit(c).as("column_name"),
+          col("change_type"), col("value"),
+          r6(col("prev_freq")).as("prev_freq"), r6(col("curr_freq")).as("curr_freq"),
+          col("prev_count"), col("curr_count"))
+    }
+    per.reduce(_ union _).orderBy("table_name", "column_name", "change_type", "value")
   }
 
   /** O35 rare-category change detection (full port of

@@ -577,6 +577,38 @@ object NumericDrift {
     per.reduce(_ unionAll _).orderBy("table_name", "column_name", "bin")
   }
 
+  /** Generic O24 10-bin histogram for an arbitrary snapshot pair (the nested
+    * report's distribution summaries,
+    * /root/reference/distribution_analyzer.py:429-481): bins from the
+    * combined min/max so both sides share edges; one counting scan per
+    * column, bounds broadcast. */
+  def histogramForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
+      label: String = "pair"): DataFrame = {
+    val tagged = tagPair(ref, curr, cols)
+    val per = cols.map { c =>
+      val bounds = tagged.agg(
+        min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi"))
+      tagged.select(col("side"), col(c).cast("double").as("x"))
+        .crossJoin(broadcast(bounds))
+        .select(col("side"), col("x"), col("lo"),
+          ((col("hi") - col("lo")) / 10.0).as("w"))
+        .where(col("x").isNotNull)
+        .select(col("side"),
+          when(col("w") === 0.0, lit(0))
+            .otherwise(least(floor((col("x") - col("lo")) / col("w")), lit(9))).cast("int").as("bin"),
+          col("lo"), col("w"))
+        .groupBy("bin")
+        .agg(first("lo").as("lo"), first("w").as("w"),
+          sum(when(col("side") === "ref", 1L).otherwise(0L)).as("ref_cnt"),
+          sum(when(col("side") === "curr", 1L).otherwise(0L)).as("curr_cnt"))
+        .select(lit(label).as("table_name"), lit(c).as("column_name"), col("bin"),
+          r6(col("lo") + col("bin") * col("w")).as("bin_lo"),
+          r6(col("lo") + (col("bin") + 1) * col("w")).as("bin_hi"),
+          col("ref_cnt"), col("curr_cnt"))
+    }
+    per.reduce(_ unionAll _).orderBy("table_name", "column_name", "bin")
+  }
+
   def histogramSql: String =
     histCols.map { case (t, c, _, refSql) =>
       val bin = s"CASE WHEN b.w = 0 THEN 0 ELSE LEAST(FLOOR(($c - b.lo) / b.w), 9) END"

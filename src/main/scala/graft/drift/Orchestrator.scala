@@ -1,6 +1,6 @@
 package graft.drift
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** User-facing drift-detection API — reference O1–O3, O40, O42
@@ -24,7 +24,10 @@ case class DriftConfig(
     analyzeDistributions: Boolean = true,
     analyzeCorrelations: Boolean = true,
     analyzeGroups: Boolean = true,
-    detectRareEvents: Boolean = true) {
+    detectRareEvents: Boolean = true,
+    // distribution_analyzer.py:57 gen_distribution_summaries — histogram
+    // summaries are opt-in in the reference too (default False)
+    genDistributionSummaries: Boolean = false) {
 
   private def pick(summary: Double, standard: Double, deep: Double): Double =
     profile match {
@@ -122,6 +125,9 @@ case class DriftReport(
     categorical: Seq[CategoricalColumnDrift],
     quantileShifts: DataFrame,
     shapes: DataFrame,
+    jsFull: DataFrame,
+    rareValueChanges: DataFrame,
+    histograms: DataFrame,
     zOutliers: DataFrame,
     correlationChanges: DataFrame,
     rareCategories: DataFrame,
@@ -225,6 +231,19 @@ class DriftDetector(spark: SparkSession) {
       safe("quantile_shifts")(NumericDrift.quantileShiftsForPair(ref, curr, numericCols)) else empty
     val shapes = if (config.analyzeDistributions && numericCols.nonEmpty)
       safe("shapes")(NumericDrift.shapesForPair(ref, curr, numericCols)) else empty
+    // categorical half of the distribution module
+    // (data_drift_detector.py:117-143 → distribution_analyzer.py:10-81):
+    // full-support JS per categorical column, rare-value census, and the
+    // opt-in histogram summaries
+    val jsFull = if (config.analyzeDistributions && catCols.nonEmpty)
+      safe("js_full")(CategoricalDrift.jsFullForPair(ref, curr, catCols,
+        threshold = config.jsDistanceThreshold)) else empty
+    val rareValues = if (config.analyzeDistributions && config.detectRareEvents && catCols.nonEmpty)
+      safe("rare_value_changes")(CategoricalDrift.rareValueChangesForPair(ref, curr, catCols,
+        thr = config.rareValueThreshold)) else empty
+    val histograms = if (config.analyzeDistributions && config.genDistributionSummaries &&
+        numericCols.nonEmpty)
+      safe("histograms")(NumericDrift.histogramForPair(ref, curr, numericCols)) else empty
     val zOut = if (config.detectRareEvents && numericCols.nonEmpty)
       safe("z_outliers")(NumericDrift.zOutliersForPair(ref, curr, numericCols)) else empty
     // O29 screen: drop columns with non-null ratio < 0.7 in either frame
@@ -269,6 +288,18 @@ class DriftDetector(spark: SparkSession) {
       catch { case scala.util.control.NonFatal(e) =>
         errors += s"corr_shift_count: ${e.getMessage}"; 0 }
     else 0
+    // distribution drift flips the overall verdict but not the severity
+    // count, matching data_drift_detector.py:125-142
+    def safeCount(family: String)(df: DataFrame, pred: Column): Int =
+      try df.filter(pred).count().toInt
+      catch { case scala.util.control.NonFatal(e) =>
+        errors += s"$family: ${e.getMessage}"; 0 }
+    val numDistDrift = if (shapes.columns.contains("skew_change"))
+      safeCount("shape_drift_count")(shapes,
+        col("skew_change") =!= "none" || col("kurt_change") =!= "none") else 0
+    val catDistDrift = if (jsFull.columns.contains("significant_change"))
+      safeCount("js_full_count")(jsFull, col("significant_change")) else 0
+
     val driftCount = numDriftCols.size + catDriftCols.size + corrShifts
     val severity = if (driftCount > 10) "high" else if (driftCount > 5) "medium" else "low"
     val assessment = (severity match {
@@ -277,7 +308,8 @@ class DriftDetector(spark: SparkSession) {
       case _ => "Minor data drift detected in a few columns or metrics."
     }) + s" Severity: ${severity.toUpperCase}"
 
-    val driftDetected = numDriftCols.nonEmpty || catDriftCols.nonEmpty || corrShifts > 0
+    val driftDetected = numDriftCols.nonEmpty || catDriftCols.nonEmpty || corrShifts > 0 ||
+      numDistDrift > 0 || catDistDrift > 0
     def listOf(cols: Seq[String]) =
       cols.take(3).mkString(", ") + (if (cols.size > 3) "..." else "")
     val recommendations = Seq(
@@ -299,6 +331,7 @@ class DriftDetector(spark: SparkSession) {
     ).flatten
 
     DriftReport(schemaChanges, types, numeric, categorical, quantiles, shapes,
+      jsFull, rareValues, histograms,
       zOut, corr, rare, groups, groupCorr, featureImportance, errors.toSeq,
       driftDetected, assessment, recommendations, (System.nanoTime() - t0) / 1e9)
   }
