@@ -9,8 +9,6 @@ import org.apache.spark.sql.SparkSession
   * runs so the timed run re-executes the full plan (warm JIT + page cache,
   * cold Spark cache). */
 object Bench {
-  private val Tables = Seq("region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -23,10 +21,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => () }
-    }
+    // warm-touch every input: globbed from disk, not hardcoded, so a query
+    // over a future table can't silently break the determinism contract
+    Option(new java.io.File(sfDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+      .foreach { p =>
+        try spark.read.parquet(p).count()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()

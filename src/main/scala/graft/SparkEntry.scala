@@ -77,8 +77,18 @@ object SparkEntry {
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ Map[String, (SparkSession, String) => DataFrame](
       "numeric_stats" -> ((s, d) => NumericDrift.stats(s, d, approx = true)),
+      "numeric_drift" -> ((s, d) => NumericDrift.drift(s, d, approx = true)),
+      "numeric_drift_score" -> ((s, d) => NumericDrift.driftScore(s, d, approx = true)),
+      "quantile_shifts" -> ((s, d) => NumericDrift.quantileShifts(s, d, approx = true)),
       "group_numeric_metrics" -> ((s, d) => GroupDrift.groupNumericMetrics(s, d, approx = true)),
       "group_drift" -> ((s, d) => GroupDrift.groupDriftVerdict(s, d, approx = true)),
+      // the report family shares one memoized scoring DAG; at scale that DAG
+      // runs on the sketch percentiles too
+      "drift_results" -> ((s, d) => Report.driftResultsCached(s, d, approx = true)),
+      "drift_summary" -> ((s, d) => Report.driftSummary(s, d, approx = true)),
+      "dimensional_summary" -> ((s, d) => Report.dimensionalSummary(s, d, approx = true)),
+      "top_dimensions" -> ((s, d) => Report.topDimensions(s, d, approx = true)),
+      "top_drifted_columns" -> ((s, d) => Report.topDriftedColumns(s, d, approx = true)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

@@ -72,6 +72,77 @@ object AdaptiveThresholds {
     per.mkString("", " UNION ALL ", " ORDER BY table_name")
   }
 
+  // ---------------------------------------- O38 sample-size adjustment
+
+  /** Sample-size threshold factor (adaptive_threshold.py:523-556): smaller
+    * samples get looser thresholds (variance grows ∝ 1/√n). Identity (1.0)
+    * when not sampling (full_size == 0 or sample ≥ full); 2.0 below a 1%
+    * ratio; 0.5 at ≥ 50%; linear in √ratio between. The reference defines
+    * this as a standalone static utility and never calls it from the
+    * detector; here it is also wired into `DriftDetector.detectDrift`
+    * (threshold scaling when `sampleSize` actually truncates the frame). */
+  def sampleSizeFactor(sampleSize: Long, fullSize: Long,
+      minFactor: Double = 0.5, maxFactor: Double = 2.0): Double =
+    if (fullSize == 0L || sampleSize >= fullSize) 1.0
+    else {
+      val ratio = sampleSize.toDouble / fullSize
+      if (ratio <= 0.01) maxFactor
+      else if (ratio >= 0.5) minFactor
+      else minFactor + (maxFactor - minFactor) * (1.0 - math.sqrt(ratio / 0.5))
+    }
+
+  /** adjust_threshold_for_sample_size(threshold, sample, full). */
+  def adjustThresholdForSampleSize(threshold: Double, sampleSize: Long,
+      fullSize: Long): Double = threshold * sampleSizeFactor(sampleSize, fullSize)
+
+  /** SQL twin of [[sampleSizeFactor]] (shared by the Spark plan and the
+    * DuckDB oracle). */
+  def sampleFactorSql(sampleN: String, fullN: String): String =
+    s"CASE WHEN $fullN = 0 OR $sampleN >= $fullN THEN 1.0 " +
+      s"WHEN $sampleN * 1e0 / $fullN <= 0.01 THEN 2.0 " +
+      s"WHEN $sampleN * 1e0 / $fullN >= 0.5 THEN 0.5 " +
+      s"ELSE 0.5 + (2.0 - 0.5) * (1.0 - SQRT($sampleN * 1e0 / $fullN / 0.5)) END"
+
+  /** Cap applied by the `adaptive_sampled` query: small enough that the
+    * testdata tables land in different factor bands. */
+  val SampleCap = 5000L
+
+  private def sampledFinal(cf: Double): Seq[String] = {
+    val sf = sampleFactorSql(s"LEAST($SampleCap, ref_n)", "ref_n")
+    Seq("table_name", "ref_n",
+      s"CAST(LEAST($SampleCap, ref_n) AS BIGINT) AS sample_n",
+      s"ROUND(CAST(($sf) AS DOUBLE), 6) AS sample_factor",
+      s"ROUND(CAST($BaseNumerical * ($sizeFactorSql) * $cf * ($sf) AS DOUBLE), 6) AS sampled_numerical_threshold",
+      s"ROUND(CAST($BaseCategorical * ($sizeFactorSql) * $cf * ($sf) AS DOUBLE), 6) AS sampled_categorical_threshold")
+  }
+
+  /** Per-table thresholds under a `SampleCap`-row sampling budget: the
+    * global adjusted thresholds × the sample-size factor computed from the
+    * reference-frame row count. */
+  def sampledQuery(spark: SparkSession, dir: String): DataFrame = {
+    val per = tbls.map { t =>
+      withSide(table(spark, dir, t.name), t.ref)
+        .groupBy("side").agg(count(lit(1)).as("n"))
+        .groupBy().agg(
+          max(when(col("side") === "ref", col("n"))).as("ref_n"),
+          max(when(col("side") === "curr", col("n"))).as("curr_n"))
+        .select(lit(t.name).as("table_name"), col("ref_n"), col("curr_n"),
+          least(col("ref_n"), col("curr_n")).as("least_n"))
+        .selectExpr(sampledFinal(complexityFactor(t.nCols)): _*)
+    }
+    per.reduce(_ union _).orderBy("table_name")
+  }
+
+  def sampledSql: String = {
+    val per = tbls.map { t =>
+      s"SELECT ${sampledFinal(complexityFactor(t.nCols)).mkString(", ")} FROM " +
+        s"(SELECT '${t.name}' AS table_name, ref_n, curr_n, LEAST(ref_n, curr_n) AS least_n FROM " +
+        s"(SELECT SUM(CASE WHEN ${t.refSql} THEN 1 ELSE 0 END)::BIGINT AS ref_n, " +
+        s"SUM(CASE WHEN ${t.refSql} THEN 0 ELSE 1 END)::BIGINT AS curr_n FROM ${t.name}) c) z"
+    }
+    per.mkString("", " UNION ALL ", " ORDER BY table_name")
+  }
+
   // -------------------------------------------------- per-column thresholds
 
   /** Volatility (CV) bands for numeric columns (adaptive_threshold.py:
@@ -198,10 +269,12 @@ object AdaptiveThresholds {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "adaptive_global" -> ((s, d) => globalQuery(s, d)),
     "adaptive_columns" -> ((s, d) => columnQuery(s, d)),
+    "adaptive_sampled" -> ((s, d) => sampledQuery(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "adaptive_global" -> globalSql,
     "adaptive_columns" -> columnSql,
+    "adaptive_sampled" -> sampledSql,
   )
 }

@@ -35,14 +35,26 @@ object ConfigGen {
       "deep_dive" -> p(0.03, 0.05, 0.001, 0.01, 0.05, 0.6, 0.15, 0.05, 0.005))
   }
 
+  /** Per-profile module flags carried inside each threshold block, exactly
+    * as the reference emits them (config_generator.py:59-60 summary off;
+    * :80-81 standard distributions on / summaries off; :100-101 deep_dive
+    * all on; summary carries no gen_distribution_summaries key at all). */
+  val profileFlags: Map[String, Seq[(String, Boolean)]] = Map(
+    "summary" -> Seq("analyze_distributions" -> false, "detect_rare_values" -> false),
+    "standard" -> Seq("analyze_distributions" -> true, "detect_rare_values" -> true,
+      "gen_distribution_summaries" -> false),
+    "deep_dive" -> Seq("analyze_distributions" -> true, "detect_rare_values" -> true,
+      "gen_distribution_summaries" -> true))
+
   /** Default config JSON (generate_sample_config). */
   def sampleConfigJson(tablePath: String, refVersion: Long, currVersion: Long,
       profile: String = "standard"): String = {
     val thr = profileThresholds.map { case (prof, groups) =>
-      jstr(prof) + ": {" + groups.map { case (g, kv) =>
+      jstr(prof) + ": {" + (groups.map { case (g, kv) =>
         jstr(g) + ": {" + kv.toSeq.sortBy(_._1)
           .map { case (k, v) => s"${jstr(k)}: $v" }.mkString(", ") + "}"
-      }.mkString(", ") + "}"
+      }.toSeq ++ profileFlags(prof).map { case (k, v) => s"${jstr(k)}: $v" })
+        .mkString(", ") + "}"
     }.mkString("{", ", ", "}")
     s"""{"table_path": ${jstr(tablePath)}, "reference_version": $refVersion, """ +
       s""""current_version": $currVersion, "profile": ${jstr(profile)}, """ +

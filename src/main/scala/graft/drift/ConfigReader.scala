@@ -21,6 +21,7 @@ object ConfigReader {
     def strOpt: Option[String] = this match { case JStr(s) => Some(s); case _ => None }
     def numOr(d: Double): Double = this match { case JNum(n) => n; case _ => d }
     def boolOr(b: Boolean): Boolean = this match { case JBool(v) => v; case _ => b }
+    def boolOpt: Option[Boolean] = this match { case JBool(v) => Some(v); case _ => None }
     def items: Seq[JVal] = this match { case JArr(a) => a; case _ => Seq.empty }
     def fieldsOr: Map[String, JVal] = this match { case JObj(f) => f; case _ => Map.empty }
   }
@@ -150,11 +151,18 @@ object ConfigReader {
       groupColumns = root("group_columns").items.flatMap(_.strOpt),
       targetColumn = root("target_column").strOpt,
       sampleSize = root("sample_size").numOr(100000).toLong,
-      analyzeDistributions = root("analyze_distributions")
-        .boolOr(profThr("analyze_distributions").boolOr(true)),
       analyzeCorrelations = root("analyze_correlations").boolOr(true),
       analyzeGroups = root("analyze_groups").boolOr(true),
-      detectRareEvents = profThr("detect_rare_values").boolOr(true))
+      // per-profile threshold-block flags (absent → the profile's own
+      // default via DriftConfig's accessors). Effective reference semantics
+      // for distributions are two gates ANDed: the top-level flag skips the
+      // whole module (data_drift_detector.py:117) and the threshold-block
+      // flag skips both halves inside it (distribution_analyzer.py:42,65)
+      analyzeDistributionsFlag =
+        if (!root("analyze_distributions").boolOr(true)) Some(false)
+        else profThr("analyze_distributions").boolOpt,
+      detectRareEventsFlag = profThr("detect_rare_values").boolOpt,
+      genDistributionSummariesFlag = profThr("gen_distribution_summaries").boolOpt)
     DriftRun(
       tablePath = root("table_path").strOpt.getOrElse(""),
       refVersion = root("reference_version").numOr(0).toLong,

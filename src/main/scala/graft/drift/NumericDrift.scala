@@ -94,8 +94,9 @@ object NumericDrift {
   /** One-pass per-side stats for a split table, long format:
     * (table_name, column_name, side, n_total, n_nonnull, mean, std, vmin,
     * vmax, p25, p50, p75, p95, p99, p01, p05). */
-  private def sideStatsLong(spark: SparkSession, dir: String, sp: S.NumSplit): DataFrame =
-    sideStatsFrom(withSide(table(spark, dir, sp.tableName), sp.ref), sp.tableName, sp.cols)
+  private def sideStatsLong(spark: SparkSession, dir: String, sp: S.NumSplit,
+      approx: Boolean = false): DataFrame =
+    sideStatsFrom(withSide(table(spark, dir, sp.tableName), sp.ref), sp.tableName, sp.cols, approx)
 
   /** Same one-pass stats over any side-tagged frame (generic pair entry).
     * `approx=true` is the 100 TB path: `percentile_approx` (the reference's
@@ -297,8 +298,8 @@ object NumericDrift {
         s"${severitySql(s"$score")} AS drift_severity")
   }
 
-  def drift(spark: SparkSession, dir: String): DataFrame = {
-    val long = S.numeric.map(sideStatsLong(spark, dir, _)).reduce(_ unionAll _)
+  def drift(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+    val long = S.numeric.map(sideStatsLong(spark, dir, _, approx)).reduce(_ unionAll _)
     pivotSides(long)
       .selectExpr(driftStage1: _*)
       .selectExpr(driftStage2: _*)
@@ -409,10 +410,10 @@ object NumericDrift {
       names.map(n => s"ROUND($n, 6) AS $n")
   }
 
-  def driftScore(spark: SparkSession, dir: String): DataFrame = {
+  def driftScore(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     // cache the per-side stats: they feed both the score pivot and the
-    // outlier bounds, and exact percentiles are the expensive part
-    val longs = S.numeric.map(sp => sp -> sideStatsLong(spark, dir, sp).cache()).toMap
+    // outlier bounds, and the percentiles are the expensive part
+    val longs = S.numeric.map(sp => sp -> sideStatsLong(spark, dir, sp, approx).cache()).toMap
     val long = S.numeric.map(longs).reduce(_ unionAll _)
     val outs = S.numeric.map(sp => outlierCounts(spark, dir, sp, longs(sp))).reduce(_ unionAll _)
     def outSide(s: String) = outs.filter(col("side") === s).drop("side")
@@ -444,8 +445,8 @@ object NumericDrift {
 
   /** Per-quantile shifts with the distribution-analyzer zero rule
     * (/root/reference/distribution_analyzer.py:83-151). */
-  def quantileShifts(spark: SparkSession, dir: String): DataFrame = {
-    val long = S.numeric.map(sideStatsLong(spark, dir, _)).reduce(_ unionAll _)
+  def quantileShifts(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+    val long = S.numeric.map(sideStatsLong(spark, dir, _, approx)).reduce(_ unionAll _)
     val rows = shiftQs.map { case (q, c) =>
       s"'$q', ref_$c, curr_$c"
     }.mkString(", ")
@@ -579,32 +580,46 @@ object NumericDrift {
 
   /** Generic O24 10-bin histogram for an arbitrary snapshot pair (the nested
     * report's distribution summaries,
-    * /root/reference/distribution_analyzer.py:429-481): bins from the
-    * combined min/max so both sides share edges; one counting scan per
-    * column, bounds broadcast. */
+    * /root/reference/distribution_analyzer.py:429-481): one counting scan
+    * per column, bounds broadcast, full 0..9 bin spine emitted (zero-count
+    * bins included, matching the reference's RDD `histogram(10)` which also
+    * emits empty bins).
+    *
+    * Deviation: the reference bins each side independently with that side's
+    * own min/max (`distribution_analyzer.py:440-449`), so its ref/curr bin
+    * edges disagree whenever the ranges differ and the two histograms are
+    * not directly comparable. Here both sides share edges from the combined
+    * min/max — bin k means the same value range on both sides, which is
+    * what a drift comparison needs. Outputs differ from the reference
+    * whenever ref/curr ranges differ. */
   def histogramForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
       label: String = "pair"): DataFrame = {
     val tagged = tagPair(ref, curr, cols)
     val per = cols.map { c =>
       val bounds = tagged.agg(
         min(col(c)).cast("double").as("lo"), max(col(c)).cast("double").as("hi"))
-      tagged.select(col("side"), col(c).cast("double").as("x"))
+      val counts = tagged.select(col("side"), col(c).cast("double").as("x"))
         .crossJoin(broadcast(bounds))
         .select(col("side"), col("x"), col("lo"),
           ((col("hi") - col("lo")) / 10.0).as("w"))
         .where(col("x").isNotNull)
         .select(col("side"),
           when(col("w") === 0.0, lit(0))
-            .otherwise(least(floor((col("x") - col("lo")) / col("w")), lit(9))).cast("int").as("bin"),
-          col("lo"), col("w"))
+            .otherwise(least(floor((col("x") - col("lo")) / col("w")), lit(9))).cast("int").as("bin"))
         .groupBy("bin")
-        .agg(first("lo").as("lo"), first("w").as("w"),
+        .agg(
           sum(when(col("side") === "ref", 1L).otherwise(0L)).as("ref_cnt"),
           sum(when(col("side") === "curr", 1L).otherwise(0L)).as("curr_cnt"))
+      // all-10-bins spine (empty on an all-null column, like the RDD path)
+      val spine = bounds.where(col("lo").isNotNull)
+        .select(explode(sequence(lit(0), lit(9))).as("bin"),
+          col("lo"), ((col("hi") - col("lo")) / 10.0).as("w"))
+      spine.join(counts, Seq("bin"), "left")
         .select(lit(label).as("table_name"), lit(c).as("column_name"), col("bin"),
           r6(col("lo") + col("bin") * col("w")).as("bin_lo"),
           r6(col("lo") + (col("bin") + 1) * col("w")).as("bin_hi"),
-          col("ref_cnt"), col("curr_cnt"))
+          coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+          coalesce(col("curr_cnt"), lit(0L)).as("curr_cnt"))
     }
     per.reduce(_ unionAll _).orderBy("table_name", "column_name", "bin")
   }

@@ -21,13 +21,18 @@ case class DriftConfig(
     groupColumns: Seq[String] = Seq.empty,
     targetColumn: Option[String] = None,
     sampleSize: Long = 100000L,
-    analyzeDistributions: Boolean = true,
     analyzeCorrelations: Boolean = true,
     analyzeGroups: Boolean = true,
-    detectRareEvents: Boolean = true,
-    // distribution_analyzer.py:57 gen_distribution_summaries — histogram
-    // summaries are opt-in in the reference too (default False)
-    genDistributionSummaries: Boolean = false) {
+    // profile-driven module flags: None = the selected profile's own default
+    // (config_generator.py:59-60,80-81,100-101); Some(_) = explicit override
+    analyzeDistributionsFlag: Option[Boolean] = None,
+    detectRareEventsFlag: Option[Boolean] = None,
+    genDistributionSummariesFlag: Option[Boolean] = None,
+    // O38 sample-size adjustment (adaptive_threshold.py:523-556): >1 loosens
+    // every drift threshold when the analyzers run on a truncated sample.
+    // Set by DriftDetector.detectDrift via AdaptiveThresholds.sampleSizeFactor;
+    // strength cuts (correlationThreshold) and the chi² p-value are exempt.
+    thresholdScale: Double = 1.0) {
 
   private def pick(summary: Double, standard: Double, deep: Double): Double =
     profile match {
@@ -36,21 +41,42 @@ case class DriftConfig(
       case _ => standard
     }
 
-  // numerical thresholds (config_generator.py:40-103)
-  def meanThreshold: Double = pick(0.1, 0.05, 0.03)
-  def medianThreshold: Double = pick(0.1, 0.05, 0.03)
-  def stdThreshold: Double = pick(0.2, 0.1, 0.05)
-  def iqrThreshold: Double = pick(0.2, 0.1, 0.05)
-  def numericNullThreshold: Double = pick(0.01, 0.005, 0.001)
-  def rangeThreshold: Double = pick(0.2, 0.1, 0.05)
+  private def pickFlag(summary: Boolean, standard: Boolean, deep: Boolean): Boolean =
+    profile match {
+      case "summary" => summary
+      case "deep_dive" => deep
+      case _ => standard
+    }
+
+  /** summary profile skips the distribution module entirely
+    * (config_generator.py:59 `analyze_distributions: False`). */
+  def analyzeDistributions: Boolean =
+    analyzeDistributionsFlag.getOrElse(pickFlag(false, true, true))
+  /** summary: off (config_generator.py:60); standard/deep_dive: on
+    * (config_generator.py:80,100). */
+  def detectRareEvents: Boolean =
+    detectRareEventsFlag.getOrElse(pickFlag(false, true, true))
+  /** histogram summaries are deep_dive-only
+    * (config_generator.py:81 False, :101 True; distribution_analyzer.py:58
+    * defaults absent → False). */
+  def genDistributionSummaries: Boolean =
+    genDistributionSummariesFlag.getOrElse(pickFlag(false, false, true))
+
+  // numerical thresholds (config_generator.py:40-103), × sample-size scale
+  def meanThreshold: Double = pick(0.1, 0.05, 0.03) * thresholdScale
+  def medianThreshold: Double = pick(0.1, 0.05, 0.03) * thresholdScale
+  def stdThreshold: Double = pick(0.2, 0.1, 0.05) * thresholdScale
+  def iqrThreshold: Double = pick(0.2, 0.1, 0.05) * thresholdScale
+  def numericNullThreshold: Double = pick(0.01, 0.005, 0.001) * thresholdScale
+  def rangeThreshold: Double = pick(0.2, 0.1, 0.05) * thresholdScale
   // categorical
-  def categoryThreshold: Double = pick(0.05, 0.03, 0.01)
+  def categoryThreshold: Double = pick(0.05, 0.03, 0.01) * thresholdScale
   def chiSquarePValue: Double = pick(0.01, 0.05, 0.05)
-  def categoricalNullThreshold: Double = pick(0.01, 0.005, 0.001)
+  def categoricalNullThreshold: Double = pick(0.01, 0.005, 0.001) * thresholdScale
   // correlation
   def correlationThreshold: Double = pick(0.7, 0.7, 0.6)
-  def correlationChangeThreshold: Double = pick(0.3, 0.2, 0.15)
-  def jsDistanceThreshold: Double = pick(0.1, 0.1, 0.05)
+  def correlationChangeThreshold: Double = pick(0.3, 0.2, 0.15) * thresholdScale
+  def jsDistanceThreshold: Double = pick(0.1, 0.1, 0.05) * thresholdScale
   def rareValueThreshold: Double = pick(0.01, 0.01, 0.005)
 }
 
@@ -99,10 +125,15 @@ class ParquetDirSource(root: String) extends SnapshotSource {
 /** Deterministic ≤n-row sample (O3, data_loader.py:67-90 — defined but
   * never wired in the reference, SURVEY.md §8.8; wired here for real). */
 object Sampling {
-  def sample(df: DataFrame, n: Long, seed: Long = 42L): DataFrame = {
+  def sample(df: DataFrame, n: Long, seed: Long = 42L): DataFrame =
+    sampleWithTotal(df, n, seed)._1
+
+  /** Same, but also returns the pre-sampling row count so the caller can
+    * derive the O38 sample-size threshold factor without a second count. */
+  def sampleWithTotal(df: DataFrame, n: Long, seed: Long = 42L): (DataFrame, Long) = {
     val total = df.count()
-    if (total <= n) df
-    else df.sample(withReplacement = false, math.min(1.0, n.toDouble / total * 1.2), seed).limit(n.toInt)
+    if (total <= n) (df, total)
+    else (df.sample(withReplacement = false, math.min(1.0, n.toDouble / total * 1.2), seed).limit(n.toInt), total)
   }
 }
 
@@ -163,10 +194,19 @@ class DriftDetector(spark: SparkSession) {
   }
 
   def detectDrift(refIn: DataFrame, currIn: DataFrame,
-      config: DriftConfig = DriftConfig()): DriftReport = {
+      configIn: DriftConfig = DriftConfig()): DriftReport = {
     val t0 = System.nanoTime()
-    val ref = if (config.sampleSize > 0) Sampling.sample(refIn, config.sampleSize) else refIn
-    val curr = if (config.sampleSize > 0) Sampling.sample(currIn, config.sampleSize) else currIn
+    val (ref, refTotal) = if (configIn.sampleSize > 0)
+      Sampling.sampleWithTotal(refIn, configIn.sampleSize) else (refIn, 0L)
+    val curr = if (configIn.sampleSize > 0) Sampling.sample(currIn, configIn.sampleSize) else currIn
+    // O38 sample-size adjustment: when sampling truncated the reference
+    // frame, loosen the drift thresholds by the 1/√ratio-shaped factor
+    // (adaptive_threshold.py:523-556 — defined there, wired here)
+    val config =
+      if (configIn.sampleSize > 0 && refTotal > configIn.sampleSize)
+        configIn.copy(thresholdScale = configIn.thresholdScale *
+          AdaptiveThresholds.sampleSizeFactor(configIn.sampleSize, refTotal))
+      else configIn
 
     // 1. schema diff (driver-side)
     val schemaChanges = SchemaOps.diff(ref.schema, curr.schema)

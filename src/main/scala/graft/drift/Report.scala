@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
 object Report {
 
   /** Unified flat drift-result rows: numeric O13 scores + categorical O19
-    * scores, one row per (table, column). */
-  def driftResults(spark: SparkSession, dir: String): DataFrame = {
-    val num = NumericDrift.driftScore(spark, dir)
+    * scores, one row per (table, column). `approx=true` runs the numeric
+    * scoring on the `percentile_approx` sketch path (the 100 TB default;
+    * exact kept for the DuckDB oracle). */
+  def driftResults(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+    val num = NumericDrift.driftScore(spark, dir, approx)
       .selectExpr("table_name", "column_name", "column_type", "dimension_id",
         "drift_score", "drift_severity")
     val cat = CategoricalDrift.categoricalDrift(spark, dir)
@@ -45,31 +47,53 @@ object Report {
   // ------------------------------------------------- shared cached frames
 
   private val memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
 
   /** [[driftResults]] memoized per (session, dir) and Spark-cached (the
     * frame is column-count-sized, a few dozen rows). Every summary below
     * consumes this, so one run of the scoring DAG feeds the whole report
-    * family. */
-  def driftResultsCached(spark: SparkSession, dir: String): DataFrame =
-    memo.computeIfAbsent((spark, dir), k => driftResults(k._1, k._2).cache())
+    * family.
+    *
+    * Assumes the data under `dir` is immutable for the session's lifetime
+    * (true for versioned snapshot directories, the engine's input contract);
+    * if a dir is rewritten in-place, call [[invalidate]] first or the memo
+    * serves stale results. */
+  def driftResultsCached(spark: SparkSession, dir: String,
+      approx: Boolean = false): DataFrame =
+    memo.computeIfAbsent((spark, dir, approx), k => driftResults(k._1, k._2, k._3).cache())
+
+  /** Drop the memoized frames for (session, dir): unpersists the Spark cache
+    * and releases the retained references. Call when data under `dir`
+    * changed, or when a session is being torn down. */
+  def invalidate(spark: SparkSession, dir: String): Unit =
+    for (approx <- Seq(false, true)) {
+      Option(memo.remove((spark, dir, approx))).foreach(_.unpersist())
+      Option(dimMemo.remove((spark, dir, approx))).foreach(_.unpersist())
+    }
+
+  /** [[invalidate]] for every memoized entry. */
+  def invalidateAll(): Unit = {
+    memo.values.forEach(df => df.unpersist()); memo.clear()
+    dimMemo.values.forEach(df => df.unpersist()); dimMemo.clear()
+  }
 
   private val dimMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
 
   /** Flat results EXTENDED with per-dimension-slice rows (main.py:129-141's
     * dimensional analysis): one row per eligible (dimension, category) group
     * with `dimension_id = '<dim>=<category>'` and the O33 group verdict
     * score. This is the frame the reference's dimensional summaries run
     * over. Memoized+cached like [[driftResultsCached]]. */
-  def dimensionalResults(spark: SparkSession, dir: String): DataFrame =
-    dimMemo.computeIfAbsent((spark, dir), k => {
-      val groups = GroupDrift.groupDriftVerdict(k._1, k._2).selectExpr(
+  def dimensionalResults(spark: SparkSession, dir: String,
+      approx: Boolean = false): DataFrame =
+    dimMemo.computeIfAbsent((spark, dir, approx), k => {
+      val groups = GroupDrift.groupDriftVerdict(k._1, k._2, k._3).selectExpr(
         "table_name", "dimension AS column_name", "'group' AS column_type",
         "CONCAT(dimension, '=', category) AS dimension_id",
         "overall_drift_score AS drift_score",
         s"${severitySql("overall_drift_score")} AS drift_severity")
-      driftResultsCached(k._1, k._2).union(groups).cache()
+      driftResultsCached(k._1, k._2, k._3).union(groups).cache()
     })
 
   private def dimensionalResultsSql: String = {
@@ -100,8 +124,9 @@ object Report {
     "CAST(n_medium AS BIGINT) AS n_medium", "CAST(n_high AS BIGINT) AS n_high",
     "CAST(n_critical AS BIGINT) AS n_critical")
 
-  def driftSummary(spark: SparkSession, dir: String): DataFrame =
-    driftResultsCached(spark, dir)
+  def driftSummary(spark: SparkSession, dir: String,
+      approx: Boolean = false): DataFrame =
+    driftResultsCached(spark, dir, approx)
       .agg(expr(summaryFinal.head), summaryFinal.tail.map(expr): _*)
       .selectExpr("'all' AS dimension_id" +: summaryCast: _*)
 
@@ -113,8 +138,9 @@ object Report {
 
   /** Per-dimension summaries (result_handler.py:122-141): one
     * severity-histogram row per distinct dimension_id, including 'all'. */
-  def dimensionalSummary(spark: SparkSession, dir: String): DataFrame =
-    dimensionalResults(spark, dir)
+  def dimensionalSummary(spark: SparkSession, dir: String,
+      approx: Boolean = false): DataFrame =
+    dimensionalResults(spark, dir, approx)
       .groupBy("dimension_id")
       .agg(expr(summaryFinal.head), summaryFinal.tail.map(expr): _*)
       .selectExpr("dimension_id" +: summaryCast: _*)
@@ -131,8 +157,9 @@ object Report {
     * 'all' excluded, severity of the average attached. Deviation: a
     * deterministic tie-break on dimension_id (the reference sorts by score
     * alone, which is nondeterministic under ties). */
-  def topDimensions(spark: SparkSession, dir: String): DataFrame =
-    dimensionalResults(spark, dir)
+  def topDimensions(spark: SparkSession, dir: String,
+      approx: Boolean = false): DataFrame =
+    dimensionalResults(spark, dir, approx)
       .filter(col("dimension_id") =!= "all")
       .groupBy("dimension_id")
       .agg(round(avg("drift_score"), 6).as("avg_drift_score"),
@@ -155,8 +182,9 @@ object Report {
 
   /** Top-5 drifted columns (result_handler.py:105-107), deterministic
     * tie-break on (column, table). */
-  def topDriftedColumns(spark: SparkSession, dir: String): DataFrame =
-    driftResultsCached(spark, dir)
+  def topDriftedColumns(spark: SparkSession, dir: String,
+      approx: Boolean = false): DataFrame =
+    driftResultsCached(spark, dir, approx)
       .orderBy(col("drift_score").desc, col("column_name").asc, col("table_name").asc)
       .limit(5)
       .select("table_name", "column_name", "drift_score", "drift_severity")

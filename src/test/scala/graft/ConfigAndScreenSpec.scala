@@ -46,6 +46,56 @@ class ConfigAndScreenSpec extends SparkSpec {
     assert(DriftConfig("deep_dive").correlationThreshold == 0.6)
   }
 
+  test("module flags derive from the profile and overrides win (config_generator.py:59-101)") {
+    val summary = DriftConfig("summary")
+    assert(!summary.analyzeDistributions && !summary.detectRareEvents &&
+      !summary.genDistributionSummaries)
+    val standard = DriftConfig("standard")
+    assert(standard.analyzeDistributions && standard.detectRareEvents &&
+      !standard.genDistributionSummaries)
+    val deep = DriftConfig("deep_dive")
+    assert(deep.analyzeDistributions && deep.detectRareEvents &&
+      deep.genDistributionSummaries)
+    // explicit override beats the profile default in both directions
+    assert(DriftConfig("summary", analyzeDistributionsFlag = Some(true)).analyzeDistributions)
+    assert(!DriftConfig("deep_dive", genDistributionSummariesFlag = Some(false)).genDistributionSummaries)
+  }
+
+  test("generated config round-trips the per-profile module flags") {
+    for (profile <- Seq("summary", "standard", "deep_dive")) {
+      val run = ConfigReader.read(ConfigGen.sampleConfigJson("/t", 0, 1, profile))
+      val expect = ConfigGen.profileFlags(profile).toMap
+      assert(run.config.detectRareEvents == expect("detect_rare_values"))
+      assert(run.config.genDistributionSummaries ==
+        expect.getOrElse("gen_distribution_summaries", false))
+      assert(run.config.analyzeDistributions == expect("analyze_distributions"))
+    }
+    // top-level analyze_distributions: false skips the whole module even if
+    // the profile block says true (data_drift_detector.py:117)
+    val json = ConfigGen.sampleConfigJson("/t", 0, 1, "standard")
+      .replace("\"analyze_distributions\": true, \"analyze_correlations\"",
+        "\"analyze_distributions\": false, \"analyze_correlations\"")
+    assert(!ConfigReader.read(json).config.analyzeDistributions)
+  }
+
+  test("sample-size threshold factor matches adaptive_threshold.py:523-556") {
+    import AdaptiveThresholds.{sampleSizeFactor => f, adjustThresholdForSampleSize => adj}
+    assert(f(100, 0) == 1.0) // no full size -> unchanged
+    assert(f(500, 500) == 1.0 && f(600, 500) == 1.0) // sample >= full
+    assert(f(10, 10000) == 2.0) // ratio 0.001 <= 0.01 -> max
+    assert(f(100, 10000) == 2.0) // ratio exactly 0.01 -> max
+    assert(f(5000, 10000) == 0.5) // ratio 0.5 -> min
+    assert(f(9000, 10000) == 0.5) // ratio 0.9 -> min
+    // mid band: 0.5 + 1.5 * (1 - sqrt(ratio/0.5)); ratio=0.25
+    assert(math.abs(f(2500, 10000) - (0.5 + 1.5 * (1 - math.sqrt(0.5)))) < 1e-12)
+    assert(math.abs(adj(0.1, 2500, 10000) - 0.1 * f(2500, 10000)) < 1e-15)
+    // wired into the config: scale multiplies drift thresholds, not the
+    // chi-square p-value or correlation strength cut
+    val c = DriftConfig("standard", thresholdScale = 2.0)
+    assert(c.meanThreshold == 0.1 && c.categoryThreshold == 0.06)
+    assert(c.chiSquarePValue == 0.05 && c.correlationThreshold == 0.7)
+  }
+
   test("config round-trip: generate -> load -> same run + thresholds (O42)") {
     for (profile <- Seq("summary", "standard", "deep_dive")) {
       val json = ConfigGen.sampleConfigJson("/data/tbl", 3, 7, profile)

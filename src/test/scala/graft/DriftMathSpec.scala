@@ -84,6 +84,17 @@ class DriftMathSpec extends SparkSpec {
     assert(exact.getAs[Boolean]("drift_detected") == approx.getAs[Boolean]("drift_detected"))
   }
 
+  test("approx drift-score DAG tracks exact on the testdata (bench surface)") {
+    val dir = "/root/testdata/sf0.001"
+    def scores(approx: Boolean) = NumericDrift.driftScore(spark, dir, approx)
+      .collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")) ->
+        r.getAs[Double]("drift_score")).toMap
+    val (exact, approx) = (scores(false), scores(true))
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (k, s) => assert(math.abs(s - approx(k)) < 0.02, s"column $k") }
+  }
+
   test("approx group medians track exact group medians closely") {
     val r = new scala.util.Random(2)
     def frame(shift: Double) = Seq.tabulate(4000) { i =>

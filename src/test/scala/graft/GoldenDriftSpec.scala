@@ -72,6 +72,31 @@ class GoldenDriftSpec extends SparkSpec {
     assert(groups.forall(_.getAs[Double]("overall_drift_score") == 0.0))
   }
 
+  test("deep_dive profile emits full-spine histograms; summary skips the distribution module") {
+    val deep = detector.detectDrift(v1, v3, DriftConfig("deep_dive", sampleSize = 0))
+    val hist = deep.histograms.collect()
+    assert(hist.nonEmpty, s"errors=${deep.errors.mkString("; ")}")
+    // full 0..9 spine per column, zero-count bins included
+    val byCol = hist.groupBy(_.getAs[String]("column_name"))
+    assert(byCol.values.forall(_.map(_.getAs[Int]("bin")).sorted.toSeq == (0 to 9)))
+    // shared bin edges: ref and curr counts live on the same spine row
+    assert(hist.forall(r => r.getAs[Long]("ref_cnt") >= 0 && r.getAs[Long]("curr_cnt") >= 0))
+    val summary = detector.detectDrift(v1, v3, DriftConfig("summary", sampleSize = 0))
+    assert(summary.histograms.collect().isEmpty)
+    assert(summary.jsFull.collect().isEmpty) // block-level flag off
+    assert(summary.quantileShifts.collect().isEmpty)
+  }
+
+  test("sampling loosens thresholds via the O38 sample-size factor") {
+    // 10k rows sampled to 2.5k -> ratio 0.25 -> factor 0.5+1.5*(1-sqrt(0.5))
+    val r = detector.detectDrift(v1, v2, DriftConfig(sampleSize = 2500))
+    val expected = AdaptiveThresholds.sampleSizeFactor(2500, v1.count())
+    assert(expected > 0.5 && expected < 1.0)
+    // the mild v1->v2 mean shift (~5%) stays above the scaled standard
+    // threshold (0.05 * ~0.94) so drift is still detected end-to-end
+    assert(r.numeric.nonEmpty)
+  }
+
   test("PCA anomaly drift runs and flags the heavy-drift pair (O37)") {
     val cols = Seq("numeric_normal", "numeric_uniform", "null_col")
     val same = PcaAnomaly.detect(spark, v1, v1, cols).get
