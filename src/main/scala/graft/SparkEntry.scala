@@ -77,6 +77,7 @@ object SparkEntry {
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ Map[String, (SparkSession, String) => DataFrame](
       "numeric_stats" -> ((s, d) => NumericDrift.stats(s, d, approx = true)),
+      "type_inference" -> ((s, d) => TypeInference.typeInferenceQuery(s, d, approxDistinct = true)),
       "numeric_drift" -> ((s, d) => NumericDrift.drift(s, d, approx = true)),
       "numeric_drift_score" -> ((s, d) => NumericDrift.driftScore(s, d, approx = true)),
       "quantile_shifts" -> ((s, d) => NumericDrift.quantileShifts(s, d, approx = true)),

