@@ -167,8 +167,10 @@ object Similarity {
 
   /** Random-hyperplane signature: `bits` sign-bits of dot(v, h_b). Vectors
     * sharing a signature land in one bucket; queries only score their
-    * bucket. Not oracle-checked (bit width adapts to the data size);
-    * covered by SimilaritySpec recall tests against [[annCosine]]. */
+    * bucket. Oracle-checked via [[lshTopKSql]]: the planes for any `bits`
+    * are a PREFIX of the seed's gaussian stream (Array.fill is row-major),
+    * so the SQL inlines the max-width plane set and masks by the bit width
+    * it derives from COUNT(*) with the same formula. */
   def lshBuckets(df: DataFrame, bits: Int = 8, seed: Long = 42L): DataFrame =
     df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("dots", bandDots(hyperplanes(bits, seed), col("v")))
@@ -200,6 +202,38 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** Clamp bounds of [[bitsForCorpus]], shared with the oracle SQL. */
+  val MinBits = 8
+  val MaxBits = 28
+
+  /** DuckDB mirror of [[lshTopK]]. The bit width is data-adaptive, so the
+    * SQL recomputes it from COUNT(*) with the same ln-ratio/ceil/clamp
+    * arithmetic, inlines the plane literals for the maximum width (the
+    * seeded stream is prefix-stable: `hyperplanes(b, seed)` equals the
+    * first b rows of `hyperplanes(MaxBits, seed)`), and masks each sign
+    * bit by `k < bits`. */
+  def lshTopKSql(k: Int = TopK): String = {
+    val planes = hyperplanes(MaxBits, 42L)
+    val dots = planes.zipWithIndex.map { case (p, i) =>
+      s"list_dot_product(v, [${p.mkString(", ")}]) AS d$i"
+    }.mkString(", ")
+    val sig = (0 until MaxBits).map { i =>
+      s"(CASE WHEN $i < bits AND d$i > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"WITH bits_t AS (SELECT LEAST($MaxBits, GREATEST($MinBits, " +
+      "CAST(CEIL(LN(GREATEST(1.0, COUNT(*) / 64.0)) / LN(2.0)) AS INT))) AS bits FROM embeddings), " +
+      "v AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+      s"d AS (SELECT vec_id, v, nrm, $dots FROM v), " +
+      s"b AS (SELECT vec_id, v, nrm, CAST($sig AS BIGINT) AS bucket FROM d, bits_t), " +
+      "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine " +
+      "FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id), " +
+      "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored) " +
+      s"SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= $k ORDER BY query_id, rk"
+  }
+
   // ----------------------------------------------------------------- API
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -211,6 +245,6 @@ object Similarity {
   def oracles: Map[String, String] = Map(
     "ann_cosine" -> annCosineSql,
     "embed_neardup" -> embedNeardupSql,
-    // ann_lsh: rows-only (data-adaptive bit width, verified in SimilaritySpec)
+    "ann_lsh" -> lshTopKSql(),
   )
 }
