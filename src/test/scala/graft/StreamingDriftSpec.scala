@@ -64,6 +64,30 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops same-content docs within the watermark horizon") {
+    import graft.streaming.StreamingDedup
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingDedup.dedupStream(docs, "30 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // three distinct texts, two of them duplicated within minutes
+      input.addData(
+        (ts(0), 1L, "the quick brown fox"),
+        (ts(1), 2L, "lorem ipsum dolor"),
+        (ts(2), 3L, "the quick brown fox"), // dup of doc 1
+        (ts(3), 4L, "unique third text"),
+        (ts(4), 5L, "lorem ipsum dolor"))   // dup of doc 2
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").collect().map(_.getAs[String]("text"))
+      assert(texts.length == 3 && texts.distinct.length == 3)
+      assert(texts.toSet ==
+        Set("the quick brown fox", "lorem ipsum dolor", "unique third text"))
+    } finally q.stop()
+  }
+
   test("categorical windowed counts emit per-window frequencies") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
