@@ -161,7 +161,8 @@ object CategoricalDrift {
   /** Per-side value counts + relative frequency over non-null rows. */
   def valueCounts(spark: SparkSession, dir: String): DataFrame = {
     val per = S.categorical.map { sp =>
-      val cnts = sideCountsMulti(spark, dir, sp, nonNull = true)
+      // cached: consumed by the totals agg and the join below
+      val cnts = sideCountsMulti(spark, dir, sp, nonNull = true).cache()
       val totals = cnts.groupBy("column_name", "side").agg(sum("cnt").as("total"))
       cnts.join(totals, Seq("column_name", "side"))
         .select(lit(sp.tableName).as("table_name"), col("column_name"),
@@ -198,9 +199,11 @@ object CategoricalDrift {
   def topkEntropy(spark: SparkSession, dir: String): DataFrame = {
     val per = profileTables.map { case (t, cols) =>
       val rows = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+      // cached: the base profile and the entropy branch both consume it
       val cnts = table(spark, dir, t)
         .select(expr(s"stack(${cols.size}, $rows) as (column_name, value)"))
         .groupBy("column_name", "value").agg(count(lit(1)).as("cnt"))
+        .cache()
       val base = cnts.groupBy("column_name").agg(
         sum("cnt").as("n_total"),
         coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L)).as("n_null"),
@@ -248,7 +251,8 @@ object CategoricalDrift {
   /** O16 distribution-diff summary per split column (top-20 supports). */
   def distDiff(spark: SparkSession, dir: String): DataFrame = {
     val per = S.categorical.map { sp =>
-      val all = sideCountsMulti(spark, dir, sp, nonNull = false)
+      // cached: three consumers (top-20 sets, distinct counts, null props)
+      val all = sideCountsMulti(spark, dir, sp, nonNull = false).cache()
       val sets = top20DistsMulti(all).groupBy("column_name").agg(
         sum(when(col("p").isNotNull, 1).otherwise(0)).as("ref_k"),
         sum(when(col("q").isNotNull, 1).otherwise(0)).as("curr_k"),
@@ -399,9 +403,12 @@ object CategoricalDrift {
     * (/root/reference/distribution_analyzer.py:287-299). */
   def topMovers(spark: SparkSession, dir: String): DataFrame = {
     val per = S.categorical.map { sp =>
+      // cached: the increased/decreased branches below each consume this
+      // (category-cardinality-sized) frame; uncached they re-scan the table
       val dists = fullDistsMulti(sideCountsMulti(spark, dir, sp, nonNull = false))
         .filter(col("p").isNotNull && col("q").isNotNull)
         .withColumn("diff", col("q") - col("p"))
+        .cache()
       val inc = dists.filter(col("diff") > 0)
         .withColumn("rk", row_number().over(
           Window.partitionBy("column_name").orderBy(col("diff").desc, col("value").asc)))
@@ -507,7 +514,11 @@ object CategoricalDrift {
 
   def categoricalDrift(spark: SparkSession, dir: String): DataFrame = {
     val per = S.categorical.map { sp =>
-      val all = sideCountsMulti(spark, dir, sp, nonNull = false)
+      // cache the per-(column, value, side) counts: three consumers below
+      // (JS, chi-square, null props) would otherwise each re-scan the table;
+      // cached, the unpivot scan runs ONCE per table and the consumers read
+      // a frame bounded by the columns' category cardinalities
+      val all = sideCountsMulti(spark, dir, sp, nonNull = false).cache()
       // JS over top-20 distributions (O17 as called by O19)
       val js = top20DistsMulti(all).groupBy("column_name")
         .agg(expr(s"SQRT(($jsKlPm + $jsKlQm) / 2)").as("js_divergence"),
