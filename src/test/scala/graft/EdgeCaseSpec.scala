@@ -56,6 +56,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rep.numeric.nonEmpty)
   }
 
+  test("summary profile + aggressive sampling: report completes, modules skipped") {
+    val ref = Seq.tabulate(5000)(i => (i.toDouble, "c" + (i % 4))).toDF("x", "c")
+    val curr = Seq.tabulate(5000)(i => (i.toDouble * 1.3, "c" + (i % 5))).toDF("x", "c")
+    // sampling 5000 -> 500 (ratio 0.1) triggers the O38 loosening; the
+    // summary profile must skip distributions and rare-value analysis
+    val rep = new DriftDetector(spark).detectDrift(ref, curr,
+      DriftConfig("summary", sampleSize = 500))
+    assert(rep.errors.isEmpty)
+    assert(rep.quantileShifts.collect().isEmpty) // distribution module off
+    assert(rep.jsFull.collect().isEmpty)
+    assert(rep.rareCategories.collect().isEmpty) // rare events off
+    assert(rep.numeric.nonEmpty && rep.categorical.nonEmpty) // core still runs
+  }
+
   test("sessionize handles a single-event user") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 42L, "t", 1.0, "{}"))
