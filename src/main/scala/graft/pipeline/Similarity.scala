@@ -234,17 +234,78 @@ object Similarity {
       s"SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= $k ORDER BY query_id, rk"
   }
 
+  // -------------------------------------------------- IVF ANN (scale path)
+
+  /** Coarse-quantizer cell count. */
+  val IvfCells = 32
+
+  /** IVF-style ANN: assign every vector to its nearest coarse centroid
+    * (one broadcast of [[IvfCells]] centroids × one scan — at 100 TB the
+    * assignment is embarrassingly parallel and the search then touches one
+    * cell, ~n/K vectors, instead of the corpus), then exact cosine top-k
+    * within the cell (nprobe = 1).
+    *
+    * Deviation from textbook IVF (documented): centroids are the vectors
+    * with the K smallest vec_ids rather than k-means-trained — a
+    * deterministic choice both engines can replay, so the query is
+    * hash-checked against DuckDB rather than recall-tested. Swapping in
+    * `ml.clustering.KMeans` centroids is a drop-in (same assignment and
+    * search plan); only the oracle would revert to a recall check. */
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val emb = withNorm(table(spark, dir, "embeddings"), "c")
+    val cents = withNorm(
+      table(spark, dir, "embeddings").filter(col("vec_id") < IvfCells), "t")
+      .select(col("t_id").as("cent_id"), col("t_v"), col("t_n"))
+    // nearest centroid per vector; similarity rounded BEFORE the argmax so
+    // Spark and DuckDB break ties identically (then by cent_id)
+    val assign = emb.crossJoin(broadcast(cents))
+      .withColumn("sim", expr(
+        "round(aggregate(zip_with(c_v, t_v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / (c_n * t_n), 6)"))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("c_id").orderBy(col("sim").desc, col("cent_id").asc)))
+      .filter(col("ark") === 1)
+      .select(col("c_id").as("vec_id"), col("cent_id").as("cell"))
+    val cellVecs = emb.join(assign, col("c_id") === col("vec_id")).drop("vec_id")
+    cellVecs.as("q").join(cellVecs.as("c"),
+        col("q.cell") === col("c.cell") && col("q.c_id") =!= col("c.c_id"))
+      .withColumn("cosine", expr(
+        "round(aggregate(zip_with(q.c_v, c.c_v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / (q.c_n * c.c_n), 6)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q.c_id")).orderBy(col("cosine").desc, col("c.c_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("q.c_id").as("query_id"), col("rk"), col("c.c_id").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  def ivfTopKSql(k: Int = TopK): String =
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM v WHERE vec_id < $IvfCells), " +
+      "assign AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c.cent_id AS cell, " +
+      "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
+      "ROUND(list_dot_product(v.v, c.cv) / (v.nrm * c.cn), 6) DESC, c.cent_id ASC) AS ark " +
+      "FROM v, cents c) a WHERE ark = 1), " +
+      "cv AS (SELECT v.*, a.cell FROM v JOIN assign a ON a.vec_id = v.vec_id), " +
+      "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine " +
+      "FROM cv q JOIN cv c ON q.cell = c.cell AND q.vec_id <> c.vec_id), " +
+      "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored) " +
+      s"SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= $k ORDER BY query_id, rk"
+
   // ----------------------------------------------------------------- API
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine" -> ((s, d) => annCosine(s, d)),
     "embed_neardup" -> ((s, d) => embedNeardup(s, d)),
     "ann_lsh" -> ((s, d) => lshTopK(s, d)),
+    "ann_ivf" -> ((s, d) => ivfTopK(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "ann_cosine" -> annCosineSql,
     "embed_neardup" -> embedNeardupSql,
     "ann_lsh" -> lshTopKSql(),
+    "ann_ivf" -> ivfTopKSql(),
   )
 }

@@ -77,6 +77,21 @@ class PipelineSpec extends SparkSpec {
     assert(res.nonEmpty && res.head.getAs[Long]("neighbor_id") == 100L)
   }
 
+  test("IVF ANN recalls the near-identical twin (same cell as its query)") {
+    val res = Similarity.ivfTopK(spark, fixtureDir).collect()
+    // a near-identical pair has near-identical centroid similarities, so
+    // both land in the same cell and find each other
+    val q0 = res.filter(r => r.getAs[Long]("query_id") == 0L)
+    assert(q0.nonEmpty && q0.head.getAs[Long]("neighbor_id") == 100L)
+    // ranks are contiguous from 1 and cosines non-increasing per query
+    res.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      assert(sorted.head.getAs[Int]("rk") == 1)
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("embedding near-dup pass ranks the planted twins first") {
     val top2 = Similarity.embedNeardup(spark, fixtureDir).collect().take(2)
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
