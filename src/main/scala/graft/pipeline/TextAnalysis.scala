@@ -104,13 +104,22 @@ object TextAnalysis {
 
   // ---------------------------------------------------------- token stats
 
-  /** Per-source corpus rollup: docs, whitespace tokens, BPE-ish token
-    * estimate (ceil(chars/4)), distinct vocabulary. */
+  /** BPE-style pre-tokenizer: letter runs, digit runs, punctuation runs —
+    * the character-class core of the GPT-2 pre-tokenizer pattern. Two
+    * renderings of ONE regex: Spark SQL string literals consume a level of
+    * backslash escaping, DuckDB's don't. */
+  val PretokenRegexSpark = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]+"
+  val PretokenRegexDuck = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+  /** Per-source corpus rollup: docs, whitespace tokens, BPE-ish counts
+    * (pre-tokenizer regex matches + the cruder ceil(chars/4) estimate),
+    * distinct vocabulary. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     val base = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
       sum(expr("size(split(text, '\\\\s+'))")).as("total_tokens"),
+      sum(expr(s"size(regexp_extract_all(text, '$PretokenRegexSpark', 0))")).as("pretoken_count"),
       sum(expr("CAST(ceil(LENGTH(text) / 4e0) AS BIGINT)")).as("est_bpe_tokens"))
     val vocab = docs
       .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
@@ -118,14 +127,16 @@ object TextAnalysis {
     base.join(vocab, "source")
       .selectExpr("source", "n_docs", "total_tokens",
         "ROUND(total_tokens * 1e0 / n_docs, 6) AS avg_tokens_per_doc",
+        "CAST(pretoken_count AS BIGINT) AS pretoken_count",
         "est_bpe_tokens", "distinct_words")
       .orderBy("source")
   }
 
   def tokenStatsSql: String =
     "SELECT b.source, n_docs, total_tokens, ROUND(total_tokens * 1e0 / n_docs, 6) AS avg_tokens_per_doc, " +
-      "est_bpe_tokens, distinct_words FROM " +
+      "pretoken_count, est_bpe_tokens, distinct_words FROM " +
       "(SELECT source, COUNT(*) AS n_docs, SUM(len(regexp_split_to_array(text, '\\s+')))::BIGINT AS total_tokens, " +
+      s"SUM(len(regexp_extract_all(text, '$PretokenRegexDuck')))::BIGINT AS pretoken_count, " +
       "SUM(CAST(ceil(LENGTH(text) / 4e0) AS BIGINT))::BIGINT AS est_bpe_tokens FROM documents GROUP BY 1) b " +
       "JOIN (SELECT source, COUNT(DISTINCT w) AS distinct_words FROM " +
       "(SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) x GROUP BY 1) v " +
