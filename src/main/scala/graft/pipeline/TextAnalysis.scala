@@ -142,6 +142,72 @@ object TextAnalysis {
       "(SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS w FROM documents) x GROUP BY 1) v " +
       "ON b.source = v.source ORDER BY b.source"
 
+  // ------------------------------------------------- corpus prep funnel
+
+  /** Default corpus-prep gates. */
+  val PrepLang = "en"
+  val PrepMinQuality = 0.7
+
+  /** Training-data prep funnel per source: language gate (keep [[PrepLang]]
+    * by the langId argmax), quality gate (score ≥ [[PrepMinQuality]]), then
+    * exact dedup of the survivors (distinct md5(text)). ONE scan: the
+    * language and quality expressions are the same shared SQL fragments the
+    * standalone queries use, evaluated inline — no join of per-doc frames,
+    * no shuffle besides the per-source rollup, so at 100 TB this funnel
+    * costs one pass over the corpus. */
+  def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
+    val scores = markers.map { case (lang, ws) =>
+      s"size(filter(toks, t -> t IN ${inList(ws)})) * 1e0 / size(toks) AS score_$lang"
+    }
+    val best = markers.map { case (lang, _) => s"score_$lang" }.mkString("GREATEST(", ", ", ")")
+    val pick = markers.map { case (lang, _) =>
+      s"WHEN score_$lang = best THEN '$lang'"
+    }.mkString("CASE WHEN best = 0 THEN 'und' ", " ", " END")
+    table(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "text", "split(text, '\\\\s+') AS toks")
+      .selectExpr(Seq("doc_id", "source", "text", "toks") ++ scores: _*)
+      .selectExpr(Seq("doc_id", "source", "text", "toks", s"$best AS best") ++
+        markers.map { case (l, _) => s"score_$l" }: _*)
+      .selectExpr(Seq("source", "text", s"$pick AS predicted_lang") ++ qualityStage1.tail: _*)
+      .selectExpr("source", "text", "predicted_lang", qualityStage2.last)
+      .selectExpr("source", "text",
+        s"predicted_lang = '$PrepLang' AS lang_ok",
+        s"(predicted_lang = '$PrepLang' AND quality_score >= $PrepMinQuality) AS qual_ok")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_kept"),
+        sum(when(col("qual_ok"), 1L).otherwise(0L)).as("n_quality_kept"),
+        countDistinct(when(col("qual_ok"), md5(col("text")))).as("n_dedup_kept"))
+      .orderBy("source")
+  }
+
+  def corpusPrepSql: String = {
+    val scores = markers.map { case (lang, ws) =>
+      s"len(list_filter(toks, t -> t IN ${inList(ws)})) * 1e0 / len(toks) AS score_$lang"
+    }.mkString(", ")
+    val best = markers.map { case (lang, _) => s"score_$lang" }.mkString("GREATEST(", ", ", ")")
+    val pick = markers.map { case (lang, _) =>
+      s"WHEN score_$lang = best THEN '$lang'"
+    }.mkString("CASE WHEN best = 0 THEN 'und' ", " ", " END")
+    val stage1 = qualityStage1.tail
+      .map(_.replace("size(filter(toks", "len(list_filter(toks"))
+      .map(_.replace("size(toks)", "len(toks)"))
+      .map(_.replace("regexp_replace(text, '[a-zA-Z0-9\\\\s]', '')", "regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')"))
+      .mkString(", ")
+    s"SELECT source, COUNT(*) AS n_docs, " +
+      "SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END)::BIGINT AS n_lang_kept, " +
+      "SUM(CASE WHEN qual_ok THEN 1 ELSE 0 END)::BIGINT AS n_quality_kept, " +
+      "COUNT(DISTINCT CASE WHEN qual_ok THEN md5(text) END)::BIGINT AS n_dedup_kept FROM " +
+      s"(SELECT source, text, predicted_lang = '$PrepLang' AS lang_ok, " +
+      s"(predicted_lang = '$PrepLang' AND quality_score >= $PrepMinQuality) AS qual_ok FROM " +
+      s"(SELECT source, text, predicted_lang, ${qualityStage2.last} FROM " +
+      s"(SELECT source, text, $pick AS predicted_lang, $stage1 FROM " +
+      s"(SELECT s.*, $best AS best FROM " +
+      s"(SELECT source, text, toks, $scores FROM " +
+      "(SELECT doc_id, source, text, regexp_split_to_array(text, '\\s+') AS toks FROM documents) t) s) b) p) q) f " +
+      "GROUP BY source ORDER BY source"
+  }
+
   // ------------------------------------------------------- fingerprinting
 
   /** Polynomial rolling hash over characters ((h*31 + ascii) mod 1e9+7) via
@@ -166,6 +232,7 @@ object TextAnalysis {
     "text_quality" -> ((s, d) => textQuality(s, d)),
     "token_stats" -> ((s, d) => tokenStats(s, d)),
     "doc_fingerprint" -> ((s, d) => fingerprints(s, d)),
+    "corpus_prep" -> ((s, d) => corpusPrep(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -173,5 +240,6 @@ object TextAnalysis {
     "text_quality" -> textQualitySql,
     "token_stats" -> tokenStatsSql,
     "doc_fingerprint" -> fingerprintsSql,
+    "corpus_prep" -> corpusPrepSql,
   )
 }
