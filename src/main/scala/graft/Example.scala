@@ -35,6 +35,21 @@ object Example {
       r.recommendations.foreach(rec => println(s"  -> $rec"))
       println(f"  execution_time: ${r.executionTimeSec}%.1fs")
     }
+
+    // training-data pipeline surface over the driver testdata (if present)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(s"$sfDir/documents.parquet").exists()) {
+      println(s"== pipeline ops over $sfDir ==")
+      val prep = graft.pipeline.TextAnalysis.corpusPrep(spark, sfDir)
+      println("  corpus_prep funnel (first 3 sources):")
+      prep.limit(3).collect().foreach(r =>
+        println(s"    ${r.getString(0)}: ${r.getLong(1)} docs -> ${r.getLong(2)} lang " +
+          s"-> ${r.getLong(3)} quality -> ${r.getLong(4)} deduped"))
+      val dups = graft.pipeline.Dedup.dedupe(spark, sfDir).count()
+      println(s"  near-dup pairs (capped Jaccard default): $dups")
+      val ann = graft.pipeline.Similarity.ivfTopK(spark, sfDir).count()
+      println(s"  IVF ANN neighbor rows: $ann")
+    }
     spark.stop()
   }
 }
