@@ -80,7 +80,12 @@ object AdaptiveThresholds {
     * ratio; 0.5 at ≥ 50%; linear in √ratio between. The reference defines
     * this as a standalone static utility and never calls it from the
     * detector; here it is also wired into `DriftDetector.detectDrift`
-    * (threshold scaling when `sampleSize` actually truncates the frame). */
+    * (threshold scaling when `sampleSize` actually truncates the frame).
+    *
+    * Reference quirk preserved (adaptive_threshold.py:547-549): a ≥50%
+    * sample returns min_factor 0.5 — TIGHTER than the unsampled 1.0 — so
+    * the formula is non-monotone at the sample == full boundary
+    * (PropertySpec pins both the quirk and in-regime monotonicity). */
   def sampleSizeFactor(sampleSize: Long, fullSize: Long,
       minFactor: Double = 0.5, maxFactor: Double = 2.0): Double =
     if (fullSize == 0L || sampleSize >= fullSize) 1.0

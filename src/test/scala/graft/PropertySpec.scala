@@ -3,7 +3,7 @@ package graft
 import org.scalacheck.{Gen, Properties}
 import org.scalacheck.Prop.forAll
 import org.apache.spark.sql.types._
-import graft.drift.{CorrelationDrift, SchemaOps}
+import graft.drift.{AdaptiveThresholds, CorrelationDrift, SchemaOps}
 
 /** Property-based invariants (SURVEY.md §5.2) over the pure driver-side
   * machinery — ScalaCheck, no Spark session needed. */
@@ -60,4 +60,44 @@ object PropertySpec extends Properties("graft.drift") {
       val comp = CorrelationDrift.correlationComponents(corrs, cols)
       comp.values.toSet.size == 1 && comp.values.head == cols.min
     }
+
+  private val genSizes: Gen[(Long, Long)] = for {
+    full <- Gen.choose(1L, 10000000L)
+    sample <- Gen.choose(1L, full)
+  } yield (sample, full)
+
+  property("sample-size factor is bounded in [0.5, 2.0] and identity when not sampling") =
+    forAll(genSizes) { case (sample, full) =>
+      val f = AdaptiveThresholds.sampleSizeFactor(sample, full)
+      val bounded = f >= 0.5 && f <= 2.0
+      val identity = sample < full || f == 1.0
+      bounded && identity
+    }
+
+  property("sample-size factor is monotone within the sampled regime") =
+    forAll(genSizes, Gen.choose(1L, 10000000L)) { case ((s1, full), s2raw) =>
+      // NB deliberately excludes sample == full: the reference's formula is
+      // non-monotone at that boundary (a >=50% sample gets min_factor 0.5,
+      // TIGHTER than the unsampled 1.0 — adaptive_threshold.py:547-549's
+      // quirk, preserved). Within sample < full, smaller samples never
+      // tighten thresholds.
+      val s2 = math.min(s2raw, full - 1)
+      val c1 = math.min(s1, full - 1)
+      if (c1 < 1 || s2 < 1) org.scalacheck.Prop(true)
+      else {
+        val (lo, hi) = (math.min(c1, s2), math.max(c1, s2))
+        org.scalacheck.Prop(
+          AdaptiveThresholds.sampleSizeFactor(lo, full) >=
+            AdaptiveThresholds.sampleSizeFactor(hi, full))
+      }
+    }
+
+  property("driver contract: every oracle key has a query and names align") = {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val b = SparkEntry.benchQueries.keySet
+    // every oracle belongs to a declared query; the bench surface covers
+    // exactly the query surface (overrides replace, never add/drop)
+    org.scalacheck.Prop(o.subsetOf(q) && b == q)
+  }
 }
