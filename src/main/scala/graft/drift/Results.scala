@@ -43,8 +43,19 @@ object Results {
         j("js_divergence" -> c.jsDivergence, "chi_p_value" -> c.chiPValue,
           "null_diff" -> c.nullDiff, "drift_detected" -> c.driftDetected))
     }
-    (num ++ cat)
+    val base = (num ++ cat)
       .toDF("column_name", "column_type", "dimension_id", "drift_score", "metrics")
+    // group-analysis rows carry the reference's '<dim>=<category>' style
+    // dimension_id (result_handler's dimensional rows, demo_notebook.py:64)
+    val withGroups =
+      if (report.groupDrift.columns.contains("overall_drift_score"))
+        base.unionByName(report.groupDrift.selectExpr(
+          "dimension AS column_name", "'group' AS column_type",
+          "CONCAT(dimension, '=', category) AS dimension_id",
+          "overall_drift_score AS drift_score",
+          "CONCAT('{\"drift_detected\": ', drift_detected, '}') AS metrics"))
+      else base
+    withGroups
       .withColumn("run_timestamp", current_timestamp())
       .withColumn("drift_severity", severity(col("drift_score")))
       .select("run_timestamp", "column_name", "column_type", "dimension_id",

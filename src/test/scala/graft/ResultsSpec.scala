@@ -12,7 +12,13 @@ class ResultsSpec extends SparkSpec {
     val flat = Results.flatResults(spark, report)
     assert(flat.columns.toSeq == Seq("run_timestamp", "column_name", "column_type",
       "dimension_id", "drift_score", "drift_severity", "metrics"))
-    assert(flat.count() == report.numeric.size + report.categorical.size)
+    val groupRows = if (report.groupDrift.columns.contains("overall_drift_score"))
+      report.groupDrift.count() else 0L
+    assert(groupRows > 0) // default config runs group analysis
+    assert(flat.count() == report.numeric.size + report.categorical.size + groupRows)
+    // group rows use the reference's '<dim>=<category>' dimension_id style
+    import org.apache.spark.sql.functions.col
+    assert(flat.filter(col("dimension_id").contains("=")).count() == groupRows)
     val dir = java.nio.file.Files.createTempDirectory("graft-results").toString
     Results.writeResults(spark, report, s"$dir/flat")
     Results.writeResults(spark, report, s"$dir/flat") // append
