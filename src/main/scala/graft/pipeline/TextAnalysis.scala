@@ -67,13 +67,16 @@ object TextAnalysis {
   /** Quality components: length band, punctuation ratio, stopword-ratio
     * band, mean token length band; score = weighted sum (deterministic,
     * shared text). */
+  // GREATEST(·, 1) denominators: ANSI mode (Spark 4 default) turns the
+  // division on an empty document into DIVIDE_BY_ZERO; a 0-char doc gets
+  // ratio 0 instead (EdgeCaseSpec pins this)
   private val qualityStage1: Seq[String] = Seq(
     "doc_id",
     "LENGTH(text) AS n_chars",
     "size(toks) AS n_tokens",
-    "LENGTH(regexp_replace(text, '[a-zA-Z0-9\\\\s]', '')) * 1e0 / LENGTH(text) AS punct_ratio",
-    s"size(filter(toks, t -> t IN ${inList(markers.flatMap(_._2))})) * 1e0 / size(toks) AS stopword_ratio",
-    "(LENGTH(text) - size(toks) + 1) * 1e0 / size(toks) AS avg_token_len")
+    "LENGTH(regexp_replace(text, '[a-zA-Z0-9\\\\s]', '')) * 1e0 / GREATEST(LENGTH(text), 1) AS punct_ratio",
+    s"size(filter(toks, t -> t IN ${inList(markers.flatMap(_._2))})) * 1e0 / GREATEST(size(toks), 1) AS stopword_ratio",
+    "(LENGTH(text) - size(toks) + 1) * 1e0 / GREATEST(size(toks), 1) AS avg_token_len")
 
   private val qualityStage2: Seq[String] = Seq(
     "doc_id", "n_chars", "CAST(n_tokens AS BIGINT) AS n_tokens",

@@ -70,6 +70,22 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rep.numeric.nonEmpty && rep.categorical.nonEmpty) // core still runs
   }
 
+  test("corpus prep survives empty and whitespace-only documents") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    Seq(
+      (1L, "", "en", "s1", 0L),
+      (2L, "   ", "en", "s1", 3L),
+      (3L, "the quick brown fox is a common pangram of the language", "en", "s1", 56L),
+      (4L, "!!!", "en", "s2", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.pipeline.TextAnalysis.corpusPrep(spark, dir).collect()
+    assert(rows.length == 2) // both sources present, no crash
+    val s1 = rows.find(_.getString(0) == "s1").get
+    assert(s1.getLong(1) == 3L) // all docs counted
+    assert(s1.getLong(4) <= s1.getLong(3)) // funnel is monotone
+  }
+
   test("sessionize handles a single-event user") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 42L, "t", 1.0, "{}"))
