@@ -275,9 +275,9 @@ object CategoricalDrift {
   private val distDiffFinal: Seq[String] = Seq(
     "table_name", "column_name",
     "curr_k - common_k AS new_categories_count",
-    "ROUND((curr_k - common_k) * 1e0 / ref_k, 6) AS new_categories_ratio",
+    "ROUND((curr_k - common_k) * 1e0 / NULLIF(ref_k, 0), 6) AS new_categories_ratio",
     "ref_k - common_k AS missing_categories_count",
-    "ROUND((ref_k - common_k) * 1e0 / ref_k, 6) AS missing_categories_ratio",
+    "ROUND((ref_k - common_k) * 1e0 / NULLIF(ref_k, 0), 6) AS missing_categories_ratio",
     "common_k AS common_categories_count",
     "ROUND(curr_null_prop - ref_null_prop, 6) AS null_proportion_diff",
     "ROUND(ref_entropy, 6) AS ref_entropy", "ROUND(curr_entropy, 6) AS curr_entropy",
@@ -535,8 +535,8 @@ object CategoricalDrift {
         .select(lit(sp.tableName).as("table_name"), col("column_name"),
           col("js_divergence"), col("p_value"),
           (col("curr_null_prop") - col("ref_null_prop")).as("null_diff"),
-          (col("new_k") * 1e0 / col("ref_k")).as("new_ratio"),
-          (col("missing_k") * 1e0 / col("ref_k")).as("missing_ratio"))
+          expr("new_k * 1e0 / NULLIF(ref_k, 0)").as("new_ratio"),
+          expr("missing_k * 1e0 / NULLIF(ref_k, 0)").as("missing_ratio"))
         .selectExpr(o19Final: _*)
     }
     per.reduce(_ union _).orderBy("table_name", "column_name")
@@ -569,7 +569,7 @@ object CategoricalDrift {
       s"SELECT ${o19Final.mkString(", ")} FROM " +
         s"(SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, js.js_divergence, chi.p_value, " +
         "np.curr_null_prop - np.ref_null_prop AS null_diff, " +
-        "js.new_k * 1e0 / js.ref_k AS new_ratio, js.missing_k * 1e0 / js.ref_k AS missing_ratio " +
+        "js.new_k * 1e0 / NULLIF(js.ref_k, 0) AS new_ratio, js.missing_k * 1e0 / NULLIF(js.ref_k, 0) AS missing_ratio " +
         s"FROM $jsSub, $chiSub, $nullSub) z"
     }
     per.mkString("", " UNION ALL ", " ORDER BY table_name, column_name")
@@ -601,8 +601,8 @@ object CategoricalDrift {
         .select(lit(label).as("table_name"), lit(c).as("column_name"),
           col("js_divergence"), col("p_value"),
           (col("curr_null_prop") - col("ref_null_prop")).as("null_diff"),
-          (col("new_k") * 1e0 / col("ref_k")).as("new_ratio"),
-          (col("missing_k") * 1e0 / col("ref_k")).as("missing_ratio"))
+          expr("new_k * 1e0 / NULLIF(ref_k, 0)").as("new_ratio"),
+          expr("missing_k * 1e0 / NULLIF(ref_k, 0)").as("missing_ratio"))
         .selectExpr(o19Final: _*)
     }
     per.reduce(_ union _).orderBy("column_name")

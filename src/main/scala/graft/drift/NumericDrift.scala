@@ -660,7 +660,11 @@ object NumericDrift {
     }
     val refStats = tagged.filter(col("side") === "ref").agg(statAggs.head, statAggs.tail: _*)
     val cntAggs = count(lit(1)).as("n") +: cols.map { c =>
-      sum(when(abs((col(c).cast("double") - col(s"${c}__mean")) / col(s"${c}__std")) > 3.0, 1L)
+      // NULLIF-style std guard: constant column (std = 0) must yield zero
+      // outliers in BOTH engines — Spark ANSI would throw DIVIDE_BY_ZERO,
+      // DuckDB would return inf and count everything
+      val safeStd = when(col(s"${c}__std") === 0.0, lit(null)).otherwise(col(s"${c}__std"))
+      sum(when(abs((col(c).cast("double") - col(s"${c}__mean")) / safeStd) > 3.0, 1L)
         .otherwise(0L)).as(s"${c}__out")
     }
     val rows = cols.map(c => s"'$tableName', '$c', n, ${c}__out").mkString(", ")
@@ -695,7 +699,7 @@ object NumericDrift {
       sp.cols.map { c =>
         s"SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, " +
           s"'${sp.tableName}' AS table_name, '$c' AS column_name, COUNT(*) AS n, " +
-          s"SUM(CASE WHEN ABS(($c - m.ref_mean) / m.ref_std) > 3.0 THEN 1 ELSE 0 END)::BIGINT AS n_out " +
+          s"SUM(CASE WHEN ABS(($c - m.ref_mean) / NULLIF(m.ref_std, 0)) > 3.0 THEN 1 ELSE 0 END)::BIGINT AS n_out " +
           s"FROM ${sp.tableName}, (SELECT AVG($c) AS ref_mean, STDDEV($c) AS ref_std " +
           s"FROM ${sp.tableName} WHERE ${sp.refSql}) m GROUP BY 1, 2, 3"
       }

@@ -70,6 +70,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rep.numeric.nonEmpty && rep.categorical.nonEmpty) // core still runs
   }
 
+  test("z-outliers on a constant column count zero outliers (no ANSI divide-by-zero)") {
+    val ref = Seq.fill(50)(7.0).toDF("x")
+    val curr = Seq.tabulate(50)(i => 7.0 + (if (i == 0) 100.0 else 0.0)).toDF("x")
+    val r = NumericDrift.zOutliersForPair(ref, curr, Seq("x")).collect()(0)
+    // ref std = 0 -> z undefined -> zero outliers on both sides, per the
+    // reference's non-ANSI null-division semantics
+    assert(r.getAs[Long]("ref_outlier_count") == 0L)
+    assert(r.getAs[Long]("curr_outlier_count") == 0L)
+  }
+
+  test("categorical drift with an all-null reference column does not throw") {
+    val ref = Seq.fill(30)(Option.empty[String]).toDF("c")
+    val curr = Seq.fill(30)(Some("a"): Option[String]).toDF("c")
+    val r = CategoricalDrift.categoricalDriftForPair(ref, curr, Seq("c")).collect()(0)
+    // ref_k = 0 -> ratios are null (guarded), null-proportion drift is real
+    assert(r.isNullAt(r.fieldIndex("new_categories_ratio")))
+    assert(math.abs(r.getAs[Double]("null_proportion_diff") + 1.0) < 1e-9)
+  }
+
   test("corpus prep survives empty and whitespace-only documents") {
     val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
     Seq(
