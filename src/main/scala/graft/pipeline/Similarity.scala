@@ -40,7 +40,7 @@ object Similarity {
     val c = withNorm(emb, "c")
     c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cosine", expr(
-        "round(aggregate(zip_with(q_v, c_v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / (q_n * c_n), 6)"))
+        "round(aggregate(zip_with(q_v, c_v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / NULLIF(q_n * c_n, 0), 6)"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)))
       .filter(col("rk") <= TopK)
@@ -54,7 +54,7 @@ object Similarity {
       s"FROM embeddings WHERE vec_id < $NumQueries), " +
       "c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_v, " +
       "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS c_n FROM embeddings), " +
-      "scored AS (SELECT q_id, c_id, ROUND(list_dot_product(q_v, c_v) / (q_n * c_n), 6) AS cosine " +
+      "scored AS (SELECT q_id, c_id, ROUND(list_dot_product(q_v, c_v) / NULLIF(q_n * c_n, 0), 6) AS cosine " +
       "FROM q JOIN c ON q_id <> c_id), " +
       "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS rk FROM scored) " +
       s"SELECT q_id AS query_id, rk, c_id AS neighbor_id, cosine FROM ranked WHERE rk <= $TopK " +
@@ -135,7 +135,7 @@ object Similarity {
       .join(normed.select(col("vec_id").as("doc_a"), col("v").as("va"), col("n").as("na")), "doc_a")
       .join(normed.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("n").as("nb")), "doc_b")
       .withColumn("cosine", expr(
-        "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / (na * nb), 6)"))
+        "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / NULLIF(na * nb, 0), 6)"))
       .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(20)
       // rank attaches to the ≤20 surviving rows; the constant partition key
@@ -157,7 +157,7 @@ object Similarity {
       s"bands AS ($bandSelects), " +
       "cands AS (SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b FROM bands a " +
       "JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id), " +
-      "scored AS (SELECT doc_a, doc_b, ROUND(list_dot_product(va.v, vb.v) / (va.n * vb.n), 6) AS cosine " +
+      "scored AS (SELECT doc_a, doc_b, ROUND(list_dot_product(va.v, vb.v) / NULLIF(va.n * vb.n, 0), 6) AS cosine " +
       "FROM cands JOIN v va ON va.vec_id = doc_a JOIN v vb ON vb.vec_id = doc_b) " +
       "SELECT rk, doc_a, doc_b, cosine FROM (SELECT *, ROW_NUMBER() OVER " +
       "(ORDER BY cosine DESC, doc_a ASC, doc_b ASC) AS rk FROM scored) r WHERE rk <= 20 ORDER BY rk"
@@ -194,7 +194,7 @@ object Similarity {
       .withColumn("n", expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
     b.as("q").join(b.as("c"), col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("cosine", expr(
-        "round(aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / (q.n * c.n), 6)"))
+        "round(aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / NULLIF(q.n * c.n, 0), 6)"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("q.vec_id").orderBy(col("cosine").desc, col("c.vec_id").asc)))
       .filter(col("rk") <= k)
@@ -227,7 +227,7 @@ object Similarity {
       s"d AS (SELECT vec_id, v, nrm, $dots FROM v), " +
       s"b AS (SELECT vec_id, v, nrm, CAST($sig AS BIGINT) AS bucket FROM d, bits_t), " +
       "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
-      "ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine " +
+      "ROUND(list_dot_product(q.v, c.v) / NULLIF(q.nrm * c.nrm, 0), 6) AS cosine " +
       "FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id), " +
       "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
       "ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored) " +
@@ -260,7 +260,7 @@ object Similarity {
     // Spark and DuckDB break ties identically (then by cent_id)
     val assign = emb.crossJoin(broadcast(cents))
       .withColumn("sim", expr(
-        "round(aggregate(zip_with(c_v, t_v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / (c_n * t_n), 6)"))
+        "round(aggregate(zip_with(c_v, t_v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / NULLIF(c_n * t_n, 0), 6)"))
       .withColumn("ark", row_number().over(
         Window.partitionBy("c_id").orderBy(col("sim").desc, col("cent_id").asc)))
       .filter(col("ark") === 1)
@@ -269,7 +269,7 @@ object Similarity {
     cellVecs.as("q").join(cellVecs.as("c"),
         col("q.cell") === col("c.cell") && col("q.c_id") =!= col("c.c_id"))
       .withColumn("cosine", expr(
-        "round(aggregate(zip_with(q.c_v, c.c_v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / (q.c_n * c.c_n), 6)"))
+        "round(aggregate(zip_with(q.c_v, c.c_v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / NULLIF(q.c_n * c.c_n, 0), 6)"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q.c_id")).orderBy(col("cosine").desc, col("c.c_id").asc)))
       .filter(col("rk") <= k)
@@ -283,11 +283,11 @@ object Similarity {
       s"cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM v WHERE vec_id < $IvfCells), " +
       "assign AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c.cent_id AS cell, " +
       "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
-      "ROUND(list_dot_product(v.v, c.cv) / (v.nrm * c.cn), 6) DESC, c.cent_id ASC) AS ark " +
+      "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) DESC, c.cent_id ASC) AS ark " +
       "FROM v, cents c) a WHERE ark = 1), " +
       "cv AS (SELECT v.*, a.cell FROM v JOIN assign a ON a.vec_id = v.vec_id), " +
       "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
-      "ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine " +
+      "ROUND(list_dot_product(q.v, c.v) / NULLIF(q.nrm * c.nrm, 0), 6) AS cosine " +
       "FROM cv q JOIN cv c ON q.cell = c.cell AND q.vec_id <> c.vec_id), " +
       "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
       "ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored) " +
