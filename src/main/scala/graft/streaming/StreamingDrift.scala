@@ -36,9 +36,13 @@ object StreamingDrift {
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n"), avg("value").as("win_mean"))
       .join(broadcast(refStats), "event_type")
+      // a constant (or single-row) reference gives std 0/null: the z-score
+      // is undefined, not infinite — null mean_z, no drift flag (ANSI mode
+      // would otherwise raise DIVIDE_BY_ZERO on the std=0 case)
       .withColumn("mean_z",
-        abs(col("win_mean") - col("ref_mean")) / (col("ref_std") / sqrt(col("n"))))
-      .withColumn("drift_detected", col("mean_z") > zThreshold)
+        when(col("ref_std") > 0,
+          abs(col("win_mean") - col("ref_mean")) / (col("ref_std") / sqrt(col("n")))))
+      .withColumn("drift_detected", coalesce(col("mean_z") > zThreshold, lit(false)))
       .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
         col("event_type"), col("n"), col("win_mean"), col("ref_mean"),
         col("mean_z"), col("drift_detected"))

@@ -64,6 +64,26 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("constant reference stats yield null z and no drift flag (no divide-by-zero)") {
+    implicit val sqlCtx = spark.sqlContext
+    val refStats = StreamingDrift.referenceStats(
+      Seq.fill(100)(("click", 5.0)).toDF("event_type", "value")) // std = 0
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val out = StreamingDrift.monitor(events, refStats, "10 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("zdrift_out")
+      .outputMode("append").start()
+    try {
+      input.addData((0 until 10).map(i => (ts(i), "click", 99.0)): _*)
+      input.addData((ts(59), "click", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("zdrift_out").collect()
+      assert(rows.nonEmpty)
+      assert(rows.forall(r => !r.getAs[Boolean]("drift_detected")))
+      assert(rows.forall(_.isNullAt(rows.head.fieldIndex("mean_z"))))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops same-content docs within the watermark horizon") {
     import graft.streaming.StreamingDedup
     implicit val sqlCtx = spark.sqlContext
