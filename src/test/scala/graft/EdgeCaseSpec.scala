@@ -70,6 +70,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rep.numeric.nonEmpty && rep.categorical.nonEmpty) // core still runs
   }
 
+  test("orchestrator survives an empty current frame") {
+    val ref = Seq.tabulate(100)(i => (i.toDouble, "c" + (i % 3))).toDF("x", "c")
+    val curr = ref.filter(col("x") < -1) // empty, same schema
+    val rep = new DriftDetector(spark).detectDrift(ref, curr, DriftConfig(sampleSize = 0))
+    // no family may blow up the run; per-column pair stats drop columns
+    // missing on either side, so the report is quiet rather than crashed
+    assert(rep.assessment.nonEmpty)
+    assert(rep.numeric.isEmpty || rep.numeric.forall(n => !n.driftScore.isNaN))
+  }
+
   test("z-outliers on a constant column count zero outliers (no ANSI divide-by-zero)") {
     val ref = Seq.fill(50)(7.0).toDF("x")
     val curr = Seq.tabulate(50)(i => 7.0 + (if (i == 0) 100.0 else 0.0)).toDF("x")
