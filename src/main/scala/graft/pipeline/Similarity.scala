@@ -11,10 +11,11 @@ import graft.drift.table
   * Brute-force cosine top-k is the correctness baseline: dot products via
   * the `aggregate`/`zip_with` higher-order functions (codegen'd, no UDF),
   * query side broadcast so the scan of the candidate side is
-  * embarrassingly parallel. The scale paths are LSH-bucketed: random-
-  * hyperplane sign bits bucket the vectors, so candidate generation is an
-  * equi-join on (band, signature) — never an all-pairs product and never a
-  * driver-side collect. The hyperplanes are seeded Scala constants embedded
+  * embarrassingly parallel. Two scale paths: LSH buckets (random-
+  * hyperplane sign bits, so candidate generation is an equi-join on
+  * (band, signature)) and IVF cells (nearest-of-K coarse centroids, search
+  * within one cell) — neither forms an all-pairs product or a driver-side
+  * collect. The hyperplanes are seeded Scala constants embedded
   * as plan literals, and the SAME literals are embedded in the DuckDB
   * oracle SQL (doubles round-trip through toString; both engines fold the
   * dot product left-to-right), so the bucketed queries are hash-checkable.

@@ -6,8 +6,10 @@ import graft.drift.table
 
 /** Text analysis for training-data curation: language ID (stopword-marker
   * scoring), quality scoring (length / punctuation / stopword-ratio bands),
-  * token counting (whitespace + a BPE-ish chars/4 estimate), and document
-  * fingerprinting (polynomial rolling hash).
+  * token counting (whitespace, a GPT-2-style pre-tokenizer regex, and a
+  * chars/4 BPE estimate), document fingerprinting (polynomial rolling
+  * hash), and the corpus-prep funnel (language gate → quality gate →
+  * exact dedup in one scan).
   *
   * Everything is built from codegen'd higher-order functions (`split`,
   * `filter`, `aggregate`) — no UDFs — so the same computation runs as plain
