@@ -315,6 +315,61 @@ object NumericDrift {
       s"st2 AS (SELECT ${driftStage2.mkString(", ")} FROM st1) " +
       s"SELECT ${driftStage3.mkString(", ")} FROM st2 ORDER BY table_name, column_name"
 
+  // ------------------------------------------- per-metric audit rows
+
+  /** (metric_checked, ref col, curr col, diff col, standard-profile
+    * threshold) for the per-metric audit shape. */
+  private val auditMetrics: Seq[(String, String, String, String, Double)] = Seq(
+    ("mean", "ref_mean", "curr_mean", "mean_rel_diff", 0.05),
+    ("median", "ref_p50", "curr_p50", "median_rel_diff", 0.05),
+    ("std_dev", "ref_std", "curr_std", "std_dev_rel_diff", 0.1),
+    ("iqr", "ref_iqr", "curr_iqr", "iqr_rel_diff", 0.1),
+    ("range", "ref_range", "curr_range", "range_rel_diff", 0.1),
+    ("null_proportion", "ref_null_prop", "curr_null_prop", "null_diff", 0.005))
+
+  private val auditFinal: Seq[String] = Seq(
+    "table_name", "column_name", "'numerical' AS analysis_type",
+    "'all' AS dimension_slice", "metric_checked",
+    "ROUND(reference_value, 6) AS reference_value",
+    "ROUND(current_value, 6) AS current_value",
+    "ROUND(diff_value, 6) AS diff_value", "threshold_value",
+    "(ABS(diff_value) > threshold_value) AS drift_detected")
+
+  /** Per-metric audit rows — the shape `result_handler.consolidate_results`
+    * (result_handler.py:170-204) DECLARES but cannot produce: the reference
+    * builds 10-field rows against its 6-field schema and crashes
+    * (SURVEY.md §8.6). This is that table done right: one row per
+    * (column, metric) with reference/current values, the diff, the
+    * standard-profile threshold and the per-metric drift flag — derived
+    * from the same one-pass O12 stats, so it costs no extra scan. */
+  def metricAudit(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+    val rows = auditMetrics.map { case (n, r, c, d, t) =>
+      s"'$n', CAST($r AS DOUBLE), CAST($c AS DOUBLE), CAST($d AS DOUBLE), CAST($t AS DOUBLE)"
+    }.mkString(", ")
+    val long = S.numeric.map(sideStatsLong(spark, dir, _, approx)).reduce(_ unionAll _)
+    pivotSides(long)
+      .selectExpr(driftStage1: _*)
+      .selectExpr(driftStage2: _*)
+      .select(col("table_name"), col("column_name"),
+        expr(s"stack(${auditMetrics.size}, $rows) as " +
+          "(metric_checked, reference_value, current_value, diff_value, threshold_value)"))
+      .selectExpr(auditFinal: _*)
+      .orderBy("table_name", "column_name", "metric_checked")
+  }
+
+  def metricAuditSql: String = {
+    val per = auditMetrics.map { case (n, r, c, d, t) =>
+      s"SELECT table_name, column_name, '$n' AS metric_checked, " +
+        s"CAST($r AS DOUBLE) AS reference_value, CAST($c AS DOUBLE) AS current_value, " +
+        s"CAST($d AS DOUBLE) AS diff_value, CAST($t AS DOUBLE) AS threshold_value FROM st2"
+    }.mkString(" UNION ALL ")
+    s"WITH sides AS ($sideStatsLongSql), piv AS ($pivotSidesSql), " +
+      s"st1 AS (SELECT ${driftStage1.mkString(", ")} FROM piv), " +
+      s"st2 AS (SELECT ${driftStage2.mkString(", ")} FROM st1), " +
+      s"longm AS ($per) SELECT ${auditFinal.mkString(", ")} FROM longm " +
+      "ORDER BY table_name, column_name, metric_checked"
+  }
+
   // ------------------------------------------------ O13/O14 flat drift score
 
   /** Outlier/extreme counts against reference IQR bounds (O14) — one extra
@@ -719,6 +774,7 @@ object NumericDrift {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "numeric_stats" -> ((s, d) => stats(s, d)),
     "numeric_drift" -> ((s, d) => drift(s, d)),
+    "metric_audit" -> ((s, d) => metricAudit(s, d)),
     "numeric_drift_score" -> ((s, d) => driftScore(s, d)),
     "quantile_shifts" -> ((s, d) => quantileShifts(s, d)),
     "dist_shapes" -> ((s, d) => shapes(s, d)),
@@ -729,6 +785,7 @@ object NumericDrift {
   def oracles: Map[String, String] = Map(
     "numeric_stats" -> statsSql,
     "numeric_drift" -> driftSql,
+    "metric_audit" -> metricAuditSql,
     "numeric_drift_score" -> driftScoreSql,
     "quantile_shifts" -> quantileShiftsSql,
     "dist_shapes" -> shapesSql,
