@@ -79,6 +79,7 @@ object SparkEntry {
       "numeric_stats" -> ((s, d) => NumericDrift.stats(s, d, approx = true)),
       "type_inference" -> ((s, d) => TypeInference.typeInferenceQuery(s, d, approxDistinct = true)),
       "numeric_drift" -> ((s, d) => NumericDrift.drift(s, d, approx = true)),
+      "metric_audit" -> ((s, d) => NumericDrift.metricAudit(s, d, approx = true)),
       "numeric_drift_score" -> ((s, d) => NumericDrift.driftScore(s, d, approx = true)),
       "quantile_shifts" -> ((s, d) => NumericDrift.quantileShifts(s, d, approx = true)),
       "group_numeric_metrics" -> ((s, d) => GroupDrift.groupNumericMetrics(s, d, approx = true)),
