@@ -76,11 +76,75 @@ object Multimodal {
       "list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
       "(acc, c) -> (acc * 31 + c) % 1000000007) AS h FROM documents) t ORDER BY media_id"
 
+  // ------------------------------------------------------ frame sampling
+
+  /** One sampled frame: fixed-size payload chunk + rolling hash. */
+  case class Frame(media_id: Long, frame_idx: Int, n_bytes: Long, frame_hash: Long)
+
+  val FrameChars = 64
+  val SampleEvery = 4
+
+  /** STUB frame-sampler: chunk the payload into fixed-size "frames" and
+    * keep every [[SampleEvery]]-th — the video-frame-sampling plumbing
+    * (a real impl would seek keyframes with a codec here). Iterator-to-
+    * iterator inside each partition, so the shuffle never carries frames
+    * that the sampler drops. Chunking is by UTF-16 unit on the Spark side
+    * and by codepoint in DuckDB — identical for the ASCII stand-in
+    * payloads; a real byte-codec would chunk raw bytes. */
+  def stubFrameSample(records: Iterator[MediaRecord],
+      frameChars: Int = FrameChars, every: Int = SampleEvery): Iterator[Frame] =
+    records.flatMap { r =>
+      val text = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      text.grouped(frameChars).zipWithIndex.collect {
+        case (chunk, i) if i % every == 0 =>
+          var sum = 0L
+          chunk.codePoints().forEach(cp => sum = (sum * 31 + cp) % 1000000007L)
+          Frame(r.media_id, i,
+            chunk.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong, sum)
+      }
+    }
+
+  /** Frame-sample query: every 4th 64-char frame per document with its
+    * rolling hash — the DuckDB oracle replays the identical chunking. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir).mapPartitions(stubFrameSample(_)).toDF()
+      .selectExpr("media_id", "frame_idx", "n_bytes", "frame_hash")
+      .orderBy("media_id", "frame_idx")
+  }
+
+  val frameSampleSql: String =
+    s"SELECT media_id, frame_idx, octet_length(encode(chunk))::BIGINT AS n_bytes, " +
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(list_filter(string_split(chunk, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(acc, c) -> (acc * 31 + c) % 1000000007) AS frame_hash FROM " +
+      "(SELECT doc_id AS media_id, i AS frame_idx, " +
+      s"substring(text, i * $FrameChars + 1, $FrameChars) AS chunk FROM " +
+      s"(SELECT doc_id, text, unnest(range(0, CAST(ceil(length(text) * 1e0 / $FrameChars) AS INT))) AS i " +
+      s"FROM documents) g WHERE i % $SampleEvery = 0) f ORDER BY media_id, frame_idx"
+
+  // ------------------------------------------------------------- resize
+
+  /** STUB resize: scale (width, height) to fit a bounding box preserving
+    * aspect ratio — the arithmetic a real image resize would parameterize.
+    * Pure per-row math; runs inside the same partition iterator as the
+    * decode, so no extra pass. */
+  def stubResize(f: MediaFeatures, maxW: Int = 224, maxH: Int = 224): MediaFeatures =
+    if (f.width <= maxW && f.height <= maxH) f
+    else {
+      val scale = math.min(maxW.toDouble / math.max(f.width, 1),
+        maxH.toDouble / math.max(f.height, 1))
+      f.copy(width = math.max(1, (f.width * scale).toInt),
+        height = math.max(1, (f.height * scale).toInt))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> ((s, d) => mediaMeta(s, d)),
+    "frame_sample" -> ((s, d) => frameSample(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
+    "frame_sample" -> frameSampleSql,
   )
 }

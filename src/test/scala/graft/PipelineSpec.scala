@@ -108,6 +108,27 @@ class PipelineSpec extends SparkSpec {
     assert(fp(0L) != fp(100L)) // near dup -> different fingerprint
   }
 
+  test("multimodal frame sampling keeps every k-th fixed-size frame") {
+    val frames = Multimodal.frameSample(spark, fixtureDir).collect()
+    assert(frames.nonEmpty)
+    // only sampled indices survive, and every frame has content
+    assert(frames.forall(_.getAs[Int]("frame_idx") % Multimodal.SampleEvery == 0))
+    assert(frames.forall(_.getAs[Long]("n_bytes") > 0))
+    // frame 0 of every doc with >= 1 char is present
+    val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
+      .filter(length(col("text")) > 0).count()
+    assert(frames.count(_.getAs[Int]("frame_idx") == 0) == docs)
+  }
+
+  test("multimodal resize stub preserves aspect ratio inside the bounding box") {
+    val big = Multimodal.MediaFeatures(1L, "image/fake", 10L, 1920, 1080, 0L)
+    val r = Multimodal.stubResize(big)
+    assert(r.width <= 224 && r.height <= 224)
+    assert(math.abs(r.width.toDouble / r.height - 1920.0 / 1080) < 0.02)
+    val small = Multimodal.MediaFeatures(2L, "image/fake", 10L, 100, 50, 0L)
+    assert(Multimodal.stubResize(small) == small) // already fits -> untouched
+  }
+
   test("multimodal plumbing: payload bytes -> typed features via mapPartitions") {
     val feats = Multimodal.extractFeatures(spark, fixtureDir).collect()
     assert(feats.length == 24)
