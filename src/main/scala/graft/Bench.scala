@@ -7,8 +7,24 @@ import org.apache.spark.sql.SparkSession
   * don't land on whichever query happens to run first), and each query gets
   * one untimed warm-up execution — with the Dataset cache cleared between
   * runs so the timed run re-executes the full plan (warm JIT + page cache,
-  * cold Spark cache). */
+  * cold Spark cache).
+  *
+  * Load-noise rejection: each query is TIMED [[TimedRuns]] times and the
+  * per-query MINIMUM is reported. A busy host can only inflate a wall-clock
+  * sample, never deflate it, so min-of-n converges on the true cost of the
+  * plan while mean/single-shot numbers are hostage to whatever else the
+  * machine ran that second (round 4's driver artifact recorded 3-13×
+  * phantom regressions on byte-identical code for exactly this reason).
+  *
+  * Artifact note: the five report-family queries (drift_results,
+  * drift_summary, dimensional_summary, top_dimensions, top_drifted_columns)
+  * share one memoized scoring DAG in production; clearCache() between timed
+  * runs makes each re-pay that DAG, so their SUM overstates a real run's
+  * report cost ~4-5× by harness construction. */
 object Bench {
+
+  /** Timed executions per query; the minimum is reported. */
+  val TimedRuns = 3
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,8 +52,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       once() // warm-up (JIT + OS page cache)
-      spark.catalog.clearCache() // timed run must pay the full plan
-      val timed = once()
+      val timed = (1 to TimedRuns).map { _ =>
+        spark.catalog.clearCache() // each timed run must pay the full plan
+        once()
+      }.min
       spark.catalog.clearCache()
       name -> timed
     }

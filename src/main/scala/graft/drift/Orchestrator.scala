@@ -305,11 +305,14 @@ class DriftDetector(spark: SparkSession) {
         catCols.filterNot(_ == d))).reduce(_ union _))
     else empty
 
-    // O26: per-category correlations over the first group dimension
+    // O26: per-category correlations over the first ≤3 group dimensions,
+    // matching the reference's group_columns[:3] loop
+    // (correlation_analyzer.py:163-171) — one groupBy(side, dim) pass each
     val groupCorr = if (config.analyzeGroups && config.analyzeCorrelations &&
         groupDims.nonEmpty && corrCols.size >= 2)
-      safe("group_correlations")(CorrelationDrift.groupCorrelationsForPair(
-        ref, curr, groupDims.head, corrCols)) else empty
+      safe("group_correlations")(groupDims.take(3).map(d =>
+        CorrelationDrift.groupCorrelationsForPair(ref, curr, d, corrCols))
+        .reduce(_ unionByName _)) else empty
 
     // feature-importance drift (O27) when a numeric target is configured
     val featureImportance = config.targetColumn

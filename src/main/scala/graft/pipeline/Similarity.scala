@@ -237,25 +237,44 @@ object Similarity {
 
   // -------------------------------------------------- IVF ANN (scale path)
 
-  /** Coarse-quantizer cell count. */
-  val IvfCells = 32
+  /** Target vectors per IVF cell: the cell count GROWS with the corpus so
+    * in-cell work stays bounded. */
+  val IvfTargetCell = 256
+
+  /** Upper clamp on the cell count (the centroid set is broadcast; 2²⁰
+    * 64-dim doubles ≈ 0.5 GB is the practical broadcast ceiling). */
+  val MaxIvfCells: Int = 1 << 20
+
+  /** Cell count for n vectors targeting ~[[IvfTargetCell]] per cell — the
+    * IVF analogue of [[bitsForCorpus]]. A FIXED cell count K makes the
+    * in-cell exact self-join O(n²/K): quadratic in the corpus, the exact
+    * failure mode bucketed LSH avoids. With K = ⌈n / target⌉ each cell holds
+    * ~target vectors and the search costs O(n · target) — linear. */
+  def cellsForCorpus(n: Long, targetCell: Int = IvfTargetCell): Int =
+    math.min(MaxIvfCells.toLong,
+      math.max(1L, math.ceil(n.toDouble / targetCell).toLong)).toInt
 
   /** IVF-style ANN: assign every vector to its nearest coarse centroid
-    * (one broadcast of [[IvfCells]] centroids × one scan — at 100 TB the
+    * (one broadcast of K centroids × one scan — at 100 TB the
     * assignment is embarrassingly parallel and the search then touches one
-    * cell, ~n/K vectors, instead of the corpus), then exact cosine top-k
-    * within the cell (nprobe = 1).
+    * cell, ~[[IvfTargetCell]] vectors, instead of the corpus), then exact
+    * cosine top-k within the cell (nprobe = 1). The cell count is
+    * data-adaptive ([[cellsForCorpus]] over one cheap parquet-footer count),
+    * so the in-cell join stays linear as the corpus grows.
     *
     * Deviation from textbook IVF (documented): centroids are the vectors
     * with the K smallest vec_ids rather than k-means-trained — a
-    * deterministic choice both engines can replay, so the query is
-    * hash-checked against DuckDB rather than recall-tested. Swapping in
-    * `ml.clustering.KMeans` centroids is a drop-in (same assignment and
-    * search plan); only the oracle would revert to a recall check. */
+    * deterministic, PREFIX-STABLE choice both engines can replay (the
+    * DuckDB oracle recomputes K from COUNT(*) with the same ceil/clamp
+    * arithmetic, exactly as `ann_lsh`'s SQL recomputes its bit width), so
+    * the query is hash-checked rather than recall-tested. For k-means-
+    * trained centroids behind the same assignment/search plan see
+    * [[kmeansIvfTopK]] (recall-tested, not oracle-checked). */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val emb = withNorm(table(spark, dir, "embeddings"), "c")
+    val cells = cellsForCorpus(table(spark, dir, "embeddings").count())
     val cents = withNorm(
-      table(spark, dir, "embeddings").filter(col("vec_id") < IvfCells), "t")
+      table(spark, dir, "embeddings").filter(col("vec_id") < cells), "t")
       .select(col("t_id").as("cent_id"), col("t_v"), col("t_n"))
     // nearest centroid per vector; similarity rounded BEFORE the argmax so
     // Spark and DuckDB break ties identically (then by cent_id)
@@ -278,10 +297,15 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  /** DuckDB mirror of [[ivfTopK]]: K is data-adaptive, so the SQL recomputes
+    * it from COUNT(*) with the same ceil/clamp arithmetic and takes the
+    * prefix-stable vec_id < K centroid set. */
   def ivfTopKSql(k: Int = TopK): String =
     "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
       "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
-      s"cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM v WHERE vec_id < $IvfCells), " +
+      s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
+      s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
+      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM v, cells_t WHERE vec_id < cells), " +
       "assign AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c.cent_id AS cell, " +
       "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
       "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) DESC, c.cent_id ASC) AS ark " +
@@ -293,6 +317,51 @@ object Similarity {
       "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
       "ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored) " +
       s"SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= $k ORDER BY query_id, rk"
+
+  // ------------------------------------- trained-centroid IVF (quality path)
+
+  /** Rows to sample for the k-means fit: the coarse quantizer trains on a
+    * bounded sample (standard IVF practice — FAISS trains on ~256 vectors
+    * per centroid), so the fit never scans a 100 TB corpus. */
+  val KmeansTrainRows = 100000
+
+  /** [[ivfTopK]] with k-means-TRAINED centroids behind the exact same
+    * assignment + in-cell-search plan — the production-quality quantizer
+    * (balanced cells instead of whatever the first K vectors happen to
+    * partition). Differences from the oracle-checked variant, by design:
+    * trained centroids aren't replayable as DuckDB SQL, so this query is
+    * recall-tested in PipelineSpec instead of hash-checked; assignment uses
+    * the model's euclidean `prediction` (textbook IVF) rather than the
+    * cosine argmax. Cell count stays data-adaptive via [[cellsForCorpus]]
+    * (clamped ≥ 2 — the ml KMeans param requires k > 1), and the fit reads
+    * a ≤[[KmeansTrainRows]]-row sample, so at scale training is O(sample)
+    * and assignment is one model broadcast × one scan. */
+  def kmeansIvfTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = table(spark, dir, "embeddings")
+    val n = emb.count()
+    val cells = math.max(2, cellsForCorpus(n))
+    val vecs = emb
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val trainFrac = math.min(1.0, KmeansTrainRows.toDouble / math.max(1L, n))
+    val model = new KMeans().setK(cells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(if (trainFrac < 1.0) vecs.sample(trainFrac, 42L) else vecs)
+    val assigned = model.transform(vecs)
+      .select(col("vec_id"), col("v"), col("cell"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
+    assigned.as("q").join(assigned.as("c"),
+        col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
+      .withColumn("cosine", expr(
+        "round(aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / NULLIF(q.nrm * c.nrm, 0), 6)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q.vec_id")).orderBy(col("cosine").desc, col("c.vec_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("q.vec_id").as("query_id"), col("rk"), col("c.vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rk")
+  }
 
   // ----------------------------------------------------------------- API
 

@@ -63,6 +63,15 @@ class GoldenDriftSpec extends SparkSpec {
     assert(fi.map(_.getAs[String]("column_name")).toSet.contains("numeric_uniform"))
   }
 
+  test("group correlations cover a second configured dimension (O26, ≤3 dims)") {
+    val r = detector.detectDrift(v1, v3, DriftConfig(sampleSize = 0,
+      groupColumns = Seq("category_imbalanced", "category_balanced")))
+    val dims = r.groupCorrelations.select("dimension").distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(dims == Set("category_imbalanced", "category_balanced"),
+      s"dims=$dims errors=${r.errors.mkString("; ")}")
+  }
+
   test("group drift on identical frames is quiet") {
     val r = detector.detectDrift(v1, v1, DriftConfig(sampleSize = 0,
       groupColumns = Seq("category_imbalanced")))

