@@ -34,21 +34,30 @@ object Dedup {
 
   // ------------------------------------------------ word-trigram shingles
 
-  /** Distinct word-trigram shingles per doc (Spark): explode of an in-plan
-    * sliding window — no UDF, whole-stage codegen. */
-  private[pipeline] def shingles(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+  /** Distinct word-trigram shingles per doc over an arbitrary (doc_id, text)
+    * frame (Spark): explode of an in-plan sliding window — no UDF,
+    * whole-stage codegen. Parameterized by frame so the corpus-prep funnel
+    * can shingle ONLY its gate survivors (at 100 TB, shingling docs the
+    * quality gate already dropped is wasted shuffle). */
+  private[pipeline] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))")).as("sh"))
 
-  /** DuckDB mirror of [[shingles]] (1-based list indexing). */
-  private[pipeline] val shinglesSql: String =
+  private[pipeline] def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(table(spark, dir, "documents"))
+
+  /** DuckDB mirror of [[shinglesOf]] (1-based list indexing) over relation
+    * `rel`, which must expose (doc_id, text). */
+  private[pipeline] def shinglesSqlFrom(rel: String): String =
     "SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(w) - 1), " +
       "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM " +
-      "(SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents) t " +
+      s"(SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM $rel) t " +
       "WHERE len(w) >= 3"
+
+  private[pipeline] val shinglesSql: String = shinglesSqlFrom("documents")
 
   // --------------------------------------------------- n-gram Jaccard
 
@@ -89,19 +98,29 @@ object Dedup {
     * capped variant's shingle universe. */
   val MaxShingleDocFrac = 0.2
 
+  /** Absolute doc-frequency ceiling for the capped variant. The fractional
+    * cap alone is RELATIVE: on a 10¹⁰-doc corpus a shingle in 19.9% of
+    * documents still passes it and contributes ~(2·10⁹)² candidate pairs.
+    * The effective ceiling is min(frac·n, [[MaxShingleDfAbs]]), so per-key
+    * fan-out is bounded by ~10⁸ pairs regardless of corpus size. */
+  val MaxShingleDfAbs = 10000L
+
   /** [[ngramJaccard]] with a doc-frequency ceiling: shingles occurring in
-    * more than [[MaxShingleDocFrac]] of documents (stopword-like trigrams)
-    * are dropped from the universe BEFORE the shingle-keyed join, and the
-    * Jaccard is exact over the remaining sets. At scale hot shingles are
-    * the join's skew bombs — each contributes O(df²) candidate pairs — so
-    * the cap bounds per-key fan-out while near-dup pairs (which share many
-    * rare shingles) keep their high scores. */
+    * more than min([[MaxShingleDocFrac]] of documents, [[MaxShingleDfAbs]])
+    * docs (stopword-like trigrams) are dropped from the universe BEFORE the
+    * shingle-keyed join, and the Jaccard is exact over the remaining sets.
+    * At scale hot shingles are the join's skew bombs — each contributes
+    * O(df²) candidate pairs — so the fractional cap bounds fan-out on small
+    * corpora and the absolute cap takes over once frac·n crosses it; near-
+    * dup pairs (which share many rare shingles) keep their high scores. */
   def ngramJaccardCapped(spark: SparkSession, dir: String,
-      maxDfFrac: Double = MaxShingleDocFrac): DataFrame = {
+      maxDfFrac: Double = MaxShingleDocFrac,
+      maxDfAbs: Long = MaxShingleDfAbs): DataFrame = {
     val nDocs = table(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val dfreq = shingles(spark, dir).groupBy("sh").agg(count(lit(1)).as("df"))
     val keepSh = dfreq.crossJoin(broadcast(nDocs))
-      .filter(col("df") <= col("n_docs") * maxDfFrac).select("sh")
+      .filter(col("df") <= least(col("n_docs") * maxDfFrac, lit(maxDfAbs.toDouble)))
+      .select("sh")
     val tri = shingles(spark, dir).join(keepSh, "sh").cache()
     val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = tri.as("a").join(tri.as("b"),
@@ -118,7 +137,8 @@ object Dedup {
 
   def ngramJaccardCappedSql: String =
     s"WITH tri0 AS ($shinglesSql), " +
-      s"hot AS (SELECT sh FROM tri0 GROUP BY sh HAVING COUNT(*) > (SELECT COUNT(*) FROM documents) * $MaxShingleDocFrac), " +
+      s"hot AS (SELECT sh FROM tri0 GROUP BY sh HAVING COUNT(*) > " +
+      s"LEAST((SELECT COUNT(*) FROM documents) * $MaxShingleDocFrac, $MaxShingleDfAbs.0)), " +
       "tri AS (SELECT * FROM tri0 WHERE sh NOT IN (SELECT sh FROM hot)), " +
       "sz AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1), " +
       "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i FROM tri a " +
@@ -127,12 +147,23 @@ object Dedup {
       "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
       s"WHERE ROUND(i * 1e0 / (sa.n + sb.n - i), 6) >= $JaccardThreshold ORDER BY doc_a, doc_b"
 
-  /** Default near-duplicate surface. The capped variant is the one safe to
-    * run on an unbounded corpus (bounded per-key fan-out); the uncapped
-    * [[ngramJaccard]] exists to verify it on small fixtures. */
+  /** Corpus size above which [[dedupe]] routes to the banded MinHash-LSH
+    * path: even df-capped exact Jaccard pays Σ min(df, cap)² join rows,
+    * which past ~10⁷ docs dominates the k-hash signature cost LSH pays
+    * instead. */
+  val DedupeRouteMaxDocs = 10000000L
+
+  /** Default near-duplicate surface: exact capped Jaccard on corpora small
+    * enough to afford it, banded MinHash-LSH (same (doc_a, doc_b, jaccard)
+    * shape, candidate-verified scores) above [[DedupeRouteMaxDocs]] docs.
+    * The uncapped [[ngramJaccard]] exists to verify both on small
+    * fixtures. The routing count is one parquet-footer job. */
   def dedupe(spark: SparkSession, dir: String,
       maxDfFrac: Double = MaxShingleDocFrac): DataFrame =
-    ngramJaccardCapped(spark, dir, maxDfFrac)
+    if (table(spark, dir, "documents").count() > DedupeRouteMaxDocs)
+      minhashLsh(spark, dir).filter(col("jaccard") >= JaccardThreshold)
+        .select("doc_a", "doc_b", "jaccard")
+    else ngramJaccardCapped(spark, dir, maxDfFrac)
 
   // ------------------------------------------------------ MinHash + LSH
 
@@ -152,13 +183,13 @@ object Dedup {
   private val shingleCodeDuck = "CAST('0x' || substr(md5(sh), 1, 8) AS BIGINT)"
 
   /** DuckDB mirror of the per-doc minhash signature (ONE groupBy(doc) with
-    * k MIN aggregates; the Spark side is inlined in [[minhashLsh]] so the
-    * cached shingle frame is shared). */
-  private def signaturesSql: String = {
+    * k MIN aggregates) over a shingle relation `triRel` exposing
+    * (doc_id, sh). */
+  private def signaturesSqlFromTri(triRel: String): String = {
     val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * x + $b) % $MinhashPrime) AS m$i"
     }.mkString(", ")
-    s"SELECT doc_id, $mins FROM (SELECT doc_id, $shingleCodeDuck AS x FROM ($shinglesSql) s) t GROUP BY doc_id"
+    s"SELECT doc_id, $mins FROM (SELECT doc_id, $shingleCodeDuck AS x FROM $triRel s) t GROUP BY doc_id"
   }
 
   /** LSH candidates: docs sharing ≥1 band signature, then exact-Jaccard
@@ -167,11 +198,12 @@ object Dedup {
     * for candidate pairs: candidates are joined back onto the shingle table
     * by doc id, so the intersection groupBy sees O(|cands| × shingles/doc)
     * rows, never the O(Σ df²) all-co-shingled-pair stream LSH exists to
-    * prune. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    * prune. Parameterized by docs frame ([[minhashLsh]] passes the full
+    * `documents` table; the corpus-prep funnel passes its gate survivors). */
+  def minhashPairsOf(docs: DataFrame): DataFrame = {
     // one cached shingle frame feeds signatures, sizes, and verification
     // (1 row per (doc, shingle) — bounded by the corpus token count)
-    val tri = shingles(spark, dir).cache()
+    val tri = shinglesOf(docs).cache()
     val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
       expr(s"MIN(($a * x + $b) % $MinhashPrime)").as(s"m$i")
     }
@@ -206,24 +238,83 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  def minhashLshSql: String = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairsOf(table(spark, dir, "documents"))
+
+  /** DuckDB CTE chain mirroring [[minhashPairsOf]] over docs relation
+    * `docsRel` — ends in `nd_pairs` with (doc_a, doc_b, n_shared_bands,
+    * jaccard). Shared by [[minhashLshSql]] and the corpus-prep funnel's
+    * near-dup stage. */
+  private[pipeline] def minhashPairsCtes(docsRel: String): String = {
     val nBands = NumHashes / BandRows
     val bandSelects = (0 until nBands).map { bIdx =>
       val sig = (0 until BandRows).map(r => s"m${bIdx * BandRows + r}").mkString("CONCAT_WS(',', ", ", ", ")")
       s"SELECT doc_id, $bIdx AS band, $sig AS sig FROM sigs"
     }.mkString(" UNION ALL ")
-    s"WITH tri AS ($shinglesSql), sigs AS (${signaturesSql.replace(s"($shinglesSql)", "tri")}), " +
+    s"tri AS (${shinglesSqlFrom(docsRel)}), sigs AS (${signaturesSqlFromTri("tri")}), " +
       s"bands AS ($bandSelects), " +
       "cands AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands " +
       "FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
       "sz AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1), " +
       "inter AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS i FROM cands c " +
-      "JOIN tri a ON a.doc_id = c.doc_a JOIN tri b ON b.doc_id = c.doc_b AND b.sh = a.sh GROUP BY 1, 2) " +
-      "SELECT c.doc_a, c.doc_b, c.n_shared_bands, " +
+      "JOIN tri a ON a.doc_id = c.doc_a JOIN tri b ON b.doc_id = c.doc_b AND b.sh = a.sh GROUP BY 1, 2), " +
+      "nd_pairs AS (SELECT c.doc_a, c.doc_b, c.n_shared_bands, " +
       "COALESCE(ROUND(ix.i * 1e0 / (sa.n + sb.n - ix.i), 6), 0.0) AS jaccard " +
       "FROM cands c LEFT JOIN inter ix ON ix.doc_a = c.doc_a AND ix.doc_b = c.doc_b " +
-      "JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b " +
-      "ORDER BY c.doc_a, c.doc_b"
+      "JOIN sz sa ON sa.doc_id = c.doc_a JOIN sz sb ON sb.doc_id = c.doc_b)"
+  }
+
+  def minhashLshSql: String =
+    s"WITH ${minhashPairsCtes("documents")} " +
+      "SELECT doc_a, doc_b, n_shared_bands, jaccard FROM nd_pairs ORDER BY doc_a, doc_b"
+
+  // ----------------------------------- near-dup connected components (CC)
+
+  /** Iteration cap for [[neardupComponents]]' label propagation — min-label
+    * needs (cluster diameter) rounds to converge, and near-dup clusters are
+    * shallow (chains of documents each ≥0.8-similar to the next); 50 rounds
+    * covers any plausible diameter while bounding a pathological input. */
+  val MaxCcIterations = 50
+
+  /** Connected components over the ≥`threshold` MinHash-LSH near-dup graph:
+    * every doc in `docs` gets the MINIMUM doc_id reachable through verified
+    * near-dup pairs as its `cluster_id` (isolated docs label themselves) —
+    * the distributed analogue of the driver-side BFS used for the tiny
+    * correlation-component graph, because here the node set is the corpus
+    * and can never be collected.
+    *
+    * Scale shape: the edge list is O(true near-dup pairs) — already pruned
+    * by LSH banding — and each propagation round is one equi-join + one
+    * groupBy(min) on it, shuffled by doc id. Rounds = cluster diameter
+    * (typically 1-2 for dup clusters). `localCheckpoint` truncates the
+    * lineage each round so the plan doesn't grow with the iteration count
+    * (on a cluster with a checkpoint dir, `checkpoint()` is the durable
+    * drop-in). The fixpoint (min label per component) is unique, so the
+    * result is deterministic regardless of join order. */
+  def neardupComponents(docs: DataFrame,
+      threshold: Double = JaccardThreshold): DataFrame = {
+    val pairs = minhashPairsOf(docs)
+      .filter(col("jaccard") >= threshold).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < MaxCcIterations) {
+      val prop = labels.join(edges, col("doc_id") === col("src"))
+        .groupBy(col("dst")).agg(min("cluster_id").as("nl"))
+      val next = labels.join(prop, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("p"), "doc_id")
+        .filter(col("n.cluster_id") < col("p.cluster_id")).count()
+      labels = next
+      iter += 1
+    }
+    labels
   }
 
   // ------------------------------------------------------------- SimHash

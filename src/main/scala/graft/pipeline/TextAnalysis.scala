@@ -9,7 +9,8 @@ import graft.drift.table
   * token counting (whitespace, a GPT-2-style pre-tokenizer regex, and a
   * chars/4 BPE estimate), document fingerprinting (polynomial rolling
   * hash), and the corpus-prep funnel (language gate → quality gate →
-  * exact dedup in one scan).
+  * exact dedup in one scan; the neardup variant adds MinHash-LSH +
+  * connected-component fuzzy dedup over the survivors).
   *
   * Everything is built from codegen'd higher-order functions (`split`,
   * `filter`, `aggregate`) — no UDFs — so the same computation runs as plain
@@ -153,14 +154,11 @@ object TextAnalysis {
   val PrepLang = "en"
   val PrepMinQuality = 0.7
 
-  /** Training-data prep funnel per source: language gate (keep [[PrepLang]]
-    * by the langId argmax), quality gate (score ≥ [[PrepMinQuality]]), then
-    * exact dedup of the survivors (distinct md5(text)). ONE scan: the
-    * language and quality expressions are the same shared SQL fragments the
-    * standalone queries use, evaluated inline — no join of per-doc frames,
-    * no shuffle besides the per-source rollup, so at 100 TB this funnel
-    * costs one pass over the corpus. */
-  def corpusPrep(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc gated frame feeding both funnel variants: (doc_id, source,
+    * text, lang_ok, qual_ok), where the language and quality expressions are
+    * the same shared SQL fragments the standalone queries use, evaluated
+    * inline in ONE scan — no join of per-doc frames. */
+  private[pipeline] def prepDocs(spark: SparkSession, dir: String): DataFrame = {
     val scores = markers.map { case (lang, ws) =>
       s"size(filter(toks, t -> t IN ${inList(ws)})) * 1e0 / size(toks) AS score_$lang"
     }
@@ -173,20 +171,15 @@ object TextAnalysis {
       .selectExpr(Seq("doc_id", "source", "text", "toks") ++ scores: _*)
       .selectExpr(Seq("doc_id", "source", "text", "toks", s"$best AS best") ++
         markers.map { case (l, _) => s"score_$l" }: _*)
-      .selectExpr(Seq("source", "text", s"$pick AS predicted_lang") ++ qualityStage1.tail: _*)
-      .selectExpr("source", "text", "predicted_lang", qualityStage2.last)
-      .selectExpr("source", "text",
+      .selectExpr(Seq("doc_id", "source", "text", s"$pick AS predicted_lang") ++ qualityStage1.tail: _*)
+      .selectExpr("doc_id", "source", "text", "predicted_lang", qualityStage2.last)
+      .selectExpr("doc_id", "source", "text",
         s"predicted_lang = '$PrepLang' AS lang_ok",
         s"(predicted_lang = '$PrepLang' AND quality_score >= $PrepMinQuality) AS qual_ok")
-      .groupBy("source").agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_kept"),
-        sum(when(col("qual_ok"), 1L).otherwise(0L)).as("n_quality_kept"),
-        countDistinct(when(col("qual_ok"), md5(col("text")))).as("n_dedup_kept"))
-      .orderBy("source")
   }
 
-  def corpusPrepSql: String = {
+  /** DuckDB mirror of [[prepDocs]]. */
+  private[pipeline] def prepDocsSql: String = {
     val scores = markers.map { case (lang, ws) =>
       s"len(list_filter(toks, t -> t IN ${inList(ws)})) * 1e0 / len(toks) AS score_$lang"
     }.mkString(", ")
@@ -199,19 +192,98 @@ object TextAnalysis {
       .map(_.replace("size(toks)", "len(toks)"))
       .map(_.replace("regexp_replace(text, '[a-zA-Z0-9\\\\s]', '')", "regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')"))
       .mkString(", ")
+    s"SELECT doc_id, source, text, predicted_lang = '$PrepLang' AS lang_ok, " +
+      s"(predicted_lang = '$PrepLang' AND quality_score >= $PrepMinQuality) AS qual_ok FROM " +
+      s"(SELECT doc_id, source, text, predicted_lang, ${qualityStage2.last} FROM " +
+      s"(SELECT doc_id, source, text, $pick AS predicted_lang, $stage1 FROM " +
+      s"(SELECT s.*, $best AS best FROM " +
+      s"(SELECT doc_id, source, text, toks, $scores FROM " +
+      "(SELECT doc_id, source, text, regexp_split_to_array(text, '\\s+') AS toks FROM documents) t) s) b) p) q"
+  }
+
+  /** Training-data prep funnel per source: language gate (keep [[PrepLang]]
+    * by the langId argmax), quality gate (score ≥ [[PrepMinQuality]]), then
+    * exact dedup of the survivors (distinct md5(text)). ONE scan over the
+    * corpus plus the per-source rollup shuffle — at 100 TB this funnel
+    * costs one pass. For the variant that also collapses NEAR-duplicates
+    * see [[corpusPrepNeardup]]. */
+  def corpusPrep(spark: SparkSession, dir: String): DataFrame =
+    prepDocs(spark, dir)
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_kept"),
+        sum(when(col("qual_ok"), 1L).otherwise(0L)).as("n_quality_kept"),
+        countDistinct(when(col("qual_ok"), md5(col("text")))).as("n_dedup_kept"))
+      .orderBy("source")
+
+  def corpusPrepSql: String =
     s"SELECT source, COUNT(*) AS n_docs, " +
       "SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END)::BIGINT AS n_lang_kept, " +
       "SUM(CASE WHEN qual_ok THEN 1 ELSE 0 END)::BIGINT AS n_quality_kept, " +
       "COUNT(DISTINCT CASE WHEN qual_ok THEN md5(text) END)::BIGINT AS n_dedup_kept FROM " +
-      s"(SELECT source, text, predicted_lang = '$PrepLang' AS lang_ok, " +
-      s"(predicted_lang = '$PrepLang' AND quality_score >= $PrepMinQuality) AS qual_ok FROM " +
-      s"(SELECT source, text, predicted_lang, ${qualityStage2.last} FROM " +
-      s"(SELECT source, text, $pick AS predicted_lang, $stage1 FROM " +
-      s"(SELECT s.*, $best AS best FROM " +
-      s"(SELECT source, text, toks, $scores FROM " +
-      "(SELECT doc_id, source, text, regexp_split_to_array(text, '\\s+') AS toks FROM documents) t) s) b) p) q) f " +
-      "GROUP BY source ORDER BY source"
+      s"($prepDocsSql) f GROUP BY source ORDER BY source"
+
+  /** [[corpusPrep]] extended with the fuzzy-dedup stage a training-data
+    * pipeline actually ships: gate survivors → exact dedup (global
+    * min-doc_id canonical per md5(text)) → MinHash-LSH near-dup candidates
+    * over ONLY those canonicals ([[Dedup.minhashPairsOf]], verified
+    * Jaccard ≥ [[Dedup.JaccardThreshold]]) → connected components
+    * ([[Dedup.neardupComponents]], distributed min-label propagation) →
+    * keep the min-doc_id canonical per near-dup cluster.
+    *
+    * Output per source adds `n_dedup_kept` (exact-canonical docs attributed
+    * to the source of the surviving copy — a cross-source dup counts once,
+    * unlike [[corpusPrep]]'s per-source distinct-md5 count) and
+    * `n_neardup_kept` (docs remaining after near-dup collapse). Scale
+    * shape: one gating scan, one md5 groupBy, then the banded LSH pipeline
+    * over the (already reduced) canonical set — never an all-pairs join. */
+  def corpusPrepNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val gated = prepDocs(spark, dir).cache()
+    val surv = gated.filter(col("qual_ok")).select("doc_id", "source", "text")
+    val canonIds = surv.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val cdocs = surv.join(canonIds, "doc_id").cache()
+    val labels = Dedup.neardupComponents(cdocs.select("doc_id", "text"))
+    val kept = cdocs.join(labels, "doc_id")
+      .filter(col("cluster_id") === col("doc_id"))
+    val base = gated.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_kept"),
+      sum(when(col("qual_ok"), 1L).otherwise(0L)).as("n_quality_kept"))
+    val canonAgg = cdocs.groupBy("source").agg(count(lit(1)).as("n_dedup_kept"))
+    val keptAgg = kept.groupBy("source").agg(count(lit(1)).as("n_neardup_kept"))
+    base.join(canonAgg, Seq("source"), "left").join(keptAgg, Seq("source"), "left")
+      .selectExpr("source", "n_docs", "n_lang_kept", "n_quality_kept",
+        "COALESCE(n_dedup_kept, CAST(0 AS BIGINT)) AS n_dedup_kept",
+        "COALESCE(n_neardup_kept, CAST(0 AS BIGINT)) AS n_neardup_kept")
+      .orderBy("source")
   }
+
+  /** DuckDB mirror of [[corpusPrepNeardup]]: the near-dup components come
+    * from a recursive-CTE transitive closure over the verified LSH pairs
+    * (min reachable doc_id = the label propagation's unique fixpoint). */
+  def corpusPrepNeardupSql: String =
+    s"WITH RECURSIVE docs0 AS ($prepDocsSql), " +
+      "surv AS (SELECT doc_id, source, text FROM docs0 WHERE qual_ok), " +
+      "cd AS (SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY md5(text)), " +
+      "cdocs AS (SELECT s.doc_id, s.source, s.text FROM surv s JOIN cd ON cd.doc_id = s.doc_id), " +
+      s"${Dedup.minhashPairsCtes("cdocs")}, " +
+      s"nd_edges AS (SELECT doc_a AS src, doc_b AS dst FROM nd_pairs WHERE jaccard >= ${Dedup.JaccardThreshold} " +
+      s"UNION SELECT doc_b, doc_a FROM nd_pairs WHERE jaccard >= ${Dedup.JaccardThreshold}), " +
+      "reach(src, dst) AS (SELECT doc_id, doc_id FROM cdocs " +
+      "UNION SELECT r.src, e.dst FROM reach r JOIN nd_edges e ON e.src = r.dst), " +
+      "labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src), " +
+      "kept AS (SELECT c.doc_id, c.source FROM cdocs c JOIN labels l ON l.doc_id = c.doc_id WHERE l.cluster_id = c.doc_id), " +
+      "base AS (SELECT source, COUNT(*) AS n_docs, " +
+      "SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END)::BIGINT AS n_lang_kept, " +
+      "SUM(CASE WHEN qual_ok THEN 1 ELSE 0 END)::BIGINT AS n_quality_kept FROM docs0 GROUP BY source), " +
+      "ca AS (SELECT source, COUNT(*) AS n_dedup_kept FROM cdocs GROUP BY source), " +
+      "ka AS (SELECT source, COUNT(*) AS n_neardup_kept FROM kept GROUP BY source) " +
+      "SELECT b.source, n_docs, n_lang_kept, n_quality_kept, " +
+      "COALESCE(n_dedup_kept, 0)::BIGINT AS n_dedup_kept, " +
+      "COALESCE(n_neardup_kept, 0)::BIGINT AS n_neardup_kept " +
+      "FROM base b LEFT JOIN ca ON ca.source = b.source LEFT JOIN ka ON ka.source = b.source " +
+      "ORDER BY b.source"
 
   // ------------------------------------------------------- fingerprinting
 
@@ -238,6 +310,7 @@ object TextAnalysis {
     "token_stats" -> ((s, d) => tokenStats(s, d)),
     "doc_fingerprint" -> ((s, d) => fingerprints(s, d)),
     "corpus_prep" -> ((s, d) => corpusPrep(s, d)),
+    "corpus_prep_neardup" -> ((s, d) => corpusPrepNeardup(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -246,5 +319,6 @@ object TextAnalysis {
     "token_stats" -> tokenStatsSql,
     "doc_fingerprint" -> fingerprintsSql,
     "corpus_prep" -> corpusPrepSql,
+    "corpus_prep_neardup" -> corpusPrepNeardupSql,
   )
 }

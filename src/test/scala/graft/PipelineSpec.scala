@@ -57,6 +57,53 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("near-dup components collapse planted clusters to the min doc_id") {
+    val docs = spark.read.parquet(s"$fixtureDir/documents.parquet")
+      .select("doc_id", "text")
+    val labels = Dedup.neardupComponents(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels.size == 24)
+    // each planted near-dup (and the exact dup) joins its base doc's cluster
+    assert(labels(100L) == 0L && labels(101L) == 1L && labels(102L) == 2L)
+    assert(labels(200L) == 5L)
+    // an unplanted doc is its own singleton component
+    assert(labels(7L) == 7L)
+  }
+
+  /** English-vocab corpus for the prep funnel: 12 clean base docs + 1
+    * near-dup (one word changed) + 1 exact dup + 1 German doc (language
+    * gate) + 1 short English doc (quality gate), all in one source. */
+  private lazy val funnelDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val r = new scala.util.Random(11)
+    val stop = Seq("the", "a", "of", "and", "is")
+    val content = Seq("mountain", "river", "forest", "stone", "cloud", "window",
+      "garden", "silver", "market", "candle", "journey", "harbor")
+    def word(i: Int) = if (i % 4 == 0) stop(r.nextInt(stop.size)) else content(r.nextInt(content.size))
+    def doc() = (0 until 100).map(word).mkString(" ")
+    val base = (0 until 12).map(i => (i.toLong, doc()))
+    val nearDup = { val w = base(0)._2.split(" "); w(50) = "mutated"; Seq((100L, w.mkString(" "))) }
+    val exactDup = Seq((200L, base(5)._2))
+    val german = Seq((300L, Seq.fill(20)("der die das und nicht haus baum wasser").mkString(" ")))
+    val shortEn = Seq((301L, "the cat and the dog is of a man"))
+    (base ++ nearDup ++ exactDup ++ german ++ shortEn).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("corpus-prep near-dup funnel collapses planted dups to one survivor") {
+    val rows = TextAnalysis.corpusPrepNeardup(spark, funnelDir).collect()
+    assert(rows.length == 1)
+    val row = rows.head
+    assert(row.getAs[Long]("n_docs") == 16)
+    assert(row.getAs[Long]("n_lang_kept") == 15, "German doc gated on language")
+    assert(row.getAs[Long]("n_quality_kept") == 14, "short doc gated on quality")
+    assert(row.getAs[Long]("n_dedup_kept") == 13, "exact dup collapsed")
+    assert(row.getAs[Long]("n_neardup_kept") == 12, "near-dup collapsed")
+  }
+
   test("SimHash ranks planted near-dups as closest pairs") {
     val top = Dedup.simhashPairs(spark, fixtureDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).take(4).toSet
