@@ -23,8 +23,34 @@ class ResultsSpec extends SparkSpec {
     Results.writeResults(spark, report, s"$dir/flat")
     Results.writeResults(spark, report, s"$dir/flat") // append
     assert(spark.read.parquet(s"$dir/flat").count() == 2 * flat.count())
-    Results.writeNested(spark, report, s"$dir/nested")
-    assert(spark.read.parquet(s"$dir/nested").count() == 1)
+    Results.writeNested(spark, report, s"$dir/nested", tablePath = "golden",
+      refVersion = "1", currVersion = "3")
+    val nested = spark.read.parquet(s"$dir/nested")
+    assert(nested.count() == 1)
+    // round-trip: the full reference document shape is in results_json —
+    // the drifted column's metric object, the drift summary, column_info,
+    // schema changes and recommendations are all reachable by JSON path
+    val row = nested.selectExpr(
+      "get_json_object(results_json, '$.metrics.numerical.numeric_normal.drift_detected') AS nd",
+      "get_json_object(results_json, '$.metrics.numerical.numeric_normal.mean_rel_diff') AS mrd",
+      "get_json_object(results_json, '$.metrics.categorical.category_balanced.js_divergence') AS js",
+      "get_json_object(results_json, '$.drift_summary.numerical_drift_count') AS ndc",
+      "get_json_object(results_json, '$.drift_summary.overall_assessment') AS oa",
+      "get_json_object(results_json, '$.column_info.total_analyzed') AS ta",
+      "get_json_object(results_json, '$.schema_analysis.added_columns[0]') AS addc",
+      "get_json_object(results_json, '$.recommended_actions[0]') AS rec",
+      "get_json_object(results_json, '$.execution_time_sec') AS ets",
+      "table_path", "reference_version", "current_version").collect()(0)
+    assert(row.getAs[String]("nd") == "true")
+    assert(row.getAs[String]("mrd").toDouble > 0)
+    assert(row.getAs[String]("js").toDouble >= 0)
+    assert(row.getAs[String]("ndc").toInt >= 1)
+    assert(row.getAs[String]("oa") != null && row.getAs[String]("oa").nonEmpty)
+    assert(row.getAs[String]("ta").toInt > 0)
+    assert(row.getAs[String]("addc") == "new_feature")
+    assert(row.getAs[String]("rec") != null)
+    assert(row.getAs[String]("ets").toDouble >= 0)
+    assert(row.getAs[String]("table_path") == "golden")
   }
 
   test("column metadata profile (O5)") {
