@@ -138,13 +138,41 @@ object Multimodal {
         height = math.max(1, (f.height * scale).toInt))
     }
 
+  /** Resize query: every decoded item's (width, height) scaled into the
+    * default 224×224 bounding box — decode and resize run in ONE narrow
+    * stage (the `map` fuses onto the `mapPartitions` iterator; no shuffle
+    * touches a payload). The DuckDB oracle replays the identical
+    * scale-and-truncate arithmetic, so the query is hash-checked. */
+  def frameResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(spark, dir).map { f =>
+      val r = stubResize(f)
+      (f.media_id, f.width, f.height, r.width, r.height)
+    }.toDF("media_id", "width", "height", "resized_width", "resized_height")
+      .orderBy("media_id")
+  }
+
+  val frameResizeSql: String = {
+    def side(dim: String) =
+      s"CASE WHEN width <= 224 AND height <= 224 THEN $dim " +
+        s"ELSE GREATEST(1, CAST(trunc($dim * LEAST(224e0 / GREATEST(width, 1), " +
+        s"224e0 / GREATEST(height, 1))) AS INT)) END AS resized_$dim"
+    "SELECT media_id, width, height, " + side("width") + ", " + side("height") +
+      " FROM (SELECT doc_id AS media_id, (h % 1920)::INT AS width, (h % 1080)::INT AS height FROM " +
+      "(SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(acc, c) -> (acc * 31 + c) % 1000000007) AS h FROM documents) t) m ORDER BY media_id"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> ((s, d) => mediaMeta(s, d)),
     "frame_sample" -> ((s, d) => frameSample(s, d)),
+    "frame_resize" -> ((s, d) => frameResize(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
     "frame_sample" -> frameSampleSql,
+    "frame_resize" -> frameResizeSql,
   )
 }
