@@ -196,9 +196,12 @@ class DriftDetector(spark: SparkSession) {
   def detectDrift(refIn: DataFrame, currIn: DataFrame,
       configIn: DriftConfig = DriftConfig()): DriftReport = {
     val t0 = System.nanoTime()
+    // one count job per frame, each consumed twice: it sizes that frame's
+    // sampling fraction, and ref's also drives the O38 threshold factor
     val (ref, refTotal) = if (configIn.sampleSize > 0)
       Sampling.sampleWithTotal(refIn, configIn.sampleSize) else (refIn, 0L)
-    val curr = if (configIn.sampleSize > 0) Sampling.sample(currIn, configIn.sampleSize) else currIn
+    val (curr, _) = if (configIn.sampleSize > 0)
+      Sampling.sampleWithTotal(currIn, configIn.sampleSize) else (currIn, 0L)
     // O38 sample-size adjustment: when sampling truncated the reference
     // frame, loosen the drift thresholds by the 1/√ratio-shaped factor
     // (adaptive_threshold.py:523-556 — defined there, wired here)

@@ -1,0 +1,58 @@
+package graft
+
+import graft.pipeline._
+
+/** Plan-level proof of the scan-efficiency claims the 100 TB design rests
+  * on: column pruning reaches the parquet reader, literal filters are
+  * pushed into the scan, and top-k queries never plan a global sort. These
+  * asserts read the executed plan, so a regression that silently widens a
+  * scan or materializes a full sort fails CI even though results stay
+  * correct. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("corpus-prep funnel scan prunes to the columns it uses") {
+    val plan = planOf(TextAnalysis.corpusPrep(spark, sf))
+    // documents carries (doc_id, text, lang, source, n_chars); the funnel
+    // needs doc_id/source/text — the parquet ReadSchema must not include
+    // the untouched columns (at 100 TB that's reading whole column chunks
+    // for nothing)
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchemas.nonEmpty, s"no parquet scan found:\n$plan")
+    assert(!readSchemas.contains("lang") && !readSchemas.contains("n_chars"),
+      s"funnel scan reads unused columns:\n$readSchemas")
+  }
+
+  test("IVF centroid scan pushes the vec_id bound into parquet") {
+    val plan = planOf(Similarity.ivfTopK(spark, sf))
+    // the K-smallest-vec_id centroid set is a literal predicate at plan
+    // time; it must reach PushedFilters so row groups above the bound are
+    // skipped by footer statistics
+    val pushed = plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("LessThan(vec_id"),
+      s"vec_id bound not pushed to the scan:\n$pushed")
+  }
+
+  test("simhash top-20 plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Dedup.simhashPairs(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"orderBy.limit did not plan TakeOrderedAndProject:\n$plan")
+  }
+
+  test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
+    val plan = planOf(Dedup.dedupExact(spark, sf))
+    // count + countDistinct over md5: the plan must partial-aggregate
+    // before any exchange — shuffling raw text rows would move the corpus
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"no aggregate in dedup plan:\n$plan")
+    val exchangeFirst = plan.indexOf("Exchange")
+    val scanIdx = plan.lastIndexOf("Scan parquet")
+    assert(exchangeFirst >= 0 && scanIdx > exchangeFirst,
+      "expected a partial aggregate between scan and exchange " +
+        s"(exchange@$exchangeFirst scan@$scanIdx):\n$plan")
+  }
+}
