@@ -317,6 +317,22 @@ object Dedup {
     labels
   }
 
+  /** The dedup artifact a training pipeline actually consumes: every doc's
+    * near-dup cluster id over the whole corpus (keep rows where
+    * `cluster_id = doc_id`, drop the rest). Hash-checked against a
+    * recursive-CTE transitive closure in DuckDB. */
+  def neardupClusters(spark: SparkSession, dir: String): DataFrame =
+    neardupComponents(table(spark, dir, "documents").select("doc_id", "text"))
+      .orderBy("doc_id")
+
+  def neardupClustersSql: String =
+    s"WITH RECURSIVE ${minhashPairsCtes("documents")}, " +
+      s"nd_edges AS (SELECT doc_a AS src, doc_b AS dst FROM nd_pairs WHERE jaccard >= $JaccardThreshold " +
+      s"UNION SELECT doc_b, doc_a FROM nd_pairs WHERE jaccard >= $JaccardThreshold), " +
+      "reach(src, dst) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT r.src, e.dst FROM reach r JOIN nd_edges e ON e.src = r.dst) " +
+      "SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id"
+
   // ------------------------------------------------------------- SimHash
 
   /** 60-bit SimHash from per-word md5 hashes (15 hex chars keeps the value
@@ -411,6 +427,7 @@ object Dedup {
     "ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "ngram_jaccard_capped" -> ((s, d) => ngramJaccardCapped(s, d)),
     "minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
+    "neardup_clusters" -> ((s, d) => neardupClusters(s, d)),
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
   )
 
@@ -419,6 +436,7 @@ object Dedup {
     "ngram_jaccard" -> ngramJaccardSql,
     "ngram_jaccard_capped" -> ngramJaccardCappedSql,
     "minhash_lsh" -> minhashLshSql,
+    "neardup_clusters" -> neardupClustersSql,
     "simhash_pairs" -> simhashPairsSql,
   )
 }

@@ -93,6 +93,19 @@ class PipelineSpec extends SparkSpec {
     dir
   }
 
+  test("near-dup components on degenerate corpora: empty, and sub-shingle docs") {
+    import spark.implicits._
+    // empty corpus: no edges, no labels, loop terminates immediately
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.neardupComponents(empty).count() == 0)
+    // docs under 3 words produce NO shingles (and so no minhash signature),
+    // but every doc must still come back as its own singleton component
+    val tiny = Seq((1L, "just two"), (2L, "one"), (3L, "")).toDF("doc_id", "text")
+    val labels = Dedup.neardupComponents(tiny).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("corpus-prep near-dup funnel collapses planted dups to one survivor") {
     val rows = TextAnalysis.corpusPrepNeardup(spark, funnelDir).collect()
     assert(rows.length == 1)
