@@ -292,13 +292,20 @@ object Dedup {
     * drop-in). The fixpoint (min label per component) is unique, so the
     * result is deterministic regardless of join order. */
   def neardupComponents(docs: DataFrame,
-      threshold: Double = JaccardThreshold): DataFrame = {
-    val pairs = minhashPairsOf(docs)
-      .filter(col("jaccard") >= threshold).select("doc_a", "doc_b")
+      threshold: Double = JaccardThreshold): DataFrame =
+    propagateMinLabels(docs.select("doc_id"),
+      minhashPairsOf(docs).filter(col("jaccard") >= threshold)
+        .select("doc_a", "doc_b"))
+
+  /** The propagation core, separated from candidate generation so the
+    * algorithm is testable against a driver-side union-find on arbitrary
+    * graphs (and reusable for any distributed pair list): `nodes` =
+    * (doc_id), `pairs` = undirected (doc_a, doc_b). */
+  def propagateMinLabels(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0

@@ -93,6 +93,28 @@ class PipelineSpec extends SparkSpec {
     dir
   }
 
+  test("label propagation matches union-find on random graphs") {
+    import spark.implicits._
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val pairs = (0 until 40).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // driver-side union-find oracle: component id = min member
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.propagateMinLabels(
+          (0L until n.toLong).toDF("doc_id"), pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("near-dup components on degenerate corpora: empty, and sub-shingle docs") {
     import spark.implicits._
     // empty corpus: no edges, no labels, loop terminates immediately
