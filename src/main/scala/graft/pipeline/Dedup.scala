@@ -207,9 +207,12 @@ object Dedup {
     val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
       expr(s"MIN(($a * x + $b) % $MinhashPrime)").as(s"m$i")
     }
+    // cached: the band self-join consumes the signatures on both sides;
+    // tri's cache stops a re-scan but not a second 16-min aggregation
     val sigs = tri
       .select(col("doc_id"), expr(shingleCodeSpark).as("x"))
       .groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .cache()
     val nBands = NumHashes / BandRows
     val bandRows = (0 until nBands).map { bIdx =>
       val sig = (0 until BandRows).map(r => s"m${bIdx * BandRows + r}").mkString("concat_ws(',', ", ", ", ")")

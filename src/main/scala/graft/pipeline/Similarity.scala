@@ -124,9 +124,12 @@ object Similarity {
     val normed = emb.withColumn("n",
       expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
     val sigCols = bandSigCols(col("dots"), NeardupBands, NeardupBandBits)
+    // cached: the band equi-join reads this on both sides, and uncached each
+    // side would re-scan the corpus and redo the 32 hyperplane dots
     val bands = emb.withColumn("dots", bandDots(neardupPlanes, col("v")))
       .select(col("vec_id"), posexplode(array(sigCols: _*)))
       .toDF("vec_id", "band", "sig")
+      .cache()
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -191,8 +194,12 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val bits = bitsForCorpus(emb.count())
+    // cached: both sides of the in-bucket self-join consume it; uncached
+    // each side re-scans the corpus and recomputes the bucket dots
+    // (MEMORY_AND_DISK, so a corpus-sized frame spills instead of evicting)
     val b = lshBuckets(emb, bits)
       .withColumn("n", expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
+      .cache()
     b.as("q").join(b.as("c"), col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("cosine", expr(
         "round(aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / NULLIF(q.n * c.n, 0), 6)"))
