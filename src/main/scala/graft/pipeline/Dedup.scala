@@ -303,12 +303,21 @@ object Dedup {
   /** The propagation core, separated from candidate generation so the
     * algorithm is testable against a driver-side union-find on arbitrary
     * graphs (and reusable for any distributed pair list): `nodes` =
-    * (doc_id), `pairs` = undirected (doc_a, doc_b). */
+    * (doc_id), `pairs` = undirected (doc_a, doc_b).
+    *
+    * The loop iterates ONLY over nodes that appear in an edge — a node
+    * with no edge can never change its label, so singletons skip the loop
+    * entirely and re-attach in one final left join. At corpus scale that
+    * shrinks the per-round materialized frame from |corpus| rows to
+    * |near-dup-pair endpoints| (a few % of docs), which is what makes
+    * per-round `localCheckpoint` affordable. */
   def propagateMinLabels(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // symmetric edges: every endpoint appears as src
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -324,7 +333,9 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels
+    nodes.select("doc_id")
+      .join(labels.withColumnRenamed("cluster_id", "cc"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cc"), col("doc_id")).as("cluster_id"))
   }
 
   /** The dedup artifact a training pipeline actually consumes: every doc's
