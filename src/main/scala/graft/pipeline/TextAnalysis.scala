@@ -119,8 +119,12 @@ object TextAnalysis {
 
   /** Per-source corpus rollup: docs, whitespace tokens, BPE-ish counts
     * (pre-tokenizer regex matches + the cruder ceil(chars/4) estimate),
-    * distinct vocabulary. */
-  def tokenStats(spark: SparkSession, dir: String): DataFrame = {
+    * distinct vocabulary. The exploded-word `countDistinct` is the one
+    * corpus-sized shuffle here — `approx = true` (the bench/100 TB path)
+    * swaps it for `approx_count_distinct`'s fixed-size HLL sketch, which
+    * partial-aggregates map-side so the shuffle carries one sketch per
+    * (partition, source) instead of every distinct word. */
+  def tokenStats(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     val docs = table(spark, dir, "documents")
     val base = docs.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
@@ -129,7 +133,9 @@ object TextAnalysis {
       sum(expr("CAST(ceil(LENGTH(text) / 4e0) AS BIGINT)")).as("est_bpe_tokens"))
     val vocab = docs
       .select(col("source"), explode(split(col("text"), "\\s+")).as("w"))
-      .groupBy("source").agg(countDistinct("w").as("distinct_words"))
+      .groupBy("source").agg(
+        (if (approx) approx_count_distinct("w") else countDistinct("w"))
+          .as("distinct_words"))
     base.join(vocab, "source")
       .selectExpr("source", "n_docs", "total_tokens",
         "ROUND(total_tokens * 1e0 / n_docs, 6) AS avg_tokens_per_doc",

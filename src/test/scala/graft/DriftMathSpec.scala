@@ -95,6 +95,18 @@ class DriftMathSpec extends SparkSpec {
     exact.foreach { case (k, s) => assert(math.abs(s - approx(k)) < 0.02, s"column $k") }
   }
 
+  test("approx distinct-vocabulary sketch tracks exact token stats (bench surface)") {
+    val dir = "/root/testdata/sf0.001"
+    def vocab(approx: Boolean) = graft.pipeline.TextAnalysis.tokenStats(spark, dir, approx)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("distinct_words")).toMap
+    val (exact, approx) = (vocab(false), vocab(true))
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    // HLL default rsd = 5%; allow 3 sigma
+    exact.foreach { case (s, n) =>
+      assert(math.abs(n - approx(s)) <= math.max(3, 0.15 * n), s"source $s: exact=$n approx=${approx(s)}")
+    }
+  }
+
   test("approx group medians track exact group medians closely") {
     val r = new scala.util.Random(2)
     def frame(shift: Double) = Seq.tabulate(4000) { i =>
