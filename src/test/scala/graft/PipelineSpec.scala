@@ -128,6 +128,22 @@ class PipelineSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
 
+  test("near-dup funnel with zero gate survivors reports all-zero kept counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nosurv").toString
+    Seq((1L, Seq.fill(30)("der die das und nicht haus").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("de")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = TextAnalysis.corpusPrepNeardup(spark, dir).collect().head
+    assert(row.getAs[Long]("n_docs") == 1)
+    assert(row.getAs[Long]("n_lang_kept") == 0)
+    assert(row.getAs[Long]("n_quality_kept") == 0)
+    assert(row.getAs[Long]("n_dedup_kept") == 0)
+    assert(row.getAs[Long]("n_neardup_kept") == 0)
+  }
+
   test("corpus-prep near-dup funnel collapses planted dups to one survivor") {
     val rows = TextAnalysis.corpusPrepNeardup(spark, funnelDir).collect()
     assert(rows.length == 1)
