@@ -354,6 +354,76 @@ object Dedup {
       "UNION SELECT r.src, e.dst FROM reach r JOIN nd_edges e ON e.src = r.dst) " +
       "SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id"
 
+  // ------------------------------------------- benchmark decontamination
+
+  /** A train doc is contaminated when ≥ this fraction of its (df-capped)
+    * shingles appear in some single eval doc — containment, not Jaccard,
+    * because a short eval item embedded in a long train doc is exactly the
+    * leak decontamination exists to catch (Jaccard would dilute it). */
+  val ContaminationThreshold = 0.5
+
+  /** Benchmark decontamination sweep: per train source, how many documents
+    * share ≥ [[ContaminationThreshold]] shingle containment with any doc of
+    * the eval set (deterministically the lexicographically-first source, so
+    * both engines pick the same split). Scale shape: the cross-set join is
+    * keyed on shingle with the same min(frac·n, abs) hot-shingle ceiling as
+    * capped Jaccard, and the eval side of a real deployment is benchmark-
+    * sized (thousands of docs), so the join's fan-out is bounded by
+    * eval df — never train² . */
+  def decontamination(spark: SparkSession, dir: String,
+      threshold: Double = ContaminationThreshold): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val evalSrc = docs.agg(min("source").as("eval_source"))
+    val nDocs = docs.agg(count(lit(1)).as("n_all"))
+    val tri0 = shinglesOf(docs.select("doc_id", "text"))
+    // cap floored at 2: on a tiny corpus frac·n < 1 would empty the shingle
+    // universe, and a shingle must appear in ≥2 docs to witness containment
+    val keepSh = tri0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= greatest(lit(2.0),
+        least(col("n_all") * MaxShingleDocFrac, lit(MaxShingleDfAbs.toDouble))))
+      .select("sh")
+    val tri = tri0.join(keepSh, "sh")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .crossJoin(broadcast(evalSrc)).cache()
+    val trainTri = tri.filter(col("source") =!= col("eval_source"))
+    val evalTri = tri.filter(col("source") === col("eval_source"))
+    val sz = trainTri.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val contained = trainTri.as("a")
+      .join(evalTri.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.doc_id").as("train_doc"), col("b.doc_id").as("eval_doc"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.withColumnRenamed("doc_id", "train_doc"), "train_doc")
+      .groupBy("train_doc").agg(max(col("i") * lit(1.0) / col("n")).as("containment"))
+    docs.select("doc_id", "source").crossJoin(broadcast(evalSrc))
+      .filter(col("source") =!= col("eval_source"))
+      .join(contained.withColumnRenamed("train_doc", "doc_id"), Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("containment"), lit(0.0)) >= threshold, 1L).otherwise(0L))
+          .as("n_contaminated"))
+      .orderBy("source")
+  }
+
+  def decontaminationSql: String =
+    s"WITH ev AS (SELECT MIN(source) AS eval_source FROM documents), " +
+      s"tri0 AS ($shinglesSql), " +
+      s"hot AS (SELECT sh FROM tri0 GROUP BY sh HAVING COUNT(*) > GREATEST(2.0, " +
+      s"LEAST((SELECT COUNT(*) FROM documents) * $MaxShingleDocFrac, $MaxShingleDfAbs.0))), " +
+      "tri AS (SELECT t.doc_id, t.sh, d.source FROM tri0 t JOIN documents d ON d.doc_id = t.doc_id " +
+      "WHERE t.sh NOT IN (SELECT sh FROM hot)), " +
+      "tt AS (SELECT tri.* FROM tri CROSS JOIN ev WHERE source <> eval_source), " +
+      "te AS (SELECT tri.* FROM tri CROSS JOIN ev WHERE source = eval_source), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM tt GROUP BY 1), " +
+      "ix AS (SELECT tt.doc_id AS train_doc, te.doc_id AS eval_doc, COUNT(*) AS i " +
+      "FROM tt JOIN te ON tt.sh = te.sh GROUP BY 1, 2), " +
+      "cont AS (SELECT train_doc, MAX(i * 1e0 / sz.n) AS containment FROM ix " +
+      "JOIN sz ON sz.doc_id = ix.train_doc GROUP BY 1) " +
+      "SELECT d.source, COUNT(*) AS n_docs, " +
+      s"SUM(CASE WHEN COALESCE(c.containment, 0) >= $ContaminationThreshold THEN 1 ELSE 0 END)::BIGINT AS n_contaminated " +
+      "FROM documents d CROSS JOIN ev LEFT JOIN cont c ON c.train_doc = d.doc_id " +
+      "WHERE d.source <> ev.eval_source GROUP BY 1 ORDER BY 1"
+
   // ------------------------------------------------------------- SimHash
 
   /** 60-bit SimHash from per-word md5 hashes (15 hex chars keeps the value
@@ -449,6 +519,7 @@ object Dedup {
     "ngram_jaccard_capped" -> ((s, d) => ngramJaccardCapped(s, d)),
     "minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "neardup_clusters" -> ((s, d) => neardupClusters(s, d)),
+    "decontamination" -> ((s, d) => decontamination(s, d)),
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
   )
 
@@ -458,6 +529,7 @@ object Dedup {
     "ngram_jaccard_capped" -> ngramJaccardCappedSql,
     "minhash_lsh" -> minhashLshSql,
     "neardup_clusters" -> neardupClustersSql,
+    "decontamination" -> decontaminationSql,
     "simhash_pairs" -> simhashPairsSql,
   )
 }

@@ -291,6 +291,43 @@ object TextAnalysis {
       "FROM base b LEFT JOIN ca ON ca.source = b.source LEFT JOIN ka ON ka.source = b.source " +
       "ORDER BY b.source"
 
+  // ----------------------------------------------------- source balancing
+
+  /** Rebalance the corpus to a uniform source mixture: every source is
+    * downsampled to the SMALLEST source's size, with the kept subset chosen
+    * deterministically (rank by md5 of the doc id within each source — a
+    * seedless uniform permutation both engines replay). One shuffle: the
+    * per-source rank window. Output per source: size, docs kept, and the
+    * kept-id checksum so the oracle verifies the exact selection, not just
+    * its cardinality. */
+  def balancedMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents").select("doc_id", "source")
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val target = sizes.agg(min("n_docs").as("target"))
+    docs
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(expr("md5(cast(cast(doc_id AS STRING) AS BINARY))"), col("doc_id"))))
+      .join(sizes, "source").crossJoin(broadcast(target))
+      .groupBy("source", "n_docs").agg(
+        sum(when(col("rk") <= col("target"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("rk") <= col("target"), col("doc_id"))), lit(0L))
+          .as("kept_id_sum"))
+      .select("source", "n_docs", "n_kept", "kept_id_sum")
+      .orderBy("source")
+  }
+
+  def balancedMixSql: String =
+    "WITH sizes AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1), " +
+      "t AS (SELECT MIN(n_docs) AS target FROM sizes), " +
+      "r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source " +
+      "ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM documents) " +
+      "SELECT s.source, s.n_docs, " +
+      "SUM(CASE WHEN rk <= target THEN 1 ELSE 0 END)::BIGINT AS n_kept, " +
+      "COALESCE(SUM(CASE WHEN rk <= target THEN doc_id END), 0)::BIGINT AS kept_id_sum " +
+      "FROM r JOIN sizes s ON s.source = r.source CROSS JOIN t " +
+      "GROUP BY 1, 2 ORDER BY 1"
+
   // ------------------------------------------------------- fingerprinting
 
   /** Polynomial rolling hash over characters ((h*31 + ascii) mod 1e9+7) via
@@ -317,6 +354,7 @@ object TextAnalysis {
     "doc_fingerprint" -> ((s, d) => fingerprints(s, d)),
     "corpus_prep" -> ((s, d) => corpusPrep(s, d)),
     "corpus_prep_neardup" -> ((s, d) => corpusPrepNeardup(s, d)),
+    "corpus_balance" -> ((s, d) => balancedMix(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -326,5 +364,6 @@ object TextAnalysis {
     "doc_fingerprint" -> fingerprintsSql,
     "corpus_prep" -> corpusPrepSql,
     "corpus_prep_neardup" -> corpusPrepNeardupSql,
+    "corpus_balance" -> balancedMixSql,
   )
 }

@@ -155,6 +155,42 @@ class PipelineSpec extends SparkSpec {
     assert(row.getAs[Long]("n_neardup_kept") == 12, "near-dup collapsed")
   }
 
+  test("balanced mix downsamples every source to the smallest source's size") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-balance").toString
+    val rows = (0 until 10).map(i => (i.toLong, s"doc number $i words", "big")) ++
+      (100 until 104).map(i => (i.toLong, s"doc number $i words", "small"))
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.balancedMix(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"), r.getAs[Long]("kept_id_sum"))).toMap
+    assert(out("big")._1 == 10 && out("big")._2 == 4)
+    assert(out("small") == ((4L, 4L, (100L to 103L).sum))) // all of the small source survives
+    // the big source's kept subset is a strict, deterministic selection
+    assert(out("big")._3 < (0L until 10L).sum)
+  }
+
+  test("decontamination flags the train doc that contains an eval doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    val evalText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val rows = Seq(
+      (1L, evalText, "a_eval"),                      // lexicographically first => eval set
+      (10L, evalText + " with a tiny tail", "train"), // high containment
+      (11L, "completely unrelated words about mountains and silver markets here now", "train"))
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.decontamination(spark, dir).collect()
+    assert(out.length == 1 && out.head.getAs[String]("source") == "train")
+    assert(out.head.getAs[Long]("n_docs") == 2)
+    assert(out.head.getAs[Long]("n_contaminated") == 1)
+  }
+
   test("SimHash ranks planted near-dups as closest pairs") {
     val top = Dedup.simhashPairs(spark, fixtureDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).take(4).toSet
