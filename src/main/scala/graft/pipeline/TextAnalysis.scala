@@ -291,6 +291,50 @@ object TextAnalysis {
       "FROM base b LEFT JOIN ca ON ca.source = b.source LEFT JOIN ka ON ka.source = b.source " +
       "ORDER BY b.source"
 
+  // ----------------------------------------------------------- PII scan
+
+  /** PII detectors shared verbatim by both engines: written without
+    * backslash classes (no `\s`/`\b`/`\d`) so the ONE pattern string
+    * survives Spark's SQL-literal escaping and DuckDB's RE2 unchanged. */
+  val PiiEmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PiiPhoneRegex = "[+]?[0-9][0-9() -]{7,}[0-9]"
+  val PiiIpv4Regex = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+
+  /** Per-source PII exposure scan — the pre-training scrub decision input:
+    * how many docs carry each PII class and how many raw hits there are.
+    * One projection scan + one small rollup shuffle; the redaction itself
+    * is `regexp_replace` over the same patterns, applied wherever the
+    * pipeline writes its cleaned copy. */
+  def piiScan(spark: SparkSession, dir: String): DataFrame = {
+    def hits(re: String) = s"size(regexp_extract_all(text, '$re', 0))"
+    table(spark, dir, "documents")
+      .selectExpr("source",
+        s"${hits(PiiEmailRegex)} AS email_hits",
+        s"${hits(PiiPhoneRegex)} AS phone_hits",
+        s"${hits(PiiIpv4Regex)} AS ip_hits")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("email_hits") > 0, 1L).otherwise(0L)).as("docs_with_email"),
+        sum(when(col("phone_hits") > 0, 1L).otherwise(0L)).as("docs_with_phone"),
+        sum(when(col("ip_hits") > 0, 1L).otherwise(0L)).as("docs_with_ip"),
+        sum(col("email_hits").cast("long")).as("total_email_hits"),
+        sum(col("phone_hits").cast("long")).as("total_phone_hits"),
+        sum(col("ip_hits").cast("long")).as("total_ip_hits"))
+      .orderBy("source")
+  }
+
+  def piiScanSql: String = {
+    def hits(re: String) = s"len(regexp_extract_all(text, '$re'))"
+    "SELECT source, COUNT(*) AS n_docs, " +
+      s"SUM(CASE WHEN ${hits(PiiEmailRegex)} > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_email, " +
+      s"SUM(CASE WHEN ${hits(PiiPhoneRegex)} > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_phone, " +
+      s"SUM(CASE WHEN ${hits(PiiIpv4Regex)} > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_ip, " +
+      s"SUM(${hits(PiiEmailRegex)})::BIGINT AS total_email_hits, " +
+      s"SUM(${hits(PiiPhoneRegex)})::BIGINT AS total_phone_hits, " +
+      s"SUM(${hits(PiiIpv4Regex)})::BIGINT AS total_ip_hits " +
+      "FROM documents GROUP BY 1 ORDER BY 1"
+  }
+
   // ----------------------------------------------------- source balancing
 
   /** Rebalance the corpus to a uniform source mixture: every source is
@@ -355,6 +399,7 @@ object TextAnalysis {
     "corpus_prep" -> ((s, d) => corpusPrep(s, d)),
     "corpus_prep_neardup" -> ((s, d) => corpusPrepNeardup(s, d)),
     "corpus_balance" -> ((s, d) => balancedMix(s, d)),
+    "pii_scan" -> ((s, d) => piiScan(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -365,5 +410,6 @@ object TextAnalysis {
     "corpus_prep" -> corpusPrepSql,
     "corpus_prep_neardup" -> corpusPrepNeardupSql,
     "corpus_balance" -> balancedMixSql,
+    "pii_scan" -> piiScanSql,
   )
 }

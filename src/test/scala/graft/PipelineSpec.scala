@@ -191,6 +191,27 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_contaminated") == 1)
   }
 
+  test("PII scan counts planted emails, phones and IPs per source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      (1L, "contact me at alice@example.com or bob@test.org for details", "s1"),
+      (2L, "call +1 (555) 123-4567 tomorrow morning", "s1"),
+      (3L, "server at 192.168.0.12 went down again", "s2"),
+      (4L, "nothing sensitive in this one at all", "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.piiScan(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("docs_with_email") == 1)
+    assert(out("s1").getAs[Long]("total_email_hits") == 2)
+    assert(out("s1").getAs[Long]("docs_with_phone") == 1)
+    assert(out("s2").getAs[Long]("docs_with_ip") == 1)
+    assert(out("s2").getAs[Long]("docs_with_email") == 0)
+  }
+
   test("SimHash ranks planted near-dups as closest pairs") {
     val top = Dedup.simhashPairs(spark, fixtureDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).take(4).toSet
