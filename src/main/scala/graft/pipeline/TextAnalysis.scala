@@ -160,11 +160,12 @@ object TextAnalysis {
   val PrepLang = "en"
   val PrepMinQuality = 0.7
 
-  /** Per-doc gated frame feeding both funnel variants: (doc_id, source,
-    * text, lang_ok, qual_ok), where the language and quality expressions are
-    * the same shared SQL fragments the standalone queries use, evaluated
-    * inline in ONE scan — no join of per-doc frames. */
-  private[pipeline] def prepDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** The funnel's gate over an arbitrary (doc_id, source, text, …) frame —
+    * a stateless projection chain, so the SAME expressions run on batch
+    * snapshots and unbounded streams ([[graft.streaming.StreamingPrep]]).
+    * `carry` columns (e.g. an event timestamp) pass through untouched.
+    * Output: (doc_id, source, text, carry…, lang_ok, qual_ok). */
+  private[graft] def gateDocs(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val scores = markers.map { case (lang, ws) =>
       s"size(filter(toks, t -> t IN ${inList(ws)})) * 1e0 / size(toks) AS score_$lang"
     }
@@ -172,17 +173,25 @@ object TextAnalysis {
     val pick = markers.map { case (lang, _) =>
       s"WHEN score_$lang = best THEN '$lang'"
     }.mkString("CASE WHEN best = 0 THEN 'und' ", " ", " END")
-    table(spark, dir, "documents")
-      .selectExpr("doc_id", "source", "text", "split(text, '\\\\s+') AS toks")
-      .selectExpr(Seq("doc_id", "source", "text", "toks") ++ scores: _*)
-      .selectExpr(Seq("doc_id", "source", "text", "toks", s"$best AS best") ++
+    val keep = Seq("doc_id", "source", "text") ++ carry
+    docs
+      .selectExpr(keep :+ "split(text, '\\\\s+') AS toks": _*)
+      .selectExpr(keep ++ Seq("toks") ++ scores: _*)
+      .selectExpr(keep ++ Seq("toks", s"$best AS best") ++
         markers.map { case (l, _) => s"score_$l" }: _*)
-      .selectExpr(Seq("doc_id", "source", "text", s"$pick AS predicted_lang") ++ qualityStage1.tail: _*)
-      .selectExpr("doc_id", "source", "text", "predicted_lang", qualityStage2.last)
-      .selectExpr("doc_id", "source", "text",
+      .selectExpr(keep ++ Seq(s"$pick AS predicted_lang") ++ qualityStage1.tail: _*)
+      .selectExpr(keep ++ Seq("predicted_lang", qualityStage2.last): _*)
+      .selectExpr(keep ++ Seq(
         s"predicted_lang = '$PrepLang' AS lang_ok",
-        s"(predicted_lang = '$PrepLang' AND quality_score >= $PrepMinQuality) AS qual_ok")
+        s"(predicted_lang = '$PrepLang' AND quality_score >= $PrepMinQuality) AS qual_ok"): _*)
   }
+
+  /** Per-doc gated frame feeding both funnel variants: (doc_id, source,
+    * text, lang_ok, qual_ok), where the language and quality expressions are
+    * the same shared SQL fragments the standalone queries use, evaluated
+    * inline in ONE scan — no join of per-doc frames. */
+  private[pipeline] def prepDocs(spark: SparkSession, dir: String): DataFrame =
+    gateDocs(table(spark, dir, "documents").select("doc_id", "source", "text"))
 
   /** DuckDB mirror of [[prepDocs]]. */
   private[pipeline] def prepDocsSql: String = {

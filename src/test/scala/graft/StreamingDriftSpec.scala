@@ -108,6 +108,29 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus-prep gates language/quality and dedups within the watermark") {
+    import graft.streaming.StreamingPrep
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "source", "text")
+    val out = StreamingPrep.prepStream(docs, "30 minutes")
+    val q = out.writeStream.format("memory").queryName("prep_out")
+      .outputMode("append").start()
+    try {
+      val good = Seq.fill(12)("the mountain and river of silver stone is near garden").mkString(" ")
+      val german = Seq.fill(12)("der die das und nicht haus baum wasser").mkString(" ")
+      input.addData(
+        (ts(0), 1L, "s", good),
+        (ts(1), 2L, "s", german), // language gate
+        (ts(2), 3L, "s", "x"),    // quality gate
+        (ts(3), 4L, "s", good))   // exact dup within the horizon
+      q.processAllAvailable()
+      val rows = spark.table("prep_out").collect()
+      assert(rows.length == 1)
+      assert(rows.head.getAs[Long]("doc_id") == 1L)
+    } finally q.stop()
+  }
+
   test("categorical windowed counts emit per-window frequencies") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
