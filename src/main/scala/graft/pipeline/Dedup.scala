@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 import graft.drift.{r6, table}
 
 /** Document deduplication for training-data pipelines: exact (hash groups),
-  * n-gram Jaccard, MinHash+LSH banding, and SimHash.
+  * n-gram Jaccard (df-capped), MinHash+LSH banding, SimHash, per-doc
+  * near-dup cluster ids (distributed min-label connected components), and
+  * benchmark decontamination (cross-set shingle containment).
   *
   * Scale design (100 TB): every path avoids the O(n²) all-pairs join —
   * exact dedup is a hash `groupBy`; Jaccard joins only on shared shingles

@@ -8,9 +8,11 @@ import graft.drift.table
   * scoring), quality scoring (length / punctuation / stopword-ratio bands),
   * token counting (whitespace, a GPT-2-style pre-tokenizer regex, and a
   * chars/4 BPE estimate), document fingerprinting (polynomial rolling
-  * hash), and the corpus-prep funnel (language gate → quality gate →
+  * hash), the corpus-prep funnel (language gate → quality gate →
   * exact dedup in one scan; the neardup variant adds MinHash-LSH +
-  * connected-component fuzzy dedup over the survivors).
+  * connected-component fuzzy dedup over the survivors), uniform source
+  * balancing (deterministic md5-rank downsampling), and a PII exposure
+  * scan (dialect-shared email/phone/IP regexes).
   *
   * Everything is built from codegen'd higher-order functions (`split`,
   * `filter`, `aggregate`) — no UDFs — so the same computation runs as plain

@@ -191,6 +191,17 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_contaminated") == 1)
   }
 
+  test("decontamination on a single-source corpus returns no train rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon1").toString
+    Seq((1L, "only one source exists in this corpus right now", "solo"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(Dedup.decontamination(spark, dir).collect().isEmpty)
+  }
+
   test("PII scan counts planted emails, phones and IPs per source") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString

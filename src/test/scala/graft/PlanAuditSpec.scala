@@ -43,6 +43,26 @@ class PlanAuditSpec extends SparkSpec {
       s"orderBy.limit did not plan TakeOrderedAndProject:\n$plan")
   }
 
+  test("no pair-generating query degrades to a cartesian product") {
+    // every candidate search is an equi-join on a banding/bucket key; a
+    // condition bug that drops the equality would silently turn these into
+    // CartesianProduct and still pass correctness tests on small fixtures
+    val pairGens = Seq[org.apache.spark.sql.DataFrame](
+      Dedup.minhashLsh(spark, sf),
+      Dedup.ngramJaccardCapped(spark, sf),
+      Dedup.neardupClusters(spark, sf),
+      Dedup.decontamination(spark, sf),
+      Dedup.simhashPairs(spark, sf),
+      Similarity.embedNeardup(spark, sf),
+      Similarity.lshTopK(spark, sf),
+      Similarity.ivfTopK(spark, sf))
+    pairGens.foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian product in plan:\n${plan.take(2000)}")
+    }
+  }
+
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
     val plan = planOf(Dedup.dedupExact(spark, sf))
     // count + countDistinct over md5: the plan must partial-aggregate
