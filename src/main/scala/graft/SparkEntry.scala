@@ -78,6 +78,7 @@ object SparkEntry {
     queries ++ Map[String, (SparkSession, String) => DataFrame](
       "numeric_stats" -> ((s, d) => NumericDrift.stats(s, d, approx = true)),
       "token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d, approx = true)),
+      "corpus_balance" -> ((s, d) => TextAnalysis.balancedMix(s, d, approx = true)),
       "type_inference" -> ((s, d) => TypeInference.typeInferenceQuery(s, d, approxDistinct = true)),
       "numeric_drift" -> ((s, d) => NumericDrift.drift(s, d, approx = true)),
       "metric_audit" -> ((s, d) => NumericDrift.metricAudit(s, d, approx = true)),

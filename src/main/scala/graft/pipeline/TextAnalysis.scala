@@ -351,22 +351,38 @@ object TextAnalysis {
   /** Rebalance the corpus to a uniform source mixture: every source is
     * downsampled to the SMALLEST source's size, with the kept subset chosen
     * deterministically (rank by md5 of the doc id within each source — a
-    * seedless uniform permutation both engines replay). One shuffle: the
-    * per-source rank window. Output per source: size, docs kept, and the
-    * kept-id checksum so the oracle verifies the exact selection, not just
-    * its cardinality. */
-  def balancedMix(spark: SparkSession, dir: String): DataFrame = {
+    * seedless uniform permutation both engines replay). Output per source:
+    * size, docs kept, and the kept-id checksum so the oracle verifies the
+    * exact selection, not just its cardinality.
+    *
+    * The exact form's rank window sorts each source INSIDE ONE TASK — fine
+    * until a source is a 10¹⁰-doc crawl dump, where that partition is the
+    * straggler. `approx = true` (the bench/100 TB path) replaces the rank
+    * with a per-row hash threshold — keep iff
+    * hash(doc_id)·n_source < 2³² ·target — which needs no sort and no
+    * window, is embarrassingly parallel, and keeps ~target docs per source
+    * (binomial error O(√target)) with the same deterministic md5 coin. */
+  def balancedMix(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = table(spark, dir, "documents").select("doc_id", "source")
     val sizes = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
     val target = sizes.agg(min("n_docs").as("target"))
-    docs
-      .withColumn("rk", row_number().over(Window.partitionBy("source")
-        .orderBy(expr("md5(cast(cast(doc_id AS STRING) AS BINARY))"), col("doc_id"))))
-      .join(sizes, "source").crossJoin(broadcast(target))
+    val keepFlagged =
+      if (approx) docs
+        .withColumn("u", expr(
+          "CAST(conv(substring(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+        .join(sizes, "source").crossJoin(broadcast(target))
+        // u < 2³², n_docs < 2³¹ → the product stays inside a signed 64-bit
+        .withColumn("keep", col("u") * col("n_docs") < lit(4294967296L) * col("target"))
+      else docs
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(expr("md5(cast(cast(doc_id AS STRING) AS BINARY))"), col("doc_id"))))
+        .join(sizes, "source").crossJoin(broadcast(target))
+        .withColumn("keep", col("rk") <= col("target"))
+    keepFlagged
       .groupBy("source", "n_docs").agg(
-        sum(when(col("rk") <= col("target"), 1L).otherwise(0L)).as("n_kept"),
-        coalesce(sum(when(col("rk") <= col("target"), col("doc_id"))), lit(0L))
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L))
           .as("kept_id_sum"))
       .select("source", "n_docs", "n_kept", "kept_id_sum")
       .orderBy("source")

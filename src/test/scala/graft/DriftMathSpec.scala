@@ -107,6 +107,26 @@ class DriftMathSpec extends SparkSpec {
     }
   }
 
+  test("hash-threshold balance tracks the exact rank selection (bench surface)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-balance-approx").toString
+    val rows = (0 until 1000).map(i => (i.toLong, s"text $i", "big")) ++
+      (5000 until 5100).map(i => (i.toLong, s"text $i", "small"))
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def kept(approx: Boolean) = graft.pipeline.TextAnalysis.balancedMix(spark, dir, approx)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    val (exact, approx) = (kept(false), kept(true))
+    assert(exact == Map("big" -> 100L, "small" -> 100L))
+    // binomial noise around target=100 with p=0.1: 3 sigma ≈ 29
+    assert(math.abs(approx("big") - 100L) <= 40, s"big kept ${approx("big")}")
+    // p=1 for the smallest source: the threshold keeps everything exactly
+    assert(approx("small") == 100L)
+  }
+
   test("approx group medians track exact group medians closely") {
     val r = new scala.util.Random(2)
     def frame(shift: Double) = Seq.tabulate(4000) { i =>
