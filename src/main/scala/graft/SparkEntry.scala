@@ -31,13 +31,21 @@ object SparkEntry {
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  // The monetary SUMs reach ~5·10⁹ at sf0.1, where 6-decimal precision
+  // exceeds double's 16 significant digits and the engines' different
+  // partial-sum orders diverge in the last ulp. Accumulating in
+  // DECIMAL(18,4) is EXACT (associativity-free), so both engines produce
+  // the identical value at any scale; one final cast to double is then
+  // deterministic. The AVGs stay double: their magnitude (≤10⁵) leaves
+  // 10+ guard digits at 6 decimals.
   private def q1(s: SparkSession, dir: String): DataFrame =
     drift.table(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        drift.r6(sum("l_quantity")).as("sum_qty"),
-        drift.r6(sum("l_extendedprice")).as("sum_base_price"),
-        drift.r6(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        drift.r6(sum(col("l_quantity").cast("decimal(18,4)")).cast("double")).as("sum_qty"),
+        drift.r6(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double")).as("sum_base_price"),
+        drift.r6(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))).cast("double")).as("sum_disc_price"),
         drift.r6(avg("l_quantity")).as("avg_qty"),
         drift.r6(avg("l_extendedprice")).as("avg_price"),
         drift.r6(avg("l_discount")).as("avg_disc"),
@@ -45,9 +53,10 @@ object SparkEntry {
       .orderBy("l_returnflag", "l_linestatus")
 
   private val q1Sql =
-    "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 6) AS sum_qty, " +
-      "ROUND(SUM(l_extendedprice), 6) AS sum_base_price, " +
-      "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 6) AS sum_disc_price, " +
+    "SELECT l_returnflag, l_linestatus, " +
+      "ROUND(CAST(SUM(l_quantity::DECIMAL(18,4)) AS DOUBLE), 6) AS sum_qty, " +
+      "ROUND(CAST(SUM(l_extendedprice::DECIMAL(18,4)) AS DOUBLE), 6) AS sum_base_price, " +
+      "ROUND(CAST(SUM(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS DOUBLE), 6) AS sum_disc_price, " +
       "ROUND(AVG(l_quantity), 6) AS avg_qty, ROUND(AVG(l_extendedprice), 6) AS avg_price, " +
       "ROUND(AVG(l_discount), 6) AS avg_disc, COUNT(*) AS count_order " +
       "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
