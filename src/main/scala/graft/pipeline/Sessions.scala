@@ -16,19 +16,31 @@ import graft.drift.table
   */
 object Sessions {
 
-  /** Daily tumbling window per event type: count, sum/avg of value. */
+  /** Daily tumbling window per event type: count, sum/avg of value.
+    *
+    * The SUM/AVG accumulate in DECIMAL(18,6) — `value` is a 2-decimal
+    * measure, so the cast is lossless and the sum is EXACT regardless of
+    * partial-aggregation order. A plain double SUM is order-dependent in the
+    * last ulp, and the engines (and even two runs of one engine) order
+    * partials differently — at a 6-decimal rounding boundary that flips the
+    * hash (the q1 lesson; sessionize had the same bug run-to-run). */
   def eventWindow(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "events")
       .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 6).as("sum_value"),
-        round(avg("value"), 6).as("avg_value"))
+        // no per-engine ROUND: the decimal sum is exact, its double image is
+        // bit-identical in both engines, and ROUND tie-breaking is the one
+        // thing the engines genuinely disagree on (see sessionize)
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        (sum(col("value").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("avg_value"))
       .orderBy("day", "event_type")
 
   val eventWindowSql: String =
     "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, " +
-      "COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value, ROUND(AVG(value), 6) AS avg_value " +
+      "COUNT(*) AS n_events, CAST(SUM(value::DECIMAL(18,6)) AS DOUBLE) AS sum_value, " +
+      "CAST(SUM(value::DECIMAL(18,6)) AS DOUBLE) / COUNT(*) AS avg_value " +
       "FROM events GROUP BY 1, 2 ORDER BY day, event_type"
 
   /** Gap-based sessionization (30-min inactivity closes a session), then a
@@ -47,12 +59,24 @@ object Sessions {
       .withColumn("session_id", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "session_id")
+      // durations stay in integer microseconds: the per-user mean is then
+      // SUM(BIGINT)/n — exact in any summation order — with ONE double
+      // division at the end. Averaging per-session doubles is
+      // order-dependent in the last ulp and flipped the 6-decimal hash
+      // between runs at sf0.1.
       .agg(count(lit(1)).as("n_events"),
-        ((max("ts_us") - min("ts_us")) / 1000000.0).as("duration_sec"))
+        (max("ts_us") - min("ts_us")).as("dur_us"))
+    // No explicit ROUND on the averages: both numerators are EXACT integers,
+    // so the two engines compute the bit-identical IEEE quotient — and the
+    // gate's own uniform 6-decimal rounding then agrees by construction.
+    // Rounding per-engine is what broke: on an exact x.xxxxxx5 tie (e.g.
+    // 64.2340175 = 3340168910 µs / 52 / 1e6) Spark's BigDecimal HALF_UP and
+    // DuckDB's scaled-double round resolve the tie differently.
     sessions.groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"),
-        round(avg("n_events"), 6).as("avg_events_per_session"),
-        round(avg("duration_sec"), 6).as("avg_session_duration_sec"),
+        (sum("n_events") / count(lit(1))).as("avg_events_per_session"),
+        (sum("dur_us") / (count(lit(1)) * lit(1000000.0)))
+          .as("avg_session_duration_sec"),
         sum("n_events").as("total_events"))
       .orderBy("user_id")
   }
@@ -66,9 +90,9 @@ object Sessions {
        |sess AS (SELECT user_id, event_id, ts_us,
        |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM marked),
        |per_session AS (SELECT user_id, session_id, COUNT(*) AS n_events,
-       |  (MAX(ts_us) - MIN(ts_us)) / 1000000.0 AS duration_sec FROM sess GROUP BY 1, 2)
-       |SELECT user_id, COUNT(*) AS n_sessions, ROUND(AVG(n_events), 6) AS avg_events_per_session,
-       |  ROUND(AVG(duration_sec), 6) AS avg_session_duration_sec, SUM(n_events)::BIGINT AS total_events
+       |  (MAX(ts_us) - MIN(ts_us)) AS dur_us FROM sess GROUP BY 1, 2)
+       |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) / COUNT(*) AS avg_events_per_session,
+       |  SUM(dur_us) / (COUNT(*) * 1000000.0) AS avg_session_duration_sec, SUM(n_events)::BIGINT AS total_events
        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin.replace("\n", " ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -399,6 +399,125 @@ object TextAnalysis {
       "FROM r JOIN sizes s ON s.source = r.source CROSS JOIN t " +
       "GROUP BY 1, 2 ORDER BY 1"
 
+  // ------------------------------------------------- repetition signals
+
+  /** Word-level n-gram expression: the i-th n-gram of `toks` for i in
+    * 1..size-(n-1). Spark's `sequence(1, 0)` DESCENDS, so callers must guard
+    * with `size(toks) > n-1` before evaluating this. */
+  private def ngramSpark(n: Int): String = {
+    val parts = (0 until n).map(j => s"element_at(toks, i + $j)").mkString(", ")
+    s"transform(sequence(1, size(toks) - ${n - 1}), i -> concat_ws(' ', $parts))"
+  }
+
+  /** DuckDB twin (`range(1, m)` is half-open → 1..m-1, same guard). */
+  private def ngramDuck(n: Int): String = {
+    val parts = (0 until n).map(j => s"toks[i + $j]").mkString(", ")
+    s"list_transform(range(1, len(toks) - ${n - 2}), i -> concat_ws(' ', $parts))"
+  }
+
+  /** Per-doc intra-document repetition signals — the Gopher repetition
+    * filters (Rae et al. 2021, §A1.1) at word granularity (this corpus is
+    * single-line, so the paper's line-level variants are degenerate here):
+    * fraction of duplicate word 2-grams/3-grams (1 − distinct/total) and the
+    * most-frequent-word share. Pure per-row projection over array
+    * higher-order functions — zero shuffle, one scan, linear at 100 TB; the
+    * per-doc cost is O(words·distinct words), bounded by document length. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    def dup(n: Int) =
+      s"ROUND(CASE WHEN size(toks) <= ${n - 1} THEN 0.0 ELSE " +
+        s"1.0 - size(array_distinct(${ngramSpark(n)})) * 1e0 / (size(toks) - ${n - 1}) END, 6) " +
+        s"AS dup_${n}gram_frac"
+    table(spark, dir, "documents")
+      .selectExpr("doc_id", "split(text, '\\\\s+') AS toks")
+      .selectExpr(
+        "doc_id",
+        "CAST(size(toks) AS BIGINT) AS n_words",
+        "ROUND(size(array_distinct(toks)) * 1e0 / GREATEST(size(toks), 1), 6) AS distinct_word_ratio",
+        "ROUND(array_max(transform(array_distinct(toks), w -> size(filter(toks, x -> x = w)))) " +
+          "* 1e0 / GREATEST(size(toks), 1), 6) AS top_word_frac",
+        dup(2), dup(3))
+      .orderBy("doc_id")
+  }
+
+  def repetitionSignalsSql: String = {
+    def dup(n: Int) =
+      s"ROUND(CASE WHEN len(toks) <= ${n - 1} THEN 0.0 ELSE " +
+        s"1.0 - len(list_distinct(${ngramDuck(n)})) * 1e0 / (len(toks) - ${n - 1}) END, 6) " +
+        s"AS dup_${n}gram_frac"
+    "SELECT doc_id, len(toks) AS n_words, " +
+      "ROUND(len(list_distinct(toks)) * 1e0 / GREATEST(len(toks), 1), 6) AS distinct_word_ratio, " +
+      "ROUND(list_max(list_transform(list_distinct(toks), w -> len(list_filter(toks, x -> x = w)))) " +
+      "* 1e0 / GREATEST(len(toks), 1), 6) AS top_word_frac, " +
+      s"${dup(2)}, ${dup(3)} FROM " +
+      "(SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents) t ORDER BY doc_id"
+  }
+
+  // ------------------------------------------------- Gopher quality gates
+
+  /** Gopher rule constants (Rae et al. 2021, §A1.1). */
+  val GopherMinWords = 50
+  val GopherMaxWords = 100000
+  val GopherMinMeanWordLen = 3.0
+  val GopherMaxMeanWordLen = 10.0
+  val GopherMaxSymbolRatio = 0.1
+  val GopherMinAlphaFrac = 0.8
+  val GopherMinStopwords = 2
+
+  /** Per-source pass counts for the Gopher quality rules: word-count band,
+    * mean-word-length band, symbol-to-word ratio ('#' + '…' as '...'),
+    * fraction of words containing an alphabetic character, and ≥2 stopword
+    * hits (our [[markers]] English list stands in for the paper's). The
+    * line-level rules (bullet/ellipsis line fractions) are omitted — this
+    * corpus is single-line. One projection scan + one tiny rollup shuffle. */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val en = inList(markers.toMap.apply("en"))
+    table(spark, dir, "documents")
+      .selectExpr("source", "text", "split(text, '\\\\s+') AS toks")
+      .selectExpr("source",
+        s"size(toks) BETWEEN $GopherMinWords AND $GopherMaxWords AS words_ok",
+        "(LENGTH(text) - size(toks) + 1) * 1e0 / GREATEST(size(toks), 1) " +
+          s"BETWEEN $GopherMinMeanWordLen AND $GopherMaxMeanWordLen AS wordlen_ok",
+        "((LENGTH(text) - LENGTH(replace(text, '#', ''))) + " +
+          "(LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3) * 1e0 " +
+          s"/ GREATEST(size(toks), 1) <= $GopherMaxSymbolRatio AS symbol_ok",
+        "size(filter(toks, w -> w rlike '[a-zA-Z]')) * 1e0 / GREATEST(size(toks), 1) " +
+          s">= $GopherMinAlphaFrac AS alpha_ok",
+        s"size(filter(toks, t -> t IN $en)) >= $GopherMinStopwords AS stopword_ok")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("words_ok"), 1L).otherwise(0L)).as("n_words_ok"),
+        sum(when(col("wordlen_ok"), 1L).otherwise(0L)).as("n_wordlen_ok"),
+        sum(when(col("symbol_ok"), 1L).otherwise(0L)).as("n_symbol_ok"),
+        sum(when(col("alpha_ok"), 1L).otherwise(0L)).as("n_alpha_ok"),
+        sum(when(col("stopword_ok"), 1L).otherwise(0L)).as("n_stopword_ok"),
+        sum(when(col("words_ok") && col("wordlen_ok") && col("symbol_ok") &&
+          col("alpha_ok") && col("stopword_ok"), 1L).otherwise(0L)).as("n_pass_all"))
+      .orderBy("source")
+  }
+
+  def gopherQualitySql: String = {
+    val en = inList(markers.toMap.apply("en"))
+    def n(b: String, as: String) = s"SUM(CASE WHEN $b THEN 1 ELSE 0 END)::BIGINT AS $as"
+    "SELECT source, COUNT(*) AS n_docs, " +
+      Seq(n("words_ok", "n_words_ok"), n("wordlen_ok", "n_wordlen_ok"),
+        n("symbol_ok", "n_symbol_ok"), n("alpha_ok", "n_alpha_ok"),
+        n("stopword_ok", "n_stopword_ok"),
+        n("words_ok AND wordlen_ok AND symbol_ok AND alpha_ok AND stopword_ok",
+          "n_pass_all")).mkString(", ") +
+      " FROM (SELECT source, " +
+      s"len(toks) BETWEEN $GopherMinWords AND $GopherMaxWords AS words_ok, " +
+      "(LENGTH(text) - len(toks) + 1) * 1e0 / GREATEST(len(toks), 1) " +
+      s"BETWEEN $GopherMinMeanWordLen AND $GopherMaxMeanWordLen AS wordlen_ok, " +
+      "((LENGTH(text) - LENGTH(replace(text, '#', ''))) + " +
+      "(LENGTH(text) - LENGTH(replace(text, '...', ''))) / 3) * 1e0 " +
+      s"/ GREATEST(len(toks), 1) <= $GopherMaxSymbolRatio AS symbol_ok, " +
+      "len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) * 1e0 / GREATEST(len(toks), 1) " +
+      s">= $GopherMinAlphaFrac AS alpha_ok, " +
+      s"len(list_filter(toks, t -> t IN $en)) >= $GopherMinStopwords AS stopword_ok FROM " +
+      "(SELECT source, text, regexp_split_to_array(text, '\\s+') AS toks FROM documents) t) g " +
+      "GROUP BY source ORDER BY source"
+  }
+
   // ------------------------------------------------------- fingerprinting
 
   /** Polynomial rolling hash over characters ((h*31 + ascii) mod 1e9+7) via
@@ -427,6 +546,8 @@ object TextAnalysis {
     "corpus_prep_neardup" -> ((s, d) => corpusPrepNeardup(s, d)),
     "corpus_balance" -> ((s, d) => balancedMix(s, d)),
     "pii_scan" -> ((s, d) => piiScan(s, d)),
+    "repetition_signals" -> ((s, d) => repetitionSignals(s, d)),
+    "gopher_quality" -> ((s, d) => gopherQuality(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -438,5 +559,7 @@ object TextAnalysis {
     "corpus_prep_neardup" -> corpusPrepNeardupSql,
     "corpus_balance" -> balancedMixSql,
     "pii_scan" -> piiScanSql,
+    "repetition_signals" -> repetitionSignalsSql,
+    "gopher_quality" -> gopherQualitySql,
   )
 }

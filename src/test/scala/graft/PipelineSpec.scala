@@ -302,6 +302,55 @@ class PipelineSpec extends SparkSpec {
     assert(fp(0L) != fp(100L)) // near dup -> different fingerprint
   }
 
+  test("repetition signals match hand-computed fractions on planted docs") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-rep").toString
+    Seq(
+      (1L, "a a a a"),     // 4 words, 3 bigrams all "a a", 2 trigrams both dup
+      (2L, "a b c d"),     // no repetition at all
+      (3L, "x"))           // sub-n-gram doc: fracs are 0, not an error
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.repetitionSignals(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("top_word_frac") == 1.0)
+    assert(out(1L).getAs[Double]("dup_2gram_frac") == 0.666667) // 1 - 1/3
+    assert(out(1L).getAs[Double]("dup_3gram_frac") == 0.5)      // 1 - 1/2
+    assert(out(1L).getAs[Double]("distinct_word_ratio") == 0.25)
+    assert(out(2L).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(out(2L).getAs[Double]("top_word_frac") == 0.25)
+    assert(out(3L).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(out(3L).getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(out(3L).getAs[Long]("n_words") == 1L)
+  }
+
+  test("gopher quality gates pass a clean doc and fail each planted defect") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    val clean = (Seq("the", "a", "of") ++ Seq.fill(57)("mountain")).mkString(" ") // 60 words
+    val short = "the cat and a dog"                                   // < 50 words
+    val symbols = (Seq("the", "a") ++ Seq.fill(58)("word#")).mkString(" ") // 58 '#' / 60 words
+    val numeric = (Seq("the", "a") ++ Seq.fill(58)("12345")).mkString(" ") // alpha frac 2/60
+    val noStop = Seq.fill(60)("mountain").mkString(" ")               // 0 stopwords
+    Seq((1L, clean, "s1"), (2L, short, "s1"), (3L, symbols, "s2"),
+      (4L, numeric, "s2"), (5L, noStop, "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.gopherQuality(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_pass_all") == 1)   // only the clean doc
+    assert(out("s1").getAs[Long]("n_words_ok") == 1)   // short doc fails count
+    assert(out("s1").getAs[Long]("n_stopword_ok") == 2)
+    assert(out("s2").getAs[Long]("n_symbol_ok") == 2)  // symbol doc fails ratio
+    assert(out("s2").getAs[Long]("n_alpha_ok") == 2)   // numeric doc fails alpha
+    assert(out("s2").getAs[Long]("n_stopword_ok") == 2) // noStop doc fails
+    assert(out("s2").getAs[Long]("n_pass_all") == 0)
+  }
+
   test("multimodal frame sampling keeps every k-th fixed-size frame") {
     val frames = Multimodal.frameSample(spark, fixtureDir).collect()
     assert(frames.nonEmpty)
