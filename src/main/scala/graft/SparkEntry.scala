@@ -75,6 +75,7 @@ object SparkEntry {
       Similarity.queries ++
       TextAnalysis.queries ++
       Sessions.queries ++
+      AsofJoin.queries ++
       Multimodal.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
@@ -119,5 +120,6 @@ object SparkEntry {
       Similarity.oracles ++
       TextAnalysis.oracles ++
       Sessions.oracles ++
+      AsofJoin.oracles ++
       Multimodal.oracles
 }

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.drift.table
+
+/** As-of (point-in-time) join — the temporal operator Spark has no native
+  * node for: each left row picks the most recent right row with
+  * `right.ts <= left.ts` within the same key.
+  *
+  * The naive formulation — equi-join on key plus a `ts` inequality, then a
+  * per-left-row max — plans a join whose per-key cost is
+  * O(left_n · right_n): a range-explosion that melts down on any hot key at
+  * 100 TB. This implementation never builds pairs at all: tag both sides,
+  * UNION them, and run ONE window per key ordered by
+  * (ts, side, tiebreak) taking `last(payload, ignoreNulls)` over the
+  * unbounded-preceding frame. Right rows (side 0) sort before left rows
+  * (side 1) at equal ts — the standard inclusive as-of tie — and equal-ts
+  * right rows resolve deterministically to the max tiebreak. Cost: one
+  * shuffle on the key and a per-partition sort, O(n log n), identical to
+  * sessionization; skew is bounded by per-key row counts, and AQE's skew
+  * handling applies since this is a plain hash partitioning.
+  *
+  * DuckDB expresses the same operator natively (`ASOF LEFT JOIN`), which is
+  * exactly what the oracle uses — two engines, two physical strategies, one
+  * semantics.
+  */
+object AsofJoin {
+
+  /** Generic as-of join. `left` and `right` must both carry `key` and `ts`
+    * columns under the same names; every left column passes through, and
+    * each right column in `payload` surfaces as `matched_<name>` (NULL when
+    * no right row precedes the left row). Equal-ts right rows resolve to
+    * the greatest `tiebreak` value.
+    */
+  def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
+           tiebreak: String, payload: Seq[String]): DataFrame = {
+    val fields = (tiebreak +: payload).distinct
+    val pStruct = struct(fields.map(col): _*)
+    val pType = right.select(pStruct.as("__p")).schema.head.dataType
+    val leftCols = left.columns.toSeq
+    val lu = left.select(leftCols.map(col) ++ Seq(
+      lit(1).as("__side"), lit(0L).as("__ord"),
+      lit(null).cast(pType).as("__p")): _*)
+    val ru = right.select(leftCols.map { c =>
+      if (c == key || c == ts) col(c)
+      else lit(null).cast(left.schema(c).dataType).as(c)
+    } ++ Seq(lit(0).as("__side"), col(tiebreak).cast("long").as("__ord"),
+      pStruct.as("__p")): _*)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lu.unionByName(ru)
+      .withColumn("__m", last("__p", ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        fields.map(f => col("__m").getField(f).as(s"matched_$f")): _*)
+  }
+
+  /** Concrete query: purchase attribution — every click joined to the
+    * user's most recent prior (or same-instant) purchase, with the gap in
+    * seconds. Timestamps travel as exact integer microseconds and the gap
+    * is ONE division of exact integers, so both engines emit bit-identical
+    * doubles (no per-engine rounding — see Sessions for why that matters).
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+    asof(clicks, purchases, key = "user_id", ts = "ts_us",
+      tiebreak = "event_id", payload = Seq("ts_us", "value"))
+      .selectExpr("user_id", "click_id", "ts_us AS click_ts_us",
+        "matched_event_id AS purchase_id",
+        "matched_ts_us AS purchase_ts_us",
+        "matched_value AS purchase_value",
+        // 1000000e0, not 1000000.0: Spark parses the latter SQL literal as
+        // DECIMAL and the quotient becomes a trailing-zero decimal string
+        "(ts_us - matched_ts_us) / 1000000e0 AS gap_sec")
+      .orderBy("click_id")
+  }
+
+  /** DuckDB twin: native ASOF LEFT JOIN; equal-ts purchases are collapsed
+    * to the max event_id first (arg_max) because DuckDB's ASOF leaves that
+    * tie unspecified while our window breaks it deterministically. */
+  val purchaseAttributionSql: String =
+    "WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id " +
+      "FROM events WHERE event_type = 'click'), " +
+      "p AS (SELECT user_id, epoch_us(ts) AS ts_us, " +
+      "arg_max(event_id, event_id) AS event_id, arg_max(value, event_id) AS value " +
+      "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+      "SELECT c.user_id, c.click_id, c.ts_us AS click_ts_us, " +
+      "p.event_id AS purchase_id, p.ts_us AS purchase_ts_us, p.value AS purchase_value, " +
+      "(c.ts_us - p.ts_us) / 1000000.0 AS gap_sec " +
+      "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us " +
+      "ORDER BY c.click_id"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_join" -> ((s, d) => purchaseAttribution(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "asof_join" -> purchaseAttributionSql,
+  )
+}

@@ -351,6 +351,36 @@ class PipelineSpec extends SparkSpec {
     assert(out("s2").getAs[Long]("n_pass_all") == 0)
   }
 
+  test("as-of join picks the latest prior right row, inclusively, per key") {
+    import spark.implicits._
+    // (doc: ts in plain longs) user 1: purchases at 10 (id 11) and 15
+    // (id 12); user 3: TWO purchases at the same ts 10 (ids 31, 32);
+    // user 2: no purchases at all
+    val clicks = Seq(
+      (1L, 5L, 101L),   // before any purchase -> NULL
+      (1L, 10L, 102L),  // equal ts -> inclusive match on id 11
+      (1L, 14L, 103L),  // -> purchase 11
+      (1L, 20L, 104L),  // -> purchase 12 (latest prior)
+      (2L, 10L, 201L),  // user with no purchases -> NULL
+      (3L, 11L, 301L))  // duplicate-ts purchases -> max tiebreak id 32
+      .toDF("user_id", "ts_us", "click_id")
+    val purchases = Seq(
+      (1L, 10L, 11L, 1.5), (1L, 15L, 12L, 2.5),
+      (3L, 10L, 31L, 3.5), (3L, 10L, 32L, 4.5))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val out = AsofJoin.asof(clicks, purchases, "user_id", "ts_us",
+        tiebreak = "event_id", payload = Seq("ts_us", "value")).collect()
+      .map(r => r.getAs[Long]("click_id") ->
+        (Option(r.getAs[java.lang.Long]("matched_event_id")),
+          Option(r.getAs[java.lang.Double]("matched_value")))).toMap
+    assert(out(101L) == ((None, None)))
+    assert(out(102L) == ((Some(11L), Some(1.5))))
+    assert(out(103L) == ((Some(11L), Some(1.5))))
+    assert(out(104L) == ((Some(12L), Some(2.5))))
+    assert(out(201L) == ((None, None)))
+    assert(out(301L) == ((Some(32L), Some(4.5))))
+  }
+
   test("multimodal frame sampling keeps every k-th fixed-size frame") {
     val frames = Multimodal.frameSample(spark, fixtureDir).collect()
     assert(frames.nonEmpty)

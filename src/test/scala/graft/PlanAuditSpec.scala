@@ -63,6 +63,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("as-of join plans one key shuffle and no join node at all") {
+    val plan = planOf(AsofJoin.purchaseAttribution(spark, sf))
+    // the whole point of the union+window formulation: a temporal join with
+    // ZERO join operators — a range-condition join here would be a
+    // per-key O(n·m) blowup at 100 TB
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop") &&
+      !plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"as-of join planned a join node:\n${plan.take(2000)}")
+    // exactly one hash exchange (the per-user window); the only other
+    // exchange is the final presentation orderBy's range partitioning
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
+  }
+
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
     val plan = planOf(Dedup.dedupExact(spark, sf))
     // count + countDistinct over md5: the plan must partial-aggregate
