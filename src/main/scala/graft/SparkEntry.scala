@@ -76,6 +76,7 @@ object SparkEntry {
       TextAnalysis.queries ++
       Sessions.queries ++
       AsofJoin.queries ++
+      LmScore.queries ++
       Multimodal.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
@@ -121,5 +122,6 @@ object SparkEntry {
       TextAnalysis.oracles ++
       Sessions.oracles ++
       AsofJoin.oracles ++
+      LmScore.oracles ++
       Multimodal.oracles
 }

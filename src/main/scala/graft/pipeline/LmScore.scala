@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.drift.table
+
+/** N-gram language-model quality scoring — the CCNet/KenLM curation signal
+  * (Wenzek et al. 2020: docs are ranked by the perplexity of a small LM
+  * trained on a trusted corpus; low perplexity ≈ fluent text, high ≈ noise).
+  * The reference engine has no LM scorer; a training-data pipeline at
+  * 100 TB filters on one, so this implements the whole loop in pure
+  * DataFrame ops:
+  *
+  *   1. TRAIN: unigram + bigram counts over the trusted slice (here the
+  *      corpus's `lang = 'en'` docs — in production a bounded high-quality
+  *      sample, which is what keeps the model broadcastable).
+  *   2. SCORE: every doc's bigrams stream once through three BROADCAST
+  *      joins (unigram×2, bigram) — the corpus-sized side never shuffles;
+  *      the model side is vocabulary-sized by construction. Stupid Backoff
+  *      (Brants et al. 2007), the count-ratio scheme built for exactly
+  *      this distributed-counts setting:
+  *        s(w2 | w1) = cb(w1,w2) / cu(w1)                 if the bigram was seen
+  *                   = 0.4 · (cu(w2) + 1) / (N + V)       otherwise
+  *      (add-one-smoothed unigram backoff so unseen words score finitely).
+  *   3. REDUCE: per-doc mean log10 score and ppl = 10^(−mean); docs too
+  *      short to have a bigram surface with NULL metrics, not a row drop
+  *      (`inline_outer` keeps them through the explode — no spine re-join).
+  *
+  * Only shuffles: the two model-count aggregations (vocabulary-sized) and
+  * the per-doc mean (doc_id-keyed, same class as every per-doc rollup
+  * here). Mean log-probs ship UNROUNDED — both engines fold identical
+  * doubles and the gate's uniform rounding agrees (see SURVEY §10 on
+  * cross-engine float ties; per-doc sums are ~100 terms, last-ulp safe).
+  */
+object LmScore {
+
+  /** Trusted-slice language and the Stupid Backoff discount. */
+  val TrainLang = "en"
+  val BackoffSql = "0.4e0"
+
+  /** Whitespace tokens of the lowercased text, empties dropped — one shared
+    * shape per engine (`split` returns `['']` on an empty string in both). */
+  private val toksSpark =
+    "filter(split(lower(text), '\\\\s+'), t -> t != '') AS toks"
+  private val toksDuck =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS toks"
+
+  /** Adjacent-token pairs as structs, built inside the array (no
+    * positional self-join): `try_element_at` is the ANSI-safe lookahead —
+    * the final (word, NULL) pair is filtered off. */
+  private val bgsSpark =
+    "filter(transform(toks, (t, i) -> named_struct('w1', t, 'w2', " +
+      "try_element_at(toks, i + 2))), s -> s.w2 IS NOT NULL) AS bgs"
+
+  /** Per-doc LM score over any (doc_id, lang, text) frame. `carry` columns
+    * (e.g. `source`) ride along to the output instead of being re-joined —
+    * doc_id is unique, so widening the per-doc group key is free and saves
+    * a corpus-sized shuffle join downstream. */
+  def scoreDocs(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val keep = Seq("doc_id") ++ carry
+    val toks = docs.selectExpr(keep ++ Seq("lang", toksSpark): _*)
+    val pairs = toks.selectExpr(keep ++ Seq("lang", bgsSpark): _*)
+      .selectExpr(keep ++ Seq("lang", "inline_outer(bgs)"): _*)
+    val trainPairs = pairs.filter(col("lang") === TrainLang)
+    val uni = toks.filter(col("lang") === TrainLang)
+      .select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val bi = trainPairs.filter(col("w1").isNotNull)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val totals = uni.agg(sum("cu").cast("double").as("n_train"),
+      count(lit(1)).cast("double").as("v_train"))
+    val scored = pairs
+      .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))), Seq("w1"), "left")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cu2"))), Seq("w2"), "left")
+      .join(broadcast(bi), Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(totals))
+      .selectExpr(keep ++ Seq(
+        "CASE WHEN w1 IS NULL THEN NULL WHEN cb IS NOT NULL THEN 1e0 ELSE 0e0 END AS hit",
+        "CASE WHEN w1 IS NULL THEN NULL WHEN cu2 IS NULL THEN 1e0 ELSE 0e0 END AS oov",
+        "CASE WHEN w1 IS NULL THEN NULL WHEN cb IS NOT NULL THEN log10(cb * 1e0 / cu1) " +
+          s"ELSE log10($BackoffSql * (COALESCE(cu2, 0) + 1) / (n_train + v_train)) END AS lp"): _*)
+    scored.groupBy(keep.map(col): _*).agg(
+        count(col("hit")).as("n_bigrams"),
+        avg("hit").as("bigram_hit_rate"),
+        avg("oov").as("oov_rate"),
+        avg("lp").as("avg_logprob"))
+      .selectExpr(keep ++ Seq("n_bigrams", "bigram_hit_rate", "oov_rate",
+        "avg_logprob",
+        "CASE WHEN avg_logprob IS NOT NULL THEN pow(10e0, -avg_logprob) END AS ppl"): _*)
+  }
+
+  def lmScore(spark: SparkSession, dir: String): DataFrame =
+    scoreDocs(table(spark, dir, "documents").select("doc_id", "lang", "text"))
+      .orderBy("doc_id")
+
+  /** Shared oracle CTE prefix mirroring [[scoreDocs]]'s frames; DuckDB zips
+    * the two shifted slices via parallel unnest (its native bigram idiom —
+    * 0-bigram docs come back on the spine LEFT JOIN instead of
+    * `inline_outer`). */
+  private def scoredCtes: String =
+    s"toks AS (SELECT doc_id, lang, $toksDuck FROM documents), " +
+      "pairs AS (SELECT doc_id, lang, unnest(toks[1:len(toks)-1]) AS w1, " +
+      "unnest(toks[2:len(toks)]) AS w2 FROM toks), " +
+      s"uni AS (SELECT w, COUNT(*) AS cu FROM (SELECT unnest(toks) AS w FROM toks " +
+      s"WHERE lang = '$TrainLang') u GROUP BY 1), " +
+      s"bi AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs WHERE lang = '$TrainLang' GROUP BY 1, 2), " +
+      "tot AS (SELECT SUM(cu)::DOUBLE AS n_train, COUNT(*)::DOUBLE AS v_train FROM uni), " +
+      "scored AS (SELECT p.doc_id, " +
+      "CASE WHEN cb IS NOT NULL THEN 1e0 ELSE 0e0 END AS hit, " +
+      "CASE WHEN u2.cu IS NULL THEN 1e0 ELSE 0e0 END AS oov, " +
+      "CASE WHEN cb IS NOT NULL THEN log10(cb * 1e0 / u1.cu) " +
+      s"ELSE log10($BackoffSql * (COALESCE(u2.cu, 0) + 1) / (n_train + v_train)) END AS lp " +
+      "FROM pairs p LEFT JOIN uni u1 ON p.w1 = u1.w LEFT JOIN uni u2 ON p.w2 = u2.w " +
+      "LEFT JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2 CROSS JOIN tot), " +
+      "agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, AVG(hit) AS bigram_hit_rate, " +
+      "AVG(oov) AS oov_rate, AVG(lp) AS avg_logprob FROM scored GROUP BY 1)"
+
+  def lmScoreSql: String =
+    s"WITH $scoredCtes " +
+      "SELECT t.doc_id, COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams, " +
+      "bigram_hit_rate, oov_rate, avg_logprob, " +
+      "CASE WHEN avg_logprob IS NOT NULL THEN pow(10e0, -avg_logprob) END AS ppl " +
+      "FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id"
+
+  /** Per-source rollup — the artifact a corpus filter actually thresholds
+    * on (CCNet buckets sources by LM score the same way). */
+  def lmScoreBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    scoreDocs(docs.select("doc_id", "source", "lang", "text"), carry = Seq("source"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        count(col("avg_logprob")).as("n_scored"),
+        avg("oov_rate").as("mean_oov_rate"),
+        avg("avg_logprob").as("mean_logprob"))
+      .orderBy("source")
+  }
+
+  def lmScoreBySourceSql: String =
+    s"WITH $scoredCtes " +
+      "SELECT d.source, COUNT(*) AS n_docs, COUNT(agg.avg_logprob) AS n_scored, " +
+      "AVG(agg.oov_rate) AS mean_oov_rate, AVG(agg.avg_logprob) AS mean_logprob " +
+      "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id " +
+      "GROUP BY 1 ORDER BY 1"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_score" -> ((s, d) => lmScore(s, d)),
+    "lm_score_by_source" -> ((s, d) => lmScoreBySource(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "lm_score" -> lmScoreSql,
+    "lm_score_by_source" -> lmScoreBySourceSql,
+  )
+}

@@ -381,6 +381,30 @@ class PipelineSpec extends SparkSpec {
     assert(out(301L) == ((Some(32L), Some(4.5))))
   }
 
+  test("LM score matches hand-computed Stupid Backoff on a tiny corpus") {
+    import spark.implicits._
+    // train slice = the 'en' docs: unigrams a:4 b:2 c:1 (N=7, V=3);
+    // bigrams (a,b):2 (b,a):1 (a,c):1
+    val docs = Seq(
+      (1L, "en", "a b a b"), // all bigrams seen: 2/4, 1/2, 2/4 -> ppl exactly 2
+      (2L, "en", "a c"),     // (a,c): 1/4 -> ppl 4
+      (3L, "de", "x b"),     // unseen bigram, seen w2: 0.4*(2+1)/(7+3) = 0.12
+      (4L, "en", "a"))       // no bigrams -> NULL metrics
+      .toDF("doc_id", "lang", "text")
+    val out = LmScore.scoreDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_bigrams") == 3)
+    assert(out(1L).getAs[Double]("bigram_hit_rate") == 1.0)
+    assert(math.abs(out(1L).getAs[Double]("ppl") - 2.0) < 1e-9)
+    assert(math.abs(out(2L).getAs[Double]("ppl") - 4.0) < 1e-9)
+    assert(out(3L).getAs[Double]("bigram_hit_rate") == 0.0)
+    assert(out(3L).getAs[Double]("oov_rate") == 0.0) // 'b' is in the vocab
+    assert(math.abs(out(3L).getAs[Double]("ppl") - 1.0 / 0.12) < 1e-9)
+    assert(out(4L).getAs[Long]("n_bigrams") == 0)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("avg_logprob")))
+    assert(out(4L).isNullAt(out(4L).fieldIndex("ppl")))
+  }
+
   test("multimodal frame sampling keeps every k-th fixed-size frame") {
     val frames = Multimodal.frameSample(spark, fixtureDir).collect()
     assert(frames.nonEmpty)

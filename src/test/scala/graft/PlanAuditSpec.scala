@@ -77,6 +77,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
   }
 
+  test("LM scoring joins the model tables by broadcast, never by shuffle") {
+    val plan = planOf(LmScore.lmScore(spark, sf))
+    // the whole 100 TB contract: the corpus-sized bigram stream must join
+    // the (vocabulary-sized) unigram/bigram count tables without itself
+    // being shuffled — three BroadcastHashJoins, zero SortMergeJoins
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"LM scoring shuffles the corpus for a model join:\n${plan.take(2000)}")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj:\n${plan.take(2000)}")
+  }
+
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
     val plan = planOf(Dedup.dedupExact(spark, sf))
     // count + countDistinct over md5: the plan must partial-aggregate
