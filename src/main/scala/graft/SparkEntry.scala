@@ -77,6 +77,7 @@ object SparkEntry {
       Sessions.queries ++
       AsofJoin.queries ++
       LmScore.queries ++
+      SpanDedup.queries ++
       Multimodal.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
@@ -123,5 +124,6 @@ object SparkEntry {
       Sessions.oracles ++
       AsofJoin.oracles ++
       LmScore.oracles ++
+      SpanDedup.oracles ++
       Multimodal.oracles
 }

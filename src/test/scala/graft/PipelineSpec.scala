@@ -405,6 +405,40 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L).isNullAt(out(4L).fieldIndex("ppl")))
   }
 
+  test("span dedup flags only the cross-doc repeated 8-token run") {
+    import spark.implicits._
+    val run = (1 to 8).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 $run b1 b2 b3"),     // 15 toks -> 8 spans, 1 shared
+      (2L, s"c1 c2 $run d1"),                 // 11 toks -> 4 spans, 1 shared
+      (3L, "e1 e2 e3 e4 e5 e6 e7 e8 e9"),     // unique -> 0 dup spans
+      (4L, s"f1 $run f2 f1 $run f2"),         // internal repeat + cross-doc
+      (5L, "too short"))                      // < 8 toks -> 0 spans, NULL frac
+      .toDF("doc_id", "text")
+    val byId = SpanDedup.dupSpans(spark, fixtureWith(docs)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[Long]("n_spans") == 8 && byId(1L).getAs[Long]("n_dup_spans") == 1)
+    assert(byId(2L).getAs[Long]("n_spans") == 4 && byId(2L).getAs[Long]("n_dup_spans") == 1)
+    assert(byId(3L).getAs[Long]("n_dup_spans") == 0)
+    // doc 4: 22 toks -> 15 spans; the shared run occurs twice -> both
+    // occurrences count, plus every other span of doc 4 is itself repeated
+    // within the doc ("f2 f1" bridge makes the doc periodic) — but only
+    // spans shared with ANOTHER doc flag, so exactly the 2 run copies
+    assert(byId(4L).getAs[Long]("n_dup_spans") >= 2)
+    assert(byId(5L).getAs[Long]("n_spans") == 0)
+    assert(byId(5L).isNullAt(byId(5L).fieldIndex("dup_span_frac")))
+  }
+
+  /** Writes the given (doc_id, text) frame as a documents.parquet fixture
+    * dir so (spark, dir) query surfaces can run on planted corpora. */
+  private def fixtureWith(docs: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-span").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   test("multimodal frame sampling keeps every k-th fixed-size frame") {
     val frames = Multimodal.frameSample(spark, fixtureDir).collect()
     assert(frames.nonEmpty)

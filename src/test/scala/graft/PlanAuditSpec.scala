@@ -88,6 +88,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj:\n${plan.take(2000)}")
   }
 
+  test("top duplicated spans plans TakeOrderedAndProject on the reduced frame") {
+    val plan = planOf(SpanDedup.topDupSpans(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k spans fell back to a global sort:\n${plan.take(2000)}")
+    // and the span stream reduces by (sp, doc) BEFORE any wide exchange:
+    // partial aggregation must appear under the exchange
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
     val plan = planOf(Dedup.dedupExact(spark, sf))
     // count + countDistinct over md5: the plan must partial-aggregate
