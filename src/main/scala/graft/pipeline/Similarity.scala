@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.drift.table
+import graft.functions.VecFunctions.vecDot
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
   * (`embedding: array<float>`, 64-dim).
@@ -32,7 +33,7 @@ object Similarity {
     df.select(col("vec_id").as(s"${prefix}_id"),
       col("embedding").cast("array<double>").as(s"${prefix}_v"))
       .withColumn(s"${prefix}_n",
-        expr(s"sqrt(aggregate(${prefix}_v, 0d, (acc, x) -> acc + x * x))"))
+        sqrt(vecDot(col(s"${prefix}_v"), col(s"${prefix}_v"))))
 
   /** Brute-force cosine top-k for the first [[NumQueries]] vectors. */
   def annCosine(spark: SparkSession, dir: String): DataFrame = {
@@ -40,8 +41,8 @@ object Similarity {
     val q = withNorm(emb.filter(col("vec_id") < NumQueries), "q")
     val c = withNorm(emb, "c")
     c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("cosine", expr(
-        "round(aggregate(zip_with(q_v, c_v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / NULLIF(q_n * c_n, 0), 6)"))
+      .withColumn("cosine",
+        round(vecDot(col("q_v"), col("c_v")) / expr("NULLIF(q_n * c_n, 0)"), 6))
       .withColumn("rk", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)))
       .filter(col("rk") <= TopK)
@@ -92,8 +93,7 @@ object Similarity {
     * transform is evaluated once per row, not once per sign bit. */
   private def bandDots(planes: Array[Array[Double]], vec: Column): Column = {
     val planesLit = typedLit(planes.map(_.toSeq).toSeq)
-    transform(planesLit, p =>
-      aggregate(zip_with(vec, p, (x, w) => x * w), lit(0.0), (acc, t) => acc + t))
+    transform(planesLit, p => vecDot(vec, p))
   }
 
   private def bandSigCols(dots: Column, bands: Int, bits: Int): Seq[Column] =
@@ -121,8 +121,7 @@ object Similarity {
   def embedNeardup(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val normed = emb.withColumn("n",
-      expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
+    val normed = emb.withColumn("n", sqrt(vecDot(col("v"), col("v"))))
     val sigCols = bandSigCols(col("dots"), NeardupBands, NeardupBandBits)
     // cached: the band equi-join reads this on both sides, and uncached each
     // side would re-scan the corpus and redo the 32 hyperplane dots
@@ -138,8 +137,8 @@ object Similarity {
     cands
       .join(normed.select(col("vec_id").as("doc_a"), col("v").as("va"), col("n").as("na")), "doc_a")
       .join(normed.select(col("vec_id").as("doc_b"), col("v").as("vb"), col("n").as("nb")), "doc_b")
-      .withColumn("cosine", expr(
-        "round(aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / NULLIF(na * nb, 0), 6)"))
+      .withColumn("cosine",
+        round(vecDot(col("va"), col("vb")) / expr("NULLIF(na * nb, 0)"), 6))
       .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)
       .limit(20)
       // rank attaches to the ≤20 surviving rows; the constant partition key
@@ -198,11 +197,11 @@ object Similarity {
     // each side re-scans the corpus and recomputes the bucket dots
     // (MEMORY_AND_DISK, so a corpus-sized frame spills instead of evicting)
     val b = lshBuckets(emb, bits)
-      .withColumn("n", expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
+      .withColumn("n", sqrt(vecDot(col("v"), col("v"))))
       .cache()
     b.as("q").join(b.as("c"), col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
-      .withColumn("cosine", expr(
-        "round(aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / NULLIF(q.n * c.n, 0), 6)"))
+      .withColumn("cosine",
+        round(vecDot(col("q.v"), col("c.v")) / expr("NULLIF(q.n * c.n, 0)"), 6))
       .withColumn("rk", row_number().over(
         Window.partitionBy("q.vec_id").orderBy(col("cosine").desc, col("c.vec_id").asc)))
       .filter(col("rk") <= k)
@@ -286,8 +285,8 @@ object Similarity {
     // nearest centroid per vector; similarity rounded BEFORE the argmax so
     // Spark and DuckDB break ties identically (then by cent_id)
     val assign = emb.crossJoin(broadcast(cents))
-      .withColumn("sim", expr(
-        "round(aggregate(zip_with(c_v, t_v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / NULLIF(c_n * t_n, 0), 6)"))
+      .withColumn("sim",
+        round(vecDot(col("c_v"), col("t_v")) / expr("NULLIF(c_n * t_n, 0)"), 6))
       .withColumn("ark", row_number().over(
         Window.partitionBy("c_id").orderBy(col("sim").desc, col("cent_id").asc)))
       .filter(col("ark") === 1)
@@ -299,8 +298,8 @@ object Similarity {
     val cellVecs = emb.join(assign, col("c_id") === col("vec_id")).drop("vec_id").cache()
     cellVecs.as("q").join(cellVecs.as("c"),
         col("q.cell") === col("c.cell") && col("q.c_id") =!= col("c.c_id"))
-      .withColumn("cosine", expr(
-        "round(aggregate(zip_with(q.c_v, c.c_v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / NULLIF(q.c_n * c.c_n, 0), 6)"))
+      .withColumn("cosine",
+        round(vecDot(col("q.c_v"), col("c.c_v")) / expr("NULLIF(q.c_n * c.c_n, 0)"), 6))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q.c_id")).orderBy(col("cosine").desc, col("c.c_id").asc)))
       .filter(col("rk") <= k)
@@ -363,12 +362,12 @@ object Similarity {
     // cached for the same both-sides-of-the-self-join reason as ivfTopK
     val assigned = model.transform(vecs)
       .select(col("vec_id"), col("v"), col("cell"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, 0d, (acc, x) -> acc + x * x))"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
       .cache()
     assigned.as("q").join(assigned.as("c"),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
-      .withColumn("cosine", expr(
-        "round(aggregate(zip_with(q.v, c.v, (x, y) -> x * y), 0d, (acc, v) -> acc + v) / NULLIF(q.nrm * c.nrm, 0), 6)"))
+      .withColumn("cosine",
+        round(vecDot(col("q.v"), col("c.v")) / expr("NULLIF(q.nrm * c.nrm, 0)"), 6))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("q.vec_id")).orderBy(col("cosine").desc, col("c.vec_id").asc)))
       .filter(col("rk") <= k)

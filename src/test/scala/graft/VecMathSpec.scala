@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{VecFunctions, VecDot}
+
+/** The native `vec_dot` expression: value parity with the HOF fold it
+  * replaced (bit-exact, both codegen and interpreted paths), float
+  * widening, null propagation, SQL registration, and type checking. */
+class VecMathSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val pairs = spark.range(1000).select(col("id"),
+    expr("transform(sequence(1, 64), i -> cast(id % 97 + i AS DOUBLE) / 97d)").as("a"),
+    expr("transform(sequence(1, 64), i -> cast(id % 89 + i AS DOUBLE) / 89d)").as("b"))
+
+  test("vec_dot is bit-identical to the aggregate/zip_with fold") {
+    val both = pairs.select(
+      VecFunctions.vecDot(col("a"), col("b")).as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v)").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    // and through an aggregate (whole-stage codegen path)
+    val sums = both.agg(sum("native"), sum("hof")).collect()(0)
+    assert(sums.getDouble(0) == sums.getDouble(1))
+  }
+
+  test("vec_dot on float arrays equals cast-to-double-then-dot, bit for bit") {
+    val f = pairs.select(
+      col("a").cast("array<float>").as("af"), col("b").cast("array<float>").as("bf"))
+    val both = f.select(
+      VecFunctions.vecDot(col("af"), col("bf")).as("native"),
+      VecFunctions.vecDot(col("af").cast("array<double>"), col("bf").cast("array<double>")).as("casted"))
+    assert(both.filter(col("native") =!= col("casted")).count() == 0)
+  }
+
+  test("vec_dot interpreted eval matches codegen") {
+    // force the interpreted path via a literal-only eval on the driver
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = VecDot(
+      Literal.create(Seq(1.5, -2.0, 3.0), ArrayType(DoubleType)),
+      Literal.create(Seq(2.0, 0.5, 4.0), ArrayType(DoubleType)))
+    assert(e.eval(null) == (1.5 * 2.0 + -2.0 * 0.5 + 3.0 * 4.0))
+  }
+
+  test("vec_dot propagates null inputs and rejects bad types") {
+    val row = spark.sql("SELECT CAST(NULL AS ARRAY<DOUBLE>) AS a, array(1d, 2d) AS b")
+      .select(VecFunctions.vecDot(col("a"), col("b")).as("d")).collect()(0)
+    assert(row.isNullAt(0))
+    val err = intercept[Exception] {
+      spark.range(1).select(VecFunctions.vecDot(lit("oops"), lit(1))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("vec_dot") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("vec_dot registers as a SQL function") {
+    VecFunctions.register(spark)
+    val v = spark.sql("SELECT vec_dot(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(v == 32.0)
+  }
+}
