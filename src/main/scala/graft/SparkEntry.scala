@@ -70,6 +70,7 @@ object SparkEntry {
       GroupDrift.queries ++
       SchemaOps.queries ++
       AdaptiveThresholds.queries ++
+      TimelineDrift.queries ++
       Report.queries ++
       Dedup.queries ++
       Similarity.queries ++
@@ -117,6 +118,7 @@ object SparkEntry {
       GroupDrift.oracles ++
       SchemaOps.oracles ++
       AdaptiveThresholds.oracles ++
+      TimelineDrift.oracles ++
       Report.oracles ++
       Dedup.oracles ++
       Similarity.oracles ++

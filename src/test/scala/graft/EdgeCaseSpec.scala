@@ -115,6 +115,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(s1.getLong(4) <= s1.getLong(3)) // funnel is monotone
   }
 
+  test("drift timeline flags the mean shift and the category swap, each once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tl").toString
+    def t(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00")
+    // day 1: a/b 50/50, value 10 | day 2: same mix, value 20 (mean shift)
+    // day 3: all b, value 20 (pure mix shift)
+    val evs =
+      (1 to 4).map(h => (h.toLong, t(1, h), 1L, if (h % 2 == 0) "a" else "b", 10.0, "{}")) ++
+      (1 to 4).map(h => (10 + h.toLong, t(2, h), 1L, if (h % 2 == 0) "a" else "b", 20.0, "{}")) ++
+      (1 to 4).map(h => (20 + h.toLong, t(3, h), 1L, "b", 20.0, "{}"))
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val rows = graft.drift.TimelineDrift.driftTimeline(spark, dir).collect()
+      .map(r => r.getAs[String]("day") -> r).toMap
+    assert(rows("2024-01-01").isNullAt(rows("2024-01-01").fieldIndex("drift_detected")))
+    val d2 = rows("2024-01-02")
+    assert(math.abs(d2.getAs[Double]("mean_rel_diff") - 1.0) < 1e-9)
+    assert(math.abs(d2.getAs[Double]("psi")) < 1e-9)
+    assert(d2.getAs[Boolean]("drift_detected"))
+    val d3 = rows("2024-01-03")
+    assert(math.abs(d3.getAs[Double]("mean_rel_diff")) < 1e-9)
+    // a: 0.5 -> eps, b: 0.5 -> 1.0: PSI = (eps-0.5)ln(eps/0.5) + (1-0.5)ln(2) >> 0.2
+    assert(d3.getAs[Double]("psi") > 0.2)
+    assert(d3.getAs[Boolean]("drift_detected"))
+  }
+
   test("sessionize handles a single-event user") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 42L, "t", 1.0, "{}"))
