@@ -79,6 +79,7 @@ object SparkEntry {
       AsofJoin.queries ++
       LmScore.queries ++
       SpanDedup.queries ++
+      DataSplit.queries ++
       Multimodal.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
@@ -92,6 +93,7 @@ object SparkEntry {
       "numeric_stats" -> ((s, d) => NumericDrift.stats(s, d, approx = true)),
       "token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d, approx = true)),
       "corpus_balance" -> ((s, d) => TextAnalysis.balancedMix(s, d, approx = true)),
+      "data_split" -> ((s, d) => DataSplit.dataSplit(s, d, approx = true)),
       "type_inference" -> ((s, d) => TypeInference.typeInferenceQuery(s, d, approxDistinct = true)),
       "numeric_drift" -> ((s, d) => NumericDrift.drift(s, d, approx = true)),
       "metric_audit" -> ((s, d) => NumericDrift.metricAudit(s, d, approx = true)),
@@ -127,5 +129,6 @@ object SparkEntry {
       AsofJoin.oracles ++
       LmScore.oracles ++
       SpanDedup.oracles ++
+      DataSplit.oracles ++
       Multimodal.oracles
 }

@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.drift.table
+
+/** Deterministic stratified train/val/test assignment — the split step of
+  * a training-data pipeline. Both paths draw a seedless md5 coin per doc
+  * (no `rand()`/`randomSplit`: a rerun reproduces the split bit-for-bit).
+  *
+  * Two paths, same coin (the [[TextAnalysis.balancedMix]] pattern):
+  *   - EXACT (default, oracle-checked): rank docs per source by md5 order
+  *     and cut at floor(0.8n)/floor(0.9n) — proportions are exact per
+  *     source (stratified). The rank window sorts each source inside one
+  *     task; fine until a source is a crawl dump. Quantile cuts move as a
+  *     source grows, so this is the frozen-corpus variant.
+  *   - `approx = true` (bench/100 TB path): md5-bucket mod 100 per row —
+  *     no sort, no window, embarrassingly parallel, per-source proportions
+  *     binomial around 80/10/10. Membership is a pure function of doc_id,
+  *     so growing the corpus NEVER moves an existing doc across the
+  *     train/eval boundary — the property an incremental crawl needs.
+  *
+  * Output is the per-source audit a pipeline gate reads: counts per split
+  * plus per-split doc_id checksums, so the oracle verifies the exact
+  * assignment, not just its shape.
+  */
+object DataSplit {
+
+  val TrainFrac = 0.8
+  val ValFrac = 0.1 // val cut = TrainFrac + ValFrac
+
+  /** Per-doc split assignment over any (doc_id, source, …) frame —
+    * (doc_id, source, split). This is the frame a pipeline writes
+    * partitioned by `split`; [[dataSplit]] is its audit rollup. */
+  def assignSplits(docs: DataFrame, approx: Boolean = false): DataFrame = {
+    val assigned =
+      if (approx) docs
+        .withColumn("u", expr(
+          "CAST(conv(substring(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("split", expr(
+          "CASE WHEN u % 100 < 80 THEN 'train' WHEN u % 100 < 90 THEN 'val' ELSE 'test' END"))
+      else docs
+        .withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(expr("md5(cast(cast(doc_id AS STRING) AS BINARY))"), col("doc_id"))))
+        .join(docs.groupBy("source").agg(count(lit(1)).as("n")), "source")
+        .withColumn("split", expr(
+          s"CASE WHEN rk <= floor(n * ${TrainFrac}e0) THEN 'train' " +
+            s"WHEN rk <= floor(n * ${TrainFrac + ValFrac}e0) THEN 'val' ELSE 'test' END"))
+    assigned.select("doc_id", "source", "split")
+  }
+
+  def dataSplit(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "source")
+    assignSplits(docs, approx).groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+        coalesce(sum(when(col("split") === "train", col("doc_id"))), lit(0L)).as("train_id_sum"),
+        coalesce(sum(when(col("split") === "val", col("doc_id"))), lit(0L)).as("val_id_sum"),
+        coalesce(sum(when(col("split") === "test", col("doc_id"))), lit(0L)).as("test_id_sum"))
+      .orderBy("source")
+  }
+
+  def dataSplitSql: String =
+    "WITH r AS (SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source " +
+      "ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk, " +
+      "COUNT(*) OVER (PARTITION BY source) AS n FROM documents), " +
+      "a AS (SELECT doc_id, source, " +
+      s"CASE WHEN rk <= floor(n * ${TrainFrac}e0) THEN 'train' " +
+      s"WHEN rk <= floor(n * ${TrainFrac + ValFrac}e0) THEN 'val' ELSE 'test' END AS split FROM r) " +
+      "SELECT source, COUNT(*) AS n_docs, " +
+      "SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train, " +
+      "SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val, " +
+      "SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test, " +
+      "COALESCE(SUM(CASE WHEN split = 'train' THEN doc_id END), 0)::BIGINT AS train_id_sum, " +
+      "COALESCE(SUM(CASE WHEN split = 'val' THEN doc_id END), 0)::BIGINT AS val_id_sum, " +
+      "COALESCE(SUM(CASE WHEN split = 'test' THEN doc_id END), 0)::BIGINT AS test_id_sum " +
+      "FROM a GROUP BY 1 ORDER BY 1"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "data_split" -> ((s, d) => dataSplit(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "data_split" -> dataSplitSql,
+  )
+}

@@ -429,6 +429,30 @@ class PipelineSpec extends SparkSpec {
     assert(byId(5L).isNullAt(byId(5L).fieldIndex("dup_span_frac")))
   }
 
+  test("data split cuts exact stratified proportions; hash path is growth-stable") {
+    import spark.implicits._
+    val rows = DataSplit.dataSplit(spark, fixtureDir).collect()
+    for (r <- rows) {
+      val (n, tr, va, te) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_train"),
+        r.getAs[Long]("n_val"), r.getAs[Long]("n_test"))
+      assert(tr == math.floor(n * 0.8).toLong)
+      assert(tr + va == math.floor(n * 0.9).toLong)
+      assert(tr + va + te == n)
+    }
+    // approx path: membership is a pure function of doc_id — halving the
+    // corpus must not move any surviving doc's split
+    val full = spark.read.parquet(s"$fixtureDir/documents.parquet")
+      .select("doc_id", "source")
+    def perDoc(docs: org.apache.spark.sql.DataFrame) =
+      DataSplit.assignSplits(docs, approx = true).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val f = perDoc(full)
+    val h = perDoc(full.filter(col("doc_id") % 2 === 0))
+    assert(h.nonEmpty && h.forall { case (id, s) => f(id) == s })
+    // and all three splits actually occur
+    assert(f.values.toSet == Set("train", "val", "test"))
+  }
+
   /** Writes the given (doc_id, text) frame as a documents.parquet fixture
     * dir so (spark, dir) query surfaces can run on planted corpora. */
   private def fixtureWith(docs: org.apache.spark.sql.DataFrame): String = {
