@@ -49,6 +49,16 @@ object Example {
       println(s"  near-dup pairs (capped Jaccard default): $dups")
       val ann = graft.pipeline.Similarity.ivfTopK(spark, sfDir).count()
       println(s"  IVF ANN neighbor rows: $ann")
+      val lm = graft.pipeline.LmScore.lmScoreBySource(spark, sfDir).limit(3).collect()
+      lm.foreach(r => println(f"  lm_score ${r.getString(0)}: " +
+        f"mean_logprob=${r.getAs[Double]("mean_logprob")}%.3f " +
+        f"oov=${r.getAs[Double]("mean_oov_rate")}%.3f"))
+      val splits = graft.pipeline.DataSplit.dataSplit(spark, sfDir).limit(1).collect()(0)
+      println(s"  data_split ${splits.getString(0)}: train=${splits.getLong(2)} " +
+        s"val=${splits.getLong(3)} test=${splits.getLong(4)}")
+      val tl = graft.drift.TimelineDrift.driftTimeline(spark, sfDir)
+      println(s"  drift_timeline: ${tl.count()} windows, " +
+        s"${tl.filter(org.apache.spark.sql.functions.col("drift_detected")).count()} flagged")
     }
     spark.stop()
   }

@@ -3,8 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, BinaryExpression, Expression, ExpressionInfo, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -22,21 +24,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `BinaryExpression` whose generated code is ONE allocation-free fused
   * loop over the two `ArrayData` buffers.
   *
-  * Semantics contract (keeps every oracle hash-green): accumulate in
-  * double, strictly left-to-right — bit-identical to the `aggregate` fold
-  * it replaces and to DuckDB's `list_dot_product`. Floats widen exactly, so
-  * `vec_dot(float_vec, float_vec)` equals the old
-  * `cast-to-double-then-fold` value bit-for-bit. Trailing elements of the
-  * longer input are ignored (`zip_with` pads with NULL; the old fold then
-  * yielded NULL — lengths never differ in this library, and a hard length
-  * mismatch is better caught by [[checkInputDataTypes]] staying permissive
-  * and the cosine's NULLIF guard). Array elements must be non-null
-  * (embedding columns are by construction).
+  * Semantics contract — EXACTLY the composed form's, so [[VecDotRewrite]]
+  * may substitute it into arbitrary user plans: accumulate in double,
+  * strictly left-to-right (bit-identical to the `aggregate` fold and to
+  * DuckDB's `list_dot_product`; floats widen exactly); NULL when either
+  * array is NULL, when lengths differ (`zip_with` pads the shorter side
+  * with NULL and the fold absorbs it), or when any element is NULL. When
+  * both schemas say `containsNull = false` the generated loop skips the
+  * per-element null test entirely.
   */
 case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
 
   private def elemType: DataType =
     left.dataType.asInstanceOf[ArrayType].elementType
+
+  private def mayHaveNullElems: Boolean =
+    left.dataType.asInstanceOf[ArrayType].containsNull ||
+      right.dataType.asInstanceOf[ArrayType].containsNull
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -49,14 +53,19 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val double = elemType == DoubleType
+    val checkNulls = mayHaveNullElems
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += (if (double) x.getDouble(i) * y.getDouble(i)
             else x.getFloat(i).toDouble * y.getFloat(i).toDouble)
       i += 1
@@ -70,13 +79,22 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      val nullCheck =
+        if (mayHaveNullElems)
+          s"""if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $x.$get($i) * (double) $y.$get($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += (double) $x.$get($i) * (double) $y.$get($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
   }
@@ -105,15 +123,99 @@ object VecFunctions {
     * (idempotent). */
   def register(spark: SparkSession): Unit =
     Bridge.registerFunction(spark, "vec_dot", vecDotBuilder)
+
+  /** Installs [[VecDotRewrite]] on an existing session through the PUBLIC
+    * `experimental.extraOptimizations` hook (idempotent) — user SQL written
+    * in the composed HOF form gets the native loop without edits. */
+  def installRewrite(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(VecDotRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ VecDotRewrite
+}
+
+/** Optimizer rule: rewrites the composed dot-product idioms to [[VecDot]] —
+  *
+  *   aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v)
+  *   aggregate(v, 0d, (acc, x) -> acc + x * x)            (self-dot / norm²)
+  *
+  * — for double-element arrays. Semantics-preserving by [[VecDot]]'s
+  * contract (same left-to-right accumulation, same NULL behavior for
+  * ragged lengths and null elements), so it may run on arbitrary user
+  * plans. Float-element arrays never match: the analyzer has already
+  * inserted casts inside the lambdas, which breaks the bare-variable
+  * pattern — exactly the cases where a blind rewrite could change results.
+  */
+object VecDotRewrite extends Rule[LogicalPlan] {
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  private def isZero(e: Expression): Boolean = e match {
+    case Literal(v: Double, DoubleType) => v == 0.0
+    case _ => false
+  }
+
+  /** x*y over exactly the two lambda variables, either order (IEEE
+    * multiplication commutes bit-exactly). */
+  private def isPairProduct(body: Expression,
+      vx: NamedLambdaVariable, vy: NamedLambdaVariable): Boolean = body match {
+    case Multiply(a: NamedLambdaVariable, b: NamedLambdaVariable, _) =>
+      (a.exprId == vx.exprId && b.exprId == vy.exprId) ||
+        (a.exprId == vy.exprId && b.exprId == vx.exprId)
+    case _ => false
+  }
+
+  private def isAccPlus(body: Expression,
+      acc: NamedLambdaVariable, v: NamedLambdaVariable): Boolean = body match {
+    case Add(a: NamedLambdaVariable, b: NamedLambdaVariable, _) =>
+      (a.exprId == acc.exprId && b.exprId == v.exprId) ||
+        (a.exprId == v.exprId && b.exprId == acc.exprId)
+    case _ => false
+  }
+
+  private def isAccPlusSquare(body: Expression,
+      acc: NamedLambdaVariable, x: NamedLambdaVariable): Boolean = body match {
+    case Add(a: NamedLambdaVariable, Multiply(m1: NamedLambdaVariable, m2: NamedLambdaVariable, _), _) =>
+      a.exprId == acc.exprId && m1.exprId == x.exprId && m2.exprId == x.exprId
+    case Add(Multiply(m1: NamedLambdaVariable, m2: NamedLambdaVariable, _), a: NamedLambdaVariable, _) =>
+      a.exprId == acc.exprId && m1.exprId == x.exprId && m2.exprId == x.exprId
+    case _ => false
+  }
+
+  private def isIdentity(finish: Expression): Boolean = finish match {
+    case LambdaFunction(v: NamedLambdaVariable, Seq(a: NamedLambdaVariable), _) =>
+      v.exprId == a.exprId
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case ArrayAggregate(
+        ZipWith(a, b, LambdaFunction(mul,
+          Seq(vx: NamedLambdaVariable, vy: NamedLambdaVariable), _)),
+        zero, LambdaFunction(merge,
+          Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _), finish)
+      if isDoubleArray(a) && isDoubleArray(b) && isZero(zero) &&
+        isPairProduct(mul, vx, vy) && isAccPlus(merge, acc, v) && isIdentity(finish) =>
+      VecDot(a, b)
+    case ArrayAggregate(arr, zero, LambdaFunction(merge,
+          Seq(acc: NamedLambdaVariable, x: NamedLambdaVariable), _), finish)
+      if isDoubleArray(arr) && isZero(zero) &&
+        isAccPlusSquare(merge, acc, x) && isIdentity(finish) =>
+      VecDot(arr, arr)
+  }
 }
 
 /** `SparkSessionExtensions` injector — the library-level registration path:
   * `spark.sql.extensions=graft.functions.GraftExtensions` makes `vec_dot`
   * a session-native SQL function on every session of the cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       VecFunctions.vecDotBuilder))
+    ext.injectOptimizerRule(_ => VecDotRewrite)
+  }
 }

@@ -53,6 +53,53 @@ class VecMathSpec extends SparkSpec {
       err.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("the rewrite rule turns both HOF idioms into vec_dot, and only those") {
+    import graft.functions.{VecDotRewrite, VecFunctions}
+    val before = spark.experimental.extraOptimizations
+    try {
+      VecFunctions.installRewrite(spark)
+      VecFunctions.installRewrite(spark) // idempotent
+      assert(spark.experimental.extraOptimizations.count(_ == VecDotRewrite) == 1)
+      val dot = pairs.select(
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v)").as("d"))
+      val norm = pairs.select(
+        expr("aggregate(a, 0d, (acc, x) -> acc + x * x)").as("n2"))
+      assert(dot.queryExecution.executedPlan.toString.contains("vec_dot"))
+      assert(norm.queryExecution.executedPlan.toString.contains("vec_dot"))
+      // rewritten results == native results, bit for bit
+      val viaRule = dot.agg(sum("d")).collect()(0).getDouble(0)
+      val native = pairs.select(VecFunctions.vecDot(col("a"), col("b")).as("d"))
+        .agg(sum("d")).collect()(0).getDouble(0)
+      assert(viaRule == native)
+      // a different zero or a non-product lambda must NOT match
+      val other = pairs.select(
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 1d, (acc, v) -> acc + v)").as("d"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x + y), 0d, (acc, v) -> acc + v)").as("e"))
+      assert(!other.queryExecution.executedPlan.toString.contains("vec_dot"))
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("the rewrite preserves HOF null semantics on ragged and null arrays") {
+    import graft.functions.VecFunctions
+    val before = spark.experimental.extraOptimizations
+    try {
+      VecFunctions.installRewrite(spark)
+      // built over range() so ConvertToLocalRelation can't pre-evaluate the
+      // whole projection at optimize time
+      val df = spark.range(3).selectExpr("id",
+          "CASE id WHEN 0 THEN array(1d, 2d) WHEN 1 THEN array(1d, CAST(NULL AS DOUBLE)) ELSE array(1d, 2d) END AS a",
+          "CASE id WHEN 0 THEN array(1d, 2d, 3d) WHEN 1 THEN array(1d, 2d) ELSE array(3d, 4d) END AS b")
+        .selectExpr("id", "aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v) AS d")
+        .orderBy("id")
+      assert(df.queryExecution.executedPlan.toString.contains("vec_dot"))
+      val rows = df.collect()
+      val d = rows(0).fieldIndex("d")
+      assert(rows(0).isNullAt(d)) // ragged -> NULL, like zip_with padding
+      assert(rows(1).isNullAt(d)) // null element -> NULL
+      assert(rows(2).getDouble(d) == 11.0)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("vec_dot registers as a SQL function") {
     VecFunctions.register(spark)
     val v = spark.sql("SELECT vec_dot(array(1d, 2d, 3d), array(4d, 5d, 6d)) AS d")
