@@ -513,9 +513,52 @@ object Dedup {
       "(ORDER BY hamming ASC, doc_a ASC, doc_b ASC) AS rk FROM pairs) r WHERE rk <= 20 ORDER BY rk"
   }
 
+  // ------------------------------------------------- source-level overlap
+
+  /** Shingle-set Jaccard between SOURCES — the planning view before
+    * doc-level dedup: which feeds are near-copies of each other (mirrored
+    * crawls, re-scraped dumps) and should be deduplicated jointly or
+    * dropped wholesale. Inherently scale-safe where doc-level Jaccard is
+    * not: the self-join key is the shingle but the fan-out per shingle is
+    * bounded by C(#sources, 2) — sources are a configuration-sized set, so
+    * a stopword shingle costs ~S²/2 rows, not df². One distinct over
+    * (source, shingle), one bounded join, one rollup. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val s = table(spark, dir, "documents")
+      .select(col("source"), split(col("text"), "\\s+").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("source"), explode(expr(
+        "array_distinct(transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))")).as("sh"))
+      .distinct()
+    val sz = s.groupBy("source").agg(count(lit(1)).as("n"))
+    s.as("a").join(s.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(sz.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .selectExpr("source_a", "source_b", "i AS n_shared_shingles",
+        "ROUND(i * 1e0 / (na + nb - i), 6) AS jaccard")
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceOverlapSql: String =
+    "WITH s AS (SELECT DISTINCT source, unnest(list_transform(range(1, len(w) - 1), " +
+      "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM " +
+      "(SELECT source, regexp_split_to_array(text, '\\s+') AS w FROM documents) t " +
+      "WHERE len(w) >= 3), " +
+      "sz AS (SELECT source, COUNT(*) AS n FROM s GROUP BY 1), " +
+      "inter AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS i " +
+      "FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2) " +
+      "SELECT source_a, source_b, i AS n_shared_shingles, " +
+      "ROUND(i * 1e0 / (sa.n + sb.n - i), 6) AS jaccard " +
+      "FROM inter JOIN sz sa ON sa.source = source_a JOIN sz sb ON sb.source = source_b " +
+      "ORDER BY source_a, source_b"
+
   // ----------------------------------------------------------------- API
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "ngram_jaccard_capped" -> ((s, d) => ngramJaccardCapped(s, d)),
@@ -526,6 +569,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "source_overlap" -> sourceOverlapSql,
     "dedup_exact" -> dedupExactSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "ngram_jaccard_capped" -> ngramJaccardCappedSql,

@@ -377,7 +377,68 @@ object Similarity {
 
   // ----------------------------------------------------------------- API
 
+  // --------------------------------------------- embedding-space monitor
+
+  /** Per-label embedding-space health — the monitoring view an
+    * embedding-producing pipeline tracks release-over-release: each
+    * label's centroid norm, COHESION (mean cosine of members to their own
+    * centroid — collapse shows up as cohesion → 1, noise as → 0) and
+    * SEPARATION (cosine of the label centroid to the global centroid —
+    * labels drifting into the global mean lose separation, i.e. → 1).
+    *
+    * Scale shape: centroids come from ONE posexplode + (label, pos)
+    * aggregation — map-side combined, output = labels × dim rows. Member
+    * cosines re-explode the corpus but join ONLY the broadcast
+    * (labels × dim) centroid frame and reduce straight back to one row
+    * per vector — no vector ever meets another vector. */
+  def embeddingCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val long = emb.select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+    val cent = long.groupBy("label", "pos").agg(avg("x").as("c")).cache()
+    val centNorm = cent.groupBy("label").agg(expr("sqrt(SUM(c * c))").as("cnorm"))
+    val global = cent.groupBy("pos").agg(avg("c").as("g"))
+    val sep = cent.join(broadcast(global), "pos")
+      .groupBy("label").agg(expr("SUM(c * g)").as("cg"),
+        expr("sqrt(SUM(c * c))").as("cn"))
+      .crossJoin(broadcast(global.agg(expr("sqrt(SUM(g * g))").as("gn"))))
+      .selectExpr("label", "ROUND(cg / NULLIF(cn * gn, 0), 6) AS separation")
+    val member = long.join(broadcast(cent), Seq("label", "pos"))
+      .groupBy("vec_id", "label").agg(
+        expr("SUM(x * c)").as("vc"),
+        expr("sqrt(SUM(x * x))").as("vn"))
+      .join(broadcast(centNorm), "label")
+      .selectExpr("label", "vc / NULLIF(vn * cnorm, 0) AS cos_c")
+      .groupBy("label").agg(count(lit(1)).as("n_vecs"),
+        expr("ROUND(AVG(cos_c), 6)").as("cohesion"))
+    member.join(centNorm, "label").join(sep, "label")
+      .selectExpr("label", "n_vecs", "ROUND(cnorm, 6) AS centroid_norm",
+        "cohesion", "separation")
+      .orderBy("label")
+  }
+
+  /** DuckDB twin: the longform explode is two PARALLEL unnests (values +
+    * 1-based positions), which DuckDB zips. */
+  def embeddingCohesionSql: String =
+    "WITH lf AS (SELECT vec_id, label, unnest(range(1, len(embedding) + 1)) AS pos, " +
+      "unnest(embedding::DOUBLE[]) AS x FROM embeddings), " +
+      "cent AS (SELECT label, pos, AVG(x) AS c FROM lf GROUP BY 1, 2), " +
+      "cn AS (SELECT label, sqrt(SUM(c * c)) AS cnorm FROM cent GROUP BY 1), " +
+      "g AS (SELECT pos, AVG(c) AS g FROM cent GROUP BY 1), " +
+      "gn AS (SELECT sqrt(SUM(g * g)) AS gn FROM g), " +
+      "sep AS (SELECT label, ROUND(SUM(c * g.g) / NULLIF(sqrt(SUM(c * c)) * ANY_VALUE(gn.gn), 0), 6) AS separation " +
+      "FROM cent JOIN g ON cent.pos = g.pos CROSS JOIN gn GROUP BY label), " +
+      "mem AS (SELECT vec_id, lf.label, SUM(x * c) AS vc, sqrt(SUM(x * x)) AS vn " +
+      "FROM lf JOIN cent ON lf.label = cent.label AND lf.pos = cent.pos GROUP BY 1, 2), " +
+      "coh AS (SELECT mem.label, COUNT(*) AS n_vecs, " +
+      "ROUND(AVG(vc / NULLIF(vn * cnorm, 0)), 6) AS cohesion " +
+      "FROM mem JOIN cn ON mem.label = cn.label GROUP BY 1) " +
+      "SELECT coh.label, n_vecs, ROUND(cnorm, 6) AS centroid_norm, cohesion, separation " +
+      "FROM coh JOIN cn ON coh.label = cn.label JOIN sep ON coh.label = sep.label " +
+      "ORDER BY coh.label"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embedding_cohesion" -> ((s, d) => embeddingCohesion(s, d)),
     "ann_cosine" -> ((s, d) => annCosine(s, d)),
     "embed_neardup" -> ((s, d) => embedNeardup(s, d)),
     "ann_lsh" -> ((s, d) => lshTopK(s, d)),
@@ -385,6 +446,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "embedding_cohesion" -> embeddingCohesionSql,
     "ann_cosine" -> annCosineSql,
     "embed_neardup" -> embedNeardupSql,
     "ann_lsh" -> lshTopKSql(),

@@ -453,6 +453,43 @@ class PipelineSpec extends SparkSpec {
     assert(f.values.toSet == Set("train", "val", "test"))
   }
 
+  test("source overlap computes the shingle-set Jaccard between sources") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-so").toString
+    // A = {d1, d2} -> shingles {abc,bcd, efg,fgh}; B = {copy of d1, d3} ->
+    // {abc,bcd, ijk,jkl}; inter = 2, union = 6 -> jaccard 1/3
+    Seq((1L, "a b c d", "A"), (2L, "e f g h", "A"),
+        (3L, "a b c d", "B"), (4L, "i j k l", "B"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val r = Dedup.sourceOverlap(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[String]("source_a") == "A" && r(0).getAs[String]("source_b") == "B")
+    assert(r(0).getAs[Long]("n_shared_shingles") == 2)
+    assert(math.abs(r(0).getAs[Double]("jaccard") - 0.333333) < 1e-6)
+  }
+
+  test("embedding cohesion is ~1 for a planted tight cluster") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ec").toString
+    val r = new scala.util.Random(3)
+    // label 0: one repeated vector (cohesion exactly 1); label 1: noise
+    val tight = Array.fill(8)(1.0f) ++ Array.fill(8)(0.0f)
+    val embs = (0 until 10).map(i => (i.toLong, tight, 0)) ++
+      (10 until 30).map(i => (i.toLong, Array.fill(16)(r.nextGaussian().toFloat), 1))
+    embs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.embeddingCohesion(spark, dir).collect()
+      .map(x => x.getAs[Int]("label") -> x).toMap
+    assert(out(0).getAs[Long]("n_vecs") == 10)
+    assert(math.abs(out(0).getAs[Double]("cohesion") - 1.0) < 1e-6)
+    assert(math.abs(out(0).getAs[Double]("centroid_norm") - math.sqrt(8)) < 1e-6)
+    val coh1 = out(1).getAs[Double]("cohesion")
+    assert(coh1 > -1.0 && coh1 < 1.0 && coh1 < 0.9) // noise is not tight
+  }
+
   /** Writes the given (doc_id, text) frame as a documents.parquet fixture
     * dir so (spark, dir) query surfaces can run on planted corpora. */
   private def fixtureWith(docs: org.apache.spark.sql.DataFrame): String = {

@@ -97,6 +97,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(2000))
   }
 
+  test("embedding cohesion joins vectors only against broadcast centroids") {
+    val plan = planOf(Similarity.embeddingCohesion(spark, sf))
+    // the corpus-sized longform frame must only ever meet the
+    // (labels x dim) centroid frames by broadcast — a shuffle join here
+    // would re-partition n x dim rows for a configuration-sized side
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"cohesion shuffles the corpus for a centroid join:\n${plan.take(2000)}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(2000))
+  }
+
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
     val plan = planOf(Dedup.dedupExact(spark, sf))
     // count + countDistinct over md5: the plan must partial-aggregate
