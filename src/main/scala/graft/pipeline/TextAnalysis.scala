@@ -535,9 +535,58 @@ object TextAnalysis {
       "list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
       "(acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id"
 
+  // ------------------------------------------------- TF-IDF keywords
+
+  /** Top keywords per source by TF-IDF — the topic-profiling view of a
+    * corpus's feeds (what is src7 actually about, and did its subject
+    * change between crawls). tf = word occurrences within the source;
+    * idf = ln(#sources / #sources containing the word) — source-level,
+    * so ubiquitous words score 0 and feed-specific vocabulary rises.
+    *
+    * Scale shape: one (source, word) partial aggregation (map-side
+    * combined, the same class as `token_stats`), the idf frame is
+    * vocabulary-sized and joins the tf frame on the word key, and the
+    * top-k rank window partitions by source over source-local vocab.
+    * Scores round to 6 BEFORE ranking (the ann_cosine rule) with the word
+    * as tiebreak, so both engines rank identically. */
+  val KeywordsPerSource = 5
+
+  def sourceKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = table(spark, dir, "documents")
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val tf = words.groupBy("source", "w").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("w").agg(count(lit(1)).as("dfs"))
+    val nSrc = tf.select("source").distinct().agg(count(lit(1)).cast("double").as("n_sources"))
+    tf.join(dfs, "w").crossJoin(broadcast(nSrc))
+      .selectExpr("source", "w AS word", "tf",
+        "ROUND(tf * ln(n_sources / dfs), 6) AS tfidf")
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("tfidf").desc, col("word").asc)))
+      .filter(col("rk") <= KeywordsPerSource)
+      .select("source", "rk", "word", "tf", "tfidf")
+      .orderBy("source", "rk")
+  }
+
+  def sourceKeywordsSql: String =
+    "WITH words AS (SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS w " +
+      "FROM documents), " +
+      "tf AS (SELECT source, w, COUNT(*) AS tf FROM words WHERE w <> '' GROUP BY 1, 2), " +
+      "dfs AS (SELECT w, COUNT(*) AS dfs FROM tf GROUP BY 1), " +
+      "ns AS (SELECT COUNT(DISTINCT source)::DOUBLE AS n_sources FROM tf), " +
+      "scored AS (SELECT source, tf.w AS word, tf.tf AS tf, " +
+      "ROUND(tf.tf * ln(n_sources / dfs.dfs), 6) AS tfidf " +
+      "FROM tf JOIN dfs ON tf.w = dfs.w CROSS JOIN ns), " +
+      "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source " +
+      "ORDER BY tfidf DESC, word ASC) AS rk FROM scored) " +
+      s"SELECT source, rk, word, tf, tfidf FROM ranked WHERE rk <= $KeywordsPerSource " +
+      "ORDER BY source, rk"
+
   // ----------------------------------------------------------------- API
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_keywords" -> ((s, d) => sourceKeywords(s, d)),
     "lang_id" -> ((s, d) => langId(s, d)),
     "text_quality" -> ((s, d) => textQuality(s, d)),
     "token_stats" -> ((s, d) => tokenStats(s, d)),
@@ -551,6 +600,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "source_keywords" -> sourceKeywordsSql,
     "lang_id" -> langIdSql,
     "text_quality" -> textQualitySql,
     "token_stats" -> tokenStatsSql,

@@ -471,6 +471,25 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r(0).getAs[Double]("jaccard") - 0.333333) < 1e-6)
   }
 
+  test("source keywords rank feed-specific vocabulary, zeroing ubiquitous words") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kw").toString
+    Seq((1L, "apple apple banana shared", "A"), (2L, "cherry shared shared", "B"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.sourceKeywords(spark, dir).collect()
+    val top = rows.filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(top("A").getAs[String]("word") == "apple")
+    assert(math.abs(top("A").getAs[Double]("tfidf") - 2 * math.log(2)) < 1e-5)
+    assert(top("B").getAs[String]("word") == "cherry")
+    // 'shared' occurs in every source -> idf 0 -> tfidf 0
+    assert(rows.filter(_.getAs[String]("word") == "shared")
+      .forall(_.getAs[Double]("tfidf") == 0.0))
+  }
+
   test("embedding cohesion is ~1 for a planted tight cluster") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-ec").toString
