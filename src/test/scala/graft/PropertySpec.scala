@@ -92,6 +92,43 @@ object PropertySpec extends Properties("graft.drift") {
       }
     }
 
+  // ---- native vec_dot vs the reference fold, driver-side interpreted eval
+
+  private val genSpecialDouble: Gen[Double] = Gen.frequency(
+    8 -> Gen.chooseNum(-1e6, 1e6),
+    1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      0.0, -0.0, Double.MinPositiveValue, 1e308))
+  private val genVec: Gen[Seq[Double]] =
+    Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, genSpecialDouble))
+
+  private def evalDot(a: Any, b: Any, elemNullable: Boolean = false) =
+    graft.functions.VecDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        a, ArrayType(DoubleType, containsNull = elemNullable)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        b, ArrayType(DoubleType, containsNull = elemNullable))).eval(null)
+
+  property("vec_dot == left-to-right fold, bit for bit, incl. NaN/Inf/-0.0") =
+    forAll(genVec, genVec) { (a, b) =>
+      val got = evalDot(a, b)
+      if (a.length != b.length) org.scalacheck.Prop(got == null)
+      else {
+        val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+        org.scalacheck.Prop(java.lang.Double.doubleToLongBits(expected) ==
+          java.lang.Double.doubleToLongBits(got.asInstanceOf[Double]))
+      }
+    }
+
+  property("vec_dot: any null element nulls the product, like the HOF fold") =
+    forAll(genVec, Gen.choose(0, 11)) { (a, i) =>
+      if (a.isEmpty) org.scalacheck.Prop.passed
+      else {
+        val boxed: Seq[java.lang.Double] = a.map(Double.box)
+        val withNull = boxed.updated(i % a.length, null: java.lang.Double)
+        org.scalacheck.Prop(evalDot(withNull, boxed, elemNullable = true) == null)
+      }
+    }
+
   property("driver contract: every oracle key has a query and names align") = {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
