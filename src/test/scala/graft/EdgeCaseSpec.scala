@@ -140,6 +140,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(d3.getAs[Boolean]("drift_detected"))
   }
 
+  test("LM scoring survives a corpus with no training-language docs") {
+    import graft.pipeline.LmScore
+    val docs = Seq((1L, "zh", "某 语 料"), (2L, "de", "kein englisch hier"))
+      .toDF("doc_id", "lang", "text")
+    val out = LmScore.scoreDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // empty model: n_train/v_train are NULL -> every log-prob is NULL, but
+    // the structural columns still come through
+    assert(out.size == 2)
+    assert(out(1L).getAs[Long]("n_bigrams") == 2)
+    assert(out(1L).isNullAt(out(1L).fieldIndex("avg_logprob")))
+    assert(out(1L).getAs[Double]("oov_rate") == 1.0)
+  }
+
+  test("source keywords with one source: all idf zero, ranked by word") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kw1").toString
+    Seq((1L, "b a c", "only", "en", 5L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.pipeline.TextAnalysis.sourceKeywords(spark, dir).collect()
+    assert(rows.map(_.getAs[Double]("tfidf")).forall(_ == 0.0)) // ln(1) = 0
+    assert(rows.map(_.getAs[String]("word")).toSeq == Seq("a", "b", "c"))
+  }
+
   test("sessionize handles a single-event user") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 42L, "t", 1.0, "{}"))
