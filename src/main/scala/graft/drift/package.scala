@@ -27,11 +27,20 @@ package object drift {
     * a microsecond TimestampType column so downstream ops see a timestamp. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer div, not `/1000` — double division loses sub-µs precision
-      // on 1.7e18-scale nanosecond values (2^53 mantissa)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer div, not `/1000` — double division loses sub-µs precision
+        // on 1.7e18-scale nanosecond values (2^53 mantissa)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet written without isAdjustedToUTC (DuckDB, pandas default)
+        // reads as TIMESTAMP_NTZ, which time functions like unix_micros
+        // reject — under the engine's fixed UTC session the wall-clock
+        // fields ARE the instant, so the cast is lossless
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Tag rows ref/curr in one pass; groupBy("side") then does a map-side

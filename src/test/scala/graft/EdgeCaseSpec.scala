@@ -164,6 +164,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("word")).toSeq == Seq("a", "b", "c"))
   }
 
+  test("events written as TIMESTAMP_NTZ parquet still drive the ts operators") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    spark.sql(
+      """SELECT CAST(id AS BIGINT) AS event_id,
+        |  to_timestamp_ntz('2024-01-01 10:00:00') + make_interval(0,0,0,0,0,CAST(id AS INT),0) AS ts,
+        |  CAST(1 AS BIGINT) AS user_id, 'click' AS event_type, 1.0 AS value, '{}' AS props
+        |FROM range(5)""".stripMargin)
+      .write.parquet(s"$dir/events.parquet")
+    assert(spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    val r = graft.pipeline.Sessions.sessionize(spark, dir).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n_sessions") == 1L)
+  }
+
   test("sessionize handles a single-event user") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 42L, "t", 1.0, "{}"))
