@@ -79,11 +79,50 @@ object DataSplit {
       "COALESCE(SUM(CASE WHEN split = 'test' THEN doc_id END), 0)::BIGINT AS test_id_sum " +
       "FROM a GROUP BY 1 ORDER BY 1"
 
+  /** Split-leakage audit — the contamination mode a split alone cannot
+    * prevent: documents with IDENTICAL text landing on both sides of the
+    * train/eval boundary (the id-keyed coin sends exact duplicates to
+    * independent splits, so any dedup miss becomes eval leakage). Reports,
+    * per source, the duplicate-text groups and how many straddle splits,
+    * plus the leaked doc count — the number a pipeline gate asserts is 0
+    * after its dedup stage ran. One md5 aggregation over the assigned
+    * frame; the near-dup analogue is the same audit run on
+    * [[Dedup.neardupClusters]] cluster ids instead of md5. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "source", "text")
+    val assigned = assignSplits(docs).join(docs, Seq("doc_id", "source"))
+    val groups = assigned.groupBy(col("source"), md5(col("text")).as("h")).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("split")).as("n_splits"))
+    groups.groupBy("source").agg(
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(col("n") >= 2 && col("n_splits") >= 2, 1L).otherwise(0L)).as("n_leaky_groups"),
+        coalesce(sum(when(col("n") >= 2 && col("n_splits") >= 2, col("n"))), lit(0L)).as("n_leaked_docs"))
+      .orderBy("source")
+  }
+
+  def splitLeakageSql: String =
+    "WITH r AS (SELECT doc_id, source, text, ROW_NUMBER() OVER (PARTITION BY source " +
+      "ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk, " +
+      "COUNT(*) OVER (PARTITION BY source) AS n FROM documents), " +
+      "a AS (SELECT source, text, " +
+      s"CASE WHEN rk <= floor(n * ${TrainFrac}e0) THEN 'train' " +
+      s"WHEN rk <= floor(n * ${TrainFrac + ValFrac}e0) THEN 'val' ELSE 'test' END AS split FROM r), " +
+      "g AS (SELECT source, md5(text) AS h, COUNT(*) AS n, " +
+      "COUNT(DISTINCT split) AS n_splits FROM a GROUP BY 1, 2) " +
+      "SELECT source, " +
+      "SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups, " +
+      "SUM(CASE WHEN n >= 2 AND n_splits >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_leaky_groups, " +
+      "COALESCE(SUM(CASE WHEN n >= 2 AND n_splits >= 2 THEN n END), 0)::BIGINT AS n_leaked_docs " +
+      "FROM g GROUP BY 1 ORDER BY 1"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_split" -> ((s, d) => dataSplit(s, d)),
+    "split_leakage" -> ((s, d) => splitLeakage(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "data_split" -> dataSplitSql,
+    "split_leakage" -> splitLeakageSql,
   )
 }

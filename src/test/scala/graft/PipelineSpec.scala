@@ -509,6 +509,26 @@ class PipelineSpec extends SparkSpec {
     assert(coh1 > -1.0 && coh1 < 1.0 && coh1 < 0.9) // noise is not tight
   }
 
+  test("split leakage flags duplicate groups straddling the split boundary") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sl").toString
+    // source L: 10 copies of ONE text -> the 8/1/1 cut MUST straddle splits
+    // whatever the md5 rank order; source C: 10 distinct docs -> no groups
+    val docs = (0 until 10).map(i => (i.toLong, "the same text every time", "L")) ++
+      (10 until 20).map(i => (i.toLong, s"unique text number $i", "C"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = DataSplit.splitLeakage(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("L").getAs[Long]("n_dup_groups") == 1)
+    assert(out("L").getAs[Long]("n_leaky_groups") == 1)
+    assert(out("L").getAs[Long]("n_leaked_docs") == 10)
+    assert(out("C").getAs[Long]("n_dup_groups") == 0)
+    assert(out("C").getAs[Long]("n_leaked_docs") == 0)
+  }
+
   /** Writes the given (doc_id, text) frame as a documents.parquet fixture
     * dir so (spark, dir) query surfaces can run on planted corpora. */
   private def fixtureWith(docs: org.apache.spark.sql.DataFrame): String = {
