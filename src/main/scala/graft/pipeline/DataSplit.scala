@@ -116,13 +116,55 @@ object DataSplit {
       "COALESCE(SUM(CASE WHEN n >= 2 AND n_splits >= 2 THEN n END), 0)::BIGINT AS n_leaked_docs " +
       "FROM g GROUP BY 1 ORDER BY 1"
 
+  /** [[splitLeakage]]'s NEAR-dup analogue — the realistic leakage mode:
+    * verified MinHash-LSH clusters ([[Dedup.neardupComponents]]) whose
+    * members land on both sides of the boundary. One row, corpus-wide
+    * (clusters cross sources, so a per-source cut would double-count):
+    * near-dup clusters of size ≥ 2, those straddling ≥ 2 splits, and the
+    * docs inside straddling clusters. Cost = the cluster computation
+    * (banded LSH + min-label CC) + one split join — the split side is the
+    * cheap half. */
+  def splitLeakageNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "source", "text")
+    val clusters = Dedup.neardupComponents(docs.select("doc_id", "text"))
+    clusters.join(assignSplits(docs).select("doc_id", "split"), "doc_id")
+      .groupBy("cluster_id").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("split")).as("n_splits"))
+      .agg(
+        sum(when(col("n") >= 2, 1L).otherwise(0L)).as("n_neardup_clusters"),
+        sum(when(col("n") >= 2 && col("n_splits") >= 2, 1L).otherwise(0L)).as("n_leaky_clusters"),
+        coalesce(sum(when(col("n") >= 2 && col("n_splits") >= 2, col("n"))), lit(0L)).as("n_leaked_docs"))
+  }
+
+  def splitLeakageNeardupSql: String =
+    s"WITH RECURSIVE ${Dedup.minhashPairsCtes("documents")}, " +
+      s"nd_edges AS (SELECT doc_a AS src, doc_b AS dst FROM nd_pairs WHERE jaccard >= ${Dedup.JaccardThreshold} " +
+      s"UNION SELECT doc_b, doc_a FROM nd_pairs WHERE jaccard >= ${Dedup.JaccardThreshold}), " +
+      "reach(src, dst) AS (SELECT doc_id, doc_id FROM documents " +
+      "UNION SELECT r.src, e.dst FROM reach r JOIN nd_edges e ON e.src = r.dst), " +
+      "clus AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src), " +
+      "r2 AS (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source " +
+      "ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk, " +
+      "COUNT(*) OVER (PARTITION BY source) AS n FROM documents), " +
+      "a AS (SELECT doc_id, " +
+      s"CASE WHEN rk <= floor(n * ${TrainFrac}e0) THEN 'train' " +
+      s"WHEN rk <= floor(n * ${TrainFrac + ValFrac}e0) THEN 'val' ELSE 'test' END AS split FROM r2), " +
+      "g AS (SELECT cluster_id, COUNT(*) AS n, COUNT(DISTINCT split) AS n_splits " +
+      "FROM clus JOIN a ON clus.doc_id = a.doc_id GROUP BY 1) " +
+      "SELECT SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_neardup_clusters, " +
+      "SUM(CASE WHEN n >= 2 AND n_splits >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_leaky_clusters, " +
+      "COALESCE(SUM(CASE WHEN n >= 2 AND n_splits >= 2 THEN n END), 0)::BIGINT AS n_leaked_docs FROM g"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "data_split" -> ((s, d) => dataSplit(s, d)),
     "split_leakage" -> ((s, d) => splitLeakage(s, d)),
+    "split_leakage_neardup" -> ((s, d) => splitLeakageNeardup(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "data_split" -> dataSplitSql,
     "split_leakage" -> splitLeakageSql,
+    "split_leakage_neardup" -> splitLeakageNeardupSql,
   )
 }

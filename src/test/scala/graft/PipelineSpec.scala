@@ -529,6 +529,27 @@ class PipelineSpec extends SparkSpec {
     assert(out("C").getAs[Long]("n_leaked_docs") == 0)
   }
 
+  test("near-dup split leakage flags the straddling cluster") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sln").toString
+    // one source, 10 near-identical 40-token docs (one token varies ->
+    // pairwise trigram Jaccard ~0.9): ONE cluster of 10, which the 8/1/1
+    // cut must straddle regardless of md5 order; plus unique singletons
+    val base = (1 to 40).map(i => s"tok$i")
+    val docs = (0 until 10).map { i =>
+      (i.toLong, base.updated(20, s"variant$i").mkString(" "), "L")
+    } ++ (10 until 15).map(i => (i.toLong, s"totally unique number $i " +
+      (1 to 36).map(j => s"u$i-$j").mkString(" "), "C"))
+    docs.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val r = DataSplit.splitLeakageNeardup(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_neardup_clusters") == 1)
+    assert(r.getAs[Long]("n_leaky_clusters") == 1)
+    assert(r.getAs[Long]("n_leaked_docs") == 10)
+  }
+
   /** Writes the given (doc_id, text) frame as a documents.parquet fixture
     * dir so (spark, dir) query surfaces can run on planted corpora. */
   private def fixtureWith(docs: org.apache.spark.sql.DataFrame): String = {
