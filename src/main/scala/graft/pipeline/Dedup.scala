@@ -6,8 +6,9 @@ import graft.drift.{r6, table}
 
 /** Document deduplication for training-data pipelines: exact (hash groups),
   * n-gram Jaccard (df-capped), MinHash+LSH banding, SimHash, per-doc
-  * near-dup cluster ids (distributed min-label connected components), and
-  * benchmark decontamination (cross-set shingle containment).
+  * near-dup cluster ids (distributed min-label connected components),
+  * benchmark decontamination (cross-set shingle containment), and
+  * source-level overlap (shingle-set Jaccard between feeds).
   *
   * Scale design (100 TB): every path avoids the O(n²) all-pairs join —
   * exact dedup is a hash `groupBy`; Jaccard joins only on shared shingles

@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.drift.table
 import graft.functions.VecFunctions.vecDot
 
-/** Approximate-nearest-neighbor search over the `embeddings` table
-  * (`embedding: array<float>`, 64-dim).
+/** Approximate-nearest-neighbor search and embedding-space monitoring
+  * over the `embeddings` table (`embedding: array<float>`, 64-dim); all
+  * dot products run through the native codegen'd
+  * [[graft.functions.VecDot]] expression.
   *
-  * Brute-force cosine top-k is the correctness baseline: dot products via
-  * the `aggregate`/`zip_with` higher-order functions (codegen'd, no UDF),
+  * Brute-force cosine top-k is the correctness baseline: one fused
+  * codegen loop per candidate pair (no UDF, no per-pair allocation),
   * query side broadcast so the scan of the candidate side is
   * embarrassingly parallel. Two scale paths: LSH buckets (random-
   * hyperplane sign bits, so candidate generation is an equi-join on

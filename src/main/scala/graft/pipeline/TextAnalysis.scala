@@ -11,8 +11,9 @@ import graft.drift.table
   * hash), the corpus-prep funnel (language gate → quality gate →
   * exact dedup in one scan; the neardup variant adds MinHash-LSH +
   * connected-component fuzzy dedup over the survivors), uniform source
-  * balancing (deterministic md5-rank downsampling), and a PII exposure
-  * scan (dialect-shared email/phone/IP regexes).
+  * balancing (deterministic md5-rank downsampling), a PII exposure
+  * scan (dialect-shared email/phone/IP regexes), Gopher repetition /
+  * quality signals, and TF-IDF source keyword profiles.
   *
   * Everything is built from codegen'd higher-order functions (`split`,
   * `filter`, `aggregate`) — no UDFs — so the same computation runs as plain
