@@ -64,7 +64,9 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val note = "per-query min of " + TimedRuns + " cache-cleared runs; the five " +
       "report-family queries re-pay one shared scoring DAG that production memoizes, " +
-      "so their sum overstates a real run's report cost ~4x"
+      "so their sum overstates a real run's report cost ~4x; likewise " +
+      "corpus_prep_neardup, neardup_clusters and split_leakage_neardup each re-run " +
+      "the LSH+component pipeline a real deployment computes once"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"$note"}""")
     spark.stop()
   }
