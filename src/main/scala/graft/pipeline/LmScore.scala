@@ -52,23 +52,35 @@ object LmScore {
     "filter(transform(toks, (t, i) -> named_struct('w1', t, 'w2', " +
       "try_element_at(toks, i + 2))), s -> s.w2 IS NOT NULL) AS bgs"
 
+  /** A trained Stupid-Backoff model: unigram counts (w, cu), bigram counts
+    * (w1, w2, cb), and the 1-row (n_train, v_train) totals — all
+    * vocabulary-sized, which is what keeps scoring broadcast-only. */
+  case class LmModel(uni: DataFrame, bi: DataFrame, totals: DataFrame)
+
+  /** Trains the model from any (lang, text) batch frame's [[TrainLang]]
+    * slice. */
+  def trainModel(docs: DataFrame): LmModel = {
+    val toks = docs.filter(col("lang") === TrainLang).selectExpr(toksSpark)
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cu"))
+    val bi = toks.selectExpr(bgsSpark).selectExpr("inline(bgs)")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val totals = uni.agg(sum("cu").cast("double").as("n_train"),
+      count(lit(1)).cast("double").as("v_train"))
+    LmModel(uni, bi, totals)
+  }
+
   /** Per-doc LM score over any (doc_id, lang, text) frame. `carry` columns
     * (e.g. `source`) ride along to the output instead of being re-joined —
     * doc_id is unique, so widening the per-doc group key is free and saves
     * a corpus-sized shuffle join downstream. */
   def scoreDocs(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val keep = Seq("doc_id") ++ carry
+    val model = trainModel(docs)
     val toks = docs.selectExpr(keep ++ Seq("lang", toksSpark): _*)
     val pairs = toks.selectExpr(keep ++ Seq("lang", bgsSpark): _*)
       .selectExpr(keep ++ Seq("lang", "inline_outer(bgs)"): _*)
-    val trainPairs = pairs.filter(col("lang") === TrainLang)
-    val uni = toks.filter(col("lang") === TrainLang)
-      .select(explode(col("toks")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cu"))
-    val bi = trainPairs.filter(col("w1").isNotNull)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-    val totals = uni.agg(sum("cu").cast("double").as("n_train"),
-      count(lit(1)).cast("double").as("v_train"))
+    val (uni, bi, totals) = (model.uni, model.bi, model.totals)
     val scored = pairs
       .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))), Seq("w1"), "left")
       .join(broadcast(uni.select(col("w").as("w2"), col("cu").as("cu2"))), Seq("w2"), "left")

@@ -147,4 +147,40 @@ class StreamingDriftSpec extends SparkSpec {
       assert(rows("a") == 10 && rows("b") == 20)
     } finally q.stop()
   }
+
+  test("streaming LM gate scores the feed identically to the batch scorer") {
+    import graft.pipeline.LmScore
+    import graft.streaming.StreamingLm
+    implicit val sqlCtx = spark.sqlContext
+    // train batch-side on the trusted slice
+    val trusted = Seq(("en", "a b a b a c"), ("en", "a b c a"))
+      .toDF("lang", "text")
+    val model = LmScore.trainModel(trusted)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingLm.scoreStream(
+      input.toDF().toDF("ts", "doc_id", "text"), model, "10 minutes")
+    val q = out.writeStream.format("memory").queryName("lm_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, "a b a"), (ts(1), 2L, "x y"), (ts(2), 3L, "a"))
+      input.addData((ts(59), 99L, "a b")) // advance the watermark
+      q.processAllAvailable()
+      val rows = spark.table("lm_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r).toMap
+      // batch scorer on the same docs, same model slice: scoreDocs trains
+      // on lang='en' rows of its input, so feed trusted + scored docs
+      val batch = LmScore.scoreDocs(
+        trusted.selectExpr("CAST(-1 AS BIGINT) AS doc_id", "lang", "text")
+          .unionByName(Seq((1L, "xx", "a b a"), (2L, "xx", "x y"), (3L, "xx", "a"))
+            .toDF("doc_id", "lang", "text").selectExpr("doc_id", "lang", "text")))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      for (id <- Seq(1L, 2L)) {
+        assert(rows(id).getAs[Long]("n_bigrams") == batch(id).getAs[Long]("n_bigrams"))
+        assert(rows(id).getAs[Double]("ppl") == batch(id).getAs[Double]("ppl"))
+        assert(rows(id).getAs[Double]("oov_rate") == batch(id).getAs[Double]("oov_rate"))
+      }
+      assert(rows(3L).getAs[Long]("n_bigrams") == 0) // too short, NULL metrics
+      assert(rows(3L).isNullAt(rows(3L).fieldIndex("ppl")))
+    } finally q.stop()
+  }
 }
