@@ -70,16 +70,24 @@ object LmScore {
     LmModel(uni, bi, totals)
   }
 
-  /** Per-doc LM score over any (doc_id, lang, text) frame. `carry` columns
-    * (e.g. `source`) ride along to the output instead of being re-joined —
+  /** Per-doc LM score over any (doc_id, lang, text) frame, model trained
+    * from the frame's own [[TrainLang]] slice. `carry` columns (e.g.
+    * `source`) ride along to the output instead of being re-joined —
     * doc_id is unique, so widening the per-doc group key is free and saves
     * a corpus-sized shuffle join downstream. */
-  def scoreDocs(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+  def scoreDocs(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
+    scoreAgainst(docs, trainModel(docs), carry)
+
+  /** Scores any (doc_id, text, carry…) frame against an already-trained
+    * model — the reusable half ([[scoreDocs]] for the self-trained batch
+    * query, [[graft.streaming.StreamingLm]] and the corpus-prep LM gate
+    * for bounded/streamed scoring). */
+  def scoreAgainst(docs: DataFrame, model: LmModel,
+      carry: Seq[String] = Nil): DataFrame = {
     val keep = Seq("doc_id") ++ carry
-    val model = trainModel(docs)
-    val toks = docs.selectExpr(keep ++ Seq("lang", toksSpark): _*)
-    val pairs = toks.selectExpr(keep ++ Seq("lang", bgsSpark): _*)
-      .selectExpr(keep ++ Seq("lang", "inline_outer(bgs)"): _*)
+    val toks = docs.selectExpr(keep :+ toksSpark: _*)
+    val pairs = toks.selectExpr(keep :+ bgsSpark: _*)
+      .selectExpr(keep :+ "inline_outer(bgs)": _*)
     val (uni, bi, totals) = (model.uni, model.bi, model.totals)
     val scored = pairs
       .join(broadcast(uni.select(col("w").as("w1"), col("cu").as("cu1"))), Seq("w1"), "left")
@@ -105,34 +113,39 @@ object LmScore {
     scoreDocs(table(spark, dir, "documents").select("doc_id", "lang", "text"))
       .orderBy("doc_id")
 
-  /** Shared oracle CTE prefix mirroring [[scoreDocs]]'s frames; DuckDB zips
+  /** Shared oracle CTE prefix mirroring [[scoreAgainst]]'s frames: the
+    * model always trains on `documents`' [[TrainLang]] slice; scoring runs
+    * over `scoreRel` (any relation exposing doc_id + text). DuckDB zips
     * the two shifted slices via parallel unnest (its native bigram idiom —
     * 0-bigram docs come back on the spine LEFT JOIN instead of
     * `inline_outer`). */
-  private def scoredCtes: String =
-    s"toks AS (SELECT doc_id, lang, $toksDuck FROM documents), " +
-      "pairs AS (SELECT doc_id, lang, unnest(toks[1:len(toks)-1]) AS w1, " +
-      "unnest(toks[2:len(toks)]) AS w2 FROM toks), " +
-      s"uni AS (SELECT w, COUNT(*) AS cu FROM (SELECT unnest(toks) AS w FROM toks " +
+  private[pipeline] def scoredCtesFor(scoreRel: String): String =
+    s"mtoks AS (SELECT doc_id, lang, $toksDuck FROM documents), " +
+      "mpairs AS (SELECT lang, unnest(toks[1:len(toks)-1]) AS w1, " +
+      "unnest(toks[2:len(toks)]) AS w2 FROM mtoks), " +
+      s"uni AS (SELECT w, COUNT(*) AS cu FROM (SELECT unnest(toks) AS w FROM mtoks " +
       s"WHERE lang = '$TrainLang') u GROUP BY 1), " +
-      s"bi AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs WHERE lang = '$TrainLang' GROUP BY 1, 2), " +
+      s"bi AS (SELECT w1, w2, COUNT(*) AS cb FROM mpairs WHERE lang = '$TrainLang' GROUP BY 1, 2), " +
       "tot AS (SELECT SUM(cu)::DOUBLE AS n_train, COUNT(*)::DOUBLE AS v_train FROM uni), " +
+      s"stoks AS (SELECT doc_id, $toksDuck FROM $scoreRel), " +
+      "spairs AS (SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, " +
+      "unnest(toks[2:len(toks)]) AS w2 FROM stoks), " +
       "scored AS (SELECT p.doc_id, " +
       "CASE WHEN cb IS NOT NULL THEN 1e0 ELSE 0e0 END AS hit, " +
       "CASE WHEN u2.cu IS NULL THEN 1e0 ELSE 0e0 END AS oov, " +
       "CASE WHEN cb IS NOT NULL THEN log10(cb * 1e0 / u1.cu) " +
       s"ELSE log10($BackoffSql * (COALESCE(u2.cu, 0) + 1) / (n_train + v_train)) END AS lp " +
-      "FROM pairs p LEFT JOIN uni u1 ON p.w1 = u1.w LEFT JOIN uni u2 ON p.w2 = u2.w " +
+      "FROM spairs p LEFT JOIN uni u1 ON p.w1 = u1.w LEFT JOIN uni u2 ON p.w2 = u2.w " +
       "LEFT JOIN bi ON p.w1 = bi.w1 AND p.w2 = bi.w2 CROSS JOIN tot), " +
       "agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, AVG(hit) AS bigram_hit_rate, " +
       "AVG(oov) AS oov_rate, AVG(lp) AS avg_logprob FROM scored GROUP BY 1)"
 
   def lmScoreSql: String =
-    s"WITH $scoredCtes " +
+    s"WITH ${scoredCtesFor("documents")} " +
       "SELECT t.doc_id, COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams, " +
       "bigram_hit_rate, oov_rate, avg_logprob, " +
       "CASE WHEN avg_logprob IS NOT NULL THEN pow(10e0, -avg_logprob) END AS ppl " +
-      "FROM toks t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id"
+      "FROM stoks t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id"
 
   /** Per-source rollup — the artifact a corpus filter actually thresholds
     * on (CCNet buckets sources by LM score the same way). */
@@ -148,7 +161,7 @@ object LmScore {
   }
 
   def lmScoreBySourceSql: String =
-    s"WITH $scoredCtes " +
+    s"WITH ${scoredCtesFor("documents")} " +
       "SELECT d.source, COUNT(*) AS n_docs, COUNT(agg.avg_logprob) AS n_scored, " +
       "AVG(agg.oov_rate) AS mean_oov_rate, AVG(agg.avg_logprob) AS mean_logprob " +
       "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id " +

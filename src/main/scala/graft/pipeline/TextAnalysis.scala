@@ -536,6 +536,59 @@ object TextAnalysis {
       "list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
       "(acc, c) -> (acc * 31 + c) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id"
 
+  // ------------------------------------------- corpus prep + LM gate
+
+  /** Minimum mean log10 bigram probability a gate survivor must score to
+    * pass the LM stage (CCNet keeps the low-perplexity tail; −1.5 sits
+    * mid-distribution on this corpus so the gate is exercised, not
+    * vacuous). Docs too short to have a bigram pass ungated — no evidence
+    * is not negative evidence. */
+  val LmMinLogprob = -1.5
+
+  /** The FULL CCNet-shaped funnel: language gate → quality gate →
+    * LM-perplexity gate ([[LmScore]], model trained on the corpus's
+    * trusted slice) → exact dedup of what remains. Same scan structure as
+    * [[corpusPrep]] plus the LM stage's broadcast-only model joins —
+    * scoring runs over gate SURVIVORS only, so the LM stage's bigram
+    * stream is already filtered down before it exists. */
+  def corpusPrepLm(spark: SparkSession, dir: String): DataFrame = {
+    val gated = prepDocs(spark, dir)
+    val surv = gated.filter(col("qual_ok")).select("doc_id", "source", "text")
+    val model = LmScore.trainModel(table(spark, dir, "documents"))
+    val kept = LmScore.scoreAgainst(surv, model, carry = Seq("source", "text"))
+      .filter(col("avg_logprob") >= LmMinLogprob || col("n_bigrams") === 0)
+    val gateCounts = gated.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_kept"),
+      sum(when(col("qual_ok"), 1L).otherwise(0L)).as("n_quality_kept"))
+    val lmCounts = kept.groupBy("source").agg(
+      count(lit(1)).as("n_lm_kept"),
+      countDistinct(md5(col("text"))).as("n_dedup_kept"))
+    gateCounts.join(lmCounts, Seq("source"), "left")
+      .selectExpr("source", "n_docs", "n_lang_kept", "n_quality_kept",
+        "COALESCE(n_lm_kept, CAST(0 AS BIGINT)) AS n_lm_kept",
+        "COALESCE(n_dedup_kept, CAST(0 AS BIGINT)) AS n_dedup_kept")
+      .orderBy("source")
+  }
+
+  def corpusPrepLmSql: String =
+    s"WITH prep AS ($prepDocsSql), " +
+      "surv AS (SELECT doc_id, source, text FROM prep WHERE qual_ok), " +
+      s"${LmScore.scoredCtesFor("surv")}, " +
+      "survagg AS (SELECT s.doc_id, s.source, s.text, " +
+      "COALESCE(n_bigrams, 0) AS nb, agg.avg_logprob FROM surv s " +
+      "LEFT JOIN agg ON s.doc_id = agg.doc_id), " +
+      s"kept AS (SELECT * FROM survagg WHERE avg_logprob >= $LmMinLogprob OR nb = 0), " +
+      "a1 AS (SELECT source, COUNT(*) AS n_docs, " +
+      "SUM(CASE WHEN lang_ok THEN 1 ELSE 0 END)::BIGINT AS n_lang_kept, " +
+      "SUM(CASE WHEN qual_ok THEN 1 ELSE 0 END)::BIGINT AS n_quality_kept FROM prep GROUP BY 1), " +
+      "a2 AS (SELECT source, COUNT(*) AS n_lm_kept, " +
+      "COUNT(DISTINCT md5(text)) AS n_dedup_kept FROM kept GROUP BY 1) " +
+      "SELECT a1.source, n_docs, n_lang_kept, n_quality_kept, " +
+      "COALESCE(n_lm_kept, 0)::BIGINT AS n_lm_kept, " +
+      "COALESCE(n_dedup_kept, 0)::BIGINT AS n_dedup_kept " +
+      "FROM a1 LEFT JOIN a2 ON a1.source = a2.source ORDER BY a1.source"
+
   // ------------------------------------------------- TF-IDF keywords
 
   /** Top keywords per source by TF-IDF — the topic-profiling view of a
@@ -594,6 +647,7 @@ object TextAnalysis {
     "doc_fingerprint" -> ((s, d) => fingerprints(s, d)),
     "corpus_prep" -> ((s, d) => corpusPrep(s, d)),
     "corpus_prep_neardup" -> ((s, d) => corpusPrepNeardup(s, d)),
+    "corpus_prep_lm" -> ((s, d) => corpusPrepLm(s, d)),
     "corpus_balance" -> ((s, d) => balancedMix(s, d)),
     "pii_scan" -> ((s, d) => piiScan(s, d)),
     "repetition_signals" -> ((s, d) => repetitionSignals(s, d)),
@@ -608,6 +662,7 @@ object TextAnalysis {
     "doc_fingerprint" -> fingerprintsSql,
     "corpus_prep" -> corpusPrepSql,
     "corpus_prep_neardup" -> corpusPrepNeardupSql,
+    "corpus_prep_lm" -> corpusPrepLmSql,
     "corpus_balance" -> balancedMixSql,
     "pii_scan" -> piiScanSql,
     "repetition_signals" -> repetitionSignalsSql,

