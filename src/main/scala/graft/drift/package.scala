@@ -36,9 +36,17 @@ package object drift {
       case org.apache.spark.sql.types.TimestampNTZType =>
         // parquet written without isAdjustedToUTC (DuckDB, pandas default)
         // reads as TIMESTAMP_NTZ, which time functions like unix_micros
-        // reject — under the engine's fixed UTC session the wall-clock
-        // fields ARE the instant, so the cast is lossless
-        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        // reject. The wall-clock fields ARE the UTC instant; a bare cast to
+        // TimestampType interprets them in the SESSION timezone, which is
+        // only lossless when that is UTC. `table` is a library entry point
+        // and cannot assume the entry points' UTC config, so re-render the
+        // UTC wall clock into the session zone first — the cast then
+        // recovers the exact instant under ANY session timezone (and is a
+        // no-op re-labeling when the session is UTC).
+        val sessionTz = spark.conf.get("spark.sql.session.timeZone")
+        df.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(sessionTz), col("ts"))
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }

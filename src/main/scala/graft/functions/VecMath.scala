@@ -153,7 +153,10 @@ object VecDotRewrite extends Rule[LogicalPlan] {
   }
 
   private def isZero(e: Expression): Boolean = e match {
-    case Literal(v: Double, DoubleType) => v == 0.0
+    // bit-match so a -0.0 seed (which `v == 0.0` accepts) never triggers the
+    // rewrite: VecDot accumulates from +0.0, and a -0d-seeded fold over an
+    // empty array returns -0.0 — a bit-level divergence from the contract
+    case Literal(v: Double, DoubleType) => java.lang.Double.doubleToRawLongBits(v) == 0L
     case _ => false
   }
 
@@ -199,9 +202,14 @@ object VecDotRewrite extends Rule[LogicalPlan] {
       if isDoubleArray(a) && isDoubleArray(b) && isZero(zero) &&
         isPairProduct(mul, vx, vy) && isAccPlus(merge, acc, v) && isIdentity(finish) =>
       VecDot(a, b)
+    // self-dot duplicates `arr` into both VecDot slots; require a
+    // deterministic child (the guard Spark's own rules use when cloning an
+    // expression) so e.g. aggregate(shuffle(v), 0d, (acc,x) -> acc + x*x)
+    // keeps its single evaluation — two draws of a nondeterministic child
+    // would differ and silently change the result
     case ArrayAggregate(arr, zero, LambdaFunction(merge,
           Seq(acc: NamedLambdaVariable, x: NamedLambdaVariable), _), finish)
-      if isDoubleArray(arr) && isZero(zero) &&
+      if isDoubleArray(arr) && arr.deterministic && isZero(zero) &&
         isAccPlusSquare(merge, acc, x) && isIdentity(finish) =>
       VecDot(arr, arr)
   }

@@ -39,14 +39,20 @@ object AsofJoin {
     val fields = (tiebreak +: payload).distinct
     val pStruct = struct(fields.map(col): _*)
     val pType = right.select(pStruct.as("__p")).schema.head.dataType
+    // order by the tiebreak's NATIVE type: a cast("long") would turn a
+    // string id into NULL and silently break the "greatest tiebreak"
+    // contract for equal-ts right rows. Left rows carry NULL (their mutual
+    // order is irrelevant: equal-ts right rows sort before them and their
+    // __p is NULL, so last(__p, ignoreNulls) is order-insensitive).
+    val ordType = right.schema(tiebreak).dataType
     val leftCols = left.columns.toSeq
     val lu = left.select(leftCols.map(col) ++ Seq(
-      lit(1).as("__side"), lit(0L).as("__ord"),
+      lit(1).as("__side"), lit(null).cast(ordType).as("__ord"),
       lit(null).cast(pType).as("__p")): _*)
     val ru = right.select(leftCols.map { c =>
       if (c == key || c == ts) col(c)
       else lit(null).cast(left.schema(c).dataType).as(c)
-    } ++ Seq(lit(0).as("__side"), col(tiebreak).cast("long").as("__ord"),
+    } ++ Seq(lit(0).as("__side"), col(tiebreak).as("__ord"),
       pStruct.as("__p")): _*)
     val w = Window.partitionBy(key)
       .orderBy(col(ts), col("__side"), col("__ord"))

@@ -176,6 +176,17 @@ class EdgeCaseSpec extends SparkSpec {
       org.apache.spark.sql.types.TimestampNTZType)
     val r = graft.pipeline.Sessions.sessionize(spark, dir).collect()
     assert(r.length == 1 && r(0).getAs[Long]("n_sessions") == 1L)
+    // table() must recover the same instants under a NON-UTC session: the
+    // NTZ wall clock is the UTC instant regardless of ambient config
+    val utcMicros = graft.drift.table(spark, dir, "events")
+      .selectExpr("unix_micros(ts) AS us").orderBy("us").collect().map(_.getLong(0))
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val nyMicros = graft.drift.table(spark, dir, "events")
+        .selectExpr("unix_micros(ts) AS us").orderBy("us").collect().map(_.getLong(0))
+      assert(nyMicros.toSeq == utcMicros.toSeq)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("sessionize handles a single-event user") {

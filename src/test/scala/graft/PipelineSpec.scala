@@ -381,6 +381,19 @@ class PipelineSpec extends SparkSpec {
     assert(out(301L) == ((Some(32L), Some(4.5))))
   }
 
+  test("as-of join resolves equal-ts ties on a non-numeric tiebreak column") {
+    import spark.implicits._
+    // string ids would cast("long") to NULL — the ordering must use the
+    // native type so 'p_b' (greatest string) wins the equal-ts tie
+    val clicks = Seq((1L, 11L, "c1")).toDF("user_id", "ts_us", "click_id")
+    val purchases = Seq((1L, 10L, "p_a", 1.0), (1L, 10L, "p_b", 2.0))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val row = AsofJoin.asof(clicks, purchases, "user_id", "ts_us",
+      tiebreak = "event_id", payload = Seq("value")).collect()(0)
+    assert(row.getAs[String]("matched_event_id") == "p_b")
+    assert(row.getAs[Double]("matched_value") == 2.0)
+  }
+
   test("LM score matches hand-computed Stupid Backoff on a tiny corpus") {
     import spark.implicits._
     // train slice = the 'en' docs: unigrams a:4 b:2 c:1 (N=7, V=3);

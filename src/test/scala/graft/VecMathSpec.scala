@@ -79,6 +79,28 @@ class VecMathSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = before
   }
 
+  test("the rewrite refuses -0.0 seeds and nondeterministic self-dot children") {
+    import graft.functions.VecFunctions
+    val before = spark.experimental.extraOptimizations
+    try {
+      VecFunctions.installRewrite(spark)
+      // -0d seed: fold over an empty array returns -0.0; VecDot returns
+      // +0.0 — bit-divergent, so the rule must not fire
+      val negZero = pairs.select(
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), -0d, (acc, v) -> acc + v)").as("d"))
+      assert(!negZero.queryExecution.executedPlan.toString.contains("vec_dot"))
+      // nondeterministic child: VecDot(arr, arr) would evaluate shuffle(a)
+      // twice with different draws — the rule must leave it alone
+      val nondet = pairs.select(
+        expr("aggregate(shuffle(a), 0d, (acc, x) -> acc + x * x)").as("n2"))
+      assert(!nondet.queryExecution.executedPlan.toString.contains("vec_dot"))
+      // while the deterministic self-dot still rewrites
+      val det = pairs.select(
+        expr("aggregate(a, 0d, (acc, x) -> acc + x * x)").as("n2"))
+      assert(det.queryExecution.executedPlan.toString.contains("vec_dot"))
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("the rewrite preserves HOF null semantics on ragged and null arrays") {
     import graft.functions.VecFunctions
     val before = spark.experimental.extraOptimizations
