@@ -71,6 +71,7 @@ object SparkEntry {
       SchemaOps.queries ++
       AdaptiveThresholds.queries ++
       TimelineDrift.queries ++
+      PcaAnomaly.queries ++
       Report.queries ++
       Dedup.queries ++
       Similarity.queries ++
@@ -121,6 +122,7 @@ object SparkEntry {
       SchemaOps.oracles ++
       AdaptiveThresholds.oracles ++
       TimelineDrift.oracles ++
+      PcaAnomaly.oracles ++
       Report.oracles ++
       Dedup.oracles ++
       Similarity.oracles ++

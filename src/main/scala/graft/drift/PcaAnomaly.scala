@@ -72,4 +72,144 @@ object PcaAnomaly {
       ratioChange, errChange,
       significant = math.abs(errChange) >= 0.3 || math.abs(ratioChange) >= 0.5))
   }
+
+  // ------------------------------------------------- oracle-checkable form
+  //
+  // The ml fit above cannot be replayed by a static DuckDB oracle (the PC
+  // matrix is data-dependent and `oracleSql` is a fixed string evaluated at
+  // EVERY scale factor). But the operator's math collapses to a closed form
+  // both engines can compute from their own aggregates: with d=3
+  // standardized columns and k=2 components, the PCA reconstruction error
+  // is the absolute component along the SMALLEST eigenvector v3 of the 3x3
+  // reference correlation matrix — err = |v3 . z| — and a 3x3 symmetric
+  // eigenpair has an exact closed form (Smith's trigonometric method).
+  // Both engines evaluate the identical arithmetic over their own
+  // avg/stddev/corr values, which agree to ~1e-15, so the rounded outputs
+  // hash-match; GoldenDriftSpec pins this analytic form against the actual
+  // ml pipeline (detect with maxComponents=2) to ~1e-6.
+
+  private[drift] val PcaCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  /** Unit eigenvector of the smallest eigenvalue of [[1,a,b],[a,1,c],[b,c,1]]
+    * — written operation-for-operation like [[pcaAnomalySql]]'s eig CTEs so
+    * the two engines' doubles track each other to rounding noise. */
+  private[drift] def smallestEigenvector(a: Double, b: Double, c: Double): (Double, Double, Double) = {
+    val p = math.sqrt((2 * (a * a + b * b + c * c)) / 6)
+    require(p > 1e-12, "degenerate correlation matrix: columns are uncorrelated to working precision")
+    val r = math.min(1.0, math.max(-1.0, (a * b * c) / (p * p * p)))
+    val phi = math.acos(r) / 3
+    val lam3 = 1 + 2 * p * math.cos(phi + 2 * math.Pi / 3) // smallest eigenvalue
+    val m = 1 - lam3
+    // eigenvector = cross(row1, row2) of (A - lam3 I); nonzero whenever lam3
+    // is simple, which a require guards (repeated smallest eigenvalue would
+    // make the engines' normalized directions ill-defined)
+    val v1 = a * c - b * m
+    val v2 = b * a - m * c
+    val v3 = m * m - a * a
+    val norm = math.sqrt(v1 * v1 + v2 * v2 + v3 * v3)
+    require(norm > 1e-8, "repeated smallest eigenvalue: PCA residual direction is not unique")
+    (v1 / norm, v2 / norm, v3 / norm)
+  }
+
+  /** O37 as a single-row oracle query over the lineitem snapshot pair:
+    * fit (ref mean/std + ref correlation -> closed-form v3) then one
+    * cached error pass feeding the µ_ref+3σ_ref gate and the reference's
+    * ratio/change/significance math (rare_event_analyzer.py:228-345).
+    * Scale shape: two 1-row aggregates plus one counting pass — the same
+    * broadcast-stats pattern as z_outliers; nothing driver-side grows with
+    * data. */
+  def pcaAnomalyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = withSide(table(spark, dir, "lineitem"), splits.lineitemRef)
+    val Seq(q, e, d) = PcaCols
+    val st = tagged.filter(col("side") === "ref").agg(
+      avg(q), stddev(q), avg(e), stddev(e), avg(d), stddev(d),
+      corr(q, e), corr(q, d), corr(e, d)).collect()(0)
+    val Seq(mu1, sd1, mu2, sd2, mu3, sd3, ca, cb, cc) = (0 until 9).map(st.getDouble)
+    val (u1, u2, u3) = smallestEigenvector(ca, cb, cc)
+    val errExpr = abs(
+      ((col(q) - mu1) / sd1) * u1 +
+        ((col(e) - mu2) / sd2) * u2 +
+        ((col(d) - mu3) / sd3) * u3)
+    val errs = tagged.select(col("side"), errExpr.as("err")).cache()
+    val t = errs.filter(col("side") === "ref")
+      .agg(avg("err"), stddev("err")).collect()(0)
+    val thr = t.getDouble(0) + 3 * t.getDouble(1)
+    errs.agg(
+        sum(when(col("side") === "ref", 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("side") === "curr", 1L).otherwise(0L)).as("n_curr"),
+        sum(when(col("side") === "ref" && col("err") > thr, 1L).otherwise(0L)).as("ref_anom"),
+        sum(when(col("side") === "curr" && col("err") > thr, 1L).otherwise(0L)).as("curr_anom"),
+        avg(when(col("side") === "ref", col("err"))).as("ref_mean_raw"),
+        avg(when(col("side") === "curr", col("err"))).as("curr_mean_raw"))
+      .selectExpr(
+        "'lineitem' AS table_name",
+        s"'${PcaCols.mkString(",")}' AS columns",
+        "2L AS n_components",
+        "n_ref AS ref_n", "n_curr AS curr_n",
+        "ref_anom AS ref_anomaly_count", "curr_anom AS curr_anomaly_count",
+        "ROUND(ref_anom * 1e0 / n_ref, 6) AS ref_anomaly_ratio",
+        "ROUND(curr_anom * 1e0 / n_curr, 6) AS curr_anomaly_ratio",
+        "ROUND(ref_mean_raw, 6) AS ref_mean_error",
+        "ROUND(curr_mean_raw, 6) AS curr_mean_error",
+        s"ROUND($ratioChangeExpr, 6) AS anomaly_ratio_change",
+        s"ROUND($errChangeExpr, 6) AS mean_error_change",
+        s"(ABS($errChangeExpr) >= 0.3 OR ABS($ratioChangeExpr) >= 0.5) AS significant")
+  }
+
+  // shared SQL fragments (identical text in Spark selectExpr and DuckDB)
+  private val ratioChangeExpr =
+    "CASE WHEN ref_anom > 0 THEN (curr_anom * 1e0 / n_curr - ref_anom * 1e0 / n_ref) / (ref_anom * 1e0 / n_ref) " +
+      "WHEN curr_anom > 0 THEN 1.0 ELSE 0.0 END"
+  private val errChangeExpr =
+    "CASE WHEN ref_mean_raw <> 0 THEN (curr_mean_raw - ref_mean_raw) / ABS(ref_mean_raw) " +
+      "WHEN curr_mean_raw <> 0 THEN 1.0 ELSE 0.0 END"
+
+  /** DuckDB twin: the same closed-form fit and gate, CTE for CTE. */
+  def pcaAnomalySql: String = {
+    val Seq(q, e, d) = PcaCols
+    val refPred = splits.lineitemRefSql
+    s"WITH st AS (SELECT AVG($q) AS mu1, STDDEV($q) AS sd1, " +
+      s"AVG($e) AS mu2, STDDEV($e) AS sd2, AVG($d) AS mu3, STDDEV($d) AS sd3, " +
+      s"CORR($q, $e) AS a, CORR($q, $d) AS b, CORR($e, $d) AS c " +
+      s"FROM lineitem WHERE $refPred), " +
+      "e0 AS (SELECT *, SQRT((2 * (a * a + b * b + c * c)) / 6) AS p FROM st), " +
+      "e1 AS (SELECT *, ACOS(LEAST(1.0, GREATEST(-1.0, (a * b * c) / (p * p * p)))) / 3 AS phi FROM e0), " +
+      "e2 AS (SELECT *, 1 - (1 + 2 * p * COS(phi + 2 * PI() / 3)) AS m FROM e1), " +
+      "e3 AS (SELECT *, a * c - b * m AS v1, b * a - m * c AS v2, m * m - a * a AS v3 FROM e2), " +
+      "eig AS (SELECT mu1, sd1, mu2, sd2, mu3, sd3, " +
+      "v1 / SQRT(v1 * v1 + v2 * v2 + v3 * v3) AS u1, " +
+      "v2 / SQRT(v1 * v1 + v2 * v2 + v3 * v3) AS u2, " +
+      "v3 / SQRT(v1 * v1 + v2 * v2 + v3 * v3) AS u3 FROM e3), " +
+      s"errs AS (SELECT CASE WHEN $refPred THEN 'ref' ELSE 'curr' END AS side, " +
+      s"ABS((($q - mu1) / sd1) * u1 + (($e - mu2) / sd2) * u2 + (($d - mu3) / sd3) * u3) AS err " +
+      "FROM lineitem, eig), " +
+      "thr AS (SELECT AVG(err) + 3 * STDDEV(err) AS t FROM errs WHERE side = 'ref'), " +
+      "agg AS (SELECT " +
+      "SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END)::BIGINT AS n_ref, " +
+      "SUM(CASE WHEN side = 'curr' THEN 1 ELSE 0 END)::BIGINT AS n_curr, " +
+      "SUM(CASE WHEN side = 'ref' AND err > t THEN 1 ELSE 0 END)::BIGINT AS ref_anom, " +
+      "SUM(CASE WHEN side = 'curr' AND err > t THEN 1 ELSE 0 END)::BIGINT AS curr_anom, " +
+      "AVG(CASE WHEN side = 'ref' THEN err END) AS ref_mean_raw, " +
+      "AVG(CASE WHEN side = 'curr' THEN err END) AS curr_mean_raw FROM errs, thr) " +
+      "SELECT 'lineitem' AS table_name, " +
+      s"'${PcaCols.mkString(",")}' AS columns, 2::BIGINT AS n_components, " +
+      "n_ref AS ref_n, n_curr AS curr_n, " +
+      "ref_anom AS ref_anomaly_count, curr_anom AS curr_anomaly_count, " +
+      "ROUND(ref_anom * 1e0 / n_ref, 6) AS ref_anomaly_ratio, " +
+      "ROUND(curr_anom * 1e0 / n_curr, 6) AS curr_anomaly_ratio, " +
+      "ROUND(ref_mean_raw, 6) AS ref_mean_error, " +
+      "ROUND(curr_mean_raw, 6) AS curr_mean_error, " +
+      s"ROUND($ratioChangeExpr, 6) AS anomaly_ratio_change, " +
+      s"ROUND($errChangeExpr, 6) AS mean_error_change, " +
+      s"(ABS($errChangeExpr) >= 0.3 OR ABS($ratioChangeExpr) >= 0.5) AS significant " +
+      "FROM agg"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pca_anomaly" -> ((s, d) => pcaAnomalyQuery(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "pca_anomaly" -> pcaAnomalySql,
+  )
 }

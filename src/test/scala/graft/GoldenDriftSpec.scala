@@ -114,4 +114,23 @@ class GoldenDriftSpec extends SparkSpec {
     assert(drifted.currAnomalyRatio > same.refAnomalyRatio)
     assert(drifted.significant)
   }
+
+  test("the closed-form pca_anomaly oracle query matches the ml pipeline (O37)") {
+    // the oracle query computes err = |v3 . z| from the closed-form smallest
+    // eigenpair of the 3x3 ref correlation matrix; with k=2 of 3 standardized
+    // columns that IS the ml reconstruction error, so detect(maxComponents=2)
+    // over the same snapshot split must land on the same gate results
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.drift.table(spark, dir, "lineitem")
+    val ref = li.filter(graft.drift.splits.lineitemRef)
+    val curr = li.filter(!graft.drift.splits.lineitemRef)
+    val ml = PcaAnomaly.detect(spark, ref, curr,
+      Seq("l_quantity", "l_extendedprice", "l_discount"), maxComponents = 2).get
+    val row = PcaAnomaly.pcaAnomalyQuery(spark, dir).collect()(0)
+    assert(math.abs(row.getAs[Double]("ref_mean_error") - ml.refMeanError) < 1e-6)
+    assert(math.abs(row.getAs[Double]("curr_mean_error") - ml.currMeanError) < 1e-6)
+    assert(row.getAs[Long]("ref_anomaly_count") == ml.refAnomalyCount)
+    assert(row.getAs[Long]("curr_anomaly_count") == ml.currAnomalyCount)
+    assert(row.getAs[Boolean]("significant") == ml.significant)
+  }
 }
