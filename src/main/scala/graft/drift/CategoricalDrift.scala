@@ -196,7 +196,7 @@ object CategoricalDrift {
     "documents" -> Seq("lang", "source"),
   )
 
-  def topkEntropy(spark: SparkSession, dir: String): DataFrame = {
+  def topkEntropy(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     val per = profileTables.map { case (t, cols) =>
       val rows = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
       // cached: the base profile and the entropy branch both consume it
@@ -204,10 +204,28 @@ object CategoricalDrift {
         .select(expr(s"stack(${cols.size}, $rows) as (column_name, value)"))
         .groupBy("column_name", "value").agg(count(lit(1)).as("cnt"))
         .cache()
-      val base = cnts.groupBy("column_name").agg(
-        sum("cnt").as("n_total"),
-        coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L)).as("n_null"),
-        count(when(col("value").isNotNull, 1)).as("distinct_count"))
+      // exact: distinct_count = group count over the cnts frame. Scale path
+      // (approx=true, the bench surface): an id-like profiled column makes
+      // every per-value group survive into `cnts` only for the top-20 rank,
+      // while the DISTINCT COUNT comes from approx_count_distinct's
+      // fixed-size HLL sketch in ONE raw-table agg — no cardinality-sized
+      // frame feeds the base profile (same flip as token_stats' vocabulary).
+      val base =
+        if (!approx) cnts.groupBy("column_name").agg(
+          sum("cnt").as("n_total"),
+          coalesce(sum(when(col("value").isNull, col("cnt"))), lit(0L)).as("n_null"),
+          count(when(col("value").isNotNull, 1)).as("distinct_count"))
+        else {
+          val aggs = count(lit(1)).as("n_total") +: cols.flatMap { c =>
+            Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__null"),
+              approx_count_distinct(col(c)).as(s"${c}__dc"))
+          }
+          val stackRows = cols.map(c => s"'$c', ${c}__null, ${c}__dc").mkString(", ")
+          table(spark, dir, t).agg(aggs.head, aggs.tail: _*)
+            .select(col("n_total"),
+              expr(s"stack(${cols.size}, $stackRows) as (column_name, n_null, distinct_count)"))
+            .select(col("column_name"), col("n_total"), col("n_null"), col("distinct_count"))
+        }
       val entropy = cnts.filter(col("value").isNotNull)
         .withColumn("rk", row_number().over(
           Window.partitionBy("column_name").orderBy(col("cnt").desc, col("value").asc)))
@@ -459,12 +477,75 @@ object CategoricalDrift {
       s"WHEN chi_square > 2 * ($chiCv) THEN 0.01 WHEN chi_square > ($chiCv) THEN 0.05 " +
       s"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi_square / ($chiCv)) * 0.95)) END, 6) AS p_value")
 
-  def chiSquare(spark: SparkSession, dir: String): DataFrame = {
+  /** Lanczos log-gamma (g=7, n=9 — the standard public coefficients). */
+  private def logGamma(x: Double): Double = {
+    val g = Array(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x < 0.5)
+      math.log(math.Pi / math.sin(math.Pi * x)) - logGamma(1.0 - x)
+    else {
+      val z = x - 1.0
+      var a = g(0)
+      for (i <- 1 until 9) a += g(i) / (z + i)
+      val t = z + 7.5
+      0.5 * math.log(2 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  /** Regularized upper incomplete gamma Q(a, x): series for the lower tail
+    * when x < a+1, modified-Lentz continued fraction otherwise (the
+    * textbook split — each converges fast on its side). */
+  private[graft] def gammaQ(a: Double, x: Double): Double = {
+    require(a > 0 && x >= 0, s"gammaQ($a, $x)")
+    if (x == 0) return 1.0
+    val gln = logGamma(a)
+    if (x < a + 1.0) {
+      var ap = a; var sum = 1.0 / a; var del = sum; var n = 0
+      while (n < 500 && math.abs(del) > math.abs(sum) * 1e-15) {
+        ap += 1; del *= x / ap; sum += del; n += 1
+      }
+      1.0 - sum * math.exp(-x + a * math.log(x) - gln)
+    } else {
+      val FPMIN = 1e-300
+      var b = x + 1.0 - a; var c = 1.0 / FPMIN; var d = 1.0 / b; var h = d
+      var i = 1; var done = false
+      while (i <= 500 && !done) {
+        val an = -i * (i - a)
+        b += 2.0
+        d = an * d + b; if (math.abs(d) < FPMIN) d = FPMIN
+        c = b + an / c; if (math.abs(c) < FPMIN) c = FPMIN
+        d = 1.0 / d
+        val del = d * c
+        h *= del
+        if (math.abs(del - 1.0) < 1e-15) done = true
+        i += 1
+      }
+      math.exp(-x + a * math.log(x) - gln) * h
+    }
+  }
+
+  /** Exact χ² survival function P[X > chi] = Q(dof/2, chi/2). */
+  private[graft] def chi2PValue(chi: Double, dof: Long): Double =
+    if (dof <= 0 || chi <= 0) 1.0 else gammaQ(dof / 2.0, chi / 2.0)
+
+  /** `exactPValue = false` (default, the oracle surface) keeps the
+    * reference's banded p-value table verbatim — the bands ARE the contract
+    * (categorical_analyzer.py:395-437). `exactPValue = true` swaps in the
+    * true survival function via [[chi2PValue]]; DriftMathSpec pins it to
+    * the bands' critical values (each cv row is the exact 0.05 quantile). */
+  def chiSquare(spark: SparkSession, dir: String, exactPValue: Boolean = false): DataFrame = {
+    val pExact = udf((chi: Double, dof: Long) => chi2PValue(chi, dof))
     val per = S.categorical.map { sp =>
-      chiPMulti(sideCountsMulti(spark, dir, sp, nonNull = false))
+      val base = chiPMulti(sideCountsMulti(spark, dir, sp, nonNull = false))
         .select(lit(sp.tableName).as("table_name"), col("column_name"),
           col("chi_square"), col("dof"))
-        .selectExpr(chiFinal: _*)
+      if (exactPValue)
+        base.select(col("table_name"), col("column_name"),
+          r6(col("chi_square")).as("chi_square"), col("dof"),
+          r6(pExact(col("chi_square"), col("dof"))).as("p_value"))
+      else base.selectExpr(chiFinal: _*)
     }
     per.reduce(_ union _).orderBy("table_name", "column_name")
   }

@@ -374,6 +374,43 @@ object CorrelationDrift {
 
   // ----------------------------------------------------------------- API
 
+  /** O29 as a query: the null-ratio screen over every numeric split column
+    * — ONE conditional aggregation per table over the tagged pair (the
+    * reference loops a count per column, correlation_analyzer.py:643-663),
+    * emitting both frames' non-null ratios and the ≥0.7-in-both verdict. */
+  def validColumnsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val per = S.numeric.map { sp =>
+      val aggs = count(lit(1)).as("n") +: sp.cols.map(c => count(col(c)).as(s"${c}__nn"))
+      val rows = sp.cols.map(c => s"'${sp.tableName}', '$c', n, ${c}__nn").mkString(", ")
+      withSide(table(spark, dir, sp.tableName), sp.ref)
+        .groupBy("side").agg(aggs.head, aggs.tail: _*)
+        .select(col("side"),
+          expr(s"stack(${sp.cols.size}, $rows) as (table_name, column_name, n, nn)"))
+    }
+    per.reduce(_ union _)
+      .groupBy("table_name", "column_name").agg(
+        max(when(col("side") === "ref", col("nn") * 1e0 / col("n"))).as("ref_ratio"),
+        max(when(col("side") === "curr", col("nn") * 1e0 / col("n"))).as("curr_ratio"))
+      .selectExpr("table_name", "column_name",
+        "ROUND(ref_ratio, 6) AS ref_nonnull_ratio",
+        "ROUND(curr_ratio, 6) AS curr_nonnull_ratio",
+        "(ref_ratio >= 0.7 AND curr_ratio >= 0.7) AS valid")
+      .orderBy("table_name", "column_name")
+  }
+
+  def validColumnsSql: String = {
+    val per = for (sp <- S.numeric; c <- sp.cols) yield
+      s"SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, " +
+        "MAX(CASE WHEN side = 'ref' THEN nn * 1e0 / n END) AS ref_ratio, " +
+        "MAX(CASE WHEN side = 'curr' THEN nn * 1e0 / n END) AS curr_ratio FROM " +
+        s"(SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, " +
+        s"COUNT(*) AS n, COUNT($c) AS nn FROM ${sp.tableName} GROUP BY 1) t GROUP BY 1, 2"
+    s"SELECT table_name, column_name, ROUND(ref_ratio, 6) AS ref_nonnull_ratio, " +
+      "ROUND(curr_ratio, 6) AS curr_nonnull_ratio, " +
+      "(ref_ratio >= 0.7 AND curr_ratio >= 0.7) AS valid FROM " +
+      per.mkString("(", " UNION ALL ", ") u ORDER BY table_name, column_name")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corr_matrix" -> ((s, d) => corrMatrix(s, d)),
     "feature_importance" -> ((s, d) => featureImportance(s, d)),
@@ -381,6 +418,7 @@ object CorrelationDrift {
     "key_relationships" -> ((s, d) => keyRelationships(s, d)),
     "group_correlations" -> ((s, d) => groupCorrelations(s, d)),
     "corr_components" -> ((s, d) => componentsQuery(s, d)),
+    "valid_columns" -> ((s, d) => validColumnsQuery(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -390,5 +428,6 @@ object CorrelationDrift {
     "key_relationships" -> keyRelationshipsSql,
     "group_correlations" -> groupCorrelationsSql,
     "corr_components" -> componentsSql,
+    "valid_columns" -> validColumnsSql,
   )
 }

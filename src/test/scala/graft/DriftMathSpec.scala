@@ -107,6 +107,61 @@ class DriftMathSpec extends SparkSpec {
     }
   }
 
+  test("exact chi-square p-value agrees with the banded table's critical values") {
+    // the reference's per-dof critical values ARE the 0.05 quantiles of the
+    // chi-square distribution — the exact survival function must return
+    // ~0.05 at each of them (the published cv table is 2-decimal, so 2e-3)
+    val cv = Map(1 -> 3.84, 2 -> 5.99, 3 -> 7.81, 4 -> 9.49, 5 -> 11.07,
+      6 -> 12.59, 7 -> 14.07, 8 -> 15.51, 9 -> 16.92, 10 -> 18.31)
+    cv.foreach { case (dof, x) =>
+      val p = CategoricalDrift.chi2PValue(x, dof)
+      assert(math.abs(p - 0.05) < 2e-3, s"dof=$dof cv=$x p=$p")
+    }
+    // dof=2 has a closed form: P[X > x] = exp(-x/2)
+    assert(math.abs(CategoricalDrift.chi2PValue(3.0, 2) - math.exp(-1.5)) < 1e-12)
+    // monotone decreasing in the statistic, p in [0,1], degenerate dof -> 1
+    for (dof <- Seq(1L, 3L, 7L, 30L, 100L)) {
+      val ps = (0 to 200).map(i => CategoricalDrift.chi2PValue(i * 0.5, dof))
+      assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+      assert(ps.zip(ps.tail).forall { case (a, b) => b <= a + 1e-12 }, s"dof=$dof not monotone")
+    }
+    assert(CategoricalDrift.chi2PValue(5.0, 0) == 1.0)
+    // and the banded default never moves: exact path is opt-in only
+    val dir = "/root/testdata/sf0.001"
+    val banded = CategoricalDrift.chiSquare(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("p_value")).toMap
+    val exact = CategoricalDrift.chiSquare(spark, dir, exactPValue = true).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("p_value")).toMap
+    assert(banded.keySet == exact.keySet && banded.nonEmpty)
+    // the band's linear ramp is NOT a bound on the exact survival function
+    // (it crosses it inside the sub-cv region), but the two must agree on
+    // the reference's actual contract — the 0.05 significance decision —
+    // for every testdata column (all dof <= 10, where the cv table is exact)
+    exact.foreach { case (k, pe) =>
+      val pb = banded(k)
+      if (pb <= 0.05) assert(pe <= 0.055, s"$k: band significant ($pb) but exact $pe")
+      else assert(pe >= 0.045, s"$k: band insignificant ($pb) but exact $pe")
+    }
+  }
+
+  test("approx distinct-count sketch tracks the exact topk_entropy profile (bench surface)") {
+    val dir = "/root/testdata/sf0.001"
+    def prof(approx: Boolean) = CategoricalDrift.topkEntropy(spark, dir, approx)
+      .collect().map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")) -> r).toMap
+    val (exact, approx) = (prof(false), prof(true))
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      // everything except the sketched distinct count is computed the same way
+      assert(e.getAs[Long]("n_total") == a.getAs[Long]("n_total"), s"$k n_total")
+      assert(e.getAs[Long]("n_null") == a.getAs[Long]("n_null"), s"$k n_null")
+      assert(e.getAs[Double]("entropy_top20") == a.getAs[Double]("entropy_top20"), s"$k entropy")
+      // HLL default rsd = 5%; allow 3 sigma
+      val (ed, ad) = (e.getAs[Long]("distinct_count"), a.getAs[Long]("distinct_count"))
+      assert(math.abs(ed - ad) <= math.max(3, 0.15 * ed), s"$k: exact=$ed approx=$ad")
+    }
+  }
+
   test("hash-threshold balance tracks the exact rank selection (bench surface)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-balance-approx").toString
