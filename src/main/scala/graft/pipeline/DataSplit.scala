@@ -124,9 +124,14 @@ object DataSplit {
     * docs inside straddling clusters. Cost = the cluster computation
     * (banded LSH + min-label CC) + one split join — the split side is the
     * cheap half. */
-  def splitLeakageNeardup(spark: SparkSession, dir: String): DataFrame = {
+  def splitLeakageNeardup(spark: SparkSession, dir: String,
+      precomputed: Option[DataFrame] = None): DataFrame = {
     val docs = table(spark, dir, "documents").select("doc_id", "source", "text")
-    val clusters = Dedup.neardupComponents(docs.select("doc_id", "text"))
+    // `precomputed`: a persisted [[Dedup.writeClusters]] artifact over the
+    // same corpus — the deployment path (cluster once, audit many); when
+    // absent the clusters are derived inline (the oracle/bench path)
+    val clusters = precomputed.getOrElse(
+      Dedup.neardupComponents(docs.select("doc_id", "text")))
     clusters.join(assignSplits(docs).select("doc_id", "split"), "doc_id")
       .groupBy("cluster_id").agg(
         count(lit(1)).as("n"),

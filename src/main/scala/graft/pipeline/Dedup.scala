@@ -314,7 +314,16 @@ object Dedup {
     * shrinks the per-round materialized frame from |corpus| rows to
     * |near-dup-pair endpoints| (a few % of docs), which is what makes
     * per-round `localCheckpoint` affordable. */
-  def propagateMinLabels(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+  /** Cap semantics (pinned by EdgeCaseSpec): labels move ONE hop per round,
+    * so a component converges in (diameter) rounds. If `maxIterations` is
+    * hit first the result is still DETERMINISTIC — node i holds the minimum
+    * label within `maxIterations` hops — but an over-diameter component
+    * splits into several adjacent clusters instead of one. That failure
+    * mode only under-merges (never mislabels across components), and a
+    * real near-dup chain longer than 50 hops of pairwise-0.8-similar docs
+    * is content drifting far past any dedup contract. */
+  def propagateMinLabels(nodes: DataFrame, pairs: DataFrame,
+      maxIterations: Int = MaxCcIterations): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
@@ -324,7 +333,7 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < MaxCcIterations) {
+    while (changed > 0 && iter < maxIterations) {
       val prop = labels.join(edges, col("doc_id") === col("src"))
         .groupBy(col("dst")).agg(min("cluster_id").as("nl"))
       val next = labels.join(prop, col("doc_id") === col("dst"), "left")
@@ -348,6 +357,28 @@ object Dedup {
   def neardupClusters(spark: SparkSession, dir: String): DataFrame =
     neardupComponents(table(spark, dir, "documents").select("doc_id", "text"))
       .orderBy("doc_id")
+
+  /** Persist the near-dup artifact. Production contract: the LSH+CC
+    * pipeline runs ONCE per corpus snapshot, its (doc_id, cluster_id)
+    * frame is written here, and every downstream consumer
+    * ([[graft.pipeline.DataSplit.splitLeakageNeardup]], dedup collapse
+    * stages) reads the artifact instead of re-deriving it — the bench's
+    * re-payment of the pipeline per query is a harness construction, not
+    * the deployment shape. Written partitioned only by Spark's default
+    * file splits: the frame is (2 longs) per doc and every consumer joins
+    * it by doc_id, so there is nothing to gain from a layout key. */
+  def writeClusters(clusters: DataFrame, path: String): Unit =
+    clusters.select("doc_id", "cluster_id").write.mode("overwrite").parquet(path)
+
+  /** Read a persisted near-dup artifact, validating the two-column
+    * contract up front (a wrong frame would otherwise surface as a
+    * confusing analysis error downstream). */
+  def readClusters(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(Seq("doc_id", "cluster_id").forall(df.columns.contains),
+      s"near-dup artifact at $path must have (doc_id, cluster_id), got ${df.columns.mkString(",")}")
+    df.select("doc_id", "cluster_id")
+  }
 
   def neardupClustersSql: String =
     s"WITH RECURSIVE ${minhashPairsCtes("documents")}, " +

@@ -254,7 +254,14 @@ object TextAnalysis {
     * unlike [[corpusPrep]]'s per-source distinct-md5 count) and
     * `n_neardup_kept` (docs remaining after near-dup collapse). Scale
     * shape: one gating scan, one md5 groupBy, then the banded LSH pipeline
-    * over the (already reduced) canonical set — never an all-pairs join. */
+    * over the (already reduced) canonical set — never an all-pairs join.
+    *
+    * Reuse note: this stage's clusters are over the QUALITY-GATED canonical
+    * subset by definition (clustering the raw corpus would let filtered-out
+    * docs bridge otherwise-distinct clusters), so a corpus-wide
+    * [[Dedup.writeClusters]] artifact is not substitutable here; the
+    * persist-and-reuse contract applies to whole-corpus consumers
+    * ([[graft.pipeline.DataSplit.splitLeakageNeardup]]). */
   def corpusPrepNeardup(spark: SparkSession, dir: String): DataFrame = {
     val gated = prepDocs(spark, dir).cache()
     val surv = gated.filter(col("qual_ok")).select("doc_id", "source", "text")

@@ -189,6 +189,28 @@ class EdgeCaseSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("min-label propagation on a long path: converges at diameter, degrades deterministically past the cap") {
+    import spark.implicits._
+    // path graph 0-1-2-...-19: diameter 19, the worst case per edge count
+    val nodes = (0L to 19L).toDF("doc_id")
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // enough rounds -> one component labeled by the min node
+    val full = graft.pipeline.Dedup.propagateMinLabels(nodes, pairs, maxIterations = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 19L).forall(full(_) == 0L))
+    // capped BELOW the diameter: labels move one hop per round, so node i
+    // deterministically holds min-label-within-5-hops = max(0, i - 5); the
+    // component under-merges into adjacent clusters but never mislabels
+    val capped = graft.pipeline.Dedup.propagateMinLabels(nodes, pairs, maxIterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 19L).forall(i => capped(i) == math.max(0L, i - 5L)), s"got $capped")
+    // default cap: any component of diameter <= 50 converges; a 20-path is
+    // well inside, so the production entry point gives the converged answer
+    val default = graft.pipeline.Dedup.propagateMinLabels(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(default == full)
+  }
+
   test("sessionize handles a single-event user") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 42L, "t", 1.0, "{}"))

@@ -573,6 +573,22 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[Long]("n_neardup_clusters") == 1)
     assert(r.getAs[Long]("n_leaky_clusters") == 1)
     assert(r.getAs[Long]("n_leaked_docs") == 10)
+
+    // persist-and-reuse contract: the audit over a written-then-read
+    // cluster artifact is identical to the inline recompute
+    val artifact = s"$dir/clusters.parquet"
+    Dedup.writeClusters(
+      Dedup.neardupComponents(
+        graft.drift.table(spark, dir, "documents").select("doc_id", "text")),
+      artifact)
+    val reused = DataSplit.splitLeakageNeardup(spark, dir,
+      precomputed = Some(Dedup.readClusters(spark, artifact))).collect()(0)
+    assert(reused.toSeq == r.toSeq)
+    // and the reader rejects a frame that is not a cluster artifact
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.readClusters(spark, s"$dir/documents.parquet")
+    }
+    assert(bad.getMessage.contains("doc_id"))
   }
 
   /** Writes the given (doc_id, text) frame as a documents.parquet fixture
