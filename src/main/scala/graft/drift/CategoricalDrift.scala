@@ -658,7 +658,7 @@ object CategoricalDrift {
 
   /** Generic O19 categorical drift for an arbitrary snapshot pair. */
   def categoricalDriftForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
-      label: String = "pair"): DataFrame = {
+      label: String = "pair", exactPValue: Boolean = false): DataFrame = {
     val per = cols.map { c =>
       val tagged = NumericDrift.tagPair(ref, curr, Seq(c))
       val cnts = sideCountsFrom(tagged, c, nonNull = true)
@@ -672,7 +672,7 @@ object CategoricalDrift {
         sum(when(col("p").isNotNull, 1).otherwise(0)).as("ref_k"),
         sum(when(col("q").isNotNull && col("p").isNull, 1).otherwise(0)).as("new_k"),
         sum(when(col("p").isNotNull && col("q").isNull, 1).otherwise(0)).as("missing_k"))
-      val chi = chiPFromCounts(cnts)
+      val chi = chiPFromCounts(cnts, exactPValue)
       val nulls = tagged
         .groupBy("side").agg(count(lit(1)).as("n"), sum(when(col(c).isNull, 1L).otherwise(0L)).as("nl"))
         .groupBy().agg(
@@ -691,16 +691,20 @@ object CategoricalDrift {
 
   /** χ² banded p-value from a per-side counts frame (shared by the query
     * path and the generic pair path). */
-  private def chiPFromCounts(cnts: DataFrame): DataFrame = {
+  private def chiPFromCounts(cnts: DataFrame, exactPValue: Boolean = false): DataFrame = {
     val piv = pivotCounts(cnts)
     val tot = piv.agg(sum("ref_cnt").as("ref_sum"), sum("curr_cnt").as("curr_sum"))
-    piv.crossJoin(broadcast(tot))
+    val stat = piv.crossJoin(broadcast(tot))
       .selectExpr("ref_cnt", "curr_cnt",
         "ref_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_ref",
         "curr_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_curr")
       .agg(coalesce(sum(expr("CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN " +
         "POW(ref_cnt - exp_ref, 2) / exp_ref + POW(curr_cnt - exp_curr, 2) / exp_curr ELSE 0 END")), lit(0.0))
         .as("chi_square"), (count(lit(1)) - 1).as("dof"))
+    if (exactPValue) {
+      val pExact = udf((chi: Double, dof: Long) => chi2PValue(chi, dof))
+      stat.select(pExact(col("chi_square"), col("dof")).as("p_value"))
+    } else stat
       .selectExpr("CASE WHEN chi_square < 0.001 THEN 1.0 " +
         s"WHEN chi_square > 3 * ($chiCv) THEN 0.001 WHEN chi_square > 2 * ($chiCv) THEN 0.01 " +
         s"WHEN chi_square > ($chiCv) THEN 0.05 " +

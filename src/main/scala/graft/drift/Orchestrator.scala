@@ -32,7 +32,12 @@ case class DriftConfig(
     // every drift threshold when the analyzers run on a truncated sample.
     // Set by DriftDetector.detectDrift via AdaptiveThresholds.sampleSizeFactor;
     // strength cuts (correlationThreshold) and the chi² p-value are exempt.
-    thresholdScale: Double = 1.0) {
+    thresholdScale: Double = 1.0,
+    // opt-in TRUE chi² survival function (regularized upper incomplete
+    // gamma) in place of the reference's banded p-value approximation
+    // (categorical_analyzer.py:395-437). Default false: the bands are the
+    // reference parity contract and the oracle surface.
+    exactChiPValue: Boolean = false) {
 
   private def pick(summary: Double, standard: Double, deep: Double): Double =
     profile match {
@@ -241,7 +246,8 @@ class DriftDetector(spark: SparkSession) {
     // 4. categorical drift (O19)
     val categorical =
       if (catCols.isEmpty) Seq.empty
-      else CategoricalDrift.categoricalDriftForPair(ref, curr, catCols).collect().toSeq.map { r =>
+      else CategoricalDrift.categoricalDriftForPair(ref, curr, catCols,
+        exactPValue = config.exactChiPValue).collect().toSeq.map { r =>
         CategoricalColumnDrift(
           r.getAs[String]("column_name"),
           r.getAs[Double]("js_divergence"), r.getAs[Double]("chi_p_value"),

@@ -115,6 +115,21 @@ class GoldenDriftSpec extends SparkSpec {
     assert(drifted.significant)
   }
 
+  test("exactChiPValue config swaps the banded p for the true survival function end-to-end") {
+    val banded = detector.detectDrift(v1, v3, DriftConfig(sampleSize = 0))
+    val exact = detector.detectDrift(v1, v3, DriftConfig(sampleSize = 0, exactChiPValue = true))
+    val bp = banded.categorical.map(c => c.column -> c.chiPValue).toMap
+    val ep = exact.categorical.map(c => c.column -> c.chiPValue).toMap
+    assert(bp.keySet == ep.keySet && bp.nonEmpty)
+    ep.values.foreach(p => assert(p >= 0.0 && p <= 1.0))
+    // the heavy v1->v3 category swap is significant under BOTH p-value forms
+    assert(banded.categorical.exists(_.driftDetected))
+    assert(exact.categorical.exists(_.driftDetected))
+    // and exact is not just the bands re-emitted: at least one column's
+    // exact p differs from its banded bucket value
+    assert(ep.exists { case (k, p) => math.abs(p - bp(k)) > 1e-9 })
+  }
+
   test("the closed-form pca_anomaly oracle query matches the ml pipeline (O37)") {
     // the oracle query computes err = |v3 . z| from the closed-form smallest
     // eigenpair of the 3x3 ref correlation matrix; with k=2 of 3 standardized
