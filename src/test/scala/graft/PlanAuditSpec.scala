@@ -107,6 +107,31 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(2000))
   }
 
+  test("pca_anomaly scans only its three feature columns plus the split key") {
+    val plan = planOf(graft.drift.PcaAnomaly.pcaAnomalyQuery(spark, sf))
+    // the fitted eigenvector is a literal, so the error pass must be a bare
+    // projection over exactly (3 features + l_shipdate) — reading any other
+    // lineitem column at 100 TB is pure waste; and with no data-dependent
+    // frame on the small side there must be no join at all
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(readSchemas.nonEmpty, s"no parquet scan:\n$plan")
+    assert(!readSchemas.contains("l_orderkey") && !readSchemas.contains("l_comment") &&
+      !readSchemas.contains("l_tax"), s"pca_anomaly scan reads unused columns:\n$readSchemas")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"pca_anomaly planned a join for literal stats:\n${plan.take(2000)}")
+  }
+
+  test("valid_columns is one partial-aggregated scan per table") {
+    val plan = planOf(graft.drift.CorrelationDrift.validColumnsQuery(spark, sf))
+    // per-side null counts must combine map-side: a partial HashAggregate
+    // under each exchange, and never a join (the pivot is a groupBy)
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"), plan.take(2000))
+    val exchangeFirst = plan.indexOf("Exchange")
+    val scanIdx = plan.lastIndexOf("Scan parquet")
+    assert(exchangeFirst >= 0 && scanIdx > exchangeFirst,
+      s"expected partial aggregation between scan and exchange:\n${plan.take(2000)}")
+  }
+
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
     val plan = planOf(Dedup.dedupExact(spark, sf))
     // count + countDistinct over md5: the plan must partial-aggregate
