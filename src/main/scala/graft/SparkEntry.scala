@@ -97,6 +97,7 @@ object SparkEntry {
       "data_split" -> ((s, d) => DataSplit.dataSplit(s, d, approx = true)),
       "type_inference" -> ((s, d) => TypeInference.typeInferenceQuery(s, d, approxDistinct = true)),
       "topk_entropy" -> ((s, d) => CategoricalDrift.topkEntropy(s, d, approx = true)),
+      "lm_ppl_buckets" -> ((s, d) => LmScore.lmPplBuckets(s, d, approx = true)),
       "numeric_drift" -> ((s, d) => NumericDrift.drift(s, d, approx = true)),
       "metric_audit" -> ((s, d) => NumericDrift.metricAudit(s, d, approx = true)),
       "numeric_drift_score" -> ((s, d) => NumericDrift.driftScore(s, d, approx = true)),

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.drift.table
+import graft.drift.{r6, table}
 
 /** N-gram language-model quality scoring — the CCNet/KenLM curation signal
   * (Wenzek et al. 2020: docs are ranked by the perplexity of a small LM
@@ -167,13 +167,66 @@ object LmScore {
       "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id " +
       "GROUP BY 1 ORDER BY 1"
 
+  /** CCNet-style quality bucketing (Wenzek et al. 2020, §4.3 "perplexity
+    * buckets"): rank every document by LM perplexity and cut the scored
+    * corpus at the terciles — `head` (lowest ppl = most fluent), `middle`,
+    * `tail`; docs the model can't score (no bigrams) report as `unscored`.
+    * Training pipelines sample from the buckets (keep head+middle, drop or
+    * downweight tail), so the artifact is per (source, bucket) counts +
+    * mean perplexity.
+    *
+    * Scale shape: one scoring pass (broadcast model joins, see [[lmScore]])
+    * → a 1-row tercile aggregate → one counting pass with the two
+    * thresholds as literals (z_outliers' broadcast-stats pattern). The
+    * oracle path uses EXACT `percentile` (matches DuckDB `quantile_cont`
+    * bit-for-bit); `approx = true` (the bench/100 TB surface) swaps in
+    * `approx_percentile`'s fixed-size mergeable sketch, since exact
+    * percentile buffers every ppl value per agg buffer. */
+  def lmPplBuckets(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val scored = scoreDocs(docs.select("doc_id", "source", "lang", "text"),
+        carry = Seq("source"))
+      .select(col("doc_id"), col("source"), col("ppl")).cache()
+    val pcts = s"array(${1.0 / 3}, ${2.0 / 3})"
+    val trow = scored.filter(col("ppl").isNotNull)
+      .agg((if (approx) expr(s"approx_percentile(ppl, $pcts, 10000)")
+            else expr(s"percentile(ppl, $pcts)")).as("t")).collect()(0)
+    // a null tercile row means zero scored docs; every doc is then tagged
+    // 'unscored' before the thresholds are ever compared
+    val t = if (trow.isNullAt(0)) Seq(0.0, 0.0) else trow.getSeq[Double](0)
+    scored.withColumn("bucket",
+        when(col("ppl").isNull, "unscored")
+          .when(col("ppl") <= t(0), "head")
+          .when(col("ppl") <= t(1), "middle")
+          .otherwise("tail"))
+      .groupBy("source", "bucket").agg(
+        count(lit(1)).as("n_docs"),
+        r6(avg("ppl")).as("mean_ppl"))
+      .orderBy("source", "bucket")
+  }
+
+  def lmPplBucketsSql: String =
+    s"WITH ${scoredCtesFor("documents")}, " +
+      "sc AS (SELECT d.doc_id, d.source, " +
+      "CASE WHEN agg.avg_logprob IS NOT NULL THEN pow(10e0, -agg.avg_logprob) END AS ppl " +
+      "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id), " +
+      "thr AS (SELECT quantile_cont(ppl, 1e0/3) AS t1, quantile_cont(ppl, 2e0/3) AS t2 " +
+      "FROM sc WHERE ppl IS NOT NULL), " +
+      "b AS (SELECT source, ppl, CASE WHEN ppl IS NULL THEN 'unscored' " +
+      "WHEN ppl <= t1 THEN 'head' WHEN ppl <= t2 THEN 'middle' ELSE 'tail' END AS bucket " +
+      "FROM sc, thr) " +
+      "SELECT source, bucket, COUNT(*)::BIGINT AS n_docs, ROUND(AVG(ppl), 6) AS mean_ppl " +
+      "FROM b GROUP BY 1, 2 ORDER BY 1, 2"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lm_score" -> ((s, d) => lmScore(s, d)),
     "lm_score_by_source" -> ((s, d) => lmScoreBySource(s, d)),
+    "lm_ppl_buckets" -> ((s, d) => lmPplBuckets(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "lm_score" -> lmScoreSql,
     "lm_score_by_source" -> lmScoreBySourceSql,
+    "lm_ppl_buckets" -> lmPplBucketsSql,
   )
 }

@@ -418,6 +418,37 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L).isNullAt(out(4L).fieldIndex("ppl")))
   }
 
+  test("perplexity buckets cut the scored corpus at terciles, ordered head<=middle<=tail") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = LmScore.lmPplBuckets(spark, dir).collect()
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == graft.drift.table(spark, dir, "documents").count())
+    // global tercile cut: scored buckets within ±1 of each other
+    val byBucket = rows.groupBy(_.getAs[String]("bucket"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val scored = Seq("head", "middle", "tail").map(byBucket(_))
+    assert(scored.max - scored.min <= 1, s"buckets not tercile-balanced: $byBucket")
+    // ppl ordering holds per source wherever adjacent buckets coexist:
+    // every head doc's ppl <= t1 < every middle doc's ppl, so means order
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    bySrc.values.foreach { rs =>
+      val m = rs.map(r => r.getAs[String]("bucket") ->
+        Option(r.getAs[java.lang.Double]("mean_ppl")).map(_.toDouble)).toMap
+      for (h <- m.get("head").flatten; mid <- m.get("middle").flatten)
+        assert(h <= mid, s"head $h > middle $mid")
+      for (mid <- m.get("middle").flatten; t <- m.get("tail").flatten)
+        assert(mid <= t, s"middle $mid > tail $t")
+    }
+    // approx (bench) surface lands every count within sketch slack
+    val approx = LmScore.lmPplBuckets(spark, dir, approx = true).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("bucket")) -> r.getAs[Long]("n_docs")).toMap
+    val exact = rows.map(r => (r.getAs[String]("source"), r.getAs[String]("bucket")) -> r.getAs[Long]("n_docs")).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(n - approx(k)) <= math.max(2, 0.2 * n), s"$k: exact=$n approx=${approx(k)}")
+    }
+  }
+
   test("span dedup flags only the cross-doc repeated 8-token run") {
     import spark.implicits._
     val run = (1 to 8).map(i => s"shared$i").mkString(" ")
