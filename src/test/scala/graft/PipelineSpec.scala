@@ -449,6 +449,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("corpus pipeline composes the funnel, artifact and audits consistently") {
+    val dir = "/root/testdata/sf0.001"
+    val work = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+    val r = CorpusPipeline.run(spark, dir, work)
+    // funnel is monotone and accounts for the whole corpus
+    assert(r.nDocs == graft.drift.table(spark, dir, "documents").count())
+    assert(r.nDocs >= r.nLangKept && r.nLangKept >= r.nQualityKept &&
+      r.nQualityKept >= r.nDedupKept && r.nDedupKept >= r.nNeardupKept && r.nNeardupKept > 0)
+    // the persisted artifact exists and matches the audit run standalone
+    assert(new java.io.File(r.clustersPath).exists())
+    val standalone = DataSplit.splitLeakageNeardup(spark, dir).collect()(0)
+    assert(r.nLeakyClusters == standalone.getAs[Long]("n_leaky_clusters"))
+    assert(r.nLeakedDocs == standalone.getAs[Long]("n_leaked_docs"))
+    // buckets partition the corpus
+    assert(r.pplBuckets.values.sum == r.nDocs)
+  }
+
   test("span dedup flags only the cross-doc repeated 8-token run") {
     import spark.implicits._
     val run = (1 to 8).map(i => s"shared$i").mkString(" ")
