@@ -189,6 +189,21 @@ class EdgeCaseSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
+  test("perplexity buckets on an unscorable corpus report everything unscored") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppl0").toString
+    // single-token docs have no bigrams -> ppl NULL for every doc, the
+    // tercile row is NULL, and the fallback path must not divide or throw
+    Seq((1L, "solo", "a", "en", 4L), (2L, "solo", "b", "en", 4L))
+      .toDF("doc_id", "source", "text", "lang", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.pipeline.LmScore.lmPplBuckets(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("bucket") == "unscored")
+    assert(rows(0).getAs[Long]("n_docs") == 2L)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("mean_ppl")))
+  }
+
   test("min-label propagation on a long path: converges at diameter, degrades deterministically past the cap") {
     import spark.implicits._
     // path graph 0-1-2-...-19: diameter 19, the worst case per edge count

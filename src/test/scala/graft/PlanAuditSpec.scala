@@ -132,6 +132,15 @@ class PlanAuditSpec extends SparkSpec {
       s"expected partial aggregation between scan and exchange:\n${plan.take(2000)}")
   }
 
+  test("perplexity buckets keep the corpus stream on broadcast model joins") {
+    val plan = planOf(LmScore.lmPplBuckets(spark, sf))
+    // same contract as lm_score: the corpus-sized bigram stream must meet
+    // the vocabulary-sized model tables by broadcast only — the added
+    // tercile/bucket stages must not introduce a shuffle join
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"bucket query shuffles the corpus for a model join:\n${plan.take(2000)}")
+  }
+
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
     val plan = planOf(Dedup.dedupExact(spark, sf))
     // count + countDistinct over md5: the plan must partial-aggregate
