@@ -182,23 +182,34 @@ object LmScore {
     * bit-for-bit); `approx = true` (the bench/100 TB surface) swaps in
     * `approx_percentile`'s fixed-size mergeable sketch, since exact
     * percentile buffers every ppl value per agg buffer. */
+  /** Tercile thresholds (t_head, t_middle) over a frame's non-null `ppl`
+    * column — the batch-side fit a streaming gate replays as literals
+    * ([[graft.streaming.StreamingLm.bucketStream]]). Returns (0, 0) when
+    * nothing is scorable (every doc then buckets as `unscored` before the
+    * thresholds are ever compared). */
+  def pplTerciles(scoredPpl: DataFrame, approx: Boolean = false): (Double, Double) = {
+    val pcts = s"array(${1.0 / 3}, ${2.0 / 3})"
+    val trow = scoredPpl.filter(col("ppl").isNotNull)
+      .agg((if (approx) expr(s"approx_percentile(ppl, $pcts, 10000)")
+            else expr(s"percentile(ppl, $pcts)")).as("t")).collect()(0)
+    if (trow.isNullAt(0)) (0.0, 0.0)
+    else { val t = trow.getSeq[Double](0); (t(0), t(1)) }
+  }
+
+  /** Bucket expression shared by the batch query and the streaming gate. */
+  private[graft] def bucketExpr(t1: Double, t2: Double) =
+    when(col("ppl").isNull, "unscored")
+      .when(col("ppl") <= t1, "head")
+      .when(col("ppl") <= t2, "middle")
+      .otherwise("tail")
+
   def lmPplBuckets(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     val docs = table(spark, dir, "documents")
     val scored = scoreDocs(docs.select("doc_id", "source", "lang", "text"),
         carry = Seq("source"))
       .select(col("doc_id"), col("source"), col("ppl")).cache()
-    val pcts = s"array(${1.0 / 3}, ${2.0 / 3})"
-    val trow = scored.filter(col("ppl").isNotNull)
-      .agg((if (approx) expr(s"approx_percentile(ppl, $pcts, 10000)")
-            else expr(s"percentile(ppl, $pcts)")).as("t")).collect()(0)
-    // a null tercile row means zero scored docs; every doc is then tagged
-    // 'unscored' before the thresholds are ever compared
-    val t = if (trow.isNullAt(0)) Seq(0.0, 0.0) else trow.getSeq[Double](0)
-    scored.withColumn("bucket",
-        when(col("ppl").isNull, "unscored")
-          .when(col("ppl") <= t(0), "head")
-          .when(col("ppl") <= t(1), "middle")
-          .otherwise("tail"))
+    val (t1, t2) = pplTerciles(scored, approx)
+    scored.withColumn("bucket", bucketExpr(t1, t2))
       .groupBy("source", "bucket").agg(
         count(lit(1)).as("n_docs"),
         r6(avg("ppl")).as("mean_ppl"))

@@ -58,4 +58,18 @@ object StreamingLm {
         "avg_logprob",
         "CASE WHEN avg_logprob IS NOT NULL THEN pow(10e0, -avg_logprob) END AS ppl")
   }
+
+  /** CCNet quality sampling on a stream: the head/middle/tail tercile
+    * thresholds are FIT BATCH-SIDE over a corpus snapshot
+    * ([[LmScore.pplTerciles]]) and replayed here as literals — an unbounded
+    * feed has no global percentile, so the deployment shape is exactly
+    * fit-batch / apply-stream, like the drift monitor's reference stats.
+    * Adds a `bucket` column to [[scoreStream]]'s per-doc output via the
+    * SAME bucket expression the batch query uses, so a doc buckets
+    * identically whether it arrived in the snapshot or on the feed. */
+  def bucketStream(docs: DataFrame, model: LmScore.LmModel,
+      headMax: Double, middleMax: Double,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    scoreStream(docs, model, watermarkDelay)
+      .withColumn("bucket", LmScore.bucketExpr(headMax, middleMax))
 }

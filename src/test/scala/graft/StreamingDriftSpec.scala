@@ -183,4 +183,38 @@ class StreamingDriftSpec extends SparkSpec {
       assert(rows(3L).isNullAt(rows(3L).fieldIndex("ppl")))
     } finally q.stop()
   }
+
+  test("streaming bucket gate applies batch-fit terciles identically to the batch path") {
+    import graft.pipeline.LmScore
+    import graft.streaming.StreamingLm
+    implicit val sqlCtx = spark.sqlContext
+    val trusted = Seq(("en", "a b a b a c"), ("en", "a b c a")).toDF("lang", "text")
+    val model = LmScore.trainModel(trusted)
+    // batch side: score a snapshot, fit the tercile thresholds
+    val snapshot = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x b"), (4L, "a"))
+      .toDF("doc_id", "text")
+    val batchScored = LmScore.scoreAgainst(snapshot, model).cache()
+    val (t1, t2) = LmScore.pplTerciles(batchScored)
+    assert(t1 <= t2)
+    val batchBuckets = batchScored.withColumn("bucket", LmScore.bucketExpr(t1, t2))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    // stream side: the same docs arrive on the feed; thresholds are literals
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingLm.bucketStream(
+      input.toDF().toDF("ts", "doc_id", "text"), model, t1, t2, "10 minutes")
+    val q = out.writeStream.format("memory").queryName("bucket_out")
+      .outputMode("append").start()
+    try {
+      input.addData((ts(0), 1L, "a b a b"), (ts(1), 2L, "a c"), (ts(2), 3L, "x b"), (ts(3), 4L, "a"))
+      input.addData((ts(59), 99L, "a b")) // advance the watermark
+      q.processAllAvailable()
+      val streamBuckets = spark.table("bucket_out").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+      for (id <- 1L to 4L)
+        assert(streamBuckets(id) == batchBuckets(id), s"doc $id")
+      // three scored docs cut into one per bucket; the bigram-less doc is unscored
+      assert(streamBuckets.filterKeys(_ <= 4L).values.toSeq.sorted ==
+        Seq("head", "middle", "tail", "unscored"))
+    } finally q.stop()
+  }
 }
