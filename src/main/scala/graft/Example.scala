@@ -13,6 +13,9 @@ object Example {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet is TIMESTAMP(NANOS); without this flag the timeline
+      // step dies on PARQUET_TYPE_ILLEGAL (same config Verify/Bench set)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -59,6 +62,13 @@ object Example {
       val tl = graft.drift.TimelineDrift.driftTimeline(spark, sfDir)
       println(s"  drift_timeline: ${tl.count()} windows, " +
         s"${tl.filter(org.apache.spark.sql.functions.col("drift_detected")).count()} flagged")
+      // the one-call curation sweep: funnel + persisted near-dup artifact
+      // (reused by the leakage audit) + perplexity buckets
+      val work = java.nio.file.Files.createTempDirectory("graft-example").toString
+      val rep = graft.pipeline.CorpusPipeline.run(spark, sfDir, work)
+      println(s"  corpus_pipeline: ${rep.nDocs} docs -> ${rep.nNeardupKept} kept, " +
+        s"${rep.nClusters} clusters, ${rep.nLeakedDocs} leaked across splits, " +
+        s"ppl buckets ${rep.pplBuckets.toSeq.sortBy(_._1).map { case (b, n) => s"$b=$n" }.mkString(" ")}")
     }
     spark.stop()
   }

@@ -144,6 +144,24 @@ class DriftMathSpec extends SparkSpec {
     }
   }
 
+  test("chi-square survival function matches the closed form for even dof") {
+    // for dof = 2k the survival function is EXACTLY the truncated Poisson
+    // tail: Q(k, y) = e^-y * sum_{j<k} y^j / j! — an independent reference
+    // that exercises both the series (small y) and continued-fraction
+    // (large y) branches of the incomplete-gamma implementation
+    def closedForm(k: Int, y: Double): Double = {
+      var term = 1.0; var sum = 1.0
+      for (j <- 1 until k) { term *= y / j; sum += term }
+      math.exp(-y) * sum
+    }
+    for (k <- Seq(1, 2, 3, 5, 10, 20, 40); x <- Seq(0.1, 1.0, 4.0, 10.0, 30.0, 120.0)) {
+      val q = CategoricalDrift.chi2PValue(x, 2L * k)
+      val ref = closedForm(k, x / 2)
+      assert(math.abs(q - ref) < 1e-12 || math.abs(q - ref) / ref < 1e-9,
+        s"dof=${2 * k} x=$x: got $q want $ref")
+    }
+  }
+
   test("approx distinct-count sketch tracks the exact topk_entropy profile (bench surface)") {
     val dir = "/root/testdata/sf0.001"
     def prof(approx: Boolean) = CategoricalDrift.topkEntropy(spark, dir, approx)
