@@ -59,8 +59,9 @@ object Bench {
       spark.catalog.clearCache()
       name -> timed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonPairs(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jsonPairs(results)
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val note = "per-query min of " + TimedRuns + " cache-cleared runs; the five " +
       "report-family queries re-pay one shared scoring DAG that production memoizes, " +
@@ -74,8 +75,7 @@ object Bench {
     // above front-loads the total, so it fell off every recorded artifact
     // (rounds 1-5 graded off judge reruns). Repeat the headline number in a
     // short FINAL line — any tail capture now contains a parseable total.
-    val top5 = results.sortBy(-_._2).take(5)
-      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val top5 = jsonPairs(results.sortBy(-_._2).take(5))
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","top5":$top5,"queries_run":${results.size}}""")
     spark.stop()
   }

@@ -225,6 +225,11 @@ object CategoricalDrift {
             .select(col("n_total"),
               expr(s"stack(${cols.size}, $stackRows) as (column_name, n_null, distinct_count)"))
             .select(col("column_name"), col("n_total"), col("n_null"), col("distinct_count"))
+            // the global agg always returns one row; drop it for an EMPTY
+            // table so the approx surface matches the exact branch's shape
+            // (whose groupBy yields no rows) instead of emitting phantom
+            // (n_total=0, n_null=NULL) columns
+            .filter(col("n_total") > 0)
         }
       val entropy = cnts.filter(col("value").isNotNull)
         .withColumn("rk", row_number().over(
@@ -501,17 +506,23 @@ object CategoricalDrift {
     require(a > 0 && x >= 0, s"gammaQ($a, $x)")
     if (x == 0) return 1.0
     val gln = logGamma(a)
+    // both expansions need O(sqrt(a)) terms in the worst case (x near a);
+    // a fixed cap would silently return an unconverged value for
+    // thousand-dof inputs, so the budget scales and exhaustion THROWS
+    val itMax = 1000 + (10 * math.sqrt(a)).toInt
     if (x < a + 1.0) {
       var ap = a; var sum = 1.0 / a; var del = sum; var n = 0
-      while (n < 500 && math.abs(del) > math.abs(sum) * 1e-15) {
+      while (n < itMax && math.abs(del) > math.abs(sum) * 1e-15) {
         ap += 1; del *= x / ap; sum += del; n += 1
       }
+      if (math.abs(del) > math.abs(sum) * 1e-15)
+        throw new IllegalStateException(s"gammaQ($a, $x): series not converged in $itMax terms")
       1.0 - sum * math.exp(-x + a * math.log(x) - gln)
     } else {
       val FPMIN = 1e-300
       var b = x + 1.0 - a; var c = 1.0 / FPMIN; var d = 1.0 / b; var h = d
       var i = 1; var done = false
-      while (i <= 500 && !done) {
+      while (i <= itMax && !done) {
         val an = -i * (i - a)
         b += 2.0
         d = an * d + b; if (math.abs(d) < FPMIN) d = FPMIN
@@ -522,6 +533,8 @@ object CategoricalDrift {
         if (math.abs(del - 1.0) < 1e-15) done = true
         i += 1
       }
+      if (!done)
+        throw new IllegalStateException(s"gammaQ($a, $x): continued fraction not converged in $itMax terms")
       math.exp(-x + a * math.log(x) - gln) * h
     }
   }

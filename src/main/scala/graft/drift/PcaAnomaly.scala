@@ -88,24 +88,30 @@ object PcaAnomaly {
   // hash-match; GoldenDriftSpec pins this analytic form against the actual
   // ml pipeline (detect with maxComponents=2) to ~1e-6.
 
-  private[drift] val PcaCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  private[graft] val PcaCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
   /** Unit eigenvector of the smallest eigenvalue of [[1,a,b],[a,1,c],[b,c,1]]
     * — written operation-for-operation like [[pcaAnomalySql]]'s eig CTEs so
     * the two engines' doubles track each other to rounding noise. */
-  private[drift] def smallestEigenvector(a: Double, b: Double, c: Double): (Double, Double, Double) = {
+  private[graft] def smallestEigenvector(a: Double, b: Double, c: Double): (Double, Double, Double) = {
     val p = math.sqrt((2 * (a * a + b * b + c * c)) / 6)
     require(p > 1e-12, "degenerate correlation matrix: columns are uncorrelated to working precision")
     val r = math.min(1.0, math.max(-1.0, (a * b * c) / (p * p * p)))
     val phi = math.acos(r) / 3
     val lam3 = 1 + 2 * p * math.cos(phi + 2 * math.Pi / 3) // smallest eigenvalue
     val m = 1 - lam3
-    // eigenvector = cross(row1, row2) of (A - lam3 I); nonzero whenever lam3
-    // is simple, which a require guards (repeated smallest eigenvalue would
-    // make the engines' normalized directions ill-defined)
-    val v1 = a * c - b * m
-    val v2 = b * a - m * c
-    val v3 = m * m - a * a
+    // eigenvector = a cross product of two rows of (A - lam3 I). Any single
+    // row pair can be parallel even for a SIMPLE eigenvalue (e.g. b = c
+    // makes rows 1 and 2 parallel when m = a), so take the largest-norm of
+    // the three pairwise cross products — zero only when lam3 is truly
+    // repeated. Selection ties across engines are harmless: every nonzero
+    // candidate is parallel to the eigenvector and err = |v.z| is sign- and
+    // choice-invariant after normalization.
+    val cands = Seq(
+      (a * c - b * m, b * a - m * c, m * m - a * a), // row1 x row2
+      (m * m - c * c, c * b - a * m, a * c - m * b), // row2 x row3
+      (a * m - b * c, b * b - m * m, m * c - a * b)) // row1 x row3
+    val (v1, v2, v3) = cands.maxBy { case (x, y, z) => x * x + y * y + z * z }
     val norm = math.sqrt(v1 * v1 + v2 * v2 + v3 * v3)
     require(norm > 1e-8, "repeated smallest eigenvalue: PCA residual direction is not unique")
     (v1 / norm, v2 / norm, v3 / norm)
@@ -164,7 +170,14 @@ object PcaAnomaly {
     "CASE WHEN ref_mean_raw <> 0 THEN (curr_mean_raw - ref_mean_raw) / ABS(ref_mean_raw) " +
       "WHEN curr_mean_raw <> 0 THEN 1.0 ELSE 0.0 END"
 
-  /** DuckDB twin: the same closed-form fit and gate, CTE for CTE. */
+  /** DuckDB twin: the same closed-form fit and gate, CTE for CTE.
+    *
+    * Degenerate-data caveat: SQL cannot replicate the Scala guards — on a
+    * reference frame with a constant feature (corr = NULL/NaN) or a truly
+    * repeated smallest eigenvalue, [[pcaAnomalyQuery]] FAILS FAST with a
+    * require message while this twin would silently emit NULL-filled rows.
+    * The oracle contract only ever runs both engines on data where the fit
+    * is well-posed; library callers get the loud Scala failure. */
   def pcaAnomalySql: String = {
     val Seq(q, e, d) = PcaCols
     val refPred = splits.lineitemRefSql
@@ -175,11 +188,23 @@ object PcaAnomaly {
       "e0 AS (SELECT *, SQRT((2 * (a * a + b * b + c * c)) / 6) AS p FROM st), " +
       "e1 AS (SELECT *, ACOS(LEAST(1.0, GREATEST(-1.0, (a * b * c) / (p * p * p)))) / 3 AS phi FROM e0), " +
       "e2 AS (SELECT *, 1 - (1 + 2 * p * COS(phi + 2 * PI() / 3)) AS m FROM e1), " +
-      "e3 AS (SELECT *, a * c - b * m AS v1, b * a - m * c AS v2, m * m - a * a AS v3 FROM e2), " +
+      // the three pairwise row cross products + their squared norms; the
+      // CASE picks the largest exactly like the Scala side's maxBy
+      "e3 AS (SELECT *, " +
+      "a * c - b * m AS x12, b * a - m * c AS y12, m * m - a * a AS z12, " +
+      "m * m - c * c AS x23, c * b - a * m AS y23, a * c - m * b AS z23, " +
+      "a * m - b * c AS x13, b * b - m * m AS y13, m * c - a * b AS z13 FROM e2), " +
+      "e4 AS (SELECT *, x12 * x12 + y12 * y12 + z12 * z12 AS n12, " +
+      "x23 * x23 + y23 * y23 + z23 * z23 AS n23, " +
+      "x13 * x13 + y13 * y13 + z13 * z13 AS n13 FROM e3), " +
+      "e5 AS (SELECT mu1, sd1, mu2, sd2, mu3, sd3, " +
+      "CASE WHEN n12 >= n23 AND n12 >= n13 THEN x12 WHEN n23 >= n13 THEN x23 ELSE x13 END AS v1, " +
+      "CASE WHEN n12 >= n23 AND n12 >= n13 THEN y12 WHEN n23 >= n13 THEN y23 ELSE y13 END AS v2, " +
+      "CASE WHEN n12 >= n23 AND n12 >= n13 THEN z12 WHEN n23 >= n13 THEN z23 ELSE z13 END AS v3 FROM e4), " +
       "eig AS (SELECT mu1, sd1, mu2, sd2, mu3, sd3, " +
       "v1 / SQRT(v1 * v1 + v2 * v2 + v3 * v3) AS u1, " +
       "v2 / SQRT(v1 * v1 + v2 * v2 + v3 * v3) AS u2, " +
-      "v3 / SQRT(v1 * v1 + v2 * v2 + v3 * v3) AS u3 FROM e3), " +
+      "v3 / SQRT(v1 * v1 + v2 * v2 + v3 * v3) AS u3 FROM e5), " +
       s"errs AS (SELECT CASE WHEN $refPred THEN 'ref' ELSE 'curr' END AS side, " +
       s"ABS((($q - mu1) / sd1) * u1 + (($e - mu2) / sd2) * u2 + (($d - mu3) / sd3) * u3) AS err " +
       "FROM lineitem, eig), " +

@@ -37,16 +37,17 @@ package object drift {
         // parquet written without isAdjustedToUTC (DuckDB, pandas default)
         // reads as TIMESTAMP_NTZ, which time functions like unix_micros
         // reject. The wall-clock fields ARE the UTC instant; a bare cast to
-        // TimestampType interprets them in the SESSION timezone, which is
-        // only lossless when that is UTC. `table` is a library entry point
-        // and cannot assume the entry points' UTC config, so re-render the
-        // UTC wall clock into the session zone first — the cast then
-        // recovers the exact instant under ANY session timezone (and is a
-        // no-op re-labeling when the session is UTC).
-        val sessionTz = spark.conf.get("spark.sql.session.timeZone")
-        df.withColumn("ts",
-          convert_timezone(lit("UTC"), lit(sessionTz), col("ts"))
-            .cast(org.apache.spark.sql.types.TimestampType))
+        // TimestampType interprets them in the SESSION timezone (wrong off
+        // UTC), and re-rendering through the session zone is lossy in DST
+        // fall-back overlaps (two instants share a wall clock). Build the
+        // epoch arithmetically from the date/time fields instead — no
+        // timezone is consulted anywhere, so the conversion is exact under
+        // ANY session configuration (EXTRACT(SECOND) carries the
+        // microsecond fraction as an exact DECIMAL).
+        df.withColumn("ts", timestamp_micros(
+          expr("unix_date(CAST(ts AS DATE)) * 86400000000L + " +
+            "HOUR(ts) * 3600000000L + MINUTE(ts) * 60000000L + " +
+            "CAST(EXTRACT(SECOND FROM ts) * 1000000 AS LONG)")))
       case _ => df
     }
   }

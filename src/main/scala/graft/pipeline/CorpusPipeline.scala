@@ -26,8 +26,22 @@ object CorpusPipeline {
       clustersPath: String)
 
   /** Run the full curation sweep over `dir`'s documents corpus, persisting
-    * the near-dup artifact under `workDir`. */
+    * the near-dup artifact under `workDir`.
+    *
+    * Cache hygiene: the stages cache intermediate frames (gated docs, LM
+    * scores) whose lifetime is this sweep — every output below is
+    * materialized into the report, so the sweep releases its OWN cache
+    * entries on exit (pre-existing user caches are untouched; library
+    * calls must not leak corpus-sized frames into a long-lived session). */
   def run(spark: SparkSession, dir: String, workDir: String): CorpusReport = {
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    try runStages(spark, dir, workDir)
+    finally spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => cachedBefore(id) }
+      .values.foreach(_.unpersist(blocking = false))
+  }
+
+  private def runStages(spark: SparkSession, dir: String, workDir: String): CorpusReport = {
     // 1. gate funnel (lang -> quality -> exact dedup -> fuzzy dedup), per
     //    source; summed here for the corpus headline
     val funnel = TextAnalysis.corpusPrepNeardup(spark, dir).collect()

@@ -313,8 +313,9 @@ object Dedup {
     * entirely and re-attach in one final left join. At corpus scale that
     * shrinks the per-round materialized frame from |corpus| rows to
     * |near-dup-pair endpoints| (a few % of docs), which is what makes
-    * per-round `localCheckpoint` affordable. */
-  /** Cap semantics (pinned by EdgeCaseSpec): labels move ONE hop per round,
+    * per-round `localCheckpoint` affordable.
+    *
+    * Cap semantics (pinned by EdgeCaseSpec): labels move ONE hop per round,
     * so a component converges in (diameter) rounds. If `maxIterations` is
     * hit first the result is still DETERMINISTIC — node i holds the minimum
     * label within `maxIterations` hops — but an over-diameter component

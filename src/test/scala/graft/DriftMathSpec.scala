@@ -144,6 +144,26 @@ class DriftMathSpec extends SparkSpec {
     }
   }
 
+  test("smallest eigenvector survives parallel row pairs of (A - lam3 I)") {
+    import graft.drift.PcaAnomaly.smallestEigenvector
+    // a=0.5, b=c=0.1: lam3 = 0.5 is SIMPLE but m = 1-lam3 = a makes rows 1
+    // and 2 of (A - lam3 I) parallel — the single-pair cross product is the
+    // zero vector; the max-norm-of-three selection must recover (1,-1,0)/√2
+    val (v1, v2, v3) = smallestEigenvector(0.5, 0.1, 0.1)
+    val s = math.sqrt(2) / 2
+    assert(math.abs(math.abs(v1) - s) < 1e-9 && math.abs(math.abs(v2) - s) < 1e-9)
+    assert(v1 * v2 < 0 && math.abs(v3) < 1e-9, s"got ($v1, $v2, $v3)")
+    // generic case still normalized and an actual eigenvector: A u = lam u
+    val (a, b, c) = (0.3, -0.2, 0.5)
+    val (u1, u2, u3) = smallestEigenvector(a, b, c)
+    assert(math.abs(u1 * u1 + u2 * u2 + u3 * u3 - 1.0) < 1e-12)
+    val au = Seq(u1 + a * u2 + b * u3, a * u1 + u2 + c * u3, b * u1 + c * u2 + u3)
+    // Rayleigh quotient of a unit eigenvector = its eigenvalue; residual ~ 0
+    val lam = au(0) * u1 + au(1) * u2 + au(2) * u3
+    val res = Seq(au(0) - lam * u1, au(1) - lam * u2, au(2) - lam * u3)
+    assert(res.map(x => x * x).sum < 1e-18, s"residual $res")
+  }
+
   test("chi-square survival function matches the closed form for even dof") {
     // for dof = 2k the survival function is EXACTLY the truncated Poisson
     // tail: Q(k, y) = e^-y * sum_{j<k} y^j / j! — an independent reference

@@ -186,6 +186,22 @@ class EdgeCaseSpec extends SparkSpec {
       val nyMicros = graft.drift.table(spark, dir, "events")
         .selectExpr("unix_micros(ts) AS us").orderBy("us").collect().map(_.getLong(0))
       assert(nyMicros.toSeq == utcMicros.toSeq)
+      // DST fall-back overlap: UTC wall clocks 05:30 and 06:30 on 2023-11-05
+      // both render as 01:30 New York local time — a conversion that routes
+      // through the session zone collapses them onto one instant; the
+      // field-arithmetic path must keep them exactly an hour apart
+      val dst = java.nio.file.Files.createTempDirectory("graft-dst").toString
+      spark.sql(
+        """SELECT CAST(id AS BIGINT) AS event_id,
+          |  CASE id WHEN 0 THEN to_timestamp_ntz('2023-11-05 05:30:00')
+          |    ELSE to_timestamp_ntz('2023-11-05 06:30:00') END AS ts,
+          |  CAST(1 AS BIGINT) AS user_id, 'click' AS event_type, 1.0 AS value, '{}' AS props
+          |FROM range(2)""".stripMargin)
+        .write.parquet(s"$dst/events.parquet")
+      val us = graft.drift.table(spark, dst, "events")
+        .selectExpr("unix_micros(ts) AS us").orderBy("us").collect().map(_.getLong(0))
+      assert(us.length == 2 && us(1) - us(0) == 3600L * 1000000L,
+        s"DST overlap collapsed the instants: ${us.toSeq}")
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 

@@ -464,6 +464,12 @@ class PipelineSpec extends SparkSpec {
     assert(r.nLeakedDocs == standalone.getAs[Long]("n_leaked_docs"))
     // buckets partition the corpus
     assert(r.pplBuckets.values.sum == r.nDocs)
+    // and the sweep released every cache entry it created
+    val work2 = java.nio.file.Files.createTempDirectory("graft-pipeline2").toString
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    CorpusPipeline.run(spark, dir, work2)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"corpus sweep leaked cached RDDs: $leaked")
   }
 
   test("span dedup flags only the cross-doc repeated 8-token run") {
