@@ -180,6 +180,13 @@ class DriftMathSpec extends SparkSpec {
       assert(math.abs(q - ref) < 1e-12 || math.abs(q - ref) / ref < 1e-9,
         s"dof=${2 * k} x=$x: got $q want $ref")
     }
+    // thousand-dof inputs (a high-cardinality categorical column) must
+    // CONVERGE under the scaled iteration budget, near the known median:
+    // P[X > dof] -> 1/2 - O(1/sqrt(dof)) from below for large dof
+    for (dof <- Seq(1000L, 10000L)) {
+      val p = CategoricalDrift.chi2PValue(dof.toDouble, dof)
+      assert(p > 0.45 && p < 0.5, s"dof=$dof p=$p")
+    }
   }
 
   test("approx distinct-count sketch tracks the exact topk_entropy profile (bench surface)") {
