@@ -509,7 +509,7 @@ object CategoricalDrift {
     // both expansions need O(sqrt(a)) terms in the worst case (x near a);
     // a fixed cap would silently return an unconverged value for
     // thousand-dof inputs, so the budget scales and exhaustion THROWS
-    val itMax = 1000 + (10 * math.sqrt(a)).toInt
+    val itMax = math.min(1000L + (10 * math.sqrt(a)).toLong, Int.MaxValue.toLong).toInt
     if (x < a + 1.0) {
       var ap = a; var sum = 1.0 / a; var del = sum; var n = 0
       while (n < itMax && math.abs(del) > math.abs(sum) * 1e-15) {

@@ -88,7 +88,7 @@ object PcaAnomaly {
   // hash-match; GoldenDriftSpec pins this analytic form against the actual
   // ml pipeline (detect with maxComponents=2) to ~1e-6.
 
-  private[graft] val PcaCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+  private[drift] val PcaCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
   /** Unit eigenvector of the smallest eigenvalue of [[1,a,b],[a,1,c],[b,c,1]]
     * — written operation-for-operation like [[pcaAnomalySql]]'s eig CTEs so

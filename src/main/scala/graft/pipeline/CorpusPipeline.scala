@@ -16,6 +16,18 @@ import graft.drift.table
   * At 100 TB the artifact is a (2 longs)-per-doc parquet that any number
   * of downstream audits join by doc_id.
   */
+/** Collects the `Dataset.cache()` handles a sweep creates so they can be
+  * released through Spark's CacheManager (`df.unpersist()`), the route that
+  * actually removes the InMemoryRelation entry — unpersisting the
+  * underlying RDDs directly would leave a dead cached-plan entry that
+  * silently disables caching for those plans for the rest of the session. */
+final class CacheScope {
+  private val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
+  /** Cache `df` and remember the handle for [[release]]. */
+  private[graft] def cached(df: DataFrame): DataFrame = { frames += df; df.cache() }
+  def release(): Unit = frames.foreach(_.unpersist(blocking = false))
+}
+
 object CorpusPipeline {
 
   case class CorpusReport(
@@ -31,26 +43,42 @@ object CorpusPipeline {
     * Cache hygiene: the stages cache intermediate frames (gated docs, LM
     * scores) whose lifetime is this sweep — every output below is
     * materialized into the report, so the sweep releases its OWN cache
-    * entries on exit (pre-existing user caches are untouched; library
-    * calls must not leak corpus-sized frames into a long-lived session). */
+    * entries on exit via a [[CacheScope]] (Dataset-level unpersist keeps
+    * the CacheManager consistent; pre-existing user caches are untouched)
+    * and RDD-unpersists the localCheckpoint blocks the component rounds
+    * leave behind. Library calls must not leak corpus-sized frames into a
+    * long-lived session. */
   def run(spark: SparkSession, dir: String, workDir: String): CorpusReport = {
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
-    try runStages(spark, dir, workDir)
-    finally spark.sparkContext.getPersistentRDDs
-      .filterNot { case (id, _) => cachedBefore(id) }
-      .values.foreach(_.unpersist(blocking = false))
+    val checkpointsBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val scope = new CacheScope
+    try runStages(spark, dir, workDir, scope)
+    finally try {
+      scope.release()
+      // what remains new in getPersistentRDDs is localCheckpoint storage
+      // (propagateMinLabels rounds), which is NOT CacheManager-managed —
+      // RDD-level unpersist is the correct release there
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => checkpointsBefore(id) }
+        .values.foreach(_.unpersist(blocking = false))
+    } catch {
+      // cleanup best-effort: a dying SparkContext must not mask the
+      // original runStages failure
+      case _: Throwable => ()
+    }
   }
 
-  private def runStages(spark: SparkSession, dir: String, workDir: String): CorpusReport = {
+  private def runStages(spark: SparkSession, dir: String, workDir: String,
+      scope: CacheScope): CorpusReport = {
     // 1. gate funnel (lang -> quality -> exact dedup -> fuzzy dedup), per
     //    source; summed here for the corpus headline
-    val funnel = TextAnalysis.corpusPrepNeardup(spark, dir).collect()
+    val funnel = TextAnalysis.corpusPrepNeardup(spark, dir, Some(scope)).collect()
     def sumCol(c: String): Long = funnel.map(_.getAs[Long](c)).sum
 
     // 2. the artifact: corpus-wide clusters, computed once, written once
     val clustersPath = s"$workDir/neardup_clusters.parquet"
     Dedup.writeClusters(
-      Dedup.neardupComponents(table(spark, dir, "documents").select("doc_id", "text")),
+      Dedup.neardupComponents(table(spark, dir, "documents").select("doc_id", "text"),
+        scope = Some(scope)),
       clustersPath)
     val artifact = Dedup.readClusters(spark, clustersPath)
     val nClusters = artifact.filter(col("cluster_id") === col("doc_id")).count()
@@ -60,7 +88,7 @@ object CorpusPipeline {
       precomputed = Some(artifact)).collect()(0)
 
     // 4. quality sampling artifact: perplexity tercile buckets
-    val buckets = LmScore.lmPplBuckets(spark, dir).collect()
+    val buckets = LmScore.lmPplBuckets(spark, dir, scope = Some(scope)).collect()
       .groupBy(_.getAs[String]("bucket"))
       .map { case (b, rs) => b -> rs.map(_.getAs[Long]("n_docs")).sum }
 

@@ -203,19 +203,23 @@ object Dedup {
     * rows, never the O(Σ df²) all-co-shingled-pair stream LSH exists to
     * prune. Parameterized by docs frame ([[minhashLsh]] passes the full
     * `documents` table; the corpus-prep funnel passes its gate survivors). */
-  def minhashPairsOf(docs: DataFrame): DataFrame = {
+  def minhashPairsOf(docs: DataFrame,
+      scope: Option[CacheScope] = None): DataFrame = {
+    // a sweep-scoped caller (CorpusPipeline) registers the cached frames
+    // for CacheManager-consistent release; the plain query surface caches
+    // unscoped (Verify/Bench clear between queries)
+    def cached(df: DataFrame) = scope.fold(df.cache())(_.cached(df))
     // one cached shingle frame feeds signatures, sizes, and verification
     // (1 row per (doc, shingle) — bounded by the corpus token count)
-    val tri = shinglesOf(docs).cache()
+    val tri = cached(shinglesOf(docs))
     val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
       expr(s"MIN(($a * x + $b) % $MinhashPrime)").as(s"m$i")
     }
     // cached: the band self-join consumes the signatures on both sides;
     // tri's cache stops a re-scan but not a second 16-min aggregation
-    val sigs = tri
+    val sigs = cached(tri
       .select(col("doc_id"), expr(shingleCodeSpark).as("x"))
-      .groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .cache()
+      .groupBy("doc_id").agg(mins.head, mins.tail: _*))
     val nBands = NumHashes / BandRows
     val bandRows = (0 until nBands).map { bIdx =>
       val sig = (0 until BandRows).map(r => s"m${bIdx * BandRows + r}").mkString("concat_ws(',', ", ", ", ")")
@@ -298,9 +302,10 @@ object Dedup {
     * drop-in). The fixpoint (min label per component) is unique, so the
     * result is deterministic regardless of join order. */
   def neardupComponents(docs: DataFrame,
-      threshold: Double = JaccardThreshold): DataFrame =
+      threshold: Double = JaccardThreshold,
+      scope: Option[CacheScope] = None): DataFrame =
     propagateMinLabels(docs.select("doc_id"),
-      minhashPairsOf(docs).filter(col("jaccard") >= threshold)
+      minhashPairsOf(docs, scope).filter(col("jaccard") >= threshold)
         .select("doc_a", "doc_b"))
 
   /** The propagation core, separated from candidate generation so the

@@ -203,11 +203,13 @@ object LmScore {
       .when(col("ppl") <= t2, "middle")
       .otherwise("tail")
 
-  def lmPplBuckets(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+  def lmPplBuckets(spark: SparkSession, dir: String, approx: Boolean = false,
+      scope: Option[CacheScope] = None): DataFrame = {
     val docs = table(spark, dir, "documents")
-    val scored = scoreDocs(docs.select("doc_id", "source", "lang", "text"),
+    val scoredBare = scoreDocs(docs.select("doc_id", "source", "lang", "text"),
         carry = Seq("source"))
-      .select(col("doc_id"), col("source"), col("ppl")).cache()
+      .select(col("doc_id"), col("source"), col("ppl"))
+    val scored = scope.fold(scoredBare.cache())(_.cached(scoredBare))
     val (t1, t2) = pplTerciles(scored, approx)
     scored.withColumn("bucket", bucketExpr(t1, t2))
       .groupBy("source", "bucket").agg(

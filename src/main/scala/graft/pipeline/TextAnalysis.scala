@@ -262,13 +262,15 @@ object TextAnalysis {
     * [[Dedup.writeClusters]] artifact is not substitutable here; the
     * persist-and-reuse contract applies to whole-corpus consumers
     * ([[graft.pipeline.DataSplit.splitLeakageNeardup]]). */
-  def corpusPrepNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val gated = prepDocs(spark, dir).cache()
+  def corpusPrepNeardup(spark: SparkSession, dir: String,
+      scope: Option[CacheScope] = None): DataFrame = {
+    def cached(df: DataFrame) = scope.fold(df.cache())(_.cached(df))
+    val gated = cached(prepDocs(spark, dir))
     val surv = gated.filter(col("qual_ok")).select("doc_id", "source", "text")
     val canonIds = surv.groupBy(md5(col("text")).as("h"))
       .agg(min("doc_id").as("doc_id")).select("doc_id")
-    val cdocs = surv.join(canonIds, "doc_id").cache()
-    val labels = Dedup.neardupComponents(cdocs.select("doc_id", "text"))
+    val cdocs = cached(surv.join(canonIds, "doc_id"))
+    val labels = Dedup.neardupComponents(cdocs.select("doc_id", "text"), scope = scope)
     val kept = cdocs.join(labels, "doc_id")
       .filter(col("cluster_id") === col("doc_id"))
     val base = gated.groupBy("source").agg(

@@ -452,24 +452,27 @@ class PipelineSpec extends SparkSpec {
   test("corpus pipeline composes the funnel, artifact and audits consistently") {
     val dir = "/root/testdata/sf0.001"
     val work = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+    // the comparison audit runs FIRST: it is the plain query surface and
+    // caches its own frames outside the sweep's scope, so it must not sit
+    // between the leak snapshot and the run
+    val standalone = DataSplit.splitLeakageNeardup(spark, dir).collect()(0)
+    // snapshot BEFORE the run: Dataset-level release drops both the cached
+    // frames' storage and the localCheckpoint blocks, so no new persistent
+    // RDD id may survive the sweep
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val r = CorpusPipeline.run(spark, dir, work)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
+    assert(leaked.isEmpty, s"corpus sweep leaked cached RDDs: $leaked")
     // funnel is monotone and accounts for the whole corpus
     assert(r.nDocs == graft.drift.table(spark, dir, "documents").count())
     assert(r.nDocs >= r.nLangKept && r.nLangKept >= r.nQualityKept &&
       r.nQualityKept >= r.nDedupKept && r.nDedupKept >= r.nNeardupKept && r.nNeardupKept > 0)
     // the persisted artifact exists and matches the audit run standalone
     assert(new java.io.File(r.clustersPath).exists())
-    val standalone = DataSplit.splitLeakageNeardup(spark, dir).collect()(0)
     assert(r.nLeakyClusters == standalone.getAs[Long]("n_leaky_clusters"))
     assert(r.nLeakedDocs == standalone.getAs[Long]("n_leaked_docs"))
     // buckets partition the corpus
     assert(r.pplBuckets.values.sum == r.nDocs)
-    // and the sweep released every cache entry it created
-    val work2 = java.nio.file.Files.createTempDirectory("graft-pipeline2").toString
-    val before = spark.sparkContext.getPersistentRDDs.keySet
-    CorpusPipeline.run(spark, dir, work2)
-    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-    assert(leaked.isEmpty, s"corpus sweep leaked cached RDDs: $leaked")
   }
 
   test("span dedup flags only the cross-doc repeated 8-token run") {
