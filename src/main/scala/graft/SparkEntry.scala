@@ -65,6 +65,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame]("q1_pricing_summary" -> (q1 _)) ++
       NumericDrift.queries ++
+      DistanceDrift.queries ++
       CategoricalDrift.queries ++
       CorrelationDrift.queries ++
       GroupDrift.queries ++
@@ -81,7 +82,8 @@ object SparkEntry {
       LmScore.queries ++
       SpanDedup.queries ++
       DataSplit.queries ++
-      Multimodal.queries
+      Multimodal.queries ++
+      EmbeddingDrift.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -98,6 +100,10 @@ object SparkEntry {
       "type_inference" -> ((s, d) => TypeInference.typeInferenceQuery(s, d, approxDistinct = true)),
       "topk_entropy" -> ((s, d) => CategoricalDrift.topkEntropy(s, d, approx = true)),
       "lm_ppl_buckets" -> ((s, d) => LmScore.lmPplBuckets(s, d, approx = true)),
+      // the ECDF windows run on a grid-snapped frame (≤10k rows/column)
+      // instead of the raw distinct-value frame
+      "ks_test" -> ((s, d) => DistanceDrift.ksTest(s, d, approx = true)),
+      "wasserstein" -> ((s, d) => DistanceDrift.wasserstein(s, d, approx = true)),
       "numeric_drift" -> ((s, d) => NumericDrift.drift(s, d, approx = true)),
       "metric_audit" -> ((s, d) => NumericDrift.metricAudit(s, d, approx = true)),
       "numeric_drift_score" -> ((s, d) => NumericDrift.driftScore(s, d, approx = true)),
@@ -118,6 +124,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Map("q1_pricing_summary" -> q1Sql) ++
       NumericDrift.oracles ++
+      DistanceDrift.oracles ++
       CategoricalDrift.oracles ++
       CorrelationDrift.oracles ++
       GroupDrift.oracles ++
@@ -134,5 +141,6 @@ object SparkEntry {
       LmScore.oracles ++
       SpanDedup.oracles ++
       DataSplit.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++
+      EmbeddingDrift.oracles
 }

@@ -593,10 +593,53 @@ object Dedup {
       "FROM inter JOIN sz sa ON sa.source = source_a JOIN sz sb ON sb.source = source_b " +
       "ORDER BY source_a, source_b"
 
+  // ------------------------------------------------------ n-gram novelty
+
+  /** Shingle novelty of the current snapshot against the reference
+    * snapshot, per source (snapshot pair: `doc_id % 2 = 0` → ref, the
+    * FIXTURES.md §B idiom): what fraction of each feed's distinct trigram
+    * shingles was never seen in the reference corpus? High novelty means
+    * genuinely fresh text worth ingesting; ~0 means the feed re-serves
+    * content the corpus already has (the dedup pipeline will drop it —
+    * this query predicts that BEFORE paying for full dedup).
+    *
+    * Scale: one shingle pass, a distinct per side, and a left-anti join
+    * keyed on the shingle — the same shuffle key [[minhashLsh]] uses, no
+    * per-key fan-out at all (anti-join emits ≤ 1 row per probe row). The
+    * ref side's distinct-shingle set is corpus-vocabulary-sized, never
+    * row-count-sized. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents").select("doc_id", "source", "text")
+    val tri = shinglesOf(docs)
+    val refSet = tri.filter(pmod(col("doc_id"), lit(2)) === 0).select("sh").distinct()
+    val currSh = tri.filter(pmod(col("doc_id"), lit(2)) =!= 0)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("source", "sh").distinct()
+    currSh.join(refSet, Seq("sh"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_novel"))
+      .join(currSh.groupBy("source").agg(count(lit(1)).as("n_shingles")), Seq("source"), "right")
+      .select(col("source"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)) * lit(1.0) / col("n_shingles"), 6)
+          .as("novelty_rate"))
+      .orderBy("source")
+  }
+
+  def ngramNoveltySql: String =
+    s"WITH tri AS ($shinglesSql), " +
+      "refs AS (SELECT DISTINCT sh FROM tri WHERE doc_id % 2 = 0), " +
+      "cur AS (SELECT DISTINCT d.source, t.sh FROM tri t " +
+      "JOIN documents d ON d.doc_id = t.doc_id WHERE t.doc_id % 2 <> 0) " +
+      "SELECT source, COUNT(*) AS n_shingles, " +
+      "SUM(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel, " +
+      "ROUND(SUM(CASE WHEN r.sh IS NULL THEN 1 ELSE 0 END) * 1e0 / COUNT(*), 6) AS novelty_rate " +
+      "FROM cur LEFT JOIN refs r ON cur.sh = r.sh GROUP BY 1 ORDER BY 1"
+
   // ----------------------------------------------------------------- API
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "source_overlap" -> ((s, d) => sourceOverlap(s, d)),
+    "ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
     "ngram_jaccard" -> ((s, d) => ngramJaccard(s, d)),
     "ngram_jaccard_capped" -> ((s, d) => ngramJaccardCapped(s, d)),
@@ -608,6 +651,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "source_overlap" -> sourceOverlapSql,
+    "ngram_novelty" -> ngramNoveltySql,
     "dedup_exact" -> dedupExactSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "ngram_jaccard_capped" -> ngramJaccardCappedSql,

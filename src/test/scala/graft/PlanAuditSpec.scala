@@ -55,7 +55,8 @@ class PlanAuditSpec extends SparkSpec {
       Dedup.simhashPairs(spark, sf),
       Similarity.embedNeardup(spark, sf),
       Similarity.lshTopK(spark, sf),
-      Similarity.ivfTopK(spark, sf))
+      Similarity.ivfTopK(spark, sf),
+      Dedup.ngramNovelty(spark, sf))
     pairGens.foreach { df =>
       val plan = planOf(df)
       assert(!plan.contains("CartesianProduct"),
@@ -139,6 +140,30 @@ class PlanAuditSpec extends SparkSpec {
     // tercile/bucket stages must not introduce a shuffle join
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"bucket query shuffles the corpus for a model join:\n${plan.take(2000)}")
+  }
+
+  test("distance metrics join their per-column sums by broadcast only") {
+    // cramers_v: the (piv ⋈ sums) join must broadcast the per-column sums
+    // frame (≤ #columns rows), never sort-merge the value-counts side
+    val plan = planOf(graft.drift.DistanceDrift.cramersV(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("ECDF windows run on the post-aggregation distinct-value frame") {
+    // ks_test: the per-column window must consume the groupBy(column, x)
+    // counts, i.e. an aggregate sits between the scan and the Window node —
+    // a window over raw rows would sort the whole table per column
+    val plan = planOf(graft.drift.DistanceDrift.ksTest(spark, sf))
+    // the plan prints root-first, so "the window consumes the aggregate"
+    // reads as: Window ... HashAggregate ... Scan in string order
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, s"no window in ks plan:\n${plan.take(2000)}")
+    val scanIdx = plan.lastIndexOf("Scan parquet")
+    val aggBelowWin = plan.indexOf("HashAggregate", winIdx)
+    assert(aggBelowWin >= 0 && aggBelowWin < scanIdx,
+      s"window not fed by an aggregate (win@$winIdx agg@$aggBelowWin scan@$scanIdx):\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
