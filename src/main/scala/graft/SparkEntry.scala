@@ -66,6 +66,7 @@ object SparkEntry {
     Map[String, (SparkSession, String) => DataFrame]("q1_pricing_summary" -> (q1 _)) ++
       NumericDrift.queries ++
       DistanceDrift.queries ++
+      JsonDrift.queries ++
       CategoricalDrift.queries ++
       CorrelationDrift.queries ++
       GroupDrift.queries ++
@@ -83,7 +84,8 @@ object SparkEntry {
       SpanDedup.queries ++
       DataSplit.queries ++
       Multimodal.queries ++
-      EmbeddingDrift.queries
+      EmbeddingDrift.queries ++
+      Dsir.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -125,6 +127,7 @@ object SparkEntry {
     Map("q1_pricing_summary" -> q1Sql) ++
       NumericDrift.oracles ++
       DistanceDrift.oracles ++
+      JsonDrift.oracles ++
       CategoricalDrift.oracles ++
       CorrelationDrift.oracles ++
       GroupDrift.oracles ++
@@ -142,5 +145,6 @@ object SparkEntry {
       SpanDedup.oracles ++
       DataSplit.oracles ++
       Multimodal.oracles ++
-      EmbeddingDrift.oracles
+      EmbeddingDrift.oracles ++
+      Dsir.oracles
 }
