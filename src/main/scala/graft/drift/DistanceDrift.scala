@@ -341,6 +341,87 @@ object DistanceDrift {
       "FROM fin ORDER BY table_name, column_name"
   }
 
+  // ------------------------------------------- bounded f-divergence trio
+
+  /** Alert line for Hellinger distance — the conventional default in
+    * open-source drift monitors. */
+  val HellingerThreshold = 0.1
+
+  /** Total-variation / Hellinger / smoothed-KL per categorical column over
+    * the UNION support of the two sides' relative frequencies — the three
+    * bounded-or-floored f-divergences a drift service exposes next to JS
+    * and χ²:
+    *
+    *   - TVD = ½ Σ|p−q| — the worst-case probability-mass error, the
+    *     metric a downstream sampling ratio actually degrades by
+    *   - Hellinger = √(½ Σ(√p−√q)²) ∈ [0,1] — symmetric, square-root
+    *     sensitive to small-mass categories where TVD is linear
+    *   - KL(ref‖curr) floored at [[PsiEps]] per side (the same convention
+    *     [[psi]] uses), because the raw KL is infinite the moment one
+    *     category vanishes — the floor converts "vanished" into a large
+    *     finite penalty
+    *
+    * Same scale shape as [[cramersV]]: one stack + one map-side-combined
+    * groupBy per table; every later frame is category-cardinality-sized. */
+  def catDistances(spark: SparkSession, dir: String): DataFrame =
+    S.categorical.map { sp => catDistancesFromTagged(
+      withSide(table(spark, dir, sp.tableName), sp.ref), sp.cols, sp.tableName)
+    }.reduce(_ unionAll _).orderBy("table_name", "column_name")
+
+  def catDistancesForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
+      label: String = "pair"): DataFrame =
+    catDistancesFromTagged(NumericDrift.tagPair(ref, curr, cols), cols, label)
+      .orderBy("table_name", "column_name")
+
+  private def catDistancesFromTagged(tagged: DataFrame, cols: Seq[String],
+      label: String): DataFrame = {
+    val rows = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
+    val piv = tagged
+      .select(col("side"), expr(s"stack(${cols.size}, $rows) as (column_name, value)"))
+      .filter(col("value").isNotNull)
+      .groupBy("column_name", "value").agg(
+        sum(when(col("side") === "ref", 1L).otherwise(0L)).as("rc"),
+        sum(when(col("side") === "curr", 1L).otherwise(0L)).as("cc"))
+    val sums = piv.groupBy("column_name").agg(sum("rc").as("rs"), sum("cc").as("cs"))
+    piv.join(broadcast(sums), "column_name")
+      .withColumn("p", col("rc") * lit(1.0) / col("rs"))
+      .withColumn("q", col("cc") * lit(1.0) / col("cs"))
+      .groupBy("column_name").agg(
+        (sum(abs(col("p") - col("q"))) / 2).as("tvd_raw"),
+        sqrt(sum(pow(sqrt(col("p")) - sqrt(col("q")), 2)) / 2).as("hel_raw"),
+        sum(greatest(col("p"), lit(PsiEps)) *
+          log(greatest(col("p"), lit(PsiEps)) / greatest(col("q"), lit(PsiEps))))
+          .as("kl_raw"))
+      .select(lit(label).as("table_name"), col("column_name"),
+        r6(col("tvd_raw")).as("tvd"), r6(col("hel_raw")).as("hellinger"),
+        r6(col("kl_raw")).as("kl_ref_curr"),
+        (col("hel_raw") > HellingerThreshold).as("drifted"))
+  }
+
+  def catDistancesSql: String = {
+    val branches = S.categorical.flatMap(sp => sp.cols.map { c =>
+      s"SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, " +
+        s"CAST($c AS VARCHAR) AS value, " +
+        s"SUM(CASE WHEN ${sp.refSql} THEN 1 ELSE 0 END)::BIGINT AS rc, " +
+        s"SUM(CASE WHEN ${sp.refSql} THEN 0 ELSE 1 END)::BIGINT AS cc " +
+        s"FROM ${sp.tableName} WHERE $c IS NOT NULL GROUP BY 1, 2, 3"
+    }).mkString(" UNION ALL ")
+    s"WITH piv AS ($branches), sums AS (SELECT table_name, column_name, " +
+      "SUM(rc) AS rs, SUM(cc) AS cs FROM piv GROUP BY 1, 2), " +
+      "pq AS (SELECT p.table_name, p.column_name, " +
+      "p.rc * 1e0 / s.rs AS p, p.cc * 1e0 / s.cs AS q " +
+      "FROM piv p JOIN sums s ON p.table_name = s.table_name AND p.column_name = s.column_name), " +
+      "agg AS (SELECT table_name, column_name, " +
+      "SUM(ABS(p - q)) / 2 AS tvd_raw, " +
+      "SQRT(SUM(POW(SQRT(p) - SQRT(q), 2)) / 2) AS hel_raw, " +
+      s"SUM(GREATEST(p, $PsiEps) * LN(GREATEST(p, $PsiEps) / GREATEST(q, $PsiEps))) AS kl_raw " +
+      "FROM pq GROUP BY 1, 2) " +
+      "SELECT table_name, column_name, ROUND(tvd_raw, 6) AS tvd, " +
+      "ROUND(hel_raw, 6) AS hellinger, ROUND(kl_raw, 6) AS kl_ref_curr, " +
+      s"hel_raw > $HellingerThreshold AS drifted " +
+      "FROM agg ORDER BY table_name, column_name"
+  }
+
   // ----------------------------------------------------------------- API
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -348,6 +429,7 @@ object DistanceDrift {
     "ks_test" -> ((s, d) => ksTest(s, d)),
     "wasserstein" -> ((s, d) => wasserstein(s, d)),
     "cramers_v" -> ((s, d) => cramersV(s, d)),
+    "cat_distances" -> ((s, d) => catDistances(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -355,5 +437,6 @@ object DistanceDrift {
     "ks_test" -> ksTestSql,
     "wasserstein" -> wassersteinSql,
     "cramers_v" -> cramersVSql,
+    "cat_distances" -> catDistancesSql,
   )
 }

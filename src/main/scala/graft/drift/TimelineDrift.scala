@@ -94,11 +94,79 @@ object TimelineDrift {
       s"(abs(mean_value - prev_mean) / NULLIF(abs(prev_mean), 0e0) > $MeanShiftThreshold OR psi.psi > $PsiThreshold) END AS drift_detected " +
       "FROM dd LEFT JOIN psi ON dd.day = psi.day ORDER BY dd.day"
 
+  // ------------------------------------------------------ seasonality
+
+  /** Hour-of-day seasonality drift per event type — the "Temporal:
+    * seasonal pattern changes" surface the reference's architecture doc
+    * advertises but never implements
+    * (/root/reference/data_drift_detector_architecture.md:715-717,
+    * SURVEY.md §1.1): per event type, compare the ref and curr snapshots'
+    * hour-of-day mix (24-bin profile) by PSI (shares floored at
+    * [[PsiEpsilon]] like [[driftTimeline]]), plus each side's peak hour
+    * (deterministic tie-break: highest count, then lowest hour). A
+    * traffic pattern that moves from business-hours to overnight drifts
+    * here even when the type's total volume is flat.
+    *
+    * Scale shape: one corpus scan → (event_type, hour) map-side-combined
+    * partial agg; every later frame (rank windows, totals join, PSI) is
+    * types×24-sized. */
+  def seasonalityDrift(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = withSide(table(spark, dir, "events"), splits.eventsRef)
+      .select(col("side"), col("event_type"), hour(col("ts")).as("hr"))
+      .groupBy("event_type", "hr").agg(
+        sum(when(col("side") === "ref", 1L).otherwise(0L)).as("rc"),
+        sum(when(col("side") === "curr", 1L).otherwise(0L)).as("cc"))
+    val sums = cnt.groupBy("event_type").agg(sum("rc").as("rs"), sum("cc").as("cs"))
+    val wr = Window.partitionBy("event_type").orderBy(col("rc").desc, col("hr").asc)
+    val wc = Window.partitionBy("event_type").orderBy(col("cc").desc, col("hr").asc)
+    cnt
+      .withColumn("rkr", row_number().over(wr))
+      .withColumn("rkc", row_number().over(wc))
+      .join(broadcast(sums), "event_type")
+      .withColumn("pr", greatest(col("rc") * lit(1.0) / col("rs"), lit(PsiEpsilon)))
+      .withColumn("pc", greatest(col("cc") * lit(1.0) / col("cs"), lit(PsiEpsilon)))
+      .groupBy("event_type").agg(
+        max("rs").as("n_ref"), max("cs").as("n_curr"),
+        max(when(col("rkr") === 1, col("hr"))).as("ref_peak_hour"),
+        max(when(col("rkc") === 1, col("hr"))).as("curr_peak_hour"),
+        sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))).as("psi_raw"))
+      .select(col("event_type"), col("n_ref"), col("n_curr"),
+        col("ref_peak_hour"), col("curr_peak_hour"),
+        r6(col("psi_raw")).as("psi_hours"),
+        (col("psi_raw") > PsiThreshold).as("drifted"))
+      .orderBy("event_type")
+  }
+
+  def seasonalityDriftSql: String = {
+    val refSql = splits.eventsRefSql
+    "WITH cnt AS (SELECT event_type, hour(ts) AS hr, " +
+      s"SUM(CASE WHEN $refSql THEN 1 ELSE 0 END)::BIGINT AS rc, " +
+      s"SUM(CASE WHEN $refSql THEN 0 ELSE 1 END)::BIGINT AS cc " +
+      "FROM events GROUP BY 1, 2), " +
+      "sums AS (SELECT event_type, SUM(rc) AS rs, SUM(cc) AS cs FROM cnt GROUP BY 1), " +
+      "rk AS (SELECT *, " +
+      "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY rc DESC, hr ASC) AS rkr, " +
+      "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cc DESC, hr ASC) AS rkc FROM cnt), " +
+      "j AS (SELECT r.*, s.rs, s.cs, " +
+      s"GREATEST(r.rc * 1e0 / s.rs, $PsiEpsilon) AS pr, " +
+      s"GREATEST(r.cc * 1e0 / s.cs, $PsiEpsilon) AS pc " +
+      "FROM rk r JOIN sums s USING (event_type)), " +
+      "agg AS (SELECT event_type, MAX(rs)::BIGINT AS n_ref, MAX(cs)::BIGINT AS n_curr, " +
+      "MAX(CASE WHEN rkr = 1 THEN hr END) AS ref_peak_hour, " +
+      "MAX(CASE WHEN rkc = 1 THEN hr END) AS curr_peak_hour, " +
+      "SUM((pc - pr) * LN(pc / pr)) AS psi_raw FROM j GROUP BY 1) " +
+      "SELECT event_type, n_ref, n_curr, ref_peak_hour, curr_peak_hour, " +
+      "ROUND(psi_raw, 6) AS psi_hours, " +
+      s"psi_raw > $PsiThreshold AS drifted FROM agg ORDER BY event_type"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "drift_timeline" -> ((s, d) => driftTimeline(s, d)),
+    "seasonality_drift" -> ((s, d) => seasonalityDrift(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "drift_timeline" -> driftTimelineSql,
+    "seasonality_drift" -> seasonalityDriftSql,
   )
 }

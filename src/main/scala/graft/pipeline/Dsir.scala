@@ -88,11 +88,70 @@ object Dsir {
       "SELECT source, COUNT(*) AS n_docs, ROUND(AVG(doc_weight), 6) AS avg_weight " +
       "FROM docw GROUP BY 1 ORDER BY 1"
 
+  // -------------------------------------------------- vocabulary drift
+
+  /** JS-distance alert line — the reference's own `js_distance_threshold`
+    * default (/root/reference/config_generator.py:59-101). */
+  val JsThreshold = 0.1
+
+  /** Feed-level vocabulary divergence: Jensen-Shannon distance between
+    * each source's hashed-unigram bucket distribution and the whole
+    * corpus's — the monitoring complement of [[sourceWeights]] (DSIR
+    * scores documents against a trusted target; this flags which FEED's
+    * vocabulary walked away from the corpus norm, e.g. a crawl source
+    * that silently switched language or turned into boilerplate).
+    *
+    * The union-support JS sum folds the source-absent buckets into a
+    * closed form: for p=0 the pair term is q·log2(2q/q) = q, so
+    * JS = ½·Σ_present(p·log2(2p/(p+q)) + q·log2(2q/(p+q))) + ½·(1−Σ_present q)
+    * — no bucket×source cross join, the aggregation frame stays
+    * (source × present-buckets)-sized. Scale: one explode scan →
+    * (source, bucket) partial agg; the model-side joins are all
+    * broadcast ([[NumBuckets]]- and source-count-sized). */
+  def vocabDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val sb = tokenBuckets(spark, dir).groupBy("source", "bucket")
+      .agg(count(lit(1)).as("sc"))
+    val gb = sb.groupBy("bucket").agg(sum("sc").as("gc"))
+    val st = sb.groupBy("source").agg(sum("sc").as("ns"))
+    val tot = gb.agg(sum("gc").as("nn"))
+    sb.join(broadcast(gb), "bucket")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(tot))
+      .selectExpr("source", "ns",
+        "sc * 1e0 / ns AS p", "gc * 1e0 / nn AS q")
+      .groupBy("source").agg(
+        max("ns").as("n_tokens"), count(lit(1)).as("n_buckets"),
+        sum(expr("p * log2(2 * p / (p + q)) + q * log2(2 * q / (p + q))")).as("t1"),
+        sum("q").as("cov"))
+      .selectExpr("source", "n_tokens", "n_buckets",
+        "ROUND(SQRT(GREATEST(0.5 * t1 + 0.5 * (1 - cov), 0e0)), 6) AS js_distance",
+        s"SQRT(GREATEST(0.5 * t1 + 0.5 * (1 - cov), 0e0)) > $JsThreshold AS drifted")
+      .orderBy("source")
+  }
+
+  def vocabDivergenceSql: String =
+    s"WITH tok AS ($tokensSql), " +
+      "sb AS (SELECT source, bucket, COUNT(*) AS sc FROM tok GROUP BY 1, 2), " +
+      "gb AS (SELECT bucket, SUM(sc) AS gc FROM sb GROUP BY 1), " +
+      "st AS (SELECT source, SUM(sc) AS ns FROM sb GROUP BY 1), " +
+      "tot AS (SELECT SUM(gc) AS nn FROM gb), " +
+      "terms AS (SELECT s.source, t.ns, s.sc * 1e0 / t.ns AS p, g.gc * 1e0 / o.nn AS q " +
+      "FROM sb s JOIN gb g USING (bucket) JOIN st t USING (source), tot o), " +
+      "agg AS (SELECT source, MAX(ns)::BIGINT AS n_tokens, COUNT(*) AS n_buckets, " +
+      "SUM(p * log2(2 * p / (p + q)) + q * log2(2 * q / (p + q))) AS t1, " +
+      "SUM(q) AS cov FROM terms GROUP BY 1) " +
+      "SELECT source, n_tokens, n_buckets, " +
+      "ROUND(SQRT(GREATEST(0.5 * t1 + 0.5 * (1 - cov), 0e0)), 6) AS js_distance, " +
+      s"SQRT(GREATEST(0.5 * t1 + 0.5 * (1 - cov), 0e0)) > $JsThreshold AS drifted " +
+      "FROM agg ORDER BY source"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dsir_weights" -> ((s, d) => sourceWeights(s, d)),
+    "vocab_divergence" -> ((s, d) => vocabDivergence(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "dsir_weights" -> sourceWeightsSql,
+    "vocab_divergence" -> vocabDivergenceSql,
   )
 }

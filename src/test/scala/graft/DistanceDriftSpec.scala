@@ -152,6 +152,88 @@ class DistanceDriftSpec extends SparkSpec {
     assert(s.getAs[Long]("n_drifted_dims") == 0L)
   }
 
+  test("cat distances: hand-checked TVD/Hellinger/KL on a 2-category shift; identity is 0") {
+    // ref 90a/10b vs curr 50a/50b
+    val ref = (Seq.fill(90)("a") ++ Seq.fill(10)("b")).toDF("c")
+    val curr = (Seq.fill(50)("a") ++ Seq.fill(50)("b")).toDF("c")
+    val r = one(DistanceDrift.catDistancesForPair(ref, curr, Seq("c")))
+    assert(r.getAs[Double]("tvd") == 0.4)
+    val hel = math.sqrt((math.pow(math.sqrt(0.9) - math.sqrt(0.5), 2) +
+      math.pow(math.sqrt(0.1) - math.sqrt(0.5), 2)) / 2)
+    assert(math.abs(r.getAs[Double]("hellinger") - hel) < 1e-6)
+    val kl = 0.9 * math.log(0.9 / 0.5) + 0.1 * math.log(0.1 / 0.5)
+    assert(math.abs(r.getAs[Double]("kl_ref_curr") - kl) < 1e-6)
+    assert(r.getAs[Boolean]("drifted")) // hellinger 0.32 > 0.1
+
+    val same = one(DistanceDrift.catDistancesForPair(ref, ref, Seq("c")))
+    assert(same.getAs[Double]("tvd") == 0.0 && same.getAs[Double]("hellinger") == 0.0
+      && same.getAs[Double]("kl_ref_curr") == 0.0 && !same.getAs[Boolean]("drifted"))
+  }
+
+  test("cat distances: disjoint supports hit the TVD/Hellinger ceiling and keep KL finite") {
+    val a = Seq.fill(20)("only_ref").toDF("c")
+    val b = Seq.fill(20)("only_curr").toDF("c")
+    val r = one(DistanceDrift.catDistancesForPair(a, b, Seq("c")))
+    assert(r.getAs[Double]("tvd") == 1.0)
+    assert(r.getAs[Double]("hellinger") == 1.0)
+    val kl = r.getAs[Double]("kl_ref_curr")
+    assert(!kl.isInfinite && !kl.isNaN && kl > 1.0, s"floored KL must be a large finite penalty, got $kl")
+    assert(r.getAs[Boolean]("drifted"))
+  }
+
+  test("seasonality drift: an hour-profile move flags with the right peaks; a flat profile does not") {
+    import java.sql.Timestamp
+    // ref side < 2024-01-16, curr side after (drift.splits.eventsCutoff)
+    def ts(day: Int, hour: Int) = Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:30:00")
+    val rows =
+      // type "shift": ref all at hour 9, curr all at hour 21
+      (1 to 40).map(i => (ts(10, 9), "shift", 1.0)) ++
+        (1 to 40).map(i => (ts(20, 21), "shift", 1.0)) ++
+        // type "flat": same 9/21 mix on both sides
+        (1 to 20).flatMap(i => Seq((ts(10, 9), "flat", 1.0), (ts(10, 21), "flat", 1.0),
+          (ts(20, 9), "flat", 1.0), (ts(20, 21), "flat", 1.0)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-seasonality").toString
+    rows.toDF("ts", "event_type", "value").write.mode("overwrite")
+      .parquet(s"$dir/events.parquet")
+    val bySt = graft.drift.TimelineDrift.seasonalityDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(bySt("shift").getAs[Boolean]("drifted"), "9h->21h move must flag")
+    assert(bySt("shift").getAs[Int]("ref_peak_hour") == 9)
+    assert(bySt("shift").getAs[Int]("curr_peak_hour") == 21)
+    assert(!bySt("flat").getAs[Boolean]("drifted"), "unchanged profile must not flag")
+    assert(bySt("flat").getAs[Double]("psi_hours") == 0.0)
+    // deterministic tie-break: flat's 9/21 tie resolves to the lower hour on both sides
+    assert(bySt("flat").getAs[Int]("ref_peak_hour") == 9)
+    assert(bySt("flat").getAs[Int]("curr_peak_hour") == 9)
+  }
+
+  test("vocab divergence: a single-source corpus scores 0; a vocabulary fork is ranked and flagged") {
+    import graft.pipeline.Dsir
+    val solo = Seq((0L, "only", "alpha beta gamma delta")).toDF("doc_id", "source", "text")
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-vocab1").toString
+    solo.write.mode("overwrite").parquet(s"$dir1/documents.parquet")
+    val r1 = Dsir.vocabDivergence(spark, dir1).collect()(0)
+    // the lone source IS the corpus distribution
+    assert(r1.getAs[Double]("js_distance") == 0.0 && !r1.getAs[Boolean]("drifted"))
+
+    val docs = (
+      (0 until 20).map(i => (i.toLong, "src_norm_a", "alpha beta gamma delta epsilon")) ++
+        (20 until 40).map(i => (i.toLong, "src_norm_b", "alpha beta gamma delta epsilon")) ++
+        (40 until 60).map(i => (i.toLong, "src_forked", "zulu yankee xray whiskey victor"))
+      ).toDF("doc_id", "source", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-vocab2").toString
+    docs.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val by = Dsir.vocabDivergence(spark, dir2).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val (na, nb, fk) = (by("src_norm_a").getAs[Double]("js_distance"),
+      by("src_norm_b").getAs[Double]("js_distance"),
+      by("src_forked").getAs[Double]("js_distance"))
+    assert(na == nb, "identical-vocabulary sources must score identically")
+    assert(fk > na, "the forked vocabulary must diverge more than the norm")
+    assert(by("src_forked").getAs[Boolean]("drifted"))
+    Seq(na, nb, fk).foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
   test("ngram novelty: fresh text scores 1, re-served text scores 0") {
     val docs = Seq(
       // ref side (even ids) establishes the corpus vocabulary

@@ -108,6 +108,17 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3, plan.take(2000))
   }
 
+  test("vocab divergence joins its model frames by broadcast, never by shuffle") {
+    val plan = planOf(graft.pipeline.Dsir.vocabDivergence(spark, sf))
+    // the (source, bucket) frame must only meet the bucket-count /
+    // source-total / corpus-total model frames by broadcast: all three are
+    // configuration-sized (<=256 buckets, #sources, 1 row) and a shuffle
+    // join would re-partition the token-derived frame for them
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"vocab divergence shuffles for a model join:\n${plan.take(2000)}")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
   test("pca_anomaly scans only its three feature columns plus the split key") {
     val plan = planOf(graft.drift.PcaAnomaly.pcaAnomalyQuery(spark, sf))
     // the fitted eigenvector is a literal, so the error pass must be a bare
