@@ -85,7 +85,8 @@ object SparkEntry {
       DataSplit.queries ++
       Multimodal.queries ++
       EmbeddingDrift.queries ++
-      Dsir.queries
+      Dsir.queries ++
+      ScaleJoins.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -146,5 +147,6 @@ object SparkEntry {
       DataSplit.oracles ++
       Multimodal.oracles ++
       EmbeddingDrift.oracles ++
-      Dsir.oracles
+      Dsir.oracles ++
+      ScaleJoins.oracles
 }

@@ -134,6 +134,39 @@ object NumericDrift {
         "p01, p05, p25, p50, p75, p95, p99)"))
   }
 
+  // ------------------------------------------- profile-once, diff-many
+
+  /** Per-snapshot numeric profile — the persistable artifact of the
+    * whylogs/Deequ-style workflow: at 100 TB each snapshot is scanned
+    * ONCE on arrival (`approx = true`: every stat is a fixed-size
+    * mergeable sketch) and every later drift comparison runs
+    * profile-vs-profile on KB-sized frames, never rescanning raw data.
+    * Schema = exactly the per-column stat row the drift DAG consumes
+    * ([[driftFromProfiles]] is spec-pinned equal to [[driftForPair]],
+    * including through a parquet round-trip). */
+  def profileOf(df: DataFrame, cols: Seq[String], label: String = "snapshot",
+      approx: Boolean = false): DataFrame =
+    sideStatsFrom(df.select(cols.map(col): _*).withColumn("side", lit("p")),
+      label, cols, approx).drop("side")
+
+  def writeProfile(profile: DataFrame, path: String): Unit =
+    profile.coalesce(1).write.mode("overwrite").parquet(path)
+
+  def readProfile(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** O12 drift metrics from two precomputed [[profileOf]] frames. The
+    * profiles must carry the same `label` (table_name keys the pivot —
+    * a column present in only one profile is dropped, the same
+    * schema-drift rule [[pivotSides]] applies to live pairs). */
+  def driftFromProfiles(refProfile: DataFrame, currProfile: DataFrame): DataFrame =
+    pivotSides(refProfile.withColumn("side", lit("ref"))
+        .unionByName(currProfile.withColumn("side", lit("curr"))))
+      .selectExpr(driftStage1: _*)
+      .selectExpr(driftStage2: _*)
+      .selectExpr(driftStage3: _*)
+      .orderBy("table_name", "column_name")
+
   /** Tag + union two snapshots on their common requested columns. */
   private[drift] def tagPair(ref: DataFrame, curr: DataFrame, cols: Seq[String]): DataFrame =
     ref.select(cols.map(col): _*).withColumn("side", lit("ref"))

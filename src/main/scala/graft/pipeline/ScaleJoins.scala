@@ -2,6 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.drift.table
 
 /** Join strategies for the 100 TB posture: skew salting and bucketed
   * co-location. These are the two levers the drift/dedup operators reach
@@ -39,4 +40,84 @@ object ScaleJoins {
     b.write.mode("overwrite").bucketBy(buckets, key).sortBy(key).saveAsTable(bName)
     (aName, bName)
   }
+
+  // ------------------------------------------------------ skew diagnostic
+
+  /** A key is "hot" when its count exceeds this multiple of the mean. */
+  val HotKeyFactor = 10L
+
+  /** Per-key skew report — the measurement that tells you BEFORE a job
+    * whether a shuffle key needs [[saltedCount]]/AQE skew handling or can
+    * go through a plain groupBy/join: key cardinality, the heaviest key
+    * and its share, the max-to-mean skew factor, and the hot-key census
+    * (> [[HotKeyFactor]]× the mean). All ratios are formed from integer
+    * products with ONE final division (`max·k` vs `10·n`), so the skew
+    * verdict is exact and cross-engine stable — no float thresholding.
+    *
+    * Scale shape: one map-side-combined groupBy(key) per table; the top
+    * key is `orderBy.limit(1)` (TakeOrderedAndProject, no global sort)
+    * and the stats/hot passes run on the cardinality-sized counts frame
+    * with 1-row broadcasts — nothing driver-side grows with data. */
+  def keySkewOf(df: DataFrame, key: String, tableLabel: String): DataFrame = {
+    val cnt = df.filter(col(key).isNotNull)
+      .groupBy(col(key).cast("string").as("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .cache() // consumed by the stats agg, the top-1, and the hot census
+    val stats = cnt.agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"),
+      max("cnt").as("max_cnt"))
+    val top = cnt.orderBy(col("cnt").desc, col("k").asc).limit(1)
+      .select(col("k").as("top_key"))
+    val hot = cnt.crossJoin(broadcast(stats))
+      .filter(col("cnt") * col("n_keys") > lit(HotKeyFactor) * col("n_rows"))
+      .agg(count(lit(1)).as("hot_keys"))
+    stats.crossJoin(broadcast(top)).crossJoin(broadcast(hot))
+      .selectExpr(s"'$tableLabel' AS table_name", s"'$key' AS key_column",
+        "n_rows", "n_keys", "max_cnt AS max_count",
+        "ROUND(max_cnt * n_keys * 1e0 / n_rows, 6) AS skew_factor",
+        "top_key", "ROUND(max_cnt * 1e0 / n_rows, 6) AS top_share",
+        "hot_keys",
+        s"max_cnt * n_keys > $HotKeyFactor * n_rows AS skewed")
+  }
+
+  /** The shuffle keys the engine's own operators group or join on. */
+  private val skewTargets: Seq[(String, String)] = Seq(
+    "lineitem" -> "l_orderkey", "orders" -> "o_custkey",
+    "documents" -> "source", "events" -> "event_type")
+
+  def keySkew(spark: SparkSession, dir: String): DataFrame =
+    skewTargets.map { case (t, k) => keySkewOf(table(spark, dir, t), k, t) }
+      .reduce(_ unionAll _).orderBy("table_name", "key_column")
+
+  def keySkewSql: String = {
+    val blocks = skewTargets.zipWithIndex.map { case ((t, k), i) =>
+      val (c, s, tp, h) = (s"c$i", s"s$i", s"t$i", s"h$i")
+      val ctes =
+        s"$c AS (SELECT CAST($k AS VARCHAR) AS k, COUNT(*) AS cnt " +
+          s"FROM $t WHERE $k IS NOT NULL GROUP BY 1), " +
+          s"$s AS (SELECT SUM(cnt)::BIGINT AS n_rows, COUNT(*) AS n_keys, " +
+          s"MAX(cnt) AS max_cnt FROM $c), " +
+          s"$tp AS (SELECT k AS top_key FROM $c ORDER BY cnt DESC, k ASC LIMIT 1), " +
+          s"$h AS (SELECT COUNT(*) AS hot_keys FROM $c, $s " +
+          s"WHERE cnt * n_keys > $HotKeyFactor * n_rows)"
+      val sel =
+        s"SELECT '$t' AS table_name, '$k' AS key_column, n_rows, n_keys, " +
+          "max_cnt AS max_count, " +
+          "ROUND(max_cnt * n_keys * 1e0 / n_rows, 6) AS skew_factor, " +
+          "top_key, ROUND(max_cnt * 1e0 / n_rows, 6) AS top_share, hot_keys, " +
+          s"max_cnt * n_keys > $HotKeyFactor * n_rows AS skewed " +
+          s"FROM $s, $tp, $h"
+      (ctes, sel)
+    }
+    "WITH " + blocks.map(_._1).mkString(", ") +
+      " SELECT * FROM (" + blocks.map(_._2).mkString(" UNION ALL ") +
+      ") u ORDER BY table_name, key_column"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "key_skew" -> ((s, d) => keySkew(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "key_skew" -> keySkewSql,
+  )
 }

@@ -11,6 +11,35 @@ class DriftMathSpec extends SparkSpec {
   private def eval1(c: org.apache.spark.sql.Column): Any =
     Seq(1).toDF("x").select(c.as("r")).collect()(0).get(0)
 
+  test("profile-once-diff-many equals direct pair drift through a parquet round-trip") {
+    val rnd = new scala.util.Random(11)
+    val ref = Seq.fill(300)(rnd.nextGaussian() * 10 + 100).toDF("x")
+    val curr = Seq.fill(300)(rnd.nextGaussian() * 14 + 112).toDF("x")
+    val direct = NumericDrift.driftForPair(ref, curr, Seq("x"), label = "t").collect()
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-prof").toString
+    NumericDrift.writeProfile(NumericDrift.profileOf(ref, Seq("x"), "t"), s"$dir/ref")
+    NumericDrift.writeProfile(NumericDrift.profileOf(curr, Seq("x"), "t"), s"$dir/curr")
+    val via = NumericDrift.driftFromProfiles(
+      NumericDrift.readProfile(spark, s"$dir/ref"),
+      NumericDrift.readProfile(spark, s"$dir/curr")).collect()
+
+    assert(via.length == 1 && direct.length == 1)
+    val (d, v) = (direct(0), via(0))
+    assert(d.schema == v.schema)
+    d.schema.fieldNames.foreach { f =>
+      (d.getAs[Any](f), v.getAs[Any](f)) match {
+        case (a: Double, b: Double) => assert(math.abs(a - b) < 1e-9, s"$f: $a vs $b")
+        case (a, b) => assert(a == b, s"$f: $a vs $b")
+      }
+    }
+    // a column present in only one profile is dropped (schema-drift rule)
+    val extra = NumericDrift.profileOf(curr.withColumn("y", col("x") * 2), Seq("x", "y"), "t")
+    val rows = NumericDrift.driftFromProfiles(
+      NumericDrift.readProfile(spark, s"$dir/ref"), extra).collect()
+    assert(rows.map(_.getAs[String]("column_name")).toSeq == Seq("x"))
+  }
+
   test("relDiff zero-denominator rule (numerical_analyzer.py:214-219)") {
     assert(eval1(relDiff(lit(0.0), lit(0.0))) == 0.0)
     assert(eval1(relDiff(lit(0.0), lit(5.0))) == 1.0)

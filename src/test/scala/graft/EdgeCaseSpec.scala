@@ -242,6 +242,52 @@ class EdgeCaseSpec extends SparkSpec {
     assert(default == full)
   }
 
+  test("json drift: malformed docs stay in presence denominators, drop from keys; type change flags") {
+    import java.sql.Timestamp
+    val refTs = Timestamp.valueOf("2024-01-10 00:00:00") // < eventsCutoff
+    val curTs = Timestamp.valueOf("2024-01-20 00:00:00")
+    val rows = Seq(
+      (refTs, """{"a": 1}"""),
+      (refTs, """{"a": 2, "b": "x"}"""),
+      (refTs, "not json"), // null map -> no keys, but still a ref row
+      (refTs, null.asInstanceOf[String]),
+      (curTs, """{"a": "hello"}"""), // numeric -> string type change
+      (curTs, """{"b": "y"}""")
+    ).toDF("ts", "props")
+    val dir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val pd = JsonDrift.propsDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("key") -> r).toMap
+    assert(pd.keySet == Set("a", "b"))
+    assert(pd("a").getAs[Double]("ref_present_ratio") == 0.5) // 2 of 4 ref rows
+    assert(pd("a").getAs[Double]("curr_present_ratio") == 0.5) // 1 of 2 curr rows
+    assert(pd("a").getAs[Double]("ref_mean") == 1.5)
+    assert(pd("a").getAs[java.lang.Double]("curr_mean") == null) // non-numeric value
+    val tp = JsonDrift.typeProfile(spark, dir).collect()
+      .map(r => r.getAs[String]("key") -> r).toMap
+    assert(tp("a").getAs[String]("ref_type") == "numeric")
+    assert(tp("a").getAs[String]("curr_type") == "string")
+    assert(tp("a").getAs[Boolean]("type_changed"))
+    assert(!tp("b").getAs[Boolean]("type_changed"))
+  }
+
+  test("dsir weights stay finite (and negative) when the target feed is absent") {
+    import graft.pipeline.Dsir
+    // no "src0" rows at all: target counts are 0 in every bucket, only the
+    // add-0.5 smoothing keeps the log ratio defined
+    val docs = Seq((0L, "srcX", "alpha beta"), (1L, "srcY", "gamma delta"))
+      .toDF("doc_id", "source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsir").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dsir.sourceWeights(spark, dir).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val w = r.getAs[Double]("avg_weight")
+      assert(!w.isNaN && !w.isInfinite)
+      assert(w < 0.0, s"zero target mass must downweight every doc, got $w")
+    }
+  }
+
   test("sessionize handles a single-event user") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
     Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 42L, "t", 1.0, "{}"))

@@ -24,6 +24,31 @@ class ScaleJoinsSpec extends SparkSpec {
     assert(partials > 4, s"hot key only spread over $partials salts")
   }
 
+  test("key skew diagnostic: a planted hot key is flagged, uniform keys are not") {
+    val hot = (Seq.fill(990)("hot") ++ (0 until 10).map(i => s"k$i")).toDF("k")
+    val r = ScaleJoins.keySkewOf(hot, "k", "fixture").collect()(0)
+    assert(r.getAs[Long]("n_rows") == 1000L && r.getAs[Long]("n_keys") == 11L)
+    assert(r.getAs[String]("top_key") == "hot")
+    assert(r.getAs[Long]("max_count") == 990L)
+    assert(r.getAs[Long]("hot_keys") == 1L)
+    assert(r.getAs[Boolean]("skewed")) // 990·11 > 10·1000, integer-exact
+    assert(math.abs(r.getAs[Double]("skew_factor") - 990.0 * 11 / 1000) < 1e-6)
+
+    val uniform = (0 until 10).flatMap(i => Seq.fill(10)(s"k$i")).toDF("k")
+    val u = ScaleJoins.keySkewOf(uniform, "k", "fixture").collect()(0)
+    assert(u.getAs[Double]("skew_factor") == 1.0)
+    assert(u.getAs[Long]("hot_keys") == 0L)
+    assert(!u.getAs[Boolean]("skewed"))
+  }
+
+  test("key skew top-1 plans TakeOrderedAndProject, not a global sort") {
+    val df = Seq.tabulate(100)(i => s"k${i % 5}").toDF("k")
+    val plan = ScaleJoins.keySkewOf(df, "k", "fixture")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-key fell back to a global sort:\n${plan.take(2000)}")
+  }
+
   test("bucketed tables join without a shuffle exchange on the bucket key") {
     val a = Seq.tabulate(1000)(i => (i.toLong, s"a$i")).toDF("id", "pa")
     val b = Seq.tabulate(1000)(i => (i.toLong % 500, s"b$i")).toDF("id", "pb")
