@@ -127,6 +127,76 @@ class ParquetDirSource(root: String) extends SnapshotSource {
   }
 }
 
+/** Versioned parquet table with a commit manifest — the reference's Delta
+  * lifecycle (versioned write → `versionAsOf` / timestamp time travel →
+  * latest-version lookup, /root/reference/data_loader.py:24,56-59) on
+  * plain parquet, for deployments without Delta jars (this environment).
+  *
+  * Commit protocol (single writer): data lands in `<root>/_tmp_v<N>/`,
+  * is atomically renamed to `<root>/v<N>/`, and only then does the
+  * rewritten `_manifest` (one `<version>\t<commitMillis>` line per
+  * commit) replace the old one via atomic move. Readers resolve versions
+  * ONLY through the manifest, so a torn or in-flight write — a stray
+  * `v<N>` directory, a leftover `_tmp_v<N>` — is invisible until its
+  * manifest line lands, mirroring how a Delta log makes data files
+  * visible. `timestampAsOf` follows Delta's rule: the newest version
+  * committed at or before the requested instant. */
+class VersionedParquetTable(root: String) extends SnapshotSource {
+  private val manifestPath = java.nio.file.Paths.get(root, "_manifest")
+
+  /** (version, commitMillis) pairs, oldest first; empty for a new table. */
+  def history(): Seq[(Long, Long)] =
+    if (!java.nio.file.Files.exists(manifestPath)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(manifestPath).asScala.toSeq
+        .filter(_.nonEmpty).map { line =>
+          val Array(v, ts) = line.split('\t'); (v.toLong, ts.toLong)
+        }
+    }
+
+  def load(spark: SparkSession, version: Long): DataFrame = {
+    require(history().exists(_._1 == version),
+      s"version $version is not committed in $root (manifest has ${history().map(_._1).mkString(",")})")
+    val df = spark.read.parquet(s"$root/v$version").cache()
+    df.count() // eager materialization, as the reference does (data_loader.py:30-33)
+    df
+  }
+
+  def latestVersion(spark: SparkSession): Long = {
+    val h = history()
+    require(h.nonEmpty, s"no committed versions in $root")
+    h.map(_._1).max
+  }
+
+  /** Newest version committed at or before `tsMillis` (Delta's
+    * `timestampAsOf` rule). */
+  def versionAsOfTimestamp(tsMillis: Long): Long = {
+    val eligible = history().filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no version committed at or before $tsMillis in $root")
+    eligible.maxBy(_._2)._1
+  }
+
+  /** Write `df` as the next version; returns the new version number.
+    * `nowMillis` is injectable for deterministic tests. */
+  def commit(df: DataFrame, nowMillis: Long = System.currentTimeMillis()): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    Files.createDirectories(Paths.get(root))
+    val h = history()
+    val next = if (h.isEmpty) 0L else h.map(_._1).max + 1L
+    df.write.mode("overwrite").parquet(s"$root/_tmp_v$next")
+    Files.move(Paths.get(s"$root/_tmp_v$next"), Paths.get(s"$root/v$next"),
+      StandardCopyOption.ATOMIC_MOVE)
+    val tmpManifest = Paths.get(root, "_manifest.tmp")
+    val lines = (h :+ (next, nowMillis)).map { case (v, ts) => s"$v\t$ts" }
+    Files.writeString(tmpManifest, lines.mkString("\n") + "\n")
+    Files.move(tmpManifest, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+}
+
 /** Deterministic ≤n-row sample (O3, data_loader.py:67-90 — defined but
   * never wired in the reference, SURVEY.md §8.8; wired here for real). */
 object Sampling {

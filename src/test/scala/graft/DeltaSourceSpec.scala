@@ -23,4 +23,44 @@ class DeltaSourceSpec extends SparkSpec {
     val e = intercept[Exception](src.latestVersion(spark))
     assert(Option(e.getMessage).nonEmpty)
   }
+
+  test("VersionedParquetTable: commit/time-travel lifecycle on plain parquet") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vpt").toString + "/tbl"
+    val tbl = new VersionedParquetTable(root)
+
+    // three commits with injected clocks (the Delta-history analogue)
+    assert(tbl.commit(Seq(1, 2, 3).toDF("x"), nowMillis = 1000L) == 0L)
+    assert(tbl.commit(Seq(4, 5).toDF("x"), nowMillis = 2000L) == 1L)
+    assert(tbl.commit(Seq(6).toDF("x"), nowMillis = 3000L) == 2L)
+
+    assert(tbl.latestVersion(spark) == 2L)
+    assert(tbl.load(spark, 0).count() == 3L)
+    assert(tbl.load(spark, 1).count() == 2L)
+    assert(tbl.load(spark, 2).count() == 1L)
+
+    // timestampAsOf: newest version committed at or before the instant
+    assert(tbl.versionAsOfTimestamp(1000L) == 0L)
+    assert(tbl.versionAsOfTimestamp(2500L) == 1L)
+    assert(tbl.versionAsOfTimestamp(9999L) == 2L)
+    intercept[IllegalArgumentException](tbl.versionAsOfTimestamp(999L))
+  }
+
+  test("VersionedParquetTable: uncommitted directories stay invisible to readers") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vpt2").toString + "/tbl"
+    val tbl = new VersionedParquetTable(root)
+    tbl.commit(Seq(1).toDF("x"), nowMillis = 1000L)
+
+    // a torn write: data directory exists, manifest line never landed
+    Seq(9, 9).toDF("x").write.parquet(s"$root/v7")
+    Seq(8).toDF("x").write.parquet(s"$root/_tmp_v8")
+
+    assert(tbl.latestVersion(spark) == 0L, "stray v7 must not become visible")
+    val e = intercept[IllegalArgumentException](tbl.load(spark, 7))
+    assert(e.getMessage.contains("not committed"))
+    // the next commit skips past nothing — manifest, not listing, is truth
+    assert(tbl.commit(Seq(2).toDF("x"), nowMillis = 2000L) == 1L)
+    assert(tbl.history().map(_._1) == Seq(0L, 1L))
+  }
 }
