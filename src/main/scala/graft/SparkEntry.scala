@@ -86,7 +86,8 @@ object SparkEntry {
       Multimodal.queries ++
       EmbeddingDrift.queries ++
       Dsir.queries ++
-      ScaleJoins.queries
+      ScaleJoins.queries ++
+      Packing.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -148,5 +149,6 @@ object SparkEntry {
       Multimodal.oracles ++
       EmbeddingDrift.oracles ++
       Dsir.oracles ++
-      ScaleJoins.oracles
+      ScaleJoins.oracles ++
+      Packing.oracles
 }

@@ -177,6 +177,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("seq_pack's packing window is sharded, never a single global sort") {
+    // the running token sum must run PARTITION BY bucket — an empty window
+    // partitioning would funnel the whole corpus through one task (the
+    // exact failure mode the md5-shard design exists to avoid)
+    val plan = planOf(Packing.seqPack(spark, sf))
+    assert(plan.contains("hashpartitioning(bucket"),
+      s"packing window not hash-sharded on bucket:\n${plan.take(2000)}")
+    assert(!plan.contains("SinglePartition"),
+      s"packing plan routes through a single partition:\n${plan.take(2000)}")
+  }
+
+  test("chunk_stats stays closed-form: no Generate node, one agg over the scan") {
+    // the whole-corpus rollup must NOT explode a chunk row per document
+    // (that frame is ~1.3x the corpus at scale); doc_chunks is the only
+    // operator allowed a Generate, and it is sample-bounded
+    val plan = planOf(Packing.chunkStats(spark, sf))
+    assert(!plan.contains("Generate"),
+      s"chunk_stats materializes exploded chunks:\n${plan.take(2000)}")
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
     val plan = planOf(Dedup.dedupExact(spark, sf))
     // count + countDistinct over md5: the plan must partial-aggregate
