@@ -86,6 +86,51 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("streaming pack assignments replay the batch fold across micro-batches") {
+    import graft.streaming.StreamingPack
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // real corpus text through the stream, split into two micro-batches on
+    // doc_id — the bucket cursors must carry across the batch boundary
+    val docs = graft.drift.table(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val (b1, b2) = docs.partition(_._1 < docs(docs.length / 2)._1)
+    val input = MemoryStream[(Long, String)]
+    val out = StreamingPack.packStream(input.toDF().toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("pack_out")
+      .outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("pack_out").collect().map { r =>
+        r.getAs[Long]("doc_id") ->
+          (r.getAs[Long]("start_offset"), r.getAs[Long]("first_window"),
+            r.getAs[Long]("last_window"), r.getAs[Boolean]("crosses_boundary"))
+      }.toMap
+      // expected: an offline fold in the same order — per bucket, batch-1
+      // docs then batch-2 docs, doc_id-sorted within each (the split is on
+      // doc_id, so that is plain doc_id order per bucket)
+      val toks = graft.drift.table(spark, sf, "documents")
+        .selectExpr("doc_id",
+          s"size(regexp_extract_all(text, '${TextAnalysis.PretokenRegexSpark}', 0)) + 1L AS tok",
+          "substring(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 1) AS bucket")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(got.size === toks.length)
+      toks.groupBy(_._3).foreach { case (_, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).foreach { case (id, tok, _) =>
+          val exp = (cum, cum / W, (cum + tok - 1) / W, cum / W != (cum + tok - 1) / W)
+          assert(got(id) === exp, s"doc $id")
+          cum += tok
+        }
+      }
+    } finally q.stop()
+  }
+
   test("doc_chunks boundaries tile each sampled document exactly") {
     val byDoc = Packing.docChunks(spark, sf).collect()
       .groupBy(_.getAs[Long]("doc_id"))
