@@ -646,6 +646,37 @@ object TextAnalysis {
       s"SELECT source, rk, word, tf, tfidf FROM ranked WHERE rk <= $KeywordsPerSource " +
       "ORDER BY source, rk"
 
+  // ------------------------------------------------------------ bpe_pairs
+
+  /** Top adjacent pre-token pairs corpus-wide — the first merge-candidate
+    * table a BPE tokenizer trainer builds, and the signal a vocabulary
+    * refresh monitors (a new domain surfaces as novel high-frequency
+    * pairs). Honest cost: pair counting explodes one row per adjacent
+    * token pair — that IS the BPE training workload — but the pair column
+    * partial-aggregates map-side (hot pairs like "of the" collapse per
+    * task before the exchange) and the top-k is TakeOrderedAndProject, so
+    * the shuffle carries per-task distinct pairs, not corpus positions,
+    * and nothing global is sorted. */
+  val TopPairs = 50
+
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .selectExpr(s"regexp_extract_all(text, '$PretokenRegexSpark', 0) AS toks")
+      .filter("size(toks) >= 2")
+      // sequence(1, 0) DESCENDS in Spark — the filter above guards it
+      .selectExpr("explode(transform(sequence(1, size(toks) - 1), " +
+        "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))) AS pair")
+      .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .limit(TopPairs)
+
+  def bpePairsSql: String =
+    s"WITH t AS (SELECT regexp_extract_all(text, '$PretokenRegexDuck') AS toks FROM documents), " +
+      "p AS (SELECT unnest(list_transform(generate_series(1, len(toks) - 1), " +
+      "i -> toks[i] || ' ' || toks[i + 1])) AS pair FROM t WHERE len(toks) >= 2) " +
+      "SELECT pair, COUNT(*)::BIGINT AS n_occurrences FROM p GROUP BY 1 " +
+      s"ORDER BY n_occurrences DESC, pair ASC LIMIT $TopPairs"
+
   // ----------------------------------------------------------------- API
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -661,6 +692,7 @@ object TextAnalysis {
     "pii_scan" -> ((s, d) => piiScan(s, d)),
     "repetition_signals" -> ((s, d) => repetitionSignals(s, d)),
     "gopher_quality" -> ((s, d) => gopherQuality(s, d)),
+    "bpe_pairs" -> ((s, d) => bpePairs(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -676,5 +708,6 @@ object TextAnalysis {
     "pii_scan" -> piiScanSql,
     "repetition_signals" -> repetitionSignalsSql,
     "gopher_quality" -> gopherQualitySql,
+    "bpe_pairs" -> bpePairsSql,
   )
 }

@@ -198,6 +198,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(2000))
   }
 
+  test("bpe_pairs partial-aggregates the pair explosion and plans top-k") {
+    val plan = planOf(TextAnalysis.bpePairs(spark, sf))
+    // the exploded pair stream must collapse map-side before the exchange
+    // (hot pairs would otherwise ship one row per corpus position), and
+    // the top-50 must never be a global sort
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bpe_pairs top-k planned a global sort:\n${plan.take(2000)}")
+    val exchangeFirst = plan.indexOf("Exchange")
+    val aggBelow = plan.indexOf("HashAggregate", exchangeFirst)
+    assert(exchangeFirst >= 0 && aggBelow >= 0,
+      s"no partial aggregate under the pair exchange:\n${plan.take(2000)}")
+  }
+
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
     val plan = planOf(Dedup.dedupExact(spark, sf))
     // count + countDistinct over md5: the plan must partial-aggregate
