@@ -129,9 +129,14 @@ object ConfigReader {
   // ---------------------------------------------------------- config model
 
   /** One detection run as described by a config file: where the snapshots
-    * live + the [[DriftConfig]] driving the analyzers. */
+    * live + the [[DriftConfig]] driving the analyzers. `tableFormat`
+    * selects the [[graft.drift.SnapshotSource]]: `parquet_dir` (default,
+    * bare `v<N>/` directories), `versioned_parquet` (manifest-committed
+    * [[graft.drift.VersionedParquetTable]] time travel), or `delta` (on a
+    * Delta-enabled deployment). */
   case class DriftRun(tablePath: String, refVersion: Long, currVersion: Long,
-      outputTable: Option[String], config: DriftConfig)
+      outputTable: Option[String], config: DriftConfig,
+      tableFormat: String = "parquet_dir")
 
   /** Parse the ConfigGen / reference dialect. Unknown keys are ignored;
     * absent keys fall back to the same defaults the reference uses
@@ -168,7 +173,8 @@ object ConfigReader {
       refVersion = root("reference_version").numOr(0).toLong,
       currVersion = root("current_version").numOr(1).toLong,
       outputTable = root("output_table").strOpt,
-      config = config)
+      config = config,
+      tableFormat = root("table_format").strOpt.getOrElse("parquet_dir"))
   }
 
   def readFile(path: String): DriftRun =

@@ -260,9 +260,26 @@ class DriftDetector(spark: SparkSession) {
     detectDrift(ConfigReader.readFile(configPath))
 
   def detectDrift(run: ConfigReader.DriftRun): DriftReport = {
-    val source = new ParquetDirSource(run.tablePath)
-    val ref = source.load(spark, run.refVersion)
-    val curr = source.load(spark, run.currVersion)
+    val source = run.tableFormat match {
+      case "parquet_dir" => new ParquetDirSource(run.tablePath)
+      case "versioned_parquet" => new VersionedParquetTable(run.tablePath)
+      case "delta" => new DeltaSource(run.tablePath)
+      case other => throw new IllegalArgumentException(
+        s"unknown table_format '$other' (expected parquet_dir | versioned_parquet | delta)")
+    }
+    detectDrift(source, run.refVersion, run.currVersion, run)
+  }
+
+  /** Version-pair drift over any [[SnapshotSource]] — the reference's
+    * "compare version N against N−1 of the SAME table" flow
+    * (data_loader.py:24) with the source pluggable: a manifest-committed
+    * [[VersionedParquetTable]] here, Delta on a deployment that has it.
+    * Pass `currVersion = -1` to resolve the source's latest version (O2). */
+  def detectDrift(source: SnapshotSource, refVersion: Long, currVersion: Long,
+      run: ConfigReader.DriftRun): DriftReport = {
+    val currV = if (currVersion < 0) source.latestVersion(spark) else currVersion
+    val ref = source.load(spark, refVersion)
+    val curr = source.load(spark, currV)
     val report = detectDrift(ref, curr, run.config)
     run.outputTable.foreach(out => Results.writeResults(spark, report, out))
     report

@@ -46,6 +46,36 @@ class DeltaSourceSpec extends SparkSpec {
     intercept[IllegalArgumentException](tbl.versionAsOfTimestamp(999L))
   }
 
+  test("versioned_parquet table_format drives end-to-end version-pair drift") {
+    // the reference's whole flow — "drift between version N-1 and N of one
+    // table" (data_loader.py:24) — against the manifest-committed Delta
+    // stand-in, entered through a config file like the reference is
+    val root = java.nio.file.Files.createTempDirectory("graft-vpt3").toString + "/tbl"
+    val tbl = new VersionedParquetTable(root)
+    tbl.commit(SyntheticDrift.version(spark, 1, n = 4000), nowMillis = 1000L)
+    tbl.commit(SyntheticDrift.version(spark, 3, n = 4000), nowMillis = 2000L)
+
+    val cfg = java.nio.file.Files.createTempFile("graft-vpt-cfg", ".json")
+    java.nio.file.Files.writeString(cfg,
+      s"""{"table_path": "$root", "table_format": "versioned_parquet",
+         | "reference_version": 0, "current_version": 1,
+         | "profile": "standard", "sample_size": 0}""".stripMargin)
+    val report = new DriftDetector(spark).detectDrift(cfg.toString)
+    assert(report.numeric.exists(_.driftDetected),
+      "v0->v1 significant synthetic drift must be flagged through the versioned source")
+
+    // currVersion = -1 resolves latestVersion (O2) and matches the explicit run
+    val run = ConfigReader.readFile(cfg.toString)
+    val viaLatest = new DriftDetector(spark)
+      .detectDrift(new VersionedParquetTable(root), 0L, -1L, run)
+    assert(viaLatest.numeric.map(n => (n.column, n.driftScore)) ===
+      report.numeric.map(n => (n.column, n.driftScore)))
+
+    // unknown format fails loudly, not as a silent parquet_dir fallback
+    val bad = run.copy(tableFormat = "iceberg")
+    intercept[IllegalArgumentException](new DriftDetector(spark).detectDrift(bad))
+  }
+
   test("VersionedParquetTable: uncommitted directories stay invisible to readers") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-vpt2").toString + "/tbl"
