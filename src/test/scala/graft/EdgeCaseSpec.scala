@@ -115,6 +115,44 @@ class EdgeCaseSpec extends SparkSpec {
     assert(s1.getLong(4) <= s1.getLong(3)) // funnel is monotone
   }
 
+  test("packing operators survive empty text, giant docs, and an empty corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack").toString
+    Seq(
+      (0L, "", "en", "s1", 0L),                                  // empty text: 1 EOD token, 1 chunk of len 0
+      (25L, "x " * 3000, "en", "s1", 6000L),                     // giant doc: crosses windows, many chunks (sampled: 25 % 25 = 0)
+      (3L, "one small doc", "en", "s2", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+
+    val pack = graft.pipeline.Packing.seqPack(spark, dir).collect()
+    assert(pack.map(_.getAs[Long]("n_docs")).sum == 3L)
+    // the 3001-token giant must straddle at least one 2048 boundary
+    assert(pack.map(_.getAs[Long]("n_crossing")).sum >= 1L)
+
+    val buckets = graft.pipeline.Packing.lengthBuckets(spark, dir).collect()
+    assert(buckets.map(_.getAs[Long]("n_docs")).sum == 3L)
+    assert(buckets.map(_.getAs[Long]("n_truncated")).sum == 1L) // only the giant truncates
+
+    val chunks = graft.pipeline.Packing.docChunks(spark, dir).collect()
+    val byDoc = chunks.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc(0L).length == 1 && byDoc(0L).head.getAs[Long]("chunk_len") == 0L)
+    assert(byDoc(25L).length == (6000 - 512 + 383) / 384 + 1)
+
+    val stats = graft.pipeline.Packing.chunkStats(spark, dir).collect()
+    assert(stats.map(_.getAs[Long]("total_chunks")).sum ==
+      byDoc(0L).length + byDoc(25L).length + 1)
+
+    // empty corpus: every operator returns an empty frame, no exception
+    val empty = java.nio.file.Files.createTempDirectory("graft-pack0").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$empty/documents.parquet")
+    assert(graft.pipeline.Packing.seqPack(spark, empty).count() == 0L)
+    assert(graft.pipeline.Packing.lengthBuckets(spark, empty).count() == 0L)
+    assert(graft.pipeline.Packing.chunkStats(spark, empty).count() == 0L)
+    assert(graft.pipeline.TextAnalysis.bpePairs(spark, empty).count() == 0L)
+  }
+
   test("drift timeline flags the mean shift and the category swap, each once") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tl").toString
     def t(d: Int, h: Int) = java.sql.Timestamp.valueOf(f"2024-01-0$d $h%02d:00:00")
