@@ -66,6 +66,28 @@ object Packing {
 
   // ------------------------------------------------------------- seq_pack
 
+  /** The per-document placement a production packer materializes: which
+    * window each doc lands in and at what token offset, in the
+    * deterministic md5 order. This is the batch form of
+    * [[graft.streaming.StreamingPack.packStream]]'s output (same fold,
+    * md5 order instead of arrival order). One hash exchange on `bucket` +
+    * per-bucket sort — the same scale shape as [[seqPack]], which is an
+    * aggregation OVER this frame. */
+  def assignments(docs: DataFrame, windowTokens: Int = WindowTokens): DataFrame = {
+    val wt = windowTokens.toLong
+    val prepared = docs
+      .selectExpr("doc_id", s"$tokSpark AS tok", s"$hSpark AS h")
+      .selectExpr("doc_id", "tok", "h", "substring(h, 1, 1) AS bucket")
+    val w = Window.partitionBy("bucket").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prepared.withColumn("cum", sum("tok").over(w))
+      .selectExpr("doc_id", "bucket", "tok",
+        "cum - tok AS start_offset",
+        s"(cum - tok) DIV $wt AS first_window",
+        s"(cum - 1) DIV $wt AS last_window",
+        s"(cum - tok) DIV $wt <> (cum - 1) DIV $wt AS crosses_boundary")
+  }
+
   /** Concat-and-chunk packing stats per md5 shard: window count, last-window
     * fill, and how many documents straddle a window boundary (the packing
     * artifact that costs attention quality — worth monitoring per shard).

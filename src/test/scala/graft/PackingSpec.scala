@@ -86,6 +86,28 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("batch assignments tile each shard contiguously and aggregate to seq_pack") {
+    val docs = graft.drift.table(spark, sf, "documents")
+    val as = Packing.assignments(docs).collect()
+    // per bucket: offsets are a contiguous tiling — sorted by offset, each
+    // doc starts where the previous ended
+    as.groupBy(_.getAs[String]("bucket")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("start_offset"))
+      sorted.foldLeft(0L) { (expect, r) =>
+        assert(r.getAs[Long]("start_offset") === expect)
+        expect + r.getAs[Long]("tok")
+      }
+    }
+    // the stats query is exactly an aggregation of this frame
+    val statRows = Packing.seqPack(spark, sf).collect()
+      .map(r => r.getAs[String]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_crossing"))).toMap
+    as.groupBy(_.getAs[String]("bucket")).foreach { case (b, rows) =>
+      assert(statRows(b) === (rows.length.toLong,
+        rows.count(_.getAs[Boolean]("crosses_boundary")).toLong))
+    }
+  }
+
   test("streaming pack assignments replay the batch fold across micro-batches") {
     import graft.streaming.StreamingPack
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
