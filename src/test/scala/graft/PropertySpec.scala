@@ -129,6 +129,52 @@ object PropertySpec extends Properties("graft.drift") {
       }
     }
 
+  // ------------------------------------------------- packing formula model
+  // the SQL forms in Packing are closed-form arithmetic; these pin them
+  // against brute-force models on arbitrary inputs (the oracle pins
+  // cross-engine equality, not formula-vs-intent)
+
+  private val genToks: Gen[List[Long]] =
+    Gen.listOf(Gen.choose(1L, 5000L)).map(_.take(200))
+  private val W = graft.pipeline.Packing.WindowTokens.toLong
+
+  property("packing fold: conservation, window count, crossing flag") =
+    forAll(genToks) { toks =>
+      // the assignments fold (start = running cum), as in Packing/StreamingPack
+      val starts = toks.scanLeft(0L)(_ + _).init
+      val total = toks.sum
+      val spans = starts.zip(toks)
+      val crossOk = spans.forall { case (s, t) =>
+        val crosses = s / W != (s + t - 1) / W
+        // brute-force: does any multiple of W fall strictly inside the
+        // token span (s, s+t)? (for integer spans this is exactly the
+        // div-inequality the SQL uses)
+        val boundaryInside = ((s / W + 1) * W) < (s + t)
+        crosses == boundaryInside
+      }
+      val nWindows = (total + W - 1) / W
+      val maxLastOk = toks.isEmpty ||
+        nWindows == spans.map { case (s, t) => (s + t - 1) / W }.max + 1
+      org.scalacheck.Prop(crossOk && maxLastOk)
+    }
+
+  property("chunk count closed form equals iterative chunking") = {
+    val C = graft.pipeline.Packing.ChunkChars
+    val S = graft.pipeline.Packing.ChunkStride
+    forAll(Gen.choose(0L, 100000L)) { len =>
+      val closed = if (len <= C) 1L else (len - C + S - 1) / S + 1L
+      // brute force: emit chunks at 0, S, 2S, ... while the previous chunk
+      // did not already reach the end
+      var k = 1L
+      var lens = List(math.min(C.toLong, len))
+      while (k * S + 0 < len && (k - 1) * S + C < len) {
+        lens ::= math.min(C.toLong, len - k * S); k += 1
+      }
+      val closedChars = len + (closed - 1) * (C - S)
+      org.scalacheck.Prop(closed == k && closedChars == lens.sum)
+    }
+  }
+
   property("driver contract: every oracle key has a query and names align") = {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
