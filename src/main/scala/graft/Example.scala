@@ -69,7 +69,25 @@ object Example {
       println(s"  corpus_pipeline: ${rep.nDocs} docs -> ${rep.nNeardupKept} kept, " +
         s"${rep.nClusters} clusters, ${rep.nLeakedDocs} leaked across splits, " +
         s"ppl buckets ${rep.pplBuckets.toSeq.sortBy(_._1).map { case (b, n) => s"$b=$n" }.mkString(" ")}")
+      // packing: the curated corpus's context-window plan
+      val pack = graft.pipeline.Packing.seqPack(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.sum("n_windows"),
+          org.apache.spark.sql.functions.sum("n_crossing")).collect()(0)
+      println(s"  seq_pack: ${pack.getLong(0)} windows of " +
+        s"${graft.pipeline.Packing.WindowTokens} tokens, ${pack.getLong(1)} boundary-crossing docs")
     }
+
+    // versioned time travel driving the detector, as a config file would
+    // (table_format = versioned_parquet)
+    val tblRoot = java.nio.file.Files.createTempDirectory("graft-vpt-demo").toString + "/tbl"
+    val tbl = new VersionedParquetTable(tblRoot)
+    tbl.commit(v1); tbl.commit(v3)
+    val run = ConfigReader.read(
+      s"""{"table_path": "$tblRoot", "table_format": "versioned_parquet",
+         | "reference_version": 0, "current_version": -1, "sample_size": 0}""".stripMargin)
+    val vr = detector.detectDrift(new VersionedParquetTable(tblRoot), 0L, -1L, run)
+    println(s"== versioned table v0 -> latest ==")
+    println(s"  drift_detected: ${vr.driftDetected} (via manifest-committed time travel)")
     spark.stop()
   }
 }
