@@ -677,6 +677,91 @@ object TextAnalysis {
       "SELECT pair, COUNT(*)::BIGINT AS n_occurrences FROM p GROUP BY 1 " +
       s"ORDER BY n_occurrences DESC, pair ASC LIMIT $TopPairs"
 
+  // -------------------------------------------------- tokenizer_fertility
+
+  /** Per-language tokenizer fertility — BPE-ish subword tokens per
+    * whitespace word, and chars per subword token. THE metric for "does
+    * this tokenizer fit this language": high fertility = the vocabulary
+    * fragments the language (CJK under a Latin-trained BPE), directly
+    * inflating training cost per unit text. One partial-agg scan. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("size(split(text, '\\\\s+'))")).as("ws_tokens"),
+        sum(expr(s"size(regexp_extract_all(text, '$PretokenRegexSpark', 0))")).as("pretokens"),
+        sum(expr("CAST(length(text) AS BIGINT)")).as("n_chars"))
+      .selectExpr("lang", "n_docs", "ws_tokens", "pretokens", "n_chars",
+        "ROUND(pretokens * 1e0 / ws_tokens, 6) AS fertility",
+        "ROUND(n_chars * 1e0 / pretokens, 6) AS chars_per_token")
+      .orderBy("lang")
+
+  def tokenizerFertilitySql: String =
+    "SELECT lang, COUNT(*)::BIGINT AS n_docs, " +
+      "SUM(len(regexp_split_to_array(text, '\\s+')))::BIGINT AS ws_tokens, " +
+      s"SUM(len(regexp_extract_all(text, '$PretokenRegexDuck')))::BIGINT AS pretokens, " +
+      "SUM(length(text))::BIGINT AS n_chars, " +
+      s"ROUND(SUM(len(regexp_extract_all(text, '$PretokenRegexDuck'))) * 1e0 / " +
+      "SUM(len(regexp_split_to_array(text, '\\s+'))), 6) AS fertility, " +
+      s"ROUND(SUM(length(text)) * 1e0 / SUM(len(regexp_extract_all(text, '$PretokenRegexDuck'))), 6) AS chars_per_token " +
+      "FROM documents GROUP BY 1 ORDER BY 1"
+
+  // -------------------------------------------------- quality_classifier
+
+  /** Linear quality classifier (the fasttext-style gate of CCNet-descended
+    * pipelines) with FIXED literal weights over four cheap text features:
+    * English-stopword ratio, digit ratio, log doc length, and distance of
+    * mean word length from English's ~5 chars. Score = sigmoid(w·x),
+    * gate at 0.5. The weights are plan literals (a deployment drops in its
+    * trained ones); the whole stage is one stateless projection + one
+    * partial-agg rollup — zero joins, zero extra shuffles, the cheapest
+    * possible gate at 100 TB. */
+  val QcStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val stops = QcStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    table(spark, dir, "documents")
+      .selectExpr("source",
+        "split(text, '\\\\s+') AS toks",
+        // greatest(.,1): an empty doc scores as a 1-char doc instead of
+        // tripping ANSI divide-by-zero (split('') still yields one token)
+        "GREATEST(CAST(length(text) AS DOUBLE), 1e0) AS n_chars",
+        "CAST(length(regexp_replace(text, '[0-9]', '')) AS DOUBLE) AS non_digit")
+      .selectExpr("source",
+        "size(toks) AS n_ws",
+        s"size(filter(toks, t -> t IN $stops)) * 1e0 / size(toks) AS stop_ratio",
+        "(n_chars - LEAST(non_digit, n_chars)) / n_chars AS digit_ratio",
+        "n_chars")
+      .selectExpr("source",
+        "1e0 / (1e0 + EXP(-(-1.2e0 + 6e0 * stop_ratio - 0.8e0 * digit_ratio " +
+          "+ 0.35e0 * LN(1e0 + n_ws) - 0.15e0 * ABS(n_chars / n_ws - 5e0)))) AS score")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= 0.5, 1L).otherwise(0L)).as("n_kept"),
+        avg("score").as("mean_score_raw"))
+      .selectExpr("source", "n_docs", "n_kept",
+        "ROUND(n_kept * 1e0 / n_docs, 6) AS keep_rate",
+        "ROUND(mean_score_raw, 6) AS mean_score")
+      .orderBy("source")
+  }
+
+  def qualityClassifierSql: String = {
+    val stops = QcStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+    "WITH f AS (SELECT source, regexp_split_to_array(text, '\\s+') AS toks, " +
+      "GREATEST(length(text)::DOUBLE, 1e0) AS n_chars, " +
+      "length(regexp_replace(text, '[0-9]', '', 'g'))::DOUBLE AS non_digit FROM documents), " +
+      "g AS (SELECT source, len(toks) AS n_ws, " +
+      s"len(list_filter(toks, t -> t IN $stops)) * 1e0 / len(toks) AS stop_ratio, " +
+      "(n_chars - LEAST(non_digit, n_chars)) / n_chars AS digit_ratio, n_chars FROM f), " +
+      "s AS (SELECT source, 1e0 / (1e0 + EXP(-(-1.2e0 + 6e0 * stop_ratio - 0.8e0 * digit_ratio " +
+      "+ 0.35e0 * LN(1e0 + n_ws) - 0.15e0 * ABS(n_chars / n_ws - 5e0)))) AS score FROM g) " +
+      "SELECT source, COUNT(*)::BIGINT AS n_docs, " +
+      "SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_kept, " +
+      "ROUND(SUM(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) * 1e0 / COUNT(*), 6) AS keep_rate, " +
+      "ROUND(AVG(score), 6) AS mean_score " +
+      "FROM s GROUP BY 1 ORDER BY 1"
+  }
+
   // ----------------------------------------------------------------- API
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -693,6 +778,8 @@ object TextAnalysis {
     "repetition_signals" -> ((s, d) => repetitionSignals(s, d)),
     "gopher_quality" -> ((s, d) => gopherQuality(s, d)),
     "bpe_pairs" -> ((s, d) => bpePairs(s, d)),
+    "tokenizer_fertility" -> ((s, d) => tokenizerFertility(s, d)),
+    "quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -709,5 +796,7 @@ object TextAnalysis {
     "repetition_signals" -> repetitionSignalsSql,
     "gopher_quality" -> gopherQualitySql,
     "bpe_pairs" -> bpePairsSql,
+    "tokenizer_fertility" -> tokenizerFertilitySql,
+    "quality_classifier" -> qualityClassifierSql,
   )
 }
