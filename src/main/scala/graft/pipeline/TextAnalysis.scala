@@ -706,6 +706,74 @@ object TextAnalysis {
       s"ROUND(SUM(length(text)) * 1e0 / SUM(len(regexp_extract_all(text, '$PretokenRegexDuck'))), 6) AS chars_per_token " +
       "FROM documents GROUP BY 1 ORDER BY 1"
 
+  // ------------------------------------------------------ length_anomaly
+
+  /** Which sources' document-length profiles are anomalous: two-sample KS
+    * of each source's token-length distribution against the REST of the
+    * corpus (source-vs-rest, so one bloated crawl dump can't hide inside
+    * the "all" it is compared to). The corpus is touched ONCE — a
+    * (source, len) partial-agg scan — and every downstream frame is
+    * cardinality-sized: distinct lens × sources for the ECDF grid, with
+    * the per-source cumsum window partitioned by source. The one
+    * unpartitioned window (the corpus ECDF) runs on the distinct-len
+    * frame, bounded by max doc length, not corpus size. */
+  def lengthAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lens = table(spark, dir, "documents")
+      .selectExpr("source", "size(split(text, '\\\\s+')) AS len")
+      .groupBy("source", "len").agg(count(lit(1)).as("c"))
+    val bySource = lens.groupBy("source").agg(sum("c").as("n_s"))
+    val grid = lens.select("len").distinct()
+      .crossJoin(broadcast(bySource.select("source")))
+    val joined = grid.join(lens, Seq("source", "len"), "left")
+      .na.fill(0L, Seq("c"))
+    val wS = Window.partitionBy("source").orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("len")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val allCum = lens.groupBy("len").agg(sum("c").as("c_all"))
+      .withColumn("cum_all", sum("c_all").over(wAll)).select("len", "cum_all")
+    val total = bySource.agg(sum("n_s").as("n"))
+    joined.withColumn("cum_s", sum("c").over(wS))
+      .join(broadcast(allCum), "len")
+      .join(broadcast(bySource), "source")
+      .crossJoin(broadcast(total))
+      .selectExpr("source", "n_s", "n",
+        "ABS(cum_s * 1e0 / n_s - (cum_all - cum_s) * 1e0 / (n - n_s)) AS d")
+      .groupBy("source").agg(
+        first("n_s").as("n_s"), first("n").as("n"), max("d").as("ks_raw"))
+      .selectExpr("source", "n_s",
+        "ROUND(ks_raw, 6) AS ks_stat",
+        "ROUND(1.358e0 * SQRT(n * 1e0 / (n_s * (n - n_s))), 6) AS ks_crit",
+        "ks_raw > 1.358e0 * SQRT(n * 1e0 / (n_s * (n - n_s))) AS anomalous")
+      .orderBy("source")
+  }
+
+  def lengthAnomalySql: String =
+    "WITH lens AS (SELECT source, len(regexp_split_to_array(text, '\\s+')) AS len, " +
+      "COUNT(*) AS c FROM documents GROUP BY 1, 2), " +
+      "bysrc AS (SELECT source, SUM(c)::BIGINT AS n_s FROM lens GROUP BY 1), " +
+      "tot AS (SELECT SUM(n_s)::BIGINT AS n FROM bysrc), " +
+      "grid AS (SELECT s.source, l.len FROM (SELECT DISTINCT len FROM lens) l, " +
+      "(SELECT source FROM bysrc) s), " +
+      "joined AS (SELECT g.source, g.len, COALESCE(lens.c, 0) AS c " +
+      "FROM grid g LEFT JOIN lens ON g.source = lens.source AND g.len = lens.len), " +
+      "cums AS (SELECT source, len, SUM(c) OVER (PARTITION BY source ORDER BY len " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s FROM joined), " +
+      "allc AS (SELECT len, SUM(c_all) OVER (ORDER BY len " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all FROM " +
+      "(SELECT len, SUM(c) AS c_all FROM lens GROUP BY 1) x), " +
+      "d AS (SELECT c.source, n_s, n, " +
+      "ABS(cum_s * 1e0 / n_s - (cum_all - cum_s) * 1e0 / (n - n_s)) AS d " +
+      "FROM cums c JOIN allc ON c.len = allc.len " +
+      "JOIN bysrc ON c.source = bysrc.source CROSS JOIN tot), " +
+      "agg AS (SELECT source, MAX(n_s) AS n_s, MAX(n) AS n, MAX(d) AS ks_raw " +
+      "FROM d GROUP BY 1) " +
+      "SELECT source, n_s, ROUND(ks_raw, 6) AS ks_stat, " +
+      "ROUND(1.358e0 * SQRT(n * 1e0 / (n_s * (n - n_s))), 6) AS ks_crit, " +
+      "ks_raw > 1.358e0 * SQRT(n * 1e0 / (n_s * (n - n_s))) AS anomalous " +
+      "FROM agg ORDER BY source"
+
   // -------------------------------------------------- quality_classifier
 
   /** Linear quality classifier (the fasttext-style gate of CCNet-descended
@@ -780,6 +848,7 @@ object TextAnalysis {
     "bpe_pairs" -> ((s, d) => bpePairs(s, d)),
     "tokenizer_fertility" -> ((s, d) => tokenizerFertility(s, d)),
     "quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
+    "length_anomaly" -> ((s, d) => lengthAnomaly(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -798,5 +867,6 @@ object TextAnalysis {
     "bpe_pairs" -> bpePairsSql,
     "tokenizer_fertility" -> tokenizerFertilitySql,
     "quality_classifier" -> qualityClassifierSql,
+    "length_anomaly" -> lengthAnomalySql,
   )
 }
