@@ -211,6 +211,17 @@ class PlanAuditSpec extends SparkSpec {
       s"no partial aggregate under the pair exchange:\n${plan.take(2000)}")
   }
 
+  test("length_anomaly keeps every post-agg join broadcast-sized") {
+    // the ECDF grid/cumsum frames are cardinality-sized (distinct lens x
+    // sources); none of their joins may fall back to a sort-merge over a
+    // corpus-sized side
+    val plan = planOf(TextAnalysis.lengthAnomaly(spark, sf))
+    assert(!plan.contains("SortMergeJoin"),
+      s"length_anomaly planned a sort-merge join:\n${plan.take(2000)}")
+    assert(plan.contains("hashpartitioning(source"),
+      s"per-source ECDF window not partitioned by source:\n${plan.take(2000)}")
+  }
+
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
     val plan = planOf(Dedup.dedupExact(spark, sf))
     // count + countDistinct over md5: the plan must partial-aggregate
