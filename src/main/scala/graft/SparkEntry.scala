@@ -87,7 +87,8 @@ object SparkEntry {
       EmbeddingDrift.queries ++
       Dsir.queries ++
       ScaleJoins.queries ++
-      Packing.queries
+      Packing.queries ++
+      Layout.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -150,5 +151,6 @@ object SparkEntry {
       EmbeddingDrift.oracles ++
       Dsir.oracles ++
       ScaleJoins.oracles ++
-      Packing.oracles
+      Packing.oracles ++
+      Layout.oracles
 }

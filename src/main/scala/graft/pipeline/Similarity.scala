@@ -439,12 +439,84 @@ object Similarity {
       "FROM coh JOIN cn ON coh.label = cn.label JOIN sep ON coh.label = sep.label " +
       "ORDER BY coh.label"
 
+  // ------------------------------------------------ corpus topic clustering
+
+  /** Per-cell corpus profile over the IVF coarse quantizer — the
+    * topic-clustering view of the corpus (reference has no clustering
+    * surface at all; this is the monitoring artifact a training-data
+    * curator reads to see what the corpus is MADE of): every vector is
+    * assigned to its nearest coarse centroid exactly as [[ivfTopK]]
+    * assigns it, then each cell reports its size, COHESION (mean cosine
+    * of members to the cell centroid — a diffuse junk cell scores low, a
+    * near-duplicate clump scores ≈1) and the dominant ground-truth label
+    * with its PURITY share (how well unsupervised cells recover labels).
+    *
+    * Scale shape: one broadcast of K centroids × one corpus scan for the
+    * assignment (embarrassingly parallel, no shuffle on raw vectors), then
+    * every downstream frame is cell- or (cell,label)-cardinality — at
+    * 100 TB the only corpus-sized pass is the scan. Centroids are the
+    * prefix-stable `vec_id < K` set ([[ivfTopK]]'s documented deviation)
+    * so the DuckDB twin replays the identical assignment; for k-means-
+    * trained centroids swap in [[kmeansIvfTopK]]'s model upstream of the
+    * same profile aggregation. */
+  def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
+    val emb = withNorm(table(spark, dir, "embeddings"), "c")
+    val cells = cellsForCorpus(table(spark, dir, "embeddings").count())
+    val cents = withNorm(
+      table(spark, dir, "embeddings").filter(col("vec_id") < cells), "t")
+      .select(col("t_id").as("cent_id"), col("t_v"), col("t_n"))
+    // sim rounded BEFORE the argmax so both engines break ties identically
+    val assign = emb.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        round(vecDot(col("c_v"), col("t_v")) / expr("NULLIF(c_n * t_n, 0)"), 6))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("c_id").orderBy(col("sim").desc, col("cent_id").asc)))
+      .filter(col("ark") === 1)
+      .select(col("c_id").as("vec_id"), col("cent_id").as("cell"), col("sim"))
+    val labeled = assign.join(
+      table(spark, dir, "embeddings").select("vec_id", "label"), "vec_id")
+    val cellAgg = labeled.groupBy("cell").agg(
+      count(lit(1)).as("n_vecs"),
+      round(avg("sim"), 6).as("cohesion"))
+    val topLabel = labeled.groupBy("cell", "label").agg(count(lit(1)).as("n"))
+      .withColumn("lrk", row_number().over(
+        Window.partitionBy("cell").orderBy(col("n").desc, col("label").asc)))
+      .filter(col("lrk") === 1)
+      .select(col("cell"), col("label").as("top_label"), col("n").as("top_n"))
+    cellAgg.join(topLabel, "cell")
+      .select(col("cell"), col("n_vecs"), col("cohesion"), col("top_label"),
+        round(col("top_n") * lit(1.0) / col("n_vecs"), 6).as("purity"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB mirror of [[clusterProfile]] — same data-adaptive K arithmetic
+    * and prefix-stable centroid set as [[ivfTopKSql]]. */
+  def clusterProfileSql: String =
+    "WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+      s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
+      s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
+      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM v, cells_t WHERE vec_id < cells), " +
+      "assign AS (SELECT vec_id, label, cell, sim FROM (SELECT v.vec_id, v.label, c.cent_id AS cell, " +
+      "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) AS sim, " +
+      "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
+      "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) DESC, c.cent_id ASC) AS ark " +
+      "FROM v, cents c) a WHERE ark = 1), " +
+      "ca AS (SELECT cell, COUNT(*) AS n_vecs, ROUND(AVG(sim), 6) AS cohesion FROM assign GROUP BY 1), " +
+      "lc AS (SELECT cell, label AS top_label, n AS top_n FROM (SELECT cell, label, COUNT(*) AS n, " +
+      "ROW_NUMBER() OVER (PARTITION BY cell ORDER BY COUNT(*) DESC, label ASC) AS lrk " +
+      "FROM assign GROUP BY cell, label) x WHERE lrk = 1) " +
+      "SELECT ca.cell, ca.n_vecs, ca.cohesion, lc.top_label, " +
+      "ROUND(lc.top_n * 1e0 / ca.n_vecs, 6) AS purity " +
+      "FROM ca JOIN lc ON ca.cell = lc.cell ORDER BY ca.cell"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_cohesion" -> ((s, d) => embeddingCohesion(s, d)),
     "ann_cosine" -> ((s, d) => annCosine(s, d)),
     "embed_neardup" -> ((s, d) => embedNeardup(s, d)),
     "ann_lsh" -> ((s, d) => lshTopK(s, d)),
     "ann_ivf" -> ((s, d) => ivfTopK(s, d)),
+    "cluster_profile" -> ((s, d) => clusterProfile(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -453,5 +525,6 @@ object Similarity {
     "embed_neardup" -> embedNeardupSql,
     "ann_lsh" -> lshTopKSql(),
     "ann_ivf" -> ivfTopKSql(),
+    "cluster_profile" -> clusterProfileSql,
   )
 }

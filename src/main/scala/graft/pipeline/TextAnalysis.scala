@@ -409,6 +409,74 @@ object TextAnalysis {
       "FROM r JOIN sizes s ON s.source = r.source CROSS JOIN t " +
       "GROUP BY 1, 2 ORDER BY 1"
 
+  // ------------------------------------------------- mixture planning
+
+  /** Target language mixture for [[corpusMixture]] (literal contract —
+    * rendered into BOTH engines' plans): the shares a training run wants,
+    * independent of what the crawl happens to contain. Languages absent
+    * from the map get weight 0 (dropped from the mix). */
+  val MixtureWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.30, "zh" -> 0.20, "de" -> 0.20, "es" -> 0.15, "fr" -> 0.15)
+
+  /** Token budget as a fraction of the corpus total. */
+  val MixtureBudgetFrac = 0.5
+
+  /** `WHEN lang = 'xx' THEN w` ladder; `e0` suffix forces DOUBLE in both
+    * engines (a bare `0.3` parses as DECIMAL in Spark SQL and DuckDB). */
+  private def mixtureWeightCase(langCol: String): String =
+    "CASE " + MixtureWeights.map { case (l, w) =>
+      s"WHEN $langCol = '$l' THEN ${w}e0" }.mkString(" ") + " ELSE 0e0 END"
+
+  /** Training-mixture allocation — the planning step between a curated
+    * corpus and a training run (the Pile / DoReMi-style recipe: fix target
+    * language shares, fit them to a token budget): per language, available
+    * tokens vs `budget x weight` target, the deterministic per-doc sampling
+    * rate that hits the target, the epoch count (>1 = the language must be
+    * repeated/oversampled to fill its share — the low-resource case), and
+    * the single-epoch planned token yield. Downstream, the rate feeds the
+    * same hash-threshold coin [[balancedMix]] uses, so the plan IS
+    * executable without a sort.
+    *
+    * Scale shape: ONE corpus scan into a lang-cardinality partial agg;
+    * every later frame is languages-sized. The weight ladder and budget
+    * fraction are plan literals replayed verbatim by the DuckDB twin. */
+  def corpusMixture(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = table(spark, dir, "documents")
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("size(split(text, '\\\\s+'))")).cast("long").as("tokens_avail"))
+    val total = perLang.agg(sum("tokens_avail").as("total_tokens"))
+    perLang.crossJoin(broadcast(total))
+      .withColumn("weight", expr(mixtureWeightCase("lang")))
+      .withColumn("budget",
+        expr(s"CAST(FLOOR(total_tokens * ${MixtureBudgetFrac}e0) AS BIGINT)"))
+      .withColumn("target_tokens", expr("CAST(FLOOR(budget * weight) AS BIGINT)"))
+      .selectExpr("lang", "n_docs", "tokens_avail", "weight", "target_tokens",
+        "ROUND(LEAST(1e0, target_tokens * 1e0 / tokens_avail), 6) AS sampling_rate",
+        "ROUND(target_tokens * 1e0 / tokens_avail, 6) AS epochs",
+        "LEAST(target_tokens, tokens_avail) AS planned_tokens",
+        "CASE WHEN weight = 0e0 THEN 'drop' WHEN target_tokens > tokens_avail " +
+          "THEN 'oversample' ELSE 'downsample' END AS action")
+      .orderBy("lang")
+  }
+
+  def corpusMixtureSql: String =
+    "WITH pl AS (SELECT lang, COUNT(*) AS n_docs, " +
+      "SUM(len(regexp_split_to_array(text, '\\s+')))::BIGINT AS tokens_avail " +
+      "FROM documents GROUP BY 1), " +
+      "t AS (SELECT SUM(tokens_avail)::BIGINT AS total_tokens FROM pl), " +
+      s"m AS (SELECT pl.*, ${mixtureWeightCase("lang")} AS weight, " +
+      s"CAST(FLOOR(total_tokens * ${MixtureBudgetFrac}e0) AS BIGINT) AS budget " +
+      "FROM pl CROSS JOIN t), " +
+      "m2 AS (SELECT *, CAST(FLOOR(budget * weight) AS BIGINT) AS target_tokens FROM m) " +
+      "SELECT lang, n_docs, tokens_avail, weight, target_tokens, " +
+      "ROUND(LEAST(1e0, target_tokens * 1e0 / tokens_avail), 6) AS sampling_rate, " +
+      "ROUND(target_tokens * 1e0 / tokens_avail, 6) AS epochs, " +
+      "LEAST(target_tokens, tokens_avail) AS planned_tokens, " +
+      "CASE WHEN weight = 0e0 THEN 'drop' WHEN target_tokens > tokens_avail " +
+      "THEN 'oversample' ELSE 'downsample' END AS action " +
+      "FROM m2 ORDER BY lang"
+
   // ------------------------------------------------- repetition signals
 
   /** Word-level n-gram expression: the i-th n-gram of `toks` for i in
@@ -849,6 +917,7 @@ object TextAnalysis {
     "tokenizer_fertility" -> ((s, d) => tokenizerFertility(s, d)),
     "quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
     "length_anomaly" -> ((s, d) => lengthAnomaly(s, d)),
+    "corpus_mixture" -> ((s, d) => corpusMixture(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -868,5 +937,6 @@ object TextAnalysis {
     "tokenizer_fertility" -> tokenizerFertilitySql,
     "quality_classifier" -> qualityClassifierSql,
     "length_anomaly" -> lengthAnomalySql,
+    "corpus_mixture" -> corpusMixtureSql,
   )
 }
