@@ -88,7 +88,8 @@ object SparkEntry {
       Dsir.queries ++
       ScaleJoins.queries ++
       Packing.queries ++
-      Layout.queries
+      Layout.queries ++
+      EntityResolution.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -152,5 +153,6 @@ object SparkEntry {
       Dsir.oracles ++
       ScaleJoins.oracles ++
       Packing.oracles ++
-      Layout.oracles
+      Layout.oracles ++
+      EntityResolution.oracles
 }

@@ -203,19 +203,19 @@ object Dedup {
     * rows, never the O(Σ df²) all-co-shingled-pair stream LSH exists to
     * prune. Parameterized by docs frame ([[minhashLsh]] passes the full
     * `documents` table; the corpus-prep funnel passes its gate survivors). */
-  def minhashPairsOf(docs: DataFrame,
-      scope: Option[CacheScope] = None): DataFrame = {
-    // a sweep-scoped caller (CorpusPipeline) registers the cached frames
-    // for CacheManager-consistent release; the plain query surface caches
-    // unscoped (Verify/Bench clear between queries)
-    def cached(df: DataFrame) = scope.fold(df.cache())(_.cached(df))
+  /** Shared LSH scaffolding: the cached shingle frame plus the per-doc
+    * (band, sig) rows derived from one 16-min signature aggregation.
+    * Consumed by [[minhashPairsOf]] (self-join) and
+    * [[incrementalDedup]] (batch-vs-corpus join). */
+  private def triAndBands(docs: DataFrame,
+      cached: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     // one cached shingle frame feeds signatures, sizes, and verification
     // (1 row per (doc, shingle) — bounded by the corpus token count)
     val tri = cached(shinglesOf(docs))
     val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
       expr(s"MIN(($a * x + $b) % $MinhashPrime)").as(s"m$i")
     }
-    // cached: the band self-join consumes the signatures on both sides;
+    // cached: the band join consumes the signatures on both sides;
     // tri's cache stops a re-scan but not a second 16-min aggregation
     val sigs = cached(tri
       .select(col("doc_id"), expr(shingleCodeSpark).as("x"))
@@ -225,8 +225,16 @@ object Dedup {
       val sig = (0 until BandRows).map(r => s"m${bIdx * BandRows + r}").mkString("concat_ws(',', ", ", ", ")")
       s"$bIdx, $sig"
     }.mkString(", ")
-    val bands = sigs
-      .select(col("doc_id"), expr(s"stack($nBands, $bandRows) as (band, sig)"))
+    (tri, sigs.select(col("doc_id"), expr(s"stack($nBands, $bandRows) as (band, sig)")))
+  }
+
+  def minhashPairsOf(docs: DataFrame,
+      scope: Option[CacheScope] = None): DataFrame = {
+    // a sweep-scoped caller (CorpusPipeline) registers the cached frames
+    // for CacheManager-consistent release; the plain query surface caches
+    // unscoped (Verify/Bench clear between queries)
+    def cached(df: DataFrame) = scope.fold(df.cache())(_.cached(df))
+    val (tri, bands) = triAndBands(docs, cached)
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -277,6 +285,108 @@ object Dedup {
   def minhashLshSql: String =
     s"WITH ${minhashPairsCtes("documents")} " +
       "SELECT doc_a, doc_b, n_shared_bands, jaccard FROM nd_pairs ORDER BY doc_a, doc_b"
+
+  // ------------------------------------------- incremental (delta) dedup
+
+  /** Incremental dedup — the daily-ingest contract: a NEW BATCH of
+    * documents (here: the max-`source` feed, a deterministic stand-in for
+    * "today's crawl") is deduplicated AGAINST the already-accepted corpus,
+    * never corpus-against-itself. Two gates, mirroring the full pipeline's
+    * exact→fuzzy funnel: md5 text identity against the corpus hash set,
+    * then MinHash band collision verified at [[JaccardThreshold]] exact
+    * Jaccard. Output is the one-row ingest report: batch/corpus sizes,
+    * drops per gate, survivors and their id checksum (so the oracle pins
+    * the exact kept set, not just its size).
+    *
+    * Scale shape: the band join is batch-bands × corpus-bands — an
+    * equi-join whose left side is increment-sized, so daily cost is
+    * O(batch + collisions), NOT O(corpus²); verification touches only
+    * candidate pairs' shingles (the [[minhashPairsOf]] discipline). A
+    * production deployment persists the corpus signature/band frame the
+    * way [[writeClusters]] persists clusters and re-reads it per
+    * increment (this query recomputes it because the testdata corpus
+    * arrives in one parquet dir); within-batch duplicates are the
+    * ordinary [[dedupe]] pass's job, not the increment gate's. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val bsrc = docs.agg(max("source").as("batch_source"))
+    val tagged = docs.select("doc_id", "text", "source")
+      .crossJoin(broadcast(bsrc))
+      .withColumn("is_batch", col("source") === col("batch_source"))
+      .cache()
+    val batchIds = tagged.filter(col("is_batch")).select("doc_id")
+    val corpusIds = tagged.filter(!col("is_batch")).select("doc_id")
+    // gate 1: exact text identity vs the corpus hash set
+    val exactDup = tagged.filter(col("is_batch"))
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .join(tagged.filter(!col("is_batch")).select(md5(col("text")).as("h")).distinct(),
+        Seq("h"), "left_semi")
+      .select("doc_id")
+    // gate 2: LSH band collision, exact-Jaccard verified, exact dups excluded
+    val (tri, bands) = triAndBands(docs, _.cache())
+    val cands = bands.join(batchIds, "doc_id").as("a")
+      .join(bands.join(corpusIds, "doc_id").as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .groupBy(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = cands.select("batch_doc", "corpus_doc")
+      .join(tri.as("a"), col("batch_doc") === col("a.doc_id"))
+      .join(tri.as("b"), col("corpus_doc") === col("b.doc_id") && col("a.sh") === col("b.sh"))
+      .groupBy("batch_doc", "corpus_doc").agg(count(lit(1)).as("i"))
+    val nearDup = cands.join(inter, Seq("batch_doc", "corpus_doc"))
+      .join(sz.withColumnRenamed("doc_id", "batch_doc").withColumnRenamed("n", "na"), "batch_doc")
+      .join(sz.withColumnRenamed("doc_id", "corpus_doc").withColumnRenamed("n", "nb"), "corpus_doc")
+      .filter(expr(s"ROUND(i * 1e0 / (na + nb - i), 6) >= $JaccardThreshold"))
+      .select(col("batch_doc").as("doc_id")).distinct()
+      .join(exactDup, Seq("doc_id"), "left_anti")
+    val kept = batchIds
+      .join(exactDup, Seq("doc_id"), "left_anti")
+      .join(nearDup, Seq("doc_id"), "left_anti")
+    bsrc
+      .crossJoin(batchIds.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(corpusIds.agg(count(lit(1)).as("n_corpus")))
+      .crossJoin(exactDup.agg(count(lit(1)).as("n_exact_dup")))
+      .crossJoin(nearDup.agg(count(lit(1)).as("n_near_dup")))
+      .crossJoin(kept.agg(count(lit(1)).as("n_kept"),
+        coalesce(sum("doc_id"), lit(0L)).as("kept_id_sum")))
+      .select("batch_source", "n_batch", "n_corpus", "n_exact_dup",
+        "n_near_dup", "n_kept", "kept_id_sum")
+  }
+
+  def incrementalDedupSql: String =
+    "WITH bsrc AS (SELECT MAX(source) AS batch_source FROM documents), " +
+      "d AS (SELECT doc_id, text, source, source = batch_source AS is_batch " +
+      "FROM documents CROSS JOIN bsrc), " +
+      "exact_dup AS (SELECT DISTINCT b.doc_id FROM " +
+      "(SELECT doc_id, md5(text) AS h FROM d WHERE is_batch) b " +
+      "JOIN (SELECT DISTINCT md5(text) AS h FROM d WHERE NOT is_batch) c USING (h)), " +
+      // reuses tri/sigs/bands/sz from the shared CTE chain; its full-corpus
+      // cands/inter/nd_pairs CTEs go unreferenced and DuckDB never runs them
+      s"${minhashPairsCtes("documents")}, " +
+      "bb AS (SELECT bands.* FROM bands JOIN d USING (doc_id) WHERE is_batch), " +
+      "cb AS (SELECT bands.* FROM bands JOIN d USING (doc_id) WHERE NOT is_batch), " +
+      "xc AS (SELECT a.doc_id AS batch_doc, b.doc_id AS corpus_doc " +
+      "FROM bb a JOIN cb b ON a.band = b.band AND a.sig = b.sig GROUP BY 1, 2), " +
+      "xi AS (SELECT c.batch_doc, c.corpus_doc, COUNT(*) AS i FROM xc c " +
+      "JOIN tri a ON a.doc_id = c.batch_doc " +
+      "JOIN tri b ON b.doc_id = c.corpus_doc AND b.sh = a.sh GROUP BY 1, 2), " +
+      "near_dup AS (SELECT DISTINCT c.batch_doc AS doc_id FROM xc c " +
+      "JOIN xi ON xi.batch_doc = c.batch_doc AND xi.corpus_doc = c.corpus_doc " +
+      "JOIN sz sa ON sa.doc_id = c.batch_doc JOIN sz sb ON sb.doc_id = c.corpus_doc " +
+      s"WHERE ROUND(xi.i * 1e0 / (sa.n + sb.n - xi.i), 6) >= $JaccardThreshold " +
+      "AND c.batch_doc NOT IN (SELECT doc_id FROM exact_dup)), " +
+      "kept AS (SELECT doc_id FROM d WHERE is_batch " +
+      "AND doc_id NOT IN (SELECT doc_id FROM exact_dup) " +
+      "AND doc_id NOT IN (SELECT doc_id FROM near_dup)) " +
+      "SELECT batch_source, " +
+      "(SELECT COUNT(*) FROM d WHERE is_batch)::BIGINT AS n_batch, " +
+      "(SELECT COUNT(*) FROM d WHERE NOT is_batch)::BIGINT AS n_corpus, " +
+      "(SELECT COUNT(*) FROM exact_dup)::BIGINT AS n_exact_dup, " +
+      "(SELECT COUNT(*) FROM near_dup)::BIGINT AS n_near_dup, " +
+      "(SELECT COUNT(*) FROM kept)::BIGINT AS n_kept, " +
+      "(SELECT COALESCE(SUM(doc_id), 0) FROM kept)::BIGINT AS kept_id_sum " +
+      "FROM bsrc"
 
   // ----------------------------------- near-dup connected components (CC)
 
@@ -647,6 +757,7 @@ object Dedup {
     "neardup_clusters" -> ((s, d) => neardupClusters(s, d)),
     "decontamination" -> ((s, d) => decontamination(s, d)),
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
+    "incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -659,5 +770,6 @@ object Dedup {
     "neardup_clusters" -> neardupClustersSql,
     "decontamination" -> decontaminationSql,
     "simhash_pairs" -> simhashPairsSql,
+    "incremental_dedup" -> incrementalDedupSql,
   )
 }

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline._
+
+/** Semantics of the round-6 curation/layout operators: mixture planning,
+  * z-order pruning stats, cluster profiling, entity resolution, and the
+  * incremental-ingest dedup gate. Planted fixtures pin the closed-form
+  * arithmetic; sf0.001 runs pin the invariants on real tables. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------ corpus_mixture
+
+  /** Known token counts: en 4×10, zh 1×10, fr 1×2, xx 1×10 (unweighted).
+    * total=62 → budget=31; targets floor(31·w): en 9, zh 6, fr 4, xx 0. */
+  private lazy val mixtureDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mixture").toString
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val rows =
+      (0 until 4).map(i => (i.toLong, words(10), "en")) ++
+        Seq((10L, words(10), "zh"), (11L, words(2), "fr"), (12L, words(10), "xx"))
+    rows.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("corpus_mixture allocates the token budget by the literal weights") {
+    val rows = TextAnalysis.corpusMixture(spark, mixtureDir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(rows.keySet == Set("en", "zh", "fr", "xx"))
+    val en = rows("en")
+    assert(en.getAs[Long]("tokens_avail") == 40L)
+    assert(en.getAs[Long]("target_tokens") == 9L)
+    assert(en.getAs[Double]("sampling_rate") == 0.225)
+    assert(en.getAs[String]("action") == "downsample")
+    val zh = rows("zh")
+    assert(zh.getAs[Long]("target_tokens") == 6L)
+    assert(zh.getAs[Double]("sampling_rate") == 0.6)
+    // fr's share exceeds its 2 available tokens → repeat the language
+    val fr = rows("fr")
+    assert(fr.getAs[Long]("target_tokens") == 4L)
+    assert(fr.getAs[String]("action") == "oversample")
+    assert(fr.getAs[Double]("epochs") == 2.0)
+    assert(fr.getAs[Double]("sampling_rate") == 1.0)
+    assert(fr.getAs[Long]("planned_tokens") == 2L)
+    // a language outside the weight map is dropped from the mix
+    val xx = rows("xx")
+    assert(xx.getAs[Long]("target_tokens") == 0L)
+    assert(xx.getAs[String]("action") == "drop")
+  }
+
+  test("corpus_mixture planned tokens never exceed availability or target") {
+    TextAnalysis.corpusMixture(spark, sf).collect().foreach { r =>
+      val planned = r.getAs[Long]("planned_tokens")
+      assert(planned <= r.getAs[Long]("tokens_avail"))
+      assert(planned <= r.getAs[Long]("target_tokens"))
+      val rate = r.getAs[Double]("sampling_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
+  // -------------------------------------------------------- zorder_stats
+
+  test("z-order layout bounds BOTH dimension spans; key-range bounds neither") {
+    val rows = Layout.zorderStats(spark, sf).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    val z = rows("zorder"); val k = rows("key_range")
+    // same rows distributed either way
+    assert(z.getAs[Long]("n_rows") == k.getAs[Long]("n_rows"))
+    assert(z.getAs[Long]("n_buckets") <= Layout.ZBuckets)
+    // the insertion-key layout's footer stats cover ~the full range of the
+    // two QUERY dims (no pruning); the Morton layout buys bounded spans on
+    // both at once — the whole point of Z-ordering
+    assert(k.getAs[Double]("avg_span_a") > 0.9)
+    assert(k.getAs[Double]("avg_span_b") > 0.9)
+    assert(z.getAs[Double]("avg_span_a") < 0.5 * k.getAs[Double]("avg_span_a"))
+    assert(z.getAs[Double]("avg_span_b") < 0.5 * k.getAs[Double]("avg_span_b"))
+  }
+
+  // ----------------------------------------------------- cluster_profile
+
+  test("cluster_profile partitions the corpus and keeps purity/cohesion sane") {
+    val n = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val rows = Similarity.clusterProfile(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n)
+    assert(rows.length <= Similarity.cellsForCorpus(n) && rows.nonEmpty)
+    rows.foreach { r =>
+      val purity = r.getAs[Double]("purity")
+      assert(purity > 0.0 && purity <= 1.0)
+      assert(math.abs(r.getAs[Double]("cohesion")) <= 1.0 + 1e-9)
+    }
+  }
+
+  // ------------------------------------------------------ entity_matches
+
+  /** Planted catalog: a typo pair inside the bolt block, a typo pair inside
+    * the widget block, and never a cross-block compare. */
+  private lazy val partDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    (Seq.fill(3)("small bolt") ++
+      Seq("smal bolt", "red bolt", "blue widget", "bleu widget"))
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    dir
+  }
+
+  test("entity_matches finds in-block typo pairs on the distinct-name frame") {
+    val rows = EntityResolution.entityMatches(spark, partDir).collect()
+    val byPair = rows.map(r =>
+      (r.getAs[String]("name_a"), r.getAs[String]("name_b")) -> r).toMap
+    val typo = byPair(("smal bolt", "small bolt"))
+    assert(typo.getAs[Int]("edit_dist") == 1)
+    // matching runs on distinct names: counts carry the row multiplicity
+    assert(typo.getAs[Long]("rows_b") == 3L && typo.getAs[Long]("rows_a") == 1L)
+    assert(byPair.contains(("bleu widget", "blue widget")))
+    // blocking: no pair ever crosses the bolt/widget blocks
+    rows.foreach { r =>
+      assert(r.getAs[String]("name_a").split(" ").last ==
+        r.getAs[String]("name_b").split(" ").last)
+    }
+  }
+
+  test("entity_matches on real part data stays within the edit threshold") {
+    val rows = EntityResolution.entityMatches(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("edit_dist") <= EntityResolution.MaxEdit)
+      assert(r.getAs[Double]("similarity") > 0.0)
+    }
+  }
+
+  // --------------------------------------------------- incremental_dedup
+
+  /** Corpus source "a" (10 docs) + batch source "z": one exact copy, one
+    * near-dup (word 20 changed — the PipelineSpec planting that lands
+    * jaccard ≥ 0.8), one fresh doc. */
+  private lazy val incrementDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val r = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu")
+    def doc() = Seq.fill(40)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 10).map(i => (i.toLong, doc(), "a"))
+    val near = { val w = base(1)._2.split(" "); w(20) = "CHANGED"; w.mkString(" ") }
+    val batch = Seq((100L, base(0)._2, "z"), (101L, near, "z"), (102L, doc(), "z"))
+    (base ++ batch).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("incremental_dedup drops exact and near dups against the corpus only") {
+    val r = Dedup.incrementalDedup(spark, incrementDir).collect()(0)
+    assert(r.getAs[String]("batch_source") == "z")
+    assert(r.getAs[Long]("n_batch") == 3L)
+    assert(r.getAs[Long]("n_corpus") == 10L)
+    assert(r.getAs[Long]("n_exact_dup") == 1L)
+    assert(r.getAs[Long]("n_near_dup") == 1L)
+    assert(r.getAs[Long]("n_kept") == 1L)
+    assert(r.getAs[Long]("kept_id_sum") == 102L)
+  }
+}

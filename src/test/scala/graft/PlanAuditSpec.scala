@@ -222,6 +222,45 @@ class PlanAuditSpec extends SparkSpec {
       s"per-source ECDF window not partitioned by source:\n${plan.take(2000)}")
   }
 
+  test("round-6 curation pair generators never plan a cartesian product") {
+    // entity_matches' block self-join and incremental_dedup's batch-vs-
+    // corpus band join are both equi-joins; dropping the key equality
+    // would go quadratic silently (incremental_dedup's 1-row summary
+    // crossJoins plan BroadcastNestedLoopJoin, which is fine — the guard
+    // is against CartesianProduct over data-sized frames)
+    Seq[org.apache.spark.sql.DataFrame](
+      EntityResolution.entityMatches(spark, sf),
+      Dedup.incrementalDedup(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian product in plan:\n${plan.take(2000)}")
+    }
+  }
+
+  test("zorder_stats shuffles buckets, not rows, and scans three columns") {
+    val plan = planOf(Layout.zorderStats(spark, sf))
+    // the stacked (layout, bucket) stream must collapse map-side: a
+    // partial HashAggregate between scan and exchange keeps the shuffle
+    // at 2x64 groups per task regardless of corpus size
+    val exchangeFirst = plan.indexOf("Exchange")
+    val scanIdx = plan.lastIndexOf("Scan parquet")
+    assert(exchangeFirst >= 0 && scanIdx > exchangeFirst,
+      s"no partial aggregate under the bucket exchange:\n${plan.take(2000)}")
+    val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!readSchemas.contains("l_quantity") && !readSchemas.contains("l_discount"),
+      s"zorder_stats reads columns it never buckets:\n$readSchemas")
+  }
+
+  test("cluster_profile meets centroids by broadcast only") {
+    val plan = planOf(Similarity.clusterProfile(spark, sf))
+    // the corpus-sized vector frame must meet the K-centroid frame by
+    // broadcast; a sort-merge join would shuffle every vector for a
+    // broadcast-sized side
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"no broadcast join in cluster_profile:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
     val plan = planOf(Dedup.dedupExact(spark, sf))
     // count + countDistinct over md5: the plan must partial-aggregate
