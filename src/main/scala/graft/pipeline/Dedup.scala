@@ -207,7 +207,7 @@ object Dedup {
     * (band, sig) rows derived from one 16-min signature aggregation.
     * Consumed by [[minhashPairsOf]] (self-join) and
     * [[incrementalDedup]] (batch-vs-corpus join). */
-  private def triAndBands(docs: DataFrame,
+  private[graft] def triAndBands(docs: DataFrame,
       cached: DataFrame => DataFrame): (DataFrame, DataFrame) = {
     // one cached shingle frame feeds signatures, sizes, and verification
     // (1 row per (doc, shingle) — bounded by the corpus token count)
@@ -226,6 +226,43 @@ object Dedup {
       s"$bIdx, $sig"
     }.mkString(", ")
     (tri, sigs.select(col("doc_id"), expr(s"stack($nBands, $bandRows) as (band, sig)")))
+  }
+
+  /** Per-row (no-explode) MinHash band signatures over a pre-split token
+    * array column `w` — the SAME 16-min / 4-band signature [[triAndBands]]
+    * computes via explode+groupBy, re-expressed as array higher-order
+    * functions so it is a STATELESS projection usable on unbounded streams
+    * (no aggregation, no state, no watermark). Docs with <3 tokens have no
+    * shingles (the [[shinglesOf]] guard) and get NULL signatures — NULL
+    * keys never match an equi-join, so short docs pass every band gate,
+    * exactly like their absence from the batch band frame.
+    * BandSigEquivalence is pinned by StreamingDriftSpec against
+    * [[triAndBands]] on the same docs. */
+  private[graft] def rowBandSigs(w: String): Seq[org.apache.spark.sql.Column] = {
+    val shs = s"array_distinct(transform(sequence(0, size($w) - 3), " +
+      s"i -> concat($w[i], ' ', $w[i+1], ' ', $w[i+2])))"
+    val codes = s"transform($shs, sh -> CAST(conv(substring(md5(sh), 1, 8), 16, 10) AS BIGINT))"
+    val mins = hashCoefs.map { case (a, b) =>
+      s"array_min(transform($codes, x -> ($a * x + $b) % $MinhashPrime))"
+    }
+    val nBands = NumHashes / BandRows
+    (0 until nBands).map { bIdx =>
+      val sig = (0 until BandRows).map(r => mins(bIdx * BandRows + r))
+        .mkString("concat_ws(',', ", ", ", ")")
+      expr(s"CASE WHEN size($w) >= 3 THEN $sig END")
+    }
+  }
+
+  /** The accepted corpus's per-band distinct signature sets — the static
+    * side of the streaming increment gate ([[graft.streaming.StreamingIncrement]]);
+    * a deployment persists these next to the corpus and re-reads them per
+    * increment. Returns one (sig) frame per band. */
+  def corpusBandSets(corpus: DataFrame): Seq[DataFrame] = {
+    val (_, bands) = triAndBands(corpus, _.cache())
+    val nBands = NumHashes / BandRows
+    (0 until nBands).map { b =>
+      bands.filter(col("band") === b).select("sig").distinct()
+    }
   }
 
   def minhashPairsOf(docs: DataFrame,

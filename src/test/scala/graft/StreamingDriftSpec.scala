@@ -217,4 +217,54 @@ class StreamingDriftSpec extends SparkSpec {
         Seq("head", "middle", "tail", "unscored"))
     } finally q.stop()
   }
+
+  test("per-row band signatures equal the explode+groupBy batch signatures") {
+    // rowBandSigs is the streaming-safe re-expression of triAndBands'
+    // 16-min signature; any divergence silently breaks the increment gate
+    val r = new scala.util.Random(13)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def doc() = Seq.fill(30)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    val docs = (0 until 15).map(i => (i.toLong, doc()))
+      .toDF("doc_id", "text")
+    val (_, batchBands) = graft.pipeline.Dedup.triAndBands(docs, identity)
+    val batch = batchBands.collect()
+      .map(row => (row.getAs[Long]("doc_id"), row.getAs[Int]("band")) -> row.getAs[String]("sig"))
+      .toMap
+    val sigs = graft.pipeline.Dedup.rowBandSigs("__w")
+    val perRow = docs.withColumn("__w", split(col("text"), "\\s+"))
+      .select(col("doc_id") +: sigs.zipWithIndex.map { case (s, b) => s.as(s"sig$b") }: _*)
+      .collect()
+    perRow.foreach { row =>
+      val id = row.getAs[Long]("doc_id")
+      for (b <- 0 until 4)
+        assert(row.getAs[String](s"sig$b") == batch((id, b)), s"doc $id band $b")
+    }
+  }
+
+  test("streaming increment gate admits only genuinely new documents (stream-static)") {
+    implicit val sqlCtx = spark.sqlContext
+    val r = new scala.util.Random(7)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu")
+    def doc() = Seq.fill(40)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    val corpus = (0 until 10).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+    val corpusRows = corpus.collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("text")).toMap
+    val near = { val w = corpusRows(1L).split(" "); w(20) = "CHANGED"; w.mkString(" ") }
+
+    val input = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamingIncrement.incrementGate(
+      input.toDF().toDF("doc_id", "text"), corpus)
+    val q = out.writeStream.format("memory").queryName("incr_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (100L, corpusRows(0L)), // exact dup -> exact gate
+        (101L, near),           // near dup -> band-collision gate
+        (102L, doc()),          // fresh -> admitted
+        (103L, "tiny doc"))     // <3 tokens: no shingles, admitted
+      q.processAllAvailable()
+      val kept = spark.table("incr_out").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(102L, 103L), s"gate admitted $kept")
+    } finally q.stop()
+  }
 }
