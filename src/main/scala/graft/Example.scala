@@ -75,6 +75,27 @@ object Example {
           org.apache.spark.sql.functions.sum("n_crossing")).collect()(0)
       println(s"  seq_pack: ${pack.getLong(0)} windows of " +
         s"${graft.pipeline.Packing.WindowTokens} tokens, ${pack.getLong(1)} boundary-crossing docs")
+      // the daily-ingest story: plan the language mixture, gate the newest
+      // feed against the corpus, canonicalize catalog strings, profile the
+      // embedding space, and measure what a Z-order rewrite would buy
+      val mix = graft.pipeline.TextAnalysis.corpusMixture(spark, sfDir).collect()
+      println("  corpus_mixture: " + mix.map(r =>
+        s"${r.getString(0)}=${r.getAs[String]("action")}@${r.getAs[Double]("sampling_rate")}")
+        .mkString(" "))
+      val incr = graft.pipeline.Dedup.incrementalDedup(spark, sfDir).collect()(0)
+      println(s"  incremental_dedup: batch ${incr.getAs[String]("batch_source")} " +
+        s"${incr.getAs[Long]("n_batch")} docs -> ${incr.getAs[Long]("n_exact_dup")} exact + " +
+        s"${incr.getAs[Long]("n_near_dup")} near dropped, ${incr.getAs[Long]("n_kept")} admitted")
+      val ents = graft.pipeline.EntityResolution.entityMatches(spark, sfDir).count()
+      println(s"  entity_matches: $ents candidate catalog merges")
+      val cp = graft.pipeline.Similarity.clusterProfile(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.avg("purity"), 3)).collect()(0)
+      println(s"  cluster_profile: ${cp.getLong(0)} cells, mean label purity ${cp.get(1)}")
+      graft.pipeline.Layout.zorderStats(spark, sfDir).collect().foreach(r =>
+        println(f"  layout ${r.getString(0)}%-10s avg spans: " +
+          f"part=${r.getAs[Double]("avg_span_a")}%.3f price=${r.getAs[Double]("avg_span_b")}%.3f"))
     }
 
     // versioned time travel driving the detector, as a config file would

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.drift._
+import graft.pipeline.{Dedup, EntityResolution}
 
 /** Micro-fixtures for the zero-denominator and degenerate paths
   * (FIXTURES.md §C): zero-variance column, all-null column, single
@@ -334,5 +335,67 @@ class EdgeCaseSpec extends SparkSpec {
     val r = graft.pipeline.Sessions.sessionize(spark, dir).collect()
     assert(r.length == 1 && r(0).getAs[Long]("n_sessions") == 1L)
     assert(r(0).getAs[Double]("avg_session_duration_sec") == 0.0)
+  }
+
+  test("zorder_stats survives a constant dimension (degenerate range)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zo").toString
+    (0 until 10).map(i => (i.toLong, 5L, 100.0 + i))
+      .toDF("l_orderkey", "l_partkey", "l_extendedprice")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val rows = graft.pipeline.Layout.zorderStats(spark, dir).collect()
+      .map(r => r.getAs[String]("layout") -> r).toMap
+    // the constant dim quantizes to cell 0 everywhere; its span is NULL
+    // (0/0 range) in BOTH layouts rather than a fabricated number, and the
+    // varying dim still reports real spans
+    assert(rows("zorder").getAs[Long]("n_rows") == 10L)
+    assert(rows("zorder").isNullAt(rows("zorder").fieldIndex("avg_span_a")))
+    assert(!rows("zorder").isNullAt(rows("zorder").fieldIndex("avg_span_b")))
+  }
+
+  test("corpus_mixture on an empty corpus returns no rows (no phantom budget)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mx").toString
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"))
+      .write.parquet(s"$dir/documents.parquet")
+    assert(graft.pipeline.TextAnalysis.corpusMixture(spark, dir).collect().isEmpty)
+  }
+
+  test("entity_matches skips a block larger than the MaxBlock ceiling") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-er").toString
+    // 1001 distinct names in one block: over the cap -> reported-not-
+    // compared, so the pairwise join must produce nothing (and certainly
+    // not 500k pairs)
+    (0 until (EntityResolution.MaxBlock + 1)).map(i => (i.toLong, s"name$i bolt"))
+      .toDF("p_partkey", "p_name")
+      .write.parquet(s"$dir/part.parquet")
+    assert(EntityResolution.entityMatches(spark, dir).collect().isEmpty)
+  }
+
+  test("incremental_dedup with a single-source corpus keeps the whole batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-id").toString
+    val r = new scala.util.Random(3)
+    val vocab = Seq("alpha", "beta", "gamma", "delta")
+    def doc() = Seq.fill(20)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    (0 until 5).map(i => (i.toLong, doc(), "only"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val row = Dedup.incrementalDedup(spark, dir).collect()(0)
+    // everything is "the batch", nothing is "the corpus": no drops
+    assert(row.getAs[Long]("n_batch") == 5L && row.getAs[Long]("n_corpus") == 0L)
+    assert(row.getAs[Long]("n_exact_dup") == 0L && row.getAs[Long]("n_near_dup") == 0L)
+    assert(row.getAs[Long]("n_kept") == 5L)
+  }
+
+  test("cluster_profile on a sub-cell corpus collapses to one full-purity-free cell") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cp").toString
+    def vec(seed: Int) = { val rr = new scala.util.Random(seed); Array.fill(64)(rr.nextGaussian().toFloat) }
+    (0 until 5).map(i => (i.toLong, vec(i), i % 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = graft.pipeline.Similarity.clusterProfile(spark, dir).collect()
+    // n < IvfTargetCell -> a single cell holding every vector
+    assert(rows.length == 1 && rows(0).getAs[Long]("n_vecs") == 5L)
+    assert(rows(0).getAs[Double]("purity") == 0.6)
   }
 }
