@@ -66,10 +66,11 @@ object Bench {
     val note = "per-query min of " + TimedRuns + " cache-cleared runs; the five " +
       "report-family queries re-pay one shared scoring DAG that production memoizes, " +
       "so their sum overstates a real run's report cost ~4x; likewise " +
-      "corpus_prep_neardup, neardup_clusters and split_leakage_neardup each re-run " +
-      "the LSH+component pipeline a real deployment computes once (see " +
-      "pipeline.CorpusPipeline for the reuse surface), and lm_ppl_buckets re-pays " +
-      "the LM scoring DAG it shares with lm_score"
+      "corpus_prep_neardup, neardup_clusters, split_leakage_neardup and " +
+      "incremental_dedup each re-run the LSH signature pipeline a real deployment " +
+      "computes once (see pipeline.CorpusPipeline and Dedup.corpusBandSets for the " +
+      "reuse surfaces), and lm_ppl_buckets re-pays the LM scoring DAG it shares " +
+      "with lm_score"
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"$note"}""")
     // The driver archives only a 2000-char TAIL of stdout; the full line
     // above front-loads the total, so it fell off every recorded artifact

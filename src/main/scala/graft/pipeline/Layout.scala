@@ -38,7 +38,7 @@ object Layout {
     * spells integer division `DIV` and DuckDB spells it `//`, everything
     * else is the common subset). bit k of q = (q div 2^k) mod 2; it lands
     * at weight 4^k (dim a) / 2·4^k (dim b). */
-  private def morton(qa: String, qb: String, idiv: String): String =
+  private[graft] def morton(qa: String, qb: String, idiv: String): String =
     (0 until ZBits).map { k =>
       val p = 1 << k
       val w = 1L << (2 * k)

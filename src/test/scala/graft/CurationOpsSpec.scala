@@ -82,6 +82,37 @@ class CurationOpsSpec extends SparkSpec {
     assert(z.getAs[Double]("avg_span_b") < 0.5 * k.getAs[Double]("avg_span_b"))
   }
 
+  test("the SQL Morton form is the exact bit interleave (bijective on 16 bits)") {
+    // evaluate the generated arithmetic against a reference bit interleave
+    // over random 8-bit pairs; bijectivity is what makes prefix-bucketing
+    // by z-value a space-filling-curve layout rather than a lossy hash
+    val r = new scala.util.Random(5)
+    val pairs = Seq.fill(500)((r.nextInt(256), r.nextInt(256))) ++
+      Seq((0, 0), (255, 255), (0, 255), (255, 0))
+    def interleave(a: Int, b: Int): Long =
+      (0 until 8).map(k => (((a >> k) & 1).toLong << (2 * k)) |
+        (((b >> k) & 1).toLong << (2 * k + 1))).sum
+    val rows = pairs.toDF("qa", "qb")
+      .selectExpr("qa", "qb", s"${graft.pipeline.Layout.morton("qa", "qb", "DIV")} AS z")
+      .collect()
+    rows.foreach { row =>
+      assert(row.getAs[Long]("z") ==
+        interleave(row.getAs[Int]("qa"), row.getAs[Int]("qb")))
+    }
+    assert(rows.map(_.getAs[Long]("z")).distinct.length ==
+      pairs.distinct.length)
+  }
+
+  test("corpus_mixture allocations never exceed the token budget in sum") {
+    for (dir <- Seq(mixtureDir, sf)) {
+      val rows = TextAnalysis.corpusMixture(spark, dir).collect()
+      val totalAvail = rows.map(_.getAs[Long]("tokens_avail")).sum
+      val budget = math.floor(totalAvail * TextAnalysis.MixtureBudgetFrac).toLong
+      assert(rows.map(_.getAs[Long]("target_tokens")).sum <= budget)
+      assert(rows.map(_.getAs[Long]("planned_tokens")).sum <= budget)
+    }
+  }
+
   // ----------------------------------------------------- cluster_profile
 
   test("cluster_profile partitions the corpus and keeps purity/cohesion sane") {
