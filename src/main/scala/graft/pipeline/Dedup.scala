@@ -265,6 +265,28 @@ object Dedup {
     }
   }
 
+  /** Persist the corpus signature artifact — the increment-gate analogue
+    * of [[writeClusters]]: computed once per corpus snapshot, re-read by
+    * every subsequent increment (batch or stream) instead of re-scanning
+    * the corpus. One parquet dir, partitioned by band. */
+  def writeBandSets(corpus: DataFrame, path: String): Unit = {
+    val (_, bands) = triAndBands(corpus, identity)
+    bands.select("band", "sig").distinct()
+      .write.mode("overwrite").partitionBy("band").parquet(path)
+  }
+
+  /** Read a persisted signature artifact back as the per-band frames
+    * [[corpusBandSets]] computes, validating the contract up front. */
+  def readBandSets(spark: SparkSession, path: String): Seq[DataFrame] = {
+    val df = spark.read.parquet(path)
+    require(Seq("band", "sig").forall(df.columns.contains),
+      s"band-set artifact at $path must have (band, sig), got ${df.columns.mkString(",")}")
+    val nBands = NumHashes / BandRows
+    (0 until nBands).map { b =>
+      df.filter(col("band") === b).select("sig")
+    }
+  }
+
   def minhashPairsOf(docs: DataFrame,
       scope: Option[CacheScope] = None): DataFrame = {
     // a sweep-scoped caller (CorpusPipeline) registers the cached frames

@@ -477,6 +477,51 @@ object TextAnalysis {
       "THEN 'oversample' ELSE 'downsample' END AS action " +
       "FROM m2 ORDER BY lang"
 
+  /** Execute the [[corpusMixture]] plan: per-document hash-threshold
+    * sampling at each language's planned rate — the same sort-free md5
+    * coin as [[balancedMix]]'s approx path (keep iff
+    * u(doc) < floor(rate · 2³²)), so selection is deterministic,
+    * embarrassingly parallel, and replayed exactly by the oracle. Output
+    * per language: corpus size, token availability, the plan's target,
+    * what the coin actually kept (docs, tokens, id checksum).
+    *
+    * Scale shape: the plan frame is languages-sized and broadcast onto
+    * ONE corpus scan; kept-token counts binomially concentrate around
+    * rate·avail (oversampled languages keep everything — epochs >1 are
+    * repetition, applied at training time, not here). FLOOR before the
+    * threshold cast keeps Spark (truncating) and DuckDB (rounding)
+    * double→int casts identical. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val plan = corpusMixture(spark, dir)
+      .select("lang", "n_docs", "tokens_avail", "target_tokens", "sampling_rate")
+    table(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        expr("size(split(text, '\\\\s+'))").cast("long").as("toks"),
+        expr("CAST(conv(substring(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT)")
+          .as("u"))
+      .join(broadcast(plan), "lang")
+      .withColumn("keep",
+        col("u") < expr("CAST(FLOOR(sampling_rate * 4294967296e0) AS BIGINT)"))
+      .groupBy("lang", "n_docs", "tokens_avail", "target_tokens").agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        coalesce(sum(when(col("keep"), col("toks"))), lit(0L)).as("kept_tokens"),
+        coalesce(sum(when(col("keep"), col("doc_id"))), lit(0L)).as("kept_id_sum"))
+      .select("lang", "n_docs", "tokens_avail", "target_tokens",
+        "n_kept", "kept_tokens", "kept_id_sum")
+      .orderBy("lang")
+  }
+
+  def mixtureSampleSql: String =
+    s"WITH plan AS (${corpusMixtureSql.replace(" ORDER BY lang", "")}), " +
+      "d AS (SELECT doc_id, lang, len(regexp_split_to_array(text, '\\s+'))::BIGINT AS toks, " +
+      "CAST('0x' || substr(md5(doc_id::VARCHAR), 1, 8) AS BIGINT) AS u FROM documents) " +
+      "SELECT p.lang, p.n_docs, p.tokens_avail, p.target_tokens, " +
+      "SUM(CASE WHEN u < CAST(FLOOR(sampling_rate * 4294967296e0) AS BIGINT) THEN 1 ELSE 0 END)::BIGINT AS n_kept, " +
+      "COALESCE(SUM(CASE WHEN u < CAST(FLOOR(sampling_rate * 4294967296e0) AS BIGINT) THEN toks END), 0)::BIGINT AS kept_tokens, " +
+      "COALESCE(SUM(CASE WHEN u < CAST(FLOOR(sampling_rate * 4294967296e0) AS BIGINT) THEN doc_id END), 0)::BIGINT AS kept_id_sum " +
+      "FROM d JOIN plan p ON p.lang = d.lang " +
+      "GROUP BY 1, 2, 3, 4 ORDER BY 1"
+
   // ------------------------------------------------- repetition signals
 
   /** Word-level n-gram expression: the i-th n-gram of `toks` for i in
@@ -918,6 +963,7 @@ object TextAnalysis {
     "quality_classifier" -> ((s, d) => qualityClassifier(s, d)),
     "length_anomaly" -> ((s, d) => lengthAnomaly(s, d)),
     "corpus_mixture" -> ((s, d) => corpusMixture(s, d)),
+    "mixture_sample" -> ((s, d) => mixtureSample(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -938,5 +984,6 @@ object TextAnalysis {
     "quality_classifier" -> qualityClassifierSql,
     "length_anomaly" -> lengthAnomalySql,
     "corpus_mixture" -> corpusMixtureSql,
+    "mixture_sample" -> mixtureSampleSql,
   )
 }

@@ -30,10 +30,19 @@ object StreamingIncrement {
 
   /** Gate an unbounded (doc_id, text, …) stream against a static corpus
     * (doc_id, text). Emits the admitted rows with the input schema. */
-  def incrementGate(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+  def incrementGate(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+    incrementGateWith(newDocs,
+      corpus.select(md5(col("text")).as("h")).distinct(),
+      Dedup.corpusBandSets(corpus))
+
+  /** The same gate against PRECOMPUTED static artifacts — the production
+    * form: `corpusHashes` is the distinct md5 set and `bandSets` the
+    * per-band signature frames (persist/load via [[Dedup.writeBandSets]] /
+    * [[Dedup.readBandSets]]), so per-increment cost never includes a
+    * corpus scan. */
+  def incrementGateWith(newDocs: DataFrame, corpusHashes: DataFrame,
+      bandSets: Seq[DataFrame]): DataFrame = {
     val inCols = newDocs.columns.toSeq
-    val corpusHashes = corpus.select(md5(col("text")).as("h")).distinct()
-    val bandSets = Dedup.corpusBandSets(corpus)
     val sigs = Dedup.rowBandSigs("__w")
     val withSigs = newDocs
       .withColumn("__h", md5(col("text")))

@@ -187,6 +187,24 @@ class CurationOpsSpec extends SparkSpec {
     dir
   }
 
+  test("increment gate against persisted band sets equals the recomputed gate") {
+    val docs = spark.read.parquet(s"$incrementDir/documents.parquet")
+    val corpus = docs.filter(col("source") === "a").select("doc_id", "text")
+    val batch = docs.filter(col("source") === "z").select("doc_id", "text")
+    val art = java.nio.file.Files.createTempDirectory("graft-bands").toString + "/bands"
+    Dedup.writeBandSets(corpus, art)
+    val hashes = corpus.select(md5(col("text")).as("h")).distinct()
+    val keptReuse = graft.streaming.StreamingIncrement
+      .incrementGateWith(batch, hashes, Dedup.readBandSets(spark, art))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val keptRecompute = graft.streaming.StreamingIncrement
+      .incrementGate(batch, corpus)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptReuse == keptRecompute)
+    // exact copy (100) and near dup (101) drop; the fresh doc is admitted
+    assert(keptReuse == Set(102L))
+  }
+
   test("incremental_dedup drops exact and near dups against the corpus only") {
     val r = Dedup.incrementalDedup(spark, incrementDir).collect()(0)
     assert(r.getAs[String]("batch_source") == "z")
