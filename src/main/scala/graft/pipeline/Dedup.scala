@@ -195,14 +195,6 @@ object Dedup {
     s"SELECT doc_id, $mins FROM (SELECT doc_id, $shingleCodeDuck AS x FROM $triRel s) t GROUP BY doc_id"
   }
 
-  /** LSH candidates: docs sharing ≥1 band signature, then exact-Jaccard
-    * verified. The candidate search is an equi-join on (band, signature),
-    * and — crucially for scale — the verification Jaccard is computed ONLY
-    * for candidate pairs: candidates are joined back onto the shingle table
-    * by doc id, so the intersection groupBy sees O(|cands| × shingles/doc)
-    * rows, never the O(Σ df²) all-co-shingled-pair stream LSH exists to
-    * prune. Parameterized by docs frame ([[minhashLsh]] passes the full
-    * `documents` table; the corpus-prep funnel passes its gate survivors). */
   /** Shared LSH scaffolding: the cached shingle frame plus the per-doc
     * (band, sig) rows derived from one 16-min signature aggregation.
     * Consumed by [[minhashPairsOf]] (self-join) and
@@ -287,6 +279,14 @@ object Dedup {
     }
   }
 
+  /** LSH candidates: docs sharing ≥1 band signature, then exact-Jaccard
+    * verified. The candidate search is an equi-join on (band, signature),
+    * and — crucially for scale — the verification Jaccard is computed ONLY
+    * for candidate pairs: candidates are joined back onto the shingle table
+    * by doc id, so the intersection groupBy sees O(|cands| × shingles/doc)
+    * rows, never the O(Σ df²) all-co-shingled-pair stream LSH exists to
+    * prune. Parameterized by docs frame ([[minhashLsh]] passes the full
+    * `documents` table; the corpus-prep funnel passes its gate survivors). */
   def minhashPairsOf(docs: DataFrame,
       scope: Option[CacheScope] = None): DataFrame = {
     // a sweep-scoped caller (CorpusPipeline) registers the cached frames

@@ -46,11 +46,15 @@ object Layout {
     }.mkString("(", " + ", ")")
 
   /** 8-bit equal-width quantizer over [lo, hi]; hi maps to 255 via the
-    * LEAST clamp, a degenerate range to 0. FLOOR before CAST keeps the
-    * cast exact in both engines (DuckDB's double→int cast rounds). */
+    * LEAST clamp, a degenerate (constant) range to cell 0. The COALESCE
+    * sits UNDER the floor/cast so no engine's LEAST-with-NULL semantics
+    * are relied on (Spark's least skips NULLs; leaning on that would
+    * silently diverge any engine whose LEAST propagates them). FLOOR
+    * before CAST keeps the cast exact in both engines (DuckDB's
+    * double→int cast rounds). */
   private def quant(v: String, lo: String, hi: String): String =
-    s"COALESCE(LEAST(255, CAST(FLOOR((CAST($v AS DOUBLE) - $lo) * 256e0 / " +
-      s"NULLIF($hi - $lo, 0e0)) AS INT)), 0)"
+    s"LEAST(255, CAST(FLOOR(COALESCE((CAST($v AS DOUBLE) - $lo) * 256e0 / " +
+      s"NULLIF($hi - $lo, 0e0), 0e0)) AS INT))"
 
   /** Key-range bucket (the insertion-ordered baseline layout). */
   private def keyBucket(v: String, lo: String, hi: String): String =

@@ -460,21 +460,25 @@ object Similarity {
     * trained centroids swap in [[kmeansIvfTopK]]'s model upstream of the
     * same profile aggregation. */
   def clusterProfile(spark: SparkSession, dir: String): DataFrame = {
-    val emb = withNorm(table(spark, dir, "embeddings"), "c")
+    // label rides along from the scan so no corpus-sized join is ever
+    // needed to recover it (the assignment projection is the one
+    // corpus-sized pass)
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id").as("c_id"), col("label"),
+        col("embedding").cast("array<double>").as("c_v"))
+      .withColumn("c_n", sqrt(vecDot(col("c_v"), col("c_v"))))
     val cells = cellsForCorpus(table(spark, dir, "embeddings").count())
     val cents = withNorm(
       table(spark, dir, "embeddings").filter(col("vec_id") < cells), "t")
       .select(col("t_id").as("cent_id"), col("t_v"), col("t_n"))
     // sim rounded BEFORE the argmax so both engines break ties identically
-    val assign = emb.crossJoin(broadcast(cents))
+    val labeled = emb.crossJoin(broadcast(cents))
       .withColumn("sim",
         round(vecDot(col("c_v"), col("t_v")) / expr("NULLIF(c_n * t_n, 0)"), 6))
       .withColumn("ark", row_number().over(
         Window.partitionBy("c_id").orderBy(col("sim").desc, col("cent_id").asc)))
       .filter(col("ark") === 1)
-      .select(col("c_id").as("vec_id"), col("cent_id").as("cell"), col("sim"))
-    val labeled = assign.join(
-      table(spark, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      .select(col("c_id").as("vec_id"), col("cent_id").as("cell"), col("sim"), col("label"))
     val cellAgg = labeled.groupBy("cell").agg(
       count(lit(1)).as("n_vecs"),
       round(avg("sim"), 6).as("cohesion"))
@@ -483,7 +487,9 @@ object Similarity {
         Window.partitionBy("cell").orderBy(col("n").desc, col("label").asc)))
       .filter(col("lrk") === 1)
       .select(col("cell"), col("label").as("top_label"), col("n").as("top_n"))
-    cellAgg.join(topLabel, "cell")
+    // both sides are cell-cardinality (≤ MaxIvfCells rows); broadcasting
+    // one keeps the post-agg stage free of shuffle joins
+    cellAgg.join(broadcast(topLabel), "cell")
       .select(col("cell"), col("n_vecs"), col("cohesion"), col("top_label"),
         round(col("top_n") * lit(1.0) / col("n_vecs"), 6).as("purity"))
       .orderBy("cell")

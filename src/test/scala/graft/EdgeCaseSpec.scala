@@ -344,9 +344,10 @@ class EdgeCaseSpec extends SparkSpec {
       .write.parquet(s"$dir/lineitem.parquet")
     val rows = graft.pipeline.Layout.zorderStats(spark, dir).collect()
       .map(r => r.getAs[String]("layout") -> r).toMap
-    // the constant dim quantizes to cell 0 everywhere; its span is NULL
-    // (0/0 range) in BOTH layouts rather than a fabricated number, and the
-    // varying dim still reports real spans
+    // the constant dim quantizes to cell 0 everywhere (the COALESCE under
+    // the quantizer's floor); its span is NULL (0/0 range) in BOTH layouts
+    // rather than a fabricated number, and the varying dim still reports
+    // real spans
     assert(rows("zorder").getAs[Long]("n_rows") == 10L)
     assert(rows("zorder").isNullAt(rows("zorder").fieldIndex("avg_span_a")))
     assert(!rows("zorder").isNullAt(rows("zorder").fieldIndex("avg_span_b")))

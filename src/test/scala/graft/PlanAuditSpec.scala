@@ -240,11 +240,14 @@ class PlanAuditSpec extends SparkSpec {
   test("zorder_stats shuffles buckets, not rows, and scans three columns") {
     val plan = planOf(Layout.zorderStats(spark, sf))
     // the stacked (layout, bucket) stream must collapse map-side: a
-    // partial HashAggregate between scan and exchange keeps the shuffle
-    // at 2x64 groups per task regardless of corpus size
-    val exchangeFirst = plan.indexOf("Exchange")
+    // partial HashAggregate BELOW the hash-partitioned bucket exchange
+    // keeps the shuffle at 2x64 groups per task regardless of corpus size
+    // (anchoring on the first Exchange would be vacuous — the final
+    // orderBy always plans a rangepartitioning exchange above a scan)
+    val exIdx = plan.indexOf("Exchange hashpartitioning")
     val scanIdx = plan.lastIndexOf("Scan parquet")
-    assert(exchangeFirst >= 0 && scanIdx > exchangeFirst,
+    val aggBelow = if (exIdx >= 0) plan.indexOf("HashAggregate", exIdx) else -1
+    assert(exIdx >= 0 && aggBelow >= 0 && aggBelow < scanIdx,
       s"no partial aggregate under the bucket exchange:\n${plan.take(2000)}")
     val readSchemas = plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
     assert(!readSchemas.contains("l_quantity") && !readSchemas.contains("l_discount"),
@@ -254,11 +257,13 @@ class PlanAuditSpec extends SparkSpec {
   test("cluster_profile meets centroids by broadcast only") {
     val plan = planOf(Similarity.clusterProfile(spark, sf))
     // the corpus-sized vector frame must meet the K-centroid frame by
-    // broadcast; a sort-merge join would shuffle every vector for a
-    // broadcast-sized side
+    // broadcast; a sort-merge join anywhere means a corpus-sized side is
+    // being shuffled for a broadcast-sized one (label rides the scan, so
+    // no corpus-sized join exists to need one)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"no broadcast join in cluster_profile:\n${plan.take(2000)}")
-    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"cluster_profile shuffles the corpus for a small side:\n${plan.take(2000)}")
   }
 
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
