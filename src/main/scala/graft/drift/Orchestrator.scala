@@ -170,12 +170,15 @@ class VersionedParquetTable(root: String) extends SnapshotSource {
   }
 
   /** Newest version committed at or before `tsMillis` (Delta's
-    * `timestampAsOf` rule). */
+    * `timestampAsOf` rule). Ties on the commit instant (two commits in
+    * the same millisecond) resolve to the NEWEST version — `maxBy` on
+    * the timestamp alone would return the oldest-first history's first
+    * maximal element, silently reading a superseded snapshot. */
   def versionAsOfTimestamp(tsMillis: Long): Long = {
     val eligible = history().filter(_._2 <= tsMillis)
     require(eligible.nonEmpty,
       s"no version committed at or before $tsMillis in $root")
-    eligible.maxBy(_._2)._1
+    eligible.maxBy { case (v, ts) => (ts, v) }._1
   }
 
   /** Write `df` as the next version; returns the new version number.
@@ -186,7 +189,16 @@ class VersionedParquetTable(root: String) extends SnapshotSource {
     val h = history()
     val next = if (h.isEmpty) 0L else h.map(_._1).max + 1L
     df.write.mode("overwrite").parquet(s"$root/_tmp_v$next")
-    Files.move(Paths.get(s"$root/_tmp_v$next"), Paths.get(s"$root/v$next"),
+    // the manifest is the commit point: a v<next> dir without a manifest
+    // entry is a TORN previous commit (crashed between the data move and
+    // the manifest replace) — delete it, or this and every later commit
+    // would wedge on FileAlreadyExistsException
+    val target = Paths.get(s"$root/v$next")
+    if (Files.exists(target)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(target).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    Files.move(Paths.get(s"$root/_tmp_v$next"), target,
       StandardCopyOption.ATOMIC_MOVE)
     val tmpManifest = Paths.get(root, "_manifest.tmp")
     val lines = (h :+ (next, nowMillis)).map { case (v, ts) => s"$v\t$ts" }

@@ -123,12 +123,19 @@ object TimelineDrift {
       .withColumn("rkr", row_number().over(wr))
       .withColumn("rkc", row_number().over(wc))
       .join(broadcast(sums), "event_type")
-      .withColumn("pr", greatest(col("rc") * lit(1.0) / col("rs"), lit(PsiEpsilon)))
-      .withColumn("pc", greatest(col("cc") * lit(1.0) / col("cs"), lit(PsiEpsilon)))
+      // a type absent from one side has a 0 total: 0/0 would be NaN (and
+      // NaN orders LARGEST in Spark, silently flagging drift) — the
+      // explicit COALESCE floors the absent side's shares at epsilon in
+      // both engines, so a brand-new/retired type gets a large FINITE
+      // PSI; its peak hour is NULL, not a fabricated hour 0
+      .withColumn("pr", greatest(
+        coalesce(col("rc") * lit(1.0) / expr("NULLIF(rs, 0)"), lit(0.0)), lit(PsiEpsilon)))
+      .withColumn("pc", greatest(
+        coalesce(col("cc") * lit(1.0) / expr("NULLIF(cs, 0)"), lit(0.0)), lit(PsiEpsilon)))
       .groupBy("event_type").agg(
         max("rs").as("n_ref"), max("cs").as("n_curr"),
-        max(when(col("rkr") === 1, col("hr"))).as("ref_peak_hour"),
-        max(when(col("rkc") === 1, col("hr"))).as("curr_peak_hour"),
+        max(when(col("rkr") === 1 && col("rs") > 0, col("hr"))).as("ref_peak_hour"),
+        max(when(col("rkc") === 1 && col("cs") > 0, col("hr"))).as("curr_peak_hour"),
         sum((col("pc") - col("pr")) * log(col("pc") / col("pr"))).as("psi_raw"))
       .select(col("event_type"), col("n_ref"), col("n_curr"),
         col("ref_peak_hour"), col("curr_peak_hour"),
@@ -148,12 +155,12 @@ object TimelineDrift {
       "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY rc DESC, hr ASC) AS rkr, " +
       "ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cc DESC, hr ASC) AS rkc FROM cnt), " +
       "j AS (SELECT r.*, s.rs, s.cs, " +
-      s"GREATEST(r.rc * 1e0 / s.rs, $PsiEpsilon) AS pr, " +
-      s"GREATEST(r.cc * 1e0 / s.cs, $PsiEpsilon) AS pc " +
+      s"GREATEST(COALESCE(r.rc * 1e0 / NULLIF(s.rs, 0), 0e0), $PsiEpsilon) AS pr, " +
+      s"GREATEST(COALESCE(r.cc * 1e0 / NULLIF(s.cs, 0), 0e0), $PsiEpsilon) AS pc " +
       "FROM rk r JOIN sums s USING (event_type)), " +
       "agg AS (SELECT event_type, MAX(rs)::BIGINT AS n_ref, MAX(cs)::BIGINT AS n_curr, " +
-      "MAX(CASE WHEN rkr = 1 THEN hr END) AS ref_peak_hour, " +
-      "MAX(CASE WHEN rkc = 1 THEN hr END) AS curr_peak_hour, " +
+      "MAX(CASE WHEN rkr = 1 AND rs > 0 THEN hr END) AS ref_peak_hour, " +
+      "MAX(CASE WHEN rkc = 1 AND cs > 0 THEN hr END) AS curr_peak_hour, " +
       "SUM((pc - pr) * LN(pc / pr)) AS psi_raw FROM j GROUP BY 1) " +
       "SELECT event_type, n_ref, n_curr, ref_peak_hour, curr_peak_hour, " +
       "ROUND(psi_raw, 6) AS psi_hours, " +

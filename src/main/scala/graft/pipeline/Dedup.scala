@@ -248,9 +248,16 @@ object Dedup {
   /** The accepted corpus's per-band distinct signature sets — the static
     * side of the streaming increment gate ([[graft.streaming.StreamingIncrement]]);
     * a deployment persists these next to the corpus and re-reads them per
-    * increment. Returns one (sig) frame per band. */
-  def corpusBandSets(corpus: DataFrame): Seq[DataFrame] = {
-    val (_, bands) = triAndBands(corpus, _.cache())
+    * increment. Returns one (sig) frame per band.
+    *
+    * Pass a [[CacheScope]] from any long-lived caller (a streaming
+    * service computing the sets at startup) so the corpus-sized shingle
+    * and signature frames are released when the scope closes — the
+    * default unscoped cache is only appropriate for Verify/Bench, which
+    * clear the whole cache between queries. */
+  def corpusBandSets(corpus: DataFrame,
+      scope: Option[CacheScope] = None): Seq[DataFrame] = {
+    val (_, bands) = triAndBands(corpus, df => scope.fold(df.cache())(_.cached(df)))
     val nBands = NumHashes / BandRows
     (0 until nBands).map { b =>
       bands.filter(col("band") === b).select("sig").distinct()

@@ -50,9 +50,12 @@ object ScaleJoins {
     * whether a shuffle key needs [[saltedCount]]/AQE skew handling or can
     * go through a plain groupBy/join: key cardinality, the heaviest key
     * and its share, the max-to-mean skew factor, and the hot-key census
-    * (> [[HotKeyFactor]]× the mean). All ratios are formed from integer
-    * products with ONE final division (`max·k` vs `10·n`), so the skew
-    * verdict is exact and cross-engine stable — no float thresholding.
+    * (> [[HotKeyFactor]]× the mean). The hot/skew comparisons promote to
+    * DOUBLE before multiplying (`cnt·1e0·k` vs `10e0·n`): an int64
+    * product form would overflow at exactly the trillion-row scale this
+    * diagnostic exists for (cnt·n_keys can pass 2⁶³ long before either
+    * factor does), and both engines round doubles identically so the
+    * verdict stays cross-engine stable.
     *
     * Scale shape: one map-side-combined groupBy(key) per table; the top
     * key is `orderBy.limit(1)` (TakeOrderedAndProject, no global sort)
@@ -68,7 +71,7 @@ object ScaleJoins {
     val top = cnt.orderBy(col("cnt").desc, col("k").asc).limit(1)
       .select(col("k").as("top_key"))
     val hot = cnt.crossJoin(broadcast(stats))
-      .filter(col("cnt") * col("n_keys") > lit(HotKeyFactor) * col("n_rows"))
+      .filter(expr(s"cnt * 1e0 * n_keys > ${HotKeyFactor}e0 * n_rows"))
       .agg(count(lit(1)).as("hot_keys"))
     stats.crossJoin(broadcast(top)).crossJoin(broadcast(hot))
       .selectExpr(s"'$tableLabel' AS table_name", s"'$key' AS key_column",
@@ -76,7 +79,7 @@ object ScaleJoins {
         "ROUND(max_cnt * n_keys * 1e0 / n_rows, 6) AS skew_factor",
         "top_key", "ROUND(max_cnt * 1e0 / n_rows, 6) AS top_share",
         "hot_keys",
-        s"max_cnt * n_keys > $HotKeyFactor * n_rows AS skewed")
+        s"max_cnt * 1e0 * n_keys > ${HotKeyFactor}e0 * n_rows AS skewed")
   }
 
   /** The shuffle keys the engine's own operators group or join on. */
@@ -98,13 +101,13 @@ object ScaleJoins {
           s"MAX(cnt) AS max_cnt FROM $c), " +
           s"$tp AS (SELECT k AS top_key FROM $c ORDER BY cnt DESC, k ASC LIMIT 1), " +
           s"$h AS (SELECT COUNT(*) AS hot_keys FROM $c, $s " +
-          s"WHERE cnt * n_keys > $HotKeyFactor * n_rows)"
+          s"WHERE cnt * 1e0 * n_keys > ${HotKeyFactor}e0 * n_rows)"
       val sel =
         s"SELECT '$t' AS table_name, '$k' AS key_column, n_rows, n_keys, " +
           "max_cnt AS max_count, " +
           "ROUND(max_cnt * n_keys * 1e0 / n_rows, 6) AS skew_factor, " +
           "top_key, ROUND(max_cnt * 1e0 / n_rows, 6) AS top_share, hot_keys, " +
-          s"max_cnt * n_keys > $HotKeyFactor * n_rows AS skewed " +
+          s"max_cnt * 1e0 * n_keys > ${HotKeyFactor}e0 * n_rows AS skewed " +
           s"FROM $s, $tp, $h"
       (ctes, sel)
     }

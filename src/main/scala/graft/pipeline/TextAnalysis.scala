@@ -851,16 +851,24 @@ object TextAnalysis {
       .join(broadcast(allCum), "len")
       .join(broadcast(bySource), "source")
       .crossJoin(broadcast(total))
+      // NULLIF: a single-source corpus has an empty "rest" (n = n_s) —
+      // the two-sample statistic is undefined, so ks columns go NULL and
+      // anomalous coalesces to false instead of 0/0 NaN garbage
       .selectExpr("source", "n_s", "n",
-        "ABS(cum_s * 1e0 / n_s - (cum_all - cum_s) * 1e0 / (n - n_s)) AS d")
+        "ABS(cum_s * 1e0 / n_s - (cum_all - cum_s) * 1e0 / NULLIF(n - n_s, 0)) AS d")
       .groupBy("source").agg(
         first("n_s").as("n_s"), first("n").as("n"), max("d").as("ks_raw"))
       .selectExpr("source", "n_s",
         "ROUND(ks_raw, 6) AS ks_stat",
-        "ROUND(1.358e0 * SQRT(n * 1e0 / (n_s * (n - n_s))), 6) AS ks_crit",
-        "ks_raw > 1.358e0 * SQRT(n * 1e0 / (n_s * (n - n_s))) AS anomalous")
+        s"ROUND(${KsAlphaCoeff}e0 * SQRT(n * 1e0 / NULLIF(n_s * (n - n_s), 0)), 6) AS ks_crit",
+        s"COALESCE(ks_raw > ${KsAlphaCoeff}e0 * SQRT(n * 1e0 / NULLIF(n_s * (n - n_s), 0)), FALSE) AS anomalous")
       .orderBy("source")
   }
+
+  /** α=0.05 two-sample KS coefficient — the SAME constant as
+    * [[graft.drift.DistanceDrift.KsCoeff]] (one place to change the
+    * alpha level for both the column-drift and corpus-health surfaces). */
+  private def KsAlphaCoeff: Double = graft.drift.DistanceDrift.KsCoeff
 
   def lengthAnomalySql: String =
     "WITH lens AS (SELECT source, len(regexp_split_to_array(text, '\\s+')) AS len, " +
@@ -877,14 +885,14 @@ object TextAnalysis {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all FROM " +
       "(SELECT len, SUM(c) AS c_all FROM lens GROUP BY 1) x), " +
       "d AS (SELECT c.source, n_s, n, " +
-      "ABS(cum_s * 1e0 / n_s - (cum_all - cum_s) * 1e0 / (n - n_s)) AS d " +
+      "ABS(cum_s * 1e0 / n_s - (cum_all - cum_s) * 1e0 / NULLIF(n - n_s, 0)) AS d " +
       "FROM cums c JOIN allc ON c.len = allc.len " +
       "JOIN bysrc ON c.source = bysrc.source CROSS JOIN tot), " +
       "agg AS (SELECT source, MAX(n_s) AS n_s, MAX(n) AS n, MAX(d) AS ks_raw " +
       "FROM d GROUP BY 1) " +
       "SELECT source, n_s, ROUND(ks_raw, 6) AS ks_stat, " +
-      "ROUND(1.358e0 * SQRT(n * 1e0 / (n_s * (n - n_s))), 6) AS ks_crit, " +
-      "ks_raw > 1.358e0 * SQRT(n * 1e0 / (n_s * (n - n_s))) AS anomalous " +
+      s"ROUND(${KsAlphaCoeff}e0 * SQRT(n * 1e0 / NULLIF(n_s * (n - n_s), 0)), 6) AS ks_crit, " +
+      s"COALESCE(ks_raw > ${KsAlphaCoeff}e0 * SQRT(n * 1e0 / NULLIF(n_s * (n - n_s), 0)), FALSE) AS anomalous " +
       "FROM agg ORDER BY source"
 
   // -------------------------------------------------- quality_classifier
@@ -904,14 +912,17 @@ object TextAnalysis {
     table(spark, dir, "documents")
       .selectExpr("source",
         "split(text, '\\\\s+') AS toks",
-        // greatest(.,1): an empty doc scores as a 1-char doc instead of
-        // tripping ANSI divide-by-zero (split('') still yields one token)
+        // greatest(.,1) only guards the DENOMINATORS against ANSI
+        // divide-by-zero; the digit count is raw_len - non_digit, so an
+        // empty doc's digit_ratio is 0, not the 1.0 a floored numerator
+        // would fabricate (split('') still yields one token)
+        "CAST(length(text) AS DOUBLE) AS raw_len",
         "GREATEST(CAST(length(text) AS DOUBLE), 1e0) AS n_chars",
         "CAST(length(regexp_replace(text, '[0-9]', '')) AS DOUBLE) AS non_digit")
       .selectExpr("source",
         "size(toks) AS n_ws",
         s"size(filter(toks, t -> t IN $stops)) * 1e0 / size(toks) AS stop_ratio",
-        "(n_chars - LEAST(non_digit, n_chars)) / n_chars AS digit_ratio",
+        "(raw_len - non_digit) / n_chars AS digit_ratio",
         "n_chars")
       .selectExpr("source",
         "1e0 / (1e0 + EXP(-(-1.2e0 + 6e0 * stop_ratio - 0.8e0 * digit_ratio " +
@@ -929,11 +940,12 @@ object TextAnalysis {
   def qualityClassifierSql: String = {
     val stops = QcStopwords.map(w => s"'$w'").mkString("(", ", ", ")")
     "WITH f AS (SELECT source, regexp_split_to_array(text, '\\s+') AS toks, " +
+      "length(text)::DOUBLE AS raw_len, " +
       "GREATEST(length(text)::DOUBLE, 1e0) AS n_chars, " +
       "length(regexp_replace(text, '[0-9]', '', 'g'))::DOUBLE AS non_digit FROM documents), " +
       "g AS (SELECT source, len(toks) AS n_ws, " +
       s"len(list_filter(toks, t -> t IN $stops)) * 1e0 / len(toks) AS stop_ratio, " +
-      "(n_chars - LEAST(non_digit, n_chars)) / n_chars AS digit_ratio, n_chars FROM f), " +
+      "(raw_len - non_digit) / n_chars AS digit_ratio, n_chars FROM f), " +
       "s AS (SELECT source, 1e0 / (1e0 + EXP(-(-1.2e0 + 6e0 * stop_ratio - 0.8e0 * digit_ratio " +
       "+ 0.35e0 * LN(1e0 + n_ws) - 0.15e0 * ABS(n_chars / n_ws - 5e0)))) AS score FROM g) " +
       "SELECT source, COUNT(*)::BIGINT AS n_docs, " +

@@ -93,4 +93,32 @@ class DeltaSourceSpec extends SparkSpec {
     assert(tbl.commit(Seq(2).toDF("x"), nowMillis = 2000L) == 1L)
     assert(tbl.history().map(_._1) == Seq(0L, 1L))
   }
+
+  test("VersionedParquetTable: a torn commit's leftover data dir does not wedge the table") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vpt-torn").toString + "/tbl"
+    val tbl = new VersionedParquetTable(root)
+    assert(tbl.commit(Seq(1).toDF("x"), nowMillis = 1000L) == 0L)
+    // simulate a crash between the data move and the manifest replace:
+    // v1 exists on disk but the manifest never recorded it
+    Seq(99).toDF("x").write.parquet(s"$root/v1")
+    // the retried commit must reclaim v1, not die on FileAlreadyExists —
+    // and the committed data is the NEW frame, not the torn leftover
+    assert(tbl.commit(Seq(2).toDF("x"), nowMillis = 2000L) == 1L)
+    assert(tbl.load(spark, 1L).collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("VersionedParquetTable: same-millisecond commits time-travel to the newest") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-vpt-tie").toString + "/tbl"
+    val tbl = new VersionedParquetTable(root)
+    tbl.commit(Seq(1).toDF("x"), nowMillis = 5000L)
+    tbl.commit(Seq(2).toDF("x"), nowMillis = 5000L) // same instant (Example does this)
+    // Delta's timestampAsOf rule: the NEWEST version at-or-before the
+    // instant — a plain maxBy(timestamp) would resolve the superseded v0
+    assert(tbl.versionAsOfTimestamp(5000L) == 1L)
+    assert(tbl.load(spark, tbl.versionAsOfTimestamp(5000L))
+      .select(col("x")).collect().head.getInt(0) == 2)
+  }
 }
