@@ -388,6 +388,60 @@ class EdgeCaseSpec extends SparkSpec {
     assert(row.getAs[Long]("n_kept") == 5L)
   }
 
+  test("seasonality_drift: a type in only one snapshot gets finite PSI and a NULL peak") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-season").toString
+    // ref window is ts < split; plant "steady" on both sides and
+    // "launched" only after the split (a feature rollout)
+    val rows =
+      (0 until 48).map(i => (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-${1 + i % 10}%02d 0${i % 6}:00:00"), 1L, "steady", 1.0, "{}")) ++
+      (0 until 24).map(i => (100L + i, java.sql.Timestamp.valueOf(
+        f"2024-03-${1 + i % 10}%02d 1${i % 6}:00:00"), 1L, "launched", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val byType = TimelineDrift.seasonalityDrift(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val launched = byType("launched")
+    assert(launched.getAs[Long]("n_ref") == 0L)
+    // the absent side floors at epsilon: PSI is large but FINITE (NaN
+    // would order largest in Spark and silently flag), drifted is true
+    val psi = launched.getAs[Double]("psi_hours")
+    assert(!psi.isNaN && !psi.isInfinite && psi > 0.0)
+    assert(launched.getAs[Boolean]("drifted"))
+    // no fabricated peak hour for a side with zero events
+    assert(launched.isNullAt(launched.fieldIndex("ref_peak_hour")))
+    assert(!launched.isNullAt(launched.fieldIndex("curr_peak_hour")))
+  }
+
+  test("length_anomaly on a single-source corpus reports NULL ks, not NaN") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-laone").toString
+    (0 until 10).map(i => (i.toLong, Seq.fill(5 + i)("w").mkString(" "), "en", "only"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val r = graft.pipeline.TextAnalysis.lengthAnomaly(spark, dir).collect()(0)
+    // the "rest of corpus" is empty: the two-sample statistic is
+    // undefined — NULL columns and a false verdict, never NaN/Infinity
+    assert(r.isNullAt(r.fieldIndex("ks_stat")))
+    assert(r.isNullAt(r.fieldIndex("ks_crit")))
+    assert(!r.getAs[Boolean]("anomalous"))
+  }
+
+  test("quality_classifier scores an empty doc without a fabricated digit ratio") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qcempty").toString
+    Seq((0L, "", "en", "s"), (1L, "the a of and to in is", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$dir/documents.parquet")
+    val r = graft.pipeline.TextAnalysis.qualityClassifier(spark, dir).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 2L)
+    // the all-stopword doc passes; the empty doc must not be dragged
+    // below the gate by a phantom 100%-digits penalty (score stays a
+    // finite number either way)
+    assert(!r.getAs[Double]("mean_score").isNaN)
+    assert(r.getAs[Long]("n_kept") >= 1L)
+  }
+
   test("cluster_profile on a sub-cell corpus collapses to one full-purity-free cell") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cp").toString
     def vec(seed: Int) = { val rr = new scala.util.Random(seed); Array.fill(64)(rr.nextGaussian().toFloat) }
