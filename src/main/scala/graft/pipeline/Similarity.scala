@@ -516,6 +516,66 @@ object Similarity {
       "ROUND(lc.top_n * 1e0 / ca.n_vecs, 6) AS purity " +
       "FROM ca JOIN lc ON ca.cell = lc.cell ORDER BY ca.cell"
 
+  // ------------------------------------------- product quantization (PQ)
+
+  /** PQ geometry: 64 dims → [[PqSubspaces]] subvectors of [[PqSubDim]],
+    * [[PqCodes]] codes per subspace → an 8-byte code per vector (32×
+    * compression of a float32 embedding). */
+  val PqSubspaces = 8
+  val PqSubDim = 8
+  val PqCodes = 16
+
+  /** Product-quantization profile — the artifact that says whether a
+    * PQ-compressed index can stand in for raw vectors at 100 TB (a
+    * trillion float32 embeddings are ~0.25 PB; their PQ codes are ~8 TB
+    * and fit an index tier): per subspace, the code-usage census and the
+    * mean squared reconstruction error of assigning every vector to its
+    * nearest codebook entry.
+    *
+    * Codebooks are the subvectors of the prefix-stable `vec_id <
+    * [[PqCodes]]` set ([[ivfTopK]]'s documented deviation — k-means-
+    * trained codebooks drop into the same assignment expression), so the
+    * DuckDB twin replays the identical quantization. Scale shape: ONE
+    * scan → n×[[PqSubspaces]] stacked subvector rows; the argmin runs as
+    * an array higher-order fold against an 8-row broadcast codebook —
+    * projection-only, no per-candidate explode, no shuffle before the
+    * subspace-sized final agg. Distances are rounded before the argmin
+    * so both engines break code ties identically (first = lowest code). */
+  def pqProfile(spark: SparkSession, dir: String): DataFrame = {
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stackArgs = (0 until PqSubspaces)
+      .map(m => s"${m}L, slice(v, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+    val subs = emb.selectExpr("vec_id", s"stack($PqSubspaces, $stackArgs) AS (m, sv)")
+    val cb = subs.filter(col("vec_id") < PqCodes)
+      .groupBy("m").agg(expr(
+        "transform(array_sort(collect_list(struct(vec_id, sv))), p -> p.sv)").as("cbs"))
+    subs.join(broadcast(cb), "m")
+      .withColumn("dists", expr(
+        "transform(cbs, c -> round(aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, x) -> acc + x), 6))"))
+      .withColumn("best", expr("array_min(dists)"))
+      .withColumn("code", expr("array_position(dists, best) - 1"))
+      .groupBy("m").agg(
+        count(lit(1)).as("n_vecs"),
+        countDistinct("code").as("codes_used"),
+        round(avg("best"), 6).as("mse"))
+      .orderBy("m")
+  }
+
+  def pqProfileSql: String =
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"subs AS (SELECT vec_id, m, v[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS sv " +
+      s"FROM v CROSS JOIN (SELECT unnest(range(0, $PqSubspaces)) AS m) ms), " +
+      s"cb AS (SELECT m, list(sv ORDER BY vec_id) AS cbs FROM subs WHERE vec_id < $PqCodes GROUP BY 1), " +
+      "a AS (SELECT s.vec_id, s.m, list_transform(cbs, c -> " +
+      s"ROUND(list_sum(list_transform(range(1, ${PqSubDim + 1}), i -> " +
+      "(s.sv[i] - c[i]) * (s.sv[i] - c[i]))), 6)) AS dists FROM subs s JOIN cb USING (m)), " +
+      "b AS (SELECT vec_id, m, list_min(dists) AS best, " +
+      "list_position(dists, list_min(dists)) - 1 AS code FROM a) " +
+      "SELECT m, COUNT(*)::BIGINT AS n_vecs, COUNT(DISTINCT code)::BIGINT AS codes_used, " +
+      "ROUND(AVG(best), 6) AS mse FROM b GROUP BY 1 ORDER BY 1"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_cohesion" -> ((s, d) => embeddingCohesion(s, d)),
     "ann_cosine" -> ((s, d) => annCosine(s, d)),
@@ -523,6 +583,7 @@ object Similarity {
     "ann_lsh" -> ((s, d) => lshTopK(s, d)),
     "ann_ivf" -> ((s, d) => ivfTopK(s, d)),
     "cluster_profile" -> ((s, d) => clusterProfile(s, d)),
+    "pq_profile" -> ((s, d) => pqProfile(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -532,5 +593,6 @@ object Similarity {
     "ann_lsh" -> lshTopKSql(),
     "ann_ivf" -> ivfTopKSql(),
     "cluster_profile" -> clusterProfileSql,
+    "pq_profile" -> pqProfileSql,
   )
 }

@@ -127,6 +127,32 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("pq_profile: codebook members reconstruct at zero error, codes in range") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    def vec(seed: Int) = { val rr = new scala.util.Random(seed); Array.fill(64)(rr.nextGaussian().toFloat) }
+    // 16 codebook vectors + an exact copy of vec 3: every row in every
+    // subspace is (or equals) a codebook entry -> reconstruction is exact
+    ((0 until 16).map(i => (i.toLong, vec(i), 0)) :+ ((100L, vec(3), 0)))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = Similarity.pqProfile(spark, dir).collect()
+    assert(rows.length == Similarity.PqSubspaces)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vecs") == 17L)
+      assert(r.getAs[Long]("codes_used") == 16L)
+      assert(r.getAs[Double]("mse") == 0.0)
+    }
+  }
+
+  test("pq_profile on real data uses every code and keeps mse positive") {
+    val rows = Similarity.pqProfile(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).distinct.length == 1)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("codes_used") <= Similarity.PqCodes)
+      assert(r.getAs[Double]("mse") > 0.0)
+    }
+  }
+
   // ------------------------------------------------------ entity_matches
 
   /** Planted catalog: a typo pair inside the bolt block, a typo pair inside

@@ -266,6 +266,17 @@ class PlanAuditSpec extends SparkSpec {
       s"cluster_profile shuffles the corpus for a small side:\n${plan.take(2000)}")
   }
 
+  test("pq_profile quantizes against a broadcast codebook, argmin in-row") {
+    val plan = planOf(Similarity.pqProfile(spark, sf))
+    // the n x M subvector stream meets the M-row codebook by broadcast
+    // and the 16-code argmin is an array fold INSIDE the row — a
+    // per-candidate explode or shuffle join would multiply the corpus
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"pq_profile shuffles the corpus for the codebook:\n${plan.take(2000)}")
+  }
+
   test("exact dedup is a partial-aggregated scan (no raw-row shuffle)") {
     val plan = planOf(Dedup.dedupExact(spark, sf))
     // count + countDistinct over md5: the plan must partial-aggregate
