@@ -576,6 +576,94 @@ object Similarity {
       "SELECT m, COUNT(*)::BIGINT AS n_vecs, COUNT(DISTINCT code)::BIGINT AS codes_used, " +
       "ROUND(AVG(best), 6) AS mse FROM b GROUP BY 1 ORDER BY 1"
 
+  /** ADC (asymmetric distance computation) top-k over the PQ codes — the
+    * search path that makes [[pqProfile]]'s compressed index tier
+    * actually queryable: the corpus lives as 8-byte codes, queries stay
+    * full-precision, and each candidate's distance is computed against
+    * its RECONSTRUCTION (the concatenation of its code centroids). The
+    * textbook memory/recall trade: ~32× less state than raw vectors at
+    * the price of quantization error (the approximate distances are
+    * oracle-replayed exactly since the codebooks are prefix-stable).
+    * Recall is spec-pinned on planted cluster structure; on UNSTRUCTURED
+    * gaussian data (the synthetic testdata) ADC recall is honestly weak
+    * (~0.16@5 here) because all neighbors are near-equidistant and the
+    * quantization noise swamps the gaps — the regime where a real
+    * deployment raises PqCodes / trains k-means codebooks or re-ranks
+    * an ADC shortlist against raw vectors.
+    *
+    * Scale shape: encode = one scan × one 1-row codebook broadcast,
+    * all in-row array folds (codes, reconstruction); search = the
+    * query set broadcast against the encoded corpus, distance in-row,
+    * then one top-k window per query — identical plan skeleton to
+    * [[annCosine]], with the corpus side carrying 64 reconstructed
+    * doubles instead of raw vectors (a production index materializes
+    * the codes once and reconstructs lazily per probe). Distances are
+    * rounded before the argmin/rank so both engines tie-break
+    * identically. */
+  def pqAnnTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+    val M = PqSubspaces
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stackArgs = (0 until M)
+      .map(m => s"${m}L, slice(v, ${m * PqSubDim + 1}, $PqSubDim)").mkString(", ")
+    val subs = emb.selectExpr("vec_id", s"stack($M, $stackArgs) AS (m, sv)")
+    // one row: cb[m][k] = k-th codebook subvector of subspace m (1-based)
+    val cbAll = subs.filter(col("vec_id") < PqCodes)
+      .groupBy("m").agg(expr(
+        "transform(array_sort(collect_list(struct(vec_id, sv))), p -> p.sv)").as("cbs"))
+      .groupBy().agg(expr(
+        "transform(array_sort(collect_list(struct(m, cbs))), p -> p.cbs)").as("cb"))
+    // per-subspace rounded distances to the 16 codes; argmin is 1-based
+    def distsExpr(m: String) =
+      s"transform(element_at(cb, $m + 1), c -> round(aggregate(" +
+        s"zip_with(slice(v, $m * $PqSubDim + 1, $PqSubDim), c, (x, y) -> (x - y) * (x - y)), " +
+        "0D, (acc, x) -> acc + x), 6))"
+    val encoded = emb.crossJoin(broadcast(cbAll))
+      .withColumn("codes", expr(
+        s"transform(sequence(0, ${M - 1}), m -> " +
+          s"CAST(array_position(${distsExpr("m")}, array_min(${distsExpr("m")})) AS INT))"))
+      .withColumn("recon", expr(
+        s"flatten(transform(sequence(0, ${M - 1}), m -> " +
+          "element_at(element_at(cb, m + 1), element_at(codes, m + 1))))"))
+      .select(col("vec_id").as("c_id"), col("recon"))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    encoded.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("approx_dist", expr(
+        "round(aggregate(zip_with(q_v, recon, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, x) -> acc + x), 6)"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("approx_dist").asc, col("c_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("q_id").as("query_id"), col("rk"), col("c_id").as("neighbor_id"),
+        col("approx_dist"))
+      .orderBy("query_id", "rk")
+  }
+
+  def pqAnnTopKSql(k: Int = TopK): String = {
+    val M = PqSubspaces
+    def distsExpr(vec: String, m: String) =
+      s"list_transform(cb[$m + 1], c -> ROUND(list_sum(list_transform(" +
+        s"range(1, ${PqSubDim + 1}), i -> ($vec[$m * $PqSubDim + i] - c[i]) * " +
+        s"($vec[$m * $PqSubDim + i] - c[i]))), 6))"
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), " +
+      s"subs AS (SELECT vec_id, m, v[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS sv " +
+      s"FROM v CROSS JOIN (SELECT unnest(range(0, $M)) AS m) ms), " +
+      s"cbm AS (SELECT m, list(sv ORDER BY vec_id) AS cbs FROM subs WHERE vec_id < $PqCodes GROUP BY 1), " +
+      "cball AS (SELECT list(cbs ORDER BY m) AS cb FROM cbm), " +
+      s"enc AS (SELECT vec_id AS c_id, flatten(list_transform(range(0, $M), m -> " +
+      s"cb[m + 1][list_position(${distsExpr("v", "m")}, list_min(${distsExpr("v", "m")}))])) AS recon " +
+      "FROM v CROSS JOIN cball), " +
+      s"q AS (SELECT vec_id AS q_id, v AS q_v FROM v WHERE vec_id < $NumQueries), " +
+      "scored AS (SELECT q_id, c_id, ROUND(list_sum(list_transform(" +
+      s"range(1, ${Dim + 1}), i -> (q_v[i] - recon[i]) * (q_v[i] - recon[i]))), 6) AS approx_dist " +
+      "FROM enc JOIN q ON q_id <> c_id), " +
+      "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id " +
+      "ORDER BY approx_dist ASC, c_id ASC) AS rk FROM scored) " +
+      s"SELECT q_id AS query_id, rk, c_id AS neighbor_id, approx_dist FROM ranked WHERE rk <= $k " +
+      "ORDER BY query_id, rk"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_cohesion" -> ((s, d) => embeddingCohesion(s, d)),
     "ann_cosine" -> ((s, d) => annCosine(s, d)),
@@ -584,6 +672,7 @@ object Similarity {
     "ann_ivf" -> ((s, d) => ivfTopK(s, d)),
     "cluster_profile" -> ((s, d) => clusterProfile(s, d)),
     "pq_profile" -> ((s, d) => pqProfile(s, d)),
+    "pq_ann" -> ((s, d) => pqAnnTopK(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -594,5 +683,6 @@ object Similarity {
     "ann_ivf" -> ivfTopKSql(),
     "cluster_profile" -> clusterProfileSql,
     "pq_profile" -> pqProfileSql,
+    "pq_ann" -> pqAnnTopKSql(),
   )
 }

@@ -144,6 +144,23 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("pq_ann surfaces planted near-duplicates despite quantized distances") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqann").toString
+    def vec(seed: Int) = { val rr = new scala.util.Random(seed); Array.fill(64)(rr.nextGaussian().toFloat) }
+    // 30 random vectors + tiny perturbations of 0 and 1: the planted pair
+    // distance is ~0 while random pairs are ~sqrt(2*64) apart, so the
+    // quantization error cannot reorder them
+    val embs = (0 until 30).map(i => (i.toLong, vec(i), 0)) ++
+      Seq((100L, vec(0).map(x => x + 0.001f), 0), (101L, vec(1).map(x => x + 0.001f), 0))
+    embs.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val top = Similarity.pqAnnTopK(spark, dir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("neighbor_id")).toSeq }
+    assert(top(0L).head == 100L, s"query 0 top-1 was ${top(0L)}")
+    assert(top(1L).head == 101L, s"query 1 top-1 was ${top(1L)}")
+  }
+
   test("pq_profile on real data uses every code and keeps mse positive") {
     val rows = Similarity.pqProfile(spark, sf).collect()
     assert(rows.map(_.getAs[Long]("n_vecs")).distinct.length == 1)
