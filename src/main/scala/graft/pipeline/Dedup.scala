@@ -640,6 +640,71 @@ object Dedup {
       "FROM documents d CROSS JOIN ev LEFT JOIN cont c ON c.train_doc = d.doc_id " +
       "WHERE d.source <> ev.eval_source GROUP BY 1 ORDER BY 1"
 
+  /** False-positive probability for [[decontaminationBloom]]'s prefilter.
+    * At 1% a 10M-shingle eval set costs ~12 MB of filter — executor-local
+    * and corpus-size-independent. */
+  val DecontamBloomFpp = 0.01
+
+  /** Bloom-prefiltered twin of [[decontamination]] with IDENTICAL output
+    * (it shares the oracle row): a Bloom filter built over the eval-side
+    * shingle set screens the train shingle stream BEFORE the cross-set
+    * join, so only shingles the eval set might contain reach the
+    * shuffle. Bloom filters have no false negatives, and the exact
+    * equi-join downstream discards the false positives, so the result is
+    * bit-identical to the exact operator at any fpp (spec-pinned at fpp
+    * 0.5).
+    *
+    * Why this exists: [[decontamination]]'s cross-set join is fine while
+    * the eval shingle set fits a broadcast; past that threshold Spark
+    * plans a shuffle join and the FULL train shingle stream (corpus-
+    * sized — the 100 TB side) pays the exchange. The Bloom filter is
+    * ~10 bits/shingle — two orders smaller than the eval shingle
+    * strings — so it stays executor-resident long after the raw set
+    * outgrows broadcast, and the shuffled train volume collapses to the
+    * eval-hit subset (exactly the semi-join reduction Spark's own AQE
+    * runtime bloom filter applies to shuffle joins it can rewrite; this
+    * operator guarantees it structurally). The filter build itself is
+    * one pass over the eval side — benchmark-sized by definition. */
+  def decontaminationBloom(spark: SparkSession, dir: String,
+      threshold: Double = ContaminationThreshold,
+      fpp: Double = DecontamBloomFpp): DataFrame = {
+    val docs = table(spark, dir, "documents")
+    val evalSrc = docs.agg(min("source").as("eval_source"))
+    val nDocs = docs.agg(count(lit(1)).as("n_all"))
+    val tri0 = shinglesOf(docs.select("doc_id", "text"))
+    val keepSh = tri0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= greatest(lit(2.0),
+        least(col("n_all") * MaxShingleDocFrac, lit(MaxShingleDfAbs.toDouble))))
+      .select("sh")
+    val tri = tri0.join(keepSh, "sh")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .crossJoin(broadcast(evalSrc)).cache()
+    val trainTri = tri.filter(col("source") =!= col("eval_source"))
+    val evalTri = tri.filter(col("source") === col("eval_source"))
+    val evalShingles = evalTri.select("sh").distinct()
+    val bf = evalShingles.stat.bloomFilter("sh",
+      math.max(1L, evalShingles.count()), fpp)
+    val mightContain = udf((s: String) => s != null && bf.mightContain(s))
+    // denominator = FULL df-capped shingle count per train doc — computed
+    // before the prefilter so containment matches the exact operator
+    val sz = trainTri.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val contained = trainTri.filter(mightContain(col("sh"))).as("a")
+      .join(evalTri.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.doc_id").as("train_doc"), col("b.doc_id").as("eval_doc"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.withColumnRenamed("doc_id", "train_doc"), "train_doc")
+      .groupBy("train_doc").agg(max(col("i") * lit(1.0) / col("n")).as("containment"))
+    docs.select("doc_id", "source").crossJoin(broadcast(evalSrc))
+      .filter(col("source") =!= col("eval_source"))
+      .join(contained.withColumnRenamed("train_doc", "doc_id"), Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(coalesce(col("containment"), lit(0.0)) >= threshold, 1L).otherwise(0L))
+          .as("n_contaminated"))
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------- SimHash
 
   /** 60-bit SimHash from per-word md5 hashes (15 hex chars keeps the value
@@ -822,6 +887,7 @@ object Dedup {
     "minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "neardup_clusters" -> ((s, d) => neardupClusters(s, d)),
     "decontamination" -> ((s, d) => decontamination(s, d)),
+    "decontam_bloom" -> ((s, d) => decontaminationBloom(s, d)),
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
     "incremental_dedup" -> ((s, d) => incrementalDedup(s, d)),
   )
@@ -835,6 +901,9 @@ object Dedup {
     "minhash_lsh" -> minhashLshSql,
     "neardup_clusters" -> neardupClustersSql,
     "decontamination" -> decontaminationSql,
+    // identical output by construction (no-false-negatives + exact confirm
+    // join); the shared oracle row proves the Bloom path's exactness
+    "decontam_bloom" -> decontaminationSql,
     "simhash_pairs" -> simhashPairsSql,
     "incremental_dedup" -> incrementalDedupSql,
   )

@@ -664,6 +664,89 @@ object Similarity {
       "ORDER BY query_id, rk"
   }
 
+  // ---------------------------------------- semantic dedup (SemDeDup)
+
+  /** Cosine above which two same-cell vectors count as semantic
+    * duplicates. SemDeDup (Abbas et al. 2023, arXiv:2303.09540) runs
+    * ~0.95+ on trained encoders; the synthetic testdata embeddings are
+    * near-orthogonal gaussians (max pairwise cosine ≈ 0.51), so the
+    * default is set where the testdata actually exercises both the drop
+    * and keep branches. The operator takes the threshold as a parameter;
+    * a real deployment passes its encoder-calibrated value. */
+  val SemDedupThreshold = 0.4
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus into IVF
+    * cells, call two same-cell vectors duplicates when their cosine ≥
+    * `threshold`, and keep the minimum vec_id of each duplicate chain
+    * (drop v iff some same-cell u < v has cosine(u,v) ≥ threshold — the
+    * same deterministic min-id keep rule as the exact text dedup).
+    * Output is the per-cell dedup ledger: vectors, drops, and the kept
+    * set pinned by id checksum.
+    *
+    * Why cells and not the near-dup LSH: semantic duplicates are NOT
+    * bit-similar (different tokenizations of the same meaning), so
+    * shingle LSH misses them; embedding-space clustering is the public
+    * SemDeDup recipe (cluster with k-means, compare only within a
+    * cluster). Scale shape is [[ivfTopK]]'s: assignment is one broadcast
+    * of K centroids × one scan, the pairwise pass is within-cell only —
+    * O(n · [[IvfTargetCell]]) with the data-adaptive cell count, never
+    * corpus² — and the ledger is one groupBy(cell) over n rows.
+    * Centroids are the prefix-stable `vec_id < K` set so the DuckDB twin
+    * replays the identical assignment (k-means centroids drop into the
+    * same plan; see [[kmeansIvfTopK]]). */
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = SemDedupThreshold): DataFrame = {
+    val emb = withNorm(table(spark, dir, "embeddings"), "c")
+    val cells = cellsForCorpus(table(spark, dir, "embeddings").count())
+    val cents = withNorm(
+      table(spark, dir, "embeddings").filter(col("vec_id") < cells), "t")
+      .select(col("t_id").as("cent_id"), col("t_v"), col("t_n"))
+    val assign = emb.crossJoin(broadcast(cents))
+      .withColumn("sim",
+        round(vecDot(col("c_v"), col("t_v")) / expr("NULLIF(c_n * t_n, 0)"), 6))
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("c_id").orderBy(col("sim").desc, col("cent_id").asc)))
+      .filter(col("ark") === 1)
+      .select(col("c_id").as("vec_id"), col("cent_id").as("cell"))
+    // both sides of the within-cell join read this frame — cache so the
+    // n×K assignment runs once (the ivfTopK no-ReusedExchange discipline)
+    val cellVecs = emb.join(assign, col("c_id") === col("vec_id")).drop("vec_id").cache()
+    val dropped = cellVecs.as("a").join(cellVecs.as("b"),
+        col("a.cell") === col("b.cell") && col("a.c_id") < col("b.c_id"))
+      .withColumn("cosine",
+        round(vecDot(col("a.c_v"), col("b.c_v")) / expr("NULLIF(a.c_n * b.c_n, 0)"), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("b.c_id").as("d_id")).distinct()
+    cellVecs.select(col("c_id"), col("cell"))
+      .join(dropped, col("c_id") === col("d_id"), "left")
+      .groupBy("cell").agg(
+        count(lit(1)).as("n_vectors"),
+        sum(when(col("d_id").isNotNull, 1L).otherwise(0L)).as("n_dropped"),
+        coalesce(sum(when(col("d_id").isNull, col("c_id"))), lit(0L)).as("kept_id_sum"))
+      .orderBy("cell")
+  }
+
+  /** DuckDB mirror of [[semanticDedup]] — same prefix-stable centroids,
+    * same rounded-before-compare cosine, same min-id keep rule. */
+  def semanticDedupSql(threshold: Double = SemDedupThreshold): String =
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+      s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
+      s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
+      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM v, cells_t WHERE vec_id < cells), " +
+      "assign AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c.cent_id AS cell, " +
+      "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
+      "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) DESC, c.cent_id ASC) AS ark " +
+      "FROM v, cents c) a WHERE ark = 1), " +
+      "cv AS (SELECT v.*, a.cell FROM v JOIN assign a ON a.vec_id = v.vec_id), " +
+      "dropped AS (SELECT DISTINCT b.vec_id FROM cv a JOIN cv b " +
+      "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
+      s"WHERE ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6) >= $threshold) " +
+      "SELECT cell, COUNT(*)::BIGINT AS n_vectors, " +
+      "SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped, " +
+      "COALESCE(SUM(CASE WHEN d.vec_id IS NULL THEN cv.vec_id END), 0)::BIGINT AS kept_id_sum " +
+      "FROM cv LEFT JOIN dropped d ON d.vec_id = cv.vec_id GROUP BY 1 ORDER BY 1"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_cohesion" -> ((s, d) => embeddingCohesion(s, d)),
     "ann_cosine" -> ((s, d) => annCosine(s, d)),
@@ -673,6 +756,7 @@ object Similarity {
     "cluster_profile" -> ((s, d) => clusterProfile(s, d)),
     "pq_profile" -> ((s, d) => pqProfile(s, d)),
     "pq_ann" -> ((s, d) => pqAnnTopK(s, d)),
+    "semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -684,5 +768,6 @@ object Similarity {
     "cluster_profile" -> clusterProfileSql,
     "pq_profile" -> pqProfileSql,
     "pq_ann" -> pqAnnTopKSql(),
+    "semantic_dedup" -> semanticDedupSql(),
   )
 }

@@ -191,6 +191,31 @@ class PipelineSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n_contaminated") == 1)
   }
 
+  test("bloom decontamination is bit-identical to exact, even at fpp 0.5") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-deconbloom").toString
+    val r = new scala.util.Random(13)
+    val vocab = Seq("quick", "brown", "fox", "lazy", "dog", "river", "bank",
+      "mountain", "silver", "market", "candle", "harbor", "stone", "cloud")
+    def doc() = Seq.fill(30)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    val evalDocs = (1L to 4L).map(i => (i, doc(), "a_eval"))
+    val trainDocs = (10L to 24L).map(i => (i, doc(), "train")) ++
+      Seq((30L, evalDocs.head._2 + " extra tail words", "train")) // planted leak
+    (evalDocs ++ trainDocs).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = Dedup.decontamination(spark, dir).collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty) // the planted leak makes the comparison non-vacuous
+    val bloom = Dedup.decontaminationBloom(spark, dir).collect().map(_.toSeq).toSeq
+    // at fpp 0.5 half the train shingles pass as false positives — the
+    // exact confirm join must still reduce to the identical answer
+    val sloppy = Dedup.decontaminationBloom(spark, dir, fpp = 0.5)
+      .collect().map(_.toSeq).toSeq
+    assert(bloom == exact)
+    assert(sloppy == exact)
+  }
+
   test("decontamination on a single-source corpus returns no train rows") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-decon1").toString
@@ -269,6 +294,29 @@ class PipelineSpec extends SparkSpec {
     val samples = Seq(1L, 100L, 10000L, 1000000L, 100000000L)
     val ks = samples.map(Similarity.cellsForCorpus(_))
     assert(ks.zip(ks.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("semantic dedup: twin drops, min-id keep rule, threshold extremes") {
+    // fixture = 32 vectors => one cell; the planted twins (0,100) and
+    // (1,101) are the only pairs with cosine >= 0.95 among 64-dim gaussians
+    val strict = Similarity.semanticDedup(spark, fixtureDir, threshold = 0.95).collect()
+    assert(strict.map(_.getAs[Long]("n_vectors")).sum == 32)
+    assert(strict.map(_.getAs[Long]("n_dropped")).sum == 2)
+    // min-id keep rule: the base vectors survive, the twin copies drop
+    val allIds = (0L until 30L).sum + 100L + 101L
+    assert(strict.map(_.getAs[Long]("kept_id_sum")).sum == allIds - 201L)
+    // threshold above 1: cosine can never qualify, nothing drops
+    val none = Similarity.semanticDedup(spark, fixtureDir, threshold = 1.01).collect()
+    assert(none.map(_.getAs[Long]("n_dropped")).sum == 0)
+    assert(none.map(_.getAs[Long]("kept_id_sum")).sum == allIds)
+    // threshold -1: every same-cell pair qualifies, exactly the min id of
+    // each cell survives — pins the deterministic keep rule at the extreme
+    val all = Similarity.semanticDedup(spark, fixtureDir, threshold = -1.0).collect()
+    all.foreach(r => assert(r.getAs[Long]("n_dropped") == r.getAs[Long]("n_vectors") - 1))
+    // monotone: a looser threshold never drops fewer vectors
+    val mid = Similarity.semanticDedup(spark, fixtureDir, threshold = 0.3).collect()
+    assert(mid.map(_.getAs[Long]("n_dropped")).sum >=
+      strict.map(_.getAs[Long]("n_dropped")).sum)
   }
 
   test("k-means IVF recalls the planted twins through trained cells") {

@@ -56,7 +56,9 @@ class PlanAuditSpec extends SparkSpec {
       Similarity.embedNeardup(spark, sf),
       Similarity.lshTopK(spark, sf),
       Similarity.ivfTopK(spark, sf),
-      Dedup.ngramNovelty(spark, sf))
+      Dedup.ngramNovelty(spark, sf),
+      Dedup.decontaminationBloom(spark, sf),
+      Similarity.semanticDedup(spark, sf))
     pairGens.foreach { df =>
       val plan = planOf(df)
       assert(!plan.contains("CartesianProduct"),
