@@ -683,13 +683,21 @@ object Dedup {
     val trainTri = tri.filter(col("source") =!= col("eval_source"))
     val evalTri = tri.filter(col("source") === col("eval_source"))
     val evalShingles = evalTri.select("sh").distinct()
-    val bf = evalShingles.stat.bloomFilter("sh",
-      math.max(1L, evalShingles.count()), fpp)
-    val mightContain = udf((s: String) => s != null && bf.mightContain(s))
+    val nEvalSh = evalShingles.count()
+    // an empty eval shingle set (eval docs too short to shingle) NPEs
+    // Spark's stat.bloomFilter — and means no train shingle can match,
+    // so the candidate stream is empty by construction
+    val candTri =
+      if (nEvalSh == 0) trainTri.limit(0)
+      else {
+        val bf = evalShingles.stat.bloomFilter("sh", nEvalSh, fpp)
+        val mightContain = udf((s: String) => s != null && bf.mightContain(s))
+        trainTri.filter(mightContain(col("sh")))
+      }
     // denominator = FULL df-capped shingle count per train doc — computed
     // before the prefilter so containment matches the exact operator
     val sz = trainTri.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val contained = trainTri.filter(mightContain(col("sh"))).as("a")
+    val contained = candTri.as("a")
       .join(evalTri.as("b"), col("a.sh") === col("b.sh"))
       .groupBy(col("a.doc_id").as("train_doc"), col("b.doc_id").as("eval_doc"))
       .agg(count(lit(1)).as("i"))

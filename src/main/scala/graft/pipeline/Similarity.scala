@@ -718,8 +718,14 @@ object Similarity {
       .filter(col("ark") === 1)
       .select(col("c_id").as("vec_id"), col("cent_id").as("cell"))
     // both sides of the within-cell join read this frame — cache so the
-    // n×K assignment runs once (the ivfTopK no-ReusedExchange discipline)
-    val cellVecs = emb.join(assign, col("c_id") === col("vec_id")).drop("vec_id").cache()
+    // n×K assignment runs once (the ivfTopK no-ReusedExchange discipline).
+    // LEFT join + self-cell fallback: if the prefix-stable centroid set is
+    // empty (an id space not starting at 0), every vector becomes its own
+    // singleton cell — conservative keep-everything instead of silently
+    // losing the corpus (a dedup may under-drop, never under-keep)
+    val cellVecs = emb.join(assign, col("c_id") === col("vec_id"), "left")
+      .withColumn("cell", coalesce(col("cell"), col("c_id")))
+      .drop("vec_id").cache()
     val dropped = cellVecs.as("a").join(cellVecs.as("b"),
         col("a.cell") === col("b.cell") && col("a.c_id") < col("b.c_id"))
       .withColumn("cosine",
@@ -747,7 +753,8 @@ object Similarity {
       "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
       "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) DESC, c.cent_id ASC) AS ark " +
       "FROM v, cents c) a WHERE ark = 1), " +
-      "cv AS (SELECT v.*, a.cell FROM v JOIN assign a ON a.vec_id = v.vec_id), " +
+      "cv AS (SELECT v.*, COALESCE(a.cell, v.vec_id) AS cell " +
+      "FROM v LEFT JOIN assign a ON a.vec_id = v.vec_id), " +
       "dropped AS (SELECT DISTINCT b.vec_id FROM cv a JOIN cv b " +
       "ON a.cell = b.cell AND a.vec_id < b.vec_id " +
       s"WHERE ROUND(list_dot_product(a.v, b.v) / NULLIF(a.nrm * b.nrm, 0), 6) >= $threshold) " +

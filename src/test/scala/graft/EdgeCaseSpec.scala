@@ -442,6 +442,53 @@ class EdgeCaseSpec extends SparkSpec {
     assert(r.getAs[Long]("n_kept") >= 1L)
   }
 
+  test("semantic_dedup survives an empty and a single-vector corpus") {
+    val empty = java.nio.file.Files.createTempDirectory("graft-sd0").toString
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"))
+      .write.parquet(s"$empty/embeddings.parquet")
+    assert(graft.pipeline.Similarity.semanticDedup(spark, empty).count() == 0L)
+    val one = java.nio.file.Files.createTempDirectory("graft-sd1").toString
+    val rr = new scala.util.Random(3)
+    Seq((7L, Array.fill(64)(rr.nextGaussian().toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$one/embeddings.parquet")
+    // a lone vector is its own cell's min id: kept, never dropped —
+    // even at a threshold every pair would satisfy
+    val r = graft.pipeline.Similarity.semanticDedup(spark, one, threshold = -1.0).collect()
+    assert(r.length == 1 && r(0).getAs[Long]("n_vectors") == 1L)
+    assert(r(0).getAs[Long]("n_dropped") == 0L)
+    assert(r(0).getAs[Long]("kept_id_sum") == 7L)
+  }
+
+  test("bloom decontamination matches exact on single-source (empty) and empty-eval shapes") {
+    // single source: everything is the eval set, no train rows — both
+    // variants return an empty frame (the bloom filter builds over the
+    // whole corpus and the guarded max(1, count) handles the shape)
+    val solo = java.nio.file.Files.createTempDirectory("graft-db1").toString
+    Seq((1L, "only one source exists here", "solo"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$solo/documents.parquet")
+    assert(Dedup.decontaminationBloom(spark, solo).collect().isEmpty)
+    // eval docs too short to shingle (no trigrams): the eval shingle set
+    // is EMPTY, the bloom filter is built over zero items, and every
+    // train doc must come through uncontaminated
+    val tiny = java.nio.file.Files.createTempDirectory("graft-db2").toString
+    Seq((1L, "two words", "a_eval"),
+      (10L, "a long train document with plenty of words in it today", "train"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.parquet(s"$tiny/documents.parquet")
+    val exact = Dedup.decontamination(spark, tiny).collect().map(_.toSeq).toSeq
+    val bloom = Dedup.decontaminationBloom(spark, tiny).collect().map(_.toSeq).toSeq
+    assert(bloom == exact)
+    assert(bloom.head(1) == 1L && bloom.head(2) == 0L) // 1 train doc, 0 contaminated
+  }
+
   test("cluster_profile on a sub-cell corpus collapses to one full-purity-free cell") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cp").toString
     def vec(seed: Int) = { val rr = new scala.util.Random(seed); Array.fill(64)(rr.nextGaussian().toFloat) }
