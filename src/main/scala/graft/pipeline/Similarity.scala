@@ -703,12 +703,22 @@ object Similarity {
     * Centroids are the prefix-stable `vec_id < K` set so the DuckDB twin
     * replays the identical assignment (k-means centroids drop into the
     * same plan; see [[kmeansIvfTopK]]). */
-  def semanticDedup(spark: SparkSession, dir: String,
-      threshold: Double = SemDedupThreshold): DataFrame = {
-    val emb = withNorm(table(spark, dir, "embeddings"), "c")
-    val cells = cellsForCorpus(table(spark, dir, "embeddings").count())
-    val cents = withNorm(
-      table(spark, dir, "embeddings").filter(col("vec_id") < cells), "t")
+  /** The cell structure of an embeddings-shaped frame (vec_id,
+    * embedding): `(cents, cellVecs)` where cents = the prefix-stable
+    * centroid frame (cent_id, t_v, t_n) and cellVecs = every vector with
+    * its norm and cell label (cell, c_id, c_v, c_n). This is the static
+    * artifact [[graft.streaming.StreamingSemantic]] replays per
+    * micro-batch; [[semanticDedup]] builds it per call.
+    *
+    * Assignment is a LEFT join with a self-cell fallback: if the
+    * prefix-stable centroid set is empty (an id space not starting at
+    * 0), every vector becomes its own singleton cell — conservative
+    * keep-everything instead of silently losing the corpus (a dedup may
+    * under-drop, never under-keep). */
+  def cellStructure(emb0: DataFrame): (DataFrame, DataFrame) = {
+    val emb = withNorm(emb0, "c")
+    val cells = cellsForCorpus(emb0.count())
+    val cents = withNorm(emb0.filter(col("vec_id") < cells), "t")
       .select(col("t_id").as("cent_id"), col("t_v"), col("t_n"))
     val assign = emb.crossJoin(broadcast(cents))
       .withColumn("sim",
@@ -717,15 +727,17 @@ object Similarity {
         Window.partitionBy("c_id").orderBy(col("sim").desc, col("cent_id").asc)))
       .filter(col("ark") === 1)
       .select(col("c_id").as("vec_id"), col("cent_id").as("cell"))
-    // both sides of the within-cell join read this frame — cache so the
-    // n×K assignment runs once (the ivfTopK no-ReusedExchange discipline).
-    // LEFT join + self-cell fallback: if the prefix-stable centroid set is
-    // empty (an id space not starting at 0), every vector becomes its own
-    // singleton cell — conservative keep-everything instead of silently
-    // losing the corpus (a dedup may under-drop, never under-keep)
     val cellVecs = emb.join(assign, col("c_id") === col("vec_id"), "left")
       .withColumn("cell", coalesce(col("cell"), col("c_id")))
-      .drop("vec_id").cache()
+      .drop("vec_id")
+    (cents, cellVecs)
+  }
+
+  def semanticDedup(spark: SparkSession, dir: String,
+      threshold: Double = SemDedupThreshold): DataFrame = {
+    // both sides of the within-cell join read cellVecs — cache so the
+    // n×K assignment runs once (the ivfTopK no-ReusedExchange discipline)
+    val cellVecs = cellStructure(table(spark, dir, "embeddings"))._2.cache()
     val dropped = cellVecs.as("a").join(cellVecs.as("b"),
         col("a.cell") === col("b.cell") && col("a.c_id") < col("b.c_id"))
       .withColumn("cosine",

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.Similarity
+
+/** Streaming twin of [[graft.pipeline.Similarity.semanticDedup]]: an
+  * unbounded feed of new embedding rows gated against a STATIC corpus's
+  * cell structure — the semantic analogue of
+  * [[StreamingIncrement.incrementGate]]'s exact/fuzzy text gates.
+  *
+  * Per incoming vector: (1) assign to the nearest corpus centroid with a
+  * STATELESS in-row argmax fold over the 1-row broadcast centroid array
+  * (a window/groupBy argmax would need per-batch aggregation state; the
+  * fold replays the batch tie-break — highest rounded cosine, then
+  * lowest cent_id — because the array is sorted by cent_id and only a
+  * strictly greater similarity displaces the accumulator); (2) stream-
+  * static LEFT ANTI join against that cell's corpus vectors on
+  * `same cell ∧ cosine ≥ threshold` — any semantic duplicate of the
+  * corpus is dropped, everything else is admitted unchanged.
+  *
+  * The whole gate carries ZERO streaming state: no watermark, no
+  * aggregation buffer — one broadcast row + one stream-static join.
+  * Deviations from the batch operator (documented): the gate judges the
+  * feed against the CORPUS only — within-batch duplicates are the batch
+  * pass's job (the [[StreamingIncrement]] discipline) — and a feed
+  * vector with no assignable centroid (empty corpus) is admitted
+  * (keep-everything fallback, mirroring the batch self-cell rule).
+  *
+  * At scale the static side is built once per corpus snapshot via
+  * [[Similarity.cellStructure]] and persisted like
+  * [[graft.pipeline.Dedup.writeClusters]]; per micro-batch cost is
+  * increment × (K-fold + one cell-keyed equi-join), never corpus².
+  */
+object StreamingSemantic {
+
+  /** In-row cosine between the feed vector and another array column. */
+  private def cosExpr(other: String, otherNorm: String): String =
+    s"round(aggregate(zip_with(__v, $other, (x, y) -> x * y), 0D, " +
+      s"(a, x) -> a + x) / NULLIF(__n * $otherNorm, 0), 6)"
+
+  /** Gate an unbounded (vec_id, embedding, …) stream against a static
+    * embeddings-shaped corpus. Emits admitted rows with the input
+    * schema. */
+  def semanticGate(newVecs: DataFrame, corpus: DataFrame,
+      threshold: Double = Similarity.SemDedupThreshold): DataFrame = {
+    val (cents, cellVecs) = Similarity.cellStructure(corpus)
+    // one row holding the centroid array sorted by cent_id (struct sort
+    // orders by the first field) — the argmax fold's broadcast input
+    val centsRow = cents.agg(expr(
+      "array_sort(collect_list(struct(cent_id, t_v, t_n))) AS __cents"))
+    gateWith(newVecs, centsRow,
+      cellVecs.select(col("cell"), col("c_v"), col("c_n")), threshold)
+  }
+
+  /** The same gate against PRECOMPUTED static artifacts — the production
+    * form (build [[Similarity.cellStructure]] once per corpus snapshot,
+    * persist, and feed every increment). */
+  def gateWith(newVecs: DataFrame, centsRow: DataFrame,
+      cellVecs: DataFrame, threshold: Double): DataFrame = {
+    val inCols = newVecs.columns.toSeq
+    val assigned = newVecs
+      .withColumn("__v", col("embedding").cast("array<double>"))
+      .withColumn("__n", sqrt(expr(
+        "aggregate(zip_with(__v, __v, (x, y) -> x * y), 0D, (a, x) -> a + x)")))
+      .crossJoin(broadcast(centsRow))
+      .withColumn("__cell", expr(
+        // each cosine computed once (transform), then a pure max fold
+        s"aggregate(transform(__cents, ct -> named_struct(" +
+          s"'cid', ct.cent_id, 'sim', ${cosExpr("ct.t_v", "ct.t_n")})), " +
+          "named_struct('cid', CAST(NULL AS BIGINT), 'sim', CAST(NULL AS DOUBLE)), " +
+          "(acc, x) -> CASE WHEN acc.sim IS NULL OR x.sim > acc.sim " +
+          "THEN x ELSE acc END).cid"))
+    assigned.join(cellVecs,
+        assigned("__cell") === cellVecs("cell") &&
+          expr(cosExpr("c_v", "c_n")) >= lit(threshold),
+        "left_anti")
+      .select(inCols.map(col): _*)
+  }
+}

@@ -267,4 +267,49 @@ class StreamingDriftSpec extends SparkSpec {
       assert(kept == Set(102L, 103L), s"gate admitted $kept")
     } finally q.stop()
   }
+
+  test("streaming semantic gate drops corpus near-duplicates, admits fresh vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int) = {
+      val rr = new scala.util.Random(seed); Array.fill(64)(rr.nextGaussian().toFloat)
+    }
+    val corpus = (0 until 20).map(i => (i.toLong, vec(i), 0))
+      .toDF("vec_id", "embedding", "label")
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = graft.streaming.StreamingSemantic.semanticGate(
+      input.toDF().toDF("vec_id", "embedding"), corpus, threshold = 0.95)
+    val q = out.writeStream.format("memory").queryName("sem_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (500L, vec(3).map(x => x + 0.001f)), // near-copy of corpus vec 3 -> dropped
+        (501L, vec(777)),                    // fresh gaussian -> admitted
+        (502L, vec(11)))                     // exact copy of corpus vec 11 -> dropped
+      q.processAllAvailable()
+      val kept = spark.table("sem_out").collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(kept == Set(501L), s"semantic gate admitted $kept")
+    } finally q.stop()
+  }
+
+  test("streaming semantic gate on an empty corpus admits everything (fallback)") {
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int) = {
+      val rr = new scala.util.Random(seed); Array.fill(64)(rr.nextGaussian().toFloat)
+    }
+    val corpus = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = graft.streaming.StreamingSemantic.semanticGate(
+      input.toDF().toDF("vec_id", "embedding"), corpus, threshold = -1.0)
+    val q = out.writeStream.format("memory").queryName("sem_empty_out")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, vec(1)), (2L, vec(2)))
+      q.processAllAvailable()
+      // no centroids -> no assignable cell -> keep-everything, even at a
+      // threshold every comparison would satisfy
+      val kept = spark.table("sem_empty_out").collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(kept == Set(1L, 2L), s"empty-corpus gate admitted $kept")
+    } finally q.stop()
+  }
 }
