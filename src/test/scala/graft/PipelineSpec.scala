@@ -296,6 +296,20 @@ class PipelineSpec extends SparkSpec {
     assert(ks.zip(ks.tail).forall { case (a, b) => a <= b })
   }
 
+  test("PQ re-rank with a corpus-covering shortlist equals brute-force exactly") {
+    // 32 vectors < PqShortlist: stage 1 keeps every candidate, so stage 2's
+    // exact cosine re-rank must reproduce annCosine bit-for-bit — the
+    // invariant that pins both stages' arithmetic at once
+    val exact = Similarity.annCosine(spark, fixtureDir).collect().map(_.toSeq).toSeq
+    val rerank = Similarity.pqAnnRerank(spark, fixtureDir).collect().map(_.toSeq).toSeq
+    assert(rerank == exact)
+    // and the re-rank rescues the planted twin that plain ADC may misrank
+    val q0 = Similarity.pqAnnRerank(spark, fixtureDir).collect()
+      .filter(r => r.getAs[Long]("query_id") == 0L && r.getAs[Int]("rk") == 1)
+    assert(q0.head.getAs[Long]("neighbor_id") == 100L)
+    assert(q0.head.getAs[Double]("cosine") > 0.999)
+  }
+
   test("semantic dedup: twin drops, min-id keep rule, threshold extremes") {
     // fixture = 32 vectors => one cell; the planted twins (0,100) and
     // (1,101) are the only pairs with cosine >= 0.95 among 64-dim gaussians
