@@ -743,6 +743,91 @@ object Similarity {
       s"SELECT q_id AS query_id, rk, c_id AS neighbor_id, cosine FROM rranked WHERE rk <= $k " +
       "ORDER BY query_id, rk"
 
+  /** IVF+PQ+re-rank — the composed production index (FAISS IVFADC with
+    * refinement): the coarse quantizer restricts each query to ITS OWN
+    * cell (nprobe = 1, ~[[IvfTargetCell]] candidates instead of the
+    * corpus), ADC over the 8-byte PQ codes ranks the cell and keeps a
+    * [[PqShortlist]]-deep shortlist, and exact cosine re-ranks only the
+    * shortlist against raw vectors. Composes [[cellStructure]] (the IVF
+    * artifact) with [[pqEncodedFrame]] (the PQ artifact) — at scale both
+    * are persisted index tiers and a probe touches one cell's codes plus
+    * shortlist-many raw vectors. All three stages are deterministic
+    * (prefix-stable centroids AND codebooks, rounded distances, id
+    * tiebreaks), so the full stack is oracle-replayed in DuckDB. */
+  def ivfPqTopK(spark: SparkSession, dir: String, k: Int = TopK,
+      shortlist: Int = PqShortlist): DataFrame = {
+    val (emb, encoded) = pqEncodedFrame(spark, dir)
+    val cellOf = cellStructure(table(spark, dir, "embeddings"))._2
+      .select(col("c_id").as("vec_id"), col("cell"))
+    val q = emb.filter(col("vec_id") < NumQueries)
+      .join(cellOf, "vec_id")
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("cell").as("q_cell"))
+    val short = encoded.join(cellOf, encoded("c_id") === cellOf("vec_id"))
+      .join(broadcast(q), col("q_cell") === col("cell") && col("q_id") =!= col("c_id"))
+      .withColumn("approx_dist", expr(
+        "round(aggregate(zip_with(q_v, recon, (x, y) -> (x - y) * (x - y)), " +
+          "0D, (acc, x) -> acc + x), 6)"))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("approx_dist").asc, col("c_id").asc)))
+      .filter(col("srk") <= shortlist)
+      .select("q_id", "c_id")
+    short
+      .join(emb.select(col("vec_id").as("c_id"), col("v").as("c_v")), "c_id")
+      .join(broadcast(q.drop("q_cell")), "q_id")
+      .withColumn("cosine", round(
+        vecDot(col("q_v"), col("c_v")) /
+          expr("NULLIF(sqrt(aggregate(zip_with(q_v, q_v, (x, y) -> x * y), 0D, (a, x) -> a + x)) * " +
+            "sqrt(aggregate(zip_with(c_v, c_v, (x, y) -> x * y), 0D, (a, x) -> a + x)), 0)"), 6))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)))
+      .filter(col("rk") <= k)
+      .select(col("q_id").as("query_id"), col("rk"), col("c_id").as("neighbor_id"), col("cosine"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** DuckDB mirror of [[ivfPqTopK]] — replays the IVF assignment, the PQ
+    * encode, the in-cell ADC shortlist and the exact re-rank from the
+    * same prefix-stable literals. */
+  def ivfPqTopKSql(k: Int = TopK, shortlist: Int = PqShortlist): String = {
+    val M = PqSubspaces
+    def distsExpr(vec: String, m: String) =
+      s"list_transform(cb[$m + 1], c -> ROUND(list_sum(list_transform(" +
+        s"range(1, ${PqSubDim + 1}), i -> ($vec[$m * $PqSubDim + i] - c[i]) * " +
+        s"($vec[$m * $PqSubDim + i] - c[i]))), 6))"
+    "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+      s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
+      s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
+      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM v, cells_t WHERE vec_id < cells), " +
+      "assign AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c.cent_id AS cell, " +
+      "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
+      "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) DESC, c.cent_id ASC) AS ark " +
+      "FROM v, cents c) a WHERE ark = 1), " +
+      "cva AS (SELECT v.*, COALESCE(a.cell, v.vec_id) AS cell " +
+      "FROM v LEFT JOIN assign a ON a.vec_id = v.vec_id), " +
+      s"subs AS (SELECT vec_id, m, v[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS sv " +
+      s"FROM v CROSS JOIN (SELECT unnest(range(0, $M)) AS m) ms), " +
+      s"cbm AS (SELECT m, list(sv ORDER BY vec_id) AS cbs FROM subs WHERE vec_id < $PqCodes GROUP BY 1), " +
+      "cball AS (SELECT list(cbs ORDER BY m) AS cb FROM cbm), " +
+      s"enc AS (SELECT vec_id AS c_id, flatten(list_transform(range(0, $M), m -> " +
+      s"cb[m + 1][list_position(${distsExpr("v", "m")}, list_min(${distsExpr("v", "m")}))])) AS recon " +
+      "FROM v CROSS JOIN cball), " +
+      s"q AS (SELECT vec_id AS q_id, v AS q_v, cell AS q_cell FROM cva WHERE vec_id < $NumQueries), " +
+      "scored AS (SELECT q_id, c.vec_id AS c_id, ROUND(list_sum(list_transform(" +
+      s"range(1, ${Dim + 1}), i -> (q_v[i] - recon[i]) * (q_v[i] - recon[i]))), 6) AS approx_dist " +
+      "FROM enc JOIN cva c ON c.vec_id = enc.c_id JOIN q ON q.q_cell = c.cell AND q.q_id <> c.vec_id), " +
+      "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id " +
+      "ORDER BY approx_dist ASC, c_id ASC) AS srk FROM scored), " +
+      s"sl AS (SELECT q_id, c_id FROM ranked WHERE srk <= $shortlist), " +
+      "rr AS (SELECT sl.q_id, sl.c_id, ROUND(list_dot_product(q.q_v, c.v) / " +
+      "NULLIF(sqrt(list_dot_product(q.q_v, q.q_v)) * sqrt(list_dot_product(c.v, c.v)), 0), 6) AS cosine " +
+      "FROM sl JOIN q ON q.q_id = sl.q_id JOIN v c ON c.vec_id = sl.c_id), " +
+      "rranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id " +
+      "ORDER BY cosine DESC, c_id ASC) AS rk FROM rr) " +
+      s"SELECT q_id AS query_id, rk, c_id AS neighbor_id, cosine FROM rranked WHERE rk <= $k " +
+      "ORDER BY query_id, rk"
+  }
+
   // ---------------------------------------- semantic dedup (SemDeDup)
 
   /** Cosine above which two same-cell vectors count as semantic
@@ -855,6 +940,7 @@ object Similarity {
     "pq_profile" -> ((s, d) => pqProfile(s, d)),
     "pq_ann" -> ((s, d) => pqAnnTopK(s, d)),
     "pq_ann_rerank" -> ((s, d) => pqAnnRerank(s, d)),
+    "ann_ivfpq" -> ((s, d) => ivfPqTopK(s, d)),
     "semantic_dedup" -> ((s, d) => semanticDedup(s, d)),
   )
 
@@ -868,6 +954,7 @@ object Similarity {
     "pq_profile" -> pqProfileSql,
     "pq_ann" -> pqAnnTopKSql(),
     "pq_ann_rerank" -> pqAnnRerankSql(),
+    "ann_ivfpq" -> ivfPqTopKSql(),
     "semantic_dedup" -> semanticDedupSql(),
   )
 }

@@ -310,6 +310,15 @@ class PipelineSpec extends SparkSpec {
     assert(q0.head.getAs[Double]("cosine") > 0.999)
   }
 
+  test("IVF+PQ+re-rank on a single-cell corpus equals brute-force exactly") {
+    // 32 vectors => one cell and a corpus-covering shortlist: the coarse
+    // quantizer prunes nothing and the re-rank is exact, so the composed
+    // index must reproduce annCosine bit-for-bit
+    val exact = Similarity.annCosine(spark, fixtureDir).collect().map(_.toSeq).toSeq
+    val ivfpq = Similarity.ivfPqTopK(spark, fixtureDir).collect().map(_.toSeq).toSeq
+    assert(ivfpq == exact)
+  }
+
   test("semantic dedup: twin drops, min-id keep rule, threshold extremes") {
     // fixture = 32 vectors => one cell; the planted twins (0,100) and
     // (1,101) are the only pairs with cosine >= 0.95 among 64-dim gaussians
