@@ -576,30 +576,6 @@ object Similarity {
       "SELECT m, COUNT(*)::BIGINT AS n_vecs, COUNT(DISTINCT code)::BIGINT AS codes_used, " +
       "ROUND(AVG(best), 6) AS mse FROM b GROUP BY 1 ORDER BY 1"
 
-  /** ADC (asymmetric distance computation) top-k over the PQ codes — the
-    * search path that makes [[pqProfile]]'s compressed index tier
-    * actually queryable: the corpus lives as 8-byte codes, queries stay
-    * full-precision, and each candidate's distance is computed against
-    * its RECONSTRUCTION (the concatenation of its code centroids). The
-    * textbook memory/recall trade: ~32× less state than raw vectors at
-    * the price of quantization error (the approximate distances are
-    * oracle-replayed exactly since the codebooks are prefix-stable).
-    * Recall is spec-pinned on planted cluster structure; on UNSTRUCTURED
-    * gaussian data (the synthetic testdata) ADC recall is honestly weak
-    * (~0.16@5 here) because all neighbors are near-equidistant and the
-    * quantization noise swamps the gaps — the regime where a real
-    * deployment raises PqCodes / trains k-means codebooks or re-ranks
-    * an ADC shortlist against raw vectors.
-    *
-    * Scale shape: encode = one scan × one 1-row codebook broadcast,
-    * all in-row array folds (codes, reconstruction); search = the
-    * query set broadcast against the encoded corpus, distance in-row,
-    * then one top-k window per query — identical plan skeleton to
-    * [[annCosine]], with the corpus side carrying 64 reconstructed
-    * doubles instead of raw vectors (a production index materializes
-    * the codes once and reconstructs lazily per probe). Distances are
-    * rounded before the argmin/rank so both engines tie-break
-    * identically. */
   /** Raw vectors + PQ-reconstructed corpus for the ADC searches:
     * `(emb, encoded)` with emb = (vec_id, v) and encoded = (c_id,
     * recon). Shared by [[pqAnnTopK]] and [[pqAnnRerank]]. */
@@ -641,6 +617,30 @@ object Similarity {
     (emb, encoded)
   }
 
+  /** ADC (asymmetric distance computation) top-k over the PQ codes — the
+    * search path that makes [[pqProfile]]'s compressed index tier
+    * actually queryable: the corpus lives as 8-byte codes, queries stay
+    * full-precision, and each candidate's distance is computed against
+    * its RECONSTRUCTION (the concatenation of its code centroids). The
+    * textbook memory/recall trade: ~32× less state than raw vectors at
+    * the price of quantization error (the approximate distances are
+    * oracle-replayed exactly since the codebooks are prefix-stable).
+    * Recall is spec-pinned on planted cluster structure; on UNSTRUCTURED
+    * gaussian data (the synthetic testdata) ADC recall is honestly weak
+    * (~0.16@5 here) because all neighbors are near-equidistant and the
+    * quantization noise swamps the gaps — the regime where a real
+    * deployment raises PqCodes / trains k-means codebooks or re-ranks
+    * an ADC shortlist against raw vectors.
+    *
+    * Scale shape: encode = one scan × one 1-row codebook broadcast,
+    * all in-row array folds (codes, reconstruction); search = the
+    * query set broadcast against the encoded corpus, distance in-row,
+    * then one top-k window per query — identical plan skeleton to
+    * [[annCosine]], with the corpus side carrying 64 reconstructed
+    * doubles instead of raw vectors (a production index materializes
+    * the codes once and reconstructs lazily per probe). Distances are
+    * rounded before the argmin/rank so both engines tie-break
+    * identically. */
   def pqAnnTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val (emb, encoded) = pqEncodedFrame(spark, dir)
     val q = emb.filter(col("vec_id") < NumQueries)
@@ -757,8 +757,10 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, dir: String, k: Int = TopK,
       shortlist: Int = PqShortlist): DataFrame = {
     val (emb, encoded) = pqEncodedFrame(spark, dir)
+    // consumed by both the query frame and the candidate join — cache so
+    // the n×K assignment (window over the corpus) runs once
     val cellOf = cellStructure(table(spark, dir, "embeddings"))._2
-      .select(col("c_id").as("vec_id"), col("cell"))
+      .select(col("c_id").as("vec_id"), col("cell")).cache()
     val q = emb.filter(col("vec_id") < NumQueries)
       .join(cellOf, "vec_id")
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("cell").as("q_cell"))
