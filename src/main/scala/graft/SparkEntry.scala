@@ -73,12 +73,15 @@ object SparkEntry {
       SchemaOps.queries ++
       AdaptiveThresholds.queries ++
       TimelineDrift.queries ++
+      RobustDrift.queries ++
       PcaAnomaly.queries ++
       Report.queries ++
       Dedup.queries ++
       Similarity.queries ++
       TextAnalysis.queries ++
       Sessions.queries ++
+      RangeJoin.queries ++
+      SnapshotDiff.queries ++
       AsofJoin.queries ++
       LmScore.queries ++
       SpanDedup.queries ++
@@ -114,6 +117,7 @@ object SparkEntry {
       "metric_audit" -> ((s, d) => NumericDrift.metricAudit(s, d, approx = true)),
       "numeric_drift_score" -> ((s, d) => NumericDrift.driftScore(s, d, approx = true)),
       "quantile_shifts" -> ((s, d) => NumericDrift.quantileShifts(s, d, approx = true)),
+      "mad_outliers" -> ((s, d) => RobustDrift.madOutliers(s, d, approx = true)),
       "group_numeric_metrics" -> ((s, d) => GroupDrift.groupNumericMetrics(s, d, approx = true)),
       "group_drift" -> ((s, d) => GroupDrift.groupDriftVerdict(s, d, approx = true)),
       // the report family shares one memoized scoring DAG; at scale that DAG
@@ -138,12 +142,15 @@ object SparkEntry {
       SchemaOps.oracles ++
       AdaptiveThresholds.oracles ++
       TimelineDrift.oracles ++
+      RobustDrift.oracles ++
       PcaAnomaly.oracles ++
       Report.oracles ++
       Dedup.oracles ++
       Similarity.oracles ++
       TextAnalysis.oracles ++
       Sessions.oracles ++
+      RangeJoin.oracles ++
+      SnapshotDiff.oracles ++
       AsofJoin.oracles ++
       LmScore.oracles ++
       SpanDedup.oracles ++

@@ -562,13 +562,60 @@ object Dedup {
     df.select("doc_id", "cluster_id")
   }
 
-  def neardupClustersSql: String =
-    s"WITH RECURSIVE ${minhashPairsCtes("documents")}, " +
+  /** CTE chain ending in `nd_labels(doc_id, cluster_id)` — the recursive
+    * transitive closure shared by [[neardupClustersSql]] and
+    * [[clusterCanonicalSql]]. */
+  private def neardupLabelCtes: String =
+    s"RECURSIVE ${minhashPairsCtes("documents")}, " +
       s"nd_edges AS (SELECT doc_a AS src, doc_b AS dst FROM nd_pairs WHERE jaccard >= $JaccardThreshold " +
       s"UNION SELECT doc_b, doc_a FROM nd_pairs WHERE jaccard >= $JaccardThreshold), " +
       "reach(src, dst) AS (SELECT doc_id, doc_id FROM documents " +
-      "UNION SELECT r.src, e.dst FROM reach r JOIN nd_edges e ON e.src = r.dst) " +
-      "SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src ORDER BY doc_id"
+      "UNION SELECT r.src, e.dst FROM reach r JOIN nd_edges e ON e.src = r.dst), " +
+      "nd_labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src)"
+
+  def neardupClustersSql: String =
+    s"WITH $neardupLabelCtes " +
+      "SELECT doc_id, cluster_id FROM nd_labels ORDER BY doc_id"
+
+  /** Canonical-representative selection over the near-dup clusters — the
+    * curation step AFTER clustering: a dedup that keeps `min(doc_id)` per
+    * cluster throws away quality for arbitrariness, so pick the LONGEST
+    * member instead (`n_chars` desc, doc_id asc tiebreak — the standard
+    * "keep the most complete duplicate" heuristic), reported per multi-doc
+    * cluster with member/volume accounting.
+    *
+    * Scale shape: the cluster frame is (2 longs)/doc; the length join is
+    * doc-keyed; the rank window partitions by cluster_id and the rollup
+    * groups by the SAME key, so Catalyst reuses one exchange for both. The
+    * window's per-partition sort is bounded by cluster size (dup clusters
+    * are shallow), never the corpus. */
+  def clusterCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = table(spark, dir, "documents")
+    val labels = neardupComponents(docs.select("doc_id", "text"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .groupBy("cluster_id").agg(
+        count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("doc_id"))).as("canonical_doc"),
+        max(when(col("rk") === 1, col("n_chars"))).as("canonical_chars"),
+        sum("n_chars").as("total_chars"))
+      .filter(col("n_members") > 1)
+      .orderBy("cluster_id")
+  }
+
+  def clusterCanonicalSql: String =
+    s"WITH $neardupLabelCtes, " +
+      "ranked AS (SELECT l.cluster_id, l.doc_id, d.n_chars, " +
+      "ROW_NUMBER() OVER (PARTITION BY l.cluster_id ORDER BY d.n_chars DESC, l.doc_id ASC) AS rk " +
+      "FROM nd_labels l JOIN documents d USING (doc_id)) " +
+      "SELECT cluster_id, COUNT(*) AS n_members, " +
+      "MAX(CASE WHEN rk = 1 THEN doc_id END)::BIGINT AS canonical_doc, " +
+      "MAX(CASE WHEN rk = 1 THEN n_chars END)::BIGINT AS canonical_chars, " +
+      "SUM(n_chars)::BIGINT AS total_chars " +
+      "FROM ranked GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY cluster_id"
 
   // ------------------------------------------- benchmark decontamination
 
@@ -894,6 +941,7 @@ object Dedup {
     "ngram_jaccard_capped" -> ((s, d) => ngramJaccardCapped(s, d)),
     "minhash_lsh" -> ((s, d) => minhashLsh(s, d)),
     "neardup_clusters" -> ((s, d) => neardupClusters(s, d)),
+    "cluster_canonical" -> ((s, d) => clusterCanonical(s, d)),
     "decontamination" -> ((s, d) => decontamination(s, d)),
     "decontam_bloom" -> ((s, d) => decontaminationBloom(s, d)),
     "simhash_pairs" -> ((s, d) => simhashPairs(s, d)),
@@ -908,6 +956,7 @@ object Dedup {
     "ngram_jaccard_capped" -> ngramJaccardCappedSql,
     "minhash_lsh" -> minhashLshSql,
     "neardup_clusters" -> neardupClustersSql,
+    "cluster_canonical" -> clusterCanonicalSql,
     "decontamination" -> decontaminationSql,
     // identical output by construction (no-false-negatives + exact confirm
     // join); the shared oracle row proves the Bloom path's exactness

@@ -48,16 +48,31 @@ object Sessions {
     * lag + running sum over (user_id ORDER BY ts) — one shuffle on user. */
   val SessionGapMinutes = 30
 
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** Events tagged with their gap-session id — the shared core of
+    * [[sessionize]] and [[sessionSpans]]: lag + running sum over
+    * (user_id ORDER BY ts), one shuffle on user. */
+  private[pipeline] def sessionTagged(spark: SparkSession, dir: String): DataFrame = {
     val gapUs = SessionGapMinutes * 60L * 1000000L
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    val sessions = table(spark, dir, "events")
+    table(spark, dir, "events")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
       .withColumn("new_session",
         when(col("ts_us") - lag("ts_us", 1).over(byUser) > gapUs, 1L)
           .when(lag("ts_us", 1).over(byUser).isNull, 1L).otherwise(0L))
       .withColumn("session_id", sum("new_session").over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** One row per session with its [start, end] span in integer µs — the
+    * interval frame consumed by [[RangeJoin.sessionConcurrency]]. Same
+    * single user-keyed shuffle as [[sessionize]]. */
+  def sessionSpans(spark: SparkSession, dir: String): DataFrame =
+    sessionTagged(spark, dir)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts_us").as("start_us"), max("ts_us").as("end_us"))
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val sessions = sessionTagged(spark, dir)
       .groupBy("user_id", "session_id")
       // durations stay in integer microseconds: the per-user mean is then
       // SUM(BIGINT)/n — exact in any summation order — with ONE double
@@ -81,14 +96,20 @@ object Sessions {
       .orderBy("user_id")
   }
 
-  def sessionizeSql: String =
-    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+  /** The session-tagging CTE chain (events → per-event session id), shared
+    * verbatim by [[sessionizeSql]] and [[RangeJoin.sessionConcurrencySql]]
+    * so both oracles replay the identical session structure. */
+  val sessionCtes: String =
+    s"""e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
        |marked AS (SELECT user_id, event_id, ts_us,
        |  CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) > ${SessionGapMinutes * 60L * 1000000L}
        |       THEN 1 WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) IS NULL THEN 1 ELSE 0 END AS new_session
        |  FROM e),
        |sess AS (SELECT user_id, event_id, ts_us,
-       |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM marked),
+       |  SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS session_id FROM marked)""".stripMargin.replace("\n", " ")
+
+  def sessionizeSql: String =
+    s"""WITH $sessionCtes,
        |per_session AS (SELECT user_id, session_id, COUNT(*) AS n_events,
        |  (MAX(ts_us) - MIN(ts_us)) AS dur_us FROM sess GROUP BY 1, 2)
        |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) / COUNT(*) AS avg_events_per_session,
