@@ -80,6 +80,7 @@ object SparkEntry {
       Similarity.queries ++
       TextAnalysis.queries ++
       Sessions.queries ++
+      EventAnalytics.queries ++
       RangeJoin.queries ++
       SnapshotDiff.queries ++
       AsofJoin.queries ++
@@ -149,6 +150,7 @@ object SparkEntry {
       Similarity.oracles ++
       TextAnalysis.oracles ++
       Sessions.oracles ++
+      EventAnalytics.oracles ++
       RangeJoin.oracles ++
       SnapshotDiff.oracles ++
       AsofJoin.oracles ++

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.drift.table
+
+/** Time-series / product-analytics operators over the event stream —
+  * rolling-window statistics, cohort retention and an ordered conversion
+  * funnel. The reference engine stops at snapshot-pair drift; these are the
+  * longitudinal questions the same event data answers, and each is shaped
+  * so the heavy work happens on PRE-AGGREGATED frames (days, users), never
+  * on raw events twice.
+  *
+  * Exactness contract (cross-engine hash stability): every windowed or
+  * ratio output is derived from exact-integer or exact-DECIMAL partial
+  * sums with ONE final double division — window aggregation ORDER inside
+  * a frame differs between engines (Spark folds sequentially, DuckDB may
+  * use a segment tree), which makes direct double window-AVG/STDDEV
+  * nondeterministic in the last ulp; summing decimals sidesteps it.
+  */
+object EventAnalytics {
+
+  /** Rolling-window days (current day + 6 preceding). */
+  val RollDays = 7
+
+  /** 7-day rolling mean/std of daily event value per type. Daily sums
+    * accumulate in DECIMAL(18,6) (exact); the rolling mean and the
+    * variance's second moment divide/cast only at the end, so both engines
+    * see bit-identical doubles. Scale shape: the window runs on the
+    * (day × type) aggregate — O(days·types) rows — after one
+    * partial-aggregated scan of the raw events. */
+  def rollingStats(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value"),
+        sum((col("value").cast("decimal(18,6)") * col("value").cast("decimal(18,6)")))
+          .as("sum_sq"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-(RollDays - 1), Window.currentRow)
+    daily.select(col("day"), col("event_type"), col("n_events"),
+        sum("n_events").over(w).as("roll_n"),
+        sum("sum_value").over(w).as("roll_sum_dec"),
+        sum("sum_sq").over(w).as("roll_sq_dec"))
+      .selectExpr(rollingFinalCols: _*)
+      .orderBy("event_type", "day")
+  }
+
+  /** Final projection — IDENTICAL text in Spark selectExpr and DuckDB.
+    * Variance via the moment identity on exact sums: (Σx² − (Σx)²/n)/(n−1);
+    * the subtraction happens on bit-identical doubles in both engines. */
+  private def rollingFinalCols: Seq[String] = Seq(
+    "day", "event_type", "n_events", "roll_n",
+    "ROUND(CAST(roll_sum_dec AS DOUBLE), 6) AS roll_sum",
+    "ROUND(CAST(roll_sum_dec AS DOUBLE) / roll_n, 6) AS roll_avg",
+    "ROUND(CASE WHEN roll_n > 1 THEN " +
+      "sqrt(greatest((CAST(roll_sq_dec AS DOUBLE) - CAST(roll_sum_dec AS DOUBLE) * CAST(roll_sum_dec AS DOUBLE) / roll_n) / (roll_n - 1), 0e0)) " +
+      "ELSE 0e0 END, 6) AS roll_std")
+
+  def rollingStatsSql: String =
+    s"""WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       |  COUNT(*) AS n_events, SUM(value::DECIMAL(18,6)) AS sum_value,
+       |  SUM(value::DECIMAL(18,6) * value::DECIMAL(18,6)) AS sum_sq
+       |  FROM events GROUP BY 1, 2),
+       |rolled AS (SELECT day, event_type, n_events,
+       |  SUM(n_events) OVER w AS roll_n, SUM(sum_value) OVER w AS roll_sum_dec,
+       |  SUM(sum_sq) OVER w AS roll_sq_dec FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN ${RollDays - 1} PRECEDING AND CURRENT ROW))
+       |SELECT ${rollingFinalCols.mkString(", ")} FROM rolled ORDER BY event_type, day"""
+      .stripMargin.replace("\n", " ")
+
+  /** Cohort retention: users cohorted by first-seen day; for each
+    * (cohort_day, day_offset), how many of the cohort were active — the
+    * standard retention triangle. Scale shape: first-seen and the distinct
+    * activity set are both user-keyed aggregations (one shuffle each, and
+    * Catalyst co-partitions the join on user_id); the triangle itself is
+    * O(days²) rows. Retention rate is an exact-integer quotient. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val events = table(spark, dir, "events")
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+    val first = events.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val cohortSize = first.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
+    val active = events.distinct()
+      .join(first, "user_id")
+      .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    active.join(cohortSize, "cohort_day")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset").cast("long").as("day_offset"),
+        col("n_active"), col("cohort_size"))
+      .withColumn("retention_rate", expr("ROUND(n_active * 1e0 / cohort_size, 6)"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  def cohortRetentionSql: String =
+    """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+      |first_seen AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1),
+      |cohort_size AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM first_seen GROUP BY 1),
+      |active AS (SELECT f.cohort_day, datediff('day', f.cohort_day, e.day) AS day_offset, COUNT(*) AS n_active
+      |  FROM (SELECT DISTINCT user_id, day FROM ev) e JOIN first_seen f USING (user_id) GROUP BY 1, 2)
+      |SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day, a.day_offset::BIGINT AS day_offset,
+      |  a.n_active, c.cohort_size, ROUND(a.n_active * 1e0 / c.cohort_size, 6) AS retention_rate
+      |FROM active a JOIN cohort_size c USING (cohort_day)
+      |ORDER BY cohort_day, day_offset""".stripMargin.replace("\n", " ")
+
+  /** Ordered conversion funnel view → click → purchase: a user converts a
+    * step only with an event STRICTLY AFTER their previous step's first
+    * completion (min-time semantics — the standard "first touch" funnel).
+    * Three user-keyed aggregation passes, each on a type-filtered slice,
+    * joined co-partitioned on user_id; output is one row of totals, so
+    * nothing downstream grows with data. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val t1 = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
+      .filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"))
+    val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
+      .filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"))
+    val totals = ev.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(t1.agg(count(lit(1)).as("n_view"))))
+      .crossJoin(broadcast(t2.agg(count(lit(1)).as("n_click_after_view"))))
+      .crossJoin(broadcast(t3.agg(count(lit(1)).as("n_purchase_after_click"))))
+    totals.selectExpr(funnelFinalCols: _*)
+  }
+
+  private def funnelFinalCols: Seq[String] = Seq(
+    "n_users", "n_view", "n_click_after_view", "n_purchase_after_click",
+    "ROUND(n_view * 1e0 / n_users, 6) AS view_rate",
+    "ROUND(n_click_after_view * 1e0 / n_view, 6) AS click_conversion",
+    "ROUND(n_purchase_after_click * 1e0 / n_click_after_view, 6) AS purchase_conversion")
+
+  def funnelSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |t1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+       |t2 AS (SELECT e.user_id, MIN(e.ts_us) AS t2 FROM ev e JOIN t1 ON e.user_id = t1.user_id AND e.ts_us > t1.t1
+       |  WHERE e.event_type = 'click' GROUP BY 1),
+       |t3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3 FROM ev e JOIN t2 ON e.user_id = t2.user_id AND e.ts_us > t2.t2
+       |  WHERE e.event_type = 'purchase' GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(DISTINCT user_id) FROM ev) AS n_users,
+       |  (SELECT COUNT(*) FROM t1) AS n_view,
+       |  (SELECT COUNT(*) FROM t2) AS n_click_after_view,
+       |  (SELECT COUNT(*) FROM t3) AS n_purchase_after_click)
+       |SELECT ${funnelFinalCols.mkString(", ")} FROM tot""".stripMargin.replace("\n", " ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rolling_stats" -> ((s, d) => rollingStats(s, d)),
+    "cohort_retention" -> ((s, d) => cohortRetention(s, d)),
+    "funnel" -> ((s, d) => funnel(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "rolling_stats" -> rollingStatsSql,
+    "cohort_retention" -> cohortRetentionSql,
+    "funnel" -> funnelSql,
+  )
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.drift.table
+import graft.pipeline.EventAnalytics
+
+/** Rolling stats, cohort retention and funnel over the event stream,
+  * checked against independent driver-side computations. */
+class EventAnalyticsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("rolling_stats window matches a driver-side fold over daily sums") {
+    val daily = table(spark, sf, "events")
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .collect().map(r => (r.getString(1), r.getString(0)) -> (r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1._1).map { case (t, m) => t -> m.toSeq.sortBy(_._1._2) }
+    val got = EventAnalytics.rollingStats(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(0)) -> r).toMap
+    daily.foreach { case (t, days) =>
+      days.zipWithIndex.foreach { case (((_, day), _), i) =>
+        val frame = days.slice(math.max(0, i - 6), i + 1).map(_._2)
+        val r = got((t, day))
+        assert(r.getLong(3) == frame.map(_._1).sum, s"$t $day roll_n")
+        assert(math.abs(r.getDouble(4) - frame.map(_._2).sum) < 1e-4, s"$t $day roll_sum")
+        assert(math.abs(r.getDouble(5) - frame.map(_._2).sum / frame.map(_._1).sum) < 1e-4)
+      }
+    }
+  }
+
+  test("rolling_stats std is the sample std of the window's raw values") {
+    // cross-check one (type, day) cell against raw per-event values
+    val raw = table(spark, sf, "events")
+      .filter(col("event_type") === "click")
+      .select(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"), col("value"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1))
+    val days = raw.map(_._1).distinct.sorted
+    val lastDay = days.last
+    val window = days.takeRight(math.min(7, days.length)).toSet
+    val xs = raw.filter(p => window.contains(p._1)).map(_._2)
+    val mean = xs.sum / xs.length
+    val std = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1))
+    val got = EventAnalytics.rollingStats(spark, sf)
+      .filter(col("event_type") === "click" && col("day") === lastDay)
+      .collect()(0)
+    assert(math.abs(got.getDouble(6) - std) < 1e-3, s"std got=${got.getDouble(6)} want=$std")
+  }
+
+  test("cohort_retention: offsets start at 0, rates bounded, cohorts partition users") {
+    val rows = EventAnalytics.cohortRetention(spark, sf).collect()
+    // day 0 retention is exactly the cohort (first-seen day is active)
+    rows.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) && r.getDouble(4) == 1.0)
+    }
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L)
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+    val nUsers = table(spark, sf, "events").select("user_id").distinct().count()
+    val cohortTotal = rows.filter(_.getLong(1) == 0L).map(_.getLong(3)).sum
+    assert(cohortTotal == nUsers)
+  }
+
+  test("funnel steps are ordered and counts monotone nonincreasing") {
+    val r = EventAnalytics.funnel(spark, sf).collect()(0)
+    val Seq(nUsers, nView, nClick, nPurchase) = (0 to 3).map(r.getLong)
+    assert(nView <= nUsers && nClick <= nView && nPurchase <= nClick)
+    assert(nView > 0) // fixture has views
+    // independent recomputation of step 2 (first click after first view)
+    val ev = table(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val firstView = ev.filter(_._2 == "view").groupBy(_._1).map { case (u, es) => u -> es.map(_._3).min }
+    val wantClick = ev.filter(_._2 == "click")
+      .filter(e => firstView.get(e._1).exists(t1 => e._3 > t1))
+      .map(_._1).distinct.length
+    assert(nClick == wantClick)
+  }
+}
