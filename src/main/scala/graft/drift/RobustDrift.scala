@@ -46,6 +46,7 @@ object RobustDrift {
     * exact percentile passes for `percentile_approx`'s fixed-size mergeable
     * sketch. */
   def madOutliers(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+    require(S.numeric.nonEmpty, "no numeric splits configured")
     val pct = if (approx) "percentile_approx" else "percentile"
     val perTable = S.numeric.map { sp =>
       val tagged = withSide(table(spark, dir, sp.tableName), sp.ref)
@@ -76,15 +77,19 @@ object RobustDrift {
       .orderBy("table_name", "column_name")
   }
 
-  /** Final projection — IDENTICAL text in Spark selectExpr and DuckDB. */
+  /** Final projection — IDENTICAL text in Spark selectExpr and DuckDB.
+    * Rates guard the empty/all-NULL side: 0/0 is Spark NULL but DuckDB
+    * NaN, so an unguarded division would split the engines. */
+  private val refRate = "CASE WHEN ref_n = 0 THEN 0e0 ELSE ref_outliers * 1e0 / ref_n END"
+  private val currRate = "CASE WHEN curr_n = 0 THEN 0e0 ELSE curr_outliers * 1e0 / curr_n END"
   private def madFinalCols: Seq[String] = Seq(
     "table_name", "column_name",
     "ROUND(ref_median_raw, 6) AS ref_median",
     "ROUND(ref_mad_raw, 6) AS ref_mad",
     "ref_n", "ref_outliers", "curr_n", "curr_outliers",
-    "ROUND(ref_outliers * 1e0 / ref_n, 6) AS ref_outlier_rate",
-    "ROUND(curr_outliers * 1e0 / curr_n, 6) AS curr_outlier_rate",
-    s"ROUND(${relDiffSql("ref_outliers * 1e0 / ref_n", "curr_outliers * 1e0 / curr_n")}, 6) AS outlier_rate_change")
+    s"ROUND($refRate, 6) AS ref_outlier_rate",
+    s"ROUND($currRate, 6) AS curr_outlier_rate",
+    s"ROUND(${relDiffSql(s"($refRate)", s"($currRate)")}, 6) AS outlier_rate_change")
 
   def madOutliersSql: String = {
     val ctes = S.numeric.map { sp =>
@@ -124,6 +129,7 @@ object RobustDrift {
     * identical IEEE quotient); only the final ≤|X×Y|-term sums are
     * order-sensitive, absorbed by the uniform 6-decimal rounding. */
   def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    require(miPairs.nonEmpty, "no table in the split config has >= 2 categorical columns")
     val rows = miPairs.map { case (t, cx, cy, ref, _) =>
       val cnt = withSide(table(spark, dir, t), ref)
         .groupBy("side", cx, cy).agg(count(lit(1)).as("cnt"))

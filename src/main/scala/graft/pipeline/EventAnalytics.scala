@@ -27,19 +27,24 @@ object EventAnalytics {
   /** 7-day rolling mean/std of daily event value per type. Daily sums
     * accumulate in DECIMAL(18,6) (exact); the rolling mean and the
     * variance's second moment divide/cast only at the end, so both engines
-    * see bit-identical doubles. Scale shape: the window runs on the
-    * (day × type) aggregate — O(days·types) rows — after one
-    * partial-aggregated scan of the raw events. */
+    * see bit-identical doubles. The frame is a RANGE window over the
+    * integer epoch-day index, NOT ROWS over present rows: with a ROWS
+    * frame a calendar day with zero events for a type silently widens the
+    * window to the 7 most recent ACTIVE days — a gap-skipping stat both
+    * engines would agree on, so the oracle could never catch the semantic
+    * drift. Scale shape: the window runs on the (day × type) aggregate —
+    * O(days·types) rows — after one partial-aggregated scan. */
   def rollingStats(spark: SparkSession, dir: String): DataFrame = {
     val daily = table(spark, dir, "events")
       .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        datediff(date_trunc("DAY", col("ts")), lit("1970-01-01").cast("date")).as("day_idx"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).as("sum_value"),
         sum((col("value").cast("decimal(18,6)") * col("value").cast("decimal(18,6)")))
           .as("sum_sq"))
-    val w = Window.partitionBy("event_type").orderBy("day")
-      .rowsBetween(-(RollDays - 1), Window.currentRow)
+    val w = Window.partitionBy("event_type").orderBy("day_idx")
+      .rangeBetween(-(RollDays - 1), Window.currentRow)
     daily.select(col("day"), col("event_type"), col("n_events"),
         sum("n_events").over(w).as("roll_n"),
         sum("sum_value").over(w).as("roll_sum_dec"),
@@ -60,14 +65,15 @@ object EventAnalytics {
       "ELSE 0e0 END, 6) AS roll_std")
 
   def rollingStatsSql: String =
-    s"""WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+    s"""WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |  datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_idx, event_type,
        |  COUNT(*) AS n_events, SUM(value::DECIMAL(18,6)) AS sum_value,
        |  SUM(value::DECIMAL(18,6) * value::DECIMAL(18,6)) AS sum_sq
-       |  FROM events GROUP BY 1, 2),
+       |  FROM events GROUP BY 1, 2, 3),
        |rolled AS (SELECT day, event_type, n_events,
        |  SUM(n_events) OVER w AS roll_n, SUM(sum_value) OVER w AS roll_sum_dec,
        |  SUM(sum_sq) OVER w AS roll_sq_dec FROM daily
-       |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN ${RollDays - 1} PRECEDING AND CURRENT ROW))
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx RANGE BETWEEN ${RollDays - 1} PRECEDING AND CURRENT ROW))
        |SELECT ${rollingFinalCols.mkString(", ")} FROM rolled ORDER BY event_type, day"""
       .stripMargin.replace("\n", " ")
 
@@ -129,11 +135,13 @@ object EventAnalytics {
     totals.selectExpr(funnelFinalCols: _*)
   }
 
+  /** Zero-denominator guard: an empty prior step yields rate 0, not the
+    * engines' divergent 0/0 (Spark NULL vs DuckDB NaN). */
   private def funnelFinalCols: Seq[String] = Seq(
     "n_users", "n_view", "n_click_after_view", "n_purchase_after_click",
-    "ROUND(n_view * 1e0 / n_users, 6) AS view_rate",
-    "ROUND(n_click_after_view * 1e0 / n_view, 6) AS click_conversion",
-    "ROUND(n_purchase_after_click * 1e0 / n_click_after_view, 6) AS purchase_conversion")
+    "ROUND(CASE WHEN n_users = 0 THEN 0e0 ELSE n_view * 1e0 / n_users END, 6) AS view_rate",
+    "ROUND(CASE WHEN n_view = 0 THEN 0e0 ELSE n_click_after_view * 1e0 / n_view END, 6) AS click_conversion",
+    "ROUND(CASE WHEN n_click_after_view = 0 THEN 0e0 ELSE n_purchase_after_click * 1e0 / n_click_after_view END, 6) AS purchase_conversion")
 
   def funnelSql: String =
     s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -29,12 +29,15 @@ import graft.drift.table
   */
 object RangeJoin {
 
-  /** Exact floor(v / w) for longs of ANY sign: `pmod` is always
-    * nonnegative, so the subtraction lands precisely on the bin boundary
-    * (a double `floor(col / w)` would lose ulps at 1e18-scale µs values,
-    * and SQL `div` truncates toward zero for negatives). */
-  private def binOf(c: org.apache.spark.sql.Column, w: Long) =
-    ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+  /** Exact floor(v / w) for longs of ANY sign, in pure integer arithmetic:
+    * `pmod` is always nonnegative, so `v - pmod(v, w)` lands precisely on
+    * the floor bin boundary, and the `div` of that exact multiple is exact
+    * for the FULL long range (the naive `(v - pmod) / w` routes through
+    * Column `/` = double division, which rounds the numerator at 2^53 —
+    * a nanosecond-scale axis would bin-misassign and silently drop pairs;
+    * bare `v div w` alone truncates toward zero for negatives). */
+  private def binOf(name: String, w: Long) =
+    expr(s"(($name - pmod($name, ${w}L)) div ${w}L)")
 
   /** Generic binned range join: rows of `points` paired with every row of
     * `intervals` whose [startCol, endCol] contains ptCol. All three columns
@@ -48,9 +51,15 @@ object RangeJoin {
       intervals: DataFrame, startCol: String, endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(!points.columns.contains("__bin") && !intervals.columns.contains("__bin"),
+      "inputs must not carry a __bin column (reserved by rangeJoinBinned)")
+    val shared = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(shared.isEmpty,
+      s"points and intervals share column names ${shared.mkString(",")} — " +
+        "rename before joining or the output columns are ambiguous")
     val binned = intervals.withColumn("__bin",
-      explode(sequence(binOf(col(startCol), binWidth), binOf(col(endCol), binWidth))))
-    points.withColumn("__bin", binOf(col(ptCol), binWidth))
+      explode(sequence(binOf(startCol, binWidth), binOf(endCol, binWidth))))
+    points.withColumn("__bin", binOf(ptCol, binWidth))
       .join(binned,
         Seq("__bin")).where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bin")

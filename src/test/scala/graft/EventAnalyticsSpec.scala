@@ -48,6 +48,25 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(got.getDouble(6) - std) < 1e-3, s"std got=${got.getDouble(6)} want=$std")
   }
 
+  test("rolling_stats window is calendar days, not most-recent-active rows") {
+    import spark.implicits._
+    // type 'a' active on Jan 1, 2 and 20: the Jan 20 7-day window must NOT
+    // reach back to the January 1-2 rows a ROWS frame would include
+    val dir = java.nio.file.Files.createTempDirectory("rollgap").toString
+    Seq(
+      ("2024-01-01 10:00:00", "a", 1.0),
+      ("2024-01-02 10:00:00", "a", 2.0),
+      ("2024-01-20 10:00:00", "a", 4.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventAnalytics.rollingStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("2024-01-20").getLong(3) == 1L) // roll_n: only Jan 20 itself
+    assert(got("2024-01-20").getDouble(4) == 4.0)
+    assert(got("2024-01-02").getLong(3) == 2L) // Jan 1 is within 7 days
+  }
+
   test("cohort_retention: offsets start at 0, rates bounded, cohorts partition users") {
     val rows = EventAnalytics.cohortRetention(spark, sf).collect()
     // day 0 retention is exactly the cohort (first-seen day is active)
