@@ -84,15 +84,24 @@ object EventAnalytics {
     * Catalyst co-partitions the join on user_id); the triangle itself is
     * O(days²) rows. Retention rate is an exact-integer quotient. */
   def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val events = table(spark, dir, "events")
+    // ONE scan of events, ONE branch: distinct (user, day) activity,
+    // cohort day as a user-partitioned window min over it (no second scan,
+    // no self-join), and cohort sizes recovered from the triangle ITSELF —
+    // every user contributes exactly one offset-0 row (their first day),
+    // so the offset-0 count is the cohort size, lifted to the other
+    // offsets by a cohort-partitioned window on the O(days²) frame
+    // (a join formulation would recompute the whole upstream DAG for the
+    // build side; observed as a second full scan in the executed plan).
+    val act = table(spark, dir, "events")
       .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
-    val first = events.groupBy("user_id").agg(min("day").as("cohort_day"))
-    val cohortSize = first.groupBy("cohort_day").agg(count(lit(1)).as("cohort_size"))
-    val active = events.distinct()
-      .join(first, "user_id")
+      .distinct()
+      .withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
+    val triangle = act
       .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_active"))
-    active.join(cohortSize, "cohort_day")
+    triangle
+      .withColumn("cohort_size", max(when(col("day_offset") === 0, col("n_active")))
+        .over(Window.partitionBy("cohort_day")))
       .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset").cast("long").as("day_offset"),
         col("n_active"), col("cohort_size"))
@@ -114,25 +123,29 @@ object EventAnalytics {
   /** Ordered conversion funnel view → click → purchase: a user converts a
     * step only with an event STRICTLY AFTER their previous step's first
     * completion (min-time semantics — the standard "first touch" funnel).
-    * Three user-keyed aggregation passes, each on a type-filtered slice,
-    * joined co-partitioned on user_id; output is one row of totals, so
-    * nothing downstream grows with data. */
+    *
+    * Plan shape: ONE scan of events and ONE exchange — the three step
+    * times are stacked window mins over the SAME user partitioning (each
+    * gated on the previous column), so Catalyst plans a single shuffle +
+    * sort feeding three Window operators, then a per-user rollup and a
+    * 1-row total. The join formulation (3 type-filtered scans + user
+    * joins) reads the fact table three times at 100 TB for no benefit. */
   def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
+    val w = Window.partitionBy("user_id")
+    val perUser = table(spark, dir, "events")
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
-    val t1 = ev.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts_us").as("t1"))
-    val t2 = ev.filter(col("event_type") === "click").join(t1, "user_id")
-      .filter(col("ts_us") > col("t1"))
-      .groupBy("user_id").agg(min("ts_us").as("t2"))
-    val t3 = ev.filter(col("event_type") === "purchase").join(t2, "user_id")
-      .filter(col("ts_us") > col("t2"))
-      .groupBy("user_id").agg(min("ts_us").as("t3"))
-    val totals = ev.select("user_id").distinct().agg(count(lit(1)).as("n_users"))
-      .crossJoin(broadcast(t1.agg(count(lit(1)).as("n_view"))))
-      .crossJoin(broadcast(t2.agg(count(lit(1)).as("n_click_after_view"))))
-      .crossJoin(broadcast(t3.agg(count(lit(1)).as("n_purchase_after_click"))))
-    totals.selectExpr(funnelFinalCols: _*)
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("ts_us") > col("t1"),
+        col("ts_us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts_us") > col("t2"),
+        col("ts_us"))).over(w))
+      .groupBy("user_id").agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+    perUser.agg(
+        count(lit(1)).as("n_users"),
+        count("t1").as("n_view"),
+        count("t2").as("n_click_after_view"),
+        count("t3").as("n_purchase_after_click"))
+      .selectExpr(funnelFinalCols: _*)
   }
 
   /** Zero-denominator guard: an empty prior step yields rate 0, not the

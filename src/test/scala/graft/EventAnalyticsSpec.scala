@@ -83,6 +83,23 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(cohortTotal == nUsers)
   }
 
+  test("funnel and cohort_retention scan events exactly once; funnel plans no join") {
+    def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+    val fp = planOf(EventAnalytics.funnel(spark, sf))
+    assert(fp.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"funnel must read the fact table once:\n${fp.take(1500)}")
+    assert(!fp.contains("Join"), s"funnel is window-only, no joins:\n${fp.take(1500)}")
+    val cp = planOf(EventAnalytics.cohortRetention(spark, sf))
+    assert(cp.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"cohort_retention must read the fact table once:\n${cp.take(1500)}")
+    assert(!cp.contains("Join"),
+      s"cohort sizes come from a window on the triangle, not a join:\n${cp.take(1500)}")
+    val rp = planOf(EventAnalytics.rollingStats(spark, sf))
+    val read = rp.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!read.contains("props") && !read.contains("event_id"),
+      s"rolling_stats scan reads unused columns:\n$read")
+  }
+
   test("funnel steps are ordered and counts monotone nonincreasing") {
     val r = EventAnalytics.funnel(spark, sf).collect()(0)
     val Seq(nUsers, nView, nClick, nPurchase) = (0 to 3).map(r.getLong)
