@@ -96,6 +96,26 @@ object Example {
       graft.pipeline.Layout.zorderStats(spark, sfDir).collect().foreach(r =>
         println(f"  layout ${r.getString(0)}%-10s avg spans: " +
           f"part=${r.getAs[Double]("avg_span_a")}%.3f price=${r.getAs[Double]("avg_span_b")}%.3f"))
+      val fun = graft.pipeline.EventAnalytics.funnel(spark, sfDir).collect()(0)
+      println(s"  funnel: ${fun.getAs[Long]("n_users")} users -> " +
+        s"${fun.getAs[Long]("n_view")} viewed -> ${fun.getAs[Long]("n_click_after_view")} clicked -> " +
+        s"${fun.getAs[Long]("n_purchase_after_click")} purchased " +
+        f"(final conversion ${fun.getAs[Double]("purchase_conversion")}%.3f)")
+      val ret = graft.pipeline.EventAnalytics.cohortRetention(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("day_offset") === 7).collect()
+      if (ret.nonEmpty) {
+        val d7 = ret.map(_.getAs[Double]("retention_rate")).sum / ret.length
+        println(f"  cohort_retention: mean day-7 retention $d7%.3f across ${ret.length} cohorts")
+      }
+      val conc = graft.pipeline.RangeJoin.sessionConcurrency(spark, sfDir).collect()
+      println("  session concurrency (range join): " + conc.map(r =>
+        f"${r.getString(0)}=${r.getAs[Double]("avg_concurrency")}%.1f").mkString(" "))
+      val sd = graft.drift.SnapshotDiff.snapshotDiffQuery(spark, sfDir).collect()
+      println("  snapshot_diff (customer grain): " + sd.map(r =>
+        s"${r.getString(0)}=${r.getAs[Long]("n_customers")}").mkString(" "))
+      val canon = graft.pipeline.Dedup.clusterCanonical(spark, sfDir)
+      println(s"  cluster_canonical: ${canon.count()} multi-doc clusters, " +
+        "longest member kept per cluster")
     }
 
     // versioned time travel driving the detector, as a config file would
