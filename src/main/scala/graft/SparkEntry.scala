@@ -119,6 +119,7 @@ object SparkEntry {
       "numeric_drift_score" -> ((s, d) => NumericDrift.driftScore(s, d, approx = true)),
       "quantile_shifts" -> ((s, d) => NumericDrift.quantileShifts(s, d, approx = true)),
       "mad_outliers" -> ((s, d) => RobustDrift.madOutliers(s, d, approx = true)),
+      "rfm_segments" -> ((s, d) => EventAnalytics.rfmSegments(s, d, approx = true)),
       "group_numeric_metrics" -> ((s, d) => GroupDrift.groupNumericMetrics(s, d, approx = true)),
       "group_drift" -> ((s, d) => GroupDrift.groupDriftVerdict(s, d, approx = true)),
       // the report family shares one memoized scoring DAG; at scale that DAG

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.drift.table
+import graft.drift.{r6, table}
 
 /** Time-series / product-analytics operators over the event stream —
   * rolling-window statistics, cohort retention and an ordered conversion
@@ -169,15 +169,105 @@ object EventAnalytics {
        |  (SELECT COUNT(*) FROM t3) AS n_purchase_after_click)
        |SELECT ${funnelFinalCols.mkString(", ")} FROM tot""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------------------ RFM segmentation
+
+  /** Quintile probabilities for the R/F/M cutpoints. */
+  private val RfmCuts = Seq(0.2, 0.4, 0.6, 0.8)
+
+  /** RFM (recency / frequency / monetary) customer segmentation over the
+    * orders stream. The textbook formulation scores with `ntile(5)` — a
+    * GLOBAL sort into one window partition, the canonical scale-killer.
+    * Here each dimension is scored 1-5 against its four quintile CUTPOINTS
+    * (one 1-row exact-percentile aggregate, broadcast back), so the plan is
+    * one customer-keyed aggregation + two tiny aggs and never sorts the
+    * customer universe. `approx = true` swaps the cutpoint fit for
+    * `percentile_approx`'s mergeable sketch (the 100 TB path; boundaries
+    * shift within sketch error, assignment stays one broadcast compare).
+    *
+    * Scoring is value-based (score = 1 + #cutpoints strictly below), so
+    * ties on a cutpoint land deterministically in the lower band in BOTH
+    * engines — ntile's equal-count split of ties is rank-dependent and
+    * not reproducible across engines. */
+  def rfmSegments(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+    val pct = if (approx) "percentile_approx" else "percentile"
+    val perCust = table(spark, dir, "orders")
+      .groupBy("o_custkey").agg(
+        max("o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("monetary"))
+    val cutAggs = Seq(expr("max(last_order) AS max_date")) ++
+      RfmCuts.zipWithIndex.flatMap { case (p, i) => Seq(
+        expr(s"$pct(frequency, $p) AS f_cut$i"),
+        expr(s"$pct(monetary, $p) AS m_cut$i")) }
+    val cuts0 = perCust.agg(cutAggs.head, cutAggs.tail: _*)
+    // recency needs max_date first; its cutpoints come from a second 1-row
+    // agg over the recency column (still O(1) driver-free frames)
+    val withRec = perCust.crossJoin(broadcast(cuts0))
+      .withColumn("recency", datediff(col("max_date"), col("last_order")))
+    val rCuts = withRec.agg(
+      expr(s"$pct(recency, 0.2) AS r_cut0"), expr(s"$pct(recency, 0.4) AS r_cut1"),
+      expr(s"$pct(recency, 0.6) AS r_cut2"), expr(s"$pct(recency, 0.8) AS r_cut3"))
+    withRec.crossJoin(broadcast(rCuts))
+      .selectExpr((Seq("o_custkey", "recency", "frequency", "monetary") ++ rfmScoreCols): _*)
+      .selectExpr("*", s"$rfmSegmentExpr AS segment")
+      .groupBy("segment").agg(
+        count(lit(1)).as("n_customers"),
+        (sum("recency") / count(lit(1))).as("avg_recency_days"),
+        (sum("frequency") / count(lit(1))).as("avg_frequency"),
+        r6(sum(col("monetary").cast("decimal(18,4)")).cast("double")).as("total_monetary"))
+      .orderBy("segment")
+  }
+
+  /** Score fragments — IDENTICAL text both engines. Recency inverts (low
+    * recency-days = best = 5). */
+  private def rfmScoreCols: Seq[String] = {
+    def score(v: String, c: String, invert: Boolean) = {
+      val cmp = if (invert) "<" else ">"
+      s"1 + ${(0 to 3).map(i => s"(CASE WHEN $v $cmp ${c}$i THEN 1 ELSE 0 END)").mkString(" + ")} AS ${v.take(1)}_score"
+    }
+    Seq(score("recency", "r_cut", invert = true),
+      score("frequency", "f_cut", invert = false),
+      score("monetary", "m_cut", invert = false))
+  }
+
+  private val rfmSegmentExpr: String =
+    "CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champions' " +
+      "WHEN f_score >= 4 THEN 'loyal' " +
+      "WHEN r_score >= 4 THEN 'recent' " +
+      "WHEN m_score >= 4 THEN 'big_spender' " +
+      "WHEN r_score <= 2 AND f_score <= 2 THEN 'at_risk' " +
+      "ELSE 'regular' END"
+
+  def rfmSegmentsSql: String = {
+    val fCuts = RfmCuts.zipWithIndex.map { case (p, i) => s"quantile_cont(frequency, $p) AS f_cut$i" }
+    val mCuts = RfmCuts.zipWithIndex.map { case (p, i) => s"quantile_cont(monetary, $p) AS m_cut$i" }
+    s"""WITH per_cust AS (SELECT o_custkey, MAX(o_orderdate) AS last_order, COUNT(*) AS frequency,
+       |  CAST(SUM(o_totalprice::DECIMAL(18,4)) AS DOUBLE) AS monetary FROM orders GROUP BY 1),
+       |cuts0 AS (SELECT MAX(last_order) AS max_date, ${(fCuts ++ mCuts).mkString(", ")} FROM per_cust),
+       |with_rec AS (SELECT p.*, datediff('day', last_order, max_date) AS recency,
+       |  f_cut0, f_cut1, f_cut2, f_cut3, m_cut0, m_cut1, m_cut2, m_cut3 FROM per_cust p, cuts0),
+       |r_cuts AS (SELECT quantile_cont(recency, 0.2) AS r_cut0, quantile_cont(recency, 0.4) AS r_cut1,
+       |  quantile_cont(recency, 0.6) AS r_cut2, quantile_cont(recency, 0.8) AS r_cut3 FROM with_rec),
+       |scored AS (SELECT o_custkey, recency, frequency, monetary, ${rfmScoreCols.mkString(", ")}
+       |  FROM with_rec, r_cuts),
+       |seg AS (SELECT *, $rfmSegmentExpr AS segment FROM scored)
+       |SELECT segment, COUNT(*) AS n_customers, SUM(recency) / COUNT(*) AS avg_recency_days,
+       |  SUM(frequency) / COUNT(*) AS avg_frequency,
+       |  ROUND(CAST(SUM(monetary::DECIMAL(18,4)) AS DOUBLE), 6) AS total_monetary
+       |FROM seg GROUP BY 1 ORDER BY segment""".stripMargin.replace("\n", " ")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_stats" -> ((s, d) => rollingStats(s, d)),
     "cohort_retention" -> ((s, d) => cohortRetention(s, d)),
     "funnel" -> ((s, d) => funnel(s, d)),
+    "rfm_segments" -> ((s, d) => rfmSegments(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "rolling_stats" -> rollingStatsSql,
     "cohort_retention" -> cohortRetentionSql,
     "funnel" -> funnelSql,
+    "rfm_segments" -> rfmSegmentsSql,
   )
 }

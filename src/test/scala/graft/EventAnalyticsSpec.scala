@@ -100,6 +100,50 @@ class EventAnalyticsSpec extends SparkSpec {
       s"rolling_stats scan reads unused columns:\n$read")
   }
 
+  test("rfm_segments scores match a driver-side cutpoint computation") {
+    val orders = graft.drift.table(spark, sf, "orders")
+      .groupBy("o_custkey").agg(
+        max("o_orderdate").as("last"), count(lit(1)).as("f"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("m"))
+      .collect().map { r =>
+        val d = r.get(1) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime.toLocalDate.toEpochDay
+          case l: java.time.LocalDateTime => l.toLocalDate.toEpochDay
+        }
+        (r.getLong(0), d, r.getLong(2), r.getDouble(3))
+      }
+    val maxDate = orders.map(_._2).max
+    val rec = orders.map(o => (maxDate - o._2).toDouble) // datediff in calendar days
+    def cut(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted; val h = (s.length - 1) * p
+      val lo = s(h.toInt); lo + (h - h.toInt) * (s(math.ceil(h).toInt) - lo)
+    }
+    val fCut3 = cut(orders.map(_._3.toDouble), 0.8)
+    val champions = orders.indices.count { i =>
+      val rScore = 1 + Seq(0.2, 0.4, 0.6, 0.8).count(p => rec(i) < cut(rec, p))
+      val fScore = 1 + Seq(0.2, 0.4, 0.6, 0.8).count(p => orders(i)._3 > cut(orders.map(_._3.toDouble), p))
+      rScore >= 4 && fScore >= 4
+    }
+    val got = EventAnalytics.rfmSegments(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.sum == orders.length) // segments partition customers
+    assert(got.getOrElse("champions", 0L) == champions)
+    assert(fCut3 >= 1.0)
+  }
+
+  test("rfm_segments approx path yields a full partition with stable segment names") {
+    val exact = EventAnalytics.rfmSegments(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = EventAnalytics.rfmSegments(spark, sf, approx = true).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.values.sum == exact.values.sum)
+    // cutpoints shift within sketch error; segment totals stay close
+    exact.foreach { case (k, v) =>
+      val a = approx.getOrElse(k, 0L)
+      assert(math.abs(a - v) <= math.max(3L, v / 2), s"$k exact=$v approx=$a")
+    }
+  }
+
   test("funnel steps are ordered and counts monotone nonincreasing") {
     val r = EventAnalytics.funnel(spark, sf).collect()(0)
     val Seq(nUsers, nView, nClick, nPurchase) = (0 to 3).map(r.getLong)
