@@ -312,4 +312,33 @@ class StreamingDriftSpec extends SparkSpec {
       assert(kept == Set(1L, 2L), s"empty-corpus gate admitted $kept")
     } finally q.stop()
   }
+
+  test("streaming funnel gate matches the batch funnel on an in-order feed") {
+    import graft.streaming.StreamingSessions.Event
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // replay the real fixture in timestamp order — the regime where the
+    // streaming gate's first-touch logic must equal the batch recomputation
+    val feed = graft.drift.table(spark, sf, "events")
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[Event]
+    val out = graft.streaming.StreamingFunnel.funnelGate(input.toDS())
+    val q = out.writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    try {
+      feed.grouped(2000).foreach(b => { input.addData(b: _*); q.processAllAvailable() })
+      val steps = spark.table("funnel_out").collect()
+        .groupBy(_.getAs[String]("step")).map { case (k, v) => k -> v.length.toLong }
+      val batch = graft.pipeline.EventAnalytics.funnel(spark, sf).collect()(0)
+      assert(steps.getOrElse("view", 0L) == batch.getAs[Long]("n_view"))
+      assert(steps.getOrElse("click", 0L) == batch.getAs[Long]("n_click_after_view"))
+      assert(steps.getOrElse("purchase", 0L) == batch.getAs[Long]("n_purchase_after_click"))
+      // at most one completion per (user, step)
+      val dup = spark.table("funnel_out").collect()
+        .groupBy(r => (r.getAs[Long]("user_id"), r.getAs[String]("step")))
+        .exists(_._2.length > 1)
+      assert(!dup, "a (user, step) completed twice")
+    } finally q.stop()
+  }
 }
