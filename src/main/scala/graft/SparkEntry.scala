@@ -93,7 +93,8 @@ object SparkEntry {
       ScaleJoins.queries ++
       Packing.queries ++
       Layout.queries ++
-      EntityResolution.queries
+      EntityResolution.queries ++
+      Retrieval.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -120,6 +121,10 @@ object SparkEntry {
       "quantile_shifts" -> ((s, d) => NumericDrift.quantileShifts(s, d, approx = true)),
       "mad_outliers" -> ((s, d) => RobustDrift.madOutliers(s, d, approx = true)),
       "rfm_segments" -> ((s, d) => EventAnalytics.rfmSegments(s, d, approx = true)),
+      // HLL sketches straight off the raw scan: the (user, day) universe is
+      // never shuffled (sketches merge map-side)
+      "active_users" -> ((s, d) => EventAnalytics.activeUsers(s, d, approx = true)),
+      "conversion_lag" -> ((s, d) => EventAnalytics.conversionLag(s, d, approx = true)),
       "group_numeric_metrics" -> ((s, d) => GroupDrift.groupNumericMetrics(s, d, approx = true)),
       "group_drift" -> ((s, d) => GroupDrift.groupDriftVerdict(s, d, approx = true)),
       // the report family shares one memoized scoring DAG; at scale that DAG
@@ -164,5 +169,6 @@ object SparkEntry {
       ScaleJoins.oracles ++
       Packing.oracles ++
       Layout.oracles ++
-      EntityResolution.oracles
+      EntityResolution.oracles ++
+      Retrieval.oracles
 }

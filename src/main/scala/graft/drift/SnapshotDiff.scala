@@ -100,11 +100,56 @@ object SnapshotDiff {
        |FROM cls GROUP BY 1 ORDER BY status""".stripMargin.replace("\n", " ")
   }
 
+  /** SCD2 (type-2 slowly-changing-dimension) history builder: compress a
+    * change stream into effective-dated dimension rows — the warehouse step
+    * that turns CDC feeds into point-in-time-joinable history (the thing
+    * [[graft.pipeline.AsofJoin]] then consumes). Instance: per customer, the
+    * history of their order status over the o_orderdate sequence.
+    *
+    * Plan shape: ONE key exchange total — change detection (`lag`), the
+    * closing `lead`, and the `row_number` version all share the same
+    * (o_custkey)×(o_orderdate, o_orderkey) window spec, so Catalyst plans a
+    * single shuffle + sort feeding stacked Window operators (the second
+    * pair runs on the FILTERED change rows — strictly smaller). No
+    * self-join, no second scan. The o_orderkey tiebreak makes same-date
+    * transitions deterministic in both engines. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    table(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev_status", lag("o_orderstatus", 1).over(w))
+      .filter(col("prev_status").isNull || col("prev_status") =!= col("o_orderstatus"))
+      .withColumn("valid_to_ts", lead("o_orderdate", 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .select(col("o_custkey"),
+        col("o_orderstatus").as("status"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("valid_to_ts"), "yyyy-MM-dd").as("valid_to"),
+        col("version"),
+        col("valid_to_ts").isNull.as("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
+  def scd2HistorySql: String =
+    """WITH seq AS (SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |  LAG(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+      |  FROM orders),
+      |chg AS (SELECT * FROM seq WHERE prev_status IS NULL OR prev_status <> o_orderstatus),
+      |v AS (SELECT o_custkey, o_orderstatus AS status, o_orderdate,
+      |  LEAD(o_orderdate) OVER w AS valid_to_ts, ROW_NUMBER() OVER w AS version FROM chg
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+      |SELECT o_custkey, status, strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+      |  strftime(valid_to_ts, '%Y-%m-%d') AS valid_to, version, valid_to_ts IS NULL AS is_current
+      |FROM v ORDER BY o_custkey, version""".stripMargin.replace("\n", " ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "snapshot_diff" -> ((s, d) => snapshotDiffQuery(s, d)),
+    "scd2_history" -> ((s, d) => scd2History(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "snapshot_diff" -> snapshotDiffSql,
+    "scd2_history" -> scd2HistorySql,
   )
 }

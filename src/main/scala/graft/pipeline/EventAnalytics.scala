@@ -257,11 +257,171 @@ object EventAnalytics {
        |FROM seg GROUP BY 1 ORDER BY segment""".stripMargin.replace("\n", " ")
   }
 
+  // ------------------------------------------------------ active users
+
+  /** DAU / WAU / stickiness per calendar day — the engagement surface every
+    * event warehouse serves. WAU(d) counts users active in [d−6, d]; the
+    * exact form runs on the DISTINCT (user, day) frame (cardinality-bounded
+    * — users×days, not events) and turns the trailing-window distinct into
+    * an equi-join: each active (user, day) covers the 7 window-end days
+    * d..d+6 (`sequence` + explode — a bounded ×7 fan-out), re-distinct,
+    * count per window end. No range join, no per-day re-scan.
+    *
+    * `approx = true` is the 100 TB path: both counts become
+    * `approx_count_distinct` (HLL++) straight off the raw scan — partial
+    * sketches merge map-side, so the (user, day) universe is never
+    * shuffled at all; the explode fans out raw rows but the exchange
+    * carries only day-keyed sketches. */
+  def activeUsers(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+    val base = table(spark, dir, "events").select(
+      date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+      datediff(date_trunc("DAY", col("ts")), lit("1970-01-01").cast("date")).as("day_idx"),
+      col("user_id"))
+    val (dau, wau) =
+      if (approx) {
+        val d = base.groupBy("day_idx", "day").agg(approx_count_distinct("user_id").as("dau"))
+        val w = base
+          .select(explode(sequence(col("day_idx"), col("day_idx") + lit(RollDays - 1))).as("w_idx"),
+            col("user_id"))
+          .groupBy("w_idx").agg(approx_count_distinct("user_id").as("wau"))
+        (d, w)
+      } else {
+        val ud = base.distinct()
+        val d = ud.groupBy("day_idx", "day").agg(count(lit(1)).as("dau"))
+        val w = ud
+          .select(explode(sequence(col("day_idx"), col("day_idx") + lit(RollDays - 1))).as("w_idx"),
+            col("user_id"))
+          .distinct()
+          .groupBy("w_idx").agg(count(lit(1)).as("wau"))
+        (d, w)
+      }
+    // both sides are O(days) rows; the inner join also drops the phantom
+    // window ends past the last calendar day (they have no DAU row)
+    dau.join(wau, dau("day_idx") === wau("w_idx"))
+      .select(col("day"), col("dau"), col("wau"))
+      .withColumn("stickiness", expr("ROUND(dau * 1e0 / wau, 6)"))
+      .orderBy("day")
+  }
+
+  def activeUsersSql: String =
+    s"""WITH ud AS (SELECT DISTINCT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |  datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_idx, user_id FROM events),
+       |dau AS (SELECT day_idx, day, COUNT(*) AS dau FROM ud GROUP BY 1, 2),
+       |cov AS (SELECT DISTINCT u.day_idx + g.g AS w_idx, u.user_id
+       |  FROM ud u, generate_series(0, ${RollDays - 1}) g(g)),
+       |wau AS (SELECT w_idx, COUNT(*) AS wau FROM cov GROUP BY 1)
+       |SELECT d.day, d.dau, w.wau, ROUND(d.dau * 1e0 / w.wau, 6) AS stickiness
+       |FROM dau d JOIN wau w ON d.day_idx = w.w_idx ORDER BY day""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------ attribution
+
+  /** Conversion event type for attribution. */
+  val ConversionType = "purchase"
+
+  /** Last-touch attribution: every conversion (purchase) credits the LAST
+    * non-conversion event the same user emitted strictly before it;
+    * conversions with no prior touch are 'direct'. One scan, ONE user
+    * exchange: the crediting is a user-partitioned `last(..., ignoreNulls)`
+    * window over (ts, event_id) — deterministic under timestamp ties —
+    * then a channels-sized rollup; the share denominators come from a
+    * window over that tiny frame, not a second scan. Revenue accumulates
+    * in DECIMAL(18,4) (exact, order-free) with one final double cast. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val credited = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .withColumn("channel", last(
+        when(col("event_type") =!= ConversionType, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === ConversionType)
+      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value").cast("decimal(18,4)")).as("revenue_dec"))
+    val tot = Window.partitionBy()
+    credited
+      .withColumn("total_conv", sum("n_conversions").over(tot))
+      .withColumn("total_rev_dec", sum("revenue_dec").over(tot))
+      .selectExpr("channel", "n_conversions",
+        "ROUND(CAST(revenue_dec AS DOUBLE), 6) AS attributed_revenue",
+        "ROUND(n_conversions * 1e0 / total_conv, 6) AS conv_share",
+        "ROUND(CAST(revenue_dec AS DOUBLE) / CAST(total_rev_dec AS DOUBLE), 6) AS revenue_share")
+      .orderBy("channel")
+  }
+
+  def attributionSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value FROM events),
+       |touched AS (SELECT *, LAST_VALUE(CASE WHEN event_type <> '$ConversionType' THEN event_type END IGNORE NULLS)
+       |  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel FROM ev),
+       |credited AS (SELECT COALESCE(channel, 'direct') AS channel, COUNT(*) AS n_conversions,
+       |  SUM(value::DECIMAL(18,4)) AS revenue_dec FROM touched WHERE event_type = '$ConversionType' GROUP BY 1),
+       |tot AS (SELECT *, SUM(n_conversions) OVER () AS total_conv, SUM(revenue_dec) OVER () AS total_rev_dec FROM credited)
+       |SELECT channel, n_conversions, ROUND(CAST(revenue_dec AS DOUBLE), 6) AS attributed_revenue,
+       |  ROUND(n_conversions * 1e0 / total_conv, 6) AS conv_share,
+       |  ROUND(CAST(revenue_dec AS DOUBLE) / CAST(total_rev_dec AS DOUBLE), 6) AS revenue_share
+       |FROM tot ORDER BY channel""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------ conversion lag
+
+  /** Time-to-convert distribution: per user, the lag from FIRST view to the
+    * first conversion strictly after it (the funnel's first-touch
+    * semantics), summarized as count / mean / p50 / p90 / min / max hours.
+    * One scan, one user exchange (the funnel's stacked-window shape), then
+    * a 1-row aggregate over the users-sized lag frame. Lags stay exact
+    * integer µs through the percentiles; each output converts to hours in
+    * ONE shared division. `approx = true` swaps the exact sort-based
+    * `percentile` for the mergeable sketch (the 100 TB path — exact
+    * percentile buffers every lag per agg buffer). */
+  def conversionLag(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+    val pct = if (approx) "percentile_approx" else "percentile"
+    val w = Window.partitionBy("user_id")
+    val lags = table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === ConversionType && col("ts_us") > col("t1"),
+        col("ts_us"))).over(w))
+      .groupBy("user_id").agg(max("t1").as("t1"), max("t3").as("t3"))
+      .filter(col("t3").isNotNull)
+      .select((col("t3") - col("t1")).as("lag_us"))
+    lags.agg(
+        count(lit(1)).as("n_converted"),
+        sum(col("lag_us").cast("decimal(20,0)")).as("sum_us"),
+        expr(s"$pct(lag_us, 0.5e0) AS p50_us"),
+        expr(s"$pct(lag_us, 0.9e0) AS p90_us"),
+        min("lag_us").as("min_us"),
+        max("lag_us").as("max_us"))
+      .selectExpr(convLagFinalCols: _*)
+  }
+
+  /** Shared final projection — IDENTICAL text in both engines; 3.6e9 µs/h. */
+  private def convLagFinalCols: Seq[String] = Seq(
+    "n_converted",
+    "ROUND((CAST(sum_us AS DOUBLE) / n_converted) / 3.6e9, 6) AS mean_hours",
+    "ROUND(p50_us / 3.6e9, 6) AS p50_hours",
+    "ROUND(p90_us / 3.6e9, 6) AS p90_hours",
+    "ROUND(min_us / 3.6e9, 6) AS min_hours",
+    "ROUND(max_us / 3.6e9, 6) AS max_hours")
+
+  def conversionLagSql: String =
+    s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+       |t1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+       |t3 AS (SELECT e.user_id, MIN(e.ts_us) AS t3 FROM ev e JOIN t1 ON e.user_id = t1.user_id AND e.ts_us > t1.t1
+       |  WHERE e.event_type = '$ConversionType' GROUP BY 1),
+       |lags AS (SELECT t3.t3 - t1.t1 AS lag_us FROM t3 JOIN t1 ON t3.user_id = t1.user_id),
+       |s AS (SELECT COUNT(*) AS n_converted, SUM(lag_us::DECIMAL(20,0)) AS sum_us,
+       |  quantile_cont(lag_us, 0.5e0) AS p50_us, quantile_cont(lag_us, 0.9e0) AS p90_us,
+       |  MIN(lag_us) AS min_us, MAX(lag_us) AS max_us FROM lags)
+       |SELECT ${convLagFinalCols.mkString(", ")} FROM s""".stripMargin.replace("\n", " ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_stats" -> ((s, d) => rollingStats(s, d)),
     "cohort_retention" -> ((s, d) => cohortRetention(s, d)),
     "funnel" -> ((s, d) => funnel(s, d)),
     "rfm_segments" -> ((s, d) => rfmSegments(s, d)),
+    "active_users" -> ((s, d) => activeUsers(s, d)),
+    "attribution" -> ((s, d) => attribution(s, d)),
+    "conversion_lag" -> ((s, d) => conversionLag(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -269,5 +429,8 @@ object EventAnalytics {
     "cohort_retention" -> cohortRetentionSql,
     "funnel" -> funnelSql,
     "rfm_segments" -> rfmSegmentsSql,
+    "active_users" -> activeUsersSql,
+    "attribution" -> attributionSql,
+    "conversion_lag" -> conversionLagSql,
   )
 }

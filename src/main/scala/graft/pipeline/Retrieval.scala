@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.drift.table
+
+/** Keyword retrieval over the document corpus — BM25 scoring for a literal
+  * query-term set with exact top-k. The curation use case: keyword-targeted
+  * corpus selection ("pull the top docs about X into the eval set") and
+  * relevance-ranked inspection of a 100 TB corpus without an external
+  * search cluster.
+  *
+  * Scale shape: the query terms are LITERALS compiled into the projection,
+  * so per-doc term frequencies are in-row `filter(toks, t -> t = term)`
+  * array folds — ZERO explode (a token explode is ~40× the corpus row
+  * count), zero inverted-index shuffle. Corpus stats (N, Σdl, per-term df)
+  * are ONE 1-row aggregate broadcast back, and the final ranking is
+  * `ORDER BY … LIMIT k` → TakeOrderedAndProject (per-partition heaps, no
+  * global sort). A production deployment with a *standing* query workload
+  * would materialize the (term, df) frame once instead of re-aggregating —
+  * same contract as [[graft.pipeline.Dedup.writeBandSets]].
+  *
+  * Cross-engine exactness: the score expression is ONE shared SQL text in
+  * both engines over exact-integer tf/dl/df/N/Σdl inputs — every double
+  * op is correctly rounded IEEE on identical operands, and `ln`'s
+  * potential last-ulp libm divergence is absorbed by the 6-decimal
+  * rounding. Rank ties break on doc_id (rounded-score ordering), the
+  * pq_ann determinism pattern.
+  */
+object Retrieval {
+
+  /** Literal query-term set (the synthetic corpus's vocabulary is a small
+    * word bag; these three are mid-frequency terms). */
+  val QueryTerms: Seq[String] = Seq("spark", "window", "join")
+
+  /** BM25 k1 / b, rendered with exact literals in the shared score text. */
+  val K1 = "1.2e0"
+  val B = "0.75e0"
+
+  val TopK = 10
+
+  private def tfCol(t: String) = s"tf_$t"
+
+  /** Shared score text: Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf = ln(1 + (N−df+0.5)/(df+0.5)) (the Robertson/Lucene form —
+    * never negative) and dl/avgdl expanded to `dl·N/Σdl` on exact integers
+    * with one double division. */
+  private def scoreExpr: String =
+    QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"ln(1e0 + (n_docs - df$i + 0.5e0) / (df$i + 0.5e0)) * " +
+        s"(${tfCol(t)} * ($K1 + 1e0)) / " +
+        s"(${tfCol(t)} + $K1 * (1e0 - $B + $B * (1.0e0 * dl * n_docs / sum_dl)))"
+    }.mkString(" + ")
+
+  /** Top-k BM25 docs for [[QueryTerms]]. Output: doc_id, source, dl,
+    * per-term tf, score — ordered by (score desc, doc_id). */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = table(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "split(text, '\\\\s+') AS toks")
+      .selectExpr(Seq("doc_id", "source", "CAST(size(toks) AS BIGINT) AS dl") ++
+        QueryTerms.map(t => s"CAST(size(filter(toks, t -> t = '$t')) AS BIGINT) AS ${tfCol(t)}"): _*)
+    val statAggs = Seq(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")) ++
+      QueryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df$i")
+      }
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    perDoc.crossJoin(broadcast(stats))
+      .selectExpr(Seq("doc_id", "source", "dl") ++ QueryTerms.map(tfCol) ++
+        Seq(s"ROUND($scoreExpr, 6) AS score"): _*)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  def bm25SearchSql: String = {
+    val tfDefs = QueryTerms.map(t =>
+      s"len(list_filter(toks, t -> t = '$t'))::BIGINT AS ${tfCol(t)}")
+    val dfDefs = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN ${tfCol(t)} > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i" }
+    s"""WITH base AS (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+       |d AS (SELECT doc_id, source, len(toks)::BIGINT AS dl, ${tfDefs.mkString(", ")} FROM base),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl)::BIGINT AS sum_dl, ${dfDefs.mkString(", ")} FROM d),
+       |scored AS (SELECT doc_id, source, dl, ${QueryTerms.map(tfCol).mkString(", ")},
+       |  ROUND($scoreExpr, 6) AS score FROM d, stats)
+       |SELECT * FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $TopK"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  // ------------------------------------------------ term-stats artifact
+
+  /** The standing-workload artifact: per-term document frequency over the
+    * whole corpus vocabulary, plus the corpus constants (n_docs, Σdl)
+    * repeated on each row (vocabulary-sized frame — the repetition is noise
+    * next to a posting list and keeps the artifact ONE self-contained
+    * parquet). `array_distinct` before the explode keeps the exploded frame
+    * at per-doc VOCAB size, and the (term) groupBy partial-aggregates
+    * map-side. Computed once per corpus snapshot, reused by every query —
+    * the [[Dedup.writeClusters]] contract for retrieval. */
+  def termStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = table(spark, dir, "documents")
+      .selectExpr("doc_id", "split(text, '\\\\s+') AS toks")
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(expr("CAST(size(toks) AS BIGINT)")).as("sum_dl"))
+    docs.select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+  }
+
+  def writeTermStats(spark: SparkSession, dir: String, path: String): Unit =
+    termStats(spark, dir).write.mode("overwrite").parquet(path)
+
+  def readTermStats(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.sorted.sameElements(Array("df", "n_docs", "sum_dl", "term")),
+      s"term-stats artifact at $path must have (term, df, n_docs, sum_dl), got ${df.columns.mkString(",")}")
+    df
+  }
+
+  /** [[bm25Search]] against a precomputed [[termStats]] artifact: the
+    * query terms' df rows (a |terms|-row lookup — collected to literals,
+    * the ann_lsh plane-replay pattern) replace the corpus re-aggregation,
+    * so the only corpus-wide work left is the score-and-top-k scan.
+    * Bit-identical to the self-contained form (spec-pinned): same score
+    * text, same integer inputs. */
+  def bm25SearchWith(spark: SparkSession, dir: String, stats: DataFrame): DataFrame = {
+    val rows = stats.filter(col("term").isin(QueryTerms: _*))
+      .select("term", "df", "n_docs", "sum_dl").collect()
+    require(rows.nonEmpty, "term-stats artifact has no corpus rows")
+    val nDocs = rows.head.getLong(2)
+    val sumDl = rows.head.getLong(3)
+    val dfByTerm = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perDoc = table(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "split(text, '\\\\s+') AS toks")
+      .selectExpr(Seq("doc_id", "source", "CAST(size(toks) AS BIGINT) AS dl") ++
+        QueryTerms.map(t => s"CAST(size(filter(toks, t -> t = '$t')) AS BIGINT) AS ${tfCol(t)}"): _*)
+    val withStats = perDoc
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("sum_dl", lit(sumDl))
+    val withDfs = QueryTerms.zipWithIndex.foldLeft(withStats) { case (df0, (t, i)) =>
+      df0.withColumn(s"df$i", lit(dfByTerm.getOrElse(t, 0L)))
+    }
+    withDfs
+      .selectExpr(Seq("doc_id", "source", "dl") ++ QueryTerms.map(tfCol) ++
+        Seq(s"ROUND($scoreExpr, 6) AS score"): _*)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(TopK)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bm25_search" -> ((s, d) => bm25Search(s, d)),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "bm25_search" -> bm25SearchSql,
+  )
+}

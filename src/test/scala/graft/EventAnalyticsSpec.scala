@@ -144,6 +144,100 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("active_users: DAU/WAU/stickiness match a driver-side recomputation") {
+    val pairs = table(spark, sf, "events")
+      .select(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        datediff(date_trunc("DAY", col("ts")), lit("1970-01-01").cast("date")).as("d"),
+        col("user_id"))
+      .distinct().collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val got = EventAnalytics.activeUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val days = pairs.map(p => (p._1, p._2)).distinct
+    assert(got.size == days.length)
+    days.foreach { case (day, idx) =>
+      val dau = pairs.filter(_._2 == idx).map(_._3).distinct.length
+      val wau = pairs.filter(p => p._2 >= idx - 6 && p._2 <= idx).map(_._3).distinct.length
+      val r = got(day)
+      assert(r.getLong(1) == dau, s"$day dau")
+      assert(r.getLong(2) == wau, s"$day wau")
+      assert(math.abs(r.getDouble(3) - dau.toDouble / wau) < 1e-5, s"$day stickiness")
+      assert(r.getLong(1) <= r.getLong(2))
+    }
+  }
+
+  test("active_users approx path tracks exact within HLL error") {
+    val exact = EventAnalytics.activeUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val approx = EventAnalytics.activeUsers(spark, sf, approx = true).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (day, (d, w)) =>
+      val (ad, aw) = approx(day)
+      assert(math.abs(ad - d) <= math.max(2L, (d * 0.1).toLong), s"$day dau exact=$d approx=$ad")
+      assert(math.abs(aw - w) <= math.max(2L, (w * 0.1).toLong), s"$day wau exact=$w approx=$aw")
+    }
+  }
+
+  test("attribution: last-touch crediting matches a driver-side replay") {
+    val ev = table(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      sorted.zipWithIndex.collect { case ((_, "purchase", _, _, v), i) =>
+        val ch = sorted.take(i).reverse.find(_._2 != "purchase").map(_._2).getOrElse("direct")
+        (ch, v)
+      }
+    }
+    val wantCounts = want.groupBy(_._1).map { case (c, xs) => c -> xs.length }
+    val wantRev = want.groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+    val got = EventAnalytics.attribution(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSet == wantCounts.keySet)
+    got.foreach { r =>
+      val c = r.getString(0)
+      assert(r.getLong(1) == wantCounts(c), s"$c conversions")
+      assert(math.abs(r.getDouble(2) - wantRev(c)) < 1e-3, s"$c revenue")
+    }
+    // shares are proper distributions
+    assert(math.abs(got.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(got.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    // purchases never self-credit
+    assert(!got.map(_.getString(0)).contains("purchase"))
+  }
+
+  test("conversion_lag matches a driver-side first-view→first-purchase replay") {
+    val ev = table(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val lags = ev.groupBy(_._1).values.flatMap { es =>
+      val t1 = es.filter(_._2 == "view").map(_._3).minOption
+      t1.flatMap(v => es.filter(e => e._2 == "purchase" && e._3 > v).map(_._3).minOption
+        .map(_ - v))
+    }.toSeq.sorted
+    val r = EventAnalytics.conversionLag(spark, sf).collect()(0)
+    assert(r.getLong(0) == lags.length)
+    assert(math.abs(r.getDouble(1) - lags.map(BigDecimal(_)).sum.toDouble / lags.length / 3.6e9) < 1e-5)
+    def q(p: Double): Double = { // quantile_cont interpolation
+      val h = (lags.length - 1) * p
+      val lo = lags(h.toInt); (lo + (h - h.toInt) * (lags(math.ceil(h).toInt) - lo)) / 3.6e9
+    }
+    assert(math.abs(r.getDouble(2) - q(0.5)) < 1e-4, s"p50 got=${r.getDouble(2)} want=${q(0.5)}")
+    assert(math.abs(r.getDouble(3) - q(0.9)) < 1e-4)
+    assert(r.getDouble(4) == math.rint(lags.min / 3.6e9 * 1e6) / 1e6 ||
+      math.abs(r.getDouble(4) - lags.min / 3.6e9) < 1e-5)
+    assert(math.abs(r.getDouble(5) - lags.max / 3.6e9) < 1e-5)
+    // approx path: the sketch returns a nearest-rank DATA point (no
+    // interpolation), so pin it inside a rank window around the target
+    // quantile rather than to a value distance
+    val a = EventAnalytics.conversionLag(spark, sf, approx = true).collect()(0)
+    assert(a.getLong(0) == r.getLong(0) && a.getDouble(1) == r.getDouble(1))
+    assert(a.getDouble(2) >= q(0.4) && a.getDouble(2) <= q(0.6),
+      s"approx p50 ${a.getDouble(2)} outside [${q(0.4)}, ${q(0.6)}]")
+    assert(a.getDouble(3) >= q(0.82) && a.getDouble(3) <= q(0.98),
+      s"approx p90 ${a.getDouble(3)} outside [${q(0.82)}, ${q(0.98)}]")
+  }
+
   test("funnel steps are ordered and counts monotone nonincreasing") {
     val r = EventAnalytics.funnel(spark, sf).collect()(0)
     val Seq(nUsers, nView, nClick, nPurchase) = (0 to 3).map(r.getLong)

@@ -126,4 +126,48 @@ class ReconRangeSpec extends SparkSpec {
     }
     labels.unpersist()
   }
+
+  // --------------------------------------------------------- SCD2 history
+
+  test("scd2_history compresses status runs and chains validity per customer") {
+    val got = SnapshotDiff.scd2History(spark, sf).collect()
+    val byCust = got.groupBy(_.getLong(0))
+    byCust.foreach { case (c, rows0) =>
+      val rows = rows0.sortBy(_.getLong(4))
+      // versions are 1..n
+      assert(rows.map(_.getLong(4)).toSeq == (1L to rows.length), s"cust $c versions")
+      rows.init.zip(rows.tail).foreach { case (a, b) =>
+        assert(a.getString(3) == b.getString(2), s"cust $c: valid_to must chain to next valid_from")
+        assert(a.getString(1) != b.getString(1), s"cust $c: consecutive versions must differ")
+        assert(!a.getBoolean(5), s"cust $c: closed rows are not current")
+      }
+      assert(rows.last.getBoolean(5) && rows.last.isNullAt(3), s"cust $c: open last row")
+    }
+    // the status sequence equals a driver-side run-length compression of the
+    // (o_orderdate, o_orderkey)-ordered order stream
+    val ord = graft.drift.table(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("us"),
+        col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val want = ord.groupBy(_._1).map { case (c, os) =>
+      val seq = os.sortBy(o => (o._3, o._4)).map(_._2).toList
+      c -> seq.foldLeft(List.empty[String]) {
+        (acc, s) => if (acc.headOption.contains(s)) acc else s :: acc
+      }.reverse
+    }
+    assert(byCust.keySet == want.keySet)
+    byCust.foreach { case (c, rows0) =>
+      assert(rows0.sortBy(_.getLong(4)).map(_.getString(1)).toList == want(c), s"cust $c runs")
+    }
+  }
+
+  test("scd2_history plans one scan and one key exchange, no joins") {
+    val plan = SnapshotDiff.scd2History(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"scd2 must read orders once:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"scd2 is window-only:\n${plan.take(2000)}")
+    assert(plan.linesIterator.count(_.contains("hashpartitioning(o_custkey")) <= 1,
+      s"lag/lead/row_number share one o_custkey exchange:\n${plan.take(2000)}")
+  }
 }

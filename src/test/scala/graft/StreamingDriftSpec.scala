@@ -341,4 +341,37 @@ class StreamingDriftSpec extends SparkSpec {
       assert(!dup, "a (user, step) completed twice")
     } finally q.stop()
   }
+
+  test("streaming attribution gate matches batch last-touch crediting on an in-order feed") {
+    import graft.streaming.StreamingSessions.Event
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val feed = graft.drift.table(spark, sf, "events")
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event].collect().sortBy(e => (e.ts.getTime, e.ts.getNanos))
+    val input = MemoryStream[Event]
+    val out = graft.streaming.StreamingAttribution.attributionGate(input.toDS())
+    val q = out.writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      feed.grouped(1500).foreach(b => { input.addData(b: _*); q.processAllAvailable() })
+      val credits = spark.table("attr_out").collect()
+      val streamCounts = credits.groupBy(_.getAs[String]("channel"))
+        .map { case (k, v) => k -> v.length.toLong }
+      val streamRev = credits.groupBy(_.getAs[String]("channel"))
+        .map { case (k, v) => k -> v.map(_.getAs[Double]("value")).sum }
+      val batch = graft.pipeline.EventAnalytics.attribution(spark, sf).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamCounts.keySet == batch.keySet,
+        s"channels stream=${streamCounts.keySet} batch=${batch.keySet}")
+      batch.foreach { case (ch, (n, rev)) =>
+        assert(streamCounts(ch) == n, s"$ch count")
+        assert(math.abs(streamRev(ch) - rev) < 1e-3, s"$ch revenue")
+      }
+      // exactly one credit per conversion event
+      val nPurch = graft.drift.table(spark, sf, "events")
+        .filter(col("event_type") === "purchase").count()
+      assert(credits.length.toLong == nPurch)
+    } finally q.stop()
+  }
 }
