@@ -45,7 +45,15 @@ object Bench {
         try spark.read.parquet(p).count()
         catch { case _: Throwable => () }
       }
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration subset (e.g. the 10x scale probes); the driver sets
+    // no SPARK_GRAFT_ONLY, so the recorded artifact always covers the
+    // full surface
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only.contains(name) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

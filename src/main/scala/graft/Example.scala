@@ -116,6 +116,29 @@ object Example {
       val canon = graft.pipeline.Dedup.clusterCanonical(spark, sfDir)
       println(s"  cluster_canonical: ${canon.count()} multi-doc clusters, " +
         "longest member kept per cluster")
+      val au = graft.pipeline.EventAnalytics.activeUsers(spark, sfDir).collect()
+      if (au.nonEmpty) {
+        val mid = au(au.length / 2)
+        println(s"  active_users: ${mid.getString(0)} dau=${mid.getLong(1)} " +
+          f"wau=${mid.getLong(2)} stickiness=${mid.getDouble(3)}%.3f (${au.length} days)")
+      }
+      println("  attribution (last touch): " +
+        graft.pipeline.EventAnalytics.attribution(spark, sfDir).collect().map(r =>
+          f"${r.getString(0)}=${r.getAs[Double]("conv_share")}%.2f").mkString(" "))
+      val cl = graft.pipeline.EventAnalytics.conversionLag(spark, sfDir).collect()(0)
+      println(f"  conversion_lag: ${cl.getLong(0)} converted, " +
+        f"median ${cl.getAs[Double]("p50_hours")}%.1f h, p90 ${cl.getAs[Double]("p90_hours")}%.1f h")
+      val rc = graft.pipeline.EventAnalytics.revenueConcentration(spark, sfDir).collect()(0)
+      println(f"  revenue_concentration: top 1%% of customers hold " +
+        f"${rc.getAs[Double]("top1pct_share") * 100}%.1f%%, top 10%% hold " +
+        f"${rc.getAs[Double]("top10pct_share") * 100}%.1f%% of revenue")
+      val scd = graft.drift.SnapshotDiff.scd2History(spark, sfDir)
+      println(s"  scd2_history: ${scd.count()} effective-dated status versions " +
+        "(lag/lead compression, one key exchange)")
+      println("  bm25_search top docs for " +
+        graft.pipeline.Retrieval.QueryTerms.mkString("[", " ", "]") + ": " +
+        graft.pipeline.Retrieval.bm25Search(spark, sfDir).collect().take(3).map(r =>
+          s"doc${r.getLong(0)}(${r.getAs[Double]("score")})").mkString(" "))
     }
 
     // versioned time travel driving the detector, as a config file would

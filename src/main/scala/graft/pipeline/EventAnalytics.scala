@@ -261,43 +261,48 @@ object EventAnalytics {
 
   /** DAU / WAU / stickiness per calendar day — the engagement surface every
     * event warehouse serves. WAU(d) counts users active in [d−6, d]; the
-    * exact form runs on the DISTINCT (user, day) frame (cardinality-bounded
-    * — users×days, not events) and turns the trailing-window distinct into
-    * an equi-join: each active (user, day) covers the 7 window-end days
-    * d..d+6 (`sequence` + explode — a bounded ×7 fan-out), re-distinct,
-    * count per window end. No range join, no per-day re-scan.
+    * trailing-window distinct becomes a bounded ×7 fan-out (each active
+    * (user, day) covers the window ends d..d+6) feeding ONE day-keyed
+    * aggregate — no range join, no per-day re-scan, ONE scan of the fact
+    * table (plan-audited). The exact form fans out the DISTINCT (user, day)
+    * frame (cardinality-bounded — users×days, not events); DAU and WAU are
+    * two distinct-counts of the same aggregate (Catalyst's Expand handles
+    * the multi-distinct).
     *
     * `approx = true` is the 100 TB path: both counts become
     * `approx_count_distinct` (HLL++) straight off the raw scan — partial
     * sketches merge map-side, so the (user, day) universe is never
-    * shuffled at all; the explode fans out raw rows but the exchange
-    * carries only day-keyed sketches. */
+    * shuffled at all and no Expand is needed; the exchange carries only
+    * day-keyed sketches. */
   def activeUsers(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     val base = table(spark, dir, "events").select(
       date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
       datediff(date_trunc("DAY", col("ts")), lit("1970-01-01").cast("date")).as("day_idx"),
       col("user_id"))
-    val (dau, wau) =
-      if (approx) {
-        val d = base.groupBy("day_idx", "day").agg(approx_count_distinct("user_id").as("dau"))
-        val w = base
-          .select(explode(sequence(col("day_idx"), col("day_idx") + lit(RollDays - 1))).as("w_idx"),
-            col("user_id"))
-          .groupBy("w_idx").agg(approx_count_distinct("user_id").as("wau"))
-        (d, w)
-      } else {
-        val ud = base.distinct()
-        val d = ud.groupBy("day_idx", "day").agg(count(lit(1)).as("dau"))
-        val w = ud
-          .select(explode(sequence(col("day_idx"), col("day_idx") + lit(RollDays - 1))).as("w_idx"),
-            col("user_id"))
-          .distinct()
-          .groupBy("w_idx").agg(count(lit(1)).as("wau"))
-        (d, w)
-      }
-    // both sides are O(days) rows; the inner join also drops the phantom
-    // window ends past the last calendar day (they have no DAU row)
-    dau.join(wau, dau("day_idx") === wau("w_idx"))
+    // ONE scan: each (user, day) covers window ends d..d+6; offset 0 marks
+    // the day itself, so DAU and WAU come out of the SAME day-keyed
+    // aggregate (DAU = distinct over the self rows). `dau > 0` drops the
+    // phantom window ends past the calendar (they have no self row, and
+    // every real day has one by construction).
+    val cover = (if (approx) base else base.distinct())
+      .select(col("user_id"), col("day"), col("day_idx"),
+        explode(sequence(lit(0), lit(RollDays - 1))).as("off"))
+      .select((col("day_idx") + col("off")).as("w_idx"),
+        when(col("off") === 0, col("user_id")).as("self_user"),
+        when(col("off") === 0, col("day")).as("self_day"),
+        col("user_id"))
+    val agg =
+      if (approx)
+        cover.groupBy("w_idx").agg(
+          max("self_day").as("day"),
+          approx_count_distinct("self_user").as("dau"),
+          approx_count_distinct("user_id").as("wau"))
+      else
+        cover.groupBy("w_idx").agg(
+          max("self_day").as("day"),
+          countDistinct(col("self_user")).as("dau"),
+          countDistinct(col("user_id")).as("wau"))
+    agg.filter(col("dau") > 0)
       .select(col("day"), col("dau"), col("wau"))
       .withColumn("stickiness", expr("ROUND(dau * 1e0 / wau, 6)"))
       .orderBy("day")
@@ -414,6 +419,142 @@ object EventAnalytics {
        |  MIN(lag_us) AS min_us, MAX(lag_us) AS max_us FROM lags)
        |SELECT ${convLagFinalCols.mkString(", ")} FROM s""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------------- journey transitions
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * for each (from_type → to_type) pair, transition count, row-normalized
+    * probability, and mean gap seconds — the user-journey complement of the
+    * funnel (every step pair, not one scripted path). One scan, ONE user
+    * exchange for the `lead` pair, then a types²-sized rollup; the
+    * row-normalizing totals come from a window over that tiny frame. Gaps
+    * accumulate exact integer µs in DECIMAL with one final division. */
+  def nextEventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .withColumn("to_type", lead("event_type", 1).over(w))
+      .withColumn("next_us", lead("ts_us", 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum((col("next_us") - col("ts_us")).cast("decimal(20,0)")).as("sum_gap_us"))
+      .withColumn("from_total",
+        sum("n_transitions").over(Window.partitionBy("from_type")))
+      .selectExpr("from_type", "to_type", "n_transitions",
+        "ROUND(n_transitions * 1e0 / from_total, 6) AS probability",
+        "ROUND((CAST(sum_gap_us AS DOUBLE) / n_transitions) / 1e6, 6) AS avg_gap_sec")
+      .orderBy("from_type", "to_type")
+  }
+
+  def nextEventTransitionsSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id FROM events),
+      |seq AS (SELECT event_type AS from_type,
+      |  LEAD(event_type) OVER w AS to_type, LEAD(ts_us) OVER w AS next_us, ts_us
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |pairs AS (SELECT from_type, to_type, COUNT(*) AS n_transitions,
+      |  SUM((next_us - ts_us)::DECIMAL(20,0)) AS sum_gap_us
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT *, SUM(n_transitions) OVER (PARTITION BY from_type) AS from_total FROM pairs)
+      |SELECT from_type, to_type, n_transitions,
+      |  ROUND(n_transitions * 1e0 / from_total, 6) AS probability,
+      |  ROUND((CAST(sum_gap_us AS DOUBLE) / n_transitions) / 1e6, 6) AS avg_gap_sec
+      |FROM tot ORDER BY from_type, to_type""".stripMargin.replace("\n", " ")
+
+  // -------------------------------------------------- volume burst days
+
+  /** Burst-day detection: per (event_type, day), the event count z-scored
+    * against the TRAILING 7 calendar days (current day excluded — a burst
+    * must not inflate its own baseline). Same RANGE-window discipline as
+    * [[rollingStats]] (calendar days, not most-recent-active rows), exact
+    * integer counts through the moment identity, one shared final text.
+    * Days with under 2 baseline days emit NULL z / false flag. */
+  def volumeAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        datediff(date_trunc("DAY", col("ts")), lit("1970-01-01").cast("date")).as("day_idx"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type").orderBy("day_idx")
+      .rangeBetween(-RollDays, -1)
+    daily.select(col("day"), col("event_type"), col("n_events"),
+        count("n_events").over(w).as("base_days"),
+        sum("n_events").over(w).as("base_n"),
+        sum(col("n_events") * col("n_events")).over(w).as("base_sq"))
+      .selectExpr(volumeAnomalyCols: _*)
+      .orderBy("event_type", "day")
+  }
+
+  /** Shared final text: sample std of the baseline via the moment identity,
+    * z only when ≥2 baseline days and nonzero spread. */
+  private def volumeAnomalyCols: Seq[String] = Seq(
+    "day", "event_type", "n_events", "base_days",
+    "CASE WHEN base_days >= 2 THEN ROUND((base_n * 1e0) / base_days, 6) END AS baseline_mean",
+    "CASE WHEN base_days >= 2 AND (base_sq * 1e0 - (base_n * 1e0) * base_n / base_days) > 0 THEN " +
+      "ROUND((n_events - (base_n * 1e0) / base_days) / " +
+      "sqrt((base_sq * 1e0 - (base_n * 1e0) * base_n / base_days) / (base_days - 1)), 6) END AS z",
+    "CASE WHEN base_days >= 2 AND (base_sq * 1e0 - (base_n * 1e0) * base_n / base_days) > 0 THEN " +
+      "(abs((n_events - (base_n * 1e0) / base_days) / " +
+      "sqrt((base_sq * 1e0 - (base_n * 1e0) * base_n / base_days) / (base_days - 1))) > 3e0) " +
+      "ELSE FALSE END AS is_burst")
+
+  def volumeAnomaliesSql: String =
+    s"""WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |  datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_idx,
+       |  event_type, COUNT(*) AS n_events FROM events GROUP BY 1, 2, 3),
+       |based AS (SELECT day, event_type, n_events,
+       |  COUNT(n_events) OVER w AS base_days, SUM(n_events) OVER w AS base_n,
+       |  SUM(n_events * n_events) OVER w AS base_sq FROM daily
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx RANGE BETWEEN $RollDays PRECEDING AND 1 PRECEDING))
+       |SELECT ${volumeAnomalyCols.mkString(", ")} FROM based ORDER BY event_type, day"""
+      .stripMargin.replace("\n", " ")
+
+  // --------------------------------------------- revenue concentration
+
+  /** Pareto concentration of customer revenue: top-1% / top-10% revenue
+    * shares by spend CUTPOINT (the rfm_segments discipline — a 1-row
+    * exact-percentile fit broadcast back, never an `ntile`/global sort
+    * over the customer universe; value-based cuts also make ties
+    * deterministic across engines). Spend stays DECIMAL through every sum;
+    * shares divide once at the end. `approx = true` swaps the cutpoint fit
+    * for the mergeable sketch. */
+  def revenueConcentration(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+    val pct = if (approx) "percentile_approx" else "percentile"
+    val perCust = table(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).as("spend_dec"))
+      .withColumn("spend", col("spend_dec").cast("double"))
+    val cuts = perCust.agg(
+      expr(s"$pct(spend, 0.99e0) AS p99"),
+      expr(s"$pct(spend, 0.9e0) AS p90"),
+      expr(s"$pct(spend, 0.5e0) AS median_spend"))
+    perCust.crossJoin(broadcast(cuts))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum("spend_dec").as("total_dec"),
+        sum(when(col("spend") > col("p99"), col("spend_dec"))).as("top1_dec"),
+        sum(when(col("spend") > col("p90"), col("spend_dec"))).as("top10_dec"),
+        max("median_spend").as("median_spend"))
+      .selectExpr(
+        "n_customers",
+        "ROUND(CAST(total_dec AS DOUBLE), 6) AS total_revenue",
+        "ROUND(CAST(COALESCE(top1_dec, 0) AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) AS top1pct_share",
+        "ROUND(CAST(COALESCE(top10_dec, 0) AS DOUBLE) / CAST(total_dec AS DOUBLE), 6) AS top10pct_share",
+        "ROUND(median_spend, 6) AS median_spend")
+  }
+
+  def revenueConcentrationSql: String =
+    """WITH per_cust AS (SELECT o_custkey, SUM(o_totalprice::DECIMAL(18,4)) AS spend_dec,
+      |  CAST(SUM(o_totalprice::DECIMAL(18,4)) AS DOUBLE) AS spend FROM orders GROUP BY 1),
+      |cuts AS (SELECT quantile_cont(spend, 0.99e0) AS p99, quantile_cont(spend, 0.9e0) AS p90,
+      |  quantile_cont(spend, 0.5e0) AS median_spend FROM per_cust)
+      |SELECT COUNT(*) AS n_customers,
+      |  ROUND(CAST(SUM(spend_dec) AS DOUBLE), 6) AS total_revenue,
+      |  ROUND(CAST(COALESCE(SUM(CASE WHEN spend > p99 THEN spend_dec END), 0) AS DOUBLE) / CAST(SUM(spend_dec) AS DOUBLE), 6) AS top1pct_share,
+      |  ROUND(CAST(COALESCE(SUM(CASE WHEN spend > p90 THEN spend_dec END), 0) AS DOUBLE) / CAST(SUM(spend_dec) AS DOUBLE), 6) AS top10pct_share,
+      |  ROUND(MAX(median_spend), 6) AS median_spend
+      |FROM per_cust, cuts""".stripMargin.replace("\n", " ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_stats" -> ((s, d) => rollingStats(s, d)),
     "cohort_retention" -> ((s, d) => cohortRetention(s, d)),
@@ -422,6 +563,9 @@ object EventAnalytics {
     "active_users" -> ((s, d) => activeUsers(s, d)),
     "attribution" -> ((s, d) => attribution(s, d)),
     "conversion_lag" -> ((s, d) => conversionLag(s, d)),
+    "next_event_transitions" -> ((s, d) => nextEventTransitions(s, d)),
+    "volume_anomalies" -> ((s, d) => volumeAnomalies(s, d)),
+    "revenue_concentration" -> ((s, d) => revenueConcentration(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -432,5 +576,8 @@ object EventAnalytics {
     "active_users" -> activeUsersSql,
     "attribution" -> attributionSql,
     "conversion_lag" -> conversionLagSql,
+    "next_event_transitions" -> nextEventTransitionsSql,
+    "volume_anomalies" -> volumeAnomaliesSql,
+    "revenue_concentration" -> revenueConcentrationSql,
   )
 }

@@ -178,6 +178,17 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("active_users and attribution plan one fact scan and no joins") {
+    for (approx <- Seq(false, true)) {
+      val p = EventAnalytics.activeUsers(spark, sf, approx).queryExecution.executedPlan.toString
+      assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, s"approx=$approx:\n${p.take(1500)}")
+      assert(!p.contains("Join"), s"approx=$approx windowed distinct must not join:\n${p.take(1500)}")
+    }
+    val ap = EventAnalytics.attribution(spark, sf).queryExecution.executedPlan.toString
+    assert(ap.linesIterator.count(_.contains("Scan parquet")) == 1)
+    assert(!ap.contains("Join"), s"attribution is window-only:\n${ap.take(1500)}")
+  }
+
   test("attribution: last-touch crediting matches a driver-side replay") {
     val ev = table(spark, sf, "events")
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
@@ -236,6 +247,96 @@ class EventAnalyticsSpec extends SparkSpec {
       s"approx p50 ${a.getDouble(2)} outside [${q(0.4)}, ${q(0.6)}]")
     assert(a.getDouble(3) >= q(0.82) && a.getDouble(3) <= q(0.98),
       s"approx p90 ${a.getDouble(3)} outside [${q(0.82)}, ${q(0.98)}]")
+  }
+
+  test("next_event_transitions: pair counts, row-normalization and gaps replay") {
+    val ev = table(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { es =>
+      val s = es.sortBy(e => (e._3, e._4))
+      s.zip(s.tail).map { case (a, b) => ((a._2, b._2), b._3 - a._3) }
+    }.toSeq
+    val wantN = pairs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val wantGap = pairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum.toDouble / v.length / 1e6 }
+    val got = EventAnalytics.nextEventTransitions(spark, sf).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSet == wantN.keySet)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == wantN(k), s"$k count")
+      assert(math.abs(r.getDouble(4) - wantGap(k)) < 1e-4, s"$k gap")
+    }
+    // probabilities row-normalize per from_type
+    got.groupBy(_.getString(0)).values.foreach { rows =>
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("volume_anomalies: trailing baseline excludes the current day and honors calendar gaps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("burst").toString
+    // type 'a': stable 2-a-day Jan 1-7, then a 10x burst Jan 8; Jan 20 is
+    // isolated after a gap (baseline must be empty, not the stale week)
+    val rows = (1 to 7).flatMap(d => Seq.fill(2)(f"2024-01-0$d 10:00:00")) ++
+      Seq.fill(20)("2024-01-08 10:00:00") ++ Seq("2024-01-20 10:00:00")
+    rows.map(ts => (ts, "a", 1.0)).toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventAnalytics.volumeAnomalies(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val burst = got("2024-01-08")
+    assert(burst.getLong(2) == 20 && burst.getLong(3) == 7)
+    assert(math.abs(burst.getDouble(4) - 2.0) < 1e-9) // baseline mean 2/day
+    assert(burst.isNullAt(5) || burst.getDouble(5) > 3.0 == burst.getBoolean(6))
+    // constant baseline has zero spread on Jan 2-8 over days 1..k: spread 0
+    // => z NULL; the burst day's baseline (all 2s) also has zero spread
+    assert(burst.isNullAt(5) && !burst.getBoolean(6),
+      "zero-spread baseline must yield NULL z, not a division blowup")
+    val isolated = got("2024-01-20")
+    assert(isolated.getLong(3) == 0, "gap day must see an EMPTY trailing window")
+    assert(isolated.isNullAt(4) && isolated.isNullAt(5) && !isolated.getBoolean(6))
+  }
+
+  test("volume_anomalies flags a genuine burst against a varying baseline") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("burst2").toString
+    // varying baseline 1..7 events/day, then a 50-event day
+    val rows = (1 to 7).flatMap(d => Seq.fill(d)(f"2024-01-0$d 10:00:00")) ++
+      Seq.fill(50)("2024-01-08 10:00:00")
+    rows.map(ts => (ts, "a", 1.0)).toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventAnalytics.volumeAnomalies(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val burst = got("2024-01-08")
+    val base = (1 to 7).map(_.toDouble)
+    val mean = base.sum / base.length
+    val std = math.sqrt(base.map(x => (x - mean) * (x - mean)).sum / (base.length - 1))
+    assert(math.abs(burst.getDouble(5) - (50 - mean) / std) < 1e-4)
+    assert(burst.getBoolean(6))
+    assert(!got("2024-01-07").getBoolean(6), "an in-trend day must not flag")
+  }
+
+  test("revenue_concentration matches driver-side cutpoint shares") {
+    val spend = table(spark, sf, "orders")
+      .groupBy("o_custkey").agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("s"))
+      .collect().map(_.getDouble(1))
+    def cut(p: Double): Double = {
+      val s = spend.sorted; val h = (s.length - 1) * p
+      val lo = s(h.toInt); lo + (h - h.toInt) * (s(math.ceil(h).toInt) - lo)
+    }
+    val total = spend.sum
+    val r = EventAnalytics.revenueConcentration(spark, sf).collect()(0)
+    assert(r.getLong(0) == spend.length)
+    assert(math.abs(r.getDouble(1) - total) < 1e-3)
+    assert(math.abs(r.getDouble(2) - spend.filter(_ > cut(0.99)).sum / total) < 1e-5)
+    assert(math.abs(r.getDouble(3) - spend.filter(_ > cut(0.9)).sum / total) < 1e-5)
+    assert(math.abs(r.getDouble(4) - cut(0.5)) < 1e-4)
+    // concentration sanity: top slices are proper, ordered shares
+    assert(r.getDouble(2) > 0 && r.getDouble(2) < r.getDouble(3) && r.getDouble(3) < 1.0)
+    // approx path returns the same exact-sum fields
+    val a = EventAnalytics.revenueConcentration(spark, sf, approx = true).collect()(0)
+    assert(a.getLong(0) == r.getLong(0) && a.getDouble(1) == r.getDouble(1))
   }
 
   test("funnel steps are ordered and counts monotone nonincreasing") {
