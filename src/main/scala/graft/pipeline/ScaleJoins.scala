@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.drift.table
+import graft.drift.{r6, table}
 
 /** Join strategies for the 100 TB posture: skew salting and bucketed
   * co-location. These are the two levers the drift/dedup operators reach
@@ -116,11 +116,57 @@ object ScaleJoins {
       ") u ORDER BY table_name, key_column"
   }
 
+  /** Shipdate cutoff for the star-join instance (predicate-pushdown bait:
+    * it must reach the parquet scan as a PushedFilter). */
+  val StarCutoff = "1997-01-01"
+
+  /** The bread-and-butter warehouse star join (TPC-H-Q5 shape): revenue
+    * per (region, nation) via lineitem ⋈ supplier ⋈ nation ⋈ region. The
+    * 100 TB plan this encodes: every dimension side is explicitly
+    * `broadcast()` (a three-level BroadcastHashJoin chain — the fact table
+    * is never shuffled for a join), the shipdate predicate and 3-column
+    * projection push into the parquet scan, and the only exchange in the
+    * whole plan is the final (region, nation)-keyed aggregation over
+    * map-side partials. Revenue accumulates in DECIMAL(18,4) (the q1
+    * lesson). Plan shape spec-audited: 3 broadcast joins, 0 sort-merge
+    * joins, PushedFilters on l_shipdate, pruned ReadSchema. */
+  def starRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = table(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(StarCutoff).cast("timestamp"))
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(table(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(table(spark, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, dir, "region").select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        r6(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
+          .cast("double")).as("revenue"),
+        r6(avg("l_discount")).as("avg_discount"))
+      .orderBy("region", "nation")
+  }
+
+  def starRevenueSql: String =
+    s"""SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_lineitems,
+       |ROUND(CAST(SUM(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
+       |ROUND(AVG(l_discount), 6) AS avg_discount
+       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE l_shipdate >= TIMESTAMP '$StarCutoff'
+       |GROUP BY 1, 2 ORDER BY region, nation""".stripMargin.replace("\n", " ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "key_skew" -> ((s, d) => keySkew(s, d)),
+    "star_revenue" -> ((s, d) => starRevenue(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "key_skew" -> keySkewSql,
+    "star_revenue" -> starRevenueSql,
   )
 }

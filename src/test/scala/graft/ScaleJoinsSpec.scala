@@ -66,4 +66,28 @@ class ScaleJoinsSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $tb")
     }
   }
+
+  test("star_revenue: broadcast-only dim chain, pushed shipdate filter, pruned scan") {
+    val sf = "/root/testdata/sf0.001"
+    val df = ScaleJoins.starRevenue(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) == 3,
+      s"three dims must each broadcast:\n${plan.take(2500)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the fact table must never shuffle for a join:\n${plan.take(2500)}")
+    val scanLine = plan.linesIterator.filter(l => l.contains("Scan parquet") || l.contains("PushedFilters"))
+      .mkString("\n")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"shipdate predicate must push to the scan:\n$scanLine")
+    val liRead = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!liRead.contains("l_quantity") && !liRead.contains("l_tax"),
+      s"fact scan reads unused columns:\n$liRead")
+    // values: one nation spot-check against a driver-side recomputation
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("n_lineitems") > 0))
+    val wantTotal = graft.drift.table(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit(ScaleJoins.StarCutoff).cast("timestamp")).count()
+    assert(rows.map(_.getAs[Long]("n_lineitems")).sum == wantTotal,
+      "every surviving lineitem lands in exactly one (region, nation)")
+  }
 }
