@@ -94,7 +94,8 @@ object SparkEntry {
       Packing.queries ++
       Layout.queries ++
       EntityResolution.queries ++
-      Retrieval.queries
+      Retrieval.queries ++
+      MarketBasket.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -171,5 +172,6 @@ object SparkEntry {
       Packing.oracles ++
       Layout.oracles ++
       EntityResolution.oracles ++
-      Retrieval.oracles
+      Retrieval.oracles ++
+      MarketBasket.oracles
 }

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.MarketBasket
+
+/** Market-basket pair mining: driver-side replay of counts/support/lift and
+  * the bounded-fan-out plan shape. */
+class MarketBasketSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("basket_pairs matches a driver-side pair replay") {
+    val op = graft.drift.table(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = op.map(_._1).distinct.length.toDouble
+    val freq = op.groupBy(_._2).map { case (p, xs) => p -> xs.length.toLong }
+    val pairCounts = op.groupBy(_._1).values.flatMap { items =>
+      val ps = items.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val wantTop = pairCounts.toSeq
+      .sortBy { case ((a, b), n) => (-n, a, b) }.take(MarketBasket.TopPairs)
+    val got = MarketBasket.basketPairs(spark, sf).collect()
+    assert(got.length == wantTop.length)
+    got.zip(wantTop).foreach { case (r, ((a, b), n)) =>
+      assert((r.getLong(0), r.getLong(1)) == (a, b), s"pair order: got (${r.getLong(0)},${r.getLong(1)}) want ($a,$b)")
+      assert(r.getLong(2) == n)
+      assert(r.getLong(3) == freq(a) && r.getLong(4) == freq(b))
+      assert(math.abs(r.getDouble(5) - n / nOrders) < 1e-6)
+      assert(math.abs(r.getDouble(6) - n.toDouble / freq(a)) < 1e-6)
+      val lift = (n / nOrders) / ((freq(a) / nOrders) * (freq(b) / nOrders))
+      assert(math.abs(r.getDouble(7) - lift) < 1e-4, s"lift $a,$b")
+    }
+  }
+
+  test("basket_pairs plan: co-partitioned self-join, top-k heap, broadcast enrichments") {
+    val plan = MarketBasket.basketPairs(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n${plan.take(2000)}")
+    assert(plan.linesIterator.count(_.contains("BroadcastHashJoin")) >= 2,
+      s"freq enrichment must broadcast the tiny pair frame:\n${plan.take(2500)}")
+    // the only non-broadcast join allowed is the orderkey-co-partitioned
+    // pair generator
+    val wide = plan.linesIterator.filter(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).toSeq
+    assert(wide.forall(_.contains("ok")), s"wide joins must be on the basket key only:\n${wide.mkString("\n")}")
+  }
+}

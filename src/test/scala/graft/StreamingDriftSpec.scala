@@ -342,6 +342,36 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming DAU sketches match the batch HLL counts per finalized day") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val feed = graft.drift.table(spark, sf, "events")
+      .select(col("ts"), col("user_id"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1)))
+      .sortBy(_._1.getTime)
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val out = graft.streaming.StreamingEngagement.dauStream(
+      input.toDF().toDF("ts", "user_id"))
+    val q = out.writeStream.format("memory").queryName("dau_out")
+      .outputMode("append").start()
+    try {
+      feed.grouped(2000).foreach(b => { input.addData(b: _*); q.processAllAvailable() })
+      // advance watermark far past the last day so every window finalizes
+      val last = feed.last._1.getTime
+      input.addData((new java.sql.Timestamp(last + 3L * 86400 * 1000), 0L))
+      q.processAllAvailable()
+      val got = spark.table("dau_out").collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      val batch = graft.drift.table(spark, sf, "events")
+        .groupBy(date_trunc("DAY", col("ts")).as("d"))
+        .agg(approx_count_distinct("user_id").as("dau"))
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      batch.foreach { case (d, n) =>
+        assert(got.get(d).contains(n), s"day $d stream=${got.get(d)} batch=$n")
+      }
+    } finally q.stop()
+  }
+
   test("streaming attribution gate matches batch last-touch crediting on an in-order feed") {
     import graft.streaming.StreamingSessions.Event
     implicit val sqlCtx = spark.sqlContext
