@@ -29,9 +29,14 @@ object MarketBasket {
     * lift. Output: part_a, part_b, n_orders_both, n_orders_a, n_orders_b,
     * support, confidence, lift — ordered by (n_orders_both desc, pair). */
   def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    // the distinct basket frame feeds FOUR subtrees (both self-join sides,
+    // the item frequencies, the order count) whose exchanges share no key,
+    // so without a cache the fact scan + distinct would execute once per
+    // subtree (the minhash_lsh signature-frame discipline)
     val op = table(spark, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
+      .cache()
     val nOrders = op.agg(countDistinct(col("ok")).as("n_orders"))
     val itemFreq = op.groupBy(col("pk")).agg(count(lit(1)).as("n_ord"))
     val top = op.as("a").join(op.as("b"), "ok")

@@ -52,24 +52,37 @@ object Retrieval {
         s"(${tfCol(t)} + $K1 * (1e0 - $B + $B * (1.0e0 * dl * n_docs / sum_dl)))"
     }.mkString(" + ")
 
-  /** Top-k BM25 docs for [[QueryTerms]]. Output: doc_id, source, dl,
-    * per-term tf, score — ordered by (score desc, doc_id). */
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = table(spark, dir, "documents")
+  /** The shared per-doc projection: doc_id, source, dl, per-term tf —
+    * in-row HOF folds, no explode. */
+  private def perDocTf(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
       .selectExpr("doc_id", "source", "split(text, '\\\\s+') AS toks")
       .selectExpr(Seq("doc_id", "source", "CAST(size(toks) AS BIGINT) AS dl") ++
         QueryTerms.map(t => s"CAST(size(filter(toks, t -> t = '$t')) AS BIGINT) AS ${tfCol(t)}"): _*)
-    val statAggs = Seq(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")) ++
-      QueryTerms.zipWithIndex.map { case (t, i) =>
-        sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df$i")
-      }
-    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
-    perDoc.crossJoin(broadcast(stats))
+
+  /** The shared scoring/ranking tail: the input must carry the per-doc
+    * projection plus n_docs/sum_dl/df{i} columns (however they were
+    * obtained — one in-query aggregate, or literals replayed from the
+    * artifact). ONE definition, so the `reuse == recompute` contract can't
+    * drift. */
+  private def scoreAndRank(withStats: DataFrame): DataFrame =
+    withStats
       .selectExpr(Seq("doc_id", "source", "dl") ++ QueryTerms.map(tfCol) ++
         Seq(s"ROUND($scoreExpr, 6) AS score"): _*)
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(TopK)
+
+  /** Top-k BM25 docs for [[QueryTerms]]. Output: doc_id, source, dl,
+    * per-term tf, score — ordered by (score desc, doc_id). */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = perDocTf(spark, dir)
+    val statAggs = Seq(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")) ++
+      QueryTerms.zipWithIndex.map { case (t, i) =>
+        sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df$i")
+      }
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    scoreAndRank(perDoc.crossJoin(broadcast(stats)))
   }
 
   def bm25SearchSql: String = {
@@ -123,28 +136,23 @@ object Retrieval {
     * Bit-identical to the self-contained form (spec-pinned): same score
     * text, same integer inputs. */
   def bm25SearchWith(spark: SparkSession, dir: String, stats: DataFrame): DataFrame = {
-    val rows = stats.filter(col("term").isin(QueryTerms: _*))
-      .select("term", "df", "n_docs", "sum_dl").collect()
-    require(rows.nonEmpty, "term-stats artifact has no corpus rows")
-    val nDocs = rows.head.getLong(2)
-    val sumDl = rows.head.getLong(3)
-    val dfByTerm = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
-    val perDoc = table(spark, dir, "documents")
-      .selectExpr("doc_id", "source", "split(text, '\\\\s+') AS toks")
-      .selectExpr(Seq("doc_id", "source", "CAST(size(toks) AS BIGINT) AS dl") ++
-        QueryTerms.map(t => s"CAST(size(filter(toks, t -> t = '$t')) AS BIGINT) AS ${tfCol(t)}"): _*)
-    val withStats = perDoc
-      .withColumn("n_docs", lit(nDocs))
-      .withColumn("sum_dl", lit(sumDl))
-    val withDfs = QueryTerms.zipWithIndex.foldLeft(withStats) { case (df0, (t, i)) =>
+    // the corpus constants live on EVERY artifact row (self-contained
+    // frame); query terms absent from the vocabulary simply have no df row
+    // (df 0), which is a valid state, not a malformed artifact
+    val consts = stats.select("n_docs", "sum_dl").limit(1).collect()
+    if (consts.isEmpty) return bm25Search(spark, dir) // empty corpus: same empty result
+    val nDocs = consts.head.getLong(0)
+    val sumDl = consts.head.getLong(1)
+    val dfByTerm = stats.filter(col("term").isin(QueryTerms: _*))
+      .select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val withStats = QueryTerms.zipWithIndex.foldLeft(
+      perDocTf(spark, dir)
+        .withColumn("n_docs", lit(nDocs))
+        .withColumn("sum_dl", lit(sumDl))) { case (df0, (t, i)) =>
       df0.withColumn(s"df$i", lit(dfByTerm.getOrElse(t, 0L)))
     }
-    withDfs
-      .selectExpr(Seq("doc_id", "source", "dl") ++ QueryTerms.map(tfCol) ++
-        Seq(s"ROUND($scoreExpr, 6) AS score"): _*)
-      .filter(col("score") > 0)
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(TopK)
+    scoreAndRank(withStats)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

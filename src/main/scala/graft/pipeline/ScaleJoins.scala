@@ -146,14 +146,19 @@ object ScaleJoins {
         r6(sum((col("l_extendedprice").cast("decimal(18,4)") *
           (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))))
           .cast("double")).as("revenue"),
-        r6(avg("l_discount")).as("avg_discount"))
+        // DECIMAL partials + one final division (not avg over raw doubles:
+        // partial-sum order is partition-dependent and the oracle hash sits
+        // one ulp from a ROUND boundary — the q1/tail exactness contract)
+        sum(col("l_discount").cast("decimal(18,6)")).as("sum_disc_dec"))
+      .selectExpr("region", "nation", "n_lineitems", "revenue",
+        "ROUND(CAST(sum_disc_dec AS DOUBLE) / n_lineitems, 6) AS avg_discount")
       .orderBy("region", "nation")
   }
 
   def starRevenueSql: String =
     s"""SELECT r_name AS region, n_name AS nation, COUNT(*) AS n_lineitems,
        |ROUND(CAST(SUM(l_extendedprice::DECIMAL(18,4) * (1::DECIMAL(18,4) - l_discount::DECIMAL(18,4))) AS DOUBLE), 6) AS revenue,
-       |ROUND(AVG(l_discount), 6) AS avg_discount
+       |ROUND(CAST(SUM(l_discount::DECIMAL(18,6)) AS DOUBLE) / COUNT(*), 6) AS avg_discount
        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
        |JOIN nation ON s_nationkey = n_nationkey
        |JOIN region ON n_regionkey = r_regionkey

@@ -37,7 +37,7 @@ object StreamingFunnel {
   def funnelGate(events: Dataset[Event]): Dataset[StepCompletion] = {
     val spark = events.sparkSession
     import spark.implicits._
-    def toUs(t: Timestamp): Long = t.getTime * 1000L
+    def toUs(t: Timestamp): Long = StreamingSessions.eventUs(t)
 
     events
       .groupByKey(_.user_id)

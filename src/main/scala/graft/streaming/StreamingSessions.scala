@@ -12,9 +12,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale: state is one small record per ACTIVE user (not per event), keyed
   * and shuffled by user_id; closed sessions are emitted and state dropped
   * on timeout, so state size is bounded by concurrently-active users. */
-object StreamingSessions {
+// Serializable: eventUs is called from flatMapGroupsWithState closures,
+// which serialize a reference to this module into the task
+object StreamingSessions extends Serializable {
 
   case class Event(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+  /** Shared full-µs instant for every streaming gate's in-batch ordering:
+    * `getTime` carries the milliseconds; the sub-ms residue lives in
+    * `getNanos`. One definition — the gates must agree on how
+    * equal-millisecond events order (the batch operators order by exact
+    * µs), so no gate keeps a private truncating copy. */
+  private[streaming] def eventUs(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
   case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
   case class ClosedSession(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
       n_events: Long, duration_sec: Double)
@@ -24,7 +34,7 @@ object StreamingSessions {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    def toUs(t: Timestamp): Long = t.getTime * 1000L
+    def toUs(t: Timestamp): Long = eventUs(t)
     def close(userId: Long, st: SessionState): ClosedSession =
       ClosedSession(userId, new Timestamp(st.startUs / 1000L), new Timestamp(st.lastUs / 1000L),
         st.nEvents, (st.lastUs - st.startUs) / 1e6)

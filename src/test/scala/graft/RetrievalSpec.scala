@@ -70,6 +70,19 @@ class RetrievalSpec extends SparkSpec {
     assert(reused == direct)
   }
 
+  test("empty-corpus artifact: bm25SearchWith degrades to the empty search, no throw") {
+    import spark.implicits._
+    val corpus = java.nio.file.Files.createTempDirectory("emptycorp").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+    val art = java.nio.file.Files.createTempDirectory("emptystats").toString
+    Retrieval.writeTermStats(spark, corpus, art)
+    val got = Retrieval.bm25SearchWith(spark, corpus, Retrieval.readTermStats(spark, art))
+    assert(got.collect().isEmpty)
+    assert(Retrieval.bm25Search(spark, corpus).collect().isEmpty)
+  }
+
   test("bm25_search plans no explode and no join wider than the 1-row stats broadcast") {
     val plan = Retrieval.bm25Search(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Generate"), s"tf counts are in-row array folds, no explode:\n${plan.take(2000)}")

@@ -373,13 +373,13 @@ class StreamingDriftSpec extends SparkSpec {
   }
 
   test("streaming attribution gate matches batch last-touch crediting on an in-order feed") {
-    import graft.streaming.StreamingSessions.Event
+    import graft.streaming.StreamingAttribution.AttrEvent
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
     val feed = graft.drift.table(spark, sf, "events")
-      .select(col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Event].collect().sortBy(e => (e.ts.getTime, e.ts.getNanos))
-    val input = MemoryStream[Event]
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"), col("event_id"))
+      .as[AttrEvent].collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val input = MemoryStream[AttrEvent]
     val out = graft.streaming.StreamingAttribution.attributionGate(input.toDS())
     val q = out.writeStream.format("memory").queryName("attr_out")
       .outputMode("append").start()
