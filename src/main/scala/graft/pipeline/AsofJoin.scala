@@ -31,13 +31,27 @@ object AsofJoin {
   /** Generic as-of join. `left` and `right` must both carry `key` and `ts`
     * columns under the same names; every left column passes through, and
     * each right column in `payload` surfaces as `matched_<name>` (NULL when
-    * no right row precedes the left row). Equal-ts right rows resolve to
-    * the greatest `tiebreak` value.
+    * no right row matches). Equal-ts right rows resolve to the greatest
+    * `tiebreak` value (all directions — the equal-ts row is "nearest" on
+    * both sides).
+    *
+    * `direction` (the pandas merge_asof surface):
+    *  - `"backward"` (default): most recent right row with right.ts ≤ left.ts
+    *  - `"forward"`: earliest right row with right.ts ≥ left.ts — the SAME
+    *    single-window plan traversed in descending ts
+    *  - `"nearest"`: whichever of the two is closer in |Δts| (tie →
+    *    backward, documented); both windows share ONE key exchange (two
+    *    per-partition sorts, zero joins). Requires a numeric `ts`.
     */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
-           tiebreak: String, payload: Seq[String]): DataFrame = {
+           tiebreak: String, payload: Seq[String],
+           direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown as-of direction '$direction'")
     val fields = (tiebreak +: payload).distinct
-    val pStruct = struct(fields.map(col): _*)
+    // __ts rides inside the struct so `nearest` can compare gaps without
+    // widening the caller-visible matched_* columns
+    val pStruct = struct(col(ts).as("__ts") +: fields.map(col): _*)
     val pType = right.select(pStruct.as("__p")).schema.head.dataType
     // order by the tiebreak's NATIVE type: a cast("long") would turn a
     // string id into NULL and silently break the "greatest tiebreak"
@@ -54,12 +68,29 @@ object AsofJoin {
       else lit(null).cast(left.schema(c).dataType).as(c)
     } ++ Seq(lit(0).as("__side"), col(tiebreak).as("__ord"),
       pStruct.as("__p")): _*)
-    val w = Window.partitionBy(key)
-      .orderBy(col(ts), col("__side"), col("__ord"))
+    // ascending traversal finds the latest preceding right row; descending
+    // finds the earliest following one. In BOTH, equal-ts right rows sort
+    // before the left row (side 0 < 1) and ascending __ord leaves the
+    // greatest tiebreak as the `last` seen.
+    def w(desc: Boolean) = Window.partitionBy(key)
+      .orderBy((if (desc) col(ts).desc else col(ts).asc), col("__side"), col("__ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lu.unionByName(ru)
-      .withColumn("__m", last("__p", ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
+    val union = lu.unionByName(ru)
+    val matched = direction match {
+      case "backward" => union.withColumn("__m", last("__p", ignoreNulls = true).over(w(false)))
+      case "forward"  => union.withColumn("__m", last("__p", ignoreNulls = true).over(w(true)))
+      case "nearest" =>
+        union
+          .withColumn("__mb", last("__p", ignoreNulls = true).over(w(false)))
+          .withColumn("__mf", last("__p", ignoreNulls = true).over(w(true)))
+          .withColumn("__m",
+            when(col("__mb").isNull, col("__mf"))
+              .when(col("__mf").isNull, col("__mb"))
+              .when(col(ts) - col("__mb").getField("__ts") <=
+                col("__mf").getField("__ts") - col(ts), col("__mb"))
+              .otherwise(col("__mf")))
+    }
+    matched.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         fields.map(f => col("__m").getField(f).as(s"matched_$f")): _*)
   }
@@ -70,7 +101,7 @@ object AsofJoin {
     * is ONE division of exact integers, so both engines emit bit-identical
     * doubles (no per-engine rounding — see Sessions for why that matters).
     */
-  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+  private def clickPurchaseSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val ev = table(spark, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
@@ -78,6 +109,11 @@ object AsofJoin {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"))
+    (clicks, purchases)
+  }
+
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases) = clickPurchaseSides(spark, dir)
     asof(clicks, purchases, key = "user_id", ts = "ts_us",
       tiebreak = "event_id", payload = Seq("ts_us", "value"))
       .selectExpr("user_id", "click_id", "ts_us AS click_ts_us",
@@ -105,11 +141,80 @@ object AsofJoin {
       "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us " +
       "ORDER BY c.click_id"
 
+  /** Forward as-of instance: every click joined to the user's EARLIEST
+    * following (or same-instant) purchase — "time to next purchase". Same
+    * single-window plan as [[purchaseAttribution]], traversed in
+    * descending ts. */
+  def nextPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases) = clickPurchaseSides(spark, dir)
+    asof(clicks, purchases, key = "user_id", ts = "ts_us",
+      tiebreak = "event_id", payload = Seq("ts_us", "value"), direction = "forward")
+      .selectExpr("user_id", "click_id", "ts_us AS click_ts_us",
+        "matched_event_id AS purchase_id",
+        "matched_ts_us AS purchase_ts_us",
+        "matched_value AS purchase_value",
+        "(matched_ts_us - ts_us) / 1000000e0 AS wait_sec")
+      .orderBy("click_id")
+  }
+
+  val nextPurchaseSql: String =
+    "WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id " +
+      "FROM events WHERE event_type = 'click'), " +
+      "p AS (SELECT user_id, epoch_us(ts) AS ts_us, " +
+      "arg_max(event_id, event_id) AS event_id, arg_max(value, event_id) AS value " +
+      "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) " +
+      "SELECT c.user_id, c.click_id, c.ts_us AS click_ts_us, " +
+      "p.event_id AS purchase_id, p.ts_us AS purchase_ts_us, p.value AS purchase_value, " +
+      "(p.ts_us - c.ts_us) / 1000000.0 AS wait_sec " +
+      "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us <= p.ts_us " +
+      "ORDER BY c.click_id"
+
+  /** Nearest as-of instance: each click's closest purchase on EITHER side
+    * (tie → the preceding one). `gap_sec` is signed: positive when the
+    * purchase preceded the click. */
+  def nearestPurchase(spark: SparkSession, dir: String): DataFrame = {
+    val (clicks, purchases) = clickPurchaseSides(spark, dir)
+    asof(clicks, purchases, key = "user_id", ts = "ts_us",
+      tiebreak = "event_id", payload = Seq("ts_us", "value"), direction = "nearest")
+      .selectExpr("user_id", "click_id", "ts_us AS click_ts_us",
+        "matched_event_id AS purchase_id",
+        "matched_ts_us AS purchase_ts_us",
+        "matched_value AS purchase_value",
+        "(ts_us - matched_ts_us) / 1000000e0 AS gap_sec")
+      .orderBy("click_id")
+  }
+
+  /** DuckDB has no native nearest ASOF: compose the backward and forward
+    * native ASOF joins per click and choose the closer side with the SAME
+    * tie rule (equal gap → backward). */
+  val nearestPurchaseSql: String = {
+    val pred = "(b.pts IS NOT NULL AND (f.pts IS NULL OR (b.ts_us - b.pts) <= (f.pts - b.ts_us)))"
+    "WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id AS click_id " +
+      "FROM events WHERE event_type = 'click'), " +
+      "p AS (SELECT user_id, epoch_us(ts) AS ts_us, " +
+      "arg_max(event_id, event_id) AS event_id, arg_max(value, event_id) AS value " +
+      "FROM events WHERE event_type = 'purchase' GROUP BY 1, 2), " +
+      "b AS (SELECT c.user_id, c.click_id, c.ts_us, p.event_id AS pid, p.ts_us AS pts, p.value AS pv " +
+      "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us), " +
+      "f AS (SELECT c.click_id, p.event_id AS pid, p.ts_us AS pts, p.value AS pv " +
+      "FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us <= p.ts_us) " +
+      "SELECT b.user_id, b.click_id, b.ts_us AS click_ts_us, " +
+      s"CASE WHEN $pred THEN b.pid ELSE f.pid END AS purchase_id, " +
+      s"CASE WHEN $pred THEN b.pts ELSE f.pts END AS purchase_ts_us, " +
+      s"CASE WHEN $pred THEN b.pv ELSE f.pv END AS purchase_value, " +
+      s"(b.ts_us - (CASE WHEN $pred THEN b.pts ELSE f.pts END)) / 1000000.0 AS gap_sec " +
+      "FROM b JOIN f USING (click_id) ORDER BY b.click_id"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_join" -> ((s, d) => purchaseAttribution(s, d)),
+    "asof_join_forward" -> ((s, d) => nextPurchase(s, d)),
+    "asof_join_nearest" -> ((s, d) => nearestPurchase(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "asof_join" -> purchaseAttributionSql,
+    "asof_join_forward" -> nextPurchaseSql,
+    "asof_join_nearest" -> nearestPurchaseSql,
   )
 }

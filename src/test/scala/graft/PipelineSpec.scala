@@ -452,6 +452,40 @@ class PipelineSpec extends SparkSpec {
     assert(out(301L) == ((Some(32L), Some(4.5))))
   }
 
+  test("as-of forward and nearest directions honor the merge_asof contract") {
+    import spark.implicits._
+    val clicks = Seq(
+      (1L, 5L, 101L),   // forward -> 11 (earliest following); nearest -> 11
+      (1L, 10L, 102L),  // equal ts: inclusive both directions -> 11
+      (1L, 14L, 103L),  // backward 11 (gap 4) vs forward 12 (gap 1) -> nearest 12
+      (1L, 20L, 104L),  // after all purchases: forward NULL, nearest -> 12
+      (2L, 10L, 201L),  // no purchases: NULL in every direction
+      (3L, 11L, 301L),  // duplicate-ts purchases: max tiebreak both directions
+      (1L, 13L, 105L))  // equidistant to 10 and 15 + wait, gap 3 vs 2 -> forward 12
+      .toDF("user_id", "ts_us", "click_id")
+    val purchases = Seq(
+      (1L, 10L, 11L, 1.5), (1L, 15L, 12L, 2.5),
+      (3L, 10L, 31L, 3.5), (3L, 10L, 32L, 4.5),
+      (3L, 12L, 33L, 5.5))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    def run(dir: String) = AsofJoin.asof(clicks, purchases, "user_id", "ts_us",
+        tiebreak = "event_id", payload = Seq("ts_us", "value"), direction = dir)
+      .collect().map(r => r.getAs[Long]("click_id") ->
+        Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong)).toMap
+    val fwd = run("forward")
+    assert(fwd(101L).contains(11L) && fwd(102L).contains(11L))
+    assert(fwd(103L).contains(12L) && fwd(104L).isEmpty && fwd(201L).isEmpty)
+    assert(fwd(301L).contains(33L)) // earliest following is ts 12
+    val near = run("nearest")
+    assert(near(101L).contains(11L) && near(102L).contains(11L))
+    assert(near(103L).contains(12L), "nearest must beat the stale backward match")
+    assert(near(104L).contains(12L) && near(201L).isEmpty)
+    assert(near(105L).contains(12L)) // gap 3 backward vs 2 forward
+    // user 3, click ts 11: gap 1 backward (ts 10) vs gap 1 forward (ts 12)
+    // -> tie resolves BACKWARD, to the max-tiebreak equal-ts row id 32
+    assert(near(301L).contains(32L))
+  }
+
   test("as-of join resolves equal-ts ties on a non-numeric tiebreak column") {
     import spark.implicits._
     // string ids would cast("long") to NULL — the ordering must use the

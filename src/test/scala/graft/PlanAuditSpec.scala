@@ -78,6 +78,16 @@ class PlanAuditSpec extends SparkSpec {
     // exchange is the final presentation orderBy's range partitioning
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(2000)}")
+    // the forward and nearest directions must keep the same contract:
+    // zero join nodes, one key exchange (nearest runs TWO sorts over it)
+    for (df <- Seq(AsofJoin.nextPurchase(spark, sf), AsofJoin.nearestPurchase(spark, sf))) {
+      val p = planOf(df)
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+        !p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"directional as-of planned a join node:\n${p.take(2000)}")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"directional as-of must reuse one key exchange:\n${p.take(2000)}")
+    }
   }
 
   test("LM scoring joins the model tables by broadcast, never by shuffle") {
