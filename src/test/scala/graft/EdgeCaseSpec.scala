@@ -500,4 +500,76 @@ class EdgeCaseSpec extends SparkSpec {
     assert(rows.length == 1 && rows(0).getAs[Long]("n_vecs") == 5L)
     assert(rows(0).getAs[Double]("purity") == 0.6)
   }
+
+  // ------------------------- tail-7/8 degenerate paths (event analytics)
+
+  private def eventsDir(rows: Seq[(String, Long, String, Double)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    rows.toDF("ts_s", "user_id", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"),
+        monotonically_increasing_id().as("event_id"))
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("conversion_lag with zero conversions: one null-safe summary row, no throw") {
+    val dir = eventsDir(Seq(("2024-01-01 10:00:00", 1L, "view", 1.0),
+      ("2024-01-02 10:00:00", 1L, "click", 1.0)))
+    val r = graft.pipeline.EventAnalytics.conversionLag(spark, dir).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 0L)
+    (1 to 5).foreach(i => assert(r(0).isNullAt(i), s"col $i must be NULL on an empty lag set"))
+  }
+
+  test("attribution with no conversions yields an empty frame; all-direct feeds credit 'direct'") {
+    val none = eventsDir(Seq(("2024-01-01 10:00:00", 1L, "view", 1.0)))
+    assert(graft.pipeline.EventAnalytics.attribution(spark, none).collect().isEmpty)
+    val direct = eventsDir(Seq(("2024-01-01 10:00:00", 1L, "purchase", 5.0),
+      ("2024-01-01 11:00:00", 2L, "purchase", 7.0)))
+    val rows = graft.pipeline.EventAnalytics.attribution(spark, direct).collect()
+    assert(rows.length == 1 && rows(0).getString(0) == "direct")
+    assert(rows(0).getLong(1) == 2L && rows(0).getDouble(3) == 1.0)
+  }
+
+  test("active_users on a single (user, day) event stream: dau == wau == 1, stickiness 1") {
+    val dir = eventsDir(Seq(("2024-01-05 10:00:00", 42L, "view", 1.0),
+      ("2024-01-05 11:00:00", 42L, "click", 1.0)))
+    for (approx <- Seq(false, true)) {
+      val rows = graft.pipeline.EventAnalytics.activeUsers(spark, dir, approx).collect()
+      assert(rows.length == 1)
+      assert(rows(0).getLong(1) == 1L && rows(0).getLong(2) == 1L && rows(0).getDouble(3) == 1.0)
+    }
+  }
+
+  test("next_event_transitions needs two events per user: singletons yield an empty matrix") {
+    val dir = eventsDir(Seq(("2024-01-01 10:00:00", 1L, "view", 1.0),
+      ("2024-01-01 10:00:00", 2L, "click", 1.0)))
+    assert(graft.pipeline.EventAnalytics.nextEventTransitions(spark, dir).collect().isEmpty)
+  }
+
+  test("scd2_history on one order per customer: one open version each") {
+    val rows = graft.drift.SnapshotDiff.scd2History(spark, "/root/testdata/sf0.001")
+      .filter(col("version") === 1).collect()
+    assert(rows.nonEmpty)
+    // and a synthetic single-order stream is entirely version-1 current
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd").toString
+    Seq((1L, 10L, "O", 5.0, "2024-01-01 00:00:00", "1-URGENT"),
+      (2L, 20L, "F", 6.0, "2024-01-02 00:00:00", "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "d", "o_orderpriority")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("d").cast("timestamp").as("o_orderdate"), col("o_orderpriority"))
+      .write.parquet(s"$dir/orders.parquet")
+    val single = graft.drift.SnapshotDiff.scd2History(spark, dir).collect()
+    assert(single.length == 2)
+    single.foreach(r => assert(r.getLong(4) == 1L && r.getBoolean(5) && r.isNullAt(3)))
+  }
+
+  test("basket_pairs on single-item orders: empty result, no throw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bk").toString
+    Seq((1L, 100L), (2L, 200L), (3L, 300L))
+      .toDF("l_orderkey", "l_partkey")
+      .withColumn("l_quantity", lit(1.0))
+      .write.parquet(s"$dir/lineitem.parquet")
+    assert(graft.pipeline.MarketBasket.basketPairs(spark, dir).collect().isEmpty)
+  }
 }
