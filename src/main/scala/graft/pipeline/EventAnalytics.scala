@@ -555,6 +555,99 @@ object EventAnalytics {
       |  ROUND(MAX(median_spend), 6) AS median_spend
       |FROM per_cust, cuts""".stripMargin.replace("\n", " ")
 
+  // ------------------------------------------------------ gap fill / LOCF
+
+  /** Calendar densification: the (event_type × day) daily series with
+    * missing days materialized (n_events 0) and the daily sum LOCF-filled
+    * (last observation carried forward) — the "resample + ffill" step
+    * every downstream window op silently assumes (the rolling/burst
+    * operators here use RANGE windows precisely because gaps exist; this
+    * operator is for consumers that need a dense series).
+    *
+    * Scale shape: the grid is types × days (a `sequence` explode off a
+    * 1-row min/max aggregate — never a per-row explode), the join of grid
+    * to the daily aggregate is day-cardinality on both sides, and the LOCF
+    * is one type-partitioned window. The fact table is scanned once. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(datediff(date_trunc("DAY", col("ts")), lit("1970-01-01").cast("date")).as("day_idx"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_dec"))
+    val span = daily.agg(min("day_idx").as("lo"), max("day_idx").as("hi"))
+    val types = daily.select("event_type").distinct()
+    val grid = types.crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("day_idx"))
+    val w = Window.partitionBy("event_type").orderBy("day_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("event_type", "day_idx"), "left")
+      .select(
+        date_format(date_add(lit("1970-01-01").cast("date"), col("day_idx").cast("int")), "yyyy-MM-dd").as("day"),
+        col("event_type"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sum_dec"),
+        last("sum_dec", ignoreNulls = true).over(w).as("filled_dec"))
+      .selectExpr("day", "event_type", "n_events",
+        "ROUND(CAST(sum_dec AS DOUBLE), 6) AS sum_value",
+        "ROUND(CAST(filled_dec AS DOUBLE), 6) AS filled_value")
+      .orderBy("event_type", "day")
+  }
+
+  def gapFillSql: String =
+    """WITH daily AS (SELECT datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_idx,
+      |  event_type, COUNT(*) AS n_events, SUM(value::DECIMAL(18,6)) AS sum_dec FROM events GROUP BY 1, 2),
+      |span AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
+      |grid AS (SELECT t.event_type, unnest(generate_series(span.lo, span.hi)) AS day_idx
+      |  FROM (SELECT DISTINCT event_type FROM daily) t, span),
+      |joined AS (SELECT grid.event_type, grid.day_idx, COALESCE(d.n_events, 0) AS n_events, d.sum_dec,
+      |  LAST_VALUE(d.sum_dec IGNORE NULLS) OVER (PARTITION BY grid.event_type ORDER BY grid.day_idx
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_dec
+      |  FROM grid LEFT JOIN daily d ON grid.event_type = d.event_type AND grid.day_idx = d.day_idx)
+      |SELECT strftime(DATE '1970-01-01' + day_idx * INTERVAL 1 DAY, '%Y-%m-%d') AS day, event_type,
+      |  n_events, ROUND(CAST(sum_dec AS DOUBLE), 6) AS sum_value,
+      |  ROUND(CAST(filled_dec AS DOUBLE), 6) AS filled_value
+      |FROM joined ORDER BY event_type, day""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------ time-weighted average
+
+  /** Per-user time-weighted average value (TWAP over the irregular event
+    * series): each event's value holds until the user's next event;
+    * twap = Σ value_i·(t_{i+1}−t_i) / (t_last − t_first). Users with one
+    * event (zero span) emit NULL. One scan, ONE user exchange (a `lead`
+    * window feeding a user-keyed rollup); weights are exact integer µs and
+    * products accumulate in DECIMAL(38,6), so both engines agree
+    * bit-for-bit at any scale — a double Σ(v·Δt) would be partial-sum-
+    * order dependent. */
+  def timeWeightedValue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    table(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      .withColumn("next_us", lead("ts_us", 1).over(w))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_us").as("first_us"),
+        max("ts_us").as("last_us"),
+        sum(when(col("next_us").isNotNull,
+          col("value").cast("decimal(18,6)") *
+            (col("next_us") - col("ts_us")).cast("decimal(20,0)"))).as("area_dec"))
+      .selectExpr("user_id", "n_events",
+        "ROUND((last_us - first_us) / 86400000000e0, 6) AS span_days",
+        "CASE WHEN last_us > first_us THEN " +
+          "ROUND(CAST(area_dec AS DOUBLE) / (last_us - first_us), 6) END AS twap")
+      .orderBy("user_id")
+  }
+
+  def timeWeightedValueSql: String =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+      |seq AS (SELECT *, LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_us FROM ev),
+      |agg AS (SELECT user_id, COUNT(*) AS n_events, MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
+      |  SUM(CASE WHEN next_us IS NOT NULL THEN value::DECIMAL(18,6) * (next_us - ts_us)::DECIMAL(20,0) END) AS area_dec
+      |  FROM seq GROUP BY 1)
+      |SELECT user_id, n_events, ROUND((last_us - first_us) / 86400000000e0, 6) AS span_days,
+      |  CASE WHEN last_us > first_us THEN ROUND(CAST(area_dec AS DOUBLE) / (last_us - first_us), 6) END AS twap
+      |FROM agg ORDER BY user_id""".stripMargin.replace("\n", " ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_stats" -> ((s, d) => rollingStats(s, d)),
     "cohort_retention" -> ((s, d) => cohortRetention(s, d)),
@@ -566,6 +659,8 @@ object EventAnalytics {
     "next_event_transitions" -> ((s, d) => nextEventTransitions(s, d)),
     "volume_anomalies" -> ((s, d) => volumeAnomalies(s, d)),
     "revenue_concentration" -> ((s, d) => revenueConcentration(s, d)),
+    "gap_fill" -> ((s, d) => gapFill(s, d)),
+    "time_weighted_value" -> ((s, d) => timeWeightedValue(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -579,5 +674,7 @@ object EventAnalytics {
     "next_event_transitions" -> nextEventTransitionsSql,
     "volume_anomalies" -> volumeAnomaliesSql,
     "revenue_concentration" -> revenueConcentrationSql,
+    "gap_fill" -> gapFillSql,
+    "time_weighted_value" -> timeWeightedValueSql,
   )
 }

@@ -339,6 +339,50 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(a.getLong(0) == r.getLong(0) && a.getDouble(1) == r.getDouble(1))
   }
 
+  test("gap_fill densifies the calendar and carries the last observation forward") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gapfill").toString
+    Seq(("2024-01-01 10:00:00", "a", 2.0), ("2024-01-01 11:00:00", "a", 3.0),
+      ("2024-01-04 10:00:00", "a", 7.0), ("2024-01-02 10:00:00", "b", 1.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventAnalytics.gapFill(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(0)) -> r).toMap
+    // grid covers the GLOBAL span for every type: 4 days x 2 types
+    assert(got.size == 8)
+    assert(got(("a", "2024-01-01")).getLong(2) == 2 &&
+      got(("a", "2024-01-01")).getDouble(3) == 5.0)
+    // gap days: zero events, NULL raw sum, LOCF-filled value
+    val gap = got(("a", "2024-01-02"))
+    assert(gap.getLong(2) == 0 && gap.isNullAt(3) && gap.getDouble(4) == 5.0)
+    assert(got(("a", "2024-01-04")).getDouble(4) == 7.0)
+    // type b before its first observation: filled stays NULL
+    assert(got(("b", "2024-01-01")).isNullAt(4))
+    assert(got(("b", "2024-01-04")).getDouble(4) == 1.0)
+  }
+
+  test("time_weighted_value matches a driver-side piecewise integral") {
+    val ev = table(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val got = EventAnalytics.timeWeightedValue(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    ev.groupBy(_._1).foreach { case (u, es) =>
+      val s = es.sortBy(e => (e._2, e._3))
+      val span = s.last._2 - s.head._2
+      val r = got(u)
+      assert(r.getLong(1) == es.length)
+      if (span == 0) assert(r.isNullAt(3))
+      else {
+        val area = s.zip(s.tail).map { case (a, b) => BigDecimal(a._4) * BigDecimal(b._2 - a._2) }.sum
+        assert(math.abs(r.getDouble(3) - (area / BigDecimal(span)).toDouble) < 1e-4, s"user $u twap")
+        // twap lies within the observed value range
+        assert(r.getDouble(3) >= es.map(_._4).min - 1e-6 && r.getDouble(3) <= es.map(_._4).max + 1e-6)
+      }
+    }
+  }
+
   test("funnel steps are ordered and counts monotone nonincreasing") {
     val r = EventAnalytics.funnel(spark, sf).collect()(0)
     val Seq(nUsers, nView, nClick, nPurchase) = (0 to 3).map(r.getLong)
