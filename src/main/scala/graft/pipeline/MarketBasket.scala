@@ -73,11 +73,65 @@ object MarketBasket {
        |FROM top JOIN freq fa ON part_a = fa.pk JOIN freq fb ON part_b = fb.pk, n
        |ORDER BY n_orders_both DESC, part_a, part_b""".stripMargin.replace("\n", " ")
 
+  /** Minimum co-occurrence support for an affinity-graph edge. */
+  val MinSupport = 2
+
+  /** Triangle census of the part-affinity graph: nodes are parts, edges are
+    * pairs co-occurring in ≥ [[MinSupport]] orders, output is the 1-row
+    * graph summary (nodes, edges, triangles, open triads, transitivity =
+    * 3·Δ/triads) — the global clustering signal, and the graph operator
+    * class (multi-way self-join) beyond the engine's connected components.
+    *
+    * Scale shape: the support filter collapses the raw pair graph ~300×
+    * before any triangle work (observed 1.2M raw pairs → 3.6k edges at
+    * sf0.1) — the standard pre-filter that makes distributed triangle
+    * counting tractable; each edge carries x < y so the e1⋈e2⋈e3 chain
+    * enumerates every triangle exactly once; both joins are edge-keyed
+    * equi-joins; degrees/triads come from one union-side aggregate. */
+  def affinityTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val op = table(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = op.as("a").join(op.as("b"), "ok")
+      .filter(col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= MinSupport)
+      .select("x", "y")
+      .cache() // feeds degrees + three join sides
+    val deg = e.select(col("x").as("v")).unionAll(e.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("d * (d - 1) div 2")).as("n_triads"))
+    val edgeStats = e.agg(count(lit(1)).as("n_edges"))
+    val tri = e.as("e1").join(e.as("e2"), col("e1.y") === col("e2.x"))
+      .join(e.as("e3"), col("e1.x") === col("e3.x") && col("e2.y") === col("e3.y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    degStats.crossJoin(broadcast(edgeStats)).crossJoin(broadcast(tri))
+      .selectExpr("n_nodes", "n_edges", "n_triangles", "n_triads",
+        "ROUND(CASE WHEN n_triads > 0 THEN 3e0 * n_triangles / n_triads ELSE 0e0 END, 6) AS transitivity")
+  }
+
+  def affinityTrianglesSql: String =
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e AS (SELECT a.pk AS x, b.pk AS y FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport),
+       |deg AS (SELECT v, COUNT(*) AS d FROM (SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e) u GROUP BY 1),
+       |s AS (SELECT (SELECT COUNT(*) FROM deg) AS n_nodes, (SELECT COUNT(*) FROM e) AS n_edges,
+       |  (SELECT COUNT(*) FROM e e1 JOIN e e2 ON e1.y = e2.x
+       |     JOIN e e3 ON e1.x = e3.x AND e2.y = e3.y) AS n_triangles,
+       |  (SELECT SUM(d * (d - 1) // 2)::BIGINT FROM deg) AS n_triads)
+       |SELECT n_nodes, n_edges, n_triangles, n_triads,
+       |  ROUND(CASE WHEN n_triads > 0 THEN 3e0 * n_triangles / n_triads ELSE 0e0 END, 6) AS transitivity
+       |FROM s""".stripMargin.replace("\n", " ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "basket_pairs" -> ((s, d) => basketPairs(s, d)),
+    "affinity_triangles" -> ((s, d) => affinityTriangles(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "basket_pairs" -> basketPairsSql,
+    "affinity_triangles" -> affinityTrianglesSql,
   )
 }

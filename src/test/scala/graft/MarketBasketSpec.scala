@@ -34,6 +34,31 @@ class MarketBasketSpec extends SparkSpec {
     }
   }
 
+  test("affinity_triangles matches a driver-side census on a planted graph") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tri").toString
+    // orders each repeated twice so every pair passes MinSupport=2:
+    // K4 on parts {1,2,3,4} via orders (1,2,3), (1,3,4), (2,4) pairs...
+    // plant explicitly: orders carrying {1,2,3} and {1,3,4} and {2,4}
+    val baskets = Seq(Seq(1L, 2L, 3L), Seq(1L, 3L, 4L), Seq(2L, 4L))
+    val rows = for {
+      rep <- 0 to 1 // duplicate each order so every pair has support 2
+      (b, i) <- baskets.zipWithIndex
+      p <- b
+    } yield (rep * 100L + i, p)
+    rows.toDF("l_orderkey", "l_partkey").withColumn("l_quantity", lit(1.0))
+      .write.parquet(s"$dir/lineitem.parquet")
+    // edges: 12,13,23,14(no:1-4 co-occur? basket2={1,3,4} -> 13,14,34), 24
+    // edge set: {12,13,23,14,34,24} = K4 minus nothing? pairs: b1:12,13,23
+    // b2:13,14,34 b3:24 -> edges {12,13,23,14,34,24} = complete K4
+    val r = MarketBasket.affinityTriangles(spark, dir).collect()(0)
+    assert(r.getLong(0) == 4 && r.getLong(1) == 6)
+    assert(r.getLong(2) == 4, "K4 has 4 triangles")
+    // triads: each node degree 3 -> 4 * C(3,2) = 12; transitivity = 12/12 = 1
+    assert(r.getLong(3) == 12)
+    assert(r.getDouble(4) == 1.0)
+  }
+
   test("basket_pairs plan: co-partitioned self-join, top-k heap, broadcast enrichments") {
     val plan = MarketBasket.basketPairs(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n${plan.take(2000)}")
