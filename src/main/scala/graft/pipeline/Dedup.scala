@@ -933,7 +933,46 @@ object Dedup {
 
   // ----------------------------------------------------------------- API
 
+  // -------------------------------------------------- dedup eval harness
+
+  /** "Measure your dedup": recall of the MinHash-LSH BANDING stage against
+    * the exact df-capped Jaccard truth set, plus the candidate precision
+    * (what fraction of band collisions survive exact verification — the
+    * wasted-verification-work dial). This is the eval a deployment runs
+    * when retuning [[NumHashes]]/[[BandRows]] or the shingle width: recall
+    * says whether the S-curve misses true near-dups, candidate precision
+    * says how much the verify join over-pays. Both pipelines are the
+    * engine's own oracle-checked operators; the comparison is a
+    * pair-keyed join of their outputs (truth and candidate frames are
+    * near-dup-pair-sized, tiny next to the corpus). Run per tuning
+    * change, not per ingest. */
+  def dedupQuality(spark: SparkSession, dir: String): DataFrame = {
+    val truth = ngramJaccardCapped(spark, dir).select("doc_a", "doc_b")
+    val cand = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    val tp = truth.join(cand, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_matched"))
+    truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))
+      .crossJoin(broadcast(tp))
+      .selectExpr("n_truth", "n_candidates", "n_matched",
+        "ROUND(CASE WHEN n_truth > 0 THEN n_matched * 1e0 / n_truth ELSE 0e0 END, 6) AS recall",
+        "ROUND(CASE WHEN n_candidates > 0 THEN n_matched * 1e0 / n_candidates ELSE 0e0 END, 6) AS candidate_precision")
+  }
+
+  /** The two operator oracles composed as subqueries (their own WITH
+    * clauses nest; CTE names would collide if spliced flat). */
+  def dedupQualitySql: String =
+    s"WITH truth AS (SELECT doc_a, doc_b FROM ($ngramJaccardCappedSql) t), " +
+      s"pred AS (SELECT doc_a, doc_b FROM ($minhashLshSql) p), " +
+      "tp AS (SELECT COUNT(*) AS n_matched FROM truth JOIN pred USING (doc_a, doc_b)), " +
+      "s AS (SELECT (SELECT COUNT(*) FROM truth) AS n_truth, " +
+      "(SELECT COUNT(*) FROM pred) AS n_candidates, (SELECT n_matched FROM tp) AS n_matched) " +
+      "SELECT n_truth, n_candidates, n_matched, " +
+      "ROUND(CASE WHEN n_truth > 0 THEN n_matched * 1e0 / n_truth ELSE 0e0 END, 6) AS recall, " +
+      "ROUND(CASE WHEN n_candidates > 0 THEN n_matched * 1e0 / n_candidates ELSE 0e0 END, 6) AS candidate_precision " +
+      "FROM s"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_quality" -> ((s, d) => dedupQuality(s, d)),
     "source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
@@ -949,6 +988,7 @@ object Dedup {
   )
 
   def oracles: Map[String, String] = Map(
+    "dedup_quality" -> dedupQualitySql,
     "source_overlap" -> sourceOverlapSql,
     "ngram_novelty" -> ngramNoveltySql,
     "dedup_exact" -> dedupExactSql,

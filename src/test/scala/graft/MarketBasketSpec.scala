@@ -59,6 +59,28 @@ class MarketBasketSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0)
   }
 
+  test("dedup_quality: planted exact duplicate gives perfect recall; bounds hold on real data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dq").toString
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    // 10 distinct filler docs so the duplicate pair's shingles (df 2) pass
+    // the 0.2n fractional df cap (2 <= 0.2 * 12)
+    val fillers = (3L to 12L).map(i =>
+      (i, (0 until 8).map(j => s"w${i}_$j").mkString(" "), "en", "s1", 40L))
+    (Seq((1L, dup, "en", "s0", dup.length.toLong),
+      (2L, dup, "en", "s0", dup.length.toLong)) ++ fillers)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val planted = graft.pipeline.Dedup.dedupQuality(spark, dir).collect()(0)
+    // identical text: in the exact truth set AND collides in every band
+    assert(planted.getLong(0) == 1 && planted.getLong(2) == 1)
+    assert(planted.getDouble(3) == 1.0)
+    // real fixture: proper bounds
+    val r = graft.pipeline.Dedup.dedupQuality(spark, sf).collect()(0)
+    assert(r.getLong(2) <= math.min(r.getLong(0), r.getLong(1)))
+    Seq(r.getDouble(3), r.getDouble(4)).foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
   test("basket_pairs plan: co-partitioned self-join, top-k heap, broadcast enrichments") {
     val plan = MarketBasket.basketPairs(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n${plan.take(2000)}")
