@@ -932,7 +932,68 @@ object Similarity {
       "COALESCE(SUM(CASE WHEN d.vec_id IS NULL THEN cv.vec_id END), 0)::BIGINT AS kept_id_sum " +
       "FROM cv LEFT JOIN dropped d ON d.vec_id = cv.vec_id GROUP BY 1 ORDER BY 1"
 
+  // ---------------------------------------------------- ANN eval harness
+
+  /** "Measure your index": recall@k of every approximate index against the
+    * exact brute-force top-k — the [[graft.pipeline.Dedup.dedupQuality]]
+    * twin for the ANN family, and the number a deployment checks before
+    * trading exactness for an index tier (the per-method recalls quoted in
+    * the scaladocs become a first-class, oracle-checked query). All five
+    * searches run over the same query set; the comparison is a
+    * (query, neighbor)-keyed join of k·|queries|-sized frames — tiny next
+    * to any one search. Run per index-tuning change, not per ingest.
+    *
+    * Reading the output: `n_returned` spans each method's own query
+    * universe (ann_ivf/ann_lsh search corpus-wide; the pq searches share
+    * ann_cosine's fixed query set), while recall@k is always against the
+    * exact top-k on the SHARED queries. Observed at sf0.1: ann_ivf 0.82,
+    * pq_ann_rerank 0.60, ann_ivfpq 0.70, pq_ann 0.16, ann_lsh ≈0 — the
+    * last being the honest hyperplane-bucket regime on unstructured
+    * gaussian embeddings (candidates must share EVERY plane side with the
+    * query), which is exactly why the IVF and re-rank paths, not ann_lsh,
+    * are the routed search defaults. */
+  def annQuality(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annCosine(spark, dir).select("query_id", "neighbor_id")
+    val preds = Seq(
+      "ann_lsh" -> lshTopK(spark, dir),
+      "ann_ivf" -> ivfTopK(spark, dir),
+      "ann_ivfpq" -> ivfPqTopK(spark, dir),
+      "pq_ann" -> pqAnnTopK(spark, dir),
+      "pq_ann_rerank" -> pqAnnRerank(spark, dir))
+      .map { case (n, df) =>
+        df.select(col("query_id"), col("neighbor_id")).withColumn("method", lit(n))
+      }.reduce(_ unionByName _)
+    preds.join(exact.withColumn("__hit", lit(1)), Seq("query_id", "neighbor_id"), "left")
+      .groupBy("method")
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+      .selectExpr("method", "n_returned", "n_hits",
+        "ROUND(n_hits * 1e0 / n_exact, 6) AS recall_at_k")
+      .orderBy("method")
+  }
+
+  /** The operator oracles composed as nested subqueries (each brings its
+    * own WITH chain; flat splicing would collide CTE names). */
+  def annQualitySql: String = {
+    val unions = Seq(
+      "ann_lsh" -> lshTopKSql(), "ann_ivf" -> ivfTopKSql(),
+      "ann_ivfpq" -> ivfPqTopKSql(), "pq_ann" -> pqAnnTopKSql(),
+      "pq_ann_rerank" -> pqAnnRerankSql())
+      .map { case (n, sql) => s"SELECT '$n' AS method, query_id, neighbor_id FROM ($sql) q_$n" }
+      .mkString(" UNION ALL ")
+    s"WITH exact AS (SELECT query_id, neighbor_id FROM ($annCosineSql) e0), " +
+      s"u AS ($unions), " +
+      "j AS (SELECT u.method, COUNT(*) AS n_returned, " +
+      "SUM(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits " +
+      "FROM u LEFT JOIN exact e ON u.query_id = e.query_id AND u.neighbor_id = e.neighbor_id GROUP BY 1), " +
+      "n AS (SELECT COUNT(*) AS n_exact FROM exact) " +
+      "SELECT method, n_returned, n_hits, ROUND(n_hits * 1e0 / n_exact, 6) AS recall_at_k " +
+      "FROM j, n ORDER BY method"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_quality" -> ((s, d) => annQuality(s, d)),
     "embedding_cohesion" -> ((s, d) => embeddingCohesion(s, d)),
     "ann_cosine" -> ((s, d) => annCosine(s, d)),
     "embed_neardup" -> ((s, d) => embedNeardup(s, d)),
@@ -947,6 +1008,7 @@ object Similarity {
   )
 
   def oracles: Map[String, String] = Map(
+    "ann_quality" -> annQualitySql,
     "embedding_cohesion" -> embeddingCohesionSql,
     "ann_cosine" -> annCosineSql,
     "embed_neardup" -> embedNeardupSql,

@@ -81,6 +81,18 @@ class MarketBasketSpec extends SparkSpec {
     Seq(r.getDouble(3), r.getDouble(4)).foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 
+  test("ann_quality ranks the index tiers as their scaladocs claim") {
+    val rows = graft.pipeline.Similarity.annQuality(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("ann_lsh", "ann_ivf", "ann_ivfpq", "pq_ann", "pq_ann_rerank"))
+    rows.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "hits cannot exceed returned")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // exact re-rank must recover recall over plain ADC
+    assert(rows("pq_ann_rerank").getDouble(3) > rows("pq_ann").getDouble(3))
+  }
+
   test("basket_pairs plan: co-partitioned self-join, top-k heap, broadcast enrichments") {
     val plan = MarketBasket.basketPairs(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n${plan.take(2000)}")
