@@ -957,7 +957,57 @@ object TextAnalysis {
 
   // ----------------------------------------------------------------- API
 
+  /** The per-source corpus report card — the one-row-per-feed summary a
+    * curation review reads before touching mixture weights: volume
+    * (docs, tokens), exact-duplicate exposure (md5-identical text ANYWHERE
+    * in the corpus — cross-source duplication is the usual crawl
+    * pathology), and language concentration (majority language + share).
+    * Scale shape: one scan feeding (a) an md5-keyed count join (the
+    * dedup_exact shuffle, co-partitioned on the hash) and (b) a
+    * (source × lang)-cardinality rollup whose majority pick is a window
+    * over that tiny frame. Quality keep-rates live in
+    * [[qualityClassifier]]; join on `source` for the full card. */
+  def sourceReport(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = table(spark, dir, "documents")
+      .selectExpr("source", "lang", "md5(text) AS h",
+        "CAST(size(split(text, '\\\\s+')) AS BIGINT) AS toks")
+    val dupCounts = base.groupBy("h").agg(count(lit(1)).as("c"))
+    val vol = base.join(dupCounts, "h")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("total_tokens"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_docs"))
+    val langTop = base.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("n").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("n").as("top_n"))
+    vol.join(langTop, "source")
+      .selectExpr("source", "n_docs", "total_tokens", "dup_docs",
+        "ROUND(dup_docs * 1e0 / n_docs, 6) AS dup_rate",
+        "top_lang", "ROUND(top_n * 1e0 / n_docs, 6) AS top_lang_share")
+      .orderBy("source")
+  }
+
+  def sourceReportSql: String =
+    """WITH base AS (SELECT source, lang, md5(text) AS h,
+      |  len(regexp_split_to_array(text, '\s+'))::BIGINT AS toks FROM documents),
+      |dupc AS (SELECT h, COUNT(*) AS c FROM base GROUP BY 1),
+      |vol AS (SELECT source, COUNT(*) AS n_docs, SUM(b.toks)::BIGINT AS total_tokens,
+      |  SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_docs
+      |  FROM base b JOIN dupc USING (h) GROUP BY 1),
+      |lt AS (SELECT source, lang AS top_lang, n AS top_n FROM (
+      |  SELECT source, lang, COUNT(*) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang) AS rk
+      |  FROM base GROUP BY 1, 2) r WHERE rk = 1)
+      |SELECT source, n_docs, total_tokens, dup_docs,
+      |  ROUND(dup_docs * 1e0 / n_docs, 6) AS dup_rate,
+      |  top_lang, ROUND(top_n * 1e0 / n_docs, 6) AS top_lang_share
+      |FROM vol JOIN lt USING (source) ORDER BY source""".stripMargin.replace("\n", " ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "source_report" -> ((s, d) => sourceReport(s, d)),
     "source_keywords" -> ((s, d) => sourceKeywords(s, d)),
     "lang_id" -> ((s, d) => langId(s, d)),
     "text_quality" -> ((s, d) => textQuality(s, d)),
@@ -979,6 +1029,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "source_report" -> sourceReportSql,
     "source_keywords" -> sourceKeywordsSql,
     "lang_id" -> langIdSql,
     "text_quality" -> textQualitySql,

@@ -93,6 +93,23 @@ class MarketBasketSpec extends SparkSpec {
     assert(rows("pq_ann_rerank").getDouble(3) > rows("pq_ann").getDouble(3))
   }
 
+  test("source_report accounts every doc once and flags planted cross-source duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srcrep").toString
+    Seq((1L, "same text here", "en", "sA", 14L), (2L, "same text here", "de", "sB", 14L),
+      (3L, "unique alpha", "en", "sA", 12L), (4L, "unique beta", "en", "sA", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.TextAnalysis.sourceReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // cross-source md5 duplicate counts against BOTH sources
+    assert(got("sA").getLong(3) == 1 && got("sB").getLong(3) == 1)
+    assert(got("sB").getDouble(4) == 1.0)
+    assert(got("sA").getLong(1) == 3 && got("sA").getString(5) == "en")
+    assert(math.abs(got("sA").getDouble(6) - 1.0) < 1e-9)
+    assert(got.values.map(_.getLong(1)).sum == 4)
+  }
+
   test("basket_pairs plan: co-partitioned self-join, top-k heap, broadcast enrichments") {
     val plan = MarketBasket.basketPairs(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n${plan.take(2000)}")
