@@ -1,0 +1,60 @@
+package graft
+
+/** Composed eval harnesses: dedup banding quality, ANN index recall, and
+  * the per-source corpus report card — each an oracle-checked query built
+  * from the engine's own operators. */
+class QualityHarnessSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+    test("dedup_quality: planted exact duplicate gives perfect recall; bounds hold on real data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dq").toString
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    // 10 distinct filler docs so the duplicate pair's shingles (df 2) pass
+    // the 0.2n fractional df cap (2 <= 0.2 * 12)
+    val fillers = (3L to 12L).map(i =>
+      (i, (0 until 8).map(j => s"w${i}_$j").mkString(" "), "en", "s1", 40L))
+    (Seq((1L, dup, "en", "s0", dup.length.toLong),
+      (2L, dup, "en", "s0", dup.length.toLong)) ++ fillers)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val planted = graft.pipeline.Dedup.dedupQuality(spark, dir).collect()(0)
+    // identical text: in the exact truth set AND collides in every band
+    assert(planted.getLong(0) == 1 && planted.getLong(2) == 1)
+    assert(planted.getDouble(3) == 1.0)
+    // real fixture: proper bounds
+    val r = graft.pipeline.Dedup.dedupQuality(spark, sf).collect()(0)
+    assert(r.getLong(2) <= math.min(r.getLong(0), r.getLong(1)))
+    Seq(r.getDouble(3), r.getDouble(4)).foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+    test("ann_quality ranks the index tiers as their scaladocs claim") {
+    val rows = graft.pipeline.Similarity.annQuality(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("ann_lsh", "ann_ivf", "ann_ivfpq", "pq_ann", "pq_ann_rerank"))
+    rows.values.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "hits cannot exceed returned")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // exact re-rank must recover recall over plain ADC
+    assert(rows("pq_ann_rerank").getDouble(3) > rows("pq_ann").getDouble(3))
+  }
+
+    test("source_report accounts every doc once and flags planted cross-source duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("srcrep").toString
+    Seq((1L, "same text here", "en", "sA", 14L), (2L, "same text here", "de", "sB", 14L),
+      (3L, "unique alpha", "en", "sA", 12L), (4L, "unique beta", "en", "sA", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.TextAnalysis.sourceReport(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // cross-source md5 duplicate counts against BOTH sources
+    assert(got("sA").getLong(3) == 1 && got("sB").getLong(3) == 1)
+    assert(got("sB").getDouble(4) == 1.0)
+    assert(got("sA").getLong(1) == 3 && got("sA").getString(5) == "en")
+    assert(math.abs(got("sA").getDouble(6) - 1.0) < 1e-9)
+    assert(got.values.map(_.getLong(1)).sum == 4)
+  }
+}
