@@ -971,8 +971,50 @@ object Dedup {
       "ROUND(CASE WHEN n_candidates > 0 THEN n_matched * 1e0 / n_candidates ELSE 0e0 END, 6) AS candidate_precision " +
       "FROM s"
 
+  /** Jaccard grid for the S-curve table. */
+  private val TuningJaccards: Seq[Double] = (1 to 19).map(_ * 0.05)
+
+  /** LSH S-curve tuning table — [[dedupQuality]]'s theoretical companion:
+    * for every (bands, rows) factorization of the [[NumHashes]] signature
+    * and a Jaccard grid, the band-collision probability
+    * P = 1 − (1 − j^r)^b, plus the marker for the current
+    * [[BandRows]] configuration. Pure closed-form arithmetic over literal
+    * grids (no data read): the table a retuning reads NEXT TO the measured
+    * recall — pick (b, r) so the curve's knee sits at the dedup threshold.
+    * Cross-engine: both engines evaluate the identical POWER expression on
+    * identical literals; the 6-decimal rounding absorbs libm's last ulp. */
+  def lshTuningCurve(spark: SparkSession, dir: String): DataFrame = {
+    val factorizations = (1 to NumHashes).filter(NumHashes % _ == 0)
+      .map(r => (NumHashes / r, r)) // (bands, rows)
+    val rows = for {
+      (b, r) <- factorizations
+      j <- TuningJaccards
+    } yield (b, r, math.rint(j * 100) / 100)
+    import spark.implicits._
+    rows.toDF("bands", "rows_per_band", "jaccard")
+      .selectExpr("bands", "rows_per_band", "jaccard",
+        "ROUND(1e0 - POWER(1e0 - POWER(jaccard, rows_per_band), bands), 6) AS p_collision",
+        s"rows_per_band = $BandRows AS is_current")
+      .orderBy("bands", "jaccard")
+  }
+
+  def lshTuningCurveSql: String = {
+    val factorizations = (1 to NumHashes).filter(NumHashes % _ == 0)
+      .map(r => (NumHashes / r, r))
+    val rows = (for { (b, r) <- factorizations; j <- TuningJaccards }
+      yield s"($b, $r, ${math.rint(j * 100) / 100})").mkString(", ")
+    s"WITH grid(bands, rows_per_band, jaccard) AS (VALUES $rows) " +
+      // CAST: a bare VALUES float literal binds as DECIMAL in DuckDB,
+      // which would schema-mismatch Spark's DoubleType column
+      "SELECT bands, rows_per_band, CAST(jaccard AS DOUBLE) AS jaccard, " +
+      "ROUND(1e0 - POWER(1e0 - POWER(jaccard, rows_per_band), bands), 6) AS p_collision, " +
+      s"rows_per_band = $BandRows AS is_current " +
+      "FROM grid ORDER BY bands, jaccard"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_quality" -> ((s, d) => dedupQuality(s, d)),
+    "lsh_tuning_curve" -> ((s, d) => lshTuningCurve(s, d)),
     "source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
@@ -989,6 +1031,7 @@ object Dedup {
 
   def oracles: Map[String, String] = Map(
     "dedup_quality" -> dedupQualitySql,
+    "lsh_tuning_curve" -> lshTuningCurveSql,
     "source_overlap" -> sourceOverlapSql,
     "ngram_novelty" -> ngramNoveltySql,
     "dedup_exact" -> dedupExactSql,

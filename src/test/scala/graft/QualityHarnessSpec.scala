@@ -29,7 +29,23 @@ class QualityHarnessSpec extends SparkSpec {
     Seq(r.getDouble(3), r.getDouble(4)).foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 
-    test("ann_quality ranks the index tiers as their scaladocs claim") {
+    test("lsh_tuning_curve: monotone S-curves, exact endpoints, current config marked") {
+    val rows = graft.pipeline.Dedup.lshTuningCurve(spark, sf).collect()
+    assert(rows.length == 95) // 5 factorizations x 19 grid points
+    assert(rows.count(_.getBoolean(4)) == 19) // exactly the (4,4) rows
+    rows.groupBy(_.getInt(0)).values.foreach { curve =>
+      val ps = curve.sortBy(_.getDouble(2)).map(_.getDouble(3))
+      // each curve is nondecreasing in jaccard
+      assert(ps.zip(ps.tail).forall { case (a, b) => b >= a })
+      assert(ps.forall(p => p >= 0.0 && p <= 1.0))
+    }
+    // spot-check the closed form at (bands 4, rows 4, j 0.8)
+    val p = rows.find(r => r.getInt(0) == 4 && r.getDouble(2) == 0.8).get.getDouble(3)
+    val want = 1.0 - math.pow(1.0 - math.pow(0.8, 4), 4)
+    assert(math.abs(p - want) < 1e-6)
+  }
+
+  test("ann_quality ranks the index tiers as their scaladocs claim") {
     val rows = graft.pipeline.Similarity.annQuality(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(rows.keySet == Set("ann_lsh", "ann_ivf", "ann_ivfpq", "pq_ann", "pq_ann_rerank"))
