@@ -161,13 +161,49 @@ object DataSplit {
       "SUM(CASE WHEN n >= 2 AND n_splits >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_leaky_clusters, " +
       "COALESCE(SUM(CASE WHEN n >= 2 AND n_splits >= 2 THEN n END), 0)::BIGINT AS n_leaked_docs FROM g"
 
+  // --------------------------------------------- weighted sampling (A-Res)
+
+  /** Sample size for the weighted-sample query. */
+  val SampleK = 100
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    * each doc draws key = ln(u)/w from a per-doc uniform u and weight
+    * w = n_chars; the k LARGEST keys are the sample — every doc's
+    * inclusion probability is proportional to its weight, with no
+    * replacement bookkeeping and no sequential pass. The u is a
+    * DETERMINISTIC integer LCG mix of doc_id (exact BIGINT arithmetic,
+    * identical in both engines — the repo-wide no-rand() rule), so reruns
+    * and the oracle reproduce the sample bit-for-bit; keys round to 10
+    * decimals before ranking (id tiebreak) so libm's last-ulp `ln`
+    * divergence can't flip a rank. Plan: one scan →
+    * TakeOrderedAndProject's per-partition heaps — the distributed
+    * top-k IS the sampler; nothing sorts globally at any scale. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .selectExpr("doc_id", "source", "n_chars",
+        "((doc_id % 1048576) * 2654435761 + 1013904223) % 4294967296 AS h")
+      .selectExpr("doc_id", "source", "n_chars",
+        "ROUND(LN((h + 1) / 4294967296e0) / GREATEST(n_chars, 1), 10) AS sample_key")
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(SampleK)
+
+  def weightedSampleSql: String =
+    s"""WITH keyed AS (SELECT doc_id, source, n_chars,
+       |  ((doc_id % 1048576) * 2654435761 + 1013904223) % 4294967296 AS h FROM documents)
+       |SELECT doc_id, source, n_chars,
+       |  ROUND(LN((h + 1) / 4294967296e0) / GREATEST(n_chars, 1), 10) AS sample_key
+       |FROM keyed ORDER BY sample_key DESC, doc_id LIMIT $SampleK"""
+      .stripMargin.replace("\n", " ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "weighted_sample" -> ((s, d) => weightedSample(s, d)),
     "data_split" -> ((s, d) => dataSplit(s, d)),
     "split_leakage" -> ((s, d) => splitLeakage(s, d)),
     "split_leakage_neardup" -> ((s, d) => splitLeakageNeardup(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
+    "weighted_sample" -> weightedSampleSql,
     "data_split" -> dataSplitSql,
     "split_leakage" -> splitLeakageSql,
     "split_leakage_neardup" -> splitLeakageNeardupSql,

@@ -486,6 +486,43 @@ class PipelineSpec extends SparkSpec {
     assert(near(301L).contains(32L))
   }
 
+  test("as-of directions agree with a brute-force reference on randomized data") {
+    import spark.implicits._
+    // dense ts collisions (50 slots, 8 users) force every tie rule to fire
+    val rnd = new scala.util.Random(7)
+    val clicks = (1 to 200).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, 1000L + i))
+      .toDF("user_id", "ts_us", "click_id")
+    val purchases = (1 to 150).map(i =>
+      (rnd.nextInt(8).toLong, rnd.nextInt(50).toLong, 2000L + i, rnd.nextInt(100).toDouble))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val cs = clicks.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ps = purchases.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def brute(dir: String): Map[Long, Option[Long]] = cs.map { case (u, t, id) =>
+      val mine = ps.filter(_._1 == u)
+      val back = mine.filter(_._2 <= t).sortBy(p => (p._2, p._3)).lastOption
+      val fwd = mine.filter(_._2 >= t).sortBy(p => (-p._2, p._3)).lastOption
+      val pick = dir match {
+        case "backward" => back
+        case "forward" => fwd
+        case "nearest" => (back, fwd) match {
+          case (Some(b), Some(f)) => if (t - b._2 <= f._2 - t) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+      }
+      id -> pick.map(_._3)
+    }.toMap
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = AsofJoin.asof(clicks, purchases, "user_id", "ts_us",
+          tiebreak = "event_id", payload = Seq("value"), direction = dir)
+        .collect().map(r => r.getAs[Long]("click_id") ->
+          Option(r.getAs[java.lang.Long]("matched_event_id")).map(_.toLong)).toMap
+      val want = brute(dir)
+      assert(got.size == want.size)
+      want.foreach { case (id, w) => assert(got(id) == w, s"$dir click $id: got ${got(id)} want $w") }
+    }
+  }
+
   test("as-of join resolves equal-ts ties on a non-numeric tiebreak column") {
     import spark.implicits._
     // string ids would cast("long") to NULL — the ordering must use the

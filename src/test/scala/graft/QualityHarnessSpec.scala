@@ -45,6 +45,22 @@ class QualityHarnessSpec extends SparkSpec {
     assert(math.abs(p - want) < 1e-6)
   }
 
+  test("weighted_sample is deterministic, weight-biased, and heap-planned") {
+    val a = graft.pipeline.DataSplit.weightedSample(spark, sf).collect()
+    val b = graft.pipeline.DataSplit.weightedSample(spark, sf).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq) // no rand() anywhere
+    assert(a.length == graft.pipeline.DataSplit.SampleK)
+    // A-Res bias: sampled docs skew toward heavier weights
+    val corpusMean = graft.drift.table(spark, sf, "documents")
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).collect()(0).getDouble(0)
+    val sampleMean = a.map(_.getLong(2).toDouble).sum / a.length
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+    val plan = graft.pipeline.DataSplit.weightedSample(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "the sampler IS the distributed top-k heap")
+  }
+
   test("ann_quality ranks the index tiers as their scaladocs claim") {
     val rows = graft.pipeline.Similarity.annQuality(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap

@@ -372,6 +372,35 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming TWAP gate converges to the batch integral on an in-order feed") {
+    import graft.streaming.StreamingAttribution.AttrEvent
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val feed = graft.drift.table(spark, sf, "events")
+      .select(col("ts"), col("user_id"), col("event_type"), col("value"), col("event_id"))
+      .as[AttrEvent].collect().sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+    val input = MemoryStream[AttrEvent]
+    val out = graft.streaming.StreamingEngagement.twapGate(input.toDS())
+    val q = out.writeStream.format("memory").queryName("twap_out")
+      .outputMode("append").start()
+    try {
+      feed.grouped(1500).foreach(b => { input.addData(b: _*); q.processAllAvailable() })
+      // last emitted row per user is the converged running TWAP
+      val stream = spark.table("twap_out").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) => u -> rows.maxBy(_.getAs[Long]("n_events")) }
+      val batch = graft.pipeline.EventAnalytics.timeWeightedValue(spark, sf).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(stream.keySet == batch.keySet)
+      batch.foreach { case (u, b) =>
+        val s = stream(u)
+        assert(s.getAs[Long]("n_events") == b.getLong(1), s"user $u n_events")
+        if (b.isNullAt(3)) assert(s.isNullAt(3), s"user $u twap should be null")
+        else assert(math.abs(s.getAs[Double]("twap") - b.getDouble(3)) < 1e-6, s"user $u twap")
+      }
+    } finally q.stop()
+  }
+
   test("streaming attribution gate matches batch last-touch crediting on an in-order feed") {
     import graft.streaming.StreamingAttribution.AttrEvent
     implicit val sqlCtx = spark.sqlContext
