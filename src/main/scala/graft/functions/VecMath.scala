@@ -225,5 +225,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       VecFunctions.vecDotBuilder))
     ext.injectOptimizerRule(_ => VecDotRewrite)
+    // OFF unless spark.graft.sketchMode=true — see plans.SketchModeRewrite
+    ext.injectOptimizerRule(_ => graft.plans.SketchModeRewrite)
   }
 }
