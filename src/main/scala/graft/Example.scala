@@ -140,9 +140,10 @@ object Example {
         graft.pipeline.Retrieval.bm25Search(spark, sfDir).collect().take(3).map(r =>
           s"doc${r.getLong(0)}(${r.getAs[Double]("score")})").mkString(" "))
       val sr = graft.pipeline.ScaleJoins.starRevenue(spark, sfDir).collect()
-      println(s"  star_revenue: ${sr.length} (region, nation) groups via a " +
-        "3-level broadcast dim chain, top " +
-        sr.maxBy(_.getAs[Double]("revenue")).getAs[String]("nation"))
+      if (sr.nonEmpty)
+        println(s"  star_revenue: ${sr.length} (region, nation) groups via a " +
+          "3-level broadcast dim chain, top " +
+          sr.maxBy(_.getAs[Double]("revenue")).getAs[String]("nation"))
       val bp = graft.pipeline.MarketBasket.basketPairs(spark, sfDir).collect()
       if (bp.nonEmpty) {
         val t = bp.head
@@ -150,9 +151,11 @@ object Example {
           f"${t.getLong(2)} orders, lift ${t.getAs[Double]("lift")}%.2f")
       }
       val tr = graft.pipeline.EventAnalytics.nextEventTransitions(spark, sfDir).collect()
-      val topTr = tr.maxBy(_.getAs[Double]("probability"))
-      println(f"  next_event_transitions: strongest edge ${topTr.getString(0)}->" +
-        f"${topTr.getString(1)} p=${topTr.getAs[Double]("probability")}%.3f")
+      if (tr.nonEmpty) {
+        val topTr = tr.maxBy(_.getAs[Double]("probability"))
+        println(f"  next_event_transitions: strongest edge ${topTr.getString(0)}->" +
+          f"${topTr.getString(1)} p=${topTr.getAs[Double]("probability")}%.3f")
+      }
       val va = graft.pipeline.EventAnalytics.volumeAnomalies(spark, sfDir).collect()
       println(s"  volume_anomalies: ${va.count(r => !r.isNullAt(5))} scored days, " +
         s"${va.count(r => r.getBoolean(6))} bursts")

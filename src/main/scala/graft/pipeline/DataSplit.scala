@@ -170,18 +170,19 @@ object DataSplit {
     * each doc draws key = ln(u)/w from a per-doc uniform u and weight
     * w = n_chars; the k LARGEST keys are the sample — every doc's
     * inclusion probability is proportional to its weight, with no
-    * replacement bookkeeping and no sequential pass. The u is a
-    * DETERMINISTIC integer LCG mix of doc_id (exact BIGINT arithmetic,
-    * identical in both engines — the repo-wide no-rand() rule), so reruns
-    * and the oracle reproduce the sample bit-for-bit; keys round to 10
-    * decimals before ranking (id tiebreak) so libm's last-ulp `ln`
-    * divergence can't flip a rank. Plan: one scan →
-    * TakeOrderedAndProject's per-partition heaps — the distributed
+    * replacement bookkeeping and no sequential pass. The u is the
+    * DETERMINISTIC md5 draw this module already splits on — the first 8
+    * hex digits as a full 32-bit integer (a narrower arithmetic mix would
+    * collapse the draw space and correlate congruent doc_ids on a
+    * billion-doc corpus), so reruns and the oracle reproduce the sample
+    * bit-for-bit; keys round to 10 decimals before ranking (id tiebreak)
+    * so libm's last-ulp `ln` divergence can't flip a rank. Plan: one
+    * scan → TakeOrderedAndProject's per-partition heaps — the distributed
     * top-k IS the sampler; nothing sorts globally at any scale. */
   def weightedSample(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .selectExpr("doc_id", "source", "n_chars",
-        "((doc_id % 1048576) * 2654435761 + 1013904223) % 4294967296 AS h")
+        "CAST(conv(substring(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 8), 16, 10) AS BIGINT) AS h")
       .selectExpr("doc_id", "source", "n_chars",
         "ROUND(LN((h + 1) / 4294967296e0) / GREATEST(n_chars, 1), 10) AS sample_key")
       .orderBy(col("sample_key").desc, col("doc_id"))
@@ -189,7 +190,7 @@ object DataSplit {
 
   def weightedSampleSql: String =
     s"""WITH keyed AS (SELECT doc_id, source, n_chars,
-       |  ((doc_id % 1048576) * 2654435761 + 1013904223) % 4294967296 AS h FROM documents)
+       |  ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h FROM documents)
        |SELECT doc_id, source, n_chars,
        |  ROUND(LN((h + 1) / 4294967296e0) / GREATEST(n_chars, 1), 10) AS sample_key
        |FROM keyed ORDER BY sample_key DESC, doc_id LIMIT $SampleK"""

@@ -78,9 +78,13 @@ object MarketBasket {
 
   /** Triangle census of the part-affinity graph: nodes are parts, edges are
     * pairs co-occurring in ≥ [[MinSupport]] orders, output is the 1-row
-    * graph summary (nodes, edges, triangles, open triads, transitivity =
-    * 3·Δ/triads) — the global clustering signal, and the graph operator
-    * class (multi-way self-join) beyond the engine's connected components.
+    * graph summary (nodes, edges, triangles, connected triples, global
+    * transitivity) — the clustering signal, and the graph operator class
+    * (multi-way self-join) beyond the engine's connected components.
+    * `n_triads` counts ALL connected triples — Σ C(deg, 2) over nodes,
+    * closed ones included — which is exactly the denominator transitivity
+    * 3·Δ/triples wants (each triangle contributes three closed triples);
+    * it is NOT the open-triple (path-only) count.
     *
     * Scale shape: the support filter collapses the raw pair graph ~300×
     * before any triangle work (observed 1.2M raw pairs → 3.6k edges at

@@ -48,6 +48,9 @@ class SketchModeSpec extends SparkSpec {
       val plan = q.queryExecution.executedPlan.toString
       assert(plan.contains("approx_count_distinct") || plan.toLowerCase.contains("hyperloglog"),
         s"exact distinct survived sketch mode:\n${plan.take(1500)}")
+      // the point of the rewrite: the distinct's Expand shuffle is gone
+      assert(!plan.contains("Expand"),
+        s"sketch mode left the distinct Expand in the plan:\n${plan.take(1500)}")
       val d = q.collect()(0).getLong(0)
       assert(math.abs(d - 97L) <= 5L, s"HLL count too far: $d")
     }
