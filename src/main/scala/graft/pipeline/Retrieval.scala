@@ -155,11 +155,102 @@ object Retrieval {
     scoreAndRank(withStats)
   }
 
+  // ------------------------------------------------ hybrid search (RRF)
+
+  /** Fusion depth per ranking and the RRF damping constant (the standard
+    * k=60 from Cormack et al.). */
+  val RrfDepth = 50
+  val RrfK = 60
+  val HybridTopK = 10
+
+  /** Semantic query stand-in: the embedding of vec_id 0 (the synthetic
+    * corpus has no encoder to embed [[QueryTerms]]; a deployment passes
+    * the encoded query vector — the fusion plumbing is identical). */
+  val SemanticQueryId = 0L
+
+  /** Hybrid retrieval — reciprocal-rank fusion of the lexical BM25
+    * ranking and an embedding-cosine ranking:
+    * rrf = Σ 1/(k + rank), summed over the rankings that retrieved the
+    * doc in their top-[[RrfDepth]]. The standard two-tower serving
+    * pattern: lexical catches exact terms, the embedding side catches
+    * paraphrase, RRF needs no score calibration between them.
+    *
+    * Scale shape: each side is its OWN distributed top-depth
+    * (TakeOrderedAndProject per-partition heaps over one scan); rank
+    * assignment and the full-outer fusion run on ≤2·depth rows, where a
+    * single-partition window is free. Determinism: integer ranks, id
+    * tiebreaks, one rounded double at the end. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VecFunctions.vecDot
+    val lex0 = {
+      val perDoc = perDocTf(spark, dir)
+      val statAggs = Seq(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")) ++
+        QueryTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df$i")
+        }
+      val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+      perDoc.crossJoin(broadcast(stats))
+        .selectExpr("doc_id", s"ROUND($scoreExpr, 6) AS score")
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(RrfDepth)
+    }
+    val lex = lex0.withColumn("lex_rank", row_number().over(
+      Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "lex_rank")
+    val emb = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", sqrt(vecDot(col("v"), col("v"))))
+    val q = emb.filter(col("vec_id") === SemanticQueryId)
+      .select(col("v").as("q_v"), col("n").as("q_n"))
+    val sem0 = emb.filter(col("vec_id") =!= SemanticQueryId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(vecDot(col("v"), col("q_v")) / expr("NULLIF(n * q_n, 0)"), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("doc_id"))
+      .limit(RrfDepth)
+    val sem = sem0.withColumn("sem_rank", row_number().over(
+      Window.orderBy(col("cosine").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "sem_rank")
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .selectExpr("doc_id", "lex_rank", "sem_rank",
+        s"ROUND(COALESCE(1e0 / ($RrfK + lex_rank), 0e0) + COALESCE(1e0 / ($RrfK + sem_rank), 0e0), 6) AS rrf_score")
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(HybridTopK)
+  }
+
+  def hybridSearchSql: String = {
+    val tfDefs = QueryTerms.map(t =>
+      s"len(list_filter(toks, t -> t = '$t'))::BIGINT AS ${tfCol(t)}")
+    val dfDefs = QueryTerms.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN ${tfCol(t)} > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i" }
+    s"""WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+       |d AS (SELECT doc_id, len(toks)::BIGINT AS dl, ${tfDefs.mkString(", ")} FROM base),
+       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl)::BIGINT AS sum_dl, ${dfDefs.mkString(", ")} FROM d),
+       |lex0 AS (SELECT * FROM (SELECT doc_id, ROUND($scoreExpr, 6) AS score FROM d, stats) s0
+       |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $RrfDepth),
+       |lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank FROM lex0),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS n FROM embeddings),
+       |q AS (SELECT v AS q_v, n AS q_n FROM emb WHERE vec_id = $SemanticQueryId),
+       |sem0 AS (SELECT vec_id AS doc_id, ROUND(list_dot_product(v, q_v) / NULLIF(n * q_n, 0), 6) AS cosine
+       |  FROM emb, q WHERE vec_id <> $SemanticQueryId ORDER BY cosine DESC, doc_id LIMIT $RrfDepth),
+       |sem AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank FROM sem0),
+       |fused AS (SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rank, sem_rank,
+       |  ROUND(COALESCE(1e0 / ($RrfK + lex_rank), 0e0) + COALESCE(1e0 / ($RrfK + sem_rank), 0e0), 6) AS rrf_score
+       |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank, rrf_score FROM fused
+       |ORDER BY rrf_score DESC, doc_id LIMIT $HybridTopK""".stripMargin.replace("\n", " ")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bm25_search" -> ((s, d) => bm25Search(s, d)),
+    "hybrid_search" -> ((s, d) => hybridSearch(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "bm25_search" -> bm25SearchSql,
+    "hybrid_search" -> hybridSearchSql,
   )
 }

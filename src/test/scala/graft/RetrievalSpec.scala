@@ -83,6 +83,26 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.bm25Search(spark, corpus).collect().isEmpty)
   }
 
+  test("hybrid_search fuses the two rankings by reciprocal rank") {
+    val lexTop = Retrieval.bm25Search(spark, sf).collect().map(_.getLong(0))
+    val got = Retrieval.hybridSearch(spark, sf).collect()
+    assert(got.nonEmpty && got.length <= Retrieval.HybridTopK)
+    got.foreach { r =>
+      val lexR = Option(r.get(1)).map(_.asInstanceOf[Long])
+      val semR = Option(r.get(2)).map(_.asInstanceOf[Long])
+      assert(lexR.isDefined || semR.isDefined, "a fused doc must appear in some ranking")
+      val want = lexR.map(x => 1.0 / (Retrieval.RrfK + x)).getOrElse(0.0) +
+        semR.map(x => 1.0 / (Retrieval.RrfK + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - want) < 1e-6)
+    }
+    // rrf is ranked descending; a doc in BOTH rankings' heads outranks
+    // single-ranking docs of comparable depth
+    val scores = got.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the lexical top-1 appears (its rrf contribution alone beats depth-40 pairs)
+    assert(got.exists(r => r.getLong(0) == lexTop.head))
+  }
+
   test("bm25_search plans no explode and no join wider than the 1-row stats broadcast") {
     val plan = Retrieval.bm25Search(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("Generate"), s"tf counts are in-row array folds, no explode:\n${plan.take(2000)}")
