@@ -648,6 +648,86 @@ object EventAnalytics {
       |  CASE WHEN last_us > first_us THEN ROUND(CAST(area_dec AS DOUBLE) / (last_us - first_us), 6) END AS twap
       |FROM agg ORDER BY user_id""".stripMargin.replace("\n", " ")
 
+  // --------------------------------------------------------- daily trend
+
+  /** Per-type linear trend of daily event volume: OLS slope / intercept /
+    * r² of n_events over the epoch-day index, from the closed-form normal
+    * equations on EXACT integer sums (Σx, Σy, Σxy, Σx², Σy² — counts and
+    * day indexes are integers, so the partial sums are associativity-free
+    * and both engines compute identical doubles; a direct `regr_slope`
+    * would accumulate doubles in partition order). Two-level rollup: one
+    * partial-agg scan to the (type × day) frame, then a types-sized
+    * second aggregate. Degenerate guards: <2 days or zero x-variance →
+    * NULL slope; zero y-variance → NULL r² (flat series: slope 0 is
+    * exact, correlation undefined). */
+  def dailyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val daily = table(spark, dir, "events")
+      .groupBy(datediff(date_trunc("DAY", col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"),
+        col("event_type"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .selectExpr(trendFinalCols: _*)
+      .orderBy("event_type")
+  }
+
+  /** Shared final text (identical in both engines). */
+  private def trendFinalCols: Seq[String] = {
+    val varX = "(n_days * 1e0 * sxx - sx * 1e0 * sx)"
+    val varY = "(n_days * 1e0 * syy - sy * 1e0 * sy)"
+    val cov = "(n_days * 1e0 * sxy - sx * 1e0 * sy)"
+    Seq(
+      "event_type", "n_days",
+      s"CASE WHEN n_days >= 2 AND $varX > 0 THEN ROUND($cov / $varX, 6) END AS slope",
+      s"CASE WHEN n_days >= 2 AND $varX > 0 THEN ROUND((sy * 1e0 - ($cov / $varX) * sx) / n_days, 6) END AS intercept",
+      s"CASE WHEN n_days >= 2 AND $varX > 0 AND $varY > 0 THEN ROUND(($cov * $cov) / ($varX * $varY), 6) END AS r2")
+  }
+
+  def dailyTrendSql: String =
+    s"""WITH daily AS (SELECT datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))::BIGINT AS x,
+       |  event_type, COUNT(*) AS y FROM events GROUP BY 1, 2),
+       |s AS (SELECT event_type, COUNT(*) AS n_days, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+       |  SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy
+       |  FROM daily GROUP BY 1)
+       |SELECT ${trendFinalCols.mkString(", ")} FROM s ORDER BY event_type"""
+      .stripMargin.replace("\n", " ")
+
+  // --------------------------------------------------- new vs returning
+
+  /** Daily new-vs-returning split of active users — the growth-accounting
+    * complement of [[activeUsers]]: a user is "new" on their first-seen
+    * day, "returning" on every later active day. One scan: the distinct
+    * (user, day) frame takes a user-partitioned min-day window (the
+    * cohort_retention shape — no self-join), then a days-sized rollup. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val act = table(spark, dir, "events")
+      .select(col("user_id"),
+        date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"))
+      .distinct()
+      .withColumn("first_day", min("day").over(Window.partitionBy("user_id")))
+    act.groupBy("day").agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("returning_users"))
+      .selectExpr("day", "new_users", "returning_users",
+        "ROUND(new_users * 1e0 / (new_users + returning_users), 6) AS new_share")
+      .orderBy("day")
+  }
+
+  def newVsReturningSql: String =
+    """WITH act AS (SELECT DISTINCT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day FROM events),
+      |f AS (SELECT *, MIN(day) OVER (PARTITION BY user_id) AS first_day FROM act)
+      |SELECT day,
+      |  SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END)::BIGINT AS new_users,
+      |  SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END)::BIGINT AS returning_users,
+      |  ROUND(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 1e0 /
+      |    (SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) + SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END)), 6) AS new_share
+      |FROM f GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_stats" -> ((s, d) => rollingStats(s, d)),
     "cohort_retention" -> ((s, d) => cohortRetention(s, d)),
@@ -661,6 +741,8 @@ object EventAnalytics {
     "revenue_concentration" -> ((s, d) => revenueConcentration(s, d)),
     "gap_fill" -> ((s, d) => gapFill(s, d)),
     "time_weighted_value" -> ((s, d) => timeWeightedValue(s, d)),
+    "daily_trend" -> ((s, d) => dailyTrend(s, d)),
+    "new_vs_returning" -> ((s, d) => newVsReturning(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -676,5 +758,7 @@ object EventAnalytics {
     "revenue_concentration" -> revenueConcentrationSql,
     "gap_fill" -> gapFillSql,
     "time_weighted_value" -> timeWeightedValueSql,
+    "daily_trend" -> dailyTrendSql,
+    "new_vs_returning" -> newVsReturningSql,
   )
 }

@@ -383,6 +383,42 @@ class EventAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("daily_trend recovers a planted linear series exactly and guards flat series") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("trend").toString
+    // type 'a': y = 2 + 3*(day offset): 2, 5, 8, 11 events on Jan 1-4
+    // type 'b': constant 4/day (slope 0, r2 NULL)
+    val rows = (0 to 3).flatMap(d => Seq.fill(2 + 3 * d)((f"2024-01-0${d + 1} 10:00:00", "a", 1.0))) ++
+      (0 to 3).flatMap(d => Seq.fill(4)((f"2024-01-0${d + 1} 10:00:00", "b", 1.0)))
+    rows.toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventAnalytics.dailyTrend(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("a").getDouble(2) == 3.0, "planted slope")
+    assert(got("a").getDouble(4) == 1.0, "perfect fit r2")
+    assert(got("b").getDouble(2) == 0.0 && got("b").isNullAt(4),
+      "flat series: slope 0 exact, r2 undefined")
+    // intercept at x=0 (epoch) extrapolates the planted line: y = 2 + 3*(x - x0)
+    val x0 = got("a").getDouble(3) // intercept = 2 - 3 * x0day... just check finite
+    assert(!x0.isNaN)
+  }
+
+  test("new_vs_returning: first-seen day splits users; totals match DAU") {
+    val got = EventAnalytics.newVsReturning(spark, sf).collect()
+    val dau = EventAnalytics.activeUsers(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.map(r => r.getString(0)).toSet == dau.keySet)
+    got.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == dau(r.getString(0)), s"${r.getString(0)} totals")
+    }
+    // day 1 is all-new; the user universe equals the sum of new users
+    val sorted = got.sortBy(_.getString(0))
+    assert(sorted.head.getLong(2) == 0 && sorted.head.getDouble(3) == 1.0)
+    val nUsers = table(spark, sf, "events").select("user_id").distinct().count()
+    assert(got.map(_.getLong(1)).sum == nUsers)
+  }
+
   test("funnel steps are ordered and counts monotone nonincreasing") {
     val r = EventAnalytics.funnel(spark, sf).collect()(0)
     val Seq(nUsers, nView, nClick, nPurchase) = (0 to 3).map(r.getLong)
