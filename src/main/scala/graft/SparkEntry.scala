@@ -127,6 +127,7 @@ object SparkEntry {
       "active_users" -> ((s, d) => EventAnalytics.activeUsers(s, d, approx = true)),
       "conversion_lag" -> ((s, d) => EventAnalytics.conversionLag(s, d, approx = true)),
       "revenue_concentration" -> ((s, d) => EventAnalytics.revenueConcentration(s, d, approx = true)),
+      "embedding_audit" -> ((s, d) => EmbeddingDrift.embeddingAudit(s, d, approx = true)),
       "group_numeric_metrics" -> ((s, d) => GroupDrift.groupNumericMetrics(s, d, approx = true)),
       "group_drift" -> ((s, d) => GroupDrift.groupDriftVerdict(s, d, approx = true)),
       // the report family shares one memoized scoring DAG; at scale that DAG

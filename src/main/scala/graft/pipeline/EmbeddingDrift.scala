@@ -110,13 +110,64 @@ object EmbeddingDrift {
       "ROUND(SQRT(sqdist), 6) AS centroid_l2, ROUND(SQRT(sr), 6) AS ref_centroid_norm, " +
       "ROUND(SQRT(sc), 6) AS curr_centroid_norm, n_drifted_dims FROM sizes, agg"
 
+  /** Vector-table data-quality audit — the checks a pipeline runs BEFORE
+    * trusting an embedding delivery, per label partition: cardinality,
+    * degenerate vectors (zero norm — a failed encode; NaN components — a
+    * numerical blowup upstream; wrong dimensionality — a schema break),
+    * and the norm distribution (count/mean/p50/p95 — a collapsed or
+    * exploding norm distribution is the classic silent encoder
+    * regression). One scan; per-vector signals are in-row HOF folds
+    * (zero explode); the rollup is label-cardinality-sized. `approx`
+    * swaps exact `percentile` for the sketch (the bench/100 TB path).
+    * Norm mean accumulates in DECIMAL (exact) with one final division. */
+  def embeddingAudit(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+    val pct = if (approx) "percentile_approx" else "percentile"
+    val modalDim = 64 // the corpus contract; violations are counted, not dropped
+    table(spark, dir, "embeddings")
+      .selectExpr("label", "CAST(size(embedding) AS BIGINT) AS dim",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("label", "dim",
+        "SQRT(aggregate(v, 0e0, (acc, x) -> acc + x * x)) AS norm",
+        "EXISTS(v, x -> isnan(x)) AS has_nan")
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("dim") =!= modalDim, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        sum(col("norm").cast("decimal(28,8)")).as("sum_norm_dec"),
+        expr(s"$pct(norm, 0.5e0) AS p50_norm_raw"),
+        expr(s"$pct(norm, 0.95e0) AS p95_norm_raw"))
+      .selectExpr("label", "n_vecs", "n_bad_dim", "n_nan", "n_zero_norm",
+        "ROUND(CAST(sum_norm_dec AS DOUBLE) / n_vecs, 6) AS mean_norm",
+        "ROUND(p50_norm_raw, 6) AS p50_norm",
+        "ROUND(p95_norm_raw, 6) AS p95_norm")
+      .orderBy("label")
+  }
+
+  def embeddingAuditSql: String =
+    """WITH per AS (SELECT label, len(embedding)::BIGINT AS dim,
+      |  SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+      |  len(list_filter(embedding::DOUBLE[], x -> isnan(x))) > 0 AS has_nan
+      |  FROM embeddings)
+      |SELECT label, COUNT(*) AS n_vecs,
+      |  SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END)::BIGINT AS n_bad_dim,
+      |  SUM(CASE WHEN has_nan THEN 1 ELSE 0 END)::BIGINT AS n_nan,
+      |  SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
+      |  ROUND(CAST(SUM(norm::DECIMAL(28,8)) AS DOUBLE) / COUNT(*), 6) AS mean_norm,
+      |  ROUND(quantile_cont(norm, 0.5e0), 6) AS p50_norm,
+      |  ROUND(quantile_cont(norm, 0.95e0), 6) AS p95_norm
+      |FROM per GROUP BY 1 ORDER BY label""".stripMargin.replace("\n", " ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embedding_drift" -> ((s, d) => drift(s, d)),
     "embedding_dim_shift" -> ((s, d) => dimShift(s, d)),
+    "embedding_audit" -> ((s, d) => embeddingAudit(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "embedding_drift" -> driftSql,
     "embedding_dim_shift" -> dimShiftSql,
+    "embedding_audit" -> embeddingAuditSql,
   )
 }
