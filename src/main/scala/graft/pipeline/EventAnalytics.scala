@@ -728,6 +728,59 @@ object EventAnalytics {
       |    (SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) + SUM(CASE WHEN day <> first_day THEN 1 ELSE 0 END)), 6) AS new_share
       |FROM f GROUP BY 1 ORDER BY day""".stripMargin.replace("\n", " ")
 
+  // ----------------------------------------------------------- cohort LTV
+
+  /** Cohort LTV curve: cumulative conversion revenue per cohort user by
+    * day offset — the growth-accounting companion of [[cohortRetention]]
+    * (how much has the average member of cohort C spent by day N). One
+    * scan: first-seen day is a user-partitioned window (the cohort shape),
+    * purchase revenue rolls to the (cohort, offset) frame in DECIMAL, the
+    * running total is a cohort-partitioned cumulative window over that
+    * O(days²) frame, and cohort sizes join from the distinct-user frame
+    * (broadcast — days-cardinality). Offsets appear only where revenue
+    * occurred; the cumulative is unaffected (absent days add 0). */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val base = table(spark, dir, "events")
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"),
+        col("event_type"), col("value"))
+      .withColumn("first_day", min("day").over(w))
+    val sizes = base.select(col("user_id"), col("first_day")).distinct()
+      .groupBy("first_day").agg(count(lit(1)).as("cohort_size"))
+    val daily = base.filter(col("event_type") === ConversionType)
+      .groupBy(col("first_day"),
+        datediff(col("day"), col("first_day")).cast("long").as("day_offset"))
+      .agg(sum(col("value").cast("decimal(18,4)")).as("rev_dec"))
+    val cum = Window.partitionBy("first_day").orderBy("day_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_dec", sum("rev_dec").over(cum))
+      .join(broadcast(sizes), "first_day")
+      .selectExpr(
+        "date_format(first_day, 'yyyy-MM-dd') AS cohort_day",
+        "day_offset", "cohort_size",
+        "ROUND(CAST(rev_dec AS DOUBLE), 6) AS day_revenue",
+        "ROUND(CAST(cum_dec AS DOUBLE), 6) AS cum_revenue",
+        "ROUND(CAST(cum_dec AS DOUBLE) / cohort_size, 6) AS ltv_per_user")
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  def cohortLtvSql: String =
+    s"""WITH base AS (SELECT user_id, date_trunc('day', ts) AS day, event_type, value,
+       |  MIN(date_trunc('day', ts)) OVER (PARTITION BY user_id) AS first_day FROM events),
+       |sizes AS (SELECT first_day, COUNT(*) AS cohort_size FROM
+       |  (SELECT DISTINCT user_id, first_day FROM base) u GROUP BY 1),
+       |daily AS (SELECT first_day, datediff('day', first_day, day)::BIGINT AS day_offset,
+       |  SUM(value::DECIMAL(18,4)) AS rev_dec FROM base WHERE event_type = '$ConversionType' GROUP BY 1, 2),
+       |cum AS (SELECT *, SUM(rev_dec) OVER (PARTITION BY first_day ORDER BY day_offset
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec FROM daily)
+       |SELECT strftime(c.first_day, '%Y-%m-%d') AS cohort_day, c.day_offset, s.cohort_size,
+       |  ROUND(CAST(c.rev_dec AS DOUBLE), 6) AS day_revenue,
+       |  ROUND(CAST(c.cum_dec AS DOUBLE), 6) AS cum_revenue,
+       |  ROUND(CAST(c.cum_dec AS DOUBLE) / s.cohort_size, 6) AS ltv_per_user
+       |FROM cum c JOIN sizes s USING (first_day)
+       |ORDER BY cohort_day, day_offset""".stripMargin.replace("\n", " ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rolling_stats" -> ((s, d) => rollingStats(s, d)),
     "cohort_retention" -> ((s, d) => cohortRetention(s, d)),
@@ -743,6 +796,7 @@ object EventAnalytics {
     "time_weighted_value" -> ((s, d) => timeWeightedValue(s, d)),
     "daily_trend" -> ((s, d) => dailyTrend(s, d)),
     "new_vs_returning" -> ((s, d) => newVsReturning(s, d)),
+    "cohort_ltv" -> ((s, d) => cohortLtv(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
@@ -760,5 +814,6 @@ object EventAnalytics {
     "time_weighted_value" -> timeWeightedValueSql,
     "daily_trend" -> dailyTrendSql,
     "new_vs_returning" -> newVsReturningSql,
+    "cohort_ltv" -> cohortLtvSql,
   )
 }

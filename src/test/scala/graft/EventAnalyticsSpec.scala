@@ -419,6 +419,32 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.map(_.getLong(1)).sum == nUsers)
   }
 
+  test("cohort_ltv: cumulative revenue is monotone and totals reconcile") {
+    val rows = EventAnalytics.cohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).values.foreach { curve =>
+      val byOff = curve.sortBy(_.getLong(1))
+      // cumulative is monotone nondecreasing and consistent with daily
+      byOff.zip(byOff.tail).foreach { case (a, b) =>
+        assert(b.getDouble(4) >= a.getDouble(4))
+        assert(math.abs(b.getDouble(4) - (a.getDouble(4) + b.getDouble(3))) < 1e-4)
+      }
+      // ltv = cum / size everywhere
+      byOff.foreach { r =>
+        assert(math.abs(r.getDouble(5) - r.getDouble(4) / r.getLong(2)) < 1e-5)
+      }
+    }
+    // total revenue across all curves' daily cells equals all purchase value
+    val total = rows.map(_.getDouble(3)).sum
+    val want = table(spark, sf, "events").filter(col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,4)")).cast("double")).collect()(0).getDouble(0)
+    assert(math.abs(total - want) < 1e-3)
+    // cohort sizes agree with cohort_retention's
+    val ret = EventAnalytics.cohortRetention(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    rows.foreach(r => assert(r.getLong(2) == ret(r.getString(0))))
+  }
+
   test("funnel steps are ordered and counts monotone nonincreasing") {
     val r = EventAnalytics.funnel(spark, sf).collect()(0)
     val Seq(nUsers, nView, nClick, nPurchase) = (0 to 3).map(r.getLong)
