@@ -120,43 +120,58 @@ object EmbeddingDrift {
     * (zero explode); the rollup is label-cardinality-sized. `approx`
     * swaps exact `percentile` for the sketch (the bench/100 TB path).
     * Norm mean accumulates in DECIMAL (exact) with one final division. */
+  /** A NaN-component norm is NaN, which the two engines order and cast
+    * DIFFERENTLY (Spark's non-ANSI NaN→DECIMAL is NULL, DuckDB's errors;
+    * percentile sorts NaN largest in Spark, not in DuckDB) — so every
+    * distribution stat runs on `norm_clean` = NULL for NaN/missing rows
+    * (NULL skips sums and percentiles identically in both engines), with
+    * its own `n_scored` denominator. NULL embeddings (a failed encode —
+    * the most basic delivery defect) get their own census column; they
+    * must never pass as a clean bill of health. */
   def embeddingAudit(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     val pct = if (approx) "percentile_approx" else "percentile"
     val modalDim = 64 // the corpus contract; violations are counted, not dropped
     table(spark, dir, "embeddings")
       .selectExpr("label", "CAST(size(embedding) AS BIGINT) AS dim",
         "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-      .selectExpr("label", "dim",
-        "SQRT(aggregate(v, 0e0, (acc, x) -> acc + x * x)) AS norm",
-        "EXISTS(v, x -> isnan(x)) AS has_nan")
+      .selectExpr("label", "dim", "v IS NULL AS is_null",
+        "CASE WHEN v IS NOT NULL THEN SQRT(aggregate(v, 0e0, (acc, x) -> acc + x * x)) END AS norm",
+        "CASE WHEN v IS NOT NULL THEN EXISTS(v, x -> isnan(x)) ELSE FALSE END AS has_nan")
+      .selectExpr("label", "dim", "is_null", "has_nan",
+        "CASE WHEN NOT has_nan THEN norm END AS norm_clean")
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vecs"),
-        sum(when(col("dim") =!= modalDim, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("is_null"), 1L).otherwise(0L)).as("n_null"),
+        sum(when(!col("is_null") && col("dim") =!= modalDim, 1L).otherwise(0L)).as("n_bad_dim"),
         sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
-        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
-        sum(col("norm").cast("decimal(28,8)")).as("sum_norm_dec"),
-        expr(s"$pct(norm, 0.5e0) AS p50_norm_raw"),
-        expr(s"$pct(norm, 0.95e0) AS p95_norm_raw"))
-      .selectExpr("label", "n_vecs", "n_bad_dim", "n_nan", "n_zero_norm",
-        "ROUND(CAST(sum_norm_dec AS DOUBLE) / n_vecs, 6) AS mean_norm",
+        sum(when(col("norm_clean") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+        count(col("norm_clean")).as("n_scored"),
+        sum(col("norm_clean").cast("decimal(28,8)")).as("sum_norm_dec"),
+        expr(s"$pct(norm_clean, 0.5e0) AS p50_norm_raw"),
+        expr(s"$pct(norm_clean, 0.95e0) AS p95_norm_raw"))
+      .selectExpr("label", "n_vecs", "n_null", "n_bad_dim", "n_nan", "n_zero_norm", "n_scored",
+        "CASE WHEN n_scored > 0 THEN ROUND(CAST(sum_norm_dec AS DOUBLE) / n_scored, 6) END AS mean_norm",
         "ROUND(p50_norm_raw, 6) AS p50_norm",
         "ROUND(p95_norm_raw, 6) AS p95_norm")
       .orderBy("label")
   }
 
   def embeddingAuditSql: String =
-    """WITH per AS (SELECT label, len(embedding)::BIGINT AS dim,
-      |  SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
-      |  len(list_filter(embedding::DOUBLE[], x -> isnan(x))) > 0 AS has_nan
-      |  FROM embeddings)
+    """WITH per0 AS (SELECT label, len(embedding)::BIGINT AS dim, embedding IS NULL AS is_null,
+      |  CASE WHEN embedding IS NOT NULL THEN SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) END AS norm,
+      |  CASE WHEN embedding IS NOT NULL THEN len(list_filter(embedding::DOUBLE[], x -> isnan(x))) > 0 ELSE FALSE END AS has_nan
+      |  FROM embeddings),
+      |per AS (SELECT *, CASE WHEN NOT has_nan THEN norm END AS norm_clean FROM per0)
       |SELECT label, COUNT(*) AS n_vecs,
-      |  SUM(CASE WHEN dim <> 64 THEN 1 ELSE 0 END)::BIGINT AS n_bad_dim,
+      |  SUM(CASE WHEN is_null THEN 1 ELSE 0 END)::BIGINT AS n_null,
+      |  SUM(CASE WHEN NOT is_null AND dim <> 64 THEN 1 ELSE 0 END)::BIGINT AS n_bad_dim,
       |  SUM(CASE WHEN has_nan THEN 1 ELSE 0 END)::BIGINT AS n_nan,
-      |  SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
-      |  ROUND(CAST(SUM(norm::DECIMAL(28,8)) AS DOUBLE) / COUNT(*), 6) AS mean_norm,
-      |  ROUND(quantile_cont(norm, 0.5e0), 6) AS p50_norm,
-      |  ROUND(quantile_cont(norm, 0.95e0), 6) AS p95_norm
+      |  SUM(CASE WHEN norm_clean = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_norm,
+      |  COUNT(norm_clean) AS n_scored,
+      |  CASE WHEN COUNT(norm_clean) > 0 THEN ROUND(CAST(SUM(norm_clean::DECIMAL(28,8)) AS DOUBLE) / COUNT(norm_clean), 6) END AS mean_norm,
+      |  ROUND(quantile_cont(norm_clean, 0.5e0), 6) AS p50_norm,
+      |  ROUND(quantile_cont(norm_clean, 0.95e0), 6) AS p95_norm
       |FROM per GROUP BY 1 ORDER BY label""".stripMargin.replace("\n", " ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -655,17 +655,28 @@ object EventAnalytics {
     * equations on EXACT integer sums (Σx, Σy, Σxy, Σx², Σy² — counts and
     * day indexes are integers, so the partial sums are associativity-free
     * and both engines compute identical doubles; a direct `regr_slope`
-    * would accumulate doubles in partition order). Two-level rollup: one
-    * partial-agg scan to the (type × day) frame, then a types-sized
-    * second aggregate. Degenerate guards: <2 days or zero x-variance →
-    * NULL slope; zero y-variance → NULL r² (flat series: slope 0 is
-    * exact, correlation undefined). */
+    * would accumulate doubles in partition order). The series is
+    * ZERO-FILLED over the corpus' global day span first (the gap_fill
+    * grid shape — a sequence explode off a 1-row min/max agg): fitting
+    * only active days censors the series, and a type that bursts on two
+    * far-apart days would report a clean r²=1 growth trend over a series
+    * that is actually 99% zeros. Rollup: one partial-agg scan to the
+    * (type × day) frame, densify, then a types-sized second aggregate.
+    * Degenerate guards: <2 days or zero x-variance → NULL slope; zero
+    * y-variance → NULL r² (flat series: slope 0 is exact, correlation
+    * undefined). */
   def dailyTrend(spark: SparkSession, dir: String): DataFrame = {
-    val daily = table(spark, dir, "events")
+    val active = table(spark, dir, "events")
       .groupBy(datediff(date_trunc("DAY", col("ts")), lit("1970-01-01").cast("date"))
           .cast("long").as("x"),
         col("event_type"))
       .agg(count(lit(1)).as("y"))
+    val span = active.agg(min("x").as("lo"), max("x").as("hi"))
+    val grid = active.select("event_type").distinct()
+      .crossJoin(broadcast(span))
+      .select(col("event_type"), explode(sequence(col("lo"), col("hi"))).as("x"))
+    val daily = grid.join(active, Seq("event_type", "x"), "left")
+      .select(col("event_type"), col("x"), coalesce(col("y"), lit(0L)).as("y"))
     daily.groupBy("event_type")
       .agg(count(lit(1)).as("n_days"),
         sum("x").as("sx"), sum("y").as("sy"),
@@ -689,8 +700,13 @@ object EventAnalytics {
   }
 
   def dailyTrendSql: String =
-    s"""WITH daily AS (SELECT datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))::BIGINT AS x,
+    s"""WITH active AS (SELECT datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE))::BIGINT AS x,
        |  event_type, COUNT(*) AS y FROM events GROUP BY 1, 2),
+       |span AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM active),
+       |grid AS (SELECT t.event_type, unnest(generate_series(span.lo, span.hi)) AS x
+       |  FROM (SELECT DISTINCT event_type FROM active) t, span),
+       |daily AS (SELECT grid.event_type, grid.x, COALESCE(a.y, 0) AS y
+       |  FROM grid LEFT JOIN active a ON grid.event_type = a.event_type AND grid.x = a.x),
        |s AS (SELECT event_type, COUNT(*) AS n_days, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
        |  SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy
        |  FROM daily GROUP BY 1)
@@ -732,20 +748,27 @@ object EventAnalytics {
 
   /** Cohort LTV curve: cumulative conversion revenue per cohort user by
     * day offset — the growth-accounting companion of [[cohortRetention]]
-    * (how much has the average member of cohort C spent by day N). One
-    * scan: first-seen day is a user-partitioned window (the cohort shape),
-    * purchase revenue rolls to the (cohort, offset) frame in DECIMAL, the
-    * running total is a cohort-partitioned cumulative window over that
-    * O(days²) frame, and cohort sizes join from the distinct-user frame
-    * (broadcast — days-cardinality). Offsets appear only where revenue
-    * occurred; the cumulative is unaffected (absent days add 0). */
+    * (how much has the average member of cohort C spent by day N). The
+    * revenue pass windows first-seen per user (the cohort shape), rolls
+    * purchase revenue to the (cohort, offset) frame in DECIMAL, and runs
+    * one cohort-partitioned cumulative window over that O(days²) frame.
+    * Cohort sizes come from a SEPARATE plain two-level aggregate
+    * (user→min-day, then day counts — no window, no sort): sizes need
+    * every user including never-purchasers, so the retention trick of
+    * lifting them from the triangle's own offset-0 rows does not apply,
+    * and deriving them from the windowed branch would re-execute the
+    * whole windowed DAG (the measured second-full-scan regression
+    * cohortRetention's comment documents). Offsets appear only where
+    * revenue occurred; the cumulative is unaffected (absent days add
+    * 0). */
   def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id")
     val base = table(spark, dir, "events")
       .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"),
         col("event_type"), col("value"))
       .withColumn("first_day", min("day").over(w))
-    val sizes = base.select(col("user_id"), col("first_day")).distinct()
+    val sizes = table(spark, dir, "events")
+      .groupBy("user_id").agg(min(date_trunc("DAY", col("ts"))).as("first_day"))
       .groupBy("first_day").agg(count(lit(1)).as("cohort_size"))
     val daily = base.filter(col("event_type") === ConversionType)
       .groupBy(col("first_day"),
@@ -769,7 +792,7 @@ object EventAnalytics {
     s"""WITH base AS (SELECT user_id, date_trunc('day', ts) AS day, event_type, value,
        |  MIN(date_trunc('day', ts)) OVER (PARTITION BY user_id) AS first_day FROM events),
        |sizes AS (SELECT first_day, COUNT(*) AS cohort_size FROM
-       |  (SELECT DISTINCT user_id, first_day FROM base) u GROUP BY 1),
+       |  (SELECT user_id, MIN(date_trunc('day', ts)) AS first_day FROM events GROUP BY 1) u GROUP BY 1),
        |daily AS (SELECT first_day, datediff('day', first_day, day)::BIGINT AS day_offset,
        |  SUM(value::DECIMAL(18,4)) AS rev_dec FROM base WHERE event_type = '$ConversionType' GROUP BY 1, 2),
        |cum AS (SELECT *, SUM(rev_dec) OVER (PARTITION BY first_day ORDER BY day_offset

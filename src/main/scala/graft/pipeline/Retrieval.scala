@@ -65,39 +65,52 @@ object Retrieval {
     * obtained — one in-query aggregate, or literals replayed from the
     * artifact). ONE definition, so the `reuse == recompute` contract can't
     * drift. */
-  private def scoreAndRank(withStats: DataFrame): DataFrame =
+  private def scoreAndRank(withStats: DataFrame, k: Int = TopK): DataFrame =
     withStats
       .selectExpr(Seq("doc_id", "source", "dl") ++ QueryTerms.map(tfCol) ++
         Seq(s"ROUND($scoreExpr, 6) AS score"): _*)
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(TopK)
+      .limit(k)
 
-  /** Top-k BM25 docs for [[QueryTerms]]. Output: doc_id, source, dl,
-    * per-term tf, score — ordered by (score desc, doc_id). */
-  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc frame with the 1-row corpus stats broadcast on — the
+    * self-contained stats path, shared by [[bm25Search]] and the hybrid
+    * lexical tower (one definition; a drift between them would split the
+    * two scoring pipelines silently). */
+  private def withSelfStats(spark: SparkSession, dir: String): DataFrame = {
     val perDoc = perDocTf(spark, dir)
     val statAggs = Seq(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")) ++
       QueryTerms.zipWithIndex.map { case (t, i) =>
         sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df$i")
       }
     val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
-    scoreAndRank(perDoc.crossJoin(broadcast(stats)))
+    perDoc.crossJoin(broadcast(stats))
   }
 
-  def bm25SearchSql: String = {
+  /** Top-k BM25 docs for [[QueryTerms]]. Output: doc_id, source, dl,
+    * per-term tf, score — ordered by (score desc, doc_id). */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame =
+    scoreAndRank(withSelfStats(spark, dir))
+
+  /** Shared DuckDB CTE text for the BM25 scoring pipeline — ends in a
+    * `scored` relation (doc_id, source, dl, per-term tf, score). ONE
+    * definition feeding [[bm25SearchSql]] and [[hybridSearchSql]]'s
+    * lexical tower, mirroring [[withSelfStats]]/[[scoreAndRank]]. */
+  private def bmScoreCtes: String = {
     val tfDefs = QueryTerms.map(t =>
       s"len(list_filter(toks, t -> t = '$t'))::BIGINT AS ${tfCol(t)}")
     val dfDefs = QueryTerms.zipWithIndex.map { case (t, i) =>
       s"SUM(CASE WHEN ${tfCol(t)} > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i" }
-    s"""WITH base AS (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
+    s"""base AS (SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
        |d AS (SELECT doc_id, source, len(toks)::BIGINT AS dl, ${tfDefs.mkString(", ")} FROM base),
        |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl)::BIGINT AS sum_dl, ${dfDefs.mkString(", ")} FROM d),
        |scored AS (SELECT doc_id, source, dl, ${QueryTerms.map(tfCol).mkString(", ")},
-       |  ROUND($scoreExpr, 6) AS score FROM d, stats)
-       |SELECT * FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $TopK"""
-      .stripMargin.replace("\n", " ")
+       |  ROUND($scoreExpr, 6) AS score FROM d, stats)""".stripMargin.replace("\n", " ")
   }
+
+  def bm25SearchSql: String =
+    s"WITH $bmScoreCtes " +
+      s"SELECT * FROM scored WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $TopK"
 
   // ------------------------------------------------ term-stats artifact
 
@@ -183,19 +196,8 @@ object Retrieval {
   def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VecFunctions.vecDot
-    val lex0 = {
-      val perDoc = perDocTf(spark, dir)
-      val statAggs = Seq(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")) ++
-        QueryTerms.zipWithIndex.map { case (t, i) =>
-          sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"df$i")
-        }
-      val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
-      perDoc.crossJoin(broadcast(stats))
-        .selectExpr("doc_id", s"ROUND($scoreExpr, 6) AS score")
-        .filter(col("score") > 0)
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(RrfDepth)
-    }
+    val lex0 = scoreAndRank(withSelfStats(spark, dir), k = RrfDepth)
+      .select("doc_id", "score")
     val lex = lex0.withColumn("lex_rank", row_number().over(
       Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select("doc_id", "lex_rank")
@@ -221,14 +223,8 @@ object Retrieval {
   }
 
   def hybridSearchSql: String = {
-    val tfDefs = QueryTerms.map(t =>
-      s"len(list_filter(toks, t -> t = '$t'))::BIGINT AS ${tfCol(t)}")
-    val dfDefs = QueryTerms.zipWithIndex.map { case (t, i) =>
-      s"SUM(CASE WHEN ${tfCol(t)} > 0 THEN 1 ELSE 0 END)::BIGINT AS df$i" }
-    s"""WITH base AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks FROM documents),
-       |d AS (SELECT doc_id, len(toks)::BIGINT AS dl, ${tfDefs.mkString(", ")} FROM base),
-       |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl)::BIGINT AS sum_dl, ${dfDefs.mkString(", ")} FROM d),
-       |lex0 AS (SELECT * FROM (SELECT doc_id, ROUND($scoreExpr, 6) AS score FROM d, stats) s0
+    s"""WITH $bmScoreCtes,
+       |lex0 AS (SELECT doc_id, score FROM scored
        |  WHERE score > 0 ORDER BY score DESC, doc_id LIMIT $RrfDepth),
        |lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank FROM lex0),
        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v,

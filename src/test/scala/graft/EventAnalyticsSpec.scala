@@ -404,6 +404,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(!x0.isNaN)
   }
 
+  test("daily_trend zero-fills gap days: a two-burst type is not a clean trend") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("trendgap").toString
+    // 10 events on Jan 1, 20 on Jan 11, nothing between: on the censored
+    // 2-point series this is r2=1 "growth"; on the true zero-filled series
+    // the fit is poor (driver-side: slope 0.4545, r2 0.0543)
+    val rows = Seq.fill(10)("2024-01-01 10:00:00") ++ Seq.fill(20)("2024-01-11 10:00:00")
+    rows.map(ts => (ts, "c", 1.0)).toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventAnalytics.dailyTrend(spark, dir).collect()(0)
+    assert(r.getLong(1) == 11, "the fit must span all 11 calendar days")
+    assert(math.abs(r.getDouble(2) - 550.0 / 1210.0) < 1e-6)
+    assert(r.getDouble(4) < 0.2, s"two bursts must not fit cleanly: r2=${r.getDouble(4)}")
+  }
+
   test("new_vs_returning: first-seen day splits users; totals match DAU") {
     val got = EventAnalytics.newVsReturning(spark, sf).collect()
     val dau = EventAnalytics.activeUsers(spark, sf).collect()

@@ -61,31 +61,40 @@ class QualityHarnessSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), "the sampler IS the distributed top-k heap")
   }
 
-  test("embedding_audit flags planted zero / NaN / wrong-dim vectors") {
+  test("embedding_audit flags planted null / zero / NaN / wrong-dim vectors") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("embaudit").toString
     val good = Array.fill(64)(0.5f)
     val zero = Array.fill(64)(0.0f)
     val short = Array.fill(32)(1.0f)
     val withNan = Array.tabulate(64)(i => if (i == 7) Float.NaN else 1.0f)
-    Seq((0L, good, 0), (1L, zero, 0), (2L, short, 0), (3L, withNan, 1), (4L, good, 1))
+    Seq((0L, Option(good), 0), (1L, Option(zero), 0), (2L, Option(short), 0),
+      (3L, Option(withNan), 1), (4L, Option(good), 1),
+      (5L, Option.empty[Array[Float]], 1)) // failed encode: NULL embedding
       .toDF("vec_id", "embedding", "label")
       .write.parquet(s"$dir/embeddings.parquet")
     val got = graft.pipeline.EmbeddingDrift.embeddingAudit(spark, dir).collect()
       .map(r => r.getInt(0) -> r).toMap
+    // columns: label, n_vecs, n_null, n_bad_dim, n_nan, n_zero_norm,
+    // n_scored, mean_norm, p50_norm, p95_norm
     val l0 = got(0)
-    assert(l0.getLong(1) == 3 && l0.getLong(2) == 1 && l0.getLong(4) == 1)
-    assert(l0.getLong(3) == 0)
+    assert(l0.getLong(1) == 3 && l0.getLong(2) == 0 && l0.getLong(3) == 1 &&
+      l0.getLong(4) == 0 && l0.getLong(5) == 1 && l0.getLong(6) == 3)
+    // label-0 p50 norm over CLEAN norms {4, 0, sqrt(32)=5.657} -> median 4
+    assert(math.abs(l0.getDouble(8) - 4.0) < 1e-6)
     val l1 = got(1)
-    assert(l1.getLong(1) == 2 && l1.getLong(3) == 1, "NaN vector must be counted")
-    // label-0 p50 norm: norms are {4 (good), 0 (zero), sqrt(32)=5.657 (short)}
-    // -> exact interpolated median is the middle value 4
-    assert(math.abs(l0.getDouble(6) - 4.0) < 1e-6)
-    // approx path agrees on the exact counting fields
+    assert(l1.getLong(1) == 3, "NULL row still counts in n_vecs")
+    assert(l1.getLong(2) == 1, "NULL embedding must be censused, not pass silently")
+    assert(l1.getLong(4) == 1, "NaN vector must be counted")
+    assert(l1.getLong(6) == 1, "only the good vector is scored")
+    // the NaN and NULL rows are excluded from the norm stats: mean over
+    // clean norms only = the good vector's exact norm 4
+    assert(l1.getDouble(7) == 4.0)
+    // approx path agrees on all counting fields
     val a = graft.pipeline.EmbeddingDrift.embeddingAudit(spark, dir, approx = true).collect()
       .map(r => r.getInt(0) -> r).toMap
     Seq(0, 1).foreach { l =>
-      assert(a(l).getLong(1) == got(l).getLong(1) && a(l).getLong(3) == got(l).getLong(3))
+      (1 to 6).foreach(i => assert(a(l).getLong(i) == got(l).getLong(i)))
     }
   }
 

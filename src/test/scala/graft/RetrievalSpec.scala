@@ -83,24 +83,41 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.bm25Search(spark, corpus).collect().isEmpty)
   }
 
-  test("hybrid_search fuses the two rankings by reciprocal rank") {
-    val lexTop = Retrieval.bm25Search(spark, sf).collect().map(_.getLong(0))
+  test("hybrid_search equals an exact driver-side RRF recomputation") {
+    // lexical ranks from the BM25 driver reference
+    val lexRanks: Map[Long, Long] = driverScores().toSeq
+      .map { case (id, s) => (id, math.rint(s * 1e6) / 1e6) }
+      .filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }
+      .take(Retrieval.RrfDepth).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    // semantic ranks: cosine of every vector to the query vector
+    val embs = graft.drift.table(spark, sf, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val qv = embs(Retrieval.SemanticQueryId)
+    def dot(a: Array[Double], b: Array[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    val qn = math.sqrt(dot(qv, qv))
+    val semRanks: Map[Long, Long] = embs.toSeq
+      .filter(_._1 != Retrieval.SemanticQueryId)
+      .map { case (id, v) =>
+        id -> math.rint(dot(v, qv) / (math.sqrt(dot(v, v)) * qn) * 1e6) / 1e6 }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(Retrieval.RrfDepth).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val wantTop = (lexRanks.keySet ++ semRanks.keySet).toSeq
+      .map { id =>
+        val s = lexRanks.get(id).map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0) +
+          semRanks.get(id).map(r => 1.0 / (Retrieval.RrfK + r)).getOrElse(0.0)
+        (id, math.rint(s * 1e6) / 1e6)
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(Retrieval.HybridTopK)
     val got = Retrieval.hybridSearch(spark, sf).collect()
-    assert(got.nonEmpty && got.length <= Retrieval.HybridTopK)
-    got.foreach { r =>
-      val lexR = Option(r.get(1)).map(_.asInstanceOf[Long])
-      val semR = Option(r.get(2)).map(_.asInstanceOf[Long])
-      assert(lexR.isDefined || semR.isDefined, "a fused doc must appear in some ranking")
-      val want = lexR.map(x => 1.0 / (Retrieval.RrfK + x)).getOrElse(0.0) +
-        semR.map(x => 1.0 / (Retrieval.RrfK + x)).getOrElse(0.0)
-      assert(math.abs(r.getDouble(3) - want) < 1e-6)
+    assert(got.map(_.getLong(0)).toSeq == wantTop.map(_._1))
+    got.zip(wantTop).foreach { case (r, (_, s)) =>
+      assert(math.abs(r.getDouble(3) - s) < 1e-6)
+      assert(Option(r.get(1)).map(_.asInstanceOf[Long]) == lexRanks.get(r.getLong(0)))
+      assert(Option(r.get(2)).map(_.asInstanceOf[Long]) == semRanks.get(r.getLong(0)))
     }
-    // rrf is ranked descending; a doc in BOTH rankings' heads outranks
-    // single-ranking docs of comparable depth
-    val scores = got.map(_.getDouble(3))
-    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
-    // the lexical top-1 appears (its rrf contribution alone beats depth-40 pairs)
-    assert(got.exists(r => r.getLong(0) == lexTop.head))
   }
 
   test("bm25_search plans no explode and no join wider than the 1-row stats broadcast") {
