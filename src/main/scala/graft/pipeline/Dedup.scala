@@ -1012,9 +1012,65 @@ object Dedup {
       "FROM grid ORDER BY bands, jaccard"
   }
 
+  /** Containment threshold: the directional analogue of
+    * [[JaccardThreshold]]. */
+  val ContainmentThreshold = 0.9
+
+  /** Asymmetric near-dup detection by shingle CONTAINMENT — the modality
+    * symmetric Jaccard is blind to: a short document wholly quoted inside
+    * a much longer one has |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0 (quote
+    * expansions, boilerplate-wrapped reposts, chunk-of-a-book pages).
+    * Emits pairs where EITHER direction's containment ≥
+    * [[ContainmentThreshold]], with both directions and the Jaccard for
+    * context. Same df-capped shingle-join scale shape as
+    * [[ngramJaccardCapped]] (hot shingles dropped before the join, per-key
+    * fan-out bounded); the pair frame and everything after is
+    * near-dup-sized. */
+  def containmentPairs(spark: SparkSession, dir: String,
+      maxDfFrac: Double = MaxShingleDocFrac,
+      maxDfAbs: Long = MaxShingleDfAbs): DataFrame = {
+    val nDocs = table(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val dfreq = shingles(spark, dir).groupBy("sh").agg(count(lit(1)).as("df"))
+    val keepSh = dfreq.crossJoin(broadcast(nDocs))
+      .filter(col("df") <= least(col("n_docs") * maxDfFrac, lit(maxDfAbs.toDouble)))
+      .select("sh")
+    val tri = shingles(spark, dir).join(keepSh, "sh").cache()
+    val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = tri.as("a").join(tri.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .selectExpr("doc_a", "doc_b",
+        "ROUND(i * 1e0 / na, 6) AS containment_a",
+        "ROUND(i * 1e0 / nb, 6) AS containment_b",
+        "ROUND(i * 1e0 / (na + nb - i), 6) AS jaccard")
+      .filter(col("containment_a") >= ContainmentThreshold ||
+        col("containment_b") >= ContainmentThreshold)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def containmentPairsSql: String =
+    s"WITH tri0 AS ($shinglesSql), " +
+      s"hot AS (SELECT sh FROM tri0 GROUP BY sh HAVING COUNT(*) > " +
+      s"LEAST((SELECT COUNT(*) FROM documents) * $MaxShingleDocFrac, $MaxShingleDfAbs.0)), " +
+      "tri AS (SELECT * FROM tri0 WHERE sh NOT IN (SELECT sh FROM hot)), " +
+      "sz AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1), " +
+      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i FROM tri a " +
+      "JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+      "SELECT doc_a, doc_b, ROUND(i * 1e0 / sa.n, 6) AS containment_a, " +
+      "ROUND(i * 1e0 / sb.n, 6) AS containment_b, " +
+      "ROUND(i * 1e0 / (sa.n + sb.n - i), 6) AS jaccard " +
+      "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
+      s"WHERE ROUND(i * 1e0 / sa.n, 6) >= $ContainmentThreshold " +
+      s"OR ROUND(i * 1e0 / sb.n, 6) >= $ContainmentThreshold ORDER BY doc_a, doc_b"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_quality" -> ((s, d) => dedupQuality(s, d)),
     "lsh_tuning_curve" -> ((s, d) => lshTuningCurve(s, d)),
+    "containment_pairs" -> ((s, d) => containmentPairs(s, d)),
     "source_overlap" -> ((s, d) => sourceOverlap(s, d)),
     "ngram_novelty" -> ((s, d) => ngramNovelty(s, d)),
     "dedup_exact" -> ((s, d) => dedupExact(s, d)),
@@ -1032,6 +1088,7 @@ object Dedup {
   def oracles: Map[String, String] = Map(
     "dedup_quality" -> dedupQualitySql,
     "lsh_tuning_curve" -> lshTuningCurveSql,
+    "containment_pairs" -> containmentPairsSql,
     "source_overlap" -> sourceOverlapSql,
     "ngram_novelty" -> ngramNoveltySql,
     "dedup_exact" -> dedupExactSql,

@@ -98,6 +98,33 @@ class QualityHarnessSpec extends SparkSpec {
     }
   }
 
+  test("containment_pairs catches a quote-expansion pair symmetric Jaccard misses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("contain").toString
+    // doc 1 = a 10-token quote; doc 2 = the same quote inside 30 tokens of
+    // wrapper; 10 distinct fillers keep the df cap permissive
+    val quote = (1 to 10).map(i => s"q$i").mkString(" ")
+    val wrapper = (1 to 15).map(i => s"pre$i").mkString(" ") + " " + quote + " " +
+      (1 to 15).map(i => s"post$i").mkString(" ")
+    val fillers = (3L to 12L).map(i =>
+      (i, (0 until 8).map(j => s"f${i}_$j").mkString(" "), "en", "s1", 40L))
+    (Seq((1L, quote, "en", "s0", quote.length.toLong),
+      (2L, wrapper, "en", "s0", wrapper.length.toLong)) ++ fillers)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.Dedup.containmentPairs(spark, dir).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 2L)))
+    assert(r.getDouble(2) == 1.0, "the quote is fully contained")
+    assert(r.getDouble(4) < graft.pipeline.Dedup.JaccardThreshold,
+      s"symmetric Jaccard must miss this pair: ${r.getDouble(4)}")
+    // and the symmetric operator indeed does not emit it
+    val jac = graft.pipeline.Dedup.ngramJaccardCapped(spark, dir).collect()
+    assert(!jac.exists(x => x.getLong(0) == 1L && x.getLong(1) == 2L))
+  }
+
   test("ann_quality ranks the index tiers as their scaladocs claim") {
     val rows = graft.pipeline.Similarity.annQuality(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
