@@ -288,6 +288,26 @@ object DistanceDrift {
     cramersVFromTagged(NumericDrift.tagPair(ref, curr, cols), cols, label)
       .orderBy("table_name", "column_name")
 
+  /** Per-cell χ² contribution from EXACT integer counts (rc, cc, rs, cs) —
+    * built only from IEEE correctly-rounded ops (CAST-to-double of exact
+    * ints, *, -, /), no POW (Math.pow/std::pow are 1-ulp-loose and differ),
+    * so both engines produce the bit-identical double per cell. Same text
+    * is evaluated by Spark (selectExpr) and DuckDB. */
+  private val chiTermSql: String = {
+    val er = "(CAST(rs AS DOUBLE) * CAST(rc + cc AS DOUBLE)) / CAST(rs + cs AS DOUBLE)"
+    val ec = "(CAST(cs AS DOUBLE) * CAST(rc + cc AS DOUBLE)) / CAST(rs + cs AS DOUBLE)"
+    s"((CAST(rc AS DOUBLE) - $er) * (CAST(rc AS DOUBLE) - $er)) / ($er) + " +
+      s"((CAST(cc AS DOUBLE) - $ec) * (CAST(cc AS DOUBLE) - $ec)) / ($ec)"
+  }
+
+  /** v from (k, chi2_raw, n) — identical text both engines. */
+  private val vRawSql: String =
+    "CASE WHEN k < 2 THEN 0e0 ELSE SQRT(chi2_raw / CAST(n AS DOUBLE)) END"
+
+  private def effectSql(v: String): String =
+    s"CASE WHEN $v < 0.1 THEN 'negligible' WHEN $v < 0.3 THEN 'small' " +
+      s"WHEN $v < 0.5 THEN 'medium' ELSE 'large' END"
+
   private def cramersVFromTagged(tagged: DataFrame, cols: Seq[String],
       label: String): DataFrame = {
     val rows = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
@@ -299,21 +319,24 @@ object DistanceDrift {
         sum(when(col("side") === "curr", 1L).otherwise(0L)).as("cc"))
     val sums = piv.groupBy("column_name").agg(
       sum("rc").as("rs"), sum("cc").as("cs"), count(lit(1)).as("k"))
+    // χ² is summed in CANONICAL (value-sorted) order via an ordered fold:
+    // a plain sum("term") of doubles folds in engine/partition order, and
+    // with χ² in the thousands the 6-dp rounding is one partial-sum
+    // reassociation away from flipping (CORRECTNESS_r06 hash-red). k =
+    // #categories is tiny, so the collect_list per column is bounded.
     piv.join(broadcast(sums), "column_name")
-      .withColumn("n", col("rs") + col("cs"))
-      .withColumn("er", col("rs") * (col("rc") + col("cc")) * lit(1.0) / col("n"))
-      .withColumn("ec", col("cs") * (col("rc") + col("cc")) * lit(1.0) / col("n"))
-      .withColumn("term",
-        pow(col("rc") - col("er"), 2) / col("er") + pow(col("cc") - col("ec"), 2) / col("ec"))
+      .withColumn("term", expr(chiTermSql))
       .groupBy("column_name").agg(
-        sum("term").as("chi2_raw"), first("n").as("n"), first("k").as("k"))
-      .withColumn("v_raw",
-        when(col("k") < 2, lit(0.0)).otherwise(sqrt(col("chi2_raw") / col("n"))))
+        first("rs").as("rs"), first("cs").as("cs"), first("k").as("k"),
+        expr("aggregate(sort_array(collect_list(struct(value, term))), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("chi2_raw"))
+      .withColumn("n", col("rs") + col("cs"))
+      .withColumn("v_raw", expr(vRawSql))
       .select(lit(label).as("table_name"), col("column_name"),
         col("n").as("n_total"), (col("k") - 1).as("dof"),
-        r6(col("chi2_raw")).as("chi2"), r6(col("v_raw")).as("cramers_v"),
-        when(col("v_raw") < 0.1, "negligible").when(col("v_raw") < 0.3, "small")
-          .when(col("v_raw") < 0.5, "medium").otherwise("large").as("effect"))
+        expr(pr6Sql("chi2_raw")).as("chi2"),
+        expr(pr6Sql("v_raw")).as("cramers_v"),
+        expr(effectSql("v_raw")).as("effect"))
   }
 
   def cramersVSql: String = {
@@ -324,21 +347,22 @@ object DistanceDrift {
         s"SUM(CASE WHEN ${sp.refSql} THEN 0 ELSE 1 END)::BIGINT AS cc " +
         s"FROM ${sp.tableName} WHERE $c IS NOT NULL GROUP BY 1, 2, 3"
     }).mkString(" UNION ALL ")
+    // mirrors cramersVFromTagged op-for-op: same chiTermSql text, the same
+    // value-sorted fold (list(term ORDER BY value) summed sequentially by
+    // list_sum), the same vRawSql, the same pr6Sql floor-rounding
     s"WITH piv AS ($branches), sums AS (SELECT table_name, column_name, " +
       "SUM(rc) AS rs, SUM(cc) AS cs, COUNT(*) AS k FROM piv GROUP BY 1, 2), " +
-      "terms AS (SELECT p.table_name, p.column_name, s.rs + s.cs AS n, s.k, " +
-      "POW(p.rc - s.rs * (p.rc + p.cc) * 1e0 / (s.rs + s.cs), 2) / (s.rs * (p.rc + p.cc) * 1e0 / (s.rs + s.cs)) + " +
-      "POW(p.cc - s.cs * (p.rc + p.cc) * 1e0 / (s.rs + s.cs), 2) / (s.cs * (p.rc + p.cc) * 1e0 / (s.rs + s.cs)) AS term " +
+      "terms AS (SELECT p.table_name, p.column_name, p.value, s.rs, s.cs, s.k, " +
+      s"p.rc AS rc, p.cc AS cc, $chiTermSql AS term " +
       "FROM piv p JOIN sums s ON p.table_name = s.table_name AND p.column_name = s.column_name), " +
-      "agg AS (SELECT table_name, column_name, SUM(term) AS chi2_raw, " +
-      "MAX(n) AS n, MAX(k) AS k FROM terms GROUP BY 1, 2), " +
-      "fin AS (SELECT table_name, column_name, n, k, chi2_raw, " +
-      "CASE WHEN k < 2 THEN 0e0 ELSE SQRT(chi2_raw / n) END AS v_raw FROM agg) " +
+      "agg AS (SELECT table_name, column_name, MAX(rs) AS rs, MAX(cs) AS cs, MAX(k) AS k, " +
+      "list_sum(list(term ORDER BY value)) AS chi2_raw FROM terms GROUP BY 1, 2), " +
+      "fin AS (SELECT table_name, column_name, rs + cs AS n, k, chi2_raw FROM agg), " +
+      s"fin2 AS (SELECT table_name, column_name, n, k, chi2_raw, $vRawSql AS v_raw FROM fin) " +
       "SELECT table_name, column_name, n AS n_total, k - 1 AS dof, " +
-      "ROUND(chi2_raw, 6) AS chi2, ROUND(v_raw, 6) AS cramers_v, " +
-      "CASE WHEN v_raw < 0.1 THEN 'negligible' WHEN v_raw < 0.3 THEN 'small' " +
-      "WHEN v_raw < 0.5 THEN 'medium' ELSE 'large' END AS effect " +
-      "FROM fin ORDER BY table_name, column_name"
+      s"${pr6Sql("chi2_raw")} AS chi2, ${pr6Sql("v_raw")} AS cramers_v, " +
+      s"${effectSql("v_raw")} AS effect " +
+      "FROM fin2 ORDER BY table_name, column_name"
   }
 
   // ------------------------------------------- bounded f-divergence trio

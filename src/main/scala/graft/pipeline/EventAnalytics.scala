@@ -55,14 +55,18 @@ object EventAnalytics {
 
   /** Final projection — IDENTICAL text in Spark selectExpr and DuckDB.
     * Variance via the moment identity on exact sums: (Σx² − (Σx)²/n)/(n−1);
-    * the subtraction happens on bit-identical doubles in both engines. */
+    * the subtraction happens on bit-identical doubles in both engines.
+    * Rounding is [[graft.drift.pr6Sql]] (floor-based, IEEE-only), NOT
+    * ROUND(x, 6): the pre-round doubles are bit-identical by construction,
+    * but ROUND's tie behavior is engine/version-specific (CORRECTNESS_r06
+    * hash-red under the driver's DuckDB while 1.0.0 was green). */
   private def rollingFinalCols: Seq[String] = Seq(
     "day", "event_type", "n_events", "roll_n",
-    "ROUND(CAST(roll_sum_dec AS DOUBLE), 6) AS roll_sum",
-    "ROUND(CAST(roll_sum_dec AS DOUBLE) / roll_n, 6) AS roll_avg",
-    "ROUND(CASE WHEN roll_n > 1 THEN " +
+    graft.drift.pr6Sql("CAST(roll_sum_dec AS DOUBLE)") + " AS roll_sum",
+    graft.drift.pr6Sql("CAST(roll_sum_dec AS DOUBLE) / roll_n") + " AS roll_avg",
+    graft.drift.pr6Sql("CASE WHEN roll_n > 1 THEN " +
       "sqrt(greatest((CAST(roll_sq_dec AS DOUBLE) - CAST(roll_sum_dec AS DOUBLE) * CAST(roll_sum_dec AS DOUBLE) / roll_n) / (roll_n - 1), 0e0)) " +
-      "ELSE 0e0 END, 6) AS roll_std")
+      "ELSE 0e0 END") + " AS roll_std")
 
   def rollingStatsSql: String =
     s"""WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
