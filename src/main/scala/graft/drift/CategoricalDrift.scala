@@ -136,13 +136,9 @@ object CategoricalDrift {
     val sums = piv.groupBy("column_name")
       .agg(sum("ref_cnt").as("ref_sum"), sum("curr_cnt").as("curr_sum"))
     piv.join(broadcast(sums), "column_name")
-      .selectExpr("column_name", "ref_cnt", "curr_cnt",
-        "ref_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_ref",
-        "curr_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_curr")
+      .selectExpr("column_name", "value", s"$chiCellSql AS cell")
       .groupBy("column_name")
-      .agg(coalesce(sum(expr("CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN " +
-        "POW(ref_cnt - exp_ref, 2) / exp_ref + POW(curr_cnt - exp_curr, 2) / exp_curr ELSE 0 END")), lit(0.0))
-        .as("chi_square"), (count(lit(1)) - 1).as("dof"))
+      .agg(expr(chiFoldSparkSql).as("chi_square"), (count(lit(1)) - 1).as("dof"))
   }
 
   private val pivotCountsSql =
@@ -477,10 +473,35 @@ object CategoricalDrift {
       "ELSE 3.84 END"
 
   private val chiFinal: Seq[String] = Seq(
-    "table_name", "column_name", "ROUND(chi_square, 6) AS chi_square", "dof",
-    s"ROUND(CASE WHEN chi_square < 0.001 THEN 1.0 WHEN chi_square > 3 * ($chiCv) THEN 0.001 " +
+    "table_name", "column_name", pr6Sql("chi_square") + " AS chi_square", "dof",
+    pr6Sql(s"CASE WHEN chi_square < 0.001 THEN 1.0 WHEN chi_square > 3 * ($chiCv) THEN 0.001 " +
       s"WHEN chi_square > 2 * ($chiCv) THEN 0.01 WHEN chi_square > ($chiCv) THEN 0.05 " +
-      s"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi_square / ($chiCv)) * 0.95)) END, 6) AS p_value")
+      s"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi_square / ($chiCv)) * 0.95)) END") + " AS p_value")
+
+  // χ² exactness contract (the cramers_v lesson, CORRECTNESS_r06): the cell
+  // term is built ONLY from IEEE correctly-rounded ops on exact integer
+  // counts (CAST-to-double, *, -, /; no POW — Math.pow/std::pow are 1-ulp
+  // loose and engine-specific), the per-column sum folds in CANONICAL
+  // value-sorted order on both engines, and the final rounding is the
+  // floor-based pr6Sql — so the whole statistic is bit-identical across
+  // Spark and any DuckDB version.
+  private val chiExpRef =
+    "((CAST(ref_sum AS DOUBLE) * CAST(ref_cnt + curr_cnt AS DOUBLE)) / CAST(ref_sum + curr_sum AS DOUBLE))"
+  private val chiExpCurr =
+    "((CAST(curr_sum AS DOUBLE) * CAST(ref_cnt + curr_cnt AS DOUBLE)) / CAST(ref_sum + curr_sum AS DOUBLE))"
+  private val chiCellSql =
+    s"CASE WHEN $chiExpRef >= 5 AND $chiExpCurr >= 5 THEN " +
+      s"((CAST(ref_cnt AS DOUBLE) - $chiExpRef) * (CAST(ref_cnt AS DOUBLE) - $chiExpRef)) / $chiExpRef + " +
+      s"((CAST(curr_cnt AS DOUBLE) - $chiExpCurr) * (CAST(curr_cnt AS DOUBLE) - $chiExpCurr)) / $chiExpCurr " +
+      "ELSE 0e0 END"
+  /** Spark side of the canonical-order fold (DuckDB twin: [[chiFoldDuckSql]]). */
+  private val chiFoldSparkSql =
+    "COALESCE(aggregate(sort_array(collect_list(struct(value, cell))), " +
+      "CAST(0 AS DOUBLE), (acc, x) -> acc + x.cell), 0e0)"
+  /** DuckDB twin of [[chiFoldSparkSql]]: list_sum iterates the list
+    * sequentially, so list(cell ORDER BY value) is the same left fold. */
+  private val chiFoldDuckSql =
+    "COALESCE(list_sum(list(cell ORDER BY value)), 0e0)"
 
   /** Lanczos log-gamma (g=7, n=9 — the standard public coefficients). */
   private def logGamma(x: Double): Double = {
@@ -567,11 +588,9 @@ object CategoricalDrift {
     val per = for (sp <- S.categorical; c <- sp.cols) yield
       s"SELECT ${chiFinal.mkString(", ")} FROM (" +
         s"SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, " +
-        "COALESCE(SUM(CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN " +
-        "POW(ref_cnt - exp_ref, 2) / exp_ref + POW(curr_cnt - exp_curr, 2) / exp_curr ELSE 0 END), 0.0) AS chi_square, " +
+        s"$chiFoldDuckSql AS chi_square, " +
         "COUNT(*) - 1 AS dof FROM " +
-        "(SELECT ref_cnt, curr_cnt, ref_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_ref, " +
-        "curr_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_curr FROM " +
+        s"(SELECT value, $chiCellSql AS cell FROM " +
         s"(WITH cnts AS (${sideCountsSql(sp, c, nonNull = true)}) $pivotCountsSql) piv, " +
         s"(WITH cnts AS (${sideCountsSql(sp, c, nonNull = true)}) " +
         "SELECT SUM(CASE WHEN side = 'ref' THEN cnt ELSE 0 END) AS ref_sum, " +
@@ -647,11 +666,9 @@ object CategoricalDrift {
         s"WHEN chi_square > 3 * ($chiCv) THEN 0.001 WHEN chi_square > 2 * ($chiCv) THEN 0.01 " +
         s"WHEN chi_square > ($chiCv) THEN 0.05 " +
         s"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi_square / ($chiCv)) * 0.95)) END AS p_value FROM " +
-        "(SELECT COALESCE(SUM(CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN " +
-        "POW(ref_cnt - exp_ref, 2) / exp_ref + POW(curr_cnt - exp_curr, 2) / exp_curr ELSE 0 END), 0.0) AS chi_square, " +
+        s"(SELECT $chiFoldDuckSql AS chi_square, " +
         "COUNT(*) - 1 AS dof FROM " +
-        "(SELECT ref_cnt, curr_cnt, ref_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_ref, " +
-        "curr_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_curr FROM " +
+        s"(SELECT value, $chiCellSql AS cell FROM " +
         s"(WITH cnts AS (${sideCountsSql(sp, c, nonNull = true)}) $pivotCountsSql) piv, " +
         s"(WITH cnts AS (${sideCountsSql(sp, c, nonNull = true)}) " +
         "SELECT SUM(CASE WHEN side = 'ref' THEN cnt ELSE 0 END) AS ref_sum, " +
@@ -708,12 +725,8 @@ object CategoricalDrift {
     val piv = pivotCounts(cnts)
     val tot = piv.agg(sum("ref_cnt").as("ref_sum"), sum("curr_cnt").as("curr_sum"))
     val stat = piv.crossJoin(broadcast(tot))
-      .selectExpr("ref_cnt", "curr_cnt",
-        "ref_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_ref",
-        "curr_sum * (ref_cnt + curr_cnt) * 1e0 / (ref_sum + curr_sum) AS exp_curr")
-      .agg(coalesce(sum(expr("CASE WHEN exp_ref >= 5 AND exp_curr >= 5 THEN " +
-        "POW(ref_cnt - exp_ref, 2) / exp_ref + POW(curr_cnt - exp_curr, 2) / exp_curr ELSE 0 END")), lit(0.0))
-        .as("chi_square"), (count(lit(1)) - 1).as("dof"))
+      .selectExpr("value", s"$chiCellSql AS cell")
+      .agg(expr(chiFoldSparkSql).as("chi_square"), (count(lit(1)) - 1).as("dof"))
     if (exactPValue) {
       val pExact = udf((chi: Double, dof: Long) => chi2PValue(chi, dof))
       stat.select(pExact(col("chi_square"), col("dof")).as("p_value"))

@@ -57,9 +57,16 @@ package object drift {
   def withSide(df: DataFrame, refPred: Column): DataFrame =
     df.withColumn("side", when(refPred, "ref").otherwise("curr"))
 
+  /** Test-only escape: when true, [[r6]] is the identity, exposing PRE-round
+    * doubles so DriftMathSpec can assert they sit far from the 6-dp rounding
+    * boundary — the zone where an engine-order partial-sum reassociation or
+    * a loose libm ulp flips the rounded output (the cramers_v failure class,
+    * CORRECTNESS_r06). Never set in main code. */
+  private[graft] var r6TestBypass = false
+
   /** Round floating outputs so Spark and the DuckDB oracle hash identically
     * (SURVEY.md §7.3 floating-point determinism). */
-  def r6(c: Column): Column = round(c, 6)
+  def r6(c: Column): Column = if (r6TestBypass) c else round(c, 6)
 
   /** Portable 6-dp rounding: a floor-based expression built ONLY from IEEE
     * correctly-rounded ops (*, +, -, /, floor), so BOTH engines evaluating

@@ -276,4 +276,42 @@ class DriftMathSpec extends SparkSpec {
     assert(comp("a") == "a" && comp("b") == "a" && comp("c") == "a")
     assert(comp("d") == "d")
   }
+
+  test("rounding-boundary margin: flagged queries' pre-round values are " +
+    "far from the 6-dp flip zone on the gate testdata") {
+    // The cramers_v/rolling_stats failure class (CORRECTNESS_r06): a value
+    // within a few ulps of an x.xxxxxx5 boundary rounds differently when the
+    // other engine's partial-sum order or libm differs by 1 ulp. These
+    // queries sum engine-ordered doubles (with LOG/LOG2 terms) into an r6
+    // output; assert every pre-round double sits >= 1000 reassociation-ulps
+    // from the boundary at both the spec SF and the driver-gate SF, so a
+    // data refresh that drifts one onto the boundary fails here first.
+    // (mutual_info/robust stats round via literal ROUND text, not r6, and
+    // are not exposed by the bypass; their magnitudes are O(1) with the
+    // same LOG-sum shape as psi, which IS covered.)
+    val flagged = Seq("psi", "wasserstein", "js_full", "top_movers")
+    graft.drift.r6TestBypass = true
+    try {
+      for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");
+           name <- flagged) {
+        val df = SparkEntry.queries(name)(spark, dir)
+        val dCols = df.schema.fields
+          .filter(_.dataType == org.apache.spark.sql.types.DoubleType).map(_.name).toSeq
+        val rows = df.select(dCols.map(col): _*).collect()
+        for (r <- rows; i <- dCols.indices; if !r.isNullAt(i)) {
+          val v = r.getDouble(i)
+          // beyond 2^52 scaled, ulp(s) >= 0.5 and the margin is meaningless
+          if (!v.isNaN && !v.isInfinite && math.abs(v) < 4.5e9) {
+            val s = v * 1e6
+            val dist = math.abs((s - math.floor(s)) - 0.5)
+            val margin = math.max(1e-9, 1000 * math.ulp(s))
+            assert(dist > margin,
+              s"$name.${dCols(i)} @ $dir: pre-round $v is $dist from the " +
+                s"6-dp boundary (margin $margin) — needs the cramers_v " +
+                "canonical-fold treatment")
+          }
+        }
+      }
+    } finally graft.drift.r6TestBypass = false
+  }
 }
