@@ -51,6 +51,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
+    // a typo'd SPARK_GRAFT_ONLY would otherwise emit an empty artifact
+    // indistinguishable from a (suspiciously fast) valid run
+    val unknown = only.diff(SparkEntry.benchQueries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"[bench] unknown SPARK_GRAFT_ONLY names: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>

@@ -48,6 +48,14 @@ object AsofJoin {
            direction: String = "backward"): DataFrame = {
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown as-of direction '$direction'")
+    if (direction == "nearest") {
+      // the gap comparison subtracts ts values; a timestamp/date ts would
+      // otherwise surface as a confusing analysis error deep in the plan
+      val tsType = left.schema(ts).dataType
+      require(tsType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"asof direction='nearest' needs a numeric ts column; '$ts' is $tsType " +
+          "(convert timestamps with unix_micros() first)")
+    }
     val fields = (tiebreak +: payload).distinct
     // __ts rides inside the struct so `nearest` can compare gaps without
     // widening the caller-visible matched_* columns

@@ -947,8 +947,10 @@ object Dedup {
     * near-dup-pair-sized, tiny next to the corpus). Run per tuning
     * change, not per ingest. */
   def dedupQuality(spark: SparkSession, dir: String): DataFrame = {
-    val truth = ngramJaccardCapped(spark, dir).select("doc_a", "doc_b")
-    val cand = minhashLsh(spark, dir).select("doc_a", "doc_b")
+    // cached: each frame feeds BOTH the pair join and its own count agg —
+    // uncached, the expensive shingle/signature pipelines execute twice
+    val truth = ngramJaccardCapped(spark, dir).select("doc_a", "doc_b").cache()
+    val cand = minhashLsh(spark, dir).select("doc_a", "doc_b").cache()
     val tp = truth.join(cand, Seq("doc_a", "doc_b")).agg(count(lit(1)).as("n_matched"))
     truth.agg(count(lit(1)).as("n_truth"))
       .crossJoin(broadcast(cand.agg(count(lit(1)).as("n_candidates"))))

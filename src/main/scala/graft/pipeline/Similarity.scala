@@ -953,7 +953,9 @@ object Similarity {
     * query), which is exactly why the IVF and re-rank paths, not ann_lsh,
     * are the routed search defaults. */
   def annQuality(spark: SparkSession, dir: String): DataFrame = {
-    val exact = annCosine(spark, dir).select("query_id", "neighbor_id")
+    // cached: the brute-force exact frame feeds both the hit join and the
+    // n_exact count — uncached it executes twice
+    val exact = annCosine(spark, dir).select("query_id", "neighbor_id").cache()
     val preds = Seq(
       "ann_lsh" -> lshTopK(spark, dir),
       "ann_ivf" -> ivfTopK(spark, dir),

@@ -38,14 +38,30 @@ object SketchModeRewrite extends Rule[LogicalPlan] {
   val AccuracyKey = "spark.graft.sketchMode.accuracy"
   val RsdKey = "spark.graft.sketchMode.rsd"
 
+  // Config parsing is validated HERE with errors naming the conf key: a
+  // malformed value would otherwise throw a bare NumberFormatException from
+  // inside the optimizer on every query in the session.
   private def enabled: Boolean =
-    conf.getConfString(ConfKey, "false").toBoolean
+    conf.getConfString(ConfKey, "false").trim.toLowerCase match {
+      case "true" | "1" | "yes" => true
+      case "false" | "0" | "no" | "" => false
+      case other => throw new IllegalArgumentException(
+        s"$ConfKey must be true or false, got '$other'")
+    }
 
-  private def accuracy: Int =
-    conf.getConfString(AccuracyKey,
-      ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY.toString).toInt
+  private def accuracy: Int = {
+    val raw = conf.getConfString(AccuracyKey,
+      ApproximatePercentile.DEFAULT_PERCENTILE_ACCURACY.toString)
+    raw.trim.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+      s"$AccuracyKey must be a positive integer, got '$raw'"))
+  }
 
-  private def rsd: Double = conf.getConfString(RsdKey, "0.05").toDouble
+  private def rsd: Double = {
+    val raw = conf.getConfString(RsdKey, "0.05")
+    raw.trim.toDoubleOption.filter(r => r > 0 && r < 1).getOrElse(
+      throw new IllegalArgumentException(
+        s"$RsdKey must be a double in (0, 1), got '$raw'"))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan

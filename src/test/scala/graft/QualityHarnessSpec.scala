@@ -135,6 +135,31 @@ class QualityHarnessSpec extends SparkSpec {
     }
     // exact re-rank must recover recall over plain ADC
     assert(rows("pq_ann_rerank").getDouble(3) > rows("pq_ann").getDouble(3))
+    // REGRESSION FLOORS per tier, pinned just under the measured recall on
+    // this fixture (ivf 0.72, ivfpq 0.66, rerank 0.88, pq_ann 0.22): a
+    // tuning change that quietly craters an index tier fails here, the same
+    // way dedup_quality pins the LSH banding
+    val floors = Map("ann_ivf" -> 0.65, "ann_ivfpq" -> 0.55,
+      "pq_ann_rerank" -> 0.8, "pq_ann" -> 0.15)
+    floors.foreach { case (m, f) =>
+      assert(rows(m).getDouble(3) >= f,
+        s"$m recall ${rows(m).getDouble(3)} dropped below its $f floor")
+    }
+  }
+
+  test("ann recall harness detects a detuned index (shortlist collapsed to k)") {
+    import org.apache.spark.sql.functions._
+    val S = graft.pipeline.Similarity
+    val exact = S.annCosine(spark, sf).select("query_id", "neighbor_id").cache()
+    val nExact = exact.count().toDouble
+    // shortlist = k removes the re-rank margin: the candidate set IS the
+    // ADC top-k, so recall collapses to plain pq_ann's — if this ever
+    // PASSES the rerank floor, the harness has gone blind to detuning
+    val detuned = S.pqAnnRerank(spark, sf, shortlist = S.TopK)
+      .select("query_id", "neighbor_id")
+    val recall = detuned.join(exact, Seq("query_id", "neighbor_id")).count() / nExact
+    assert(recall < 0.8, s"detuned rerank recall $recall should sit under the 0.8 floor")
+    exact.unpersist()
   }
 
     test("source_report accounts every doc once and flags planted cross-source duplicates") {
