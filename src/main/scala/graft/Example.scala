@@ -68,6 +68,7 @@ object Example {
       val rep = graft.pipeline.CorpusPipeline.run(spark, sfDir, work)
       println(s"  corpus_pipeline: ${rep.nDocs} docs -> ${rep.nNeardupKept} kept, " +
         s"${rep.nClusters} clusters, ${rep.nLeakedDocs} leaked across splits, " +
+        s"${rep.nContainmentPairs} containment pairs, " +
         s"ppl buckets ${rep.pplBuckets.toSeq.sortBy(_._1).map { case (b, n) => s"$b=$n" }.mkString(" ")}")
       // packing: the curated corpus's context-window plan
       val pack = graft.pipeline.Packing.seqPack(spark, sfDir)
@@ -116,6 +117,20 @@ object Example {
       val canon = graft.pipeline.Dedup.clusterCanonical(spark, sfDir)
       println(s"  cluster_canonical: ${canon.count()} multi-doc clusters, " +
         "longest member kept per cluster")
+      // asymmetric near-dup: quote-expansion pairs symmetric Jaccard misses
+      val cont = graft.pipeline.Dedup.containmentPairs(spark, sfDir).count()
+      println(s"  containment_pairs: $cont containment (quote-expansion) pairs")
+      // the S-curve table a banding retune reads next to measured recall:
+      // the current (bands, rows) config's collision odds at the threshold
+      val knee = graft.pipeline.Dedup.lshTuningCurve(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("is_current") &&
+          org.apache.spark.sql.functions.col("jaccard") === graft.pipeline.Dedup.JaccardThreshold)
+        .collect()
+      knee.foreach(r => println(f"  lsh_tuning_curve: current banding catches a " +
+        f"threshold-Jaccard pair with p=${r.getAs[Double]("p_collision")}%.3f"))
+      println("  hybrid_search (BM25 + embedding RRF) top docs: " +
+        graft.pipeline.Retrieval.hybridSearch(spark, sfDir).collect().take(3).map(r =>
+          s"doc${r.getLong(0)}").mkString(" "))
       val au = graft.pipeline.EventAnalytics.activeUsers(spark, sfDir).collect()
       if (au.nonEmpty) {
         val mid = au(au.length / 2)
@@ -165,6 +180,24 @@ object Example {
       val gf = graft.pipeline.EventAnalytics.gapFill(spark, sfDir).collect()
       println(s"  gap_fill: dense series of ${gf.length} (type, day) cells, " +
         s"${gf.count(_.getLong(2) == 0)} gap days LOCF-filled")
+      // growth analytics tail: rolling stats, new-vs-returning, cohort LTV
+      val rs = graft.pipeline.EventAnalytics.rollingStats(spark, sfDir).collect()
+      println(s"  rolling_stats: ${rs.length} (type, day) rows with exact-decimal " +
+        "7-day RANGE-window mean/std")
+      val nvr = graft.pipeline.EventAnalytics.newVsReturning(spark, sfDir).collect()
+      if (nvr.nonEmpty) {
+        val last = nvr.last
+        println(s"  new_vs_returning: ${nvr.length} days, last day " +
+          s"${last.getAs[Long]("new_users")} new / ${last.getAs[Long]("returning_users")} returning")
+      }
+      val ltv = graft.pipeline.EventAnalytics.cohortLtv(spark, sfDir).collect()
+      if (ltv.nonEmpty)
+        println(s"  cohort_ltv: ${ltv.length} (cohort, offset) cells of " +
+          "cumulative per-user value")
+      // one-pass multi-dimension slices (GROUPING SETS: one exchange/table)
+      val gsl = graft.drift.GroupDrift.groupSlices(spark, sfDir).collect()
+      println(s"  group_slices: ${gsl.length} (table, dimension, category, metric) " +
+        "slices from one grouping-sets pass per table")
     }
 
     // versioned time travel driving the detector, as a config file would

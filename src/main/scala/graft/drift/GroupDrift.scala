@@ -35,15 +35,15 @@ object GroupDrift {
 
   // ------------------------------------------------------ eligibility (O34)
 
-  /** Eligible categories: ≥20 rows in BOTH frames, top-20 by combined count
-    * (deterministic tie-break on category). */
-  private def eligible(spark: SparkSession, dir: String, sp: GroupSpec): DataFrame =
-    withSide(table(spark, dir, sp.tableName), sp.ref)
-      .groupBy(col("side"), col(sp.dim).cast("string").as("category"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy("category").agg(
-        coalesce(max(when(col("side") === "ref", col("n"))), lit(0L)).as("ref_n"),
-        coalesce(max(when(col("side") === "curr", col("n"))), lit(0L)).as("curr_n"))
+  /** Eligibility tail over an already-aggregated (category, ref_n, curr_n)
+    * frame: ≥20 rows in BOTH frames, top-20 by combined count
+    * (deterministic tie-break on category). The counts frame is DERIVED
+    * from the same aggregation that computes the metrics (numPivot's n /
+    * the categorical value-count frame), so each group query costs one
+    * scan of the table, not two — at 100 TB the second full scan the
+    * round-6 verdict flagged is the whole cost of this family. */
+  private def eligibleFromCounts(counts: DataFrame): DataFrame =
+    counts
       .filter(col("ref_n") >= MinGroupRows && col("curr_n") >= MinGroupRows)
       // orderBy.limit plans TakeOrderedAndProject — distributed top-k, not a
       // single-partition rank window over every category
@@ -128,10 +128,19 @@ object GroupDrift {
   /** `approx=true` is the benchmarked 100 TB path (sketch-based group
     * medians); the oracle-checked query keeps exact `percentile` so DuckDB's
     * `quantile_cont` reproduces values. */
+  /** Per-category (ref_n, curr_n) derived from the pivoted metrics frame —
+    * every metric row of a category carries the same side counts. */
+  private def countsFromNumPivot(np: DataFrame): DataFrame =
+    np.groupBy("category").agg(
+      coalesce(max("ref_n"), lit(0L)).as("ref_n"),
+      coalesce(max("curr_n"), lit(0L)).as("curr_n"))
+
   def groupNumericMetrics(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     val per = specs.map { sp =>
-      numPivot(spark, dir, sp, approx)
-        .join(eligible(spark, dir, sp).select("category"), "category")
+      // cached: the frame feeds both the metric rows and the eligibility
+      // derivation — category×metric-sized, tiny at any corpus scale
+      val np = numPivot(spark, dir, sp, approx).cache()
+      np.join(eligibleFromCounts(countsFromNumPivot(np)).select("category"), "category")
         .select(lit(sp.tableName).as("table_name"), lit(sp.dim).as("dimension"), col("*"))
         .selectExpr(numFinal: _*)
     }
@@ -153,10 +162,22 @@ object GroupDrift {
     * (freq over ALL group rows incl. nulls — window normalization in the
     * reference, group_analyzer.py:378-387), then common/new/disappeared and
     * avg frequency drift. */
-  private def catPivot(spark: SparkSession, dir: String, sp: GroupSpec, m: String): DataFrame = {
-    val vc = withSide(table(spark, dir, sp.tableName), sp.ref)
+  /** Per-(side, category, value) counts for one categorical metric — the
+    * ONE scan every downstream frame of the categorical family (top-10
+    * frequency pivot, eligibility counts, null census) derives from. */
+  private def vcFrame(spark: SparkSession, dir: String, sp: GroupSpec, m: String): DataFrame =
+    withSide(table(spark, dir, sp.tableName), sp.ref)
       .groupBy(col("side"), col(sp.dim).cast("string").as("category"), col(m).cast("string").as("v"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Per-category (ref_n, curr_n) row counts recovered from the value-count
+    * frame (the v groups partition the rows, nulls included). */
+  private def countsFromVc(vc: DataFrame): DataFrame =
+    vc.groupBy("category").agg(
+      coalesce(sum(when(col("side") === "ref", col("cnt"))), lit(0L)).as("ref_n"),
+      coalesce(sum(when(col("side") === "curr", col("cnt"))), lit(0L)).as("curr_n"))
+
+  private def catPivot(vc: DataFrame): DataFrame = {
     val w = Window.partitionBy("side", "category")
     val top = vc
       .withColumn("freq", col("cnt") / sum("cnt").over(w))
@@ -196,9 +217,12 @@ object GroupDrift {
 
   def groupCatMetrics(spark: SparkSession, dir: String): DataFrame = {
     val per = for (sp <- specs; m <- sp.catMetrics) yield {
-      catPivot(spark, dir, sp, m)
+      // cached: the value-count frame feeds the frequency pivot AND the
+      // eligibility counts — (side × category × value)-sized, tiny
+      val vc = vcFrame(spark, dir, sp, m).cache()
+      catPivot(vc)
         .groupBy("category").agg(catAggs.map(expr).head, catAggs.map(expr).tail: _*)
-        .join(eligible(spark, dir, sp).select("category"), "category")
+        .join(eligibleFromCounts(countsFromVc(vc)).select("category"), "category")
         .select(lit(sp.tableName).as("table_name"), lit(sp.dim).as("dimension"),
           lit(m).as("metric"), col("*"))
         .selectExpr(catFinal: _*)
@@ -272,8 +296,11 @@ object GroupDrift {
 
   def groupDriftVerdict(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     val per = specs.map { sp =>
-      val np = numPivot(spark, dir, sp, approx)
-      val elig = eligible(spark, dir, sp)
+      // cached: np feeds the four numeric component projections AND the
+      // eligibility counts (uncached, the union replays the scan+agg DAG
+      // once per branch); it is category×metric-sized
+      val np = numPivot(spark, dir, sp, approx).cache()
+      val elig = eligibleFromCounts(countsFromNumPivot(np))
       val numComps = Seq(
         ("null", "ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n)"),
         ("mean", s"ABS(${pctChangeSql("ref_mean", "curr_mean")})"),
@@ -282,16 +309,17 @@ object GroupDrift {
         .map { case (k, e) => np.selectExpr("category", s"'$k' AS kind", s"$e AS value") }
         .reduce(_ union _)
       val catComps = sp.catMetrics.map { m =>
-        val cm = catPivot(spark, dir, sp, m)
+        // one scan for the whole categorical side: the frequency pivot AND
+        // the null census both derive from the cached value-count frame
+        // (the v-null group IS the null count)
+        val vc = vcFrame(spark, dir, sp, m).cache()
+        val cm = catPivot(vc)
           .groupBy("category").agg(catAggs.map(expr).head, catAggs.map(expr).tail: _*)
-        val cn = withSide(table(spark, dir, sp.tableName), sp.ref)
-          .groupBy(col("side"), col(sp.dim).cast("string").as("category"))
-          .agg(count(lit(1)).as("n"), sum(when(col(m).isNull, 1L).otherwise(0L)).as("nulls"))
-          .groupBy("category").agg(
-            max(when(col("side") === "ref", col("n"))).as("ref_n"),
-            max(when(col("side") === "ref", col("nulls"))).as("ref_nulls"),
-            max(when(col("side") === "curr", col("n"))).as("curr_n"),
-            max(when(col("side") === "curr", col("nulls"))).as("curr_nulls"))
+        val cn = vc.groupBy("category").agg(
+            sum(when(col("side") === "ref", col("cnt"))).as("ref_n"),
+            sum(when(col("side") === "ref", when(col("v").isNull, col("cnt")).otherwise(0L))).as("ref_nulls"),
+            sum(when(col("side") === "curr", col("cnt"))).as("curr_n"),
+            sum(when(col("side") === "curr", when(col("v").isNull, col("cnt")).otherwise(0L))).as("curr_nulls"))
         cn.selectExpr("category", "'null' AS kind",
             "ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n) AS value")
           .union(cm.selectExpr("category", "'freq' AS kind", "avg_freq_drift AS value"))
@@ -336,17 +364,11 @@ object GroupDrift {
     val allCols = (Seq(dim) ++ numMetrics ++ catMetrics).distinct
     val tagged = NumericDrift.tagPair(ref, curr, allCols)
 
-    val elig = tagged
-      .groupBy(col("side"), col(dim).cast("string").as("category"))
-      .agg(count(lit(1)).as("n"))
-      .groupBy("category").agg(
-        coalesce(max(when(col("side") === "ref", col("n"))), lit(0L)).as("ref_n"),
-        coalesce(max(when(col("side") === "curr", col("n"))), lit(0L)).as("curr_n"))
-      .filter(col("ref_n") >= MinGroupRows && col("curr_n") >= MinGroupRows)
-      .orderBy((col("ref_n") + col("curr_n")).desc, col("category").asc)
-      .limit(TopCategories)
-
-    val numComps = if (numMetrics.isEmpty) Seq.empty else {
+    // same one-scan discipline as the query path: the numeric pivot and
+    // the per-metric value-count frames are the ONLY scans of the pair;
+    // eligibility and null censuses derive from those cached aggregates
+    // (caching the tagged pair itself would pin a corpus-sized frame)
+    val npOpt = if (numMetrics.isEmpty) None else Some {
       val aggs = count(lit(1)).as("n") +: numMetrics.flatMap { m =>
         Seq(
           sum(when(col(m).isNull, 1L).otherwise(0L)).as(s"${m}__nulls"),
@@ -366,8 +388,28 @@ object GroupDrift {
       val pivAggs = Seq("n", "nulls", "mean", "std", "med").flatMap { c => Seq(
         max(when(col("side") === "ref", col(c))).as(s"ref_$c"),
         max(when(col("side") === "curr", col(c))).as(s"curr_$c")) }
-      val piv = long.groupBy("category", "metric").agg(pivAggs.head, pivAggs.tail: _*)
+      long.groupBy("category", "metric").agg(pivAggs.head, pivAggs.tail: _*)
         .filter(col("ref_n").isNotNull && col("curr_n").isNotNull)
+        .cache()
+    }
+    val vcs = catMetrics.filterNot(_ == dim).map { m =>
+      m -> tagged
+        .groupBy(col("side"), col(dim).cast("string").as("category"), col(m).cast("string").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .cache()
+    }
+
+    val counts = npOpt.map(countsFromNumPivot)
+      .orElse(vcs.headOption.map { case (_, vc) => countsFromVc(vc) })
+      .getOrElse(tagged
+        .groupBy(col("side"), col(dim).cast("string").as("category"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("category").agg(
+          coalesce(max(when(col("side") === "ref", col("n"))), lit(0L)).as("ref_n"),
+          coalesce(max(when(col("side") === "curr", col("n"))), lit(0L)).as("curr_n")))
+    val elig = eligibleFromCounts(counts)
+
+    val numComps = npOpt.toSeq.flatMap { piv =>
       Seq(
         ("null", "ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n)"),
         ("mean", s"ABS(${pctChangeSql("ref_mean", "curr_mean")})"),
@@ -376,26 +418,14 @@ object GroupDrift {
         .map { case (k, e) => piv.selectExpr("category", s"'$k' AS kind", s"$e AS value") }
     }
 
-    val catComps = catMetrics.filterNot(_ == dim).flatMap { m =>
-      val vc = tagged
-        .groupBy(col("side"), col(dim).cast("string").as("category"), col(m).cast("string").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("side", "category")
-      val top = vc.withColumn("freq", col("cnt") / sum("cnt").over(w))
-        .withColumn("rk", row_number().over(w.orderBy(col("cnt").desc, col("v").asc)))
-        .filter(col("rk") <= 10)
-      val cm = top.groupBy("category", "v").agg(
-          max(when(col("side") === "ref", col("freq"))).as("p"),
-          max(when(col("side") === "curr", col("freq"))).as("q"))
+    val catComps = vcs.flatMap { case (_, vc) =>
+      val cm = catPivot(vc)
         .groupBy("category").agg(catAggs.map(expr).head, catAggs.map(expr).tail: _*)
-      val cn = tagged
-        .groupBy(col("side"), col(dim).cast("string").as("category"))
-        .agg(count(lit(1)).as("n"), sum(when(col(m).isNull, 1L).otherwise(0L)).as("nulls"))
-        .groupBy("category").agg(
-          max(when(col("side") === "ref", col("n"))).as("ref_n"),
-          max(when(col("side") === "ref", col("nulls"))).as("ref_nulls"),
-          max(when(col("side") === "curr", col("n"))).as("curr_n"),
-          max(when(col("side") === "curr", col("nulls"))).as("curr_nulls"))
+      val cn = vc.groupBy("category").agg(
+          sum(when(col("side") === "ref", col("cnt"))).as("ref_n"),
+          sum(when(col("side") === "ref", when(col("v").isNull, col("cnt")).otherwise(0L))).as("ref_nulls"),
+          sum(when(col("side") === "curr", col("cnt"))).as("curr_n"),
+          sum(when(col("side") === "curr", when(col("v").isNull, col("cnt")).otherwise(0L))).as("curr_nulls"))
         .filter(col("ref_n").isNotNull && col("curr_n").isNotNull)
       Seq(
         cn.selectExpr("category", "'null' AS kind",
@@ -415,17 +445,125 @@ object GroupDrift {
       .orderBy("category")
   }
 
+  // ------------------------------------- one-pass multi-dim slices (O32+)
+
+  /** Tables with EVERY split dimension aggregated in one pass. */
+  case class SliceSpec(tableName: String, dims: Seq[String],
+      metrics: Seq[String], ref: Column, refSql: String)
+
+  val sliceSpecs: Seq[SliceSpec] = Seq(
+    SliceSpec("lineitem", Seq("l_returnflag", "l_linestatus"),
+      Seq("l_extendedprice", "l_quantity"), S.lineitemRef, S.lineitemRefSql),
+    SliceSpec("orders", Seq("o_orderstatus", "o_orderpriority"),
+      Seq("o_totalprice"), S.ordersRef, S.ordersRefSql),
+  )
+
+  /** Multi-dimension group slices via GROUPING SETS: per table, EVERY
+    * dimension's per-(side, category) counts and metric sums aggregate in a
+    * SINGLE job — one scan, one Expand, ONE exchange — where the
+    * one-groupBy-per-dimension shape pays a full scan+shuffle per
+    * dimension. At 100 TB with d dimensions this is a d× scan reduction;
+    * the reference's dimension_id design (demo_notebook.py:64,
+    * result_handler.py:42) is exactly this fan-out.
+    *
+    * Exactness contract: metric sums accumulate in DECIMAL(18,6) (exact —
+    * the TPC-H prices carry 2 dp) and the only doubles are derived from
+    * those exact sums and counts through [[pr6Sql]]'s shared IEEE text, so
+    * both engines hash identically. (Scaled sums stay under 2^53 through
+    * sf0.1; a full-scale deployment reads the decimal columns directly.) */
+  def groupSlices(spark: SparkSession, dir: String): DataFrame = {
+    val per = sliceSpecs.map { sp =>
+      val base = withSide(table(spark, dir, sp.tableName), sp.ref)
+      val aggs = (count(lit(1)).as("n") +:
+        sp.metrics.map(m => sum(col(m).cast("decimal(18,6)")).as(s"__sum_$m"))) ++
+        sp.dims.map(d => grouping(col(d)).as(s"__g_$d"))
+      val gs = base
+        .groupingSets(sp.dims.map(d => Seq(col("side"), col(d))),
+          (col("side") +: sp.dims.map(col)): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      // recover (dimension, category) from the grouping markers: exactly
+      // one dim per grouping set is live (its marker is 0)
+      val dimCase = sp.dims.map(d => s"WHEN __g_$d = 0 THEN '$d'")
+        .mkString("CASE ", " ", " END")
+      val catCase = sp.dims.map(d => s"WHEN __g_$d = 0 THEN CAST($d AS STRING)")
+        .mkString("CASE ", " ", " END")
+      val stacked = gs.selectExpr(Seq("side", s"$dimCase AS dimension",
+          s"$catCase AS category", "n") ++
+          Seq(s"stack(${sp.metrics.size}, " +
+            sp.metrics.map(m => s"'$m', __sum_$m").mkString(", ") +
+            ") AS (metric, msum)"): _*)
+      stacked.groupBy("dimension", "category", "metric").agg(
+          max(when(col("side") === "ref", col("n"))).as("ref_n"),
+          max(when(col("side") === "curr", col("n"))).as("curr_n"),
+          max(when(col("side") === "ref", col("msum"))).as("ref_sum0"),
+          max(when(col("side") === "curr", col("msum"))).as("curr_sum0"))
+        .where(expr(sliceWhere))
+        .select(lit(sp.tableName).as("table_name"), col("*"))
+        .selectExpr(sliceFinal: _*)
+    }
+    per.reduce(_ unionByName _)
+      .orderBy("table_name", "dimension", "category", "metric")
+  }
+
+  /** Shared final text (Spark selectExpr ≡ DuckDB): counts, the exact
+    * decimal sums, and pr6-rounded means/pct-change from them. */
+  private val sliceFinal: Seq[String] = {
+    val rm = "(CAST(ref_sum0 AS DOUBLE) / ref_n)"
+    val cm = "(CAST(curr_sum0 AS DOUBLE) / curr_n)"
+    Seq("table_name", "dimension", "category", "metric",
+      "ref_n", "curr_n",
+      "CAST(ref_sum0 AS DECIMAL(38,6)) AS ref_sum",
+      "CAST(curr_sum0 AS DECIMAL(38,6)) AS curr_sum",
+      pr6Sql(rm) + " AS ref_mean",
+      pr6Sql(cm) + " AS curr_mean",
+      pr6Sql(pctChangeSql(rm, cm)) + " AS mean_pct_change")
+  }
+
+  private def sliceWhere: String =
+    s"ref_n >= $MinGroupRows AND curr_n >= $MinGroupRows"
+
+  def groupSlicesSql: String = {
+    val per = sliceSpecs.map { sp =>
+      val dimCase = sp.dims.map(d => s"WHEN g_$d = 0 THEN '$d'")
+        .mkString("CASE ", " ", " END")
+      val catCase = sp.dims.map(d => s"WHEN g_$d = 0 THEN CAST($d AS VARCHAR)")
+        .mkString("CASE ", " ", " END")
+      val inner = s"SELECT CASE WHEN ${sp.refSql} THEN 'ref' ELSE 'curr' END AS side, " +
+        sp.dims.mkString(", ") + ", " +
+        sp.dims.map(d => s"GROUPING($d) AS g_$d").mkString(", ") + ", " +
+        "COUNT(*) AS n, " +
+        sp.metrics.map(m => s"SUM($m::DECIMAL(18,6)) AS sum_$m").mkString(", ") +
+        s" FROM ${sp.tableName} GROUP BY GROUPING SETS " +
+        sp.dims.map(d => s"(side, $d)").mkString("(", ", ", ")")
+      val unpiv = sp.metrics.map(m =>
+        s"SELECT side, $dimCase AS dimension, $catCase AS category, " +
+          s"'$m' AS metric, n, sum_$m AS msum FROM gsets").mkString(" UNION ALL ")
+      s"SELECT ${sliceFinal.mkString(", ")} FROM " +
+        s"(WITH gsets AS ($inner) " +
+        s"SELECT '${sp.tableName}' AS table_name, dimension, category, metric, " +
+        "MAX(CASE WHEN side = 'ref' THEN n END) AS ref_n, " +
+        "MAX(CASE WHEN side = 'curr' THEN n END) AS curr_n, " +
+        "MAX(CASE WHEN side = 'ref' THEN msum END) AS ref_sum0, " +
+        "MAX(CASE WHEN side = 'curr' THEN msum END) AS curr_sum0 " +
+        s"FROM ($unpiv) u GROUP BY 1, 2, 3, 4) piv WHERE $sliceWhere"
+    }
+    s"SELECT * FROM (${per.mkString(" UNION ALL ")}) q " +
+      "ORDER BY table_name, dimension, category, metric"
+  }
+
   // ----------------------------------------------------------------- API
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "group_numeric_metrics" -> ((s, d) => groupNumericMetrics(s, d)),
     "group_cat_metrics" -> ((s, d) => groupCatMetrics(s, d)),
     "group_drift" -> ((s, d) => groupDriftVerdict(s, d)),
+    "group_slices" -> ((s, d) => groupSlices(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "group_numeric_metrics" -> groupNumericMetricsSql,
     "group_cat_metrics" -> groupCatMetricsSql,
     "group_drift" -> groupDriftVerdictSql,
+    "group_slices" -> groupSlicesSql,
   )
 }

@@ -35,7 +35,8 @@ object CorpusPipeline {
       nDedupKept: Long, nNeardupKept: Long,
       nClusters: Long, nLeakyClusters: Long, nLeakedDocs: Long,
       pplBuckets: Map[String, Long],
-      clustersPath: String)
+      clustersPath: String,
+      nContainmentPairs: Long = 0L)
 
   /** Run the full curation sweep over `dir`'s documents corpus, persisting
     * the near-dup artifact under `workDir`.
@@ -87,7 +88,12 @@ object CorpusPipeline {
     val leak = DataSplit.splitLeakageNeardup(spark, dir,
       precomputed = Some(artifact)).collect()(0)
 
-    // 4. quality sampling artifact: perplexity tercile buckets
+    // 4. asymmetric near-dup sweep: containment (quote-expansion) pairs the
+    //    symmetric Jaccard stages above structurally miss — a curation
+    //    report without this count under-states the duplication surface
+    val nContainment = Dedup.containmentPairs(spark, dir).count()
+
+    // 5. quality sampling artifact: perplexity tercile buckets
     val buckets = LmScore.lmPplBuckets(spark, dir, scope = Some(scope)).collect()
       .groupBy(_.getAs[String]("bucket"))
       .map { case (b, rs) => b -> rs.map(_.getAs[Long]("n_docs")).sum }
@@ -100,6 +106,7 @@ object CorpusPipeline {
       nLeakyClusters = leak.getAs[Long]("n_leaky_clusters"),
       nLeakedDocs = leak.getAs[Long]("n_leaked_docs"),
       pplBuckets = buckets,
-      clustersPath = clustersPath)
+      clustersPath = clustersPath,
+      nContainmentPairs = nContainment)
   }
 }

@@ -149,6 +149,31 @@ object LmScore {
 
   /** Per-source rollup — the artifact a corpus filter actually thresholds
     * on (CCNet buckets sources by LM score the same way). */
+  /** Production-shape family runner: scores the corpus ONCE (cached) and
+    * derives all three LM surfaces — per-doc scores, per-source rollup,
+    * CCNet ppl buckets — from the shared frame. This is the deployment
+    * cost; the bench's per-query cache-cleared runs re-pay the scoring DAG
+    * once per query by harness construction. */
+  def lmFamilyShared(spark: SparkSession, dir: String,
+      approx: Boolean = true): Seq[DataFrame] = {
+    val docs = table(spark, dir, "documents")
+    val scored = scoreDocs(docs.select("doc_id", "source", "lang", "text"),
+      carry = Seq("source")).cache()
+    val perDoc = scored.orderBy("doc_id")
+    val bySource = scored.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        count(col("avg_logprob")).as("n_scored"),
+        avg("oov_rate").as("mean_oov_rate"),
+        avg("avg_logprob").as("mean_logprob"))
+      .orderBy("source")
+    val (t1, t2) = pplTerciles(scored, approx)
+    val buckets = scored.withColumn("bucket", bucketExpr(t1, t2))
+      .groupBy("source", "bucket").agg(
+        count(lit(1)).as("n_docs"), r6(avg("ppl")).as("mean_ppl"))
+      .orderBy("source", "bucket")
+    Seq(perDoc, bySource, buckets)
+  }
+
   def lmScoreBySource(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     scoreDocs(docs.select("doc_id", "source", "lang", "text"), carry = Seq("source"))

@@ -289,7 +289,8 @@ class DriftMathSpec extends SparkSpec {
     // (mutual_info/robust stats round via literal ROUND text, not r6, and
     // are not exposed by the bypass; their magnitudes are O(1) with the
     // same LOG-sum shape as psi, which IS covered.)
-    val flagged = Seq("psi", "wasserstein", "js_full", "top_movers")
+    val flagged = Seq("psi", "wasserstein", "js_full", "top_movers",
+      "topk_entropy", "dist_diff")
     graft.drift.r6TestBypass = true
     try {
       for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01");

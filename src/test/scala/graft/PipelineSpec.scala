@@ -615,6 +615,9 @@ class PipelineSpec extends SparkSpec {
     assert(r.nLeakedDocs == standalone.getAs[Long]("n_leaked_docs"))
     // buckets partition the corpus
     assert(r.pplBuckets.values.sum == r.nDocs)
+    // the asymmetric containment sweep is routed through the one-call API
+    // and agrees with the standalone operator
+    assert(r.nContainmentPairs == Dedup.containmentPairs(spark, dir).count())
   }
 
   test("span dedup flags only the cross-doc repeated 8-token run") {
