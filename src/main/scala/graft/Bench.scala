@@ -129,9 +129,12 @@ object Bench {
     // parsed:null because the 5 KB per-query line overflowed that window.
     // The full map goes to stderr and to a detail file instead.
     System.err.println(detail)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_detail.json"), detail + "\n")
-    catch { case _: Throwable => () }
+    // only full runs persist the detail artifact — a SPARK_GRAFT_ONLY
+    // subset run must not clobber the last full run's per-query map
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_detail.json"), detail + "\n")
+      catch { case _: Throwable => () }
     println(compact)
     spark.stop()
   }
