@@ -81,11 +81,16 @@ object Bench {
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    val prod: Seq[(String, Double)] = if (only.nonEmpty) Seq.empty else {
+    // each family is failure-isolated (-1 marker) the same way the
+    // per-query loop swallows a bad query: one broken prod path must never
+    // discard the 155 per-query timings already measured
+    def timedSafe(body: => Unit): Double =
+      try timed(body) catch { case _: Throwable => -1.0 }
+    val prod: Seq[(String, Double)] = if (only.nonEmpty) Seq.empty else try {
       spark.catalog.clearCache()
       graft.drift.Report.invalidateAll()
       // one memoized scoring DAG feeds all five report surfaces
-      val reportT = timed {
+      val reportT = timedSafe {
         Seq("drift_results", "drift_summary", "dimensional_summary",
           "top_dimensions", "top_drifted_columns")
           .foreach(n => SparkEntry.benchQueries(n)(spark, sfDir).count())
@@ -93,24 +98,29 @@ object Bench {
       spark.catalog.clearCache()
       // LSH clustering runs once, is persisted, and the leakage audit
       // consumes the artifact
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-prod").toString
-      val neardupT = timed {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-prod")
+      val neardupT = timedSafe {
         graft.pipeline.Dedup.writeClusters(
           graft.pipeline.Dedup.neardupClusters(spark, sfDir), s"$tmp/clusters")
         val art = graft.pipeline.Dedup.readClusters(spark, s"$tmp/clusters")
         graft.pipeline.DataSplit.splitLeakageNeardup(spark, sfDir,
           precomputed = Some(art)).count()
       }
+      try { // the clusters parquet would otherwise accumulate per run
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
       spark.catalog.clearCache()
       // the corpus is LM-scored once; per-doc, per-source and ppl-bucket
       // surfaces all aggregate the shared cached frame
-      val lmT = timed {
+      val lmT = timedSafe {
         graft.pipeline.LmScore.lmFamilyShared(spark, sfDir).foreach(_.count())
       }
       spark.catalog.clearCache()
       Seq("report_family" -> reportT, "neardup_artifact" -> neardupT,
         "lm_family" -> lmT)
-    }
+    } catch { case _: Throwable => Seq("prod_failed" -> -1.0) }
     def jsonPairs(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jsonPairs(results)

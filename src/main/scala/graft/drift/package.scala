@@ -79,14 +79,15 @@ package object drift {
     * exact tie convention is irrelevant — cross-engine agreement is the
     * contract. Valid for |x| < 2^53/1e6 (all rounded drift outputs). */
   def pr6Sql(e: String): String =
-    s"(CASE WHEN ($e) >= 0 THEN FLOOR(($e) * 1000000e0 + 0.5e0) / 1000000e0 " +
+    // first branch passes NaN/±Infinity through UNCHANGED on both engines
+    // (x - x is NaN for all three; NaN = 0 is false in both): Spark's
+    // FLOOR(double) returns BIGINT and would silently map NaN → 0 and
+    // ±Inf → ±Long.MaxValue/1e6 while DuckDB's FLOOR keeps them — exactly
+    // the cross-engine divergence this helper exists to eliminate. ROUND
+    // also kept NaN as NaN on both engines, so semantics are preserved.
+    s"(CASE WHEN NOT (($e) - ($e) = 0) THEN ($e) " +
+      s"WHEN ($e) >= 0 THEN FLOOR(($e) * 1000000e0 + 0.5e0) / 1000000e0 " +
       s"ELSE 0e0 - FLOOR((0e0 - ($e)) * 1000000e0 + 0.5e0) / 1000000e0 END)"
-
-  /** Column form of [[pr6Sql]] — same semantics (0.0 - y, not unary minus,
-    * so a zero result is +0.0 in both engines). */
-  def pr6(c: Column): Column =
-    when(c >= 0, floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
-      .otherwise(lit(0.0) - floor((lit(0.0) - c) * lit(1e6) + lit(0.5)) / lit(1e6))
 
   /** Relative difference with the reference's zero-denominator rule
     * (/root/reference/numerical_analyzer.py:214-219):

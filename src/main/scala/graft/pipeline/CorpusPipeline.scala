@@ -91,7 +91,7 @@ object CorpusPipeline {
     // 4. asymmetric near-dup sweep: containment (quote-expansion) pairs the
     //    symmetric Jaccard stages above structurally miss — a curation
     //    report without this count under-states the duplication surface
-    val nContainment = Dedup.containmentPairs(spark, dir).count()
+    val nContainment = Dedup.containmentPairs(spark, dir, scope = Some(scope)).count()
 
     // 5. quality sampling artifact: perplexity tercile buckets
     val buckets = LmScore.lmPplBuckets(spark, dir, scope = Some(scope)).collect()

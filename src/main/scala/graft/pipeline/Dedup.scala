@@ -1030,13 +1030,17 @@ object Dedup {
     * near-dup-sized. */
   def containmentPairs(spark: SparkSession, dir: String,
       maxDfFrac: Double = MaxShingleDocFrac,
-      maxDfAbs: Long = MaxShingleDfAbs): DataFrame = {
+      maxDfAbs: Long = MaxShingleDfAbs,
+      scope: Option[CacheScope] = None): DataFrame = {
     val nDocs = table(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
     val dfreq = shingles(spark, dir).groupBy("sh").agg(count(lit(1)).as("df"))
     val keepSh = dfreq.crossJoin(broadcast(nDocs))
       .filter(col("df") <= least(col("n_docs") * maxDfFrac, lit(maxDfAbs.toDouble)))
       .select("sh")
-    val tri = shingles(spark, dir).join(keepSh, "sh").cache()
+    // routed through the caller's CacheScope when given: the (doc, shingle)
+    // frame is corpus-sized, and a sweep must be able to release it
+    val triBare = shingles(spark, dir).join(keepSh, "sh")
+    val tri = scope.fold(triBare.cache())(_.cached(triBare))
     val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = tri.as("a").join(tri.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
