@@ -277,6 +277,33 @@ class DriftMathSpec extends SparkSpec {
     assert(comp("d") == "d")
   }
 
+  test("pr6Sql: ties round away from zero, NaN/Inf/NULL pass through, -0.0 never emitted") {
+    // the cross-engine contract: every branch is IEEE-exact ops only, so
+    // DuckDB evaluating the same text produces the same bits (verified
+    // manually against DuckDB 1.0.0; the gate re-verifies on every query)
+    val cases = Seq(
+      "CAST(0.1234565 AS DOUBLE)" -> 0.123457, // tie (binary rep is above .5): away from zero
+      "CAST(-0.1234565 AS DOUBLE)" -> -0.123457,
+      "CAST(0.1234561 AS DOUBLE)" -> 0.123456,
+      "CAST(1234.9999996 AS DOUBLE)" -> 1235.0,
+      "CAST(-0.0000001 AS DOUBLE)" -> 0.0, // rounds to zero; must be +0.0
+      "CAST(0.0 AS DOUBLE)" -> 0.0,
+      "CAST(float('NaN') AS DOUBLE)" -> Double.NaN,
+      "CAST(float('Infinity') AS DOUBLE)" -> Double.PositiveInfinity,
+      "CAST(float('-Infinity') AS DOUBLE)" -> Double.NegativeInfinity)
+    cases.foreach { case (in, want) =>
+      val got = spark.sql(s"SELECT ${pr6Sql(in)} AS r").collect()(0).getDouble(0)
+      if (want.isNaN) assert(got.isNaN, s"$in -> $got, want NaN")
+      else {
+        assert(got == want, s"$in -> $got, want $want")
+        // -0.0 would hash differently than the oracle's 0e0 - 0.0 = +0.0
+        assert(java.lang.Double.doubleToRawLongBits(got) !=
+          java.lang.Double.doubleToRawLongBits(-0.0d), s"$in produced -0.0")
+      }
+    }
+    assert(spark.sql(s"SELECT ${pr6Sql("CAST(NULL AS DOUBLE)")} AS r").collect()(0).isNullAt(0))
+  }
+
   test("rounding-boundary margin: flagged queries' pre-round values are " +
     "far from the 6-dp flip zone on the gate testdata") {
     // The cramers_v/rolling_stats failure class (CORRECTNESS_r06): a value
