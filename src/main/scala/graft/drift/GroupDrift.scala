@@ -471,38 +471,53 @@ object GroupDrift {
     * those exact sums and counts through [[pr6Sql]]'s shared IEEE text, so
     * both engines hash identically. (Scaled sums stay under 2^53 through
     * sf0.1; a full-scale deployment reads the decimal columns directly.) */
-  def groupSlices(spark: SparkSession, dir: String): DataFrame = {
-    val per = sliceSpecs.map { sp =>
-      val base = withSide(table(spark, dir, sp.tableName), sp.ref)
-      val aggs = (count(lit(1)).as("n") +:
-        sp.metrics.map(m => sum(col(m).cast("decimal(18,6)")).as(s"__sum_$m"))) ++
-        sp.dims.map(d => grouping(col(d)).as(s"__g_$d"))
-      val gs = base
-        .groupingSets(sp.dims.map(d => Seq(col("side"), col(d))),
-          (col("side") +: sp.dims.map(col)): _*)
-        .agg(aggs.head, aggs.tail: _*)
-      // recover (dimension, category) from the grouping markers: exactly
-      // one dim per grouping set is live (its marker is 0)
-      val dimCase = sp.dims.map(d => s"WHEN __g_$d = 0 THEN '$d'")
-        .mkString("CASE ", " ", " END")
-      val catCase = sp.dims.map(d => s"WHEN __g_$d = 0 THEN CAST($d AS STRING)")
-        .mkString("CASE ", " ", " END")
-      val stacked = gs.selectExpr(Seq("side", s"$dimCase AS dimension",
-          s"$catCase AS category", "n") ++
-          Seq(s"stack(${sp.metrics.size}, " +
-            sp.metrics.map(m => s"'$m', __sum_$m").mkString(", ") +
-            ") AS (metric, msum)"): _*)
-      stacked.groupBy("dimension", "category", "metric").agg(
-          max(when(col("side") === "ref", col("n"))).as("ref_n"),
-          max(when(col("side") === "curr", col("n"))).as("curr_n"),
-          max(when(col("side") === "ref", col("msum"))).as("ref_sum0"),
-          max(when(col("side") === "curr", col("msum"))).as("curr_sum0"))
-        .where(expr(sliceWhere))
-        .select(lit(sp.tableName).as("table_name"), col("*"))
-        .selectExpr(sliceFinal: _*)
-    }
-    per.reduce(_ unionByName _)
+  def groupSlices(spark: SparkSession, dir: String): DataFrame =
+    sliceSpecs.map(sp =>
+        sliceAgg(withSide(table(spark, dir, sp.tableName), sp.ref),
+          sp.dims, sp.metrics, sp.tableName))
+      .reduce(_ unionByName _)
       .orderBy("table_name", "dimension", "category", "metric")
+
+  /** Library form of [[groupSlices]] for an arbitrary snapshot pair:
+    * every dimension aggregated through one grouping-sets pass. */
+  def groupSlicesForPair(ref: DataFrame, curr: DataFrame, dims: Seq[String],
+      metrics: Seq[String], label: String = "pair"): DataFrame =
+    sliceAgg(NumericDrift.tagPair(ref, curr, (dims ++ metrics).distinct),
+        dims, metrics, label)
+      .orderBy("table_name", "dimension", "category", "metric")
+
+  private def sliceAgg(tagged: DataFrame, dims: Seq[String],
+      metrics: Seq[String], label: String): DataFrame = {
+    require(dims.nonEmpty && metrics.nonEmpty,
+      "group slices need at least one dimension and one metric")
+    val aggs = (count(lit(1)).as("n") +:
+      metrics.map(m => sum(col(m).cast("decimal(18,6)")).as(s"__sum_$m"))) ++
+      dims.map(d => grouping(col(d)).as(s"__g_$d"))
+    val gs = tagged
+      .groupingSets(dims.map(d => Seq(col("side"), col(d))),
+        (col("side") +: dims.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    // recover (dimension, category) from the grouping markers: exactly
+    // one dim per grouping set is live (its marker is 0). A NULL value in
+    // the live dim stays a NULL category — the marker, not the NULL,
+    // identifies the set, so null-valued groups survive unambiguously.
+    val dimCase = dims.map(d => s"WHEN __g_$d = 0 THEN '$d'")
+      .mkString("CASE ", " ", " END")
+    val catCase = dims.map(d => s"WHEN __g_$d = 0 THEN CAST($d AS STRING)")
+      .mkString("CASE ", " ", " END")
+    val stacked = gs.selectExpr(Seq("side", s"$dimCase AS dimension",
+        s"$catCase AS category", "n") ++
+        Seq(s"stack(${metrics.size}, " +
+          metrics.map(m => s"'$m', __sum_$m").mkString(", ") +
+          ") AS (metric, msum)"): _*)
+    stacked.groupBy("dimension", "category", "metric").agg(
+        max(when(col("side") === "ref", col("n"))).as("ref_n"),
+        max(when(col("side") === "curr", col("n"))).as("curr_n"),
+        max(when(col("side") === "ref", col("msum"))).as("ref_sum0"),
+        max(when(col("side") === "curr", col("msum"))).as("curr_sum0"))
+      .where(expr(sliceWhere))
+      .select(lit(label).as("table_name"), col("*"))
+      .selectExpr(sliceFinal: _*)
   }
 
   /** Shared final text (Spark selectExpr ≡ DuckDB): counts, the exact

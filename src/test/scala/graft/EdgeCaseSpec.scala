@@ -572,4 +572,37 @@ class EdgeCaseSpec extends SparkSpec {
       .write.parquet(s"$dir/lineitem.parquet")
     assert(graft.pipeline.MarketBasket.basketPairs(spark, dir).collect().isEmpty)
   }
+
+  test("group slices: NULL dimension values survive as their own category, " +
+    "and the grouping marker keeps dims unambiguous") {
+    import spark.implicits._
+    // 30 ref + 30 curr rows per side so the >=20 eligibility holds; dim a
+    // has a genuine NULL-valued group, dim b is all 'x'
+    val mk = (side: Int) => (1 to 30).map { i =>
+      (side * 100 + i, if (i % 2 == 0) "g" else null, "x", i * 1.5)
+    }
+    val ref = mk(0).toDF("id", "a", "b", "m")
+    val curr = mk(1).toDF("id", "a", "b", "m")
+    val rows = graft.drift.GroupDrift.groupSlicesForPair(ref, curr,
+      dims = Seq("a", "b"), metrics = Seq("m")).collect()
+    val byDim = rows.groupBy(_.getString(1))
+    // dim b: one 'x' category covering all 30 rows/side
+    val bx = byDim("b").head
+    assert(bx.getString(2) == "x" && bx.getLong(4) == 30 && bx.getLong(5) == 30)
+    // dim a: only the NULL group reaches 15 rows... neither a-group has
+    // >=20 rows (15 each), so dim a contributes NO eligible slices —
+    // the filter applies per category, not per dim
+    assert(!byDim.contains("a"))
+    // with the floor relaxed via more rows: NULL category IS reported
+    val big = (1 to 50).map(i => (i, if (i % 2 == 0) "g" else null, "x", 1.0))
+      .toDF("id", "a", "b", "m")
+    val rows2 = graft.drift.GroupDrift.groupSlicesForPair(big, big,
+      dims = Seq("a"), metrics = Seq("m")).collect()
+    val cats = rows2.map(r => Option(r.getString(2))).toSet
+    assert(cats == Set(Some("g"), None), s"got $cats")
+    // the NULL-category row is a real group (25 rows/side), not an
+    // aggregated-marker artifact
+    val nullRow = rows2.find(_.isNullAt(2)).get
+    assert(nullRow.getLong(4) == 25 && nullRow.getLong(5) == 25)
+  }
 }

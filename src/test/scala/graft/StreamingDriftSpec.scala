@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.StreamingDrift
+import graft.streaming.{StreamingDrift, StreamingSlices}
 
 /** Structured-Streaming drift monitor driven through MemoryStream. */
 class StreamingDriftSpec extends SparkSpec {
@@ -431,6 +431,45 @@ class StreamingDriftSpec extends SparkSpec {
       val nPurch = graft.drift.table(spark, sf, "events")
         .filter(col("event_type") === "purchase").count()
       assert(credits.length.toLong == nPurch)
+    } finally q.stop()
+  }
+
+  test("streaming slice monitor covers every dimension from one stateful agg") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference: channel 'web' mean 10, 'app' mean 20; region 'eu' mean 15
+    val ref = Seq.tabulate(40) { i =>
+      (if (i % 2 == 0) "web" else "app", "eu", if (i % 2 == 0) 10.0 else 20.0)
+    }.toDF("channel", "region", "value")
+    val refSlices = StreamingSlices.referenceSlices(ref, Seq("channel", "region"), "value")
+
+    val input = MemoryStream[(Timestamp, String, String, Double)]
+    val events = input.toDF().toDF("ts", "channel", "region", "value")
+    val out = StreamingSlices.monitor(events, refSlices, Seq("channel", "region"),
+      "value", "10 minutes", "10 minutes", threshold = 0.1)
+    val q = out.writeStream.format("memory").queryName("slices_out")
+      .outputMode("append").start()
+    try {
+      // window 10:00-10:10: web holds at 10 (no drift), app shifts to 30
+      input.addData((0 until 10).map(i => (ts(i), "web", "eu", 10.0)) ++
+        (0 until 10).map(i => (ts(i), "app", "eu", 30.0)): _*)
+      input.addData((ts(59), "web", "eu", 10.0)) // close the window
+      q.processAllAvailable()
+      val rows = spark.table("slices_out").collect()
+        .filter(_.getAs[Timestamp]("window_start") == Timestamp.valueOf("2024-01-01 10:00:00"))
+      val byKey = rows.map(r => (r.getString(2), r.getString(3)) -> r).toMap
+      // BOTH dimensions emitted from the one query
+      assert(byKey.keySet == Set(("channel", "web"), ("channel", "app"), ("region", "eu")))
+      assert(!byKey(("channel", "web")).getAs[Boolean]("drift_detected"))
+      assert(byKey(("channel", "app")).getAs[Boolean]("drift_detected"))
+      assert(byKey(("channel", "app")).getAs[Double]("win_mean") == 30.0)
+      // region slice blends both channels: window mean (10*10 + 10*30)/20 = 20
+      // vs reference 15 -> pct change 1/3 -> flagged
+      val eu = byKey(("region", "eu"))
+      assert(eu.getAs[Long]("n") == 20 && eu.getAs[Double]("win_mean") == 20.0)
+      assert(math.abs(eu.getAs[Double]("mean_pct_change") - 1.0 / 3) < 1e-9)
+      // the whole monitor is ONE stateful aggregation (one state store),
+      // not one per dimension
+      assert(q.lastProgress.stateOperators.size == 1)
     } finally q.stop()
   }
 }
