@@ -494,14 +494,10 @@ object CategoricalDrift {
       s"((CAST(ref_cnt AS DOUBLE) - $chiExpRef) * (CAST(ref_cnt AS DOUBLE) - $chiExpRef)) / $chiExpRef + " +
       s"((CAST(curr_cnt AS DOUBLE) - $chiExpCurr) * (CAST(curr_cnt AS DOUBLE) - $chiExpCurr)) / $chiExpCurr " +
       "ELSE 0e0 END"
-  /** Spark side of the canonical-order fold (DuckDB twin: [[chiFoldDuckSql]]). */
-  private val chiFoldSparkSql =
-    "COALESCE(aggregate(sort_array(collect_list(struct(value, cell))), " +
-      "CAST(0 AS DOUBLE), (acc, x) -> acc + x.cell), 0e0)"
-  /** DuckDB twin of [[chiFoldSparkSql]]: list_sum iterates the list
-    * sequentially, so list(cell ORDER BY value) is the same left fold. */
-  private val chiFoldDuckSql =
-    "COALESCE(list_sum(list(cell ORDER BY value)), 0e0)"
+  // canonical-order folds shared with DistanceDrift.cramersV via the
+  // package helpers — ONE definition of the fold contract
+  private val chiFoldSparkSql = sortedFoldSparkSql("value", "cell")
+  private val chiFoldDuckSql = sortedFoldDuckSql("value", "cell")
 
   /** Lanczos log-gamma (g=7, n=9 — the standard public coefficients). */
   private def logGamma(x: Double): Double = {

@@ -328,8 +328,7 @@ object DistanceDrift {
       .withColumn("term", expr(chiTermSql))
       .groupBy("column_name").agg(
         first("rs").as("rs"), first("cs").as("cs"), first("k").as("k"),
-        expr("aggregate(sort_array(collect_list(struct(value, term))), " +
-          "CAST(0 AS DOUBLE), (acc, x) -> acc + x.term)").as("chi2_raw"))
+        expr(sortedFoldSparkSql("value", "term")).as("chi2_raw"))
       .withColumn("n", col("rs") + col("cs"))
       .withColumn("v_raw", expr(vRawSql))
       .select(lit(label).as("table_name"), col("column_name"),
@@ -356,7 +355,7 @@ object DistanceDrift {
       s"p.rc AS rc, p.cc AS cc, $chiTermSql AS term " +
       "FROM piv p JOIN sums s ON p.table_name = s.table_name AND p.column_name = s.column_name), " +
       "agg AS (SELECT table_name, column_name, MAX(rs) AS rs, MAX(cs) AS cs, MAX(k) AS k, " +
-      "list_sum(list(term ORDER BY value)) AS chi2_raw FROM terms GROUP BY 1, 2), " +
+      s"${sortedFoldDuckSql("value", "term")} AS chi2_raw FROM terms GROUP BY 1, 2), " +
       "fin AS (SELECT table_name, column_name, rs + cs AS n, k, chi2_raw FROM agg), " +
       s"fin2 AS (SELECT table_name, column_name, n, k, chi2_raw, $vRawSql AS v_raw FROM fin) " +
       "SELECT table_name, column_name, n AS n_total, k - 1 AS dof, " +

@@ -125,9 +125,6 @@ object GroupDrift {
     s"ROUND(${pctChangeSql("(ref_max - ref_min)", "(curr_max - curr_min)")}, 6) AS range_pct_change",
     "ROUND(ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n), 6) AS null_drift")
 
-  /** `approx=true` is the benchmarked 100 TB path (sketch-based group
-    * medians); the oracle-checked query keeps exact `percentile` so DuckDB's
-    * `quantile_cont` reproduces values. */
   /** Per-category (ref_n, curr_n) derived from the pivoted metrics frame —
     * every metric row of a category carries the same side counts. */
   private def countsFromNumPivot(np: DataFrame): DataFrame =
@@ -135,6 +132,9 @@ object GroupDrift {
       coalesce(max("ref_n"), lit(0L)).as("ref_n"),
       coalesce(max("curr_n"), lit(0L)).as("curr_n"))
 
+  /** `approx=true` is the benchmarked 100 TB path (sketch-based group
+    * medians); the oracle-checked query keeps exact `percentile` so DuckDB's
+    * `quantile_cont` reproduces values. */
   def groupNumericMetrics(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     val per = specs.map { sp =>
       // cached: the frame feeds both the metric rows and the eligibility
@@ -360,7 +360,11 @@ object GroupDrift {
     * path. */
   def forPair(ref: DataFrame, curr: DataFrame, dim: String,
       numMetrics: Seq[String], catMetrics: Seq[String],
-      approx: Boolean = false): DataFrame = {
+      approx: Boolean = false, scope: Option[CacheScope] = None): DataFrame = {
+    // a monitoring loop passes a CacheScope so the cached pivot/value-count
+    // frames (new plans per call — fresh data) are releasable; without one
+    // they stay Spark-cached for the session (one-shot process semantics)
+    def cached(df: DataFrame): DataFrame = scope.fold(df.cache())(_.cached(df))
     val allCols = (Seq(dim) ++ numMetrics ++ catMetrics).distinct
     val tagged = NumericDrift.tagPair(ref, curr, allCols)
 
@@ -388,15 +392,13 @@ object GroupDrift {
       val pivAggs = Seq("n", "nulls", "mean", "std", "med").flatMap { c => Seq(
         max(when(col("side") === "ref", col(c))).as(s"ref_$c"),
         max(when(col("side") === "curr", col(c))).as(s"curr_$c")) }
-      long.groupBy("category", "metric").agg(pivAggs.head, pivAggs.tail: _*)
-        .filter(col("ref_n").isNotNull && col("curr_n").isNotNull)
-        .cache()
+      cached(long.groupBy("category", "metric").agg(pivAggs.head, pivAggs.tail: _*)
+        .filter(col("ref_n").isNotNull && col("curr_n").isNotNull))
     }
     val vcs = catMetrics.filterNot(_ == dim).map { m =>
-      m -> tagged
+      m -> cached(tagged
         .groupBy(col("side"), col(dim).cast("string").as("category"), col(m).cast("string").as("v"))
-        .agg(count(lit(1)).as("cnt"))
-        .cache()
+        .agg(count(lit(1)).as("cnt")))
     }
 
     val counts = npOpt.map(countsFromNumPivot)
@@ -466,7 +468,7 @@ object GroupDrift {
     * the reference's dimension_id design (demo_notebook.py:64,
     * result_handler.py:42) is exactly this fan-out.
     *
-    * Exactness contract: metric sums accumulate in DECIMAL(18,6) (exact —
+    * Exactness contract: metric sums accumulate in DECIMAL(32,6) (exact —
     * the TPC-H prices carry 2 dp) and the only doubles are derived from
     * those exact sums and counts through [[pr6Sql]]'s shared IEEE text, so
     * both engines hash identically. (Scaled sums stay under 2^53 through
@@ -490,8 +492,13 @@ object GroupDrift {
       metrics: Seq[String], label: String): DataFrame = {
     require(dims.nonEmpty && metrics.nonEmpty,
       "group slices need at least one dimension and one metric")
+    // DECIMAL(32,6), not (18,6): a per-value cast range of 1e12 would
+    // silently NULL nanosecond/micro-unit metrics through the public
+    // groupSlicesForPair API and understate sums; (32,6) carries |v|
+    // up to 1e26 exactly and still leaves sum headroom inside Spark's
+    // (38,6) accumulator before a loud overflow-null
     val aggs = (count(lit(1)).as("n") +:
-      metrics.map(m => sum(col(m).cast("decimal(18,6)")).as(s"__sum_$m"))) ++
+      metrics.map(m => sum(col(m).cast("decimal(32,6)")).as(s"__sum_$m"))) ++
       dims.map(d => grouping(col(d)).as(s"__g_$d"))
     val gs = tagged
       .groupingSets(dims.map(d => Seq(col("side"), col(d))),
@@ -516,6 +523,14 @@ object GroupDrift {
         max(when(col("side") === "ref", col("msum"))).as("ref_sum0"),
         max(when(col("side") === "curr", col("msum"))).as("curr_sum0"))
       .where(expr(sliceWhere))
+      // the family's TopCategories cap, per dimension: a high-cardinality
+      // dim through groupSlicesForPair must not fan out to full category
+      // cardinality (the window runs on the aggregated slice frame, keyed
+      // by dimension — never on raw rows)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("dimension", "metric")
+          .orderBy((col("ref_n") + col("curr_n")).desc, col("category").asc)))
+      .where(col("__rk") <= TopCategories).drop("__rk")
       .select(lit(label).as("table_name"), col("*"))
       .selectExpr(sliceFinal: _*)
   }
@@ -547,7 +562,7 @@ object GroupDrift {
         sp.dims.mkString(", ") + ", " +
         sp.dims.map(d => s"GROUPING($d) AS g_$d").mkString(", ") + ", " +
         "COUNT(*) AS n, " +
-        sp.metrics.map(m => s"SUM($m::DECIMAL(18,6)) AS sum_$m").mkString(", ") +
+        sp.metrics.map(m => s"SUM($m::DECIMAL(32,6)) AS sum_$m").mkString(", ") +
         s" FROM ${sp.tableName} GROUP BY GROUPING SETS " +
         sp.dims.map(d => s"(side, $d)").mkString("(", ", ", ")")
       val unpiv = sp.metrics.map(m =>
@@ -555,12 +570,16 @@ object GroupDrift {
           s"'$m' AS metric, n, sum_$m AS msum FROM gsets").mkString(" UNION ALL ")
       s"SELECT ${sliceFinal.mkString(", ")} FROM " +
         s"(WITH gsets AS ($inner) " +
-        s"SELECT '${sp.tableName}' AS table_name, dimension, category, metric, " +
+        // NULLS FIRST on the tie-break mirrors Spark's ASC default
+        "SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dimension, metric " +
+        "ORDER BY ref_n + curr_n DESC, category ASC NULLS FIRST) AS rk FROM " +
+        s"(SELECT '${sp.tableName}' AS table_name, dimension, category, metric, " +
         "MAX(CASE WHEN side = 'ref' THEN n END) AS ref_n, " +
         "MAX(CASE WHEN side = 'curr' THEN n END) AS curr_n, " +
         "MAX(CASE WHEN side = 'ref' THEN msum END) AS ref_sum0, " +
         "MAX(CASE WHEN side = 'curr' THEN msum END) AS curr_sum0 " +
-        s"FROM ($unpiv) u GROUP BY 1, 2, 3, 4) piv WHERE $sliceWhere"
+        s"FROM ($unpiv) u GROUP BY 1, 2, 3, 4) p0 WHERE $sliceWhere) rked " +
+        s"WHERE rk <= $TopCategories) piv"
     }
     s"SELECT * FROM (${per.mkString(" UNION ALL ")}) q " +
       "ORDER BY table_name, dimension, category, metric"

@@ -77,17 +77,38 @@ package object drift {
     * went hash-red on `rolling_stats`/`cramers_v` under a driver DuckDB
     * where the judge's 1.0.0 was green). Half-away-from-zero at ties, which
     * exact tie convention is irrelevant — cross-engine agreement is the
-    * contract. Valid for |x| < 2^53/1e6 (all rounded drift outputs). */
+    * contract. Finite |x| ≥ 9e9 (where the double grid is coarser than
+    * 1e-6), NaN and ±Inf pass through unchanged on both engines. */
   def pr6Sql(e: String): String =
-    // first branch passes NaN/±Infinity through UNCHANGED on both engines
-    // (x - x is NaN for all three; NaN = 0 is false in both): Spark's
-    // FLOOR(double) returns BIGINT and would silently map NaN → 0 and
-    // ±Inf → ±Long.MaxValue/1e6 while DuckDB's FLOOR keeps them — exactly
-    // the cross-engine divergence this helper exists to eliminate. ROUND
-    // also kept NaN as NaN on both engines, so semantics are preserved.
-    s"(CASE WHEN NOT (($e) - ($e) = 0) THEN ($e) " +
+    // The guard branch passes NaN, ±Infinity AND finite |x| ≥ 9e9 through
+    // UNCHANGED on both engines (ABS(x) < 9e9 is false for all of them;
+    // NULL falls through every branch to NULL). Two reasons: Spark's
+    // FLOOR(double) returns BIGINT, so it would map NaN → 0, ±Inf →
+    // ±2⁶³/1e6 and saturate large finite values at Long.MaxValue while
+    // DuckDB's floor keeps doubles — exactly the cross-engine divergence
+    // this helper exists to eliminate; and past 2^53/1e6 ≈ 9.007e9 the
+    // double grid is coarser than 1e-6, so 6-dp rounding is an identity
+    // apart from tie adjustments no engine agrees on anyway. Identity is
+    // the only value BOTH engines compute bit-identically there.
+    s"(CASE WHEN NOT (ABS($e) < 9000000000e0) THEN ($e) " +
       s"WHEN ($e) >= 0 THEN FLOOR(($e) * 1000000e0 + 0.5e0) / 1000000e0 " +
       s"ELSE 0e0 - FLOOR((0e0 - ($e)) * 1000000e0 + 0.5e0) / 1000000e0 END)"
+
+  /** Canonical-order double summation, Spark side: fold term over the
+    * key-sorted collected list — a sequential left fold, so the
+    * association order is data-determined, never engine/partition-
+    * determined. Pair with [[sortedFoldDuckSql]] (byte-identical results
+    * when terms are IEEE-identical). Callers must ensure the key is
+    * unique and non-null within the group and the group is small (the
+    * list is collected). */
+  def sortedFoldSparkSql(key: String, term: String): String =
+    s"COALESCE(aggregate(sort_array(collect_list(struct($key, $term))), " +
+      s"CAST(0 AS DOUBLE), (acc, x) -> acc + x.$term), 0e0)"
+
+  /** DuckDB twin of [[sortedFoldSparkSql]]: list_sum iterates the list
+    * sequentially, so list(term ORDER BY key) is the same left fold. */
+  def sortedFoldDuckSql(key: String, term: String): String =
+    s"COALESCE(list_sum(list($term ORDER BY $key)), 0e0)"
 
   /** Relative difference with the reference's zero-denominator rule
     * (/root/reference/numerical_analyzer.py:214-219):

@@ -16,17 +16,9 @@ import graft.drift.table
   * At 100 TB the artifact is a (2 longs)-per-doc parquet that any number
   * of downstream audits join by doc_id.
   */
-/** Collects the `Dataset.cache()` handles a sweep creates so they can be
-  * released through Spark's CacheManager (`df.unpersist()`), the route that
-  * actually removes the InMemoryRelation entry — unpersisting the
-  * underlying RDDs directly would leave a dead cached-plan entry that
-  * silently disables caching for those plans for the rest of the session. */
-final class CacheScope {
-  private val frames = scala.collection.mutable.ArrayBuffer[DataFrame]()
-  /** Cache `df` and remember the handle for [[release]]. */
-  private[graft] def cached(df: DataFrame): DataFrame = { frames += df; df.cache() }
-  def release(): Unit = frames.foreach(_.unpersist(blocking = false))
-}
+// CacheScope moved to graft.drift (see drift/CacheScope.scala) so the core
+// drift pair APIs can take one without a core→pipeline dependency; the
+// `graft.pipeline.CacheScope` name stays valid via the package-object alias.
 
 object CorpusPipeline {
 

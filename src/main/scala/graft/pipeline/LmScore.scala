@@ -147,8 +147,6 @@ object LmScore {
       "CASE WHEN avg_logprob IS NOT NULL THEN pow(10e0, -avg_logprob) END AS ppl " +
       "FROM stoks t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id"
 
-  /** Per-source rollup — the artifact a corpus filter actually thresholds
-    * on (CCNet buckets sources by LM score the same way). */
   /** Production-shape family runner: scores the corpus ONCE (cached) and
     * derives all three LM surfaces — per-doc scores, per-source rollup,
     * CCNet ppl buckets — from the shared frame. This is the deployment
@@ -174,6 +172,8 @@ object LmScore {
     Seq(perDoc, bySource, buckets)
   }
 
+  /** Per-source rollup — the artifact a corpus filter actually thresholds
+    * on (CCNet buckets sources by LM score the same way). */
   def lmScoreBySource(spark: SparkSession, dir: String): DataFrame = {
     val docs = table(spark, dir, "documents")
     scoreDocs(docs.select("doc_id", "source", "lang", "text"), carry = Seq("source"))

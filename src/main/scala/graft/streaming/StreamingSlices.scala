@@ -35,7 +35,7 @@ object StreamingSlices {
     ref.selectExpr(stackExpr(dims), metric)
       .groupBy("dimension", "category")
       .agg(count(lit(1)).as("ref_n"),
-        sum(col(metric).cast("decimal(18,6)")).as("ref_sum"))
+        sum(col(metric).cast("decimal(32,6)")).as("ref_sum"))
       .withColumn("ref_mean", col("ref_sum").cast("double") / col("ref_n"))
 
   /** Windowed slice monitor over a STREAMING frame (ts timestamp, the
@@ -54,7 +54,7 @@ object StreamingSlices {
       .selectExpr(Seq("ts", stackExpr(dims), metric): _*)
       .groupBy(window(col("ts"), windowDuration), col("dimension"), col("category"))
       .agg(count(lit(1)).as("n"),
-        sum(col(metric).cast("decimal(18,6)")).as("win_sum"))
+        sum(col(metric).cast("decimal(32,6)")).as("win_sum"))
       .withColumn("win_mean", col("win_sum").cast("double") / col("n"))
       .join(broadcast(refSlices.select("dimension", "category", "ref_n", "ref_mean")),
         Seq("dimension", "category"), "left")

@@ -290,7 +290,11 @@ class DriftMathSpec extends SparkSpec {
       "CAST(0.0 AS DOUBLE)" -> 0.0,
       "CAST(float('NaN') AS DOUBLE)" -> Double.NaN,
       "CAST(float('Infinity') AS DOUBLE)" -> Double.PositiveInfinity,
-      "CAST(float('-Infinity') AS DOUBLE)" -> Double.NegativeInfinity)
+      "CAST(float('-Infinity') AS DOUBLE)" -> Double.NegativeInfinity,
+      // past the guard magnitude the double grid is coarser than 1e-6:
+      // identity, never a BIGINT-saturating FLOOR (deployment-scale chi2)
+      "CAST(1.23456789e13 AS DOUBLE)" -> 1.23456789e13,
+      "CAST(-9.9e15 AS DOUBLE)" -> -9.9e15)
     cases.foreach { case (in, want) =>
       val got = spark.sql(s"SELECT ${pr6Sql(in)} AS r").collect()(0).getDouble(0)
       if (want.isNaN) assert(got.isNaN, s"$in -> $got, want NaN")
