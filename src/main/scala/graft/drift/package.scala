@@ -94,6 +94,16 @@ package object drift {
       s"WHEN ($e) >= 0 THEN FLOOR(($e) * 1000000e0 + 0.5e0) / 1000000e0 " +
       s"ELSE 0e0 - FLOOR((0e0 - ($e)) * 1000000e0 + 0.5e0) / 1000000e0 END)"
 
+  /** Scalar twin of [[pr6Sql]]: the exact same IEEE operation sequence in
+    * JVM arithmetic (floor/×/÷ are all correctly rounded; Spark's
+    * FLOOR→BIGINT detour is exact inside the 9e9 guard), so this is
+    * bit-identical to what BOTH engines emit — use it for driver-side
+    * math that must hash-match query output, and for property tests. */
+  def pr6Scalar(x: Double): Double =
+    if (!(math.abs(x) < 9e9)) x // NaN/±Inf/large magnitudes: identity
+    else if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+    else 0.0 - math.floor((0.0 - x) * 1e6 + 0.5) / 1e6
+
   /** Canonical-order double summation, Spark side: fold term over the
     * key-sorted collected list — a sequential left fold, so the
     * association order is data-determined, never engine/partition-

@@ -308,6 +308,25 @@ class DriftMathSpec extends SparkSpec {
     assert(spark.sql(s"SELECT ${pr6Sql("CAST(NULL AS DOUBLE)")} AS r").collect()(0).isNullAt(0))
   }
 
+  test("pr6Scalar is bit-identical to the engine-evaluated pr6Sql") {
+    // binds the JVM scalar twin (and PropertySpec's pr6 invariants) to the
+    // SQL text both engines execute
+    val rnd = new scala.util.Random(7)
+    val xs = Seq(0.0, -0.0, 1e-7, -1e-7, 0.1234565, -0.1234565, 123456.4999995,
+      8.99e9, -8.99e9, 9.1e9, 1.7e300) ++
+      Seq.fill(40)(rnd.nextDouble() * 2e4 - 1e4) ++
+      Seq.fill(10)(rnd.nextGaussian() * 1e9)
+    val lits = xs.map(x => s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)")
+    val rows = spark.sql(
+      lits.zipWithIndex.map { case (l, i) => s"${pr6Sql(l)} AS r$i" }
+        .mkString("SELECT ", ", ", "")).collect()(0)
+    xs.indices.foreach { i =>
+      assert(java.lang.Double.doubleToLongBits(rows.getDouble(i)) ==
+        java.lang.Double.doubleToLongBits(pr6Scalar(xs(i))),
+        s"x=${xs(i)}: sql=${rows.getDouble(i)} scalar=${pr6Scalar(xs(i))}")
+    }
+  }
+
   test("rounding-boundary margin: flagged queries' pre-round values are " +
     "far from the 6-dp flip zone on the gate testdata") {
     // The cramers_v/rolling_stats failure class (CORRECTNESS_r06): a value

@@ -175,6 +175,45 @@ object PropertySpec extends Properties("graft.drift") {
     }
   }
 
+  private val genRoundable: Gen[Double] = Gen.frequency(
+    5 -> Gen.choose(-9e9, 9e9),
+    3 -> Gen.choose(-1.0, 1.0),
+    1 -> Gen.choose(-1e-5, 1e-5),
+    1 -> Gen.oneOf(0.0, -0.0, 0.1234565, -0.1234565, 8.999999999e9))
+
+  property("pr6Scalar is idempotent where the scaled grid is exact") =
+    forAll(genRoundable) { x =>
+      // idempotence holds while ulp(x*1e6) < 0.5 (|x| < ~2.25e9): beyond
+      // that the rounded double's re-scaled value can sit a whole unit off
+      // its grid point, so a second rounding may shift one step. That is
+      // NOT a cross-engine hazard (both engines shift identically) — the
+      // property documents the domain where re-rounding is a no-op.
+      val once = graft.drift.pr6Scalar(x)
+      math.abs(x) >= 2.0e9 ||
+        java.lang.Double.doubleToLongBits(graft.drift.pr6Scalar(once)) ==
+          java.lang.Double.doubleToLongBits(once)
+    }
+
+  property("pr6Scalar moves a value at most half a grid step (+ scaled ulps)") =
+    forAll(genRoundable) { x =>
+      // near the 9e9 guard, x*1e6 approaches 2^53 where one ulp of the
+      // scaled value is ~2/1e6 — the bound must carry that slop
+      val slop = 2 * math.ulp(x * 1e6) / 1e6 + math.ulp(x)
+      math.abs(graft.drift.pr6Scalar(x) - x) <= 5.0e-7 + slop
+    }
+
+  property("pr6Scalar is monotone") =
+    forAll(genRoundable, genRoundable) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      graft.drift.pr6Scalar(lo) <= graft.drift.pr6Scalar(hi)
+    }
+
+  property("pr6Scalar is odd (numeric sign symmetry)") =
+    forAll(genRoundable) { x =>
+      graft.drift.pr6Scalar(-x) == -graft.drift.pr6Scalar(x) ||
+        graft.drift.pr6Scalar(x) == 0.0 // ±0 normalize to equal-compare
+    }
+
   property("driver contract: every oracle key has a query and names align") = {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
