@@ -198,6 +198,14 @@ object Example {
       val gsl = graft.drift.GroupDrift.groupSlices(spark, sfDir).collect()
       println(s"  group_slices: ${gsl.length} (table, dimension, category, metric) " +
         "slices from one grouping-sets pass per table")
+      // the weighted keep score a mixture planner reads per source
+      val qe = graft.pipeline.TextAnalysis.qualityEnsemble(spark, sfDir).collect()
+      if (qe.nonEmpty) {
+        val best = qe.maxBy(_.getAs[Double]("mean_score"))
+        println(f"  quality_ensemble: ${qe.length} sources, best " +
+          f"${best.getString(0)} mean_score=${best.getAs[Double]("mean_score")}%.3f " +
+          f"keep_rate=${best.getAs[Double]("keep_rate")}%.2f")
+      }
     }
 
     // versioned time travel driving the detector, as a config file would

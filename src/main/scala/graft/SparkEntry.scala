@@ -112,6 +112,7 @@ object SparkEntry {
       "type_inference" -> ((s, d) => TypeInference.typeInferenceQuery(s, d, approxDistinct = true)),
       "topk_entropy" -> ((s, d) => CategoricalDrift.topkEntropy(s, d, approx = true)),
       "lm_ppl_buckets" -> ((s, d) => LmScore.lmPplBuckets(s, d, approx = true)),
+      "quality_ensemble" -> ((s, d) => TextAnalysis.qualityEnsemble(s, d, approx = true)),
       // the ECDF windows run on a grid-snapped frame (≤10k rows/column)
       // instead of the raw distinct-value frame
       "ks_test" -> ((s, d) => DistanceDrift.ksTest(s, d, approx = true)),

@@ -592,11 +592,13 @@ object TextAnalysis {
     * hits (our [[markers]] English list stands in for the paper's). The
     * line-level rules (bullet/ellipsis line fractions) are omitted — this
     * corpus is single-line. One projection scan + one tiny rollup shuffle. */
-  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document Gopher rule indicators — shared by [[gopherQuality]]'s
+    * per-source rollup and [[qualityEnsemble]]'s weighted score. */
+  private def gopherDoc(spark: SparkSession, dir: String): DataFrame = {
     val en = inList(markers.toMap.apply("en"))
     table(spark, dir, "documents")
-      .selectExpr("source", "text", "split(text, '\\\\s+') AS toks")
-      .selectExpr("source",
+      .selectExpr("doc_id", "source", "text", "split(text, '\\\\s+') AS toks")
+      .selectExpr("doc_id", "source",
         s"size(toks) BETWEEN $GopherMinWords AND $GopherMaxWords AS words_ok",
         "(LENGTH(text) - size(toks) + 1) * 1e0 / GREATEST(size(toks), 1) " +
           s"BETWEEN $GopherMinMeanWordLen AND $GopherMaxMeanWordLen AS wordlen_ok",
@@ -606,6 +608,10 @@ object TextAnalysis {
         "size(filter(toks, w -> w rlike '[a-zA-Z]')) * 1e0 / GREATEST(size(toks), 1) " +
           s">= $GopherMinAlphaFrac AS alpha_ok",
         s"size(filter(toks, t -> t IN $en)) >= $GopherMinStopwords AS stopword_ok")
+  }
+
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    gopherDoc(spark, dir)
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("words_ok"), 1L).otherwise(0L)).as("n_words_ok"),
@@ -616,18 +622,11 @@ object TextAnalysis {
         sum(when(col("words_ok") && col("wordlen_ok") && col("symbol_ok") &&
           col("alpha_ok") && col("stopword_ok"), 1L).otherwise(0L)).as("n_pass_all"))
       .orderBy("source")
-  }
 
-  def gopherQualitySql: String = {
+  /** DuckDB mirror of [[gopherDoc]]. */
+  private def gopherDocSql: String = {
     val en = inList(markers.toMap.apply("en"))
-    def n(b: String, as: String) = s"SUM(CASE WHEN $b THEN 1 ELSE 0 END)::BIGINT AS $as"
-    "SELECT source, COUNT(*) AS n_docs, " +
-      Seq(n("words_ok", "n_words_ok"), n("wordlen_ok", "n_wordlen_ok"),
-        n("symbol_ok", "n_symbol_ok"), n("alpha_ok", "n_alpha_ok"),
-        n("stopword_ok", "n_stopword_ok"),
-        n("words_ok AND wordlen_ok AND symbol_ok AND alpha_ok AND stopword_ok",
-          "n_pass_all")).mkString(", ") +
-      " FROM (SELECT source, " +
+    "SELECT doc_id, source, " +
       s"len(toks) BETWEEN $GopherMinWords AND $GopherMaxWords AS words_ok, " +
       "(LENGTH(text) - len(toks) + 1) * 1e0 / GREATEST(len(toks), 1) " +
       s"BETWEEN $GopherMinMeanWordLen AND $GopherMaxMeanWordLen AS wordlen_ok, " +
@@ -637,7 +636,18 @@ object TextAnalysis {
       "len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) * 1e0 / GREATEST(len(toks), 1) " +
       s">= $GopherMinAlphaFrac AS alpha_ok, " +
       s"len(list_filter(toks, t -> t IN $en)) >= $GopherMinStopwords AS stopword_ok FROM " +
-      "(SELECT source, text, regexp_split_to_array(text, '\\s+') AS toks FROM documents) t) g " +
+      "(SELECT doc_id, source, text, regexp_split_to_array(text, '\\s+') AS toks FROM documents) t"
+  }
+
+  def gopherQualitySql: String = {
+    def n(b: String, as: String) = s"SUM(CASE WHEN $b THEN 1 ELSE 0 END)::BIGINT AS $as"
+    "SELECT source, COUNT(*) AS n_docs, " +
+      Seq(n("words_ok", "n_words_ok"), n("wordlen_ok", "n_wordlen_ok"),
+        n("symbol_ok", "n_symbol_ok"), n("alpha_ok", "n_alpha_ok"),
+        n("stopword_ok", "n_stopword_ok"),
+        n("words_ok AND wordlen_ok AND symbol_ok AND alpha_ok AND stopword_ok",
+          "n_pass_all")).mkString(", ") +
+      s" FROM ($gopherDocSql) g " +
       "GROUP BY source ORDER BY source"
   }
 
@@ -1006,7 +1016,90 @@ object TextAnalysis {
       |  top_lang, ROUND(top_n * 1e0 / n_docs, 6) AS top_lang_share
       |FROM vol JOIN lt USING (source) ORDER BY source""".stripMargin.replace("\n", " ")
 
+  /** Keep threshold on the 20-unit ensemble scale (= 0.7). */
+  val EnsembleKeepUnits = 14
+
+  /** FineWeb-style quality ensemble: every per-doc quality signal the
+    * engine computes — the language gate, the heuristic quality gate, the
+    * five Gopher rules, and the CCNet perplexity bucket — combined into
+    * ONE weighted keep score per document and rolled up per source. The
+    * sequential corpus-prep funnel answers "what survives my gates"; the
+    * ensemble answers "how good is each source overall", the number a
+    * mixture planner weights sources by.
+    *
+    * Exactness contract: the score accumulates in INTEGER twentieths
+    * (5·lang_ok + 5·qual_ok + 6·gopher_ok + 4·lm_ok), so per-source sums
+    * are exact and the only doubles are final divisions through the
+    * shared pr6 text. The LM tercile threshold is fit once (exact
+    * percentile on the oracle path, sketch on the bench path) and
+    * compared as a literal — the lm_ppl_buckets pattern.
+    *
+    * Scale shape: three one-pass scans of documents (gate heuristics,
+    * Gopher rules, LM scoring with broadcast-only model joins), joined by
+    * doc_id, one shuffle to the per-source rollup. */
+  def qualityEnsemble(spark: SparkSession, dir: String,
+      approx: Boolean = false): DataFrame = {
+    val gated = prepDocs(spark, dir).select("doc_id", "source", "lang_ok", "qual_ok")
+    val gop = gopherDoc(spark, dir).selectExpr("doc_id",
+      "words_ok AND wordlen_ok AND symbol_ok AND alpha_ok AND stopword_ok AS gopher_ok")
+    // cached: the scored frame feeds the tercile fit (an action) AND the
+    // ensemble join
+    val scored = LmScore.scoreDocs(
+        table(spark, dir, "documents").select("doc_id", "lang", "text"))
+      .select("doc_id", "ppl").cache()
+    val (_, t2) = LmScore.pplTerciles(scored, approx)
+    gated.join(gop, "doc_id").join(scored, Seq("doc_id"), "left")
+      .withColumn("lm_ok", col("ppl").isNotNull && col("ppl") <= lit(t2))
+      .withColumn("score_u",
+        when(col("lang_ok"), 5L).otherwise(0L) +
+          when(col("qual_ok"), 5L).otherwise(0L) +
+          when(col("gopher_ok"), 6L).otherwise(0L) +
+          when(col("lm_ok"), 4L).otherwise(0L))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_ok"),
+        sum(when(col("qual_ok"), 1L).otherwise(0L)).as("n_qual_ok"),
+        sum(when(col("gopher_ok"), 1L).otherwise(0L)).as("n_gopher_ok"),
+        sum(when(col("lm_ok"), 1L).otherwise(0L)).as("n_lm_ok"),
+        sum(when(col("score_u") >= EnsembleKeepUnits, 1L).otherwise(0L)).as("n_keep"),
+        sum("score_u").as("score_units"))
+      .selectExpr(ensembleFinal: _*)
+      .orderBy("source")
+  }
+
+  /** Shared final text (Spark ≡ DuckDB): exact counts, pr6'd ratios. */
+  private val ensembleFinal: Seq[String] = Seq(
+    "source", "n_docs", "n_lang_ok", "n_qual_ok", "n_gopher_ok", "n_lm_ok", "n_keep",
+    graft.drift.pr6Sql("score_units / (20e0 * n_docs)") + " AS mean_score",
+    graft.drift.pr6Sql("n_keep * 1e0 / n_docs") + " AS keep_rate")
+
+  def qualityEnsembleSql: String = {
+    def n(b: String, as: String) = s"SUM(CASE WHEN $b THEN 1 ELSE 0 END)::BIGINT AS $as"
+    s"WITH pd AS ($prepDocsSql), " +
+      "gd AS (SELECT doc_id, words_ok AND wordlen_ok AND symbol_ok AND alpha_ok AND stopword_ok " +
+      s"AS gopher_ok FROM ($gopherDocSql) g0), " +
+      s"${LmScore.scoredCtesFor("documents")}, " +
+      "sc AS (SELECT d.doc_id, CASE WHEN agg.avg_logprob IS NOT NULL " +
+      "THEN pow(10e0, -agg.avg_logprob) END AS ppl " +
+      "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id), " +
+      "thr AS (SELECT quantile_cont(ppl, 2e0/3) AS t2 FROM sc WHERE ppl IS NOT NULL), " +
+      "u AS (SELECT pd.source, pd.lang_ok, pd.qual_ok, gd.gopher_ok, " +
+      "(sc.ppl IS NOT NULL AND sc.ppl <= thr.t2) AS lm_ok, " +
+      "CAST(CASE WHEN pd.lang_ok THEN 5 ELSE 0 END + CASE WHEN pd.qual_ok THEN 5 ELSE 0 END + " +
+      "CASE WHEN gd.gopher_ok THEN 6 ELSE 0 END + " +
+      "CASE WHEN sc.ppl IS NOT NULL AND sc.ppl <= thr.t2 THEN 4 ELSE 0 END AS BIGINT) AS score_u " +
+      "FROM pd JOIN gd ON pd.doc_id = gd.doc_id JOIN sc ON pd.doc_id = sc.doc_id, thr) " +
+      s"SELECT ${ensembleFinal.mkString(", ")} FROM " +
+      "(SELECT source, COUNT(*) AS n_docs, " +
+      Seq(n("lang_ok", "n_lang_ok"), n("qual_ok", "n_qual_ok"),
+        n("gopher_ok", "n_gopher_ok"), n("lm_ok", "n_lm_ok"),
+        n(s"score_u >= $EnsembleKeepUnits", "n_keep")).mkString(", ") +
+      ", SUM(score_u)::BIGINT AS score_units FROM u GROUP BY source) z " +
+      "ORDER BY source"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_ensemble" -> ((s, d) => qualityEnsemble(s, d)),
     "source_report" -> ((s, d) => sourceReport(s, d)),
     "source_keywords" -> ((s, d) => sourceKeywords(s, d)),
     "lang_id" -> ((s, d) => langId(s, d)),
@@ -1029,6 +1122,7 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "quality_ensemble" -> qualityEnsembleSql,
     "source_report" -> sourceReportSql,
     "source_keywords" -> sourceKeywordsSql,
     "lang_id" -> langIdSql,

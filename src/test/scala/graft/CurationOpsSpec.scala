@@ -258,4 +258,34 @@ class CurationOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_kept") == 1L)
     assert(r.getAs[Long]("kept_id_sum") == 102L)
   }
+
+  test("quality_ensemble: component counts bound the keep count and the score is coherent") {
+    val rows = graft.pipeline.TextAnalysis.qualityEnsemble(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val comps = Seq("n_lang_ok", "n_qual_ok", "n_gopher_ok", "n_lm_ok", "n_keep")
+        .map(c => r.getAs[Long](c))
+      comps.foreach(c => assert(c >= 0 && c <= n))
+      val mean = r.getAs[Double]("mean_score")
+      assert(mean >= 0.0 && mean <= 1.0)
+      // mean score can never exceed the weighted sum of component rates
+      // (equality when every doc's components co-occur)
+      val ub = (5.0 * comps(0) + 5.0 * comps(1) + 6.0 * comps(2) + 4.0 * comps(3)) / (20.0 * n)
+      assert(mean <= ub + 1e-9, s"${r.getString(0)}: mean $mean > bound $ub")
+      assert(r.getAs[Double]("keep_rate") == graft.drift.pr6Scalar(comps(4).toDouble / n))
+    }
+    // the approx (sketch-tercile) path keeps every exact count identical;
+    // only the lm threshold may move a borderline doc
+    val approx = graft.pipeline.TextAnalysis.qualityEnsemble(spark, sf, approx = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.foreach { r =>
+      val a = approx(r.getString(0))
+      Seq("n_docs", "n_lang_ok", "n_qual_ok", "n_gopher_ok").foreach { c =>
+        assert(a.getAs[Long](c) == r.getAs[Long](c), c)
+      }
+      assert(math.abs(a.getAs[Long]("n_lm_ok") - r.getAs[Long]("n_lm_ok")) <=
+        math.max(2L, r.getAs[Long]("n_docs") / 5), "approx tercile shifts stay modest")
+    }
+  }
 }
