@@ -206,6 +206,9 @@ object Example {
           f"${best.getString(0)} mean_score=${best.getAs[Double]("mean_score")}%.3f " +
           f"keep_rate=${best.getAs[Double]("keep_rate")}%.2f")
       }
+      val sqd = graft.pipeline.TextAnalysis.sourceQualityDrift(spark, sfDir).collect()
+      println(s"  source_quality_drift: ${sqd.count(_.getAs[Boolean]("quality_drift"))}" +
+        s"/${sqd.length} sources drifted in ensemble score between snapshot halves")
     }
 
     // versioned time travel driving the detector, as a config file would

@@ -113,6 +113,7 @@ object SparkEntry {
       "topk_entropy" -> ((s, d) => CategoricalDrift.topkEntropy(s, d, approx = true)),
       "lm_ppl_buckets" -> ((s, d) => LmScore.lmPplBuckets(s, d, approx = true)),
       "quality_ensemble" -> ((s, d) => TextAnalysis.qualityEnsemble(s, d, approx = true)),
+      "source_quality_drift" -> ((s, d) => TextAnalysis.sourceQualityDrift(s, d, approx = true)),
       // the ECDF windows run on a grid-snapped frame (≤10k rows/column)
       // instead of the raw distinct-value frame
       "ks_test" -> ((s, d) => DistanceDrift.ksTest(s, d, approx = true)),

@@ -1037,8 +1037,11 @@ object TextAnalysis {
     * Scale shape: three one-pass scans of documents (gate heuristics,
     * Gopher rules, LM scoring with broadcast-only model joins), joined by
     * doc_id, one shuffle to the per-source rollup. */
-  def qualityEnsemble(spark: SparkSession, dir: String,
-      approx: Boolean = false): DataFrame = {
+  /** Per-document ensemble indicators + integer score units — the shared
+    * core of [[qualityEnsemble]]'s rollup and [[sourceQualityDrift]]'s
+    * snapshot comparison. */
+  private def ensembleDoc(spark: SparkSession, dir: String,
+      approx: Boolean): DataFrame = {
     val gated = prepDocs(spark, dir).select("doc_id", "source", "lang_ok", "qual_ok")
     val gop = gopherDoc(spark, dir).selectExpr("doc_id",
       "words_ok AND wordlen_ok AND symbol_ok AND alpha_ok AND stopword_ok AS gopher_ok")
@@ -1055,6 +1058,11 @@ object TextAnalysis {
           when(col("qual_ok"), 5L).otherwise(0L) +
           when(col("gopher_ok"), 6L).otherwise(0L) +
           when(col("lm_ok"), 4L).otherwise(0L))
+  }
+
+  def qualityEnsemble(spark: SparkSession, dir: String,
+      approx: Boolean = false): DataFrame =
+    ensembleDoc(spark, dir, approx)
       .groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_ok"),
@@ -1065,7 +1073,6 @@ object TextAnalysis {
         sum("score_u").as("score_units"))
       .selectExpr(ensembleFinal: _*)
       .orderBy("source")
-  }
 
   /** Shared final text (Spark ≡ DuckDB): exact counts, pr6'd ratios. */
   private val ensembleFinal: Seq[String] = Seq(
@@ -1073,8 +1080,10 @@ object TextAnalysis {
     graft.drift.pr6Sql("score_units / (20e0 * n_docs)") + " AS mean_score",
     graft.drift.pr6Sql("n_keep * 1e0 / n_docs") + " AS keep_rate")
 
-  def qualityEnsembleSql: String = {
-    def n(b: String, as: String) = s"SUM(CASE WHEN $b THEN 1 ELSE 0 END)::BIGINT AS $as"
+  /** DuckDB CTE prefix mirroring [[ensembleDoc]] — ends with `u`
+    * (doc_id, source, indicators, score_u), shared by the ensemble rollup
+    * and the snapshot-drift twin. */
+  private def ensembleDocCtes: String =
     s"WITH pd AS ($prepDocsSql), " +
       "gd AS (SELECT doc_id, words_ok AND wordlen_ok AND symbol_ok AND alpha_ok AND stopword_ok " +
       s"AS gopher_ok FROM ($gopherDocSql) g0), " +
@@ -1083,12 +1092,16 @@ object TextAnalysis {
       "THEN pow(10e0, -agg.avg_logprob) END AS ppl " +
       "FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id), " +
       "thr AS (SELECT quantile_cont(ppl, 2e0/3) AS t2 FROM sc WHERE ppl IS NOT NULL), " +
-      "u AS (SELECT pd.source, pd.lang_ok, pd.qual_ok, gd.gopher_ok, " +
+      "u AS (SELECT pd.doc_id, pd.source, pd.lang_ok, pd.qual_ok, gd.gopher_ok, " +
       "(sc.ppl IS NOT NULL AND sc.ppl <= thr.t2) AS lm_ok, " +
       "CAST(CASE WHEN pd.lang_ok THEN 5 ELSE 0 END + CASE WHEN pd.qual_ok THEN 5 ELSE 0 END + " +
       "CASE WHEN gd.gopher_ok THEN 6 ELSE 0 END + " +
       "CASE WHEN sc.ppl IS NOT NULL AND sc.ppl <= thr.t2 THEN 4 ELSE 0 END AS BIGINT) AS score_u " +
-      "FROM pd JOIN gd ON pd.doc_id = gd.doc_id JOIN sc ON pd.doc_id = sc.doc_id, thr) " +
+      "FROM pd JOIN gd ON pd.doc_id = gd.doc_id JOIN sc ON pd.doc_id = sc.doc_id, thr)"
+
+  def qualityEnsembleSql: String = {
+    def n(b: String, as: String) = s"SUM(CASE WHEN $b THEN 1 ELSE 0 END)::BIGINT AS $as"
+    s"$ensembleDocCtes " +
       s"SELECT ${ensembleFinal.mkString(", ")} FROM " +
       "(SELECT source, COUNT(*) AS n_docs, " +
       Seq(n("lang_ok", "n_lang_ok"), n("qual_ok", "n_qual_ok"),
@@ -1098,8 +1111,58 @@ object TextAnalysis {
       "ORDER BY source"
   }
 
+  /** Alert line on the per-source mean ensemble score between snapshots. */
+  val QualityDriftThreshold = 0.1
+
+  /** Snapshot-to-snapshot quality drift: the ensemble score of
+    * [[qualityEnsemble]] compared between the corpus's two deterministic
+    * halves (doc_id % 40 < 20 — parity would NOT work: the fixture assigns
+    * source = doc_id mod 20, so doc_id parity is CONSTANT within a source
+    * and every group would be one-sided), per source. This is "is my incoming feed getting
+    * worse", the curation question the drift engine's numeric/categorical
+    * monitors don't see because quality is a DERIVED signal, not a column.
+    * Sums are exact integer score units; the tercile threshold is fit
+    * ONCE on the whole corpus so both sides are scored on the same scale
+    * (a per-side fit would hide a global quality shift by re-centering). */
+  def sourceQualityDrift(spark: SparkSession, dir: String,
+      approx: Boolean = false): DataFrame =
+    ensembleDoc(spark, dir, approx)
+      .withColumn("side", when(col("doc_id") % 40 < 20, "ref").otherwise("curr"))
+      .groupBy("source").agg(
+        sum(when(col("side") === "ref", 1L).otherwise(0L)).as("ref_n"),
+        sum(when(col("side") === "curr", 1L).otherwise(0L)).as("curr_n"),
+        sum(when(col("side") === "ref", col("score_u")).otherwise(0L)).as("ref_units"),
+        sum(when(col("side") === "curr", col("score_u")).otherwise(0L)).as("curr_units"))
+      .filter(col("ref_n") > 0 && col("curr_n") > 0)
+      .selectExpr(qualityDriftFinal: _*)
+      .orderBy("source")
+
+  /** Shared final text (Spark ≡ DuckDB). */
+  private val qualityDriftFinal: Seq[String] = {
+    val rm = "(ref_units / (20e0 * ref_n))"
+    val cm = "(curr_units / (20e0 * curr_n))"
+    val pct = graft.drift.pctChangeSql(rm, cm)
+    Seq("source", "ref_n", "curr_n",
+      graft.drift.pr6Sql(rm) + " AS ref_mean_score",
+      graft.drift.pr6Sql(cm) + " AS curr_mean_score",
+      graft.drift.pr6Sql(pct) + " AS score_pct_change",
+      s"ABS($pct) > $QualityDriftThreshold AS quality_drift")
+  }
+
+  def sourceQualityDriftSql: String =
+    s"$ensembleDocCtes " +
+      s"SELECT ${qualityDriftFinal.mkString(", ")} FROM " +
+      "(SELECT source, " +
+      "SUM(CASE WHEN doc_id % 40 < 20 THEN 1 ELSE 0 END)::BIGINT AS ref_n, " +
+      "SUM(CASE WHEN doc_id % 40 >= 20 THEN 1 ELSE 0 END)::BIGINT AS curr_n, " +
+      "SUM(CASE WHEN doc_id % 40 < 20 THEN score_u ELSE 0 END)::BIGINT AS ref_units, " +
+      "SUM(CASE WHEN doc_id % 40 >= 20 THEN score_u ELSE 0 END)::BIGINT AS curr_units " +
+      "FROM u GROUP BY source) z WHERE ref_n > 0 AND curr_n > 0 " +
+      "ORDER BY source"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_ensemble" -> ((s, d) => qualityEnsemble(s, d)),
+    "source_quality_drift" -> ((s, d) => sourceQualityDrift(s, d)),
     "source_report" -> ((s, d) => sourceReport(s, d)),
     "source_keywords" -> ((s, d) => sourceKeywords(s, d)),
     "lang_id" -> ((s, d) => langId(s, d)),
@@ -1123,6 +1186,7 @@ object TextAnalysis {
 
   def oracles: Map[String, String] = Map(
     "quality_ensemble" -> qualityEnsembleSql,
+    "source_quality_drift" -> sourceQualityDriftSql,
     "source_report" -> sourceReportSql,
     "source_keywords" -> sourceKeywordsSql,
     "lang_id" -> langIdSql,

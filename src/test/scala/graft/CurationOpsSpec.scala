@@ -288,4 +288,21 @@ class CurationOpsSpec extends SparkSpec {
         math.max(2L, r.getAs[Long]("n_docs") / 5), "approx tercile shifts stay modest")
     }
   }
+
+  test("source_quality_drift: sides partition each source and the pct change is exact") {
+    val ens = graft.pipeline.TextAnalysis.qualityEnsemble(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rows = graft.pipeline.TextAnalysis.sourceQualityDrift(spark, sf).collect()
+    assert(rows.length == ens.size, "every source has docs on both sides of the % 40 split")
+    rows.foreach { r =>
+      val (rn, cn) = (r.getAs[Long]("ref_n"), r.getAs[Long]("curr_n"))
+      assert(rn > 0 && cn > 0)
+      assert(rn + cn == ens(r.getString(0)).getAs[Long]("n_docs"), "sides partition the source")
+      val (rm, cm) = (r.getAs[Double]("ref_mean_score"), r.getAs[Double]("curr_mean_score"))
+      assert(rm >= 0 && rm <= 1 && cm >= 0 && cm <= 1)
+      // flag consistent with the rounded pct change (threshold far from 6dp)
+      assert(r.getAs[Boolean]("quality_drift") ==
+        (math.abs(r.getAs[Double]("score_pct_change")) > 0.1))
+    }
+  }
 }
