@@ -118,8 +118,15 @@ object Bench {
         graft.pipeline.LmScore.lmFamilyShared(spark, sfDir).foreach(_.count())
       }
       spark.catalog.clearCache()
+      // the per-doc quality-ensemble frame scores once; the per-source
+      // rollup and the snapshot-drift monitor aggregate the cached frame
+      val ensembleT = timedSafe {
+        graft.pipeline.TextAnalysis.ensembleFamilyShared(spark, sfDir)
+          .foreach(_.count())
+      }
+      spark.catalog.clearCache()
       Seq("report_family" -> reportT, "neardup_artifact" -> neardupT,
-        "lm_family" -> lmT)
+        "lm_family" -> lmT, "ensemble_family" -> ensembleT)
     } catch { case _: Throwable => Seq("prod_failed" -> -1.0) }
     def jsonPairs(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -209,6 +209,9 @@ object Example {
       val sqd = graft.pipeline.TextAnalysis.sourceQualityDrift(spark, sfDir).collect()
       println(s"  source_quality_drift: ${sqd.count(_.getAs[Boolean]("quality_drift"))}" +
         s"/${sqd.length} sources drifted in ensemble score between snapshot halves")
+      val ent = graft.pipeline.TextAnalysis.docEntropy(spark, sfDir).collect()
+      println(s"  doc_entropy: ${ent.map(_.getAs[Long]("n_low_entropy")).sum} " +
+        s"low-entropy (templated/repetitive) docs across ${ent.length} sources")
     }
 
     // versioned time travel driving the detector, as a config file would

@@ -114,6 +114,10 @@ object SparkEntry {
       "lm_ppl_buckets" -> ((s, d) => LmScore.lmPplBuckets(s, d, approx = true)),
       "quality_ensemble" -> ((s, d) => TextAnalysis.qualityEnsemble(s, d, approx = true)),
       "source_quality_drift" -> ((s, d) => TextAnalysis.sourceQualityDrift(s, d, approx = true)),
+      // the per-source rollup switches canonical doc-ordered folds (which
+      // collect per-source doc lists — oracle-exact but driver-sized) to
+      // plain map-side-combined SUMs
+      "doc_entropy" -> ((s, d) => TextAnalysis.docEntropy(s, d, approx = true)),
       // the ECDF windows run on a grid-snapped frame (≤10k rows/column)
       // instead of the raw distinct-value frame
       "ks_test" -> ((s, d) => DistanceDrift.ksTest(s, d, approx = true)),

@@ -22,12 +22,26 @@ import graft.pipeline.TextAnalysis
 object StreamingPrep {
 
   /** Gate + dedup an unbounded (ts, doc_id, source, text) feed: emits each
-    * gate-surviving distinct content at most once per watermark horizon. */
-  def prepStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
-    TextAnalysis.gateDocs(docs, carry = Seq("ts"))
+    * gate-surviving distinct content at most once per watermark horizon.
+    * `minEntropyBits` additionally drops templated/repetitive docs whose
+    * in-row word entropy ([[TextAnalysis.lexicalSignals]] — a stateless
+    * run-length fold, no state, no shuffle) rounds below the floor; the
+    * pr6'd comparison is the same decision text as the batch
+    * `doc_entropy` census. */
+  def prepStream(docs: DataFrame, watermarkDelay: String = "1 hour",
+      minEntropyBits: Option[Double] = None): DataFrame = {
+    val gated = TextAnalysis.gateDocs(docs, carry = Seq("ts"))
       .filter(col("qual_ok"))
+    val entGated = minEntropyBits match {
+      case Some(floor) =>
+        TextAnalysis.lexicalSignals(gated)
+          .filter(expr(s"${graft.drift.pr6Sql("h")} >= ${floor}e0"))
+      case None => gated
+    }
+    entGated
       .withColumn("fingerprint", md5(col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
       .select("ts", "doc_id", "source", "text")
+  }
 }

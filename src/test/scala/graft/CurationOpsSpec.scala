@@ -305,4 +305,96 @@ class CurationOpsSpec extends SparkSpec {
         (math.abs(r.getAs[Double]("score_pct_change")) > 0.1))
     }
   }
+
+  test("ensembleFamilyShared frames equal the standalone ensemble queries") {
+    val shared = TextAnalysis.ensembleFamilyShared(spark, sf, approx = false)
+    val standalone = Seq(
+      TextAnalysis.qualityEnsemble(spark, sf),
+      TextAnalysis.sourceQualityDrift(spark, sf))
+    shared.zip(standalone).zipWithIndex.foreach { case ((sh, st), i) =>
+      assert(sh.collect().toSeq == st.collect().toSeq,
+        s"shared frame $i diverges from its standalone query")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("doc_entropy matches a scalar per-doc recomputation") {
+    // independent JVM twin: per-doc H and ttr from raw token counts, folded
+    // in the same canonical order, through pr6Scalar — pins both fold
+    // levels and the low-entropy census
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+    val perDoc = docs.map { r =>
+      val toks = r.getAs[String]("text").split("\\s+", -1)
+      val n = toks.length.toDouble
+      val counts = scala.collection.immutable.SortedMap(
+        toks.groupBy(identity).map { case (w, g) => w -> g.length.toDouble }.toSeq: _*)
+      // canonical word-ordered left fold, like both engines
+      val sclc = counts.valuesIterator.foldLeft(0.0)((a, c) =>
+        a + c * (math.log(c) / math.log(2.0)))
+      val h = math.log(n) / math.log(2.0) - sclc / n
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"), h, counts.size / n)
+    }
+    val want = perDoc.groupBy(_._2).map { case (src, ds) =>
+      val sorted = ds.sortBy(_._1)
+      val sumH = sorted.foldLeft(0.0)(_ + _._3)
+      val sumT = sorted.foldLeft(0.0)(_ + _._4)
+      src -> (ds.length.toLong,
+        graft.drift.pr6Scalar(sumH / ds.length),
+        graft.drift.pr6Scalar(sumT / ds.length),
+        ds.count(d => graft.drift.pr6Scalar(d._3) < 3.5).toLong)
+    }
+    val got = TextAnalysis.docEntropy(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (nd, ah, at, nl) = want(r.getString(0))
+      assert(r.getAs[Long]("n_docs") == nd)
+      // Spark's log2 vs JVM log(x)/log(2) may differ in the last ulp; the
+      // engines' cross-agreement is pinned by the oracle gate, this twin
+      // pins the math to ~1e-9
+      assert(math.abs(r.getAs[Double]("avg_entropy") - ah) < 1e-9, s"$r vs $ah")
+      assert(math.abs(r.getAs[Double]("avg_ttr") - at) < 1e-9)
+      assert(r.getAs[Long]("n_low_entropy") == nl)
+      assert(r.getAs[Double]("avg_ttr") > 0 && r.getAs[Double]("avg_ttr") <= 1.0)
+    }
+    // the bench (approx) rollup tracks the exact fold to well under 6 dp
+    val ap = TextAnalysis.docEntropy(spark, sf, approx = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    got.foreach { r =>
+      val a = ap(r.getString(0))
+      assert(math.abs(a.getAs[Double]("avg_entropy") - r.getAs[Double]("avg_entropy")) < 1e-6)
+      assert(a.getAs[Long]("n_low_entropy") == r.getAs[Long]("n_low_entropy"))
+    }
+  }
+
+  test("in-row lexical signals are bit-identical to the explode-path per-doc H") {
+    // the zero-shuffle run-length fold over sorted tokens must produce the
+    // SAME word-ordered left fold as the explode + groupBy + sortedFold
+    // path — bitwise, not approximately: both feed the same pr6'd decisions
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+    val inRow = TextAnalysis.lexicalSignals(docs)
+      .select("doc_id", "h", "ttr").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exploded = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .withColumn("term", expr("CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n"), count(lit(1)).as("d"),
+        expr(graft.drift.sortedFoldSparkSql("w", "term")).as("sclc"))
+      .selectExpr("doc_id",
+        "log2(CAST(n AS DOUBLE)) - (sclc / CAST(n AS DOUBLE)) AS h",
+        "CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS ttr")
+      .collect()
+    assert(exploded.length == inRow.size)
+    exploded.foreach { r =>
+      val (h, ttr) = inRow(r.getLong(0))
+      assert(java.lang.Double.doubleToLongBits(h) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"doc ${r.getLong(0)}: in-row h $h != exploded ${r.getDouble(1)}")
+      assert(java.lang.Double.doubleToLongBits(ttr) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(2)))
+    }
+  }
 }

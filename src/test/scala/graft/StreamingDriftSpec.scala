@@ -131,6 +131,39 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus-prep entropy floor drops templated docs statelessly") {
+    import graft.streaming.StreamingPrep
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "source", "text")
+    // the gate must stay a pure projection: append mode with only the
+    // dedup's watermark state, same as the entropy-less variant
+    val out = StreamingPrep.prepStream(docs, "30 minutes", minEntropyBits = Some(3.0))
+    val q = out.writeStream.format("memory").queryName("prep_ent_out")
+      .outputMode("append").start()
+    try {
+      // diverse: passes lang/quality gates and has high word entropy
+      val diverse = ("the mountain and river of silver stone is near garden " +
+        "while the harbor light of copper wind is past meadow " +
+        "then the valley shade of amber rain is under orchard " +
+        "and the forest echo of marble frost is over hillside " +
+        "but the island shadow of golden mist is beside canyon " +
+        "so the prairie whisper of ivory storm is behind lagoon " +
+        "yet the tundra murmur of bronze cloud is within grove " +
+        "for the desert rumor of silken haze is around summit")
+      // templated: same gate-passing vocabulary but one line cycled — the
+      // repetition collapses entropy below 3 bits
+      val templated = Seq.fill(30)("the stone is a stone and the stone is a stone").mkString(" ")
+      input.addData(
+        (ts(0), 1L, "s", diverse),
+        (ts(1), 2L, "s", templated))
+      q.processAllAvailable()
+      val rows = spark.table("prep_ent_out").collect()
+      assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L),
+        "only the diverse doc survives the entropy floor")
+    } finally q.stop()
+  }
+
   test("categorical windowed counts emit per-window frequencies") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
