@@ -83,7 +83,7 @@ object Bench {
     }
     // each family is failure-isolated (-1 marker) the same way the
     // per-query loop swallows a bad query: one broken prod path must never
-    // discard the 155 per-query timings already measured
+    // discard the per-query timings already measured
     def timedSafe(body: => Unit): Double =
       try timed(body) catch { case _: Throwable => -1.0 }
     val prod: Seq[(String, Double)] = if (only.nonEmpty) Seq.empty else try {

@@ -198,17 +198,22 @@ object Example {
       val gsl = graft.drift.GroupDrift.groupSlices(spark, sfDir).collect()
       println(s"  group_slices: ${gsl.length} (table, dimension, category, metric) " +
         "slices from one grouping-sets pass per table")
-      // the weighted keep score a mixture planner reads per source
-      val qe = graft.pipeline.TextAnalysis.qualityEnsemble(spark, sfDir).collect()
+      // the weighted keep score a mixture planner reads per source, and the
+      // snapshot drift monitor on it — deployment-shape: both roll up ONE
+      // cached per-doc ensemble frame instead of re-paying the scoring DAG
+      val Seq(qeDf, sqdDf) =
+        graft.pipeline.TextAnalysis.ensembleFamilyShared(spark, sfDir, approx = false)
+      val qe = qeDf.collect()
       if (qe.nonEmpty) {
         val best = qe.maxBy(_.getAs[Double]("mean_score"))
         println(f"  quality_ensemble: ${qe.length} sources, best " +
           f"${best.getString(0)} mean_score=${best.getAs[Double]("mean_score")}%.3f " +
           f"keep_rate=${best.getAs[Double]("keep_rate")}%.2f")
       }
-      val sqd = graft.pipeline.TextAnalysis.sourceQualityDrift(spark, sfDir).collect()
+      val sqd = sqdDf.collect()
       println(s"  source_quality_drift: ${sqd.count(_.getAs[Boolean]("quality_drift"))}" +
         s"/${sqd.length} sources drifted in ensemble score between snapshot halves")
+      spark.catalog.clearCache()
       val ent = graft.pipeline.TextAnalysis.docEntropy(spark, sfDir).collect()
       println(s"  doc_entropy: ${ent.map(_.getAs[Long]("n_low_entropy")).sum} " +
         s"low-entropy (templated/repetitive) docs across ${ent.length} sources")

@@ -1142,17 +1142,18 @@ object TextAnalysis {
     Seq(ensembleRollup(doc), qualityDriftRollup(doc))
   }
 
-  private def qualityDriftRollup(doc: DataFrame): DataFrame =
+  private def qualityDriftRollup(doc: DataFrame): DataFrame = {
+    val ref = col("doc_id") % 40 < 20 // the twin's literal predicate shape
     doc
-      .withColumn("side", when(col("doc_id") % 40 < 20, "ref").otherwise("curr"))
       .groupBy("source").agg(
-        sum(when(col("side") === "ref", 1L).otherwise(0L)).as("ref_n"),
-        sum(when(col("side") === "curr", 1L).otherwise(0L)).as("curr_n"),
-        sum(when(col("side") === "ref", col("score_u")).otherwise(0L)).as("ref_units"),
-        sum(when(col("side") === "curr", col("score_u")).otherwise(0L)).as("curr_units"))
+        sum(when(ref, 1L).otherwise(0L)).as("ref_n"),
+        sum(when(!ref, 1L).otherwise(0L)).as("curr_n"),
+        sum(when(ref, col("score_u")).otherwise(0L)).as("ref_units"),
+        sum(when(!ref, col("score_u")).otherwise(0L)).as("curr_units"))
       .filter(col("ref_n") > 0 && col("curr_n") > 0)
       .selectExpr(qualityDriftFinal: _*)
       .orderBy("source")
+  }
 
   /** Shared final text (Spark ≡ DuckDB). */
   private val qualityDriftFinal: Seq[String] = {
@@ -1191,24 +1192,23 @@ object TextAnalysis {
     * up per source with the low-entropy census on pr6'd H (identical
     * decision text both engines).
     *
-    * Scale shape: a word count — explode + two partial-agg shuffles, both
-    * map-side combined; the per-doc fold list is bounded by doc vocabulary.
-    * The exact (oracle) per-source rollup folds doc H values in canonical
-    * doc_id order, which collects per-source doc lists — fine at gate SFs,
-    * unbounded at 100 TB, so `approx = true` (the bench surface) switches
-    * the rollup to plain engine-order SUMs: same values to well beyond 6 dp
-    * (H is O(log n), ~1e-13 reassociation error), no per-source state. */
+    * Scale shape: per-doc h/ttr are ONE stateless in-row expression
+    * ([[lexicalSignals]] — no explode, no word-level shuffle), so the only
+    * exchange is the per-source rollup's. The exact (oracle) rollup folds
+    * doc H values in canonical doc_id order, which collects per-source doc
+    * lists — fine at gate SFs, unbounded at 100 TB, so `approx = true`
+    * (the bench surface) switches the rollup to plain engine-order SUMs:
+    * same values to well beyond 6 dp (H is O(log n), ~1e-13 reassociation
+    * error), no per-source state. */
   def docEntropy(spark: SparkSession, dir: String,
       approx: Boolean = false): DataFrame = {
-    val wt = table(spark, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        explode(split(col("text"), "\\s+")).as("w"))
-      .groupBy("doc_id", "source", "w").agg(count(lit(1)).as("c"))
-      .withColumn("term", expr(entropyTermExpr))
-    val dh = wt.groupBy("doc_id", "source").agg(
-      sum("c").as("n"), count(lit(1)).as("d"),
-      expr(graft.drift.sortedFoldSparkSql("w", "term")).as("sclc"))
-      .selectExpr("doc_id", "source", s"$entropyHExpr AS h", s"$entropyTtrExpr AS ttr")
+    // per-doc h/ttr via the stateless in-row fold — one scan, zero word-level
+    // shuffle (the oracle's explode+groupBy CTE shape is only the SQL
+    // spelling; CurationOpsSpec pins the two paths bitwise-equal per doc,
+    // so the single exchange below is the rollup's, not the word count's)
+    val dh = lexicalSignals(
+      table(spark, dir, "documents").select("doc_id", "source", "text"))
+      .select("doc_id", "source", "h", "ttr")
     val rolled =
       if (approx) dh.groupBy("source").agg(
         count(lit(1)).as("n_docs"), sum("h").as("sum_h"), sum("ttr").as("sum_ttr"),

@@ -34,8 +34,11 @@ object StreamingPrep {
       .filter(col("qual_ok"))
     val entGated = minEntropyBits match {
       case Some(floor) =>
+        // the floor binds as a typed literal (a raw string interpolation
+        // would emit an unparseable SQL literal for scientific-notation
+        // doubles); the pr6'd h side is the same text as the batch census
         TextAnalysis.lexicalSignals(gated)
-          .filter(expr(s"${graft.drift.pr6Sql("h")} >= ${floor}e0"))
+          .filter(expr(graft.drift.pr6Sql("h")) >= lit(floor))
       case None => gated
     }
     entGated

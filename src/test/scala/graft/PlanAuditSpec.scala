@@ -353,4 +353,20 @@ class PlanAuditSpec extends SparkSpec {
     }.size
     assert(shuffles <= 5, s"too many exchanges ($shuffles) for 2 tables:\n$plan")
   }
+
+  test("doc_entropy: in-row fold leaves only the per-source rollup exchange") {
+    // per-doc entropy is a stateless projection (run-length fold over the
+    // sorted token array) — if an explode/word-level aggregation sneaks
+    // back in, the plan gains word-grain exchanges that are corpus-sized
+    // at 100 TB
+    val df = TextAnalysis.docEntropy(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Generate"), s"explode reappeared:\n${plan.take(2000)}")
+    val shuffles = physicalTree(df).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+    // rollup exchange + the final ORDER BY's range exchange
+    assert(shuffles <= 2, s"expected <=2 exchanges, got $shuffles:\n${plan.take(2000)}")
+    assert(treeScansOf(df, "documents") == 1, s"documents scanned more than once")
+  }
 }
