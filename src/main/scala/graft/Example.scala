@@ -217,6 +217,14 @@ object Example {
       val ent = graft.pipeline.TextAnalysis.docEntropy(spark, sfDir).collect()
       println(s"  doc_entropy: ${ent.map(_.getAs[Long]("n_low_entropy")).sum} " +
         s"low-entropy (templated/repetitive) docs across ${ent.length} sources")
+      // the ingestion gate that runs BEFORE any drift comparison
+      val cc = graft.pipeline.Constraints.constraintCheck(spark, sfDir).collect()
+      val failed = cc.filter(!_.getAs[Boolean]("passed"))
+      println(s"  constraint_check: ${cc.length - failed.length}/${cc.length} checks pass" +
+        (if (failed.nonEmpty)
+          failed.map(r => s"${r.getString(0)} metric=${r.getAs[Double]("metric")}")
+            .mkString(" (failing: ", ", ", ")")
+        else ""))
     }
 
     // versioned time travel driving the detector, as a config file would

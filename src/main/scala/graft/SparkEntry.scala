@@ -95,7 +95,8 @@ object SparkEntry {
       Layout.queries ++
       EntityResolution.queries ++
       Retrieval.queries ++
-      MarketBasket.queries
+      MarketBasket.queries ++
+      Constraints.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -180,5 +181,6 @@ object SparkEntry {
       Layout.oracles ++
       EntityResolution.oracles ++
       Retrieval.oracles ++
-      MarketBasket.oracles
+      MarketBasket.oracles ++
+      Constraints.oracles
 }
