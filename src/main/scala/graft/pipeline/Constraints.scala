@@ -71,7 +71,23 @@ object Constraints {
   )
 
   /** Double literal as identical SQL text for both engines. */
-  private def dlit(d: Double): String = d.toString + "e0"
+  private[graft] def dlit(d: Double): String = d.toString + "e0"
+
+  /** Per-ROW 0/1 indicator for the row-local constraint kinds — the shared
+    * core of the batch numerators and the streaming monitor's stateless
+    * projection. Unique/ForeignKey have no row-local form (they need the
+    * corpus) and return None. */
+  private[graft] def indicatorExpr(c: Constraint): Option[String] = c match {
+    case Complete(_, _, col, _) =>
+      Some(s"CASE WHEN $col IS NOT NULL THEN 1 ELSE 0 END")
+    case InRange(_, _, col, lo, hi, _) =>
+      val conds = lo.map(v => s"$col >= ${dlit(v)}").toSeq ++
+        hi.map(v => s"$col <= ${dlit(v)}").toSeq
+      Some(s"CASE WHEN ${conds.mkString(" AND ")} THEN 1 ELSE 0 END")
+    case Accepted(_, _, col, vs, _) =>
+      Some(s"CASE WHEN $col IN ${vs.map(v => s"'$v'").mkString("(", ", ", ")")} THEN 1 ELSE 0 END")
+    case _ => None
+  }
 
   /** Shared ratio + final projection text (Spark ≡ DuckDB). */
   private val ratioExpr =
@@ -88,20 +104,14 @@ object Constraints {
     * multi-column DISTINCT form. */
   private def numExpr(c: Constraint, approx: Boolean,
       distinctTuple: Seq[String] => String): String = c match {
-    case Complete(_, _, col, _) => s"COUNT($col)"
     case Unique(_, _, cols, _) =>
       // multi-column: struct the tuple (a bare second argument would parse
       // as the sketch's relativeSD parameter)
       if (approx) s"approx_count_distinct(${
         if (cols.size == 1) cols.head else cols.mkString("struct(", ", ", ")")})"
       else s"COUNT(DISTINCT ${distinctTuple(cols)})"
-    case InRange(_, _, col, lo, hi, _) =>
-      val conds = lo.map(v => s"$col >= ${dlit(v)}").toSeq ++
-        hi.map(v => s"$col <= ${dlit(v)}").toSeq
-      s"SUM(CASE WHEN ${conds.mkString(" AND ")} THEN 1 ELSE 0 END)"
-    case Accepted(_, _, col, vs, _) =>
-      s"SUM(CASE WHEN $col IN ${vs.map(v => s"'$v'").mkString("(", ", ", ")")} THEN 1 ELSE 0 END)"
     case _: ForeignKey => sys.error("FK constraints compile to a join, not an aggregate")
+    case _ => s"SUM(${indicatorExpr(c).get})"
   }
 
   /** Run `suite` against the tables under `dir`. */

@@ -164,6 +164,39 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming constraint monitor reports per-window pass rates") {
+    import graft.pipeline.Constraints._
+    import graft.streaming.StreamingConstraints
+    implicit val sqlCtx = spark.sqlContext
+    val suite = Seq(
+      Complete("m1_complete_v", "t", "v", 0.8),
+      InRange("m2_range_v", "t", "v", Some(0.0), Some(100.0), 0.5),
+      Accepted("m3_accepted_s", "t", "s", Seq("A", "B"), 0.9),
+      Unique("m4_unique_skipped", "t", Seq("v"))) // batch-side: silently excluded
+    val input = MemoryStream[(Timestamp, Option[Double], String)]
+    val rows = input.toDF().toDF("ts", "v", "s")
+    val out = StreamingConstraints.constraintMonitor(rows, suite, "10 minutes", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("cons_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts(0), Some(10.0), "A"),
+        (ts(1), Some(200.0), "B"), // out of range
+        (ts(2), None, "A"),        // null v: fails complete AND range
+        (ts(3), Some(50.0), "C"))  // off-list s
+      input.addData((ts(59), Some(1.0), "A")) // advances the watermark
+      q.processAllAvailable()
+      val got = spark.table("cons_out").collect()
+        .map(r => r.getAs[String]("check_name") ->
+          ((r.getAs[Long]("n_ok"), r.getAs[Long]("n_rows"),
+            r.getAs[Double]("metric"), r.getAs[Boolean]("passed")))).toMap
+      assert(got.size == 3, s"one closed window x 3 row-local checks: $got")
+      assert(got("m1_complete_v") == ((3L, 4L, 0.75, false)))
+      assert(got("m2_range_v") == ((2L, 4L, 0.5, true)))
+      assert(got("m3_accepted_s") == ((3L, 4L, 0.75, false)))
+    } finally q.stop()
+  }
+
   test("categorical windowed counts emit per-window frequencies") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
