@@ -53,6 +53,12 @@ object Constraints {
   final case class ForeignKey(name: String, table: String, column: String,
       refTable: String, refColumn: String,
       threshold: Double = 1.0) extends Constraint
+  /** Functional dependency lhs → rhs: COUNT(DISTINCT lhs) /
+    * COUNT(DISTINCT lhs ∪ rhs) — 1.0 iff every lhs tuple maps to exactly
+    * one rhs tuple (the FD-discovery ratio). */
+  final case class FunctionalDependency(name: String, table: String,
+      lhs: Seq[String], rhs: Seq[String],
+      threshold: Double = 1.0) extends Constraint
 
   /** The shipped suite over the fixture tables. c03 fails by design on the
     * synthetic data — (l_orderkey, l_linenumber) is NOT a key there — so
@@ -68,6 +74,12 @@ object Constraints {
     ForeignKey("c08_fk_orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
     ForeignKey("c09_fk_lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
     Complete("c10_complete_event_user", "events", "user_id", 0.999),
+    // holds on the fixture (nationkey is a key)
+    FunctionalDependency("c11_fd_nation_region", "nation",
+      Seq("n_nationkey"), Seq("n_regionkey")),
+    // fails by design: a part is served by many suppliers (~0.04)
+    FunctionalDependency("c12_fd_part_supplier", "lineitem",
+      Seq("l_partkey"), Seq("l_suppkey")),
   )
 
   /** Double literal as identical SQL text for both engines. */
@@ -102,16 +114,31 @@ object Constraints {
     * swaps exact COUNT(DISTINCT) for the HLL sketch (Spark side only —
     * the oracle stays exact). `distinctTuple` spells the engine's
     * multi-column DISTINCT form. */
+  /** Exact or sketched distinct-tuple count. Multi-column sketches struct
+    * the tuple (a bare second argument would parse as the relativeSD
+    * parameter). */
+  private def distinctCount(cols: Seq[String], approx: Boolean,
+      distinctTuple: Seq[String] => String): String =
+    if (approx) s"approx_count_distinct(${
+      if (cols.size == 1) cols.head else cols.mkString("struct(", ", ", ")")})"
+    else s"COUNT(DISTINCT ${distinctTuple(cols)})"
+
   private def numExpr(c: Constraint, approx: Boolean,
       distinctTuple: Seq[String] => String): String = c match {
-    case Unique(_, _, cols, _) =>
-      // multi-column: struct the tuple (a bare second argument would parse
-      // as the sketch's relativeSD parameter)
-      if (approx) s"approx_count_distinct(${
-        if (cols.size == 1) cols.head else cols.mkString("struct(", ", ", ")")})"
-      else s"COUNT(DISTINCT ${distinctTuple(cols)})"
+    case Unique(_, _, cols, _) => distinctCount(cols, approx, distinctTuple)
+    case FunctionalDependency(_, _, lhs, _, _) =>
+      distinctCount(lhs, approx, distinctTuple)
     case _: ForeignKey => sys.error("FK constraints compile to a join, not an aggregate")
     case _ => s"SUM(${indicatorExpr(c).get})"
+  }
+
+  /** Per-constraint denominator when it is not the table's row count —
+    * only the FD ratio divides by COUNT(DISTINCT lhs ∪ rhs). */
+  private def denomExpr(c: Constraint, approx: Boolean,
+      distinctTuple: Seq[String] => String): Option[String] = c match {
+    case FunctionalDependency(_, _, lhs, rhs, _) =>
+      Some(distinctCount(lhs ++ rhs, approx, distinctTuple))
+    case _ => None
   }
 
   /** Run `suite` against the tables under `dir`. */
@@ -123,14 +150,17 @@ object Constraints {
     // one scan + one global aggregation per distinct table
     val aggFrames = aggs.groupBy(_.table).toSeq.map { case (t, cs) =>
       val aggCols = cs.map(c =>
-        expr(numExpr(c, approx, _.mkString(", "))).as(s"num_${c.name}")) :+
-        count(lit(1)).as("n_total")
-      val rows = cs.map(c =>
-        s"'${c.name}', '${c.table}', num_${c.name}, CAST(${dlit(c.threshold)} AS DOUBLE)")
-        .mkString(", ")
+        expr(numExpr(c, approx, _.mkString(", "))).as(s"num_${c.name}")) ++
+        cs.flatMap(c => denomExpr(c, approx, _.mkString(", "))
+          .map(e => expr(e).as(s"den_${c.name}"))) :+
+        count(lit(1)).as("row_count")
+      val rows = cs.map { c =>
+        val den = if (denomExpr(c, approx, _.mkString(", ")).isDefined)
+          s"den_${c.name}" else "row_count"
+        s"'${c.name}', '${c.table}', num_${c.name}, $den, CAST(${dlit(c.threshold)} AS DOUBLE)"
+      }.mkString(", ")
       table(spark, dir, t).agg(aggCols.head, aggCols.tail: _*)
-        .select(expr(s"stack(${cs.size}, $rows) AS (check_name, table_name, num, threshold)"),
-          col("n_total"))
+        .selectExpr(s"stack(${cs.size}, $rows) AS (check_name, table_name, num, n_total, threshold)")
     }
     val fkFrames = fks.collect { case c: ForeignKey =>
       val parent = table(spark, dir, c.refTable)
@@ -161,10 +191,12 @@ object Constraints {
           s"FROM (SELECT ${c.column} AS k FROM ${c.table} WHERE ${c.column} IS NOT NULL) ch " +
           s"LEFT JOIN (SELECT DISTINCT ${c.refColumn} AS k FROM ${c.refTable}) p ON ch.k = p.k) t"
       case c =>
-        val num = numExpr(c, approx = false, cols =>
-          if (cols.size == 1) cols.head else cols.mkString("(", ", ", ")"))
+        val dt: Seq[String] => String = cols =>
+          if (cols.size == 1) cols.head else cols.mkString("(", ", ", ")")
+        val num = numExpr(c, approx = false, dt)
+        val den = denomExpr(c, approx = false, dt).getOrElse("COUNT(*)")
         s"SELECT '${c.name}' AS check_name, '${c.table}' AS table_name, $num AS num, " +
-          s"CAST(${dlit(c.threshold)} AS DOUBLE) AS threshold, COUNT(*) AS n_total FROM ${c.table}"
+          s"CAST(${dlit(c.threshold)} AS DOUBLE) AS threshold, $den AS n_total FROM ${c.table}"
     }
     s"SELECT ${constraintFinal.mkString(", ")} FROM " +
       s"(${branches.mkString(" UNION ALL ")}) u ORDER BY check_name"
@@ -205,6 +237,15 @@ object Constraints {
           .select(lit(c.name).as("check_name"),
             col("k").cast("string").as("key_repr"), col("n"))
           .orderBy(col("n").desc, col("key_repr")).limit(ViolationTopN)
+      case c: FunctionalDependency =>
+        // lhs tuples bound to more than one rhs tuple, by rhs multiplicity
+        val keyRepr = concat_ws("|", c.lhs.map(col(_).cast("string")): _*)
+        table(spark, dir, c.table)
+          .groupBy(c.lhs.map(col): _*)
+          .agg(countDistinct(c.rhs.head, c.rhs.tail: _*).as("n"))
+          .filter(col("n") > 1)
+          .select(lit(c.name).as("check_name"), keyRepr.as("key_repr"), col("n"))
+          .orderBy(col("n").desc, col("key_repr")).limit(ViolationTopN)
     }
     require(branches.nonEmpty, "suite has no Unique/ForeignKey constraints")
     branches.reduce(_ unionByName _)
@@ -225,6 +266,15 @@ object Constraints {
           s"FROM (SELECT ${c.column} AS k FROM ${c.table} WHERE ${c.column} IS NOT NULL) ch " +
           s"LEFT JOIN (SELECT DISTINCT ${c.refColumn} AS k FROM ${c.refTable}) p ON ch.k = p.k " +
           s"WHERE p.k IS NULL GROUP BY ch.k " +
+          s"ORDER BY n DESC, key_repr LIMIT $ViolationTopN)"
+      case c: FunctionalDependency =>
+        val keyRepr = c.lhs.map(k => s"CAST($k AS STRING)")
+          .mkString("CONCAT_WS('|', ", ", ", ")")
+        val rhsTuple =
+          if (c.rhs.size == 1) c.rhs.head else c.rhs.mkString("(", ", ", ")")
+        s"(SELECT '${c.name}' AS check_name, $keyRepr AS key_repr, " +
+          s"COUNT(DISTINCT $rhsTuple) AS n " +
+          s"FROM ${c.table} GROUP BY ${c.lhs.mkString(", ")} HAVING COUNT(DISTINCT $rhsTuple) > 1 " +
           s"ORDER BY n DESC, key_repr LIMIT $ViolationTopN)"
     }
     s"SELECT check_name, key_repr, n FROM (${branches.mkString(" UNION ALL ")}) u " +
