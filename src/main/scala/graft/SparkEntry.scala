@@ -96,7 +96,8 @@ object SparkEntry {
       EntityResolution.queries ++
       Retrieval.queries ++
       MarketBasket.queries ++
-      Constraints.queries
+      Constraints.queries ++
+      Benford.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -182,5 +183,6 @@ object SparkEntry {
       EntityResolution.oracles ++
       Retrieval.oracles ++
       MarketBasket.oracles ++
-      Constraints.oracles
+      Constraints.oracles ++
+      Benford.oracles
 }
