@@ -97,7 +97,8 @@ object SparkEntry {
       Retrieval.queries ++
       MarketBasket.queries ++
       Constraints.queries ++
-      Benford.queries
+      Benford.queries ++
+      CorpusDesign.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -184,5 +185,6 @@ object SparkEntry {
       Retrieval.oracles ++
       MarketBasket.oracles ++
       Constraints.oracles ++
-      Benford.oracles
+      Benford.oracles ++
+      CorpusDesign.oracles
 }
