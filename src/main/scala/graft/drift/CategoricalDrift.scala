@@ -138,7 +138,7 @@ object CategoricalDrift {
     piv.join(broadcast(sums), "column_name")
       .selectExpr("column_name", "value", s"$chiCellSql AS cell")
       .groupBy("column_name")
-      .agg(expr(chiFoldSparkSql).as("chi_square"), (count(lit(1)) - 1).as("dof"))
+      .agg(expr(chiSumSql).as("chi_square"), (count(lit(1)) - 1).as("dof"))
   }
 
   private val pivotCountsSql =
@@ -478,13 +478,17 @@ object CategoricalDrift {
       s"WHEN chi_square > 2 * ($chiCv) THEN 0.01 WHEN chi_square > ($chiCv) THEN 0.05 " +
       s"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi_square / ($chiCv)) * 0.95)) END") + " AS p_value")
 
-  // χ² exactness contract (the cramers_v lesson, CORRECTNESS_r06): the cell
-  // term is built ONLY from IEEE correctly-rounded ops on exact integer
+  // χ² exactness contract (the cramers_v lesson, CORRECTNESS_r06/r07): the
+  // cell term is built ONLY from IEEE correctly-rounded ops on exact integer
   // counts (CAST-to-double, *, -, /; no POW — Math.pow/std::pow are 1-ulp
-  // loose and engine-specific), the per-column sum folds in CANONICAL
-  // value-sorted order on both engines, and the final rounding is the
-  // floor-based pr6Sql — so the whole statistic is bit-identical across
-  // Spark and any DuckDB version.
+  // loose and engine-specific), the per-column sum is an exact micro-unit
+  // integer SUM (microSumDoubleSql — commutative, so partial-agg order and
+  // any engine's fold internals are irrelevant; χ² ≤ N keeps the scaled sum
+  // far under 2⁵³), and the final rounding is the floor-based pr6Sql — so
+  // the whole statistic is bit-identical across Spark and any DuckDB
+  // version. Round 7's value-sorted canonical fold is retired: it assumed
+  // DuckDB's list_sum is a sequential left fold, an undocumented internal
+  // that changed across versions.
   private val chiExpRef =
     "((CAST(ref_sum AS DOUBLE) * CAST(ref_cnt + curr_cnt AS DOUBLE)) / CAST(ref_sum + curr_sum AS DOUBLE))"
   private val chiExpCurr =
@@ -494,10 +498,8 @@ object CategoricalDrift {
       s"((CAST(ref_cnt AS DOUBLE) - $chiExpRef) * (CAST(ref_cnt AS DOUBLE) - $chiExpRef)) / $chiExpRef + " +
       s"((CAST(curr_cnt AS DOUBLE) - $chiExpCurr) * (CAST(curr_cnt AS DOUBLE) - $chiExpCurr)) / $chiExpCurr " +
       "ELSE 0e0 END"
-  // canonical-order folds shared with DistanceDrift.cramersV via the
-  // package helpers — ONE definition of the fold contract
-  private val chiFoldSparkSql = sortedFoldSparkSql("value", "cell")
-  private val chiFoldDuckSql = sortedFoldDuckSql("value", "cell")
+  // ONE definition of the exact-sum contract, shared text on both engines
+  private val chiSumSql = microSumDoubleSql("cell")
 
   /** Lanczos log-gamma (g=7, n=9 — the standard public coefficients). */
   private def logGamma(x: Double): Double = {
@@ -584,7 +586,7 @@ object CategoricalDrift {
     val per = for (sp <- S.categorical; c <- sp.cols) yield
       s"SELECT ${chiFinal.mkString(", ")} FROM (" +
         s"SELECT '${sp.tableName}' AS table_name, '$c' AS column_name, " +
-        s"$chiFoldDuckSql AS chi_square, " +
+        s"$chiSumSql AS chi_square, " +
         "COUNT(*) - 1 AS dof FROM " +
         s"(SELECT value, $chiCellSql AS cell FROM " +
         s"(WITH cnts AS (${sideCountsSql(sp, c, nonNull = true)}) $pivotCountsSql) piv, " +
@@ -662,7 +664,7 @@ object CategoricalDrift {
         s"WHEN chi_square > 3 * ($chiCv) THEN 0.001 WHEN chi_square > 2 * ($chiCv) THEN 0.01 " +
         s"WHEN chi_square > ($chiCv) THEN 0.05 " +
         s"ELSE LEAST(1.0, GREATEST(0.05, 1.0 - (chi_square / ($chiCv)) * 0.95)) END AS p_value FROM " +
-        s"(SELECT $chiFoldDuckSql AS chi_square, " +
+        s"(SELECT $chiSumSql AS chi_square, " +
         "COUNT(*) - 1 AS dof FROM " +
         s"(SELECT value, $chiCellSql AS cell FROM " +
         s"(WITH cnts AS (${sideCountsSql(sp, c, nonNull = true)}) $pivotCountsSql) piv, " +
@@ -722,7 +724,7 @@ object CategoricalDrift {
     val tot = piv.agg(sum("ref_cnt").as("ref_sum"), sum("curr_cnt").as("curr_sum"))
     val stat = piv.crossJoin(broadcast(tot))
       .selectExpr("value", s"$chiCellSql AS cell")
-      .agg(expr(chiFoldSparkSql).as("chi_square"), (count(lit(1)) - 1).as("dof"))
+      .agg(expr(chiSumSql).as("chi_square"), (count(lit(1)) - 1).as("dof"))
     if (exactPValue) {
       val pExact = udf((chi: Double, dof: Long) => chi2PValue(chi, dof))
       stat.select(pExact(col("chi_square"), col("dof")).as("p_value"))

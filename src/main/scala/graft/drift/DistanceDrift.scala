@@ -300,9 +300,13 @@ object DistanceDrift {
       s"((CAST(cc AS DOUBLE) - $ec) * (CAST(cc AS DOUBLE) - $ec)) / ($ec)"
   }
 
-  /** v from (k, chi2_raw, n) — identical text both engines. */
+  /** chi2 back to DOUBLE from the exact micro-unit sum — shared text. */
+  private val chi2RawSql: String = microToDoubleSql("chi2_u")
+
+  /** v from (k, chi2_u, n) — identical text both engines; SQRT is IEEE
+    * correctly-rounded, so bit-identical on bit-identical input. */
   private val vRawSql: String =
-    "CASE WHEN k < 2 THEN 0e0 ELSE SQRT(chi2_raw / CAST(n AS DOUBLE)) END"
+    s"CASE WHEN k < 2 THEN 0e0 ELSE SQRT($chi2RawSql / CAST(n AS DOUBLE)) END"
 
   private def effectSql(v: String): String =
     s"CASE WHEN $v < 0.1 THEN 'negligible' WHEN $v < 0.3 THEN 'small' " +
@@ -319,21 +323,25 @@ object DistanceDrift {
         sum(when(col("side") === "curr", 1L).otherwise(0L)).as("cc"))
     val sums = piv.groupBy("column_name").agg(
       sum("rc").as("rs"), sum("cc").as("cs"), count(lit(1)).as("k"))
-    // χ² is summed in CANONICAL (value-sorted) order via an ordered fold:
-    // a plain sum("term") of doubles folds in engine/partition order, and
-    // with χ² in the thousands the 6-dp rounding is one partial-sum
-    // reassociation away from flipping (CORRECTNESS_r06 hash-red). k =
-    // #categories is tiny, so the collect_list per column is bounded.
+    // χ² accumulates as an exact micro-unit integer sum (microSumSql):
+    // each per-cell term quantizes half-up at 6 dp into DECIMAL(38,0) and
+    // the SUM is commutative integer arithmetic, so partial-agg order is
+    // irrelevant on any engine. This replaces the round-7 canonical fold
+    // (collect_list + sequential aggregate), which assumed DuckDB's
+    // list_sum is a left fold — an internal that changed across versions
+    // (driver hash-red two rounds running). Headroom: χ² ≤ N, so the
+    // micro-sum stays < 2⁵³ through ~sf1000; and dropping collect_list
+    // makes this a plain partial-aggregated SUM — better at scale too.
     piv.join(broadcast(sums), "column_name")
       .withColumn("term", expr(chiTermSql))
       .groupBy("column_name").agg(
         first("rs").as("rs"), first("cs").as("cs"), first("k").as("k"),
-        expr(sortedFoldSparkSql("value", "term")).as("chi2_raw"))
+        expr(microSumSql("term")).as("chi2_u"))
       .withColumn("n", col("rs") + col("cs"))
       .withColumn("v_raw", expr(vRawSql))
       .select(lit(label).as("table_name"), col("column_name"),
         col("n").as("n_total"), (col("k") - 1).as("dof"),
-        expr(pr6Sql("chi2_raw")).as("chi2"),
+        expr(pr6Sql(chi2RawSql)).as("chi2"),
         expr(pr6Sql("v_raw")).as("cramers_v"),
         expr(effectSql("v_raw")).as("effect"))
   }
@@ -347,19 +355,19 @@ object DistanceDrift {
         s"FROM ${sp.tableName} WHERE $c IS NOT NULL GROUP BY 1, 2, 3"
     }).mkString(" UNION ALL ")
     // mirrors cramersVFromTagged op-for-op: same chiTermSql text, the same
-    // value-sorted fold (list(term ORDER BY value) summed sequentially by
-    // list_sum), the same vRawSql, the same pr6Sql floor-rounding
+    // exact micro-unit integer SUM (microSumSql — commutative, no fold-
+    // order assumption), the same vRawSql, the same pr6Sql floor-rounding
     s"WITH piv AS ($branches), sums AS (SELECT table_name, column_name, " +
       "SUM(rc) AS rs, SUM(cc) AS cs, COUNT(*) AS k FROM piv GROUP BY 1, 2), " +
       "terms AS (SELECT p.table_name, p.column_name, p.value, s.rs, s.cs, s.k, " +
       s"p.rc AS rc, p.cc AS cc, $chiTermSql AS term " +
       "FROM piv p JOIN sums s ON p.table_name = s.table_name AND p.column_name = s.column_name), " +
       "agg AS (SELECT table_name, column_name, MAX(rs) AS rs, MAX(cs) AS cs, MAX(k) AS k, " +
-      s"${sortedFoldDuckSql("value", "term")} AS chi2_raw FROM terms GROUP BY 1, 2), " +
-      "fin AS (SELECT table_name, column_name, rs + cs AS n, k, chi2_raw FROM agg), " +
-      s"fin2 AS (SELECT table_name, column_name, n, k, chi2_raw, $vRawSql AS v_raw FROM fin) " +
+      s"${microSumSql("term")} AS chi2_u FROM terms GROUP BY 1, 2), " +
+      "fin AS (SELECT table_name, column_name, rs + cs AS n, k, chi2_u FROM agg), " +
+      s"fin2 AS (SELECT table_name, column_name, n, k, chi2_u, $vRawSql AS v_raw FROM fin) " +
       "SELECT table_name, column_name, n AS n_total, k - 1 AS dof, " +
-      s"${pr6Sql("chi2_raw")} AS chi2, ${pr6Sql("v_raw")} AS cramers_v, " +
+      s"${pr6Sql(chi2RawSql)} AS chi2, ${pr6Sql("v_raw")} AS cramers_v, " +
       s"${effectSql("v_raw")} AS effect " +
       "FROM fin2 ORDER BY table_name, column_name"
   }

@@ -468,37 +468,44 @@ object GroupDrift {
     * the reference's dimension_id design (demo_notebook.py:64,
     * result_handler.py:42) is exactly this fan-out.
     *
-    * Exactness contract: metric sums accumulate in DECIMAL(32,6) (exact —
-    * the TPC-H prices carry 2 dp) and the only doubles are derived from
-    * those exact sums and counts through [[pr6Sql]]'s shared IEEE text, so
-    * both engines hash identically. (Scaled sums stay under 2^53 through
-    * sf0.1; a full-scale deployment reads the decimal columns directly.) */
+    * Exactness contract (round 8, the CORRECTNESS_r07 lesson): metric
+    * values quantize per row into integer units of 10^-quantScale
+    * ([[microTermSql]] — cents for the TPC-H prices, their native
+    * precision) and accumulate in DECIMAL(38,0); sums, means and
+    * pct-changes reach DOUBLE only through shared IEEE text
+    * ([[microToDoubleSql]] + [[pr6Sql]]). Round 7's DECIMAL(32,6) sums
+    * were hash-red on the driver: CAST(scaled decimal AS DOUBLE) is an
+    * engine-private two-step whose ÷10^scale strategy differs across
+    * DuckDB versions, and this query was also the only one in the whole
+    * surface emitting raw DECIMAL output columns (a second cross-engine
+    * render hazard). Scale-0 units have neither problem. Headroom: cent
+    * sums are ~1e12 at sf0.1 — under 2⁵³ through ~sf800. */
   def groupSlices(spark: SparkSession, dir: String): DataFrame =
     sliceSpecs.map(sp =>
         sliceAgg(withSide(table(spark, dir, sp.tableName), sp.ref),
-          sp.dims, sp.metrics, sp.tableName))
+          sp.dims, sp.metrics, sp.tableName, quantScale = 2))
       .reduce(_ unionByName _)
       .orderBy("table_name", "dimension", "category", "metric")
 
   /** Library form of [[groupSlices]] for an arbitrary snapshot pair:
-    * every dimension aggregated through one grouping-sets pass. */
+    * every dimension aggregated through one grouping-sets pass.
+    * `quantScale` sets the metric quantization (half-up at 10^-scale);
+    * per-value magnitude must stay below ~9.2e18 / 10^scale (Spark's
+    * FLOOR saturates past Long.Max) — 9.2e12 at the default 6. */
   def groupSlicesForPair(ref: DataFrame, curr: DataFrame, dims: Seq[String],
-      metrics: Seq[String], label: String = "pair"): DataFrame =
+      metrics: Seq[String], label: String = "pair",
+      quantScale: Int = 6): DataFrame =
     sliceAgg(NumericDrift.tagPair(ref, curr, (dims ++ metrics).distinct),
-        dims, metrics, label)
+        dims, metrics, label, quantScale)
       .orderBy("table_name", "dimension", "category", "metric")
 
   private def sliceAgg(tagged: DataFrame, dims: Seq[String],
-      metrics: Seq[String], label: String): DataFrame = {
+      metrics: Seq[String], label: String, quantScale: Int): DataFrame = {
     require(dims.nonEmpty && metrics.nonEmpty,
       "group slices need at least one dimension and one metric")
-    // DECIMAL(32,6), not (18,6): a per-value cast range of 1e12 would
-    // silently NULL nanosecond/micro-unit metrics through the public
-    // groupSlicesForPair API and understate sums; (32,6) carries |v|
-    // up to 1e26 exactly and still leaves sum headroom inside Spark's
-    // (38,6) accumulator before a loud overflow-null
     val aggs = (count(lit(1)).as("n") +:
-      metrics.map(m => sum(col(m).cast("decimal(32,6)")).as(s"__sum_$m"))) ++
+      metrics.map(m => sum(expr(microTermSql(s"CAST($m AS DOUBLE)", quantScale)))
+        .as(s"__sum_$m"))) ++
       dims.map(d => grouping(col(d)).as(s"__g_$d"))
     val gs = tagged
       .groupingSets(dims.map(d => Seq(col("side"), col(d))),
@@ -532,18 +539,21 @@ object GroupDrift {
           .orderBy((col("ref_n") + col("curr_n")).desc, col("category").asc)))
       .where(col("__rk") <= TopCategories).drop("__rk")
       .select(lit(label).as("table_name"), col("*"))
-      .selectExpr(sliceFinal: _*)
+      .selectExpr(sliceFinal(quantScale): _*)
   }
 
-  /** Shared final text (Spark selectExpr ≡ DuckDB): counts, the exact
-    * decimal sums, and pr6-rounded means/pct-change from them. */
-  private val sliceFinal: Seq[String] = {
-    val rm = "(CAST(ref_sum0 AS DOUBLE) / ref_n)"
-    val cm = "(CAST(curr_sum0 AS DOUBLE) / curr_n)"
+  /** Shared final text (Spark selectExpr ≡ DuckDB): counts, sums, means
+    * and pct-change all derived from the exact integer-unit accumulators
+    * by shared IEEE text — no scaled-decimal cast, no decimal outputs. */
+  private def sliceFinal(quantScale: Int): Seq[String] = {
+    val rs = microToDoubleSql("ref_sum0", quantScale)
+    val cs = microToDoubleSql("curr_sum0", quantScale)
+    val rm = s"($rs / ref_n)"
+    val cm = s"($cs / curr_n)"
     Seq("table_name", "dimension", "category", "metric",
       "ref_n", "curr_n",
-      "CAST(ref_sum0 AS DECIMAL(38,6)) AS ref_sum",
-      "CAST(curr_sum0 AS DECIMAL(38,6)) AS curr_sum",
+      pr6Sql(rs) + " AS ref_sum",
+      pr6Sql(cs) + " AS curr_sum",
       pr6Sql(rm) + " AS ref_mean",
       pr6Sql(cm) + " AS curr_mean",
       pr6Sql(pctChangeSql(rm, cm)) + " AS mean_pct_change")
@@ -562,13 +572,14 @@ object GroupDrift {
         sp.dims.mkString(", ") + ", " +
         sp.dims.map(d => s"GROUPING($d) AS g_$d").mkString(", ") + ", " +
         "COUNT(*) AS n, " +
-        sp.metrics.map(m => s"SUM($m::DECIMAL(32,6)) AS sum_$m").mkString(", ") +
+        sp.metrics.map(m =>
+          s"SUM(${microTermSql(s"CAST($m AS DOUBLE)", 2)}) AS sum_$m").mkString(", ") +
         s" FROM ${sp.tableName} GROUP BY GROUPING SETS " +
         sp.dims.map(d => s"(side, $d)").mkString("(", ", ", ")")
       val unpiv = sp.metrics.map(m =>
         s"SELECT side, $dimCase AS dimension, $catCase AS category, " +
           s"'$m' AS metric, n, sum_$m AS msum FROM gsets").mkString(" UNION ALL ")
-      s"SELECT ${sliceFinal.mkString(", ")} FROM " +
+      s"SELECT ${sliceFinal(2).mkString(", ")} FROM " +
         s"(WITH gsets AS ($inner) " +
         // NULLS FIRST on the tie-break mirrors Spark's ASC default
         "SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dimension, metric " +

@@ -104,21 +104,57 @@ package object drift {
     else if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
     else 0.0 - math.floor((0.0 - x) * 1e6 + 0.5) / 1e6
 
-  /** Canonical-order double summation, Spark side: fold term over the
-    * key-sorted collected list — a sequential left fold, so the
-    * association order is data-determined, never engine/partition-
-    * determined. Pair with [[sortedFoldDuckSql]] (byte-identical results
-    * when terms are IEEE-identical). Callers must ensure the key is
-    * unique and non-null within the group and the group is small (the
-    * list is collected). */
-  def sortedFoldSparkSql(key: String, term: String): String =
-    s"COALESCE(aggregate(sort_array(collect_list(struct($key, $term))), " +
-      s"CAST(0 AS DOUBLE), (acc, x) -> acc + x.$term), 0e0)"
+  /** Power-of-ten literal rendered so both engines parse a DOUBLE. */
+  private def p10(scale: Int): String = "1" + ("0" * scale) + "e0"
 
-  /** DuckDB twin of [[sortedFoldSparkSql]]: list_sum iterates the list
-    * sequentially, so list(term ORDER BY key) is the same left fold. */
-  def sortedFoldDuckSql(key: String, term: String): String =
-    s"COALESCE(list_sum(list($term ORDER BY $key)), 0e0)"
+  /** Micro-unit quantization of one shared-text double term: half-up at
+    * `scale` decimal places into an exact DECIMAL(38,0) integer. This is
+    * the round-8 replacement for the retired canonical-fold helpers
+    * (CORRECTNESS_r06/r07: `list_sum(list(term ORDER BY k))` being a
+    * sequential left fold is an undocumented DuckDB internal that changed
+    * across versions — `cramers_v` stayed hash-red under the driver's
+    * DuckDB while local 1.0.0 was green). Why this form is version-proof:
+    *   - FLOOR(x·10^s + 0.5) uses only IEEE correctly-rounded ops on a
+    *     bit-identical input double → identical on any engine (Spark's
+    *     FLOOR(double) returns BIGINT, DuckDB's returns an integer-valued
+    *     double; the CAST to DECIMAL(38,0) is exact either way);
+    *   - summing DECIMAL(38,0) is exact integer arithmetic — commutative,
+    *     so partial-agg order, window-frame strategy (segment tree vs
+    *     sequential) and list-fold internals are all irrelevant;
+    *   - scale-0 decimal→DOUBLE is a bare int→double conversion (exact
+    *     below 2^53) with NO engine-private "divide by 10^scale" step —
+    *     the scale division is written EXPLICITLY in shared text
+    *     ([[microToDoubleSql]]), one correctly-rounded IEEE division.
+    * Preconditions: `term` must be finite (DuckDB errors casting NaN/Inf
+    * to DECIMAL; Spark's FLOOR maps NaN→0 — diverging), |term|·10^s must
+    * stay < 2^63 (Spark FLOOR saturates at Long.Max), and for a
+    * bit-stable final double the summed magnitude·10^s must stay < 2^53
+    * (callers pick `scale` with headroom at every gate SF; DriftMathSpec
+    * enumerates each site's bound). */
+  def microTermSql(term: String, scale: Int = 6): String =
+    s"CAST(FLOOR(($term) * ${p10(scale)} + 0.5e0) AS DECIMAL(38,0))"
+
+  /** Exact integer-unit sum of [[microTermSql]] terms (NULL-safe: empty
+    * or all-NULL groups sum to 0, matching the retired folds' COALESCE). */
+  def microSumSql(term: String, scale: Int = 6): String =
+    s"COALESCE(SUM(${microTermSql(term, scale)}), CAST(0 AS DECIMAL(38,0)))"
+
+  /** Bring an integer-unit value back to DOUBLE: exact int→double (the
+    * value must be < 2^53) then ONE shared-text correctly-rounded
+    * division — never an engine-internal scaled-decimal cast. */
+  def microToDoubleSql(e: String, scale: Int = 6): String =
+    s"(CAST($e AS DOUBLE) / ${p10(scale)})"
+
+  /** The whole pattern in one expression: Σ term as bit-identical DOUBLE. */
+  def microSumDoubleSql(term: String, scale: Int = 6): String =
+    microToDoubleSql(microSumSql(term, scale), scale)
+
+  /** Scalar twin of [[microTermSql]] for property tests and driver-side
+    * math that must hash-match query output. */
+  def microScalar(x: Double, scale: Int = 6): Long = {
+    val m = math.pow(10.0, scale)
+    math.floor(x * m + 0.5).toLong
+  }
 
   /** Relative difference with the reference's zero-denominator rule
     * (/root/reference/numerical_analyzer.py:214-219):

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.drift.{table, pr6Sql, sortedFoldSparkSql, sortedFoldDuckSql}
+import graft.drift.{table, pr6Sql, microSumDoubleSql}
 
 /** Benford's-law conformance for monetary/positive-magnitude columns: the
   * classic first-significant-digit test used for fraud and data-quality
@@ -17,9 +17,11 @@ import graft.drift.{table, pr6Sql, sortedFoldSparkSql, sortedFoldDuckSql}
   * Cross-engine determinism: the first digit comes from the STRING head of
   * FLOOR(ABS(x)) cast to BIGINT (integer-to-text is exact in both engines —
   * no log10/pow on data), the nine Benford expectations are JVM-computed
-  * literals embedded in shared SQL text, and the TVD folds its nine terms
-  * in digit order ([[sortedFoldSparkSql]]). Rows with |x| < 1 or NULL are
-  * excluded (no leading significant digit in the integer part).
+  * literals embedded in shared SQL text, and the TVD sums its nine |obs−exp|
+  * terms as exact micro-unit integers ([[graft.drift.microSumDoubleSql]] —
+  * commutative, no fold-order assumption; terms are ≤ 1 so the scaled sum
+  * is ≤ 9e6, nowhere near 2⁵³). Rows with |x| < 1 or NULL are excluded
+  * (no leading significant digit in the integer part).
   *
   * Scale shape: one scan per audited table, exact partial-agg'd counts per
   * (column, digit) — 9 groups per column — then arithmetic on a 27-row
@@ -82,8 +84,8 @@ object Benford {
       .orderBy("table_name", "column_name", "digit")
   }
 
-  /** Per-column TVD verdict; the nine |obs − exp| terms fold in digit
-    * order on both engines. */
+  /** Per-column TVD verdict; the nine |obs − exp| terms sum as exact
+    * micro-unit integers on both engines. */
   private def verdictFinal(fold: String): Seq[String] = Seq(
     "table_name", "column_name", "CAST(n AS BIGINT) AS n",
     pr6Sql(s"0.5e0 * ($fold)") + " AS tvd",
@@ -96,7 +98,7 @@ object Benford {
       .withColumn("term", expr(
         s"ABS((CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)) - ($pExpCase))"))
     dense.groupBy("table_name", "column_name", "n")
-      .agg(expr(sortedFoldSparkSql("digit", "term")).as("fold"))
+      .agg(expr(microSumDoubleSql("term")).as("fold"))
       .selectExpr(verdictFinal("fold"): _*)
       .orderBy("table_name", "column_name")
   }
@@ -131,7 +133,7 @@ object Benford {
       "wt AS (SELECT table_name, column_name, digit, n, " +
       s"ABS((CAST(n_d AS DOUBLE) / CAST(n AS DOUBLE)) - ($pExpCase)) AS term FROM wn), " +
       "agg AS (SELECT table_name, column_name, n, " +
-      s"${sortedFoldDuckSql("digit", "term")} AS fold FROM wt GROUP BY 1, 2, 3) " +
+      s"${microSumDoubleSql("term")} AS fold FROM wt GROUP BY 1, 2, 3) " +
       s"SELECT ${verdictFinal("fold").mkString(", ")} FROM agg " +
       "ORDER BY table_name, column_name"
 

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.drift.{table, pr6Sql, sortedFoldSparkSql, sortedFoldDuckSql}
+import graft.drift.{table, pr6Sql, microSumSql, microToDoubleSql}
 
 /** Corpus-level design/evaluation statistics a training-data pipeline uses
   * to PLAN its sampling and audit its weak labelers:
@@ -26,7 +26,10 @@ import graft.drift.{table, pr6Sql, sortedFoldSparkSql, sortedFoldDuckSql}
   * counts (vocab sizes, token counts, confusion cells, Σx, Σx² as BIGINT)
   * with the final double arithmetic expressed as identical IEEE-op text on
   * both engines; the one cross-stratum double sum (Neyman's Σ N_h·S_h)
-  * folds in canonical source order ([[sortedFoldSparkSql]]).
+  * accumulates as an exact centi-unit integer ([[graft.drift.microSumSql]]
+  * at scale 2 — commutative, no fold-order or decimal-cast assumption;
+  * the 1e-2 quantization is ~1e-10 relative on the 1e8-scale denominator,
+  * invisible at 6 dp, and keeps the scaled sum < 2⁵³ through ~sf10⁵).
   *
   * Scale shape: `vocab_growth` is one token explode + a vocabulary-sized
   * shuffle (min-decile per token — the same cost class as the existing
@@ -128,13 +131,21 @@ object CorpusDesign {
       .selectExpr("source", "n_docs", s"$sdExpr AS sd")
       .selectExpr("source", "n_docs", "sd", "CAST(n_docs AS DOUBLE) * sd AS w")
     val denom = per.agg(
-      expr(sortedFoldSparkSql("source", "w")).as("denom"),
+      expr(microSumSql("w", 2)).as("denom_u"),
       sum("n_docs").as("n_total"))
     per.crossJoin(broadcast(denom))
       .selectExpr(Seq("source", "n_docs", "sd", "n_total",
-        "CASE WHEN denom > 0e0 THEN w / denom ELSE 0e0 END AS share"): _*)
+        s"$neymanShareSql AS share"): _*)
       .selectExpr(neymanFinal: _*)
       .orderBy("source")
+  }
+
+  /** share from the exact centi-unit denominator — identical text both
+    * engines (denominator back to DOUBLE via explicit ÷10², never an
+    * engine-internal scaled-decimal cast). */
+  private def neymanShareSql: String = {
+    val den = microToDoubleSql("denom_u", 2)
+    s"CASE WHEN $den > 0e0 THEN w / $den ELSE 0e0 END"
   }
 
   def neymanAllocationSql: String =
@@ -143,10 +154,10 @@ object CorpusDesign {
       "FROM documents GROUP BY 1), " +
       s"sd AS (SELECT source, n_docs, $sdExpr AS sd FROM m), " +
       "w AS (SELECT source, n_docs, sd, CAST(n_docs AS DOUBLE) * sd AS w FROM sd), " +
-      s"den AS (SELECT ${sortedFoldDuckSql("source", "w")} AS denom, " +
+      s"den AS (SELECT ${microSumSql("w", 2)} AS denom_u, " +
       "SUM(n_docs)::BIGINT AS n_total FROM w), " +
       "sh AS (SELECT source, n_docs, sd, n_total, " +
-      "CASE WHEN denom > 0e0 THEN w / denom ELSE 0e0 END AS share FROM w CROSS JOIN den) " +
+      s"$neymanShareSql AS share FROM w CROSS JOIN den) " +
       s"SELECT ${neymanFinal.mkString(", ")} FROM sh ORDER BY source"
 
   // --------------------------------------- lang_confusion / agreement

@@ -24,60 +24,86 @@ object EventAnalytics {
   /** Rolling-window days (current day + 6 preceding). */
   val RollDays = 7
 
-  /** 7-day rolling mean/std of daily event value per type. Daily sums
-    * accumulate in DECIMAL(18,6) (exact); the rolling mean and the
-    * variance's second moment divide/cast only at the end, so both engines
-    * see bit-identical doubles. The frame is a RANGE window over the
-    * integer epoch-day index, NOT ROWS over present rows: with a ROWS
-    * frame a calendar day with zero events for a type silently widens the
-    * window to the 7 most recent ACTIVE days — a gap-skipping stat both
-    * engines would agree on, so the oracle could never catch the semantic
-    * drift. Scale shape: the window runs on the (day × type) aggregate —
-    * O(days·types) rows — after one partial-aggregated scan. */
+  /** 7-day rolling mean/std of daily event value per type. Values AND
+    * their squares quantize per row into micro-unit DECIMAL(38,0) integers
+    * ([[graft.drift.microTermSql]]) so every sum — daily partial agg and
+    * the rolling window — is exact commutative integer arithmetic; the
+    * only doubles are derived at the very end through shared IEEE text.
+    * Round-7's DECIMAL(18,6) squares were the CORRECTNESS_r06/r07 trap:
+    * decimal×decimal doubles the scale to 12, the windowed sum's scaled
+    * integer hit ~10¹⁸ ≫ 2⁵³, and CAST(scale-12 decimal AS DOUBLE) is an
+    * engine-private two-step (int→double then ÷10¹²) that Spark and the
+    * driver's DuckDB resolve differently out there. Scale-0 decimals have
+    * no such step and the ÷10⁶ is explicit shared text. Headroom: the
+    * 7-day Σx² micro-sum is ~2.5e13 at sf0.1 (< 2⁵³ through ~sf30; a
+    * full-scale deployment keeps the integer units and never casts).
+    * The 7-day frame is CALENDAR-ranged over the integer epoch-day
+    * index, NOT the 7 most recent ACTIVE days (a ROWS frame would
+    * silently gap-skip) — and, round 8, it is spelled as an explicit
+    * range SELF-JOIN on the daily aggregate instead of a RANGE window:
+    * this query was hash-red on the driver two rounds running, and after
+    * the micro-unit migration the only engine-internal surface left was
+    * the window frame machinery itself. A join with
+    * `b.day_idx BETWEEN a.day_idx − 6 AND a.day_idx` is the same frame
+    * written in arithmetic both engines must evaluate identically, and
+    * the summed quantities are exact integers, so association order is
+    * free. Scale shape: the self-join runs on the (day × type)
+    * aggregate — O(days·types) rows after one partial-aggregated scan —
+    * so the quadratic-looking join is over a frame that no corpus size
+    * grows past days×types; Spark plans it as an equi-join on
+    * event_type with the range as a post-filter. */
   def rollingStats(spark: SparkSession, dir: String): DataFrame = {
     val daily = table(spark, dir, "events")
       .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
         datediff(date_trunc("DAY", col("ts")), lit("1970-01-01").cast("date")).as("day_idx"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).as("sum_value"),
-        sum((col("value").cast("decimal(18,6)") * col("value").cast("decimal(18,6)")))
-          .as("sum_sq"))
-    val w = Window.partitionBy("event_type").orderBy("day_idx")
-      .rangeBetween(-(RollDays - 1), Window.currentRow)
-    daily.select(col("day"), col("event_type"), col("n_events"),
-        sum("n_events").over(w).as("roll_n"),
-        sum("sum_value").over(w).as("roll_sum_dec"),
-        sum("sum_sq").over(w).as("roll_sq_dec"))
+        sum(expr(graft.drift.microTermSql("value"))).as("sum_value_u"),
+        sum(expr(graft.drift.microTermSql("value * value"))).as("sum_sq_u"))
+    val b = daily.select(col("event_type").as("b_type"), col("day_idx").as("b_idx"),
+      col("n_events").as("b_n"), col("sum_value_u").as("b_sum"), col("sum_sq_u").as("b_sq"))
+    daily.join(b, col("event_type") === col("b_type") &&
+        col("b_idx") >= col("day_idx") - (RollDays - 1) && col("b_idx") <= col("day_idx"))
+      .groupBy("day", "event_type", "n_events")
+      .agg(sum("b_n").as("roll_n"),
+        sum("b_sum").as("roll_sum_u"),
+        sum("b_sq").as("roll_sq_u"))
       .selectExpr(rollingFinalCols: _*)
       .orderBy("event_type", "day")
   }
 
   /** Final projection — IDENTICAL text in Spark selectExpr and DuckDB.
-    * Variance via the moment identity on exact sums: (Σx² − (Σx)²/n)/(n−1);
-    * the subtraction happens on bit-identical doubles in both engines.
-    * Rounding is [[graft.drift.pr6Sql]] (floor-based, IEEE-only), NOT
-    * ROUND(x, 6): the pre-round doubles are bit-identical by construction,
-    * but ROUND's tie behavior is engine/version-specific (CORRECTNESS_r06
-    * hash-red under the driver's DuckDB while 1.0.0 was green). */
-  private def rollingFinalCols: Seq[String] = Seq(
-    "day", "event_type", "n_events", "roll_n",
-    graft.drift.pr6Sql("CAST(roll_sum_dec AS DOUBLE)") + " AS roll_sum",
-    graft.drift.pr6Sql("CAST(roll_sum_dec AS DOUBLE) / roll_n") + " AS roll_avg",
-    graft.drift.pr6Sql("CASE WHEN roll_n > 1 THEN " +
-      "sqrt(greatest((CAST(roll_sq_dec AS DOUBLE) - CAST(roll_sum_dec AS DOUBLE) * CAST(roll_sum_dec AS DOUBLE) / roll_n) / (roll_n - 1), 0e0)) " +
-      "ELSE 0e0 END") + " AS roll_std")
+    * Variance via the moment identity on exact integer-unit sums:
+    * (Σx² − (Σx)²/n)/(n−1); every double here is derived from exact
+    * ints < 2⁵³ by shared-text IEEE ops, so both engines are
+    * bit-identical. Rounding is [[graft.drift.pr6Sql]] (floor-based,
+    * IEEE-only), NOT ROUND(x, 6): ROUND's tie behavior is
+    * engine/version-specific (CORRECTNESS_r06 hash-red under the
+    * driver's DuckDB while 1.0.0 was green). */
+  private def rollingFinalCols: Seq[String] = {
+    val rs = graft.drift.microToDoubleSql("roll_sum_u")
+    val rq = graft.drift.microToDoubleSql("roll_sq_u")
+    Seq(
+      "day", "event_type", "n_events", "roll_n",
+      graft.drift.pr6Sql(rs) + " AS roll_sum",
+      graft.drift.pr6Sql(s"$rs / roll_n") + " AS roll_avg",
+      graft.drift.pr6Sql("CASE WHEN roll_n > 1 THEN " +
+        s"sqrt(greatest(($rq - $rs * $rs / roll_n) / (roll_n - 1), 0e0)) " +
+        "ELSE 0e0 END") + " AS roll_std")
+  }
 
   def rollingStatsSql: String =
     s"""WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        |  datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_idx, event_type,
-       |  COUNT(*) AS n_events, SUM(value::DECIMAL(18,6)) AS sum_value,
-       |  SUM(value::DECIMAL(18,6) * value::DECIMAL(18,6)) AS sum_sq
+       |  COUNT(*) AS n_events, SUM(${graft.drift.microTermSql("value")}) AS sum_value_u,
+       |  SUM(${graft.drift.microTermSql("value * value")}) AS sum_sq_u
        |  FROM events GROUP BY 1, 2, 3),
-       |rolled AS (SELECT day, event_type, n_events,
-       |  SUM(n_events) OVER w AS roll_n, SUM(sum_value) OVER w AS roll_sum_dec,
-       |  SUM(sum_sq) OVER w AS roll_sq_dec FROM daily
-       |  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx RANGE BETWEEN ${RollDays - 1} PRECEDING AND CURRENT ROW))
+       |rolled AS (SELECT a.day AS day, a.event_type AS event_type, a.n_events AS n_events,
+       |  SUM(b.n_events) AS roll_n, SUM(b.sum_value_u) AS roll_sum_u,
+       |  SUM(b.sum_sq_u) AS roll_sq_u FROM daily a JOIN daily b
+       |  ON a.event_type = b.event_type
+       |  AND b.day_idx >= a.day_idx - ${RollDays - 1} AND b.day_idx <= a.day_idx
+       |  GROUP BY 1, 2, 3)
        |SELECT ${rollingFinalCols.mkString(", ")} FROM rolled ORDER BY event_type, day"""
       .stripMargin.replace("\n", " ")
 

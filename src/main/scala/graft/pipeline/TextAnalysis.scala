@@ -1194,12 +1194,15 @@ object TextAnalysis {
     *
     * Scale shape: per-doc h/ttr are ONE stateless in-row expression
     * ([[lexicalSignals]] — no explode, no word-level shuffle), so the only
-    * exchange is the per-source rollup's. The exact (oracle) rollup folds
-    * doc H values in canonical doc_id order, which collects per-source doc
-    * lists — fine at gate SFs, unbounded at 100 TB, so `approx = true`
-    * (the bench surface) switches the rollup to plain engine-order SUMs:
-    * same values to well beyond 6 dp (H is O(log n), ~1e-13 reassociation
-    * error), no per-source state. */
+    * exchange is the per-source rollup's. Round 8: the exact (oracle)
+    * rollup sums per-doc H/ttr as micro-unit integers
+    * ([[graft.drift.microSumSql]] — exact, commutative, a plain
+    * partial-aggregated SUM), replacing the round-7 canonical doc_id-
+    * ordered fold that both collected per-source doc lists (unbounded at
+    * 100 TB) and leaned on DuckDB's list_sum being a left fold (a
+    * version-dependent internal). `approx = true` (the bench surface)
+    * keeps plain engine-order double SUMs: same values to well beyond
+    * 6 dp, zero quantization. */
   def docEntropy(spark: SparkSession, dir: String,
       approx: Boolean = false): DataFrame = {
     // per-doc h/ttr via the stateless in-row fold — one scan, zero word-level
@@ -1215,17 +1218,24 @@ object TextAnalysis {
         sum(expr(lowEntropyCaseExpr)).as("n_low_entropy"))
       else dh.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
-        expr(graft.drift.sortedFoldSparkSql("doc_id", "h")).as("sum_h"),
-        expr(graft.drift.sortedFoldSparkSql("doc_id", "ttr")).as("sum_ttr"),
+        expr(graft.drift.microSumSql("h")).as("sum_h_u"),
+        expr(graft.drift.microSumSql("ttr")).as("sum_ttr_u"),
         sum(expr(lowEntropyCaseExpr)).as("n_low_entropy"))
+        .selectExpr("source", "n_docs",
+          graft.drift.microToDoubleSql("sum_h_u") + " AS sum_h",
+          graft.drift.microToDoubleSql("sum_ttr_u") + " AS sum_ttr",
+          "n_low_entropy")
     rolled.selectExpr(docEntropyFinal: _*).orderBy("source")
   }
 
-  /** Shared math text (Spark ≡ DuckDB, identical parenthesization). */
+  /** Shared math text (Spark ≡ DuckDB, identical parenthesization).
+    * `sclc_u` is the per-doc Σ c·log2(c) as an exact micro-unit integer
+    * (each run/word term quantized half-up at 6 dp); both engines bring
+    * it back to DOUBLE through the same explicit ÷10⁶ text. */
   private val entropyTermExpr =
     "CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))"
   private val entropyHExpr =
-    "log2(CAST(n AS DOUBLE)) - (sclc / CAST(n AS DOUBLE))"
+    s"log2(CAST(n AS DOUBLE)) - (${graft.drift.microToDoubleSql("sclc_u")} / CAST(n AS DOUBLE))"
   private val entropyTtrExpr = "CAST(d AS DOUBLE) / CAST(n AS DOUBLE)"
   private def lowEntropyCaseExpr =
     s"CASE WHEN ${graft.drift.pr6Sql("h")} < $LowEntropyBits THEN 1 ELSE 0 END"
@@ -1235,21 +1245,28 @@ object TextAnalysis {
     graft.drift.pr6Sql("sum_ttr / CAST(n_docs AS DOUBLE)") + " AS avg_ttr",
     "CAST(n_low_entropy AS BIGINT) AS n_low_entropy")
 
-  /** In-row Σ c·log2(c) over whitespace tokens: a run-length fold over the
-    * SORTED token array — the same word-ordered left fold as the explode
-    * path (bit-identical, pinned in CurationOpsSpec), but as ONE stateless
-    * per-row expression: no explode, no shuffle, no state. This is the
-    * per-doc scale path at 100 TB (the word-count shuffle only exists to
-    * serve the oracle's CTE shape) and it is streaming-legal — a pure
-    * projection Structured Streaming runs per-row with zero state
-    * ([[graft.streaming.StreamingPrep]] gates on it). Runs of length 1
-    * contribute log2(1) = 0, so the fold only pays for repeats. */
+  /** In-row Σ c·log2(c) over whitespace tokens as an exact micro-unit
+    * BIGINT: a run-length fold over the SORTED token array, each
+    * completed run's c·log2(c) term quantized half-up at 6 dp
+    * (FLOOR(term·10⁶ + 0.5) — Spark's FLOOR(double) is already BIGINT)
+    * and accumulated by exact integer addition. The oracle's explode +
+    * groupBy + per-word micro-SUM is the SAME multiset of integer terms,
+    * so the two paths agree EXACTLY regardless of order — no left-fold
+    * contract needed on either engine (the round-7 double-accumulator
+    * version leaned on DuckDB's list_sum internals; retired). One
+    * stateless per-row expression: no explode, no shuffle, no state.
+    * This is the per-doc scale path at 100 TB (the word-count shuffle
+    * only exists to serve the oracle's CTE shape) and it is
+    * streaming-legal — a pure projection Structured Streaming runs
+    * per-row with zero state ([[graft.streaming.StreamingPrep]] gates on
+    * it). Runs of length 1 contribute log2(1) = 0, so the fold only pays
+    * for repeats. */
   private[graft] val entropySclcInRowExpr: String = {
     def runTerm(run: String) =
-      s"CASE WHEN $run > 1 THEN CAST($run AS DOUBLE) * log2(CAST($run AS DOUBLE)) " +
-        "ELSE CAST(0 AS DOUBLE) END"
+      s"FLOOR((CASE WHEN $run > 1 THEN CAST($run AS DOUBLE) * log2(CAST($run AS DOUBLE)) " +
+        "ELSE CAST(0 AS DOUBLE) END) * 1000000e0 + 0.5e0)"
     "aggregate(sort_array(split(text, '\\\\s+')), " +
-      "named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS DOUBLE)), " +
+      "named_struct('prev', CAST(NULL AS STRING), 'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT)), " +
       "(s, x) -> CASE WHEN s.prev IS NOT NULL AND x = s.prev " +
       "THEN named_struct('prev', x, 'run', s.run + CAST(1 AS BIGINT), 'acc', s.acc) " +
       s"ELSE named_struct('prev', x, 'run', CAST(1 AS BIGINT), 'acc', s.acc + ${runTerm("s.run")}) END, " +
@@ -1262,12 +1279,12 @@ object TextAnalysis {
     * [[docEntropy]]'s per-doc intermediates. */
   def lexicalSignals(df: DataFrame): DataFrame =
     df.withColumn("n_toks", expr("CAST(size(split(text, '\\\\s+')) AS BIGINT)"))
-      .withColumn("sclc", expr(entropySclcInRowExpr))
+      .withColumn("sclc_u", expr(entropySclcInRowExpr))
       .withColumn("h", expr(
-        "log2(CAST(n_toks AS DOUBLE)) - (sclc / CAST(n_toks AS DOUBLE))"))
+        s"log2(CAST(n_toks AS DOUBLE)) - (${graft.drift.microToDoubleSql("sclc_u")} / CAST(n_toks AS DOUBLE))"))
       .withColumn("ttr", expr(
         "CAST(size(array_distinct(split(text, '\\\\s+'))) AS DOUBLE) / CAST(n_toks AS DOUBLE)"))
-      .drop("n_toks", "sclc")
+      .drop("n_toks", "sclc_u")
 
   def docEntropySql: String =
     "WITH wc AS (SELECT doc_id, source, w, COUNT(*)::BIGINT AS c FROM " +
@@ -1276,11 +1293,11 @@ object TextAnalysis {
       s"wt AS (SELECT doc_id, source, w, c, $entropyTermExpr AS term FROM wc), " +
       "dd AS (SELECT doc_id, source, CAST(SUM(c) AS BIGINT) AS n, " +
       "CAST(COUNT(*) AS BIGINT) AS d, " +
-      s"${graft.drift.sortedFoldDuckSql("w", "term")} AS sclc FROM wt GROUP BY 1, 2), " +
+      s"${graft.drift.microSumSql("term")} AS sclc_u FROM wt GROUP BY 1, 2), " +
       s"dh AS (SELECT doc_id, source, $entropyHExpr AS h, $entropyTtrExpr AS ttr FROM dd), " +
       "src AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, " +
-      s"${graft.drift.sortedFoldDuckSql("doc_id", "h")} AS sum_h, " +
-      s"${graft.drift.sortedFoldDuckSql("doc_id", "ttr")} AS sum_ttr, " +
+      s"${graft.drift.microSumDoubleSql("h")} AS sum_h, " +
+      s"${graft.drift.microSumDoubleSql("ttr")} AS sum_ttr, " +
       s"CAST(SUM($lowEntropyCaseExpr) AS BIGINT) AS n_low_entropy FROM dh GROUP BY 1) " +
       s"SELECT ${docEntropyFinal.mkString(", ")} FROM src ORDER BY source"
 

@@ -368,9 +368,11 @@ class CurationOpsSpec extends SparkSpec {
   }
 
   test("in-row lexical signals are bit-identical to the explode-path per-doc H") {
-    // the zero-shuffle run-length fold over sorted tokens must produce the
-    // SAME word-ordered left fold as the explode + groupBy + sortedFold
-    // path — bitwise, not approximately: both feed the same pr6'd decisions
+    // the zero-shuffle run-length fold over sorted tokens quantizes each
+    // run's c·log2(c) into micro-unit BIGINTs, so it must produce the SAME
+    // exact integer sum as the explode + groupBy + per-word micro-SUM path
+    // (the oracle CTE's shape) — bitwise, not approximately: both feed the
+    // same pr6'd decisions, and exact integer sums are order-independent
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text")
     val inRow = TextAnalysis.lexicalSignals(docs)
@@ -382,9 +384,9 @@ class CurationOpsSpec extends SparkSpec {
       .withColumn("term", expr("CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))"))
       .groupBy("doc_id").agg(
         sum("c").as("n"), count(lit(1)).as("d"),
-        expr(graft.drift.sortedFoldSparkSql("w", "term")).as("sclc"))
+        expr(graft.drift.microSumSql("term")).as("sclc_u"))
       .selectExpr("doc_id",
-        "log2(CAST(n AS DOUBLE)) - (sclc / CAST(n AS DOUBLE)) AS h",
+        s"log2(CAST(n AS DOUBLE)) - (${graft.drift.microToDoubleSql("sclc_u")} / CAST(n AS DOUBLE)) AS h",
         "CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS ttr")
       .collect()
     assert(exploded.length == inRow.size)
