@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.drift.{table, pr6Sql, microSumSql, microToDoubleSql}
+import graft.drift.{table, pr6Sql, microSumSql, microTermSql, microToDoubleSql}
 
 /** Corpus-level design/evaluation statistics a training-data pipeline uses
   * to PLAN its sampling and audit its weak labelers:
@@ -140,13 +140,19 @@ object CorpusDesign {
       .orderBy("source")
   }
 
-  /** share from the exact centi-unit denominator — identical text both
-    * engines (denominator back to DOUBLE via explicit ÷10², never an
-    * engine-internal scaled-decimal cast). */
-  private def neymanShareSql: String = {
-    val den = microToDoubleSql("denom_u", 2)
-    s"CASE WHEN $den > 0e0 THEN w / $den ELSE 0e0 END"
-  }
+  /** share = w_u / denom_u — BOTH sides quantized by the SAME
+    * [[graft.drift.microTermSql]] text at centi scale, so the ratio is a
+    * single division of two exact integer-valued doubles. Quantizing the
+    * numerator and denominator SEPARATELY (the round-8 form divided the
+    * raw double w by the quantized denominator) broke the contract: a
+    * sole varying stratum came out 1.00001 > 1 and FLOOR(Budget·share)
+    * could exceed Budget. With w_u ≤ denom_u = Σ w_u by construction,
+    * share ≤ 1 holds exactly and the sole stratum is exactly 1.0
+    * (CorpusDesignSpec pins both invariants). */
+  private def neymanShareSql: String =
+    s"CASE WHEN CAST(denom_u AS DOUBLE) > 0e0 THEN " +
+      s"CAST(${microTermSql("w", 2)} AS DOUBLE) / CAST(denom_u AS DOUBLE) " +
+      "ELSE 0e0 END"
 
   def neymanAllocationSql: String =
     "WITH m AS (SELECT source, COUNT(*)::BIGINT AS n_docs, " +

@@ -61,11 +61,14 @@ class BenfordSpec extends SparkSpec {
       val byDigit = rows.map(r => r.getLong(2) -> r.getAs[Long]("n_d")).toMap
       val n = byDigit.values.sum
       assert(verdict(key).getAs[Long]("n") == n)
-      // identical IEEE ops in identical (digit) order as both engines' fold
-      val fold = (1 to 9).foldLeft(0.0) { (a, d) =>
-        a + math.abs(byDigit(d.toLong).toDouble / n.toDouble -
-          math.log10(1.0 + 1.0 / d))
+      // mirror the query term-for-term: each |obs − exp| quantized half-up
+      // at 6 dp (graft.drift.microScalar ≡ microTermSql), summed as exact
+      // integers, back to DOUBLE by one ÷10⁶ (≡ microSumDoubleSql)
+      val foldU = (1 to 9).foldLeft(0L) { (a, d) =>
+        a + graft.drift.microScalar(math.abs(byDigit(d.toLong).toDouble / n.toDouble -
+          math.log10(1.0 + 1.0 / d)))
       }
+      val fold = foldU.toDouble / 1e6
       assert(verdict(key).getAs[Double]("tvd") == graft.drift.pr6Scalar(0.5 * fold))
       // observed shares reconcile to 1 within rounding of the 9 terms
       assert(math.abs(rows.map(_.getAs[Double]("p_observed")).sum - 1.0) < 9e-6)

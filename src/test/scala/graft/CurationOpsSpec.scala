@@ -329,16 +329,20 @@ class CurationOpsSpec extends SparkSpec {
       val n = toks.length.toDouble
       val counts = scala.collection.immutable.SortedMap(
         toks.groupBy(identity).map { case (w, g) => w -> g.length.toDouble }.toSeq: _*)
-      // canonical word-ordered left fold, like both engines
-      val sclc = counts.valuesIterator.foldLeft(0.0)((a, c) =>
-        a + c * (math.log(c) / math.log(2.0)))
-      val h = math.log(n) / math.log(2.0) - sclc / n
+      // mirror entropySclcInRowExpr term-for-term: each run's c·log2(c)
+      // quantized half-up at 6 dp (microScalar ≡ the query's FLOOR(·1e6+0.5)),
+      // summed as exact integers — order-free, no fold contract needed
+      val sclcU = counts.valuesIterator.foldLeft(0L)((a, c) =>
+        if (c > 1.0) a + graft.drift.microScalar(c * (math.log(c) / math.log(2.0)))
+        else a)
+      val h = math.log(n) / math.log(2.0) - (sclcU.toDouble / 1e6) / n
       (r.getAs[Long]("doc_id"), r.getAs[String]("source"), h, counts.size / n)
     }
     val want = perDoc.groupBy(_._2).map { case (src, ds) =>
-      val sorted = ds.sortBy(_._1)
-      val sumH = sorted.foldLeft(0.0)(_ + _._3)
-      val sumT = sorted.foldLeft(0.0)(_ + _._4)
+      // rollup mirror: Σ microScalar(h) / Σ microScalar(ttr) as exact
+      // integer micro-units (≡ microSumSql), one ÷10⁶, then the final avg
+      val sumH = ds.foldLeft(0L)((a, d) => a + graft.drift.microScalar(d._3)).toDouble / 1e6
+      val sumT = ds.foldLeft(0L)((a, d) => a + graft.drift.microScalar(d._4)).toDouble / 1e6
       src -> (ds.length.toLong,
         graft.drift.pr6Scalar(sumH / ds.length),
         graft.drift.pr6Scalar(sumT / ds.length),
@@ -357,12 +361,14 @@ class CurationOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_low_entropy") == nl)
       assert(r.getAs[Double]("avg_ttr") > 0 && r.getAs[Double]("avg_ttr") <= 1.0)
     }
-    // the bench (approx) rollup tracks the exact fold to well under 6 dp
+    // the bench (approx) rollup tracks the exact path to ~1 micro-unit:
+    // the exact side quantizes each per-doc h at 1e-6 (≤0.5e-6 shift on
+    // the mean) and both sides pr6-round the output (≤0.5e-6 each)
     val ap = TextAnalysis.docEntropy(spark, sf, approx = true).collect()
       .map(r => r.getString(0) -> r).toMap
     got.foreach { r =>
       val a = ap(r.getString(0))
-      assert(math.abs(a.getAs[Double]("avg_entropy") - r.getAs[Double]("avg_entropy")) < 1e-6)
+      assert(math.abs(a.getAs[Double]("avg_entropy") - r.getAs[Double]("avg_entropy")) < 2e-6)
       assert(a.getAs[Long]("n_low_entropy") == r.getAs[Long]("n_low_entropy"))
     }
   }
