@@ -181,9 +181,9 @@ object Example {
       println(s"  gap_fill: dense series of ${gf.length} (type, day) cells, " +
         s"${gf.count(_.getLong(2) == 0)} gap days LOCF-filled")
       // growth analytics tail: rolling stats, new-vs-returning, cohort LTV
-      val rs = graft.pipeline.EventAnalytics.rollingStats(spark, sfDir).collect()
-      println(s"  rolling_stats: ${rs.length} (type, day) rows with exact-decimal " +
-        "7-day RANGE-window mean/std")
+      val rs = graft.pipeline.EventAnalytics.rollingStatsFull(spark, sfDir).collect()
+      println(s"  rolling_stats: ${rs.length} (type, day) rows with 7-day " +
+        "calendar-frame mean/std from exact micro-unit integer sums")
       val nvr = graft.pipeline.EventAnalytics.newVsReturning(spark, sfDir).collect()
       if (nvr.nonEmpty) {
         val last = nvr.last

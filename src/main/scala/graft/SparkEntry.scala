@@ -98,7 +98,8 @@ object SparkEntry {
       MarketBasket.queries ++
       Constraints.queries ++
       Benford.queries ++
-      CorpusDesign.queries
+      CorpusDesign.queries ++
+      EngineProbe.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -186,5 +187,6 @@ object SparkEntry {
       MarketBasket.oracles ++
       Constraints.oracles ++
       Benford.oracles ++
-      CorpusDesign.oracles
+      CorpusDesign.oracles ++
+      EngineProbe.oracles
 }

@@ -279,6 +279,20 @@ object DistanceDrift {
     * expected≥5 exclusion): this is the textbook effect size, not the
     * banded test. Effect bands follow Cohen's conventions for df* = 1. */
   def cramersV(spark: SparkSession, dir: String): DataFrame =
+    S.categorical.map { sp => cramersVCore(
+      withSide(table(spark, dir, sp.tableName), sp.ref), sp.cols, sp.tableName)
+        .selectExpr(cramersIntFinal: _*)
+    }.reduce(_ unionAll _).orderBy("table_name", "column_name")
+
+  /** Float-surface variant (χ², V, both pr6-rounded) — the pre-round-9
+    * gate shape, now spec-only: CORRECTNESS_r06–r08 kept this query
+    * hash-red under the driver's DuckDB through three float
+    * implementations while bit-identical on the local replica, so the
+    * GATE row ([[cramersV]]) now emits only exact integers (chi2_micro +
+    * integer-threshold effect) and the float finalization is probed
+    * separately on literal inputs ([[EngineProbe]]). DistanceDriftSpec
+    * pins this surface against a JVM twin. */
+  def cramersVFull(spark: SparkSession, dir: String): DataFrame =
     S.categorical.map { sp => cramersVFromTagged(
       withSide(table(spark, dir, sp.tableName), sp.ref), sp.cols, sp.tableName)
     }.reduce(_ unionAll _).orderBy("table_name", "column_name")
@@ -296,23 +310,60 @@ object DistanceDrift {
   private val chiTermSql: String = {
     val er = "(CAST(rs AS DOUBLE) * CAST(rc + cc AS DOUBLE)) / CAST(rs + cs AS DOUBLE)"
     val ec = "(CAST(cs AS DOUBLE) * CAST(rc + cc AS DOUBLE)) / CAST(rs + cs AS DOUBLE)"
-    s"((CAST(rc AS DOUBLE) - $er) * (CAST(rc AS DOUBLE) - $er)) / ($er) + " +
-      s"((CAST(cc AS DOUBLE) - $ec) * (CAST(cc AS DOUBLE) - $ec)) / ($ec)"
+    // zero-expected guard (one side entirely empty → er or ec = 0): the
+    // unguarded term is NaN/Inf, which violates microTermSql's finiteness
+    // precondition AND diverges cross-engine (Spark FLOOR maps NaN→0,
+    // DuckDB errors casting NaN to DECIMAL). A side with zero rows
+    // contributes χ² = 0, matching CategoricalDrift's guarded cell.
+    "CASE WHEN rs > 0 AND cs > 0 THEN " +
+      s"((CAST(rc AS DOUBLE) - $er) * (CAST(rc AS DOUBLE) - $er)) / ($er) + " +
+      s"((CAST(cc AS DOUBLE) - $ec) * (CAST(cc AS DOUBLE) - $ec)) / ($ec) " +
+      "ELSE 0e0 END"
   }
 
   /** chi2 back to DOUBLE from the exact micro-unit sum — shared text. */
-  private val chi2RawSql: String = microToDoubleSql("chi2_u")
+  private[graft] val chi2RawSql: String = microToDoubleSql("chi2_u")
 
   /** v from (k, chi2_u, n) — identical text both engines; SQRT is IEEE
     * correctly-rounded, so bit-identical on bit-identical input. */
-  private val vRawSql: String =
+  private[graft] val vRawSql: String =
     s"CASE WHEN k < 2 THEN 0e0 ELSE SQRT($chi2RawSql / CAST(n AS DOUBLE)) END"
 
-  private def effectSql(v: String): String =
+  private[graft] def effectSql(v: String): String =
     s"CASE WHEN $v < 0.1 THEN 'negligible' WHEN $v < 0.3 THEN 'small' " +
       s"WHEN $v < 0.5 THEN 'medium' ELSE 'large' END"
 
+  /** Integer-only gate projection. Effect bands by EXACT integer
+    * comparison: v < t ⇔ chi2/n < t² ⇔ chi2_u < t²·10⁶·n, and
+    * t²·10⁶ ∈ {10⁴, 9·10⁴, 25·10⁴} for Cohen's 0.1/0.3/0.5 — so the
+    * verdict needs no sqrt and no float at all (and is exact where the
+    * float path could mis-band a value within 1 ulp of a threshold).
+    * Headroom: chi2_u ≤ 10⁶·N and 25·10⁴·N stay far below 2⁶³ at any
+    * plausible N. */
+  private val cramersIntFinal: Seq[String] = {
+    def band(tSq: Long) = s"CAST(chi2_u AS BIGINT) < $tSq * CAST(n AS BIGINT)"
+    Seq("table_name", "column_name",
+      "CAST(n AS BIGINT) AS n_total",
+      "CAST(k - 1 AS BIGINT) AS dof",
+      "CAST(chi2_u AS BIGINT) AS chi2_micro",
+      s"CASE WHEN k < 2 THEN 'negligible' WHEN ${band(10000L)} THEN 'negligible' " +
+        s"WHEN ${band(90000L)} THEN 'small' WHEN ${band(250000L)} THEN 'medium' " +
+        "ELSE 'large' END AS effect")
+  }
+
   private def cramersVFromTagged(tagged: DataFrame, cols: Seq[String],
+      label: String): DataFrame =
+    cramersVCore(tagged, cols, label)
+      .select(col("table_name"), col("column_name"),
+        col("n").as("n_total"), (col("k") - 1).as("dof"),
+        expr(pr6Sql(chi2RawSql)).as("chi2"),
+        expr(pr6Sql("v_raw")).as("cramers_v"),
+        expr(effectSql("v_raw")).as("effect"))
+
+  /** Shared contingency core: exact integer marginals + the micro-unit
+    * χ² sum, plus the derived float v_raw (used only by the full
+    * surface). */
+  private def cramersVCore(tagged: DataFrame, cols: Seq[String],
       label: String): DataFrame = {
     val rows = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
     val piv = tagged
@@ -339,11 +390,7 @@ object DistanceDrift {
         expr(microSumSql("term")).as("chi2_u"))
       .withColumn("n", col("rs") + col("cs"))
       .withColumn("v_raw", expr(vRawSql))
-      .select(lit(label).as("table_name"), col("column_name"),
-        col("n").as("n_total"), (col("k") - 1).as("dof"),
-        expr(pr6Sql(chi2RawSql)).as("chi2"),
-        expr(pr6Sql("v_raw")).as("cramers_v"),
-        expr(effectSql("v_raw")).as("effect"))
+      .withColumn("table_name", lit(label))
   }
 
   def cramersVSql: String = {
@@ -354,9 +401,9 @@ object DistanceDrift {
         s"SUM(CASE WHEN ${sp.refSql} THEN 0 ELSE 1 END)::BIGINT AS cc " +
         s"FROM ${sp.tableName} WHERE $c IS NOT NULL GROUP BY 1, 2, 3"
     }).mkString(" UNION ALL ")
-    // mirrors cramersVFromTagged op-for-op: same chiTermSql text, the same
-    // exact micro-unit integer SUM (microSumSql — commutative, no fold-
-    // order assumption), the same vRawSql, the same pr6Sql floor-rounding
+    // mirrors cramersVCore op-for-op: same chiTermSql text, the same exact
+    // micro-unit integer SUM (microSumSql — commutative, no fold-order
+    // assumption), then the INTEGER-ONLY final projection (cramersIntFinal)
     s"WITH piv AS ($branches), sums AS (SELECT table_name, column_name, " +
       "SUM(rc) AS rs, SUM(cc) AS cs, COUNT(*) AS k FROM piv GROUP BY 1, 2), " +
       "terms AS (SELECT p.table_name, p.column_name, p.value, s.rs, s.cs, s.k, " +
@@ -364,12 +411,9 @@ object DistanceDrift {
       "FROM piv p JOIN sums s ON p.table_name = s.table_name AND p.column_name = s.column_name), " +
       "agg AS (SELECT table_name, column_name, MAX(rs) AS rs, MAX(cs) AS cs, MAX(k) AS k, " +
       s"${microSumSql("term")} AS chi2_u FROM terms GROUP BY 1, 2), " +
-      "fin AS (SELECT table_name, column_name, rs + cs AS n, k, chi2_u FROM agg), " +
-      s"fin2 AS (SELECT table_name, column_name, n, k, chi2_u, $vRawSql AS v_raw FROM fin) " +
-      "SELECT table_name, column_name, n AS n_total, k - 1 AS dof, " +
-      s"${pr6Sql(chi2RawSql)} AS chi2, ${pr6Sql("v_raw")} AS cramers_v, " +
-      s"${effectSql("v_raw")} AS effect " +
-      "FROM fin2 ORDER BY table_name, column_name"
+      "fin AS (SELECT table_name, column_name, rs + cs AS n, k, chi2_u FROM agg) " +
+      s"SELECT ${cramersIntFinal.mkString(", ")} " +
+      "FROM fin ORDER BY table_name, column_name"
   }
 
   // ------------------------------------------- bounded f-divergence trio

