@@ -327,6 +327,120 @@ class DriftMathSpec extends SparkSpec {
     }
   }
 
+  test("microScalar is bit-identical to the engine-evaluated microTermSql " +
+    "on boundary values") {
+    // the JVM twin and the SQL text must agree exactly, including at the
+    // half-up tie and for negatives (FLOOR rounds toward -inf, so half-up
+    // for negative inputs means toward +inf — both sides inherit it)
+    val lits = Seq("0.0000005", "1.0000005", "-1.0000005", "2.5", "-2.5",
+      "8.3572155", "-8.3572155", "0.0000004999", "1234567.8901234",
+      "-1234567.8901234", "0.0", "999999999.9999994")
+    val rows = spark.sql(
+      lits.zipWithIndex.map { case (l, i) =>
+        s"CAST(${microTermSql(s"${l}e0")} AS BIGINT) AS m$i"
+      }.mkString("SELECT ", ", ", "")).collect()(0)
+    lits.indices.foreach { i =>
+      assert(rows.getLong(i) == microScalar(lits(i).toDouble),
+        s"x=${lits(i)}: sql=${rows.getLong(i)} scalar=${microScalar(lits(i).toDouble)}")
+    }
+    // non-default scale (the centi-unit Neyman/group-slices sites)
+    val c = spark.sql(s"SELECT CAST(${microTermSql("123.455e0", 2)} AS BIGINT) AS m")
+      .collect()(0).getLong(0)
+    assert(c == microScalar(123.455, 2))
+  }
+
+  test("micro/decimal headroom enumeration: every quantization site keeps " +
+    "scaled magnitudes inside FLOOR's 2^63 and the 2^53 exact-double range") {
+    // The microTermSql/microSumSql contract (drift/package.scala): each
+    // |term|·10^s must stay < 2^63 (Spark's FLOOR(double) saturates at
+    // Long.Max) and each group SUM·10^s < 2^53 (int→double stays exact).
+    // This test enumerates EVERY quantization site in the codebase with
+    // its observed magnitudes on the driver-gate testdata (sf0.01) and a
+    // documented growth model, and fails if a site would breach its bound
+    // before the claimed survival scale — so a new query that quantizes
+    // too-large values (or a data refresh that inflates one) fails here
+    // before it corrupts a gate hash.
+    val sf = "/root/testdata/sf0.01"
+    val L63 = math.pow(2.0, 63)
+    val L53 = math.pow(2.0, 53)
+    // (site, scale, observed max |term|, observed max group |sum|,
+    //  growth of the group sum to the claimed survival corpus scale)
+    def site(name: String, scale: Int, maxTerm: Double, maxSum: Double,
+        growth: Double): Unit = {
+      val p = math.pow(10.0, scale)
+      assert(maxTerm * p < L63 / 1e3,
+        s"$name: per-term scaled magnitude ${maxTerm * p} has <1000x " +
+          "headroom to FLOOR's Long.Max saturation")
+      assert(maxSum * p * growth < L53,
+        s"$name: group sum scaled ${maxSum * p} x growth $growth breaches " +
+          "2^53 — the decimal->double return stops being exact")
+    }
+
+    // rolling_stats (EventAnalytics:77-78): value and value^2 at 1e-6,
+    // summed over 7-day frames; sums grow linearly with corpus -> sf100
+    val roll = pipeline.EventAnalytics.rollingStats(spark, sf)
+      .agg(max(abs(col("roll_sum_micro"))), max(col("roll_sq_micro")))
+      .collect()(0)
+    val ev = drift.table(spark, sf, "events")
+      .agg(max(abs(col("value"))), max(col("value") * col("value"))).collect()(0)
+    site("rolling_stats.value", 6, ev.getDouble(0), roll.getLong(0) / 1e6, 1e4)
+    // value^2 is the tightest site in the codebase: the FLOAT surface
+    // (rollingStatsFull's decimal->double return) is documented to stay
+    // 2^53-exact only through ~sf30 (EventAnalytics docstring) — pin a
+    // 2000x (sf20) claim with margin. The INTEGER gate surface has 2^63
+    // room far beyond that, asserted separately.
+    site("rolling_stats.value_sq", 6, ev.getDouble(1), roll.getLong(1) / 1e6, 2e3)
+    assert(roll.getLong(1).toDouble * 1e4 < L63 / 1e2,
+      "rolling_stats.value_sq integer gate surface: <100x headroom to 2^63 at sf100")
+
+    // doc_entropy (TextAnalysis:1221-1222): per-doc h/ttr at 1e-6 summed
+    // per source; and the in-row c*log2(c) fold summed per doc
+    val lex = pipeline.TextAnalysis.lexicalSignals(
+      drift.table(spark, sf, "documents").select("doc_id", "source", "text"))
+    val hSums = lex.groupBy("source")
+      .agg(sum(abs(col("h"))).as("sh"), sum(abs(col("ttr"))).as("st"),
+        max(abs(col("h"))).as("mh"))
+      .agg(max("sh"), max("st"), max("mh")).collect()(0)
+    site("doc_entropy.h", 6, hSums.getDouble(2), hSums.getDouble(0), 1e4)
+    site("doc_entropy.ttr", 6, 1.0, hSums.getDouble(1), 1e4)
+    val sclc = drift.table(spark, sf, "documents")
+      .selectExpr(s"${pipeline.TextAnalysis.entropySclcInRowExpr} AS u",
+        "CAST(size(split(text, '\\\\s+')) AS DOUBLE) AS n")
+      .agg(max(abs(col("u"))), max(col("n") * log2(col("n")))).collect()(0)
+    // per-doc sums are bounded by doc length, not corpus size: docs do
+    // not grow with SF, so growth covers a 100x longer document
+    site("doc_entropy.sclc", 6, sclc.getDouble(1), sclc.getLong(0) / 1e6, 1e2)
+
+    // benford_verdict (Benford:101): nine |obs-exp| <= 1 terms per column,
+    // bounded regardless of corpus size
+    site("benford.tvd_term", 6, 1.0, 9.0, 1.0)
+
+    // cramers_v (DistanceDrift:390) and chi_square (CategoricalDrift:502):
+    // chi^2 <= N*min(r-1,k-1) = N for the 2-side contingency
+    val chiMax = drift.DistanceDrift.cramersV(spark, sf)
+      .agg(max(col("chi2_micro")), max(col("n_total"))).collect()(0)
+    site("cramers_v.chi2", 6, chiMax.getLong(1).toDouble,
+      chiMax.getLong(0) / 1e6, 1e4)
+
+    // group_slices (GroupDrift:507, centi-units): any group sum is
+    // bounded by the global sum of |metric| per table
+    for (sp <- drift.GroupDrift.sliceSpecs; m <- sp.metrics) {
+      val g = drift.table(spark, sf, sp.tableName)
+        .agg(sum(abs(col(m).cast("double"))), max(abs(col(m).cast("double"))))
+        .collect()(0)
+      site(s"group_slices.${sp.tableName}.$m", 2, g.getDouble(1),
+        g.getDouble(0), 1e4)
+    }
+
+    // neyman_allocation (CorpusDesign:134, centi-units): sum of
+    // n_docs*sd(chars) over strata
+    val ney = drift.table(spark, sf, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"),
+        stddev(col("n_chars").cast("double")).as("sd"))
+      .agg(sum(col("n") * coalesce(col("sd"), lit(0.0)))).collect()(0)
+    site("neyman.w", 2, ney.getDouble(0), ney.getDouble(0), 1e4)
+  }
+
   test("rounding-boundary margin: flagged queries' pre-round values are " +
     "far from the 6-dp flip zone on the gate testdata") {
     // The cramers_v/rolling_stats failure class (CORRECTNESS_r06): a value
