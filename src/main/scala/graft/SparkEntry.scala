@@ -99,7 +99,8 @@ object SparkEntry {
       Constraints.queries ++
       Benford.queries ++
       CorpusDesign.queries ++
-      EngineProbe.queries
+      EngineProbe.queries ++
+      Orchestrated.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -188,5 +189,6 @@ object SparkEntry {
       Constraints.oracles ++
       Benford.oracles ++
       CorpusDesign.oracles ++
-      EngineProbe.oracles
+      EngineProbe.oracles ++
+      Orchestrated.oracles
 }

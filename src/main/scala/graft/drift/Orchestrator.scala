@@ -487,3 +487,77 @@ class DriftDetector(spark: SparkSession) {
       driftDetected, assessment, recommendations, (System.nanoTime() - t0) / 1e9)
   }
 }
+
+/** O40 end-to-end GATE surface: one oracle-checked query that runs the
+  * full [[DriftDetector]] orchestration (sample → infer/override types →
+  * numeric O12 + categorical O19 analyzers → assessment,
+  * /root/reference/data_drift_detector.py:29-244, example.py:89-156) over
+  * the standard lineitem snapshot split and serializes the flat report.
+  *
+  * Oracle equivalence: [[NumericDrift.driftForPair]] and
+  * [[CategoricalDrift.categoricalDriftForPair]] evaluate the SAME stage
+  * text as the gate queries `numeric_drift` / `categorical_drift`, so the
+  * DuckDB twin is those queries' own oracle SQL filtered to lineitem,
+  * plus the assessment row recomputed from the per-column verdicts
+  * (data_drift_detector.py:286-320 severity bands). Distribution /
+  * correlation / group modules are exercised by their own 40+ gate rows
+  * and disabled here so the oracle stays the composition of ALREADY
+  * HASH-GREEN texts — this row checks the ORCHESTRATION (config
+  * plumbing, type routing, verdict assembly), not new math. Sampling is
+  * off (sampleSize = 0): the oracle sees every row, and the sampled path
+  * is pinned by the `adaptive_sampled` gate row + GoldenDriftSpec. */
+object Orchestrated {
+
+  private val NumCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private val CatCols = Seq("l_returnflag", "l_linestatus")
+
+  def orchestratedReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = table(spark, dir, "lineitem")
+    // mirror withSide's CASE semantics: pred-true → ref, false OR NULL → curr
+    val ref = li.filter(splits.lineitemRef)
+    val curr = li.filter(!coalesce(splits.lineitemRef, lit(false)))
+    val cfg = DriftConfig(
+      sampleSize = 0, analyzeCorrelations = false, analyzeGroups = false,
+      analyzeDistributionsFlag = Some(false), detectRareEventsFlag = Some(false),
+      includeColumns = NumCols ++ CatCols,
+      customColumnTypes =
+        NumCols.map(_ -> "numerical").toMap ++ CatCols.map(_ -> "categorical").toMap)
+    val rep = new DriftDetector(spark).detectDrift(ref, curr, cfg)
+    val k = rep.numeric.count(_.driftDetected) + rep.categorical.count(_.driftDetected)
+    val rows =
+      rep.numeric.map(n =>
+        ("numeric", n.column, n.driftScore, n.driftDetected, n.driftCauses.mkString(","))) ++
+      rep.categorical.map(c =>
+        ("categorical", c.column, c.driftScore, c.driftDetected, c.driftCauses.mkString(","))) :+
+      (("assessment", "_overall", k.toDouble, rep.driftDetected, rep.assessment))
+    rows.toDF("family", "column_name", "score", "detected", "detail")
+      .orderBy("family", "column_name")
+  }
+
+  def orchestratedReportSql: String = {
+    val assessment =
+      "CASE WHEN k > 10 THEN 'Significant data drift detected across multiple dimensions and metrics. Severity: HIGH' " +
+        "WHEN k > 5 THEN 'Moderate data drift detected in several columns and relationships. Severity: MEDIUM' " +
+        "ELSE 'Minor data drift detected in a few columns or metrics. Severity: LOW' END"
+    s"WITH nd AS (${NumericDrift.driftSql}), cd AS (${CategoricalDrift.categoricalDriftSql}), " +
+      "base AS (" +
+      "SELECT 'numeric' AS family, column_name, drift_score AS score, " +
+      "drift_detected AS detected, COALESCE(drift_causes, '') AS detail " +
+      "FROM nd WHERE table_name = 'lineitem' UNION ALL " +
+      "SELECT 'categorical', column_name, drift_score, drift_detected, " +
+      "COALESCE(drift_causes, '') FROM cd WHERE table_name = 'lineitem'), " +
+      "agg AS (SELECT COUNT(CASE WHEN detected THEN 1 END) AS k, " +
+      "BOOL_OR(detected) AS any_drift FROM base) " +
+      "SELECT family, column_name, score, detected, detail FROM " +
+      "(SELECT family, column_name, score, detected, detail FROM base UNION ALL " +
+      s"SELECT 'assessment', '_overall', CAST(k AS DOUBLE), COALESCE(any_drift, FALSE), $assessment FROM agg) " +
+      "ORDER BY family, column_name"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("orchestrated_report" -> ((s, d) => orchestratedReport(s, d)))
+
+  def oracles: Map[String, String] =
+    Map("orchestrated_report" -> orchestratedReportSql)
+}
