@@ -42,7 +42,7 @@ object Dedup {
     * whole-stage codegen. Parameterized by frame so the corpus-prep funnel
     * can shingle ONLY its gate survivors (at 100 TB, shingling docs the
     * quality gate already dropped is wasted shuffle). */
-  private[pipeline] def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("w"))
       .where(size(col("w")) >= 3)
@@ -74,7 +74,19 @@ object Dedup {
     * The production dedup surface is [[ngramJaccardCapped]] (doc-frequency
     * ceiling) or the banded paths ([[minhashLsh]], [[simhashPairs]]) —
     * [[Dedup.dedupe]] defaults to the capped variant. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardCapped(spark, dir, maxDfFrac = 1.0, maxDfAbs = MaxShingleDfAbs)
+
+  /** TRULY uncapped all-pairs baseline — TEST-ONLY since round 9: as a
+    * gate/bench query its O(df²) per-shingle fan-out was the one plan in
+    * the suite that dies at 100× (hot stopword trigrams). The gate name
+    * `ngram_jaccard` now routes through [[ngramJaccardCapped]] with
+    * maxDfFrac = 1.0 (no fractional exclusion — baseline semantics) and
+    * the absolute [[MaxShingleDfAbs]] skew ceiling, which DedupSpec pins
+    * as a no-op on the gate corpora (max shingle df ≈ 25 at sf0.1, two
+    * orders of magnitude under the ceiling) — so gate hashes are
+    * unchanged while the shipped plan is fan-out-bounded. */
+  private[graft] def ngramJaccardUncapped(spark: SparkSession, dir: String): DataFrame = {
     val tri = shingles(spark, dir).cache()
     val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = tri.as("a").join(tri.as("b"),
@@ -89,7 +101,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  def ngramJaccardSql: String =
+  def ngramJaccardSql: String = ngramJaccardCappedSqlWith(1.0, MaxShingleDfAbs)
+
+  private[graft] def ngramJaccardUncappedSql: String =
     s"WITH tri AS ($shinglesSql), sz AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1), " +
       "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i FROM tri a " +
       "JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
@@ -139,9 +153,12 @@ object Dedup {
   }
 
   def ngramJaccardCappedSql: String =
+    ngramJaccardCappedSqlWith(MaxShingleDocFrac, MaxShingleDfAbs)
+
+  private def ngramJaccardCappedSqlWith(frac: Double, dfAbs: Long): String =
     s"WITH tri0 AS ($shinglesSql), " +
       s"hot AS (SELECT sh FROM tri0 GROUP BY sh HAVING COUNT(*) > " +
-      s"LEAST((SELECT COUNT(*) FROM documents) * $MaxShingleDocFrac, $MaxShingleDfAbs.0)), " +
+      s"LEAST((SELECT COUNT(*) FROM documents) * $frac, $dfAbs.0)), " +
       "tri AS (SELECT * FROM tri0 WHERE sh NOT IN (SELECT sh FROM hot)), " +
       "sz AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1), " +
       "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i FROM tri a " +

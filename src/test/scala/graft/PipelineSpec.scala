@@ -48,6 +48,28 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.contains((5L, 200L)))
   }
 
+  test("gate ngram_jaccard (abs-capped) is a provable no-op vs the uncapped " +
+    "baseline on gate corpora") {
+    // round 9: the gate name routes through the MaxShingleDfAbs ceiling so
+    // the shipped plan is fan-out-bounded; on the gate corpora the ceiling
+    // must not exclude anything (hash unchanged vs the historical oracle)
+    for (dir <- Seq(fixtureDir, "/root/testdata/sf0.001")) {
+      val capped = Dedup.ngramJaccard(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val uncapped = Dedup.ngramJaccardUncapped(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(capped == uncapped, s"df ceiling excluded shingles at $dir")
+    }
+    // ...and document the headroom: the hottest shingle sits far under
+    // the 10^4 ceiling, so a data refresh that breeds a stopword trigram
+    // hot enough to matter fails here first
+    val maxDf = Dedup.shinglesOf(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .groupBy("sh").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxDf < Dedup.MaxShingleDfAbs / 10,
+      s"hottest shingle df $maxDf is within 10x of the ceiling")
+  }
+
   test("MinHash LSH surfaces the same near-dup candidates with high jaccard") {
     val cands = Dedup.minhashLsh(spark, fixtureDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap

@@ -66,6 +66,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("no gate query self-joins shingles without a df ceiling") {
+    // Equi-join fan-out bound (round-9 gate hygiene): a shingle-keyed
+    // self-join pays O(df²) rows per key, so every gate query that joins
+    // on `sh` must filter the shingle universe through the df ceiling
+    // first — visible in the physical plan as the LEAST(frac·n, abs)
+    // comparison. The truly uncapped baseline is test-only
+    // (Dedup.ngramJaccardUncapped) and must NOT be reachable from
+    // SparkEntry.queries.
+    for (name <- Seq("ngram_jaccard", "ngram_jaccard_capped", "containment_pairs")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      assert(plan.toLowerCase.contains("least("),
+        s"$name gate plan joins shingles with no df ceiling:\n${plan.take(1500)}")
+    }
+    val uncapped = planOf(graft.pipeline.Dedup.ngramJaccardUncapped(spark, sf))
+    assert(!uncapped.toLowerCase.contains("least("),
+      "sanity: the uncapped baseline should have no ceiling filter")
+  }
+
   test("as-of join plans one key shuffle and no join node at all") {
     val plan = planOf(AsofJoin.purchaseAttribution(spark, sf))
     // the whole point of the union+window formulation: a temporal join with
