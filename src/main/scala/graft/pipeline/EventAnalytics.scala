@@ -24,7 +24,10 @@ object EventAnalytics {
   /** Rolling-window days (current day + 6 preceding). */
   val RollDays = 7
 
-  /** 7-day rolling mean/std of daily event value per type. Values AND
+  /** 7-day rolling stats of daily event value per type — the GATE surface
+    * emits the exact micro-unit integer sums (round 9, see
+    * [[rollingStatsFull]] for the derived mean/std floats and the
+    * bisection history). Values AND
     * their squares quantize per row into micro-unit DECIMAL(38,0) integers
     * ([[graft.drift.microTermSql]]) so every sum — daily partial agg and
     * the rolling window — is exact commutative integer arithmetic; the
