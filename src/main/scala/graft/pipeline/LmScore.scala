@@ -14,29 +14,34 @@ import graft.drift.{r6, table}
   *   1. TRAIN: unigram + bigram counts over the trusted slice (here the
   *      corpus's `lang = 'en'` docs — in production a bounded high-quality
   *      sample, which is what keeps the model broadcastable).
-  *   2. SCORE: every doc's bigrams stream once through three BROADCAST
-  *      joins (unigram×2, bigram) — the corpus-sized side never shuffles;
-  *      the model side is vocabulary-sized by construction. Stupid Backoff
-  *      (Brants et al. 2007), the count-ratio scheme built for exactly
-  *      this distributed-counts setting:
+  *   2. SCORE: the collected (vocabulary-sized) model broadcasts as plain
+  *      count maps and every doc scores IN-ROW over its token array — a
+  *      map-only stage, no bigram explode, no join, no shuffle on the
+  *      corpus side (round 9; the explode + 3-broadcast-join pipeline
+  *      lives on as [[LmScore.scoreAgainstJoined]], the spec-pinned twin
+  *      and the fallback if a model ever outgrew the driver). Stupid
+  *      Backoff (Brants et al. 2007), the count-ratio scheme built for
+  *      exactly this distributed-counts setting:
   *        s(w2 | w1) = cb(w1,w2) / cu(w1)                 if the bigram was seen
   *                   = 0.4 · (cu(w2) + 1) / (N + V)       otherwise
   *      (add-one-smoothed unigram backoff so unseen words score finitely).
   *   3. REDUCE: per-doc mean log10 score and ppl = 10^(−mean); docs too
-  *      short to have a bigram surface with NULL metrics, not a row drop
-  *      (`inline_outer` keeps them through the explode — no spine re-join).
+  *      short to have a bigram score with NULL metrics, not a row drop.
   *
-  * Only shuffles: the two model-count aggregations (vocabulary-sized) and
-  * the per-doc mean (doc_id-keyed, same class as every per-doc rollup
-  * here). Mean log-probs ship UNROUNDED — both engines fold identical
-  * doubles and the gate's uniform rounding agrees (see SURVEY §10 on
-  * cross-engine float ties; per-doc sums are ~100 terms, last-ulp safe).
+  * Only shuffles: the two model-count aggregations (vocabulary-sized) —
+  * per-doc scoring itself is embarrassingly parallel. Mean log-probs ship
+  * UNROUNDED — both engines fold identical doubles and the gate's uniform
+  * rounding agrees (see SURVEY §10 on cross-engine float ties; per-doc
+  * sums are ~100 terms, last-ulp safe).
   */
 object LmScore {
 
-  /** Trusted-slice language and the Stupid Backoff discount. */
+  /** Trusted-slice language and the Stupid Backoff discount.
+    * [[Backoff]] is the JVM twin of [[BackoffSql]] — the in-row scorer
+    * multiplies the same double literal the SQL text parses to. */
   val TrainLang = "en"
   val BackoffSql = "0.4e0"
+  val Backoff = 0.4
 
   /** Whitespace tokens of the lowercased text, empties dropped — one shared
     * shape per engine (`split` returns `['']` on an empty string in both). */
@@ -46,11 +51,27 @@ object LmScore {
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS toks"
 
   /** Adjacent-token pairs as structs, built inside the array (no
-    * positional self-join): `try_element_at` is the ANSI-safe lookahead —
-    * the final (word, NULL) pair is filtered off. */
+    * positional self-join) by zipping the array against its own 1-shifted
+    * slice. `arrays_zip`/`slice` run a plain per-array loop, where the
+    * round-8 `transform` + `try_element_at` lambda paid interpreted
+    * expression dispatch PER ELEMENT — 5× slower on the same data, same
+    * pair lists. `greatest(…, 0)` guards the ≤1-token rows (slice rejects
+    * negative lengths). */
   private val bgsSpark =
-    "filter(transform(toks, (t, i) -> named_struct('w1', t, 'w2', " +
-      "try_element_at(toks, i + 2))), s -> s.w2 IS NOT NULL) AS bgs"
+    "CAST(arrays_zip(slice(toks, 1, greatest(size(toks) - 1, 0)), " +
+      "slice(toks, 2, greatest(size(toks) - 1, 0))) " +
+      "AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) AS bgs"
+
+  /** ALL positions' pairs: like [[bgsSpark]] but zipping the full array,
+    * so the final token appears once with `w2 = NULL` (arrays_zip pads the
+    * shorter side). One inline of this carries both count families: every
+    * token occurs exactly once as `w1` (→ unigram counts) and the
+    * non-null-`w2` rows are the bigrams — the single-pass model build
+    * [[collectModelFrom]] aggregates it once instead of running separate
+    * unigram and bigram jobs. */
+  private val bgsAllSpark =
+    "CAST(arrays_zip(toks, slice(toks, 2, greatest(size(toks) - 1, 0))) " +
+      "AS ARRAY<STRUCT<w1: STRING, w2: STRING>>) AS bgs"
 
   /** A trained Stupid-Backoff model: unigram counts (w, cu), bigram counts
     * (w1, w2, cb), and the 1-row (n_train, v_train) totals — all
@@ -60,7 +81,12 @@ object LmScore {
   /** Trains the model from any (lang, text) batch frame's [[TrainLang]]
     * slice. */
   def trainModel(docs: DataFrame): LmModel = {
-    val toks = docs.filter(col("lang") === TrainLang).selectExpr(toksSpark)
+    // the trusted slice routinely arrives as very few input splits (one
+    // parquet file at test SFs) — spread the token explode + count over
+    // the cluster; the shuffle moves only the bounded trusted sample
+    val width = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = docs.filter(col("lang") === TrainLang)
+      .repartition(width).selectExpr(toksSpark)
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cu"))
     val bi = toks.selectExpr(bgsSpark).selectExpr("inline(bgs)")
@@ -71,18 +97,133 @@ object LmScore {
   }
 
   /** Per-doc LM score over any (doc_id, lang, text) frame, model trained
-    * from the frame's own [[TrainLang]] slice. `carry` columns (e.g.
-    * `source`) ride along to the output instead of being re-joined —
-    * doc_id is unique, so widening the per-doc group key is free and saves
-    * a corpus-sized shuffle join downstream. */
+    * from the frame's own [[TrainLang]] slice (single-pass collect).
+    * `carry` columns (e.g. `source`) ride along to the output instead of
+    * being re-joined — doc_id is unique, so widening the per-doc group key
+    * is free and saves a corpus-sized shuffle join downstream. */
   def scoreDocs(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
-    scoreAgainst(docs, trainModel(docs), carry)
+    scoreCollected(docs, collectModelFrom(docs), carry)
+
+  /** Driver-collected form of [[LmModel]]: plain count maps (the bigram
+    * key is `"w1 w2"` — tokens are whitespace-split, so the space join is
+    * unambiguous) plus the smoothing totals. The collect is
+    * vocabulary-sized by the model contract (§1 in the header) — the SAME
+    * bound that made the model tables broadcast-joinable makes them
+    * collectable, and a map the executor probes in-row is strictly
+    * cheaper than three hash-join probes per exploded bigram row. */
+  case class CollectedLm(uni: Map[String, Long], bi: Map[String, Long],
+      nTrain: Double, vTrain: Double)
+
+  def collectModel(model: LmModel): CollectedLm = {
+    val uni = model.uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi = model.bi.collect()
+      .map(r => (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
+    // SUM(cu)::DOUBLE over exact longs and COUNT(*) — same values the
+    // totals frame computes (empty-model totals are handled by the scorer:
+    // backoff terms go NULL exactly like `NULL + v_train` does in SQL)
+    CollectedLm(uni, bi, uni.valuesIterator.sum.toDouble, uni.size.toDouble)
+  }
+
+  /** Per-doc score struct of the in-row scorer — field-for-field the
+    * aggregate the joined path's groupBy produced (`None` ≡ SQL NULL). */
+  case class LmDocScore(n_bigrams: Long, bigram_hit_rate: Option[Double],
+      oov_rate: Option[Double], avg_logprob: Option[Double])
+
+  /** In-row replay of the joined path's per-bigram expressions, summed in
+    * array order — bit-identical to the explode/join/agg pipeline because
+    * (a) a doc's exploded rows are contiguous in one partition, so the
+    * HashAggregate accumulated its doubles in exactly this order, (b) the
+    * per-term arithmetic is the same IEEE ops (`cb·1.0/cu1`,
+    * `0.4·(cu2+1)/(n+v)`), and (c) `log10` is `StrictMath.log10` — what
+    * Spark's codegen'd `LOG10` emits (`java.lang.StrictMath.log10`,
+    * verified against the 4.1.2 catalyst jar). PipelineSpec pins the
+    * equivalence frame-for-frame. */
+  private def scoreToks(m: CollectedLm, toks: Seq[String]): LmDocScore = {
+    if (toks == null || toks.length < 2) return LmDocScore(0L, None, None, None)
+    val modelNonEmpty = m.vTrain > 0
+    var i = 0; var n = 0L; var lpN = 0L
+    var hitSum = 0.0; var oovSum = 0.0; var lpSum = 0.0
+    while (i < toks.length - 1) {
+      val w1 = toks(i); val w2 = toks(i + 1)
+      val cb = m.bi.getOrElse(w1 + " " + w2, -1L)
+      n += 1
+      if (cb >= 0) {
+        hitSum += 1.0
+        if (m.uni.contains(w2)) () else oovSum += 1.0
+        lpSum += StrictMath.log10(cb * 1.0 / m.uni(w1)); lpN += 1
+      } else {
+        val cu2 = m.uni.getOrElse(w2, -1L)
+        if (cu2 < 0) oovSum += 1.0
+        if (modelNonEmpty) { // NULL totals make the SQL backoff term NULL
+          lpSum += StrictMath.log10(
+            Backoff * (math.max(cu2, 0L) + 1) / (m.nTrain + m.vTrain))
+          lpN += 1
+        }
+      }
+      i += 1
+    }
+    LmDocScore(n, Some(hitSum / n), Some(oovSum / n),
+      if (lpN > 0) Some(lpSum / lpN) else None)
+  }
 
   /** Scores any (doc_id, text, carry…) frame against an already-trained
     * model — the reusable half ([[scoreDocs]] for the self-trained batch
     * query, [[graft.streaming.StreamingLm]] and the corpus-prep LM gate
-    * for bounded/streamed scoring). */
+    * for bounded/streamed scoring).
+    *
+    * Execution is MAP-ONLY: the model is collected once (vocabulary-sized)
+    * and broadcast, and every doc scores in-row over its token array — no
+    * bigram explode, no join, no shuffle at all on the corpus side. The
+    * pre-round-9 explode + 3-broadcast-join + per-doc-agg pipeline is kept
+    * as [[scoreAgainstJoined]]: it is the shape to fall back to if a model
+    * ever outgrew the driver, and the spec twin that proves the in-row
+    * scorer reproduces it bit-for-bit. */
   def scoreAgainst(docs: DataFrame, model: LmModel,
+      carry: Seq[String] = Nil): DataFrame =
+    scoreCollected(docs, collectModel(model), carry)
+
+  /** Single-pass model collect straight from the corpus frame: ONE
+    * aggregation over [[bgsAllSpark]] carries both count families (every
+    * token appears exactly once as w1; bigrams are the non-null-w2 rows),
+    * so the per-query model build costs one job instead of the separate
+    * unigram and bigram jobs [[collectModel]] pays. Counts are exact longs
+    * summed on the driver — identical maps, any fold order. */
+  def collectModelFrom(docs: DataFrame): CollectedLm = {
+    val width = docs.sparkSession.sparkContext.defaultParallelism
+    val rows = docs.filter(col("lang") === TrainLang).repartition(width)
+      .selectExpr(toksSpark).selectExpr(bgsAllSpark)
+      .selectExpr("inline(bgs)")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c")).collect()
+    val uni = new scala.collection.mutable.HashMap[String, Long]()
+    val bi = new scala.collection.mutable.HashMap[String, Long]()
+    rows.foreach { r =>
+      val (w1, c) = (r.getString(0), r.getLong(2))
+      uni.updateWith(w1) { p => Some(p.getOrElse(0L) + c) }
+      if (!r.isNullAt(1)) bi.update(w1 + " " + r.getString(1), c)
+    }
+    CollectedLm(uni.toMap, bi.toMap,
+      uni.valuesIterator.sum.toDouble, uni.size.toDouble)
+  }
+
+  /** The in-row scoring stage shared by both model routes. */
+  def scoreCollected(docs: DataFrame, m: CollectedLm,
+      carry: Seq[String] = Nil): DataFrame = {
+    val keep = Seq("doc_id") ++ carry
+    val bc = docs.sparkSession.sparkContext.broadcast(m)
+    val f = udf((toks: Seq[String]) => scoreToks(bc.value, toks))
+    docs.selectExpr(keep :+ toksSpark: _*)
+      .withColumn("s", f(col("toks")))
+      .selectExpr(keep ++ Seq("s.n_bigrams AS n_bigrams",
+        "s.bigram_hit_rate AS bigram_hit_rate", "s.oov_rate AS oov_rate",
+        "s.avg_logprob AS avg_logprob",
+        // same engine-evaluated finalization text as before (codegen'd
+        // java.lang.Math.pow), so ppl bits are untouched by the rewrite
+        "CASE WHEN s.avg_logprob IS NOT NULL THEN pow(10e0, -s.avg_logprob) END AS ppl"): _*)
+  }
+
+  /** The explode + broadcast-join scoring pipeline (pre-round-9 shape) —
+    * see [[scoreAgainst]] for why it was demoted to a twin. */
+  private[graft] def scoreAgainstJoined(docs: DataFrame, model: LmModel,
       carry: Seq[String] = Nil): DataFrame = {
     val keep = Seq("doc_id") ++ carry
     val toks = docs.selectExpr(keep :+ toksSpark: _*)

@@ -680,14 +680,14 @@ object TextAnalysis {
   /** The FULL CCNet-shaped funnel: language gate → quality gate →
     * LM-perplexity gate ([[LmScore]], model trained on the corpus's
     * trusted slice) → exact dedup of what remains. Same scan structure as
-    * [[corpusPrep]] plus the LM stage's broadcast-only model joins —
-    * scoring runs over gate SURVIVORS only, so the LM stage's bigram
-    * stream is already filtered down before it exists. */
+    * [[corpusPrep]] plus the LM stage's in-row broadcast-model scoring —
+    * it runs over gate SURVIVORS only, so the LM stage never even
+    * tokenizes a doc the earlier gates dropped. */
   def corpusPrepLm(spark: SparkSession, dir: String): DataFrame = {
     val gated = prepDocs(spark, dir)
     val surv = gated.filter(col("qual_ok")).select("doc_id", "source", "text")
-    val model = LmScore.trainModel(table(spark, dir, "documents"))
-    val kept = LmScore.scoreAgainst(surv, model, carry = Seq("source", "text"))
+    val model = LmScore.collectModelFrom(table(spark, dir, "documents"))
+    val kept = LmScore.scoreCollected(surv, model, carry = Seq("source", "text"))
       .filter(col("avg_logprob") >= LmMinLogprob || col("n_bigrams") === 0)
     val gateCounts = gated.groupBy("source").agg(
       count(lit(1)).as("n_docs"),

@@ -582,6 +582,33 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L).isNullAt(out(4L).fieldIndex("ppl")))
   }
 
+  test("in-row LM scorer is bit-identical to the explode/join twin") {
+    // the round-9 map-only scorer must reproduce the demoted pipeline
+    // EXACTLY — every double compared by raw bits, not tolerance — on a
+    // real corpus (sf0.001 has OOV docs, no-bigram docs, all branches)
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.drift.table(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "text")
+    val model = LmScore.trainModel(docs)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val fast = keyed(LmScore.scoreAgainst(docs, model, carry = Seq("source")))
+    val slow = keyed(LmScore.scoreAgainstJoined(docs, model, carry = Seq("source")))
+    assert(fast.keySet == slow.keySet && fast.nonEmpty)
+    def bits(x: Any): Any = x match {
+      case d: Double => java.lang.Double.doubleToRawLongBits(d)
+      case v => v
+    }
+    fast.keySet.foreach { id =>
+      val (f, s) = (fast(id), slow(id))
+      assert(f.schema.fieldNames.sameElements(s.schema.fieldNames))
+      f.schema.fieldNames.foreach { c =>
+        val (fv, sv) = (bits(f.getAs[Any](c)), bits(s.getAs[Any](c)))
+        assert(fv == sv, s"doc $id col $c: in-row=$fv joined=$sv")
+      }
+    }
+  }
+
   test("perplexity buckets cut the scored corpus at terciles, ordered head<=middle<=tail") {
     val dir = "/root/testdata/sf0.001"
     val rows = LmScore.lmPplBuckets(spark, dir).collect()

@@ -108,15 +108,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
-  test("LM scoring joins the model tables by broadcast, never by shuffle") {
+  test("LM scoring is map-only on the corpus side: no join, no aggregate") {
     val plan = planOf(LmScore.lmScore(spark, sf))
-    // the whole 100 TB contract: the corpus-sized bigram stream must join
-    // the (vocabulary-sized) unigram/bigram count tables without itself
-    // being shuffled — three BroadcastHashJoins, zero SortMergeJoins
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
-      s"LM scoring shuffles the corpus for a model join:\n${plan.take(2000)}")
-    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
-    assert(bhj >= 3, s"expected >=3 broadcast joins, got $bhj:\n${plan.take(2000)}")
+    // the whole 100 TB contract, tightened in round 9: the corpus scores
+    // in-row against the broadcast-collected model — the scoring plan has
+    // NO join and NO aggregation at all (the only allowed exchange is the
+    // final ORDER BY's range partitioning)
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"LM scoring joined the corpus:\n${plan.take(2000)}")
+    assert(!plan.contains("HashAggregate"),
+      s"LM scoring re-aggregated per doc:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"LM scoring shuffled the corpus:\n${plan.take(2000)}")
   }
 
   test("top duplicated spans plans TakeOrderedAndProject on the reduced frame") {
