@@ -67,7 +67,7 @@ object GroupDrift {
   private def numPivot(spark: SparkSession, dir: String, sp: GroupSpec,
       approx: Boolean = false): DataFrame = {
     val med = (m: String) =>
-      if (approx) s"CAST(percentile_approx($m, 0.5, 10000) AS DOUBLE)" else s"percentile($m, 0.5)"
+      if (approx) s"CAST(percentile_approx($m, 0.5, $SketchAccuracy) AS DOUBLE)" else s"percentile($m, 0.5)"
     val aggs = count(lit(1)).as("n") +: sp.numMetrics.flatMap { m =>
       Seq(
         sum(when(col(m).isNull, 1L).otherwise(0L)).as(s"${m}__nulls"),
@@ -378,7 +378,7 @@ object GroupDrift {
           sum(when(col(m).isNull, 1L).otherwise(0L)).as(s"${m}__nulls"),
           coalesce(avg(col(m)), lit(0.0)).as(s"${m}__mean"),
           coalesce(stddev(col(m)), lit(0.0)).as(s"${m}__std"),
-          coalesce(expr(if (approx) s"CAST(percentile_approx($m, 0.5, 10000) AS DOUBLE)"
+          coalesce(expr(if (approx) s"CAST(percentile_approx($m, 0.5, $SketchAccuracy) AS DOUBLE)"
             else s"percentile($m, 0.5)"), lit(0.0)).as(s"${m}__med"))
       }
       val rows = numMetrics.map { m =>

@@ -41,7 +41,7 @@ object NumericDrift {
     stddev(col(c)).as(s"${c}__std"),
     min(col(c)).cast("double").as(s"${c}__min"),
     max(col(c)).cast("double").as(s"${c}__max"),
-    (if (approx) expr(s"percentile_approx($c, array(0.25, 0.5, 0.75), 10000)")
+    (if (approx) expr(s"percentile_approx($c, array(0.25, 0.5, 0.75), $SketchAccuracy)")
      else expr(s"percentile($c, array(0.25, 0.5, 0.75))"))
       .cast("array<double>").as(s"${c}__pct"),
   )
@@ -102,14 +102,15 @@ object NumericDrift {
     * `approx=true` is the 100 TB path: `percentile_approx` — the
     * reference's own choice (numerical_analyzer.py:306-307, rel. err 0.01)
     * — instead of the exact sort-based `percentile`. We run the sketch at
-    * accuracy 10000 (rel. err 1e-4, 100× tighter than the reference's;
-    * still a fixed-size mergeable summary, measured within noise of
-    * accuracy 100 on the testdata). The oracle-checked queries use exact so
+    * accuracy [[SketchAccuracy]] (rank err 1e-4, 100× tighter than the
+    * reference's; still a fixed-size mergeable summary — round-9
+    * collect-forced profiling showed sketch cost is insert-bound and
+    * accuracy-independent here, so the tight setting is free). The oracle-checked queries use exact so
     * DuckDB can reproduce values; at scale flip the flag. */
   private def sideStatsFrom(tagged: DataFrame, tableName: String, cols: Seq[String],
       approx: Boolean = false): DataFrame = {
     val pctFn = if (approx) "percentile_approx" else "percentile"
-    val acc = if (approx) ", 10000" else ""
+    val acc = if (approx) s", $SketchAccuracy" else ""
     val aggs = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__total"),

@@ -356,7 +356,7 @@ object LmScore {
   def pplTerciles(scoredPpl: DataFrame, approx: Boolean = false): (Double, Double) = {
     val pcts = s"array(${1.0 / 3}, ${2.0 / 3})"
     val trow = scoredPpl.filter(col("ppl").isNotNull)
-      .agg((if (approx) expr(s"approx_percentile(ppl, $pcts, 10000)")
+      .agg((if (approx) expr(s"approx_percentile(ppl, $pcts, ${graft.drift.SketchAccuracy})")
             else expr(s"percentile(ppl, $pcts)")).as("t")).collect()(0)
     if (trow.isNullAt(0)) (0.0, 0.0)
     else { val t = trow.getSeq[Double](0); (t(0), t(1)) }
