@@ -225,6 +225,13 @@ object Example {
           failed.map(r => s"${r.getString(0)} metric=${r.getAs[Double]("metric")}")
             .mkString(" (failing: ", ", ", ")")
         else ""))
+      // release-time re-identification audit (complements pii_scan)
+      val ka = graft.pipeline.Privacy.kAnonymity(spark, sfDir).collect()
+      ka.foreach { r =>
+        println(s"  k_anonymity[${r.getString(0)}]: k=${r.getAs[Long]("k_anonymity")} " +
+          s"over ${r.getAs[Long]("n_classes")} classes, " +
+          s"${r.getAs[Long]("rows_below_k")} rows below k=${graft.pipeline.Privacy.KThreshold}")
+      }
     }
 
     // versioned time travel driving the detector, as a config file would

@@ -99,6 +99,7 @@ object SparkEntry {
       Constraints.queries ++
       Benford.queries ++
       CorpusDesign.queries ++
+      Privacy.queries ++
       EngineProbe.queries ++
       Orchestrated.queries
 
@@ -189,6 +190,7 @@ object SparkEntry {
       Constraints.oracles ++
       Benford.oracles ++
       CorpusDesign.oracles ++
+      Privacy.oracles ++
       EngineProbe.oracles ++
       Orchestrated.oracles
 }

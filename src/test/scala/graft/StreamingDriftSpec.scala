@@ -538,4 +538,31 @@ class StreamingDriftSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.size == 1)
     } finally q.stop()
   }
+
+  test("k-anonymity monitor flags below-k classes per closed window") {
+    import graft.streaming.StreamingPrivacy
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Int, Double)]
+    val rows = input.toDF().toDF("ts", "c_nationkey", "c_acctbal")
+    // the batch customer_profile QI text: (nation, acctbal kilobucket)
+    val out = StreamingPrivacy.kAnonymityMonitor(rows,
+      Seq("c_nationkey", "CAST(FLOOR(c_acctbal / 1000e0) AS BIGINT)"))
+    val q = out.writeStream.format("memory").queryName("kanon_out")
+      .outputMode("append").start()
+    try {
+      // window 10:00-10:10: class (1,1) has 5 rows, class (2,1) has 1
+      input.addData((0 until 5).map(i => (ts(i), 1, 1200.0 + i)) :+
+        ((ts(6), 2, 1100.0)): _*)
+      input.addData((ts(59), 3, 1.0)) // advance the watermark
+      q.processAllAvailable()
+      val got = spark.table("kanon_out").collect()
+        .map(r => (r.getAs[Int]("qi0"), r.getAs[Long]("qi1")) ->
+          ((r.getAs[Long]("class_size"), r.getAs[Boolean]("at_risk")))).toMap
+      assert(got.size == 2, s"one closed window x 2 classes: $got")
+      assert(got((1, 1L)) == ((5L, false)))
+      assert(got((2, 1L)) == ((1L, true)))
+      // one stateful aggregation: state = windows x classes
+      assert(q.lastProgress.stateOperators.size == 1)
+    } finally q.stop()
+  }
 }
