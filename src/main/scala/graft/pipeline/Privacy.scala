@@ -178,6 +178,43 @@ object Privacy {
       s"SELECT ${bandFinal.mkString(", ")} FROM dense ORDER BY qi_set, band"
   }
 
+  // --------------------------------------------------------- k_anon_worst
+
+  /** Rows returned per QI set by the drill-down. */
+  val WorstN = 10
+
+  /** Composite QI rendering for the drill-down: every shipped QI bucket is
+    * a string or an exact integer (never a raw double), so CAST→STRING is
+    * identical text AND identical formatting on both engines; NULL buckets
+    * render as the empty field. */
+  private def qiKeyExpr(q: QiSpec): String =
+    s"concat_ws('|', ${q.qiDuck.indices
+      .map(i => s"COALESCE(CAST(qi$i AS STRING), '')").mkString(", ")})"
+
+  /** The actionable output of the audit — the [[WorstN]] smallest
+    * equivalence classes per QI set WITH their quasi-identifier values:
+    * exactly the profiles to generalize, coarsen, or suppress before
+    * release (the drill-down to [[kAnonymity]]'s verdict, the same split
+    * as `constraint_check` → `constraint_violations`). Deterministic
+    * tie-break on the rendered QI key; top-k per set plans as
+    * TakeOrderedAndProject, so only WorstN rows leave each branch. */
+  def kAnonWorst(spark: SparkSession, dir: String): DataFrame =
+    QiSets.map { q =>
+      classFrame(spark, dir, q)
+        .selectExpr(s"'${q.name}' AS qi_set", s"${qiKeyExpr(q)} AS qi_key",
+          "CAST(sz AS BIGINT) AS class_size")
+        .orderBy(col("class_size").asc, col("qi_key").asc)
+        .limit(WorstN)
+    }.reduce(_ unionByName _).orderBy("qi_set", "class_size", "qi_key")
+
+  def kAnonWorstSql: String =
+    QiSets.map { q =>
+      s"SELECT * FROM (SELECT '${q.name}' AS qi_set, ${qiKeyExpr(q)} AS qi_key, " +
+        s"CAST(sz AS BIGINT) AS class_size FROM (${classCte(q)}) c " +
+        s"ORDER BY class_size ASC, qi_key ASC LIMIT $WorstN)"
+    }.mkString("SELECT qi_set, qi_key, class_size FROM (", " UNION ALL ",
+      ") ORDER BY qi_set, class_size, qi_key")
+
   // ---------------------------------------------------------- l_diversity
 
   private val lFinal: Seq[String] = Seq(
@@ -220,10 +257,12 @@ object Privacy {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> ((s, d) => kAnonymity(s, d)),
     "k_anon_bands" -> ((s, d) => kAnonBands(s, d)),
+    "k_anon_worst" -> ((s, d) => kAnonWorst(s, d)),
     "l_diversity" -> ((s, d) => lDiversity(s, d)))
 
   def oracles: Map[String, String] = Map(
     "k_anonymity" -> kAnonymitySql,
     "k_anon_bands" -> kAnonBandsSql,
+    "k_anon_worst" -> kAnonWorstSql,
     "l_diversity" -> lDiversitySql)
 }

@@ -84,6 +84,25 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("k_anon_worst: smallest classes surface with their QI values") {
+    val worst = Privacy.kAnonWorst(spark, planted()).collect()
+      .filter(_.getString(0) == "customer_profile")
+    // all three planted classes fit under WorstN, ordered size-ascending
+    assert(worst.map(_.getAs[Long]("class_size")).toSeq == Seq(1L, 2L, 5L))
+    // the singleton is the (nation 2, kilobucket 1) profile
+    assert(worst.head.getAs[String]("qi_key") == "2|1")
+    // the drill-down plans as a per-branch top-k, not a global sort
+    val plan = Privacy.kAnonWorst(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+    // row budget: at most WorstN per QI set, and sizes agree with the bands
+    val full = Privacy.kAnonWorst(spark, sf).collect()
+    full.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= Privacy.WorstN)
+      assert(rs.map(_.getAs[Long]("class_size")).toSeq.sorted ==
+        rs.map(_.getAs[Long]("class_size")).toSeq)
+    }
+  }
+
   test("fixture invariants: shares bounded, verdicts match their inputs") {
     Privacy.kAnonymity(spark, sf).collect().foreach { r =>
       val share = r.getAs[Double]("at_risk_share")
