@@ -254,15 +254,100 @@ object Privacy {
         s"(SELECT ${lAggExprs.mkString(", ")} FROM (${classCte(q)}) c) a"
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY qi_set")
 
+  // ---------------------------------------------------------- t_closeness
+
+  /** Alert line on the per-class sensitive-distribution distance (Li et
+    * al.'s t-closeness; TVD as the distance, the categorical choice). */
+  val TThreshold = 0.2
+
+  /** Third of the privacy triad: l-diversity only counts DISTINCT
+    * sensitive values per class — a class can be "diverse" yet still leak
+    * by SKEW (99% one salary bucket). t-closeness bounds the total
+    * variation distance between each class's sensitive distribution and
+    * the global one; the audit reports the worst class per QI set and how
+    * many classes sit above the t = [[TThreshold]] line.
+    *
+    * Determinism: per-(class, sensitive) and global counts are exact
+    * integers; each class's TVD folds over only its OBSERVED sensitive
+    * values via the identity TVD_c = 0.5·Σ_observed(|p_cs − p_gs| − p_gs)
+    * + 0.5 (the unobserved values' |0 − p_gs| mass is the complement),
+    * with the shared-text terms micro-quantized and summed as exact
+    * integers ([[graft.drift.microSumDoubleSql]]); per-class TVDs pass
+    * through [[graft.drift.pr6Sql]] BEFORE the max/threshold comparisons,
+    * so both engines compare identical bits. Classes group on the
+    * rendered [[qiKeyExpr]] string (NULL buckets render as empty fields —
+    * no NULL join keys). Rows with a NULL sensitive value are excluded:
+    * the audit is over the disclosed attribute's distribution.
+    *
+    * Scale shape: one count per (class, sensitive) key — same exchange
+    * class as the k-anonymity count — then a broadcast-sized global
+    * distribution joined back and one tiny per-class fold. */
+  private def tFinal: Seq[String] = Seq(
+    "qi_set", "table_name", "sensitive_attr",
+    "CAST(n_classes AS BIGINT) AS n_classes",
+    "max_t AS max_t",
+    "CAST(above_t AS BIGINT) AS classes_above_t",
+    s"max_t <= ${TThreshold}e0 AS t_ok")
+
+  /** Shared per-row term text: |p_cs − p_gs| − p_gs from exact counts. */
+  private val tTermSql: String = {
+    val pcs = "CAST(n_cs AS DOUBLE) / CAST(n_c AS DOUBLE)"
+    val pgs = "CAST(n_s AS DOUBLE) / CAST(n_tot AS DOUBLE)"
+    s"ABS(($pcs) - ($pgs)) - ($pgs)"
+  }
+
+  private def tvdSql: String =
+    graft.drift.pr6Sql(s"0.5e0 * (${graft.drift.microSumDoubleSql(tTermSql)}) + 0.5e0")
+
+  def tCloseness(spark: SparkSession, dir: String): DataFrame =
+    QiSets.map { q =>
+      val base = table(spark, dir, q.tableName)
+        .selectExpr((q.qiSpark.zipWithIndex.map { case (e, i) => s"$e AS qi$i" } :+
+          s"${q.sensitive} AS sens"): _*)
+        .filter(col("sens").isNotNull)
+        .selectExpr(s"${qiKeyExpr(q)} AS qi_key", "sens")
+      val cs = base.groupBy("qi_key", "sens").agg(count(lit(1)).as("n_cs"))
+      val ct = cs.groupBy("qi_key").agg(sum("n_cs").as("n_c"))
+      val g = cs.groupBy("sens").agg(sum("n_cs").as("n_s"))
+      val tot = g.agg(sum("n_s").as("n_tot"))
+      val perClass = cs.join(ct, "qi_key").join(broadcast(g), "sens")
+        .crossJoin(broadcast(tot))
+        .groupBy("qi_key").agg(expr(tvdSql).as("t_c"))
+      perClass.agg(count(lit(1)).as("n_classes"), max("t_c").as("max_t"),
+        sum(expr(s"CASE WHEN t_c > ${TThreshold}e0 THEN 1 ELSE 0 END")).as("above_t"))
+        .selectExpr(s"'${q.name}' AS qi_set" +: s"'${q.tableName}' AS table_name" +:
+          s"'${q.sensitiveName}' AS sensitive_attr" +: tFinal.drop(3): _*)
+    }.reduce(_ unionByName _).orderBy("qi_set")
+
+  def tClosenessSql: String =
+    QiSets.map { q =>
+      s"SELECT '${q.name}' AS qi_set, '${q.tableName}' AS table_name, " +
+        s"'${q.sensitiveName}' AS sensitive_attr, ${tFinal.drop(3).mkString(", ")} FROM (" +
+        s"WITH base AS (SELECT ${qiKeyExpr(q)} AS qi_key, sens FROM " +
+        s"(SELECT ${q.qiDuck.zipWithIndex.map { case (e, i) => s"$e AS qi$i" }.mkString(", ")}, " +
+        s"${q.sensitive} AS sens FROM ${q.tableName}) raw WHERE sens IS NOT NULL), " +
+        "cs AS (SELECT qi_key, sens, COUNT(*) AS n_cs FROM base GROUP BY 1, 2), " +
+        "ct AS (SELECT qi_key, SUM(n_cs) AS n_c FROM cs GROUP BY 1), " +
+        "g AS (SELECT sens, SUM(n_cs) AS n_s FROM cs GROUP BY 1), " +
+        "tot AS (SELECT SUM(n_s) AS n_tot FROM g), " +
+        "j AS (SELECT cs.qi_key, cs.n_cs, ct.n_c, g.n_s, tot.n_tot FROM cs " +
+        "JOIN ct USING (qi_key) JOIN g USING (sens) CROSS JOIN tot), " +
+        s"pc AS (SELECT qi_key, $tvdSql AS t_c FROM j GROUP BY qi_key) " +
+        "SELECT COUNT(*) AS n_classes, MAX(t_c) AS max_t, " +
+        s"SUM(CASE WHEN t_c > ${TThreshold}e0 THEN 1 ELSE 0 END) AS above_t FROM pc) a"
+    }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY qi_set")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> ((s, d) => kAnonymity(s, d)),
     "k_anon_bands" -> ((s, d) => kAnonBands(s, d)),
     "k_anon_worst" -> ((s, d) => kAnonWorst(s, d)),
-    "l_diversity" -> ((s, d) => lDiversity(s, d)))
+    "l_diversity" -> ((s, d) => lDiversity(s, d)),
+    "t_closeness" -> ((s, d) => tCloseness(s, d)))
 
   def oracles: Map[String, String] = Map(
     "k_anonymity" -> kAnonymitySql,
     "k_anon_bands" -> kAnonBandsSql,
     "k_anon_worst" -> kAnonWorstSql,
-    "l_diversity" -> lDiversitySql)
+    "l_diversity" -> lDiversitySql,
+    "t_closeness" -> tClosenessSql)
 }

@@ -103,6 +103,23 @@ class PrivacySpec extends SparkSpec {
     }
   }
 
+  test("t_closeness: exact per-class TVD vs the global sensitive dist") {
+    val r = Privacy.tCloseness(spark, planted()).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val c = r("customer_profile")
+    // global segment dist: AUTO 7/8, BUILDING 1/8.
+    //   A (5×AUTO):        TVD = 0.5(|1−7/8| + 1/8)          = 0.125
+    //   B (AUTO+BUILDING): TVD = 0.5(|.5−7/8| + |.5−1/8|)    = 0.375
+    //   C (1×AUTO):        TVD = 0.125
+    assert(c.getAs[Long]("n_classes") == 3L)
+    assert(c.getAs[Double]("max_t") == 0.375)
+    assert(c.getAs[Long]("classes_above_t") == 1L) // only B over t=0.2
+    assert(!c.getAs[Boolean]("t_ok"))
+    // a single class IS the global distribution: distance exactly 0
+    assert(r("order_history").getAs[Double]("max_t") == 0.0)
+    assert(r("order_history").getAs[Boolean]("t_ok"))
+  }
+
   test("fixture invariants: shares bounded, verdicts match their inputs") {
     Privacy.kAnonymity(spark, sf).collect().foreach { r =>
       val share = r.getAs[Double]("at_risk_share")
@@ -118,6 +135,12 @@ class PrivacySpec extends SparkSpec {
       assert(r.getAs[Long]("min_l") >= 1L)
       val atK = r.getAs[Long]("min_l_at_k")
       assert(atK == 0L || atK >= r.getAs[Long]("min_l"))
+    }
+    Privacy.tCloseness(spark, sf).collect().foreach { r =>
+      val t = r.getAs[Double]("max_t")
+      assert(t >= 0.0 && t <= 1.0)
+      assert(r.getAs[Boolean]("t_ok") == (t <= Privacy.TThreshold))
+      assert(r.getAs[Long]("classes_above_t") <= r.getAs[Long]("n_classes"))
     }
   }
 
