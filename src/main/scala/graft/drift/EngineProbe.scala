@@ -82,9 +82,14 @@ object EngineProbe {
     "log2_10_dp6" -> dp6("LOG2(10e0)"),
     "log10_7_dp6" -> dp6("LOG10(7e0)"),
     "ln_2_dp6"    -> dp6("LN(2e0)"),
-    // the exact v_raw inputs of the old cramers_v rows at sf0.01
-    "v_events"   -> bits("SQRT((1829183e0 / 1000000e0) / 10000e0)", "288230376151711744"),
-    "v_ostatus"  -> bits("SQRT((5059513e0 / 1000000e0) / 15000e0)", "144115188075855872"),
+    // the exact v_raw inputs of the old cramers_v rows at sf0.01.
+    // Scale factors put the value in [2^52, 2^53) so FLOOR keeps ALL 53
+    // mantissa bits: sqrt(1.829183e-4) ≈ 0.01352 ∈ [2^-7, 2^-6) → 2^59;
+    // sqrt(3.373e-4) ≈ 0.01837 ∈ [2^-6, 2^-5) → 2^58 (round 9 used one
+    // power of two less and dropped the lowest bit — the exact ulp the
+    // probe exists to catch)
+    "v_events"   -> bits("SQRT((1829183e0 / 1000000e0) / 10000e0)", "576460752303423488"),
+    "v_ostatus"  -> bits("SQRT((5059513e0 / 1000000e0) / 15000e0)", "288230376151711744"),
     "v_lstatus"  -> bits("SQRT((174059e0 / 1000000e0) / 60000e0)", "73786976294838206464")
   )
 
@@ -181,6 +186,33 @@ object EngineProbe {
       s"CAST(${microSumSql("value")} AS BIGINT) AS sum_value_micro, " +
       s"CAST(${microSumSql("value * value")} AS BIGINT) AS sum_sq_micro " +
       "FROM events GROUP BY 1 ORDER BY 1"
+
+  /** The rolling_stats daily CTE itself over the real events parquet:
+    * green [[valueScan]] plus exactly the two ingredients it doesn't
+    * exercise — `event_type` in the group key and `day_idx` via datediff
+    * over real scanned timestamps (the literal-input datediff probe is
+    * green; this one closes the real-data gap). Every integer output is
+    * CAST to BIGINT: DuckDB types COUNT(*) as BIGINT but datediff as
+    * BIGINT-vs-Spark-INT, and the repo rule after the roll_n finding is
+    * that no oracle output may rely on an engine-default integer type. */
+  private def rollDaily(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events")
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        datediff(date_trunc("DAY", col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_idx"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        expr(s"CAST(${microSumSql("value")} AS BIGINT)").as("sum_value_micro"),
+        expr(s"CAST(${microSumSql("value * value")} AS BIGINT)").as("sum_sq_micro"))
+      .orderBy("day", "event_type")
+
+  private def rollDailySql: String =
+    "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, " +
+      "CAST(datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS day_idx, " +
+      "event_type, COUNT(*)::BIGINT AS n_events, " +
+      s"CAST(${microSumSql("value")} AS BIGINT) AS sum_value_micro, " +
+      s"CAST(${microSumSql("value * value")} AS BIGINT) AS sum_sq_micro " +
+      "FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3"
 
   /** Contingency integers for the orders categorical split: string
     * grouping + the timestamp ref predicate, no float math at all. */
@@ -418,6 +450,7 @@ object EngineProbe {
     "probe_datetime" -> ((s, _) => datetimeQuery(s)),
     "probe_ts_scan" -> ((s, d) => tsScan(s, d)),
     "probe_value_scan" -> ((s, d) => valueScan(s, d)),
+    "probe_roll_daily" -> ((s, d) => rollDaily(s, d)),
     "probe_cat_scan" -> ((s, d) => catScan(s, d)),
     "probe_chi_fin" -> ((s, _) => chiFin(s)),
     "probe_roll_fin" -> ((s, _) => rollFin(s)))
@@ -429,6 +462,7 @@ object EngineProbe {
     "probe_datetime" -> datetimeSql,
     "probe_ts_scan" -> tsScanSql,
     "probe_value_scan" -> valueScanSql,
+    "probe_roll_daily" -> rollDailySql,
     "probe_cat_scan" -> catScanSql,
     "probe_chi_fin" -> chiFinSql,
     "probe_roll_fin" -> rollFinSql)

@@ -91,9 +91,21 @@ object EventAnalytics {
 
   /** Integer-only gate projection: the exact micro-unit 7-day sums, no
     * derived floats. BIGINT headroom: Σx²·10⁶ over a 7-day frame is
-    * ~2.9e12 at sf0.1 — < 2⁶³ through ~sf10⁶. */
+    * ~2.9e12 at sf0.1 — < 2⁶³ through ~sf10⁶.
+    *
+    * EVERY integer here is explicitly CAST to BIGINT — including `roll_n`,
+    * which round 9 left bare. DuckDB types SUM(BIGINT) as HUGEINT
+    * (int128); a fetchall() bridge renders HUGEINT as a Python int
+    * (hash-identical to Spark's int64), but a pandas/arrow bridge renders
+    * it as float64 ("475.0" vs "475") — invisible on the local replica,
+    * hash-red under the driver. This is the one output-type difference
+    * between the gate's four-round-red rolling_stats and the projection
+    * that turned cramers_v green in round 9 (cramersIntFinal casts every
+    * integer); repo rule: no oracle output column may be an uncast
+    * integer SUM. */
   private def rollingIntCols: Seq[String] = Seq(
-    "day", "event_type", "n_events", "roll_n",
+    "day", "event_type", "n_events",
+    "CAST(roll_n AS BIGINT) AS roll_n",
     "CAST(roll_sum_u AS BIGINT) AS roll_sum_micro",
     "CAST(roll_sq_u AS BIGINT) AS roll_sq_micro")
 
