@@ -43,6 +43,19 @@ object LmScore {
   val BackoffSql = "0.4e0"
   val Backoff = 0.4
 
+  /** Ceiling on collected model rows (unigram vocab + bigram vocab) before
+    * [[scoreDocs]]/[[scoreAgainst]] refuse to collect and auto-route
+    * through the broadcast-join pipeline ([[scoreAgainstJoined]]). The
+    * in-row scorer's collect is vocabulary-sized by the model CONTRACT
+    * (train on a bounded trusted sample), but the bigram vocabulary grows
+    * super-linearly in the training tokens (Heaps), so an unbounded
+    * trusted slice at 100 TB would otherwise blow the driver heap — this
+    * is the guard rail, not the design point. 5M rows ≈ a few hundred MB
+    * of map entries, comfortably collectable and broadcastable; both
+    * routes are bit-identical (spec-pinned), so crossing the ceiling
+    * changes the plan shape, never the scores. */
+  val DefaultMaxModelRows = 5000000
+
   /** Whitespace tokens of the lowercased text, empties dropped — one shared
     * shape per engine (`split` returns `['']` on an empty string in both). */
   private val toksSpark =
@@ -100,9 +113,25 @@ object LmScore {
     * from the frame's own [[TrainLang]] slice (single-pass collect).
     * `carry` columns (e.g. `source`) ride along to the output instead of
     * being re-joined — doc_id is unique, so widening the per-doc group key
-    * is free and saves a corpus-sized shuffle join downstream. */
-  def scoreDocs(docs: DataFrame, carry: Seq[String] = Nil): DataFrame =
-    scoreCollected(docs, collectModelFrom(docs), carry)
+    * is free and saves a corpus-sized shuffle join downstream.
+    *
+    * The collect is BOUNDED: [[collectModelFrom]] fetches at most
+    * `maxModelRows + 1` aggregated model rows to the driver (a plan-level
+    * `limit`, so the driver's memory is capped by construction — the
+    * distributed aggregation itself is an ordinary shuffle at any scale),
+    * and a model past the ceiling routes through the never-collected
+    * broadcast-join twin instead. Routing is a plan-shape decision only —
+    * the two paths are bit-identical on the same model (LmScoreSpec pins
+    * both the equality and the forced-low-ceiling switch). The common
+    * (under-ceiling) path pays exactly the one model-build job it always
+    * did; only the over-ceiling fallback re-aggregates for the join
+    * tables. */
+  def scoreDocs(docs: DataFrame, carry: Seq[String] = Nil,
+      maxModelRows: Int = DefaultMaxModelRows): DataFrame =
+    collectModelFrom(docs, maxModelRows) match {
+      case Some(m) => scoreCollected(docs, m, carry)
+      case None => scoreAgainstJoined(docs, trainModel(docs), carry)
+    }
 
   /** Driver-collected form of [[LmModel]]: plain count maps (the bigram
     * key is `"w1 w2"` — tokens are whitespace-split, so the space join is
@@ -150,7 +179,12 @@ object LmScore {
       if (cb >= 0) {
         hitSum += 1.0
         if (m.uni.contains(w2)) () else oovSum += 1.0
-        lpSum += StrictMath.log10(cb * 1.0 / m.uni(w1)); lpN += 1
+        // mirror the join semantics: a bigram whose w1 is missing from uni
+        // (impossible for a consistently-trained model, reachable from a
+        // hand-built CollectedLm) yields a NULL lp term there — so skip
+        // the term instead of throwing on the unchecked map apply
+        val cu1 = m.uni.getOrElse(w1, -1L)
+        if (cu1 > 0) { lpSum += StrictMath.log10(cb * 1.0 / cu1); lpN += 1 }
       } else {
         val cu2 = m.uni.getOrElse(w2, -1L)
         if (cu2 < 0) oovSum += 1.0
@@ -179,21 +213,37 @@ object LmScore {
     * ever outgrew the driver, and the spec twin that proves the in-row
     * scorer reproduces it bit-for-bit. */
   def scoreAgainst(docs: DataFrame, model: LmModel,
-      carry: Seq[String] = Nil): DataFrame =
-    scoreCollected(docs, collectModel(model), carry)
+      carry: Seq[String] = Nil,
+      maxModelRows: Int = DefaultMaxModelRows): DataFrame = {
+    // pre-trained model: the row count is two cheap aggregates over the
+    // model tables themselves (they are the thing being sized — counting
+    // them never materializes more than a long per partition)
+    val n = model.uni.count() + model.bi.count()
+    if (n <= maxModelRows) scoreCollected(docs, collectModel(model), carry)
+    else scoreAgainstJoined(docs, model, carry)
+  }
 
   /** Single-pass model collect straight from the corpus frame: ONE
     * aggregation over [[bgsAllSpark]] carries both count families (every
     * token appears exactly once as w1; bigrams are the non-null-w2 rows),
     * so the per-query model build costs one job instead of the separate
     * unigram and bigram jobs [[collectModel]] pays. Counts are exact longs
-    * summed on the driver — identical maps, any fold order. */
-  def collectModelFrom(docs: DataFrame): CollectedLm = {
+    * summed on the driver — identical maps, any fold order.
+    *
+    * Returns None — COLLECTING NOTHING — when the aggregated model exceeds
+    * `maxModelRows` rows: the `limit(maxModelRows + 1)` sits in the PLAN,
+    * so the driver never fetches more than the ceiling + 1 rows no matter
+    * how Heaps-law-explosive the bigram vocabulary gets; callers fall back
+    * to the broadcast-join scorer. */
+  def collectModelFrom(docs: DataFrame,
+      maxModelRows: Int = DefaultMaxModelRows): Option[CollectedLm] = {
     val width = docs.sparkSession.sparkContext.defaultParallelism
     val rows = docs.filter(col("lang") === TrainLang).repartition(width)
       .selectExpr(toksSpark).selectExpr(bgsAllSpark)
       .selectExpr("inline(bgs)")
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c")).collect()
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .limit(maxModelRows + 1).collect()
+    if (rows.length > maxModelRows) return None
     val uni = new scala.collection.mutable.HashMap[String, Long]()
     val bi = new scala.collection.mutable.HashMap[String, Long]()
     rows.foreach { r =>
@@ -201,8 +251,8 @@ object LmScore {
       uni.updateWith(w1) { p => Some(p.getOrElse(0L) + c) }
       if (!r.isNullAt(1)) bi.update(w1 + " " + r.getString(1), c)
     }
-    CollectedLm(uni.toMap, bi.toMap,
-      uni.valuesIterator.sum.toDouble, uni.size.toDouble)
+    Some(CollectedLm(uni.toMap, bi.toMap,
+      uni.valuesIterator.sum.toDouble, uni.size.toDouble))
   }
 
   /** The in-row scoring stage shared by both model routes. */

@@ -16,19 +16,40 @@ import graft.pipeline.LmScore
   * a doc's score emits in the micro-batch it arrives in. The watermark is
   * still stamped on `ts` so downstream windowed consumers (the drift
   * monitor, the bucket rollups) can aggregate this output directly.
+  *
+  * Output contract: the stateless default is AT-LEAST-ONCE — a source that
+  * redelivers a (ts, doc_id) emits its score row again (the pre-round-9
+  * watermarked groupBy emitted exactly one row per key). Consumers that
+  * need per-doc uniqueness from a replaying source opt into
+  * `dedupeRedeliveries = true`, which inserts
+  * `dropDuplicatesWithinWatermark(ts, doc_id)` — a watermark-bounded state
+  * store (keys expire as the watermark passes, so state stays
+  * O(inflight window), never O(stream)).
+  *
+  * The `collectModel` here is deliberately NOT ceiling-guarded like the
+  * batch path's [[LmScore.scoreDocs]]: the batch fallback is a per-doc
+  * groupBy join pipeline, which on a stream would mean a state store per
+  * doc — worse than the thing guarded against. A streaming deployment owns
+  * the model-size contract (train on a bounded trusted sample); the batch
+  * side's [[LmScore.DefaultMaxModelRows]] documents what "bounded" means.
   */
 object StreamingLm {
 
   /** Scores a streaming (ts, doc_id, text) feed against a batch-trained
     * [[LmScore.LmModel]]. Emits (ts, doc_id, n_bigrams, bigram_hit_rate,
-    * oov_rate, avg_logprob, ppl) once per doc, in arrival micro-batch
-    * (stateless map — nothing waits on the watermark). */
+    * oov_rate, avg_logprob, ppl) once per ARRIVAL (see the at-least-once
+    * contract in the object doc), in arrival micro-batch (stateless map —
+    * nothing waits on the watermark unless `dedupeRedeliveries`). */
   def scoreStream(docs: DataFrame, model: LmScore.LmModel,
-      watermarkDelay: String = "1 hour"): DataFrame =
-    LmScore.scoreCollected(docs.withWatermark("ts", watermarkDelay),
-        LmScore.collectModel(model), carry = Seq("ts"))
+      watermarkDelay: String = "1 hour",
+      dedupeRedeliveries: Boolean = false): DataFrame = {
+    val wm = docs.withWatermark("ts", watermarkDelay)
+    val in = if (dedupeRedeliveries)
+      wm.dropDuplicatesWithinWatermark("ts", "doc_id") else wm
+    LmScore.scoreCollected(in, LmScore.collectModel(model), carry = Seq("ts"))
       .select("ts", "doc_id", "n_bigrams", "bigram_hit_rate", "oov_rate",
         "avg_logprob", "ppl")
+  }
 
   /** CCNet quality sampling on a stream: the head/middle/tail tercile
     * thresholds are FIT BATCH-SIDE over a corpus snapshot
@@ -40,7 +61,8 @@ object StreamingLm {
     * identically whether it arrived in the snapshot or on the feed. */
   def bucketStream(docs: DataFrame, model: LmScore.LmModel,
       headMax: Double, middleMax: Double,
-      watermarkDelay: String = "1 hour"): DataFrame =
-    scoreStream(docs, model, watermarkDelay)
+      watermarkDelay: String = "1 hour",
+      dedupeRedeliveries: Boolean = false): DataFrame =
+    scoreStream(docs, model, watermarkDelay, dedupeRedeliveries)
       .withColumn("bucket", LmScore.bucketExpr(headMax, middleMax))
 }

@@ -609,6 +609,40 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("over-ceiling LM model auto-routes to the join scorer, scores unchanged") {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "a b a b"), (2L, "en", "a c"),
+      (3L, "de", "x b"), (4L, "en", "a")).toDF("doc_id", "lang", "text")
+    // this corpus aggregates to 6 model rows, so a ceiling of 1 must refuse
+    // the collect entirely...
+    assert(LmScore.collectModelFrom(docs, maxModelRows = 1).isEmpty)
+    // ...and scoreDocs must route to the broadcast-join twin: the collected
+    // path is map-only (zero Join nodes), the routed path joins the model
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    val inRow = LmScore.scoreDocs(docs)
+    val routed = LmScore.scoreDocs(docs, maxModelRows = 1)
+    assert(joins(inRow) == 0, "default ceiling must stay on the map-only scorer")
+    assert(joins(routed) > 0, "forced-low ceiling must route through the join scorer")
+    // and the route is a plan-shape decision only: scores identical by bits
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def bits(x: Any): Any = x match {
+      case d: Double => java.lang.Double.doubleToRawLongBits(d)
+      case v => v
+    }
+    val (a, b) = (keyed(inRow), keyed(routed))
+    assert(a.keySet == b.keySet && a.size == 4)
+    a.keySet.foreach { id =>
+      a(id).schema.fieldNames.foreach { c =>
+        assert(bits(a(id).getAs[Any](c)) == bits(b(id).getAs[Any](c)),
+          s"doc $id col $c diverged across routes")
+      }
+    }
+  }
+
   test("perplexity buckets cut the scored corpus at terciles, ordered head<=middle<=tail") {
     val dir = "/root/testdata/sf0.001"
     val rows = LmScore.lmPplBuckets(spark, dir).collect()
