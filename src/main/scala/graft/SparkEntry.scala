@@ -149,6 +149,10 @@ object SparkEntry {
       "dimensional_summary" -> ((s, d) => Report.dimensionalSummary(s, d, approx = true)),
       "top_dimensions" -> ((s, d) => Report.topDimensions(s, d, approx = true)),
       "top_drifted_columns" -> ((s, d) => Report.topDriftedColumns(s, d, approx = true)),
+      // the full O40 orchestration runs its O12 percentiles on the sketch
+      // too (round 10 — this was the single most expensive bench query
+      // while it still paid exact percentile through the orchestrator)
+      "orchestrated_report" -> ((s, d) => Orchestrated.orchestratedReport(s, d, approx = true)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on the

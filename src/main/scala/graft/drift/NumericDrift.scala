@@ -196,9 +196,9 @@ object NumericDrift {
 
   /** Generic O20 quantile shifts for an arbitrary snapshot pair. */
   def quantileShiftsForPair(ref: DataFrame, curr: DataFrame, cols: Seq[String],
-      label: String = "pair"): DataFrame = {
+      label: String = "pair", approx: Boolean = false): DataFrame = {
     val rows = shiftQs.map { case (q, c) => s"'$q', ref_$c, curr_$c" }.mkString(", ")
-    pivotSides(sideStatsFrom(tagPair(ref, curr, cols), label, cols))
+    pivotSides(sideStatsFrom(tagPair(ref, curr, cols), label, cols, approx))
       .select(col("table_name"), col("column_name"),
         expr(s"stack(${shiftQs.size}, $rows) as (quantile, ref_value, curr_value)"))
       .selectExpr("table_name", "column_name", "quantile",

@@ -37,7 +37,13 @@ case class DriftConfig(
     // gamma) in place of the reference's banded p-value approximation
     // (categorical_analyzer.py:395-437). Default false: the bands are the
     // reference parity contract and the oracle surface.
-    exactChiPValue: Boolean = false) {
+    exactChiPValue: Boolean = false,
+    // scale path: percentile-based analyzers (O12 median/IQR, O20 shifts)
+    // use percentile_approx's fixed-size mergeable sketch instead of exact
+    // sort-based percentile (which buffers every value per agg buffer —
+    // the 100 TB killer). Default false: the oracle surface is exact; the
+    // bench surface flips this on (SparkEntry.benchQueries).
+    approx: Boolean = false) {
 
   private def pick(summary: Double, standard: Double, deep: Double): Double =
     profile match {
@@ -322,7 +328,13 @@ class DriftDetector(spark: SparkSession) {
     val common = ref.columns.toSeq.intersect(curr.columns.toSeq)
       .filter(c => config.includeColumns.isEmpty || config.includeColumns.contains(c))
       .filterNot(config.excludeColumns.contains)
-    val inferred = TypeInference.infer(ref.select(common.map(col): _*))
+    // infer only the columns the config does NOT pin: an override wins
+    // unconditionally, so inferring a pinned column is a wasted aggregate
+    // over the reference frame (a fully-pinned config — the orchestrated
+    // gate row's shape — skips the inference job entirely)
+    val toInfer = common.filterNot(config.customColumnTypes.contains)
+    val inferred = if (toInfer.isEmpty) Map.empty[String, String]
+      else TypeInference.infer(ref.select(toInfer.map(col): _*))
     val types = inferred ++ config.customColumnTypes.filter { case (k, _) => common.contains(k) }
     val numericCols = common.filter(c => types(c) == "numerical")
     val catCols = common.filter(c => types(c) == "categorical")
@@ -330,7 +342,8 @@ class DriftDetector(spark: SparkSession) {
     // 3. numeric drift (O12 metrics + verdicts)
     val numeric =
       if (numericCols.isEmpty) Seq.empty
-      else NumericDrift.driftForPair(ref, curr, numericCols).collect().toSeq.map { r =>
+      else NumericDrift.driftForPair(ref, curr, numericCols,
+        approx = config.approx).collect().toSeq.map { r =>
         NumericColumnDrift(
           r.getAs[String]("column_name"),
           r.getAs[Double]("ref_mean"), r.getAs[Double]("curr_mean"),
@@ -376,7 +389,8 @@ class DriftDetector(spark: SparkSession) {
           errors += s"$family: ${e.getMessage}"; empty
       }
     val quantiles = if (config.analyzeDistributions && numericCols.nonEmpty)
-      safe("quantile_shifts")(NumericDrift.quantileShiftsForPair(ref, curr, numericCols)) else empty
+      safe("quantile_shifts")(NumericDrift.quantileShiftsForPair(ref, curr, numericCols,
+        approx = config.approx)) else empty
     val shapes = if (config.analyzeDistributions && numericCols.nonEmpty)
       safe("shapes")(NumericDrift.shapesForPair(ref, curr, numericCols)) else empty
     // categorical half of the distribution module
@@ -511,7 +525,13 @@ object Orchestrated {
   private val NumCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
   private val CatCols = Seq("l_returnflag", "l_linestatus")
 
-  def orchestratedReport(spark: SparkSession, dir: String): DataFrame = {
+  /** `approx = true` is the bench/100 TB surface: the O12 analyzer's
+    * median/IQR percentiles come from the mergeable sketch instead of the
+    * exact sort-based percentile the oracle reproduces (this was the last
+    * exact-percentile holdout on the bench — every other percentile query
+    * had the override since round 7). */
+  def orchestratedReport(spark: SparkSession, dir: String,
+      approx: Boolean = false): DataFrame = {
     import spark.implicits._
     val li = table(spark, dir, "lineitem")
     // mirror withSide's CASE semantics: pred-true → ref, false OR NULL → curr
@@ -522,7 +542,8 @@ object Orchestrated {
       analyzeDistributionsFlag = Some(false), detectRareEventsFlag = Some(false),
       includeColumns = NumCols ++ CatCols,
       customColumnTypes =
-        NumCols.map(_ -> "numerical").toMap ++ CatCols.map(_ -> "categorical").toMap)
+        NumCols.map(_ -> "numerical").toMap ++ CatCols.map(_ -> "categorical").toMap,
+      approx = approx)
     val rep = new DriftDetector(spark).detectDrift(ref, curr, cfg)
     val k = rep.numeric.count(_.driftDetected) + rep.categorical.count(_.driftDetected)
     val rows =
