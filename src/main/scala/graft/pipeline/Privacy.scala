@@ -141,6 +141,39 @@ object Privacy {
         s"(SELECT ${kAggExprs.mkString(", ")} FROM (${classCte(q)}) c) a"
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY qi_set")
 
+  // --------------------------------------------------------- k_anon_trend
+
+  /** Per-day k-anonymity trend over the event stream — the BATCH TWIN of
+    * [[graft.streaming.StreamingPrivacy.kAnonymityMonitor]]: each calendar
+    * day's ingest is audited as its own release slice (QI = the
+    * event_trace bucketing minus the day itself, which is the slice key),
+    * so a release feed can see WHEN the at-risk share spiked rather than
+    * one corpus-wide verdict. Same rollup text as [[kAnonymity]]
+    * ([[kAggExprs]] / [[kFinal]]), one more grouping key.
+    *
+    * Determinism: integer class math throughout, every integer output
+    * CAST to BIGINT in shared text (the round-10 rule — a bare SUM output
+    * is HUGEINT in DuckDB), the only double one pr6 share of two exact
+    * counts, and the day rendering is the probe_ts_scan-verified pair.
+    * Scale shape: one scan, one map-side-combined count per
+    * (day × QI class) key, then a days-sized rollup. */
+  def kAnonTrend(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .selectExpr("date_format(date_trunc('DAY', ts), 'yyyy-MM-dd') AS day",
+        "event_type AS qi0", "CAST(FLOOR(value / 10e0) AS BIGINT) AS qi1")
+      .groupBy("day", "qi0", "qi1").agg(count(lit(1)).as("sz"))
+      .groupBy("day").agg(expr(kAggExprs.head), kAggExprs.tail.map(expr): _*)
+      .selectExpr("day" +: kFinal.drop(2): _*)
+      .orderBy("day")
+
+  def kAnonTrendSql: String =
+    s"SELECT day, ${kFinal.drop(2).mkString(", ")} FROM (" +
+      s"SELECT day, ${kAggExprs.mkString(", ")} FROM (" +
+      "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, " +
+      "event_type AS qi0, CAST(FLOOR(value / 10e0) AS BIGINT) AS qi1, " +
+      "COUNT(*) AS sz FROM events GROUP BY 1, 2, 3) c GROUP BY day) a " +
+      "ORDER BY day"
+
   // --------------------------------------------------------- k_anon_bands
 
   private val bandFinal: Seq[String] = Seq(
@@ -186,7 +219,14 @@ object Privacy {
   /** Composite QI rendering for the drill-down: every shipped QI bucket is
     * a string or an exact integer (never a raw double), so CAST→STRING is
     * identical text AND identical formatting on both engines; NULL buckets
-    * render as the empty field. */
+    * render as the empty field.
+    *
+    * DISPLAY/TIE-BREAK ONLY: the rendering is ambiguous for data where a
+    * qi value is itself '' or contains '|' (a '' field and a NULL field
+    * read the same), so no audit GROUPS on it — classes are always formed
+    * on the raw qi columns ([[classFrame]], [[tCloseness]]); this string
+    * labels the already-formed class in [[kAnonWorst]]'s output and
+    * orders ties deterministically. */
   private def qiKeyExpr(q: QiSpec): String =
     s"concat_ws('|', ${q.qiDuck.indices
       .map(i => s"COALESCE(CAST(qi$i AS STRING), '')").mkString(", ")})"
@@ -274,10 +314,16 @@ object Privacy {
     * with the shared-text terms micro-quantized and summed as exact
     * integers ([[graft.drift.microSumDoubleSql]]); per-class TVDs pass
     * through [[graft.drift.pr6Sql]] BEFORE the max/threshold comparisons,
-    * so both engines compare identical bits. Classes group on the
-    * rendered [[qiKeyExpr]] string (NULL buckets render as empty fields —
-    * no NULL join keys). Rows with a NULL sensitive value are excluded:
-    * the audit is over the disclosed attribute's distribution.
+    * so both engines compare identical bits. Classes group on the RAW qi
+    * columns — the same keys [[classFrame]] groups on (round 10: the
+    * earlier rendered-[[qiKeyExpr]] grouping could merge classes on data
+    * where a qi value is itself '' or contains '|', making this audit
+    * disagree with k_anonymity's class counts). NULL qi buckets are fine
+    * as GROUP BY keys (both engines group NULLs together); the class
+    * total comes from a qi-partitioned window SUM rather than a self-join
+    * precisely so no NULL ever meets an equi-join. Rows with a NULL
+    * sensitive value are excluded: the audit is over the disclosed
+    * attribute's distribution.
     *
     * Scale shape: one count per (class, sensitive) key — same exchange
     * class as the k-anonymity count — then a broadcast-sized global
@@ -301,18 +347,22 @@ object Privacy {
 
   def tCloseness(spark: SparkSession, dir: String): DataFrame =
     QiSets.map { q =>
+      val qiCols = q.qiSpark.indices.map(i => col(s"qi$i"))
       val base = table(spark, dir, q.tableName)
         .selectExpr((q.qiSpark.zipWithIndex.map { case (e, i) => s"$e AS qi$i" } :+
           s"${q.sensitive} AS sens"): _*)
         .filter(col("sens").isNotNull)
-        .selectExpr(s"${qiKeyExpr(q)} AS qi_key", "sens")
-      val cs = base.groupBy("qi_key", "sens").agg(count(lit(1)).as("n_cs"))
-      val ct = cs.groupBy("qi_key").agg(sum("n_cs").as("n_c"))
+      val cs = base.groupBy(qiCols :+ col("sens"): _*).agg(count(lit(1)).as("n_cs"))
+      // class total as a window over the (class, sensitive) counts: exact
+      // integer sum, and NULL qi buckets stay in their class without ever
+      // hitting an equi-join
+      val cw = cs.withColumn("n_c", sum("n_cs").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(qiCols: _*)))
       val g = cs.groupBy("sens").agg(sum("n_cs").as("n_s"))
       val tot = g.agg(sum("n_s").as("n_tot"))
-      val perClass = cs.join(ct, "qi_key").join(broadcast(g), "sens")
+      val perClass = cw.join(broadcast(g), "sens")
         .crossJoin(broadcast(tot))
-        .groupBy("qi_key").agg(expr(tvdSql).as("t_c"))
+        .groupBy(qiCols: _*).agg(expr(tvdSql).as("t_c"))
       perClass.agg(count(lit(1)).as("n_classes"), max("t_c").as("max_t"),
         sum(expr(s"CASE WHEN t_c > ${TThreshold}e0 THEN 1 ELSE 0 END")).as("above_t"))
         .selectExpr(s"'${q.name}' AS qi_set" +: s"'${q.tableName}' AS table_name" +:
@@ -321,18 +371,19 @@ object Privacy {
 
   def tClosenessSql: String =
     QiSets.map { q =>
+      val qis = q.qiDuck.indices.map(i => s"qi$i").mkString(", ")
       s"SELECT '${q.name}' AS qi_set, '${q.tableName}' AS table_name, " +
         s"'${q.sensitiveName}' AS sensitive_attr, ${tFinal.drop(3).mkString(", ")} FROM (" +
-        s"WITH base AS (SELECT ${qiKeyExpr(q)} AS qi_key, sens FROM " +
+        s"WITH base AS (SELECT $qis, sens FROM " +
         s"(SELECT ${q.qiDuck.zipWithIndex.map { case (e, i) => s"$e AS qi$i" }.mkString(", ")}, " +
         s"${q.sensitive} AS sens FROM ${q.tableName}) raw WHERE sens IS NOT NULL), " +
-        "cs AS (SELECT qi_key, sens, COUNT(*) AS n_cs FROM base GROUP BY 1, 2), " +
-        "ct AS (SELECT qi_key, SUM(n_cs) AS n_c FROM cs GROUP BY 1), " +
+        s"cs AS (SELECT $qis, sens, COUNT(*) AS n_cs FROM base GROUP BY $qis, sens), " +
+        s"cw AS (SELECT *, SUM(n_cs) OVER (PARTITION BY $qis) AS n_c FROM cs), " +
         "g AS (SELECT sens, SUM(n_cs) AS n_s FROM cs GROUP BY 1), " +
         "tot AS (SELECT SUM(n_s) AS n_tot FROM g), " +
-        "j AS (SELECT cs.qi_key, cs.n_cs, ct.n_c, g.n_s, tot.n_tot FROM cs " +
-        "JOIN ct USING (qi_key) JOIN g USING (sens) CROSS JOIN tot), " +
-        s"pc AS (SELECT qi_key, $tvdSql AS t_c FROM j GROUP BY qi_key) " +
+        s"j AS (SELECT $qis, cw.n_cs, cw.n_c, g.n_s, tot.n_tot FROM cw " +
+        "JOIN g USING (sens) CROSS JOIN tot), " +
+        s"pc AS (SELECT $qis, $tvdSql AS t_c FROM j GROUP BY $qis) " +
         "SELECT COUNT(*) AS n_classes, MAX(t_c) AS max_t, " +
         s"SUM(CASE WHEN t_c > ${TThreshold}e0 THEN 1 ELSE 0 END) AS above_t FROM pc) a"
     }.mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY qi_set")
@@ -340,6 +391,7 @@ object Privacy {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "k_anonymity" -> ((s, d) => kAnonymity(s, d)),
     "k_anon_bands" -> ((s, d) => kAnonBands(s, d)),
+    "k_anon_trend" -> ((s, d) => kAnonTrend(s, d)),
     "k_anon_worst" -> ((s, d) => kAnonWorst(s, d)),
     "l_diversity" -> ((s, d) => lDiversity(s, d)),
     "t_closeness" -> ((s, d) => tCloseness(s, d)))
@@ -347,6 +399,7 @@ object Privacy {
   def oracles: Map[String, String] = Map(
     "k_anonymity" -> kAnonymitySql,
     "k_anon_bands" -> kAnonBandsSql,
+    "k_anon_trend" -> kAnonTrendSql,
     "k_anon_worst" -> kAnonWorstSql,
     "l_diversity" -> lDiversitySql,
     "t_closeness" -> tClosenessSql)

@@ -120,6 +120,43 @@ class PrivacySpec extends SparkSpec {
     assert(r("order_history").getAs[Boolean]("t_ok"))
   }
 
+  test("k_anon_trend: per-day class math, the streaming monitor's batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-trend").toString
+    // 2024-01-01: (click, bucket 4) x3 + (view, bucket 4) x1 -> k=1, all 4
+    // rows below the k=5 line; 2024-01-02: (click, bucket 4) x5 -> k=5, ok
+    Seq(
+      ("click", Timestamp.valueOf("2024-01-01 01:00:00"), 42.0),
+      ("click", Timestamp.valueOf("2024-01-01 02:00:00"), 43.0),
+      ("click", Timestamp.valueOf("2024-01-01 03:00:00"), 44.0),
+      ("view", Timestamp.valueOf("2024-01-01 04:00:00"), 45.0),
+      ("click", Timestamp.valueOf("2024-01-02 01:00:00"), 40.0),
+      ("click", Timestamp.valueOf("2024-01-02 02:00:00"), 41.0),
+      ("click", Timestamp.valueOf("2024-01-02 03:00:00"), 46.0),
+      ("click", Timestamp.valueOf("2024-01-02 04:00:00"), 47.0),
+      ("click", Timestamp.valueOf("2024-01-02 05:00:00"), 48.0))
+      .toDF("event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = Privacy.kAnonTrend(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r.keySet == Set("2024-01-01", "2024-01-02"))
+    val d1 = r("2024-01-01")
+    assert(d1.getAs[Long]("n_rows") == 4L)
+    assert(d1.getAs[Long]("n_classes") == 2L)
+    assert(d1.getAs[Long]("k_anonymity") == 1L)
+    assert(d1.getAs[Long]("singleton_classes") == 1L)
+    assert(d1.getAs[Long]("rows_below_k") == 4L)
+    assert(d1.getAs[Double]("at_risk_share") == 1.0)
+    assert(!d1.getAs[Boolean]("k_ok"))
+    val d2 = r("2024-01-02")
+    assert(d2.getAs[Long]("n_rows") == 5L)
+    assert(d2.getAs[Long]("n_classes") == 1L)
+    assert(d2.getAs[Long]("k_anonymity") == 5L)
+    assert(d2.getAs[Long]("singleton_classes") == 0L)
+    assert(d2.getAs[Long]("rows_below_k") == 0L)
+    assert(d2.getAs[Double]("at_risk_share") == 0.0)
+    assert(d2.getAs[Boolean]("k_ok"))
+  }
+
   test("fixture invariants: shares bounded, verdicts match their inputs") {
     Privacy.kAnonymity(spark, sf).collect().foreach { r =>
       val share = r.getAs[Double]("at_risk_share")
