@@ -128,9 +128,19 @@ object LmScore {
     * tables. */
   def scoreDocs(docs: DataFrame, carry: Seq[String] = Nil,
       maxModelRows: Int = DefaultMaxModelRows): DataFrame =
-    collectModelFrom(docs, maxModelRows) match {
-      case Some(m) => scoreCollected(docs, m, carry)
-      case None => scoreAgainstJoined(docs, trainModel(docs), carry)
+    scoreRouted(docs, docs, carry, maxModelRows)
+
+  /** The ONE collect-vs-join routing decision, shared by every batch
+    * scoring surface (scoreDocs scores the training frame itself;
+    * corpusPrepLm scores gate survivors against the full-corpus model):
+    * an under-ceiling model collects and scores in-row, an over-ceiling
+    * model routes through the never-collected join twin. */
+  def scoreRouted(scoreFrame: DataFrame, trainFrame: DataFrame,
+      carry: Seq[String] = Nil,
+      maxModelRows: Int = DefaultMaxModelRows): DataFrame =
+    collectModelFrom(trainFrame, maxModelRows) match {
+      case Some(m) => scoreCollected(scoreFrame, m, carry)
+      case None => scoreAgainstJoined(scoreFrame, trainModel(trainFrame), carry)
     }
 
   /** Driver-collected form of [[LmModel]]: plain count maps (the bigram
@@ -143,9 +153,27 @@ object LmScore {
   case class CollectedLm(uni: Map[String, Long], bi: Map[String, Long],
       nTrain: Double, vTrain: Double)
 
-  def collectModel(model: LmModel): CollectedLm = {
-    val uni = model.uni.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bi = model.bi.collect()
+  def collectModel(model: LmModel): CollectedLm =
+    fromRows(model.uni.collect(), model.bi.collect())
+
+  /** [[collectModel]] with the same plan-level-`limit` driver bound as
+    * [[collectModelFrom]]: at most ceiling + 1 rows ever reach the driver
+    * across the two model tables (no counting pre-pass — the limit IS the
+    * size check). None = over ceiling, fall back to the join scorer. */
+  private[graft] def collectModelBounded(model: LmModel,
+      maxModelRows: Int): Option[CollectedLm] = {
+    val uniRows = model.uni.limit(maxModelRows + 1).collect()
+    if (uniRows.length > maxModelRows) return None
+    val rem = maxModelRows - uniRows.length
+    val biRows = model.bi.limit(rem + 1).collect()
+    if (biRows.length > rem) return None
+    Some(fromRows(uniRows, biRows))
+  }
+
+  private def fromRows(uniRows: Array[org.apache.spark.sql.Row],
+      biRows: Array[org.apache.spark.sql.Row]): CollectedLm = {
+    val uni = uniRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bi = biRows
       .map(r => (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
     // SUM(cu)::DOUBLE over exact longs and COUNT(*) — same values the
     // totals frame computes (empty-model totals are handled by the scorer:
@@ -179,12 +207,14 @@ object LmScore {
       if (cb >= 0) {
         hitSum += 1.0
         if (m.uni.contains(w2)) () else oovSum += 1.0
-        // mirror the join semantics: a bigram whose w1 is missing from uni
-        // (impossible for a consistently-trained model, reachable from a
-        // hand-built CollectedLm) yields a NULL lp term there — so skip
-        // the term instead of throwing on the unchecked map apply
+        // mirror the join semantics exactly: a bigram whose w1 is MISSING
+        // from uni (impossible for a consistently-trained model, reachable
+        // from a hand-built CollectedLm) yields a NULL lp term there — skip
+        // it instead of throwing on the unchecked map apply. A PRESENT
+        // cu1 = 0 is not NULL in SQL: cb/0 is +Infinity on both paths, so
+        // the term is included (>= 0, not > 0)
         val cu1 = m.uni.getOrElse(w1, -1L)
-        if (cu1 > 0) { lpSum += StrictMath.log10(cb * 1.0 / cu1); lpN += 1 }
+        if (cu1 >= 0) { lpSum += StrictMath.log10(cb * 1.0 / cu1); lpN += 1 }
       } else {
         val cu2 = m.uni.getOrElse(w2, -1L)
         if (cu2 < 0) oovSum += 1.0
@@ -214,14 +244,11 @@ object LmScore {
     * scorer reproduces it bit-for-bit. */
   def scoreAgainst(docs: DataFrame, model: LmModel,
       carry: Seq[String] = Nil,
-      maxModelRows: Int = DefaultMaxModelRows): DataFrame = {
-    // pre-trained model: the row count is two cheap aggregates over the
-    // model tables themselves (they are the thing being sized — counting
-    // them never materializes more than a long per partition)
-    val n = model.uni.count() + model.bi.count()
-    if (n <= maxModelRows) scoreCollected(docs, collectModel(model), carry)
-    else scoreAgainstJoined(docs, model, carry)
-  }
+      maxModelRows: Int = DefaultMaxModelRows): DataFrame =
+    collectModelBounded(model, maxModelRows) match {
+      case Some(m) => scoreCollected(docs, m, carry)
+      case None => scoreAgainstJoined(docs, model, carry)
+    }
 
   /** Single-pass model collect straight from the corpus frame: ONE
     * aggregation over [[bgsAllSpark]] carries both count families (every

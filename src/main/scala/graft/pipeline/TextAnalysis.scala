@@ -686,14 +686,8 @@ object TextAnalysis {
   def corpusPrepLm(spark: SparkSession, dir: String): DataFrame = {
     val gated = prepDocs(spark, dir)
     val surv = gated.filter(col("qual_ok")).select("doc_id", "source", "text")
-    val docsTbl = table(spark, dir, "documents")
-    val scored = LmScore.collectModelFrom(docsTbl) match {
-      case Some(m) => LmScore.scoreCollected(surv, m, carry = Seq("source", "text"))
-      case None => // over-ceiling model: the never-collected join scorer
-        LmScore.scoreAgainstJoined(surv, LmScore.trainModel(docsTbl),
-          carry = Seq("source", "text"))
-    }
-    val kept = scored
+    val kept = LmScore.scoreRouted(surv, table(spark, dir, "documents"),
+        carry = Seq("source", "text"))
       .filter(col("avg_logprob") >= LmMinLogprob || col("n_bigrams") === 0)
     val gateCounts = gated.groupBy("source").agg(
       count(lit(1)).as("n_docs"),

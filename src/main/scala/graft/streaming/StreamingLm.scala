@@ -18,13 +18,14 @@ import graft.pipeline.LmScore
   * monitor, the bucket rollups) can aggregate this output directly.
   *
   * Output contract: the stateless default is AT-LEAST-ONCE — a source that
-  * redelivers a (ts, doc_id) emits its score row again (the pre-round-9
+  * redelivers a doc emits its score row again (the pre-round-9
   * watermarked groupBy emitted exactly one row per key). Consumers that
   * need per-doc uniqueness from a replaying source opt into
   * `dedupeRedeliveries = true`, which inserts
-  * `dropDuplicatesWithinWatermark(ts, doc_id)` — a watermark-bounded state
-  * store (keys expire as the watermark passes, so state stays
-  * O(inflight window), never O(stream)).
+  * `dropDuplicatesWithinWatermark(doc_id)` — keyed on doc_id ALONE, so a
+  * redelivery survives even when the source re-stamps `ts` on retry — a
+  * watermark-bounded state store (keys expire as the watermark passes, so
+  * state stays O(inflight window), never O(stream)).
   *
   * The `collectModel` here is deliberately NOT ceiling-guarded like the
   * batch path's [[LmScore.scoreDocs]]: the batch fallback is a per-doc
@@ -45,7 +46,7 @@ object StreamingLm {
       dedupeRedeliveries: Boolean = false): DataFrame = {
     val wm = docs.withWatermark("ts", watermarkDelay)
     val in = if (dedupeRedeliveries)
-      wm.dropDuplicatesWithinWatermark("ts", "doc_id") else wm
+      wm.dropDuplicatesWithinWatermark("doc_id") else wm
     LmScore.scoreCollected(in, LmScore.collectModel(model), carry = Seq("ts"))
       .select("ts", "doc_id", "n_bigrams", "bigram_hit_rate", "oov_rate",
         "avg_logprob", "ppl")
