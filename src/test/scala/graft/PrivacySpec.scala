@@ -198,4 +198,26 @@ class PrivacySpec extends SparkSpec {
       assert(r.getAs[Long]("rows_below_k") == bands(r.getString(0)))
     }
   }
+
+  test("k_anon_trend consistency: per-day rows sum to the corpus, k bounded by the global audit") {
+    val trend = Privacy.kAnonTrend(spark, sf).collect()
+    // partial agg before the exchange, same discipline as the global audit
+    val plan = Privacy.kAnonTrend(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("Partial"),
+      s"expected map-side partial aggregation in:\n$plan")
+    // per-day row totals reconstruct the events row count exactly
+    val total = graft.drift.table(spark, sf, "events").count()
+    assert(trend.map(_.getAs[Long]("n_rows")).sum == total)
+    // each day slices the event_trace classes thinner, so the global
+    // event_trace k (whose QI already includes the day) is the MINIMUM of
+    // the per-day k values — the two audits must agree on the floor
+    val globalK = Privacy.kAnonymity(spark, sf).collect()
+      .find(_.getString(0) == "event_trace").get.getAs[Long]("k_anonymity")
+    assert(trend.map(_.getAs[Long]("k_anonymity")).min <= globalK,
+      "a per-day k cannot exceed the day-sliced global audit's floor")
+    trend.foreach { r =>
+      assert(r.getAs[Long]("singleton_classes") <= r.getAs[Long]("n_classes"))
+      assert(r.getAs[Long]("rows_below_k") <= r.getAs[Long]("n_rows"))
+    }
+  }
 }
