@@ -582,31 +582,40 @@ class PipelineSpec extends SparkSpec {
     assert(out(4L).isNullAt(out(4L).fieldIndex("ppl")))
   }
 
-  test("in-row LM scorer is bit-identical to the explode/join twin") {
-    // the round-9 map-only scorer must reproduce the demoted pipeline
-    // EXACTLY — every double compared by raw bits, not tolerance — on a
-    // real corpus (sf0.001 has OOV docs, no-bigram docs, all branches)
-    val dir = "/root/testdata/sf0.001"
-    val docs = graft.drift.table(spark, dir, "documents")
-      .select("doc_id", "source", "lang", "text")
-    val model = LmScore.trainModel(docs)
-    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    val fast = keyed(LmScore.scoreAgainst(docs, model, carry = Seq("source")))
-    val slow = keyed(LmScore.scoreAgainstJoined(docs, model, carry = Seq("source")))
-    assert(fast.keySet == slow.keySet && fast.nonEmpty)
+  /** collect to a doc_id-keyed row map — shared by the LM bit-equality
+    * tests below. */
+  private def lmKeyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+    .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  /** Two keyed LM outputs must agree to the BIT on every column (doubles
+    * compared by raw bits, not tolerance). */
+  private def assertLmBitIdentical(a: Map[Long, org.apache.spark.sql.Row],
+      b: Map[Long, org.apache.spark.sql.Row]): Unit = {
     def bits(x: Any): Any = x match {
       case d: Double => java.lang.Double.doubleToRawLongBits(d)
       case v => v
     }
-    fast.keySet.foreach { id =>
-      val (f, s) = (fast(id), slow(id))
-      assert(f.schema.fieldNames.sameElements(s.schema.fieldNames))
-      f.schema.fieldNames.foreach { c =>
-        val (fv, sv) = (bits(f.getAs[Any](c)), bits(s.getAs[Any](c)))
-        assert(fv == sv, s"doc $id col $c: in-row=$fv joined=$sv")
+    assert(a.keySet == b.keySet && a.nonEmpty)
+    a.keySet.foreach { id =>
+      assert(a(id).schema.fieldNames.sameElements(b(id).schema.fieldNames))
+      a(id).schema.fieldNames.foreach { c =>
+        assert(bits(a(id).getAs[Any](c)) == bits(b(id).getAs[Any](c)),
+          s"doc $id col $c diverged: ${a(id).getAs[Any](c)} vs ${b(id).getAs[Any](c)}")
       }
     }
+  }
+
+  test("in-row LM scorer is bit-identical to the explode/join twin") {
+    // the round-9 map-only scorer must reproduce the demoted pipeline
+    // EXACTLY on a real corpus (sf0.001 has OOV docs, no-bigram docs, all
+    // branches)
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.drift.table(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "text")
+    val model = LmScore.trainModel(docs)
+    assertLmBitIdentical(
+      lmKeyed(LmScore.scoreAgainst(docs, model, carry = Seq("source"))),
+      lmKeyed(LmScore.scoreAgainstJoined(docs, model, carry = Seq("source"))))
   }
 
   test("over-ceiling LM model auto-routes to the join scorer, scores unchanged") {
@@ -627,20 +636,9 @@ class PipelineSpec extends SparkSpec {
     assert(joins(inRow) == 0, "default ceiling must stay on the map-only scorer")
     assert(joins(routed) > 0, "forced-low ceiling must route through the join scorer")
     // and the route is a plan-shape decision only: scores identical by bits
-    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => r.getAs[Long]("doc_id") -> r).toMap
-    def bits(x: Any): Any = x match {
-      case d: Double => java.lang.Double.doubleToRawLongBits(d)
-      case v => v
-    }
-    val (a, b) = (keyed(inRow), keyed(routed))
-    assert(a.keySet == b.keySet && a.size == 4)
-    a.keySet.foreach { id =>
-      a(id).schema.fieldNames.foreach { c =>
-        assert(bits(a(id).getAs[Any](c)) == bits(b(id).getAs[Any](c)),
-          s"doc $id col $c diverged across routes")
-      }
-    }
+    val (a, b) = (lmKeyed(inRow), lmKeyed(routed))
+    assert(a.size == 4)
+    assertLmBitIdentical(a, b)
   }
 
   test("perplexity buckets cut the scored corpus at terciles, ordered head<=middle<=tail") {

@@ -208,9 +208,11 @@ class PrivacySpec extends SparkSpec {
     // per-day row totals reconstruct the events row count exactly
     val total = graft.drift.table(spark, sf, "events").count()
     assert(trend.map(_.getAs[Long]("n_rows")).sum == total)
-    // each day slices the event_trace classes thinner, so the global
-    // event_trace k (whose QI already includes the day) is the MINIMUM of
-    // the per-day k values — the two audits must agree on the floor
+    // each trend class (day, type, value-bucket) REFINES a global
+    // event_trace class (type, day), so the smallest trend class can only
+    // be as large as the smallest global class or smaller: the invariant
+    // is min(per-day k) <= global k — an inequality, NOT equality (the
+    // bucket split can cut the global minimum class further)
     val globalK = Privacy.kAnonymity(spark, sf).collect()
       .find(_.getString(0) == "event_trace").get.getAs[Long]("k_anonymity")
     assert(trend.map(_.getAs[Long]("k_anonymity")).min <= globalK,

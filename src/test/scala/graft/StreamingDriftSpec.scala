@@ -250,6 +250,33 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LM redelivery dedup drops a replayed doc_id even with a re-stamped ts") {
+    import graft.pipeline.LmScore
+    import graft.streaming.StreamingLm
+    implicit val sqlCtx = spark.sqlContext
+    val trusted = Seq(("en", "a b a b a c")).toDF("lang", "text")
+    val model = LmScore.trainModel(trusted)
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val out = StreamingLm.scoreStream(
+      input.toDF().toDF("ts", "doc_id", "text"), model, "10 minutes",
+      dedupeRedeliveries = true)
+    val q = out.writeStream.format("memory").queryName("lm_dedup_out")
+      .outputMode("append").start()
+    try {
+      // doc 1 delivered, then replayed with a RE-STAMPED ts inside the
+      // watermark window: the contract is per-doc uniqueness, so the
+      // doc_id-keyed dedup must drop the replay (a (ts, doc_id) key would
+      // pass it through)
+      input.addData((ts(0), 1L, "a b a"), (ts(1), 2L, "x y"))
+      input.addData((ts(2), 1L, "a b a"))
+      q.processAllAvailable()
+      val rows = spark.table("lm_dedup_out").collect()
+      assert(rows.count(_.getAs[Long]("doc_id") == 1L) == 1,
+        s"replayed doc must emit exactly once, got:\n${rows.mkString("\n")}")
+      assert(rows.count(_.getAs[Long]("doc_id") == 2L) == 1)
+    } finally q.stop()
+  }
+
   test("streaming bucket gate applies batch-fit terciles identically to the batch path") {
     import graft.pipeline.LmScore
     import graft.streaming.StreamingLm

@@ -17,8 +17,8 @@ Exit 1 on any mismatch or HUGEINT output.
 import sys, json, glob, os
 import duckdb
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from check import TABLES  # one source of truth for the table list
 
 
 def fam(ty):
@@ -61,6 +61,11 @@ def main():
             bad += 1
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
+            # a silent skip here would report "0 flagged" for exactly the
+            # query being audited — fail loudly like check.py does
+            print(f"MISS {name}: no spark output parquet under {out_dir}/{name} "
+                  "(Verify failed or partial dump) — family check not run")
+            bad += 1
             continue
         sdesc = {c: fam(ty) for c, ty, *_ in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet({files})").fetchall()}
