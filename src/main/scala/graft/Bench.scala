@@ -136,11 +136,21 @@ object Bench {
     val note = "per-query min of " + TimedRuns + " cache-cleared runs; prod = " +
       "same report/LSH/LM families run deployment-shape against shared or " +
       "persisted artifacts (full per-query map on stderr and in target/bench_detail.json)"
+    // 1-min system load average at end of run: round 9 recorded a 38%
+    // per-query "regression" on byte-identical code that was pure host
+    // load (min-of-3 rejects spikes, not sustained load) — the artifact
+    // now carries the context needed to read its own numbers. -1.0 when
+    // the platform can't report it.
+    val load = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(l * 100.0) / 100.0
+    }
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s""""queries_run":${results.size},"top5":$top5,"prod":${jsonPairs(prod)},""" +
-      s""""note":"$note"}"""
+      s""""queries_run":${results.size},"load1m":$load,"top5":$top5,""" +
+      s""""prod":${jsonPairs(prod)},"note":"$note"}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s""""queries":$qs,"prod":${jsonPairs(prod)}}"""
+      s""""load1m":$load,"queries":$qs,"prod":${jsonPairs(prod)}}"""
     // stdout carries EXACTLY ONE compact JSON line: the driver archives only
     // a 2000-char stdout tail, and every BENCH_r1..r6 artifact came back
     // parsed:null because the 5 KB per-query line overflowed that window.
