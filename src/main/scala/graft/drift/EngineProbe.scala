@@ -214,6 +214,38 @@ object EngineProbe {
       s"CAST(${microSumSql("value * value")} AS BIGINT) AS sum_sq_micro " +
       "FROM events GROUP BY 1, 2, 3 ORDER BY 1, 3"
 
+  /** The rolling range self-join over [[rollDaily]]'s frame, summing ONLY
+    * integer COUNTS (roll_n, cast) — no decimals anywhere: splits join
+    * membership + the second SUM from the micro-unit summation, so a
+    * red `rolling_stats` with [[rollDaily]] and this probe green isolates
+    * the divergence to the DECIMAL(38,0) sums passing THROUGH the join. */
+  private def rollJoin(s: SparkSession, dir: String): DataFrame = {
+    val daily = table(s, dir, "events")
+      .groupBy(date_format(date_trunc("DAY", col("ts")), "yyyy-MM-dd").as("day"),
+        datediff(date_trunc("DAY", col("ts")), lit("1970-01-01").cast("date")).as("day_idx"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val b = daily.select(col("event_type").as("b_type"),
+      col("day_idx").as("b_idx"), col("n_events").as("b_n"))
+    daily.join(b, col("event_type") === col("b_type") &&
+        col("b_idx") >= col("day_idx") - (graft.pipeline.EventAnalytics.RollDays - 1) &&
+        col("b_idx") <= col("day_idx"))
+      .groupBy("day", "event_type")
+      .agg(expr("CAST(SUM(b_n) AS BIGINT)").as("roll_n"))
+      .orderBy("day", "event_type")
+  }
+
+  private def rollJoinSql: String =
+    "WITH daily AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, " +
+      "datediff('day', DATE '1970-01-01', CAST(date_trunc('day', ts) AS DATE)) AS day_idx, " +
+      "event_type, COUNT(*) AS n_events FROM events GROUP BY 1, 2, 3) " +
+      "SELECT a.day AS day, a.event_type AS event_type, " +
+      "CAST(SUM(b.n_events) AS BIGINT) AS roll_n " +
+      "FROM daily a JOIN daily b ON a.event_type = b.event_type " +
+      s"AND b.day_idx >= a.day_idx - ${graft.pipeline.EventAnalytics.RollDays - 1} " +
+      "AND b.day_idx <= a.day_idx " +
+      "GROUP BY 1, 2 ORDER BY 1, 2"
+
   /** Contingency integers for the orders categorical split: string
     * grouping + the timestamp ref predicate, no float math at all. */
   private def catScan(s: SparkSession, dir: String): DataFrame =
@@ -451,6 +483,7 @@ object EngineProbe {
     "probe_ts_scan" -> ((s, d) => tsScan(s, d)),
     "probe_value_scan" -> ((s, d) => valueScan(s, d)),
     "probe_roll_daily" -> ((s, d) => rollDaily(s, d)),
+    "probe_roll_join" -> ((s, d) => rollJoin(s, d)),
     "probe_cat_scan" -> ((s, d) => catScan(s, d)),
     "probe_chi_fin" -> ((s, _) => chiFin(s)),
     "probe_roll_fin" -> ((s, _) => rollFin(s)))
@@ -463,6 +496,7 @@ object EngineProbe {
     "probe_ts_scan" -> tsScanSql,
     "probe_value_scan" -> valueScanSql,
     "probe_roll_daily" -> rollDailySql,
+    "probe_roll_join" -> rollJoinSql,
     "probe_cat_scan" -> catScanSql,
     "probe_chi_fin" -> chiFinSql,
     "probe_roll_fin" -> rollFinSql)

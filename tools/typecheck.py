@@ -11,7 +11,10 @@ the driver: for each query, compare the DuckDB result column type families
 separately flag any HUGEINT-typed oracle output (the known-dangerous type
 even when the Spark side agrees it's an integer).
 
-Usage: tools/typecheck.py <sfDir> <outDir>   (outDir = a Verify dump)
+Usage: tools/typecheck.py <sfDir> <outDir> [query...]
+(outDir = a Verify dump; optional query names restrict the audit, matching
+check.py — a partial dump audited without the subset list flags every
+missing output loudly by design.)
 Exit 1 on any mismatch or HUGEINT output.
 """
 import sys, json, glob, os
@@ -41,6 +44,7 @@ def fam(ty):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -48,7 +52,11 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     bad = 0
+    n_checked = 0
     for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        n_checked += 1
         try:
             desc = con.execute(f"DESCRIBE {sql}").fetchall()
         except Exception as e:
@@ -75,7 +83,7 @@ def main():
         if diffs:
             print(f"TYPE {name}: spark-vs-duckdb family mismatch {diffs}")
             bad += 1
-    print(f"== {len(oracle)} queries, {bad} flagged ==")
+    print(f"== {n_checked} queries, {bad} flagged ==")
     sys.exit(1 if bad else 0)
 
 
