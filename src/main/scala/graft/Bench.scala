@@ -27,6 +27,15 @@ object Bench {
   val TimedRuns = 3
 
   def main(args: Array[String]): Unit = {
+    // ambient 1-min load, sampled BEFORE any work starts: sampled at the
+    // end it mostly measures this bench's own 32 threads (observed: a
+    // faster run reading a HIGHER end-load than a slower one), which is
+    // useless for explaining cross-run variance. -1.0 if unavailable.
+    val load1mStart = {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      math.round(l * 100.0) / 100.0
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -136,21 +145,15 @@ object Bench {
     val note = "per-query min of " + TimedRuns + " cache-cleared runs; prod = " +
       "same report/LSH/LM families run deployment-shape against shared or " +
       "persisted artifacts (full per-query map on stderr and in target/bench_detail.json)"
-    // 1-min system load average at end of run: round 9 recorded a 38%
+    // ambient load context (see load1mStart above): round 9 recorded a 38%
     // per-query "regression" on byte-identical code that was pure host
     // load (min-of-3 rejects spikes, not sustained load) — the artifact
-    // now carries the context needed to read its own numbers. -1.0 when
-    // the platform can't report it.
-    val load = {
-      val l = java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-      math.round(l * 100.0) / 100.0
-    }
+    // now carries the context needed to read its own numbers.
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s""""queries_run":${results.size},"load1m":$load,"top5":$top5,""" +
+      s""""queries_run":${results.size},"load1m_start":$load1mStart,"top5":$top5,""" +
       s""""prod":${jsonPairs(prod)},"note":"$note"}"""
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s""""load1m":$load,"queries":$qs,"prod":${jsonPairs(prod)}}"""
+      s""""load1m_start":$load1mStart,"queries":$qs,"prod":${jsonPairs(prod)}}"""
     // stdout carries EXACTLY ONE compact JSON line: the driver archives only
     // a 2000-char stdout tail, and every BENCH_r1..r6 artifact came back
     // parsed:null because the 5 KB per-query line overflowed that window.
