@@ -130,6 +130,25 @@ class GoldenDriftSpec extends SparkSpec {
     assert(ep.exists { case (k, p) => math.abs(p - bp(k)) > 1e-9 })
   }
 
+  test("orchestrated report's approx path matches exact verdicts, scores within sketch error") {
+    // the bench runs the O40 orchestration with approx = true (sketch
+    // percentiles in the O12 analyzer); the scale path must change the
+    // PLAN, not the report: same rows, same per-column drift verdicts,
+    // scores within the 1e-4-rank-error sketch's observable shift
+    val dir = "/root/testdata/sf0.001"
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val exact = keyed(graft.drift.Orchestrated.orchestratedReport(spark, dir).collect())
+    val approx = keyed(graft.drift.Orchestrated.orchestratedReport(spark, dir, approx = true).collect())
+    assert(exact.keySet == approx.keySet && exact.size == 7)
+    exact.keySet.foreach { k =>
+      assert(exact(k).getBoolean(3) == approx(k).getBoolean(3),
+        s"$k verdict flipped under the sketch")
+      assert(math.abs(exact(k).getDouble(2) - approx(k).getDouble(2)) < 0.01,
+        s"$k score moved past sketch tolerance")
+    }
+  }
+
   test("the closed-form pca_anomaly oracle query matches the ml pipeline (O37)") {
     // the oracle query computes err = |v3 . z| from the closed-form smallest
     // eigenpair of the 3x3 ref correlation matrix; with k=2 of 3 standardized
