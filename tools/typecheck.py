@@ -52,6 +52,13 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     bad = 0
+    # a typo'd/removed subset name would otherwise be silently skipped and
+    # the run would print "0 flagged" while auditing nothing — fail loudly
+    # like the MISS path does
+    unknown = only - set(oracle)
+    for name in sorted(unknown):
+        print(f"MISS {name}: not an oracle_sql.json query name — nothing audited")
+        bad += 1
     n_checked = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
@@ -75,8 +82,11 @@ def main():
                   "(Verify failed or partial dump) — family check not run")
             bad += 1
             continue
+        # bind the path list as a parameter: interpolating the Python list
+        # repr happens to parse as a DuckDB list literal but breaks on any
+        # path containing a quote or other special character
         sdesc = {c: fam(ty) for c, ty, *_ in con.execute(
-            f"DESCRIBE SELECT * FROM read_parquet({files})").fetchall()}
+            "DESCRIBE SELECT * FROM read_parquet(?)", [files]).fetchall()}
         ddesc = {c: fam(ty) for c, ty, *_ in desc}
         diffs = [(c, sdesc.get(c), d) for c, d in ddesc.items()
                  if sdesc.get(c) != d]
