@@ -101,7 +101,8 @@ object SparkEntry {
       CorpusDesign.queries ++
       Privacy.queries ++
       EngineProbe.queries ++
-      Orchestrated.queries
+      Orchestrated.queries ++
+      graft.streaming.StreamingReplay.queries
 
   /** The benchmark surface: same operators, but the percentile-heavy
     * queries run their `approx = true` scale path (fixed-size mergeable
@@ -196,5 +197,6 @@ object SparkEntry {
       CorpusDesign.oracles ++
       Privacy.oracles ++
       EngineProbe.oracles ++
-      Orchestrated.oracles
+      Orchestrated.oracles ++
+      graft.streaming.StreamingReplay.oracles
 }

@@ -157,14 +157,27 @@ object Privacy {
     * counts, and the day rendering is the probe_ts_scan-verified pair.
     * Scale shape: one scan, one map-side-combined count per
     * (day × QI class) key, then a days-sized rollup. */
-  def kAnonTrend(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .selectExpr("date_format(date_trunc('DAY', ts), 'yyyy-MM-dd') AS day",
-        "event_type AS qi0", "CAST(FLOOR(value / 10e0) AS BIGINT) AS qi1")
-      .groupBy("day", "qi0", "qi1").agg(count(lit(1)).as("sz"))
-      .groupBy("day").agg(expr(kAggExprs.head), kAggExprs.tail.map(expr): _*)
+  /** The event_trace QI bucketing minus the day slice key — shared verbatim
+    * by the batch trend and the streaming monitor's replay gate
+    * ([[graft.streaming.StreamingReplay]]), so both audit identical classes. */
+  private[graft] val TrendQiSpark: Seq[String] =
+    Seq("event_type", "CAST(FLOOR(value / 10e0) AS BIGINT)")
+
+  /** Per-day rollup from a (day, sz) class frame to the k_anon_trend
+    * projection — the [[kAggExprs]]/[[kFinal]] text with `day` as the extra
+    * grouping key, shared by [[kAnonTrend]] and the streaming replay gate
+    * (whose closed windows' per-class rows ARE that day's class frame). */
+  private[graft] def kTrendRollupFromClasses(classes: DataFrame): DataFrame =
+    classes.groupBy("day").agg(expr(kAggExprs.head), kAggExprs.tail.map(expr): _*)
       .selectExpr("day" +: kFinal.drop(2): _*)
       .orderBy("day")
+
+  def kAnonTrend(spark: SparkSession, dir: String): DataFrame =
+    kTrendRollupFromClasses(
+      table(spark, dir, "events")
+        .selectExpr("date_format(date_trunc('DAY', ts), 'yyyy-MM-dd') AS day" +:
+          TrendQiSpark.zipWithIndex.map { case (e, i) => s"$e AS qi$i" }: _*)
+        .groupBy("day", "qi0", "qi1").agg(count(lit(1)).as("sz")))
 
   def kAnonTrendSql: String =
     s"SELECT day, ${kFinal.drop(2).mkString(", ")} FROM (" +

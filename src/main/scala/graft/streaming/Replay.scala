@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Batch-replay harness for the streaming twins: runs a Structured-Streaming
+  * transform over a BOUNDED snapshot table and hands back the sink as an
+  * ordinary DataFrame, so the stream's output can face the SAME DuckDB
+  * oracle every batch operator faces. This is what turns the streaming
+  * modules from spec-only into CORRECTNESS-gated surfaces (round-10 verdict
+  * item 3): any drift between a streaming twin and its batch operator now
+  * hash-fails a gate row instead of hiding behind a unit test.
+  *
+  * Mechanics — a real file-source micro-batch pipeline, not a shortcut:
+  *   1. the snapshot is re-written (via [[graft.drift.table]], so the
+  *      events nanos→µs normalization applies) into a watched directory;
+  *      the file source picks every file up as micro-batch 0, so in-batch
+  *      event-time ordering matches the batch engine's global ordering.
+  *   2. the transform's output streams through `foreachBatch` into an
+  *      append-mode parquet sink — the deployment shape; nothing is
+  *      collected to the driver and the sink scales with the output, not
+  *      the stream.
+  *   3. append-mode results (windowed aggs, stateful timeouts) only emit
+  *      once the WATERMARK passes them, and a drained source never advances
+  *      it — so the harness feeds `flushes` sentinel rows stamped far in
+  *      the future (2100; one micro-batch each). Two flushes suffice by
+  *      construction: the watermark available to batch N is computed from
+  *      data through batch N−1, so sentinel #1's batch runs with the
+  *      real data's watermark and sentinel #2's batch runs with a
+  *      past-everything watermark that finalizes every real window /
+  *      times out every real session. The sentinels' own windows and
+  *      sessions never finalize (nothing follows them), so they can never
+  *      leak into the sink.
+  */
+object Replay {
+
+  /** Event-time stamp of flush sentinel i (far past any testdata ts). */
+  val SentinelBaseTs: Timestamp = Timestamp.valueOf("2100-01-01 00:00:00")
+
+  /** Sentinel key marker for id/string fields — kept out of every gate
+    * projection by construction (see class doc); gate rows may still
+    * filter on it defensively. */
+  val SentinelId: Long = -1L
+  val SentinelLabel: String = "__sentinel__"
+
+  private def sentinelRow(schema: StructType, i: Int): Row =
+    Row.fromSeq(schema.fields.toSeq.map(_.dataType match {
+      case TimestampType => new Timestamp(SentinelBaseTs.getTime + i * 3600000L)
+      case LongType => SentinelId
+      case IntegerType => SentinelId.toInt
+      case DoubleType => -1.0
+      case FloatType => -1.0f
+      case StringType => SentinelLabel
+      case dt => throw new IllegalArgumentException(
+        s"replay sentinel: unsupported field type $dt")
+    }))
+
+  /** Move a just-written frame's part files into the watched directory
+    * (atomic per file — the file source must never list a half-written
+    * parquet). */
+  private def admit(df: DataFrame, stageDir: Path, watchDir: Path, label: String): Unit = {
+    df.write.mode("overwrite").parquet(stageDir.toString)
+    import scala.jdk.CollectionConverters._
+    Files.list(stageDir).iterator().asScala.toSeq
+      .filter(_.getFileName.toString.endsWith(".parquet")).zipWithIndex
+      .foreach { case (p, i) =>
+        Files.move(p, watchDir.resolve(s"$label-$i.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+  }
+
+  /** Replays `tableName`'s snapshot (projected to `fields`) through a
+    * streaming `transform` and returns the drained sink. `flushes` extra
+    * sentinel micro-batches advance the watermark past all real data (see
+    * class doc for why 2 is sufficient and safe). */
+  def replayTable(spark: SparkSession, dir: String, tableName: String,
+      fields: Seq[String], transform: DataFrame => DataFrame,
+      flushes: Int = 2): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val src = graft.drift.table(spark, dir, tableName).select(fields.map(col): _*)
+    val tmp = Files.createTempDirectory(s"graft-replay-$tableName-")
+    val (watch, stage, sink, chk) = (tmp.resolve("in"), tmp.resolve("stage"),
+      tmp.resolve("out"), tmp.resolve("chk"))
+    Files.createDirectories(watch)
+    admit(src, stage, watch, "snapshot")
+    val out = transform(spark.readStream.schema(src.schema).parquet(watch.toString))
+    // seed the sink with the output schema so an (impossible) all-empty run
+    // still reads back as an empty frame instead of a missing-path error
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], out.schema)
+      .write.mode("overwrite").parquet(sink.toString)
+    val query = out.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", chk.toString)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(sink.toString)
+      }
+      .start()
+    try {
+      query.processAllAvailable() // micro-batch 0: the whole snapshot
+      (1 to flushes).foreach { i =>
+        admit(spark.createDataFrame(
+          java.util.List.of(sentinelRow(src.schema, i)), src.schema),
+          stage, watch, s"sentinel$i")
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.read.parquet(sink.toString)
+  }
+}

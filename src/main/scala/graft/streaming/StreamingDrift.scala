@@ -47,6 +47,31 @@ object StreamingDrift {
         col("event_type"), col("n"), col("win_mean"), col("ref_mean"),
         col("mean_z"), col("drift_detected"))
 
+  /** Windowed numeric stats per event type — the streaming twin of the
+    * batch tumbling-window aggregation ([[graft.pipeline.Sessions.eventWindow]]):
+    * count, sum and mean of `value` per closed (window, event_type).
+    *
+    * The SUM accumulates in DECIMAL(18,6), exactly like the batch twin —
+    * `value` is a 2-decimal measure so the cast is lossless and the sum is
+    * EXACT no matter how the rows split across micro-batches, which is what
+    * lets the batch-replay gate ([[Replay]]) hash-compare this output
+    * against the batch query's DuckDB oracle bit-for-bit. The mean is ONE
+    * double division of that exact sum at emission. State: one small
+    * accumulator per in-flight (window, key), dropped as the watermark
+    * passes. */
+  def windowedStats(events: DataFrame,
+      windowDuration: String = "1 day",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sum_value_dec"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n_events"),
+        col("sum_value_dec").cast("double").as("sum_value"),
+        (col("sum_value_dec").cast("double") / col("n_events")).as("avg_value"))
+
   /** Streaming categorical frequency monitor: windowed value counts with
     * relative frequency per window — the streaming form of the O15 value
     * counts (join downstream against reference frequencies for JS/χ²). */

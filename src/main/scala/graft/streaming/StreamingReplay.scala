@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Privacy, Sessions}
+
+/** Batch-replay equivalence gate rows: each query replays a streaming
+  * module over the `events` snapshot via [[Replay]] and emits EXACTLY the
+  * projection of an existing batch operator, so the existing DuckDB oracle
+  * hash-checks the streaming code path end-to-end (windowed state,
+  * watermark finalization, `flatMapGroupsWithState` timeouts — the parts a
+  * unit spec exercises only on toy rows).
+  *
+  * Determinism contract per row is inherited from the batch twin: exact
+  * DECIMAL sums (event_window), exact integer µs/event counts with one
+  * final double division (sessionize), exact integer class math + pr6
+  * shares (k_anon_trend) — nothing new crosses an engine boundary, the
+  * streaming path must simply reproduce the batch bits.
+  */
+object StreamingReplay {
+
+  /** [[StreamingDrift.windowedStats]] over 1-day windows ≡ the batch daily
+    * tumbling-window aggregation ([[Sessions.eventWindow]]): day windows
+    * align to UTC calendar days (the session timezone is UTC), so
+    * `window_start` renders to the twin's `day` key. */
+  def streamingEventWindow(spark: SparkSession, dir: String): DataFrame =
+    Replay.replayTable(spark, dir, "events", Seq("ts", "event_type", "value"),
+        StreamingDrift.windowedStats(_, "1 day", "1 hour"))
+      .filter(col("window_start") < lit(Replay.SentinelBaseTs)) // defensive; see Replay doc
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("sum_value"), col("avg_value"))
+      .orderBy("day", "event_type")
+
+  /** [[StreamingSessions.sessionize]] (stateful, event-time timeouts) with
+    * the batch per-user rollup over the closed-session sink — the rollup is
+    * the same exact-integer arithmetic [[Sessions.sessionize]] runs over
+    * its per-session frame (LONG sums, one double division), so a single
+    * session split differently by the stream flips the hash. */
+  def streamingSessionize(spark: SparkSession, dir: String): DataFrame =
+    Replay.replayTable(spark, dir, "events",
+        Seq("ts", "user_id", "event_type", "value"),
+        df => {
+          import df.sparkSession.implicits._
+          StreamingSessions.sessionize(df.as[StreamingSessions.Event]).toDF()
+        })
+      .filter(col("user_id") =!= lit(Replay.SentinelId)) // defensive; see Replay doc
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        (sum("n_events") / count(lit(1))).as("avg_events_per_session"),
+        (sum(col("end_us") - col("start_us")) / (count(lit(1)) * lit(1000000.0)))
+          .as("avg_session_duration_sec"),
+        sum("n_events").as("total_events"))
+      .orderBy("user_id")
+
+  /** [[StreamingPrivacy.kAnonymityMonitor]] over 1-day windows with the
+    * event_trace QI ≡ the batch per-day k-anonymity trend
+    * ([[Privacy.kAnonTrend]]): a closed window's per-class rows ARE that
+    * day's class frame, so the batch rollup text applies to the sink
+    * verbatim ([[Privacy.kTrendRollupFromClasses]]). */
+  def streamingKAnonTrend(spark: SparkSession, dir: String): DataFrame =
+    Privacy.kTrendRollupFromClasses(
+      Replay.replayTable(spark, dir, "events", Seq("ts", "event_type", "value"),
+          StreamingPrivacy.kAnonymityMonitor(_, Privacy.TrendQiSpark,
+            windowDuration = "1 day", watermarkDelay = "1 hour"))
+        .filter(col("window_start") < lit(Replay.SentinelBaseTs)) // defensive
+        .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+          col("class_size").as("sz")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_event_window" -> ((s, d) => streamingEventWindow(s, d)),
+    "streaming_sessionize" -> ((s, d) => streamingSessionize(s, d)),
+    "streaming_k_anon_trend" -> ((s, d) => streamingKAnonTrend(s, d)),
+  )
+
+  /** The batch twins' oracle SQL, verbatim — equivalence IS the gate. */
+  def oracles: Map[String, String] = Map(
+    "streaming_event_window" -> Sessions.eventWindowSql,
+    "streaming_sessionize" -> Sessions.sessionizeSql,
+    "streaming_k_anon_trend" -> Privacy.kAnonTrendSql,
+  )
+}

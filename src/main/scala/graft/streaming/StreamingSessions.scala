@@ -23,11 +23,26 @@ object StreamingSessions extends Serializable {
     * `getNanos`. One definition — the gates must agree on how
     * equal-millisecond events order (the batch operators order by exact
     * µs), so no gate keeps a private truncating copy. */
-  private[streaming] def eventUs(t: Timestamp): Long =
+  private[graft] def eventUs(t: Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  /** Exact inverse of [[eventUs]]: the `new Timestamp(us / 1000)` shortcut
+    * TRUNCATES the sub-millisecond residue, which made closed-session spans
+    * µs-lossy — the batch-replay equivalence gate ([[Replay]]) needs the
+    * stream's session spans bit-identical to the batch window math, so the
+    * sub-ms µs go back in through setNanos. */
+  private[graft] def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
   case class SessionState(startUs: Long, lastUs: Long, nEvents: Long)
+
+  /** `start_us`/`end_us` carry the exact event-time µs of the span (the
+    * timestamps render the same instant; integer µs is what downstream
+    * exact arithmetic — the replay gate's duration sums — folds over). */
   case class ClosedSession(user_id: Long, start_ts: Timestamp, end_ts: Timestamp,
-      n_events: Long, duration_sec: Double)
+      n_events: Long, duration_sec: Double, start_us: Long, end_us: Long)
 
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[ClosedSession] = {
     val spark = events.sparkSession
@@ -36,8 +51,8 @@ object StreamingSessions extends Serializable {
 
     def toUs(t: Timestamp): Long = eventUs(t)
     def close(userId: Long, st: SessionState): ClosedSession =
-      ClosedSession(userId, new Timestamp(st.startUs / 1000L), new Timestamp(st.lastUs / 1000L),
-        st.nEvents, (st.lastUs - st.startUs) / 1e6)
+      ClosedSession(userId, usToTs(st.startUs), usToTs(st.lastUs),
+        st.nEvents, (st.lastUs - st.startUs) / 1e6, st.startUs, st.lastUs)
 
     events
       .withWatermark("ts", s"$gapMinutes minutes")

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.streaming.{Replay, StreamingReplay}
+
+/** Batch-replay equivalence: each streaming gate row must reproduce its
+  * batch twin BIT-FOR-BIT (same values through the same exact arithmetic),
+  * not just approximately — the CORRECTNESS gate hashes them against the
+  * twin's DuckDB oracle, so any tolerance here would be a lie about what
+  * the gate demands. Runs at sf0.001; the gate replica covers sf0.01/0.1. */
+class ReplaySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  test("streaming event_window replay equals the batch tumbling-window agg") {
+    assert(rows(StreamingReplay.streamingEventWindow(spark, sf)) ==
+      rows(pipeline.Sessions.eventWindow(spark, sf)))
+  }
+
+  test("streaming sessionize replay equals the batch per-user session rollup") {
+    assert(rows(StreamingReplay.streamingSessionize(spark, sf)) ==
+      rows(pipeline.Sessions.sessionize(spark, sf)))
+  }
+
+  test("streaming k-anonymity trend replay equals the batch per-day audit") {
+    assert(rows(StreamingReplay.streamingKAnonTrend(spark, sf)) ==
+      rows(pipeline.Privacy.kAnonTrend(spark, sf)))
+  }
+
+  test("sentinel flush rows can never reach a replay sink projection") {
+    // the raw sink of the windowed replay: sentinel windows must not have
+    // finalized (nothing advances the watermark past them), so even the
+    // UNfiltered sink carries no 2100-era window
+    val sink = Replay.replayTable(spark, sf, "events",
+      Seq("ts", "event_type", "value"),
+      streaming.StreamingDrift.windowedStats(_, "1 day", "1 hour"))
+    val max = sink.agg(org.apache.spark.sql.functions.max("window_start"))
+      .collect()(0).getTimestamp(0)
+    assert(max.before(Replay.SentinelBaseTs))
+    assert(sink.filter(s"event_type = '${Replay.SentinelLabel}'").count() == 0)
+  }
+
+  test("exact µs round-trip: usToTs inverts eventUs including sub-ms residue") {
+    val us = 1704067199123456L // ...:59.123456
+    val ts = streaming.StreamingSessions.usToTs(us)
+    assert(streaming.StreamingSessions.eventUs(ts) == us)
+    assert(ts.getNanos == 123456000)
+  }
+}
