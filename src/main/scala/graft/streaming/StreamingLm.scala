@@ -27,12 +27,16 @@ import graft.pipeline.LmScore
   * watermark-bounded state store (keys expire as the watermark passes, so
   * state stays O(inflight window), never O(stream)).
   *
-  * The `collectModel` here is deliberately NOT ceiling-guarded like the
-  * batch path's [[LmScore.scoreDocs]]: the batch fallback is a per-doc
-  * groupBy join pipeline, which on a stream would mean a state store per
-  * doc — worse than the thing guarded against. A streaming deployment owns
-  * the model-size contract (train on a bounded trusted sample); the batch
-  * side's [[LmScore.DefaultMaxModelRows]] documents what "bounded" means.
+  * The model collect is CEILING-GUARDED like every batch surface
+  * ([[LmScore.collectModelBounded]]: a plan-level `limit(ceiling + 1)`, so
+  * the driver never fetches more than the ceiling no matter how
+  * Heaps-law-explosive the bigram vocabulary is) — but unlike the batch
+  * path there is NO join fallback to route to: the joined scorer is a
+  * per-doc groupBy pipeline, which on a stream would mean a state store
+  * per doc — worse than the thing guarded against. So an over-ceiling
+  * model FAILS LOUDLY at gate construction (before any stream starts),
+  * with the fix in the message: train on a smaller trusted sample or run
+  * the batch gate. A stream must never silently OOM its driver.
   */
 object StreamingLm {
 
@@ -40,14 +44,26 @@ object StreamingLm {
     * [[LmScore.LmModel]]. Emits (ts, doc_id, n_bigrams, bigram_hit_rate,
     * oov_rate, avg_logprob, ppl) once per ARRIVAL (see the at-least-once
     * contract in the object doc), in arrival micro-batch (stateless map —
-    * nothing waits on the watermark unless `dedupeRedeliveries`). */
+    * nothing waits on the watermark unless `dedupeRedeliveries`).
+    *
+    * @throws IllegalArgumentException if the model exceeds `maxModelRows`
+    *         collected rows (see the object doc — no stream-safe fallback
+    *         exists, so the gate refuses to start rather than risk the
+    *         driver heap). */
   def scoreStream(docs: DataFrame, model: LmScore.LmModel,
       watermarkDelay: String = "1 hour",
-      dedupeRedeliveries: Boolean = false): DataFrame = {
+      dedupeRedeliveries: Boolean = false,
+      maxModelRows: Int = LmScore.DefaultMaxModelRows): DataFrame = {
+    val collected = LmScore.collectModelBounded(model, maxModelRows)
+      .getOrElse(throw new IllegalArgumentException(
+        s"StreamingLm: model exceeds $maxModelRows collected rows; the " +
+          "streaming gate has no never-collected fallback (a per-doc join " +
+          "would need a state store per doc) — train on a smaller trusted " +
+          "sample or score batch-side via LmScore.scoreRouted"))
     val wm = docs.withWatermark("ts", watermarkDelay)
     val in = if (dedupeRedeliveries)
       wm.dropDuplicatesWithinWatermark("doc_id") else wm
-    LmScore.scoreCollected(in, LmScore.collectModel(model), carry = Seq("ts"))
+    LmScore.scoreCollected(in, collected, carry = Seq("ts"))
       .select("ts", "doc_id", "n_bigrams", "bigram_hit_rate", "oov_rate",
         "avg_logprob", "ppl")
   }
@@ -63,7 +79,8 @@ object StreamingLm {
   def bucketStream(docs: DataFrame, model: LmScore.LmModel,
       headMax: Double, middleMax: Double,
       watermarkDelay: String = "1 hour",
-      dedupeRedeliveries: Boolean = false): DataFrame =
-    scoreStream(docs, model, watermarkDelay, dedupeRedeliveries)
+      dedupeRedeliveries: Boolean = false,
+      maxModelRows: Int = LmScore.DefaultMaxModelRows): DataFrame =
+    scoreStream(docs, model, watermarkDelay, dedupeRedeliveries, maxModelRows)
       .withColumn("bucket", LmScore.bucketExpr(headMax, middleMax))
 }

@@ -250,6 +250,26 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming LM gate refuses an over-ceiling model at construction (fail-loud)") {
+    import graft.pipeline.LmScore
+    import graft.streaming.StreamingLm
+    implicit val sqlCtx = spark.sqlContext
+    // 3 unigrams + 4 bigrams = 7 collected model rows: a ceiling of 4
+    // must refuse BEFORE any stream starts (the guard is the plan-level
+    // limit collect — no unbounded fetch happens on the refusal path either)
+    val model = LmScore.trainModel(
+      Seq(("en", "a b a b a c"), ("en", "a b c a")).toDF("lang", "text"))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      StreamingLm.scoreStream(docs, model, "10 minutes", maxModelRows = 4)
+    }
+    assert(e.getMessage.contains("smaller trusted sample"))
+    // the same model under the default ceiling still constructs fine (the
+    // batch-equality test above pins the scores themselves)
+    StreamingLm.scoreStream(docs, model, "10 minutes")
+  }
+
   test("LM redelivery dedup drops a replayed doc_id even with a re-stamped ts") {
     import graft.pipeline.LmScore
     import graft.streaming.StreamingLm
