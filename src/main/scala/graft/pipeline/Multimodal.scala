@@ -76,6 +76,37 @@ object Multimodal {
       "list_transform(list_filter(string_split(text, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
       "(acc, c) -> (acc * 31 + c) % 1000000007) AS h FROM documents) t ORDER BY media_id"
 
+  // ------------------------------------------------- content-hash dedup
+
+  /** Exact content dedup over the OPAQUE binary payload — the multimodal
+    * analogue of `dedup_exact`: md5 of the raw bytes groups bit-identical
+    * media regardless of filename/metadata, one row per distinct content
+    * with its copy count and canonical (min-id) representative. Spark's
+    * `md5(binary)` and DuckDB's `md5(VARCHAR)` both hash the utf-8 bytes
+    * of the text stand-in, so the oracle replays the pipeline exactly.
+    *
+    * Scale shape: the hash is computed in the scan projection, so the
+    * wide payload NEVER crosses the exchange — only (16-byte hash, id,
+    * size) shuffles into a map-side-combined count per hash key. At
+    * 100 TB of media that is the difference between shuffling the corpus
+    * and shuffling a fingerprint table. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir).toDF()
+      .groupBy(md5(col("payload")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min("media_id").as("canonical_media_id"),
+        min("n_bytes").as("n_bytes"))
+      .withColumn("is_dup", col("n_copies") > 1)
+      .orderBy("content_hash")
+
+  val mediaDedupSql: String =
+    "SELECT content_hash, n_copies, canonical_media_id, n_bytes, " +
+      "n_copies > 1 AS is_dup FROM (" +
+      "SELECT md5(text) AS content_hash, COUNT(*)::BIGINT AS n_copies, " +
+      "MIN(doc_id) AS canonical_media_id, " +
+      "MIN(octet_length(encode(text)))::BIGINT AS n_bytes " +
+      "FROM documents GROUP BY 1) g ORDER BY content_hash"
+
   // ------------------------------------------------------ frame sampling
 
   /** One sampled frame: fixed-size payload chunk + rolling hash. */
@@ -166,12 +197,14 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> ((s, d) => mediaMeta(s, d)),
+    "media_dedup" -> ((s, d) => mediaDedup(s, d)),
     "frame_sample" -> ((s, d) => frameSample(s, d)),
     "frame_resize" -> ((s, d) => frameResize(s, d)),
   )
 
   def oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
+    "media_dedup" -> mediaDedupSql,
     "frame_sample" -> frameSampleSql,
     "frame_resize" -> frameResizeSql,
   )

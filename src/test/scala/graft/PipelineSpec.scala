@@ -905,6 +905,17 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.stubResize(small) == small) // already fits -> untouched
   }
 
+  test("multimodal content-hash dedup collapses bit-identical payloads to the min-id canonical") {
+    val groups = Multimodal.mediaDedup(spark, fixtureDir).collect()
+    // docs 5 and 200 share a payload in the fixture -> one group of 2 with
+    // the min id canonical; total copies must re-add to the corpus size
+    assert(groups.map(_.getAs[Long]("n_copies")).sum == 24)
+    val dups = groups.filter(_.getAs[Boolean]("is_dup"))
+    assert(dups.exists(g => g.getAs[Long]("n_copies") >= 2 &&
+      g.getAs[Long]("canonical_media_id") == 5L))
+    assert(groups.forall(_.getAs[String]("content_hash").matches("[0-9a-f]{32}")))
+  }
+
   test("multimodal plumbing: payload bytes -> typed features via mapPartitions") {
     val feats = Multimodal.extractFeatures(spark, fixtureDir).collect()
     assert(feats.length == 24)
