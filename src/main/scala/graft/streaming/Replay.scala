@@ -75,6 +75,16 @@ object Replay {
     * streaming `transform` and returns the drained sink. `flushes` extra
     * sentinel micro-batches advance the watermark past all real data (see
     * class doc for why 2 is sufficient and safe). */
+  /** State partitions for a replay's stateful operators: each micro-batch
+    * commits per-partition state files to the checkpoint, so a gate replay
+    * over a bounded snapshot pays (partitions × stateful ops × batches)
+    * file commits of mostly-empty state at the session's full shuffle
+    * width. 8 keeps the replay parallel enough for the gate SFs while
+    * cutting the fixed harness overhead; results are partition-invariant
+    * (that is the point of the gate). A production stream sizes this to
+    * its key cardinality instead. */
+  val ReplayStatePartitions = 8
+
   def replayTable(spark: SparkSession, dir: String, tableName: String,
       fields: Seq[String], transform: DataFrame => DataFrame,
       flushes: Int = 2): DataFrame = {
@@ -90,13 +100,22 @@ object Replay {
     // still reads back as an empty frame instead of a missing-path error
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], out.schema)
       .write.mode("overwrite").parquet(sink.toString)
-    val query = out.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", chk.toString)
-      .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("append").parquet(sink.toString)
-      }
-      .start()
+    // the stateful plan snapshots the shuffle width at stream START, so the
+    // cap + restore brackets only the planning call; batch queries planned
+    // after this method keep the session's own width
+    val widthKey = "spark.sql.shuffle.partitions"
+    val sessionWidth = spark.conf.get(widthKey)
+    val query = try {
+      spark.conf.set(widthKey,
+        math.min(ReplayStatePartitions, sessionWidth.toInt).toString)
+      out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk.toString)
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.mode("append").parquet(sink.toString)
+        }
+        .start()
+    } finally spark.conf.set(widthKey, sessionWidth)
     try {
       query.processAllAvailable() // micro-batch 0: the whole snapshot
       (1 to flushes).foreach { i =>
