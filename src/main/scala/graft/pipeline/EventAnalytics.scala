@@ -217,7 +217,7 @@ object EventAnalytics {
 
   /** Zero-denominator guard: an empty prior step yields rate 0, not the
     * engines' divergent 0/0 (Spark NULL vs DuckDB NaN). */
-  private def funnelFinalCols: Seq[String] = Seq(
+  private[graft] def funnelFinalCols: Seq[String] = Seq(
     "n_users", "n_view", "n_click_after_view", "n_purchase_after_click",
     "ROUND(CASE WHEN n_users = 0 THEN 0e0 ELSE n_view * 1e0 / n_users END, 6) AS view_rate",
     "ROUND(CASE WHEN n_view = 0 THEN 0e0 ELSE n_click_after_view * 1e0 / n_view END, 6) AS click_conversion",

@@ -66,7 +66,34 @@ object StreamingReplay {
         .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
           col("class_size").as("sz")))
 
+  /** [[StreamingFunnel.funnelGate]] (stateful first-touch step tracking)
+    * replayed over the snapshot ≡ the batch ordered funnel
+    * ([[graft.pipeline.EventAnalytics.funnel]]): one completion row per
+    * (user, step) in the sink, counted into the batch projection. The
+    * in-one-batch replay satisfies the gate's in-order contract exactly,
+    * so stream==batch is an equality, not a convergence claim. `n_users`
+    * is a plain distinct count over the same snapshot (every user, not
+    * just converters — the gate emits only completions by design); the
+    * funnel LOGIC under test is entirely the streaming state machine. */
+  def streamingFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val sink = Replay.replayTable(spark, dir, "events",
+      Seq("ts", "user_id", "event_type", "value"),
+      df => {
+        import df.sparkSession.implicits._
+        StreamingFunnel.funnelGate(df.as[StreamingSessions.Event]).toDF()
+      })
+    val steps = sink.filter(col("user_id") =!= lit(Replay.SentinelId)) // defensive
+      .agg(count(when(col("step") === "view", lit(1))).as("n_view"),
+        count(when(col("step") === "click", lit(1))).as("n_click_after_view"),
+        count(when(col("step") === "purchase", lit(1))).as("n_purchase_after_click"))
+    graft.drift.table(spark, dir, "events")
+      .agg(countDistinct("user_id").as("n_users"))
+      .crossJoin(steps) // both sides 1 row
+      .selectExpr(graft.pipeline.EventAnalytics.funnelFinalCols: _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_funnel" -> ((s, d) => streamingFunnel(s, d)),
     "streaming_event_window" -> ((s, d) => streamingEventWindow(s, d)),
     "streaming_sessionize" -> ((s, d) => streamingSessionize(s, d)),
     "streaming_k_anon_trend" -> ((s, d) => streamingKAnonTrend(s, d)),
@@ -74,6 +101,7 @@ object StreamingReplay {
 
   /** The batch twins' oracle SQL, verbatim — equivalence IS the gate. */
   def oracles: Map[String, String] = Map(
+    "streaming_funnel" -> graft.pipeline.EventAnalytics.funnelSql,
     "streaming_event_window" -> Sessions.eventWindowSql,
     "streaming_sessionize" -> Sessions.sessionizeSql,
     "streaming_k_anon_trend" -> Privacy.kAnonTrendSql,

@@ -25,6 +25,11 @@ class ReplaySpec extends SparkSpec {
       rows(pipeline.Sessions.sessionize(spark, sf)))
   }
 
+  test("streaming funnel replay equals the batch first-touch funnel") {
+    assert(rows(StreamingReplay.streamingFunnel(spark, sf)) ==
+      rows(pipeline.EventAnalytics.funnel(spark, sf)))
+  }
+
   test("streaming k-anonymity trend replay equals the batch per-day audit") {
     assert(rows(StreamingReplay.streamingKAnonTrend(spark, sf)) ==
       rows(pipeline.Privacy.kAnonTrend(spark, sf)))
