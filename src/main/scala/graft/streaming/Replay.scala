@@ -71,10 +71,12 @@ object Replay {
       }
   }
 
-  /** Replays `tableName`'s snapshot (projected to `fields`) through a
-    * streaming `transform` and returns the drained sink. `flushes` extra
-    * sentinel micro-batches advance the watermark past all real data (see
-    * class doc for why 2 is sufficient and safe). */
+  /** Replays `tableName`'s snapshot (projected to `fields` — plain column
+    * names or SQL select expressions, e.g. a synthesized event-time column
+    * for a table that has none) through a streaming `transform` and
+    * returns the drained sink. `flushes` extra sentinel micro-batches
+    * advance the watermark past all real data (see class doc for why 2 is
+    * sufficient and safe). */
   /** State partitions for a replay's stateful operators: each micro-batch
     * commits per-partition state files to the checkpoint, so a gate replay
     * over a bounded snapshot pays (partitions × stateful ops × batches)
@@ -88,8 +90,7 @@ object Replay {
   def replayTable(spark: SparkSession, dir: String, tableName: String,
       fields: Seq[String], transform: DataFrame => DataFrame,
       flushes: Int = 2): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val src = graft.drift.table(spark, dir, tableName).select(fields.map(col): _*)
+    val src = graft.drift.table(spark, dir, tableName).selectExpr(fields: _*)
     val tmp = Files.createTempDirectory(s"graft-replay-$tableName-")
     val (watch, stage, sink, chk) = (tmp.resolve("in"), tmp.resolve("stage"),
       tmp.resolve("out"), tmp.resolve("chk"))

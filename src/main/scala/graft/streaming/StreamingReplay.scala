@@ -92,7 +92,32 @@ object StreamingReplay {
       .selectExpr(graft.pipeline.EventAnalytics.funnelFinalCols: _*)
   }
 
+  /** [[StreamingDedup.dedupStream]]'s exactly-once admission invariant:
+    * replaying the whole corpus must admit each distinct content
+    * fingerprint EXACTLY once — the sorted fingerprint set then equals a
+    * plain batch DISTINCT (a double admission duplicates a hash, a lost
+    * doc removes one; either flips the row hash). `documents` has no
+    * event time, so the replay synthesizes a deterministic one from
+    * doc_id — the dedup keys on content, not time, and the one-batch
+    * replay never evicts state, so the synthesized clock is just
+    * watermark plumbing. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame =
+    Replay.replayTable(spark, dir, "documents",
+        Seq("timestampadd(SECOND, CAST(doc_id % 3000 AS INT), " +
+          "TIMESTAMP'2024-01-01 00:00:00') AS ts", "doc_id", "text"),
+        StreamingDedup.dedupStream(_, "24 hours"))
+      // the dedup admits in the ARRIVAL batch, so the sentinel text IS
+      // admitted (unlike the windowed gates) — this filter is load-bearing
+      .filter(col("doc_id") =!= lit(Replay.SentinelId))
+      .select(col("fingerprint").as("content_hash"))
+      .orderBy("content_hash")
+
+  val streamingDedupSql: String =
+    "SELECT md5(text) AS content_hash FROM (SELECT DISTINCT text FROM documents) d " +
+      "ORDER BY content_hash"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_dedup" -> ((s, d) => streamingDedup(s, d)),
     "streaming_funnel" -> ((s, d) => streamingFunnel(s, d)),
     "streaming_event_window" -> ((s, d) => streamingEventWindow(s, d)),
     "streaming_sessionize" -> ((s, d) => streamingSessionize(s, d)),
@@ -101,6 +126,7 @@ object StreamingReplay {
 
   /** The batch twins' oracle SQL, verbatim — equivalence IS the gate. */
   def oracles: Map[String, String] = Map(
+    "streaming_dedup" -> streamingDedupSql,
     "streaming_funnel" -> graft.pipeline.EventAnalytics.funnelSql,
     "streaming_event_window" -> Sessions.eventWindowSql,
     "streaming_sessionize" -> Sessions.sessionizeSql,

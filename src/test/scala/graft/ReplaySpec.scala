@@ -35,6 +35,16 @@ class ReplaySpec extends SparkSpec {
       rows(pipeline.Privacy.kAnonTrend(spark, sf)))
   }
 
+  test("streaming dedup replay admits each distinct content exactly once") {
+    import org.apache.spark.sql.functions._
+    val admitted = StreamingReplay.streamingDedup(spark, sf)
+      .collect().map(_.getString(0)).toSeq
+    val batch = spark.read.parquet(s"$sf/documents.parquet")
+      .select(md5(col("text")).as("h")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(admitted == batch) // exactly once: no double admission, no loss
+  }
+
   test("sentinel flush rows can never reach a replay sink projection") {
     // the raw sink of the windowed replay: sentinel windows must not have
     // finalized (nothing advances the watermark past them), so even the
