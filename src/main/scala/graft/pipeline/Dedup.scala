@@ -346,7 +346,7 @@ object Dedup {
     * `docsRel` — ends in `nd_pairs` with (doc_a, doc_b, n_shared_bands,
     * jaccard). Shared by [[minhashLshSql]] and the corpus-prep funnel's
     * near-dup stage. */
-  private[pipeline] def minhashPairsCtes(docsRel: String): String = {
+  private[graft] def minhashPairsCtes(docsRel: String): String = {
     val nBands = NumHashes / BandRows
     val bandSelects = (0 until nBands).map { bIdx =>
       val sig = (0 until BandRows).map(r => s"m${bIdx * BandRows + r}").mkString("CONCAT_WS(',', ", ", ", ")")

@@ -116,7 +116,57 @@ object StreamingReplay {
     "SELECT md5(text) AS content_hash FROM (SELECT DISTINCT text FROM documents) d " +
       "ORDER BY content_hash"
 
+  /** [[StreamingIncrement.incrementGate]]'s admitted set, replayed: the
+    * max-`source` feed gated against the rest of the corpus (the batch
+    * `incremental_dedup` split). The stream gate DEVIATES from the batch
+    * gate by design — it drops on band collision alone, without the
+    * exact-Jaccard verification join (that join would re-aggregate per
+    * micro-batch) — so this row carries its own collision-only oracle
+    * built from the SAME shared band CTEs, rather than reusing
+    * `incremental_dedup`'s. What it pins end-to-end: the per-row
+    * [[graft.pipeline.Dedup.rowBandSigs]] signatures equal the batch
+    * signature pipeline's, per band, under DuckDB's independent replay —
+    * the invariant the whole streaming fuzzy-dedup family stands on.
+    * The gate is STATELESS (stream-static anti-joins, no watermark), so
+    * the replay needs no sentinel flushes: everything emits in batch 0. */
+  private[graft] def streamingIncrementKept(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.drift.table(spark, dir, "documents")
+    val batchSource = docs.agg(max("source")).collect()(0).getString(0) // 1-row agg
+    val corpus = docs.filter(col("source") =!= lit(batchSource))
+      .select("doc_id", "text")
+    Replay.replayTable(spark, dir, "documents", Seq("doc_id", "text", "source"),
+      df => StreamingIncrement.incrementGate(
+        df.filter(col("source") === lit(batchSource)).select("doc_id", "text"),
+        corpus),
+      flushes = 0)
+  }
+
+  def streamingIncrement(spark: SparkSession, dir: String): DataFrame =
+    streamingIncrementKept(spark, dir)
+      .agg(count(lit(1)).as("n_kept"),
+        coalesce(sum("doc_id"), lit(0L)).as("kept_id_sum"))
+
+  val streamingIncrementSql: String =
+    "WITH bsrc AS (SELECT MAX(source) AS batch_source FROM documents), " +
+      "d AS (SELECT doc_id, text, source = batch_source AS is_batch " +
+      "FROM documents CROSS JOIN bsrc), " +
+      // tri/sigs/bands from the shared MinHash CTE chain; its full-corpus
+      // cands/inter/nd_pairs go unreferenced and DuckDB never runs them
+      s"${graft.pipeline.Dedup.minhashPairsCtes("documents")}, " +
+      "bb AS (SELECT bands.* FROM bands JOIN d USING (doc_id) WHERE is_batch), " +
+      "cb AS (SELECT bands.* FROM bands JOIN d USING (doc_id) WHERE NOT is_batch), " +
+      "coll AS (SELECT DISTINCT a.doc_id FROM bb a " +
+      "JOIN cb b ON a.band = b.band AND a.sig = b.sig), " +
+      // NOT IN is NULL-safe here: md5(text) is never NULL (text has no
+      // NULLs in the corpus contract) and coll carries only real doc_ids
+      "kept AS (SELECT doc_id FROM d WHERE is_batch " +
+      "AND md5(text) NOT IN (SELECT md5(text) FROM d WHERE NOT is_batch) " +
+      "AND doc_id NOT IN (SELECT doc_id FROM coll)) " +
+      "SELECT COUNT(*)::BIGINT AS n_kept, " +
+      "COALESCE(SUM(doc_id), 0)::BIGINT AS kept_id_sum FROM kept"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_increment" -> ((s, d) => streamingIncrement(s, d)),
     "streaming_dedup" -> ((s, d) => streamingDedup(s, d)),
     "streaming_funnel" -> ((s, d) => streamingFunnel(s, d)),
     "streaming_event_window" -> ((s, d) => streamingEventWindow(s, d)),
@@ -126,6 +176,7 @@ object StreamingReplay {
 
   /** The batch twins' oracle SQL, verbatim — equivalence IS the gate. */
   def oracles: Map[String, String] = Map(
+    "streaming_increment" -> streamingIncrementSql,
     "streaming_dedup" -> streamingDedupSql,
     "streaming_funnel" -> graft.pipeline.EventAnalytics.funnelSql,
     "streaming_event_window" -> Sessions.eventWindowSql,

@@ -45,6 +45,32 @@ class ReplaySpec extends SparkSpec {
     assert(admitted == batch) // exactly once: no double admission, no loss
   }
 
+  test("streaming increment replay equals the collision-only batch recomputation") {
+    import org.apache.spark.sql.functions._
+    // the oracle's semantics, recomputed with batch Spark ops: exact-dup
+    // anti-join, then drop on ANY shared band with the corpus (no Jaccard
+    // verification — the stream gate's documented deviation)
+    val docs = drift.table(spark, sf, "documents")
+    val bs = docs.agg(max("source")).collect()(0).getString(0)
+    val batch = docs.filter(col("source") === bs).select("doc_id", "text")
+    val corpus = docs.filter(col("source") =!= bs).select("doc_id", "text")
+    val exactKept = batch.join(
+      corpus.select(md5(col("text")).as("h")).distinct(),
+      md5(batch("text")) === col("h"), "left_anti")
+    val (_, bands) = pipeline.Dedup.triAndBands(docs, identity)
+    val cb = bands.join(corpus.select("doc_id"), "doc_id")
+      .select(col("band").as("cband"), col("sig").as("csig"))
+    val bb = bands.join(batch.select("doc_id"), "doc_id")
+    val coll = bb.join(cb, bb("band") === col("cband") && bb("sig") === col("csig"))
+      .select("doc_id").distinct()
+    val expect = exactKept.join(coll, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val got = StreamingReplay.streamingIncrementKept(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expect)
+    assert(got.nonEmpty) // the fixture feed must actually admit something
+  }
+
   test("sentinel flush rows can never reach a replay sink projection") {
     // the raw sink of the windowed replay: sentinel windows must not have
     // finalized (nothing advances the watermark past them), so even the
