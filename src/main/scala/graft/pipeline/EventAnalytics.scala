@@ -401,17 +401,27 @@ object EventAnalytics {
   def attribution(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val credited = table(spark, dir, "events")
+    val credits = table(spark, dir, "events")
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"))
       .withColumn("channel", last(
         when(col("event_type") =!= ConversionType, col("event_type")), ignoreNulls = true).over(w))
       .filter(col("event_type") === ConversionType)
-      .groupBy(coalesce(col("channel"), lit("direct")).as("channel"))
+      .select(coalesce(col("channel"), lit("direct")).as("channel"), col("value"))
+    attributionRollup(credits)
+  }
+
+  /** Channel rollup over a per-credit (channel, value) frame — shared by
+    * the batch query above and the streaming replay gate (whose credit
+    * SINK is exactly such a frame): exact DECIMAL revenue sums, window
+    * totals, identical final projection text, so the two paths can only
+    * agree or hash-fail together. */
+  private[graft] def attributionRollup(credits: DataFrame): DataFrame = {
+    val tot = Window.partitionBy()
+    credits
+      .groupBy("channel")
       .agg(count(lit(1)).as("n_conversions"),
         sum(col("value").cast("decimal(18,4)")).as("revenue_dec"))
-    val tot = Window.partitionBy()
-    credited
       .withColumn("total_conv", sum("n_conversions").over(tot))
       .withColumn("total_rev_dec", sum("revenue_dec").over(tot))
       .selectExpr("channel", "n_conversions",

@@ -102,9 +102,7 @@ object StreamingReplay {
     * replay never evicts state, so the synthesized clock is just
     * watermark plumbing. */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame =
-    Replay.replayTable(spark, dir, "documents",
-        Seq("timestampadd(SECOND, CAST(doc_id % 3000 AS INT), " +
-          "TIMESTAMP'2024-01-01 00:00:00') AS ts", "doc_id", "text"),
+    Replay.replayTable(spark, dir, "documents", Seq(SynthTs, "doc_id", "text"),
         StreamingDedup.dedupStream(_, "24 hours"))
       // the dedup admits in the ARRIVAL batch, so the sentinel text IS
       // admitted (unlike the windowed gates) — this filter is load-bearing
@@ -165,7 +163,51 @@ object StreamingReplay {
       "SELECT COUNT(*)::BIGINT AS n_kept, " +
       "COALESCE(SUM(doc_id), 0)::BIGINT AS kept_id_sum FROM kept"
 
+  /** Deterministic synthetic event time for tables that carry none (the
+    * documents corpus): the gate logic under replay is time-independent —
+    * the clock is pure watermark plumbing. */
+  private val SynthTs =
+    "timestampadd(SECOND, CAST(doc_id % 3000 AS INT), " +
+      "TIMESTAMP'2024-01-01 00:00:00') AS ts"
+
+  /** [[StreamingLm.scoreStream]] replayed over the corpus against the
+    * batch-trained model ≡ the batch `lm_score` query: the stream scorer
+    * is the SAME in-row `scoreCollected` stage the batch runs (stateless,
+    * flushes = 0), so this pins the whole streaming LM gate — including
+    * round 11's bounded model collect — against the DuckDB Stupid-Backoff
+    * oracle, not just against the batch twin's JVM output. */
+  def streamingLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.pipeline.LmScore.trainModel(
+      graft.drift.table(spark, dir, "documents").select("lang", "text"))
+    Replay.replayTable(spark, dir, "documents", Seq(SynthTs, "doc_id", "text"),
+        StreamingLm.scoreStream(_, model, "24 hours"), flushes = 0)
+      .filter(col("doc_id") =!= lit(Replay.SentinelId)) // defensive (stateless: none arrive)
+      .select("doc_id", "n_bigrams", "bigram_hit_rate", "oov_rate",
+        "avg_logprob", "ppl")
+      .orderBy("doc_id")
+  }
+
+  /** [[StreamingAttribution.attributionGate]] (stateful last-touch memory)
+    * replayed in order ≡ the batch window recomputation: the credit sink
+    * is exactly the per-credit (channel, value) frame, so the batch
+    * channel rollup ([[graft.pipeline.EventAnalytics.attributionRollup]],
+    * exact DECIMAL revenue sums) applies verbatim. flushes = 0: last-touch
+    * state never expires by time and credits emit in the arrival batch. */
+  def streamingAttribution(spark: SparkSession, dir: String): DataFrame =
+    graft.pipeline.EventAnalytics.attributionRollup(
+      Replay.replayTable(spark, dir, "events",
+          Seq("ts", "user_id", "event_type", "value", "event_id"),
+          df => {
+            import df.sparkSession.implicits._
+            StreamingAttribution.attributionGate(
+              df.as[StreamingAttribution.AttrEvent]).toDF()
+          }, flushes = 0)
+        .filter(col("user_id") =!= lit(Replay.SentinelId)) // defensive
+        .select("channel", "value"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_lm_score" -> ((s, d) => streamingLmScore(s, d)),
+    "streaming_attribution" -> ((s, d) => streamingAttribution(s, d)),
     "streaming_increment" -> ((s, d) => streamingIncrement(s, d)),
     "streaming_dedup" -> ((s, d) => streamingDedup(s, d)),
     "streaming_funnel" -> ((s, d) => streamingFunnel(s, d)),
@@ -176,6 +218,8 @@ object StreamingReplay {
 
   /** The batch twins' oracle SQL, verbatim — equivalence IS the gate. */
   def oracles: Map[String, String] = Map(
+    "streaming_lm_score" -> graft.pipeline.LmScore.lmScoreSql,
+    "streaming_attribution" -> graft.pipeline.EventAnalytics.attributionSql,
     "streaming_increment" -> streamingIncrementSql,
     "streaming_dedup" -> streamingDedupSql,
     "streaming_funnel" -> graft.pipeline.EventAnalytics.funnelSql,

@@ -30,6 +30,16 @@ class ReplaySpec extends SparkSpec {
       rows(pipeline.EventAnalytics.funnel(spark, sf)))
   }
 
+  test("streaming LM score replay equals the batch scorer") {
+    assert(rows(StreamingReplay.streamingLmScore(spark, sf)) ==
+      rows(pipeline.LmScore.lmScore(spark, sf)))
+  }
+
+  test("streaming attribution replay equals the batch last-touch rollup") {
+    assert(rows(StreamingReplay.streamingAttribution(spark, sf)) ==
+      rows(pipeline.EventAnalytics.attribution(spark, sf)))
+  }
+
   test("streaming k-anonymity trend replay equals the batch per-day audit") {
     assert(rows(StreamingReplay.streamingKAnonTrend(spark, sf)) ==
       rows(pipeline.Privacy.kAnonTrend(spark, sf)))
