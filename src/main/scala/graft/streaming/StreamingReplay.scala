@@ -205,7 +205,55 @@ object StreamingReplay {
         .filter(col("user_id") =!= lit(Replay.SentinelId)) // defensive
         .select("channel", "value"))
 
+  /** The monitored suite for the constraints replay gate: row-local checks
+    * over the event feed, chosen so the board shows detection, not just
+    * green rows (the engagement-types check fails by design — `error` and
+    * `signup` are off-list). Shared by the gate row and its oracle via
+    * [[graft.pipeline.Constraints.indicatorExpr]]'s engine-shared text. */
+  private val MonitorSuite: Seq[graft.pipeline.Constraints.Constraint] = Seq(
+    graft.pipeline.Constraints.Complete(
+      "sm1_value_complete", "events", "value", 0.999),
+    graft.pipeline.Constraints.InRange(
+      "sm2_value_le_100", "events", "value", Some(0.0), Some(100.0), 0.9),
+    graft.pipeline.Constraints.Accepted(
+      "sm3_engagement_types", "events", "event_type",
+      Seq("view", "click", "purchase"), 0.9))
+
+  private val constraintRatio =
+    graft.drift.pr6Sql("CAST(n_ok AS DOUBLE) / CAST(n_rows AS DOUBLE)")
+
+  /** [[StreamingConstraints.constraintMonitor]] over 1-day windows,
+    * rolled up across closed windows to per-check totals: every event
+    * lands in exactly one finalized window, so Σ(window n_ok/n_rows)
+    * equals the whole-table counts and the replay must reproduce a plain
+    * batch audit of the same suite — integer counts + one pr6 share,
+    * the k_anon_trend determinism recipe. */
+  def streamingConstraints(spark: SparkSession, dir: String): DataFrame =
+    Replay.replayTable(spark, dir, "events", Seq("ts", "event_type", "value"),
+        StreamingConstraints.constraintMonitor(_, MonitorSuite, "1 day", "1 hour"))
+      .filter(col("window_start") < lit(Replay.SentinelBaseTs)) // defensive
+      .groupBy("check_name", "threshold")
+      .agg(sum("n_ok").as("n_ok"), sum("n_rows").as("n_rows"))
+      .selectExpr("check_name",
+        "CAST(n_ok AS BIGINT) AS n_ok", "CAST(n_rows AS BIGINT) AS n_rows",
+        s"$constraintRatio AS metric", "threshold",
+        s"$constraintRatio >= threshold AS passed")
+      .orderBy("check_name")
+
+  val streamingConstraintsSql: String = {
+    val branches = MonitorSuite.map { c =>
+      val ind = graft.pipeline.Constraints.indicatorExpr(c).get
+      s"SELECT '${c.name}' AS check_name, SUM($ind) AS n_ok, COUNT(*) AS n_rows, " +
+        s"CAST(${graft.pipeline.Constraints.dlit(c.threshold)} AS DOUBLE) AS threshold " +
+        s"FROM ${c.table}"
+    }.mkString(" UNION ALL ")
+    "SELECT check_name, CAST(n_ok AS BIGINT) AS n_ok, CAST(n_rows AS BIGINT) AS n_rows, " +
+      s"$constraintRatio AS metric, threshold, $constraintRatio >= threshold AS passed " +
+      s"FROM ($branches) u ORDER BY check_name"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_constraints" -> ((s, d) => streamingConstraints(s, d)),
     "streaming_lm_score" -> ((s, d) => streamingLmScore(s, d)),
     "streaming_attribution" -> ((s, d) => streamingAttribution(s, d)),
     "streaming_increment" -> ((s, d) => streamingIncrement(s, d)),
@@ -218,6 +266,7 @@ object StreamingReplay {
 
   /** The batch twins' oracle SQL, verbatim — equivalence IS the gate. */
   def oracles: Map[String, String] = Map(
+    "streaming_constraints" -> streamingConstraintsSql,
     "streaming_lm_score" -> graft.pipeline.LmScore.lmScoreSql,
     "streaming_attribution" -> graft.pipeline.EventAnalytics.attributionSql,
     "streaming_increment" -> streamingIncrementSql,

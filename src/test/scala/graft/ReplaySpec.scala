@@ -40,6 +40,16 @@ class ReplaySpec extends SparkSpec {
       rows(pipeline.EventAnalytics.attribution(spark, sf)))
   }
 
+  test("streaming constraints replay: window totals equal a whole-table audit and detect the failing check") {
+    val got = StreamingReplay.streamingConstraints(spark, sf).collect()
+      .map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("n_ok"), r.getAs[Long]("n_rows"), r.getAs[Boolean]("passed")))).toMap
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(got.values.forall(_._2 == total)) // every event in exactly one closed window
+    assert(got("sm1_value_complete")._3)     // value has no NULLs
+    assert(!got("sm3_engagement_types")._3)  // error/signup are off-list by design
+  }
+
   test("streaming k-anonymity trend replay equals the batch per-day audit") {
     assert(rows(StreamingReplay.streamingKAnonTrend(spark, sf)) ==
       rows(pipeline.Privacy.kAnonTrend(spark, sf)))
