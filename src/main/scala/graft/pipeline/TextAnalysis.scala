@@ -193,11 +193,11 @@ object TextAnalysis {
     * text, lang_ok, qual_ok), where the language and quality expressions are
     * the same shared SQL fragments the standalone queries use, evaluated
     * inline in ONE scan — no join of per-doc frames. */
-  private[pipeline] def prepDocs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def prepDocs(spark: SparkSession, dir: String): DataFrame =
     gateDocs(table(spark, dir, "documents").select("doc_id", "source", "text"))
 
   /** DuckDB mirror of [[prepDocs]]. */
-  private[pipeline] def prepDocsSql: String = {
+  private[graft] def prepDocsSql: String = {
     val scores = markers.map { case (lang, ws) =>
       s"len(list_filter(toks, t -> t IN ${inList(ws)})) * 1e0 / len(toks) AS score_$lang"
     }.mkString(", ")

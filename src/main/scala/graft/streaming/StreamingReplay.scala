@@ -252,7 +252,32 @@ object StreamingReplay {
       s"FROM ($branches) u ORDER BY check_name"
   }
 
+  /** [[StreamingPrep.prepStream]] (language gate → quality gate → exact
+    * dedup) replayed over the corpus: the admitted CONTENT set must equal
+    * the batch funnel's quality-gated distinct contents. Content-level on
+    * purpose — which doc_id of a duplicate pair survives is first-arrival
+    * (legitimately nondeterministic on a stream), but the distinct
+    * fingerprint set is exact; the oracle reuses the batch funnel's full
+    * gate SQL ([[graft.pipeline.TextAnalysis.prepDocsSql]] — lang-ID
+    * argmax, quality score, threshold text all engine-shared). */
+  def streamingPrep(spark: SparkSession, dir: String): DataFrame =
+    Replay.replayTable(spark, dir, "documents",
+        Seq(SynthTs, "doc_id", "source", "text"),
+        StreamingPrep.prepStream(_, "24 hours"))
+      // dedup admits in the ARRIVAL batch, so the sentinel row reaches the
+      // gate (its 1-token text fails the quality gate today, but that is a
+      // data property, not a contract) — filter is load-bearing
+      .filter(col("doc_id") =!= lit(Replay.SentinelId))
+      .select(md5(col("text")).as("content_hash"))
+      .orderBy("content_hash")
+
+  val streamingPrepSql: String =
+    "SELECT DISTINCT md5(text) AS content_hash FROM " +
+      s"(${graft.pipeline.TextAnalysis.prepDocsSql}) f WHERE qual_ok " +
+      "ORDER BY content_hash"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_prep" -> ((s, d) => streamingPrep(s, d)),
     "streaming_constraints" -> ((s, d) => streamingConstraints(s, d)),
     "streaming_lm_score" -> ((s, d) => streamingLmScore(s, d)),
     "streaming_attribution" -> ((s, d) => streamingAttribution(s, d)),
@@ -266,6 +291,7 @@ object StreamingReplay {
 
   /** The batch twins' oracle SQL, verbatim — equivalence IS the gate. */
   def oracles: Map[String, String] = Map(
+    "streaming_prep" -> streamingPrepSql,
     "streaming_constraints" -> streamingConstraintsSql,
     "streaming_lm_score" -> graft.pipeline.LmScore.lmScoreSql,
     "streaming_attribution" -> graft.pipeline.EventAnalytics.attributionSql,

@@ -50,6 +50,17 @@ class ReplaySpec extends SparkSpec {
     assert(!got("sm3_engagement_types")._3)  // error/signup are off-list by design
   }
 
+  test("streaming corpus-prep replay admits exactly the batch funnel's gated contents") {
+    import org.apache.spark.sql.functions._
+    val got = StreamingReplay.streamingPrep(spark, sf)
+      .collect().map(_.getString(0)).toSeq
+    val batch = pipeline.TextAnalysis.prepDocs(spark, sf)
+      .filter(col("qual_ok")).select(md5(col("text")).as("h")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("streaming k-anonymity trend replay equals the batch per-day audit") {
     assert(rows(StreamingReplay.streamingKAnonTrend(spark, sf)) ==
       rows(pipeline.Privacy.kAnonTrend(spark, sf)))
