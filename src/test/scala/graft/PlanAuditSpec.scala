@@ -27,6 +27,22 @@ class PlanAuditSpec extends SparkSpec {
       s"funnel scan reads unused columns:\n$readSchemas")
   }
 
+  test("media_dedup hashes the payload BEFORE the exchange (fingerprints shuffle, not media)") {
+    val plan = planOf(Multimodal.mediaDedup(spark, sf))
+    // the md5 must be computed scan-side (Catalyst names it
+    // _groupingexpression) with a map-side partial aggregate below the
+    // exchange: if the raw payload ever became the shuffle key/value,
+    // 100 TB of media would cross the wire instead of a 16-byte
+    // fingerprint table
+    assert(plan.contains("partial_count"), s"no map-side combine:\n$plan")
+    val exchangeLines = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchangeLines.exists(l =>
+        l.contains("_groupingexpression") || l.contains("content_hash")),
+      s"no exchange keyed on the content hash:\n$plan")
+    assert(!exchangeLines.exists(l => l.contains("payload") || l.contains("text#")),
+      s"wide payload column reaches an exchange:\n$exchangeLines")
+  }
+
   test("IVF centroid scan pushes the vec_id bound into parquet") {
     val plan = planOf(Similarity.ivfTopK(spark, sf))
     // the K-smallest-vec_id centroid set is a literal predicate at plan
