@@ -221,6 +221,15 @@ object Dedup {
     // one cached shingle frame feeds signatures, sizes, and verification
     // (1 row per (doc, shingle) — bounded by the corpus token count)
     val tri = cached(shinglesOf(docs))
+    (tri, bandsFromTri(tri, cached))
+  }
+
+  /** Per-doc (band, sig) rows from ANY (doc_id, sh) shingle frame — the
+    * signature aggregation is shingle-agnostic (word trigrams here,
+    * frame hashes in [[Multimodal.mediaNeardup]]: any string set works,
+    * since the shingle code is md5-based). */
+  private[graft] def bandsFromTri(tri: DataFrame,
+      cached: DataFrame => DataFrame): DataFrame = {
     val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
       expr(s"MIN(($a * x + $b) % $MinhashPrime)").as(s"m$i")
     }
@@ -234,7 +243,7 @@ object Dedup {
       val sig = (0 until BandRows).map(r => s"m${bIdx * BandRows + r}").mkString("concat_ws(',', ", ", ", ")")
       s"$bIdx, $sig"
     }.mkString(", ")
-    (tri, sigs.select(col("doc_id"), expr(s"stack($nBands, $bandRows) as (band, sig)")))
+    sigs.select(col("doc_id"), expr(s"stack($nBands, $bandRows) as (band, sig)"))
   }
 
   /** Per-row (no-explode) MinHash band signatures over a pre-split token
@@ -318,6 +327,13 @@ object Dedup {
     // unscoped (Verify/Bench clear between queries)
     def cached(df: DataFrame) = scope.fold(df.cache())(_.cached(df))
     val (tri, bands) = triAndBands(docs, cached)
+    pairsFromTriAndBands(tri, bands)
+  }
+
+  /** Band self-join → candidate pairs → exact-Jaccard verification over
+    * ANY (doc_id, sh) shingle frame + its band frame — the LSH pair
+    * pipeline factored shingle-agnostic (see [[bandsFromTri]]). */
+  private[graft] def pairsFromTriAndBands(tri: DataFrame, bands: DataFrame): DataFrame = {
     val cands = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -346,13 +362,18 @@ object Dedup {
     * `docsRel` — ends in `nd_pairs` with (doc_a, doc_b, n_shared_bands,
     * jaccard). Shared by [[minhashLshSql]] and the corpus-prep funnel's
     * near-dup stage. */
-  private[graft] def minhashPairsCtes(docsRel: String): String = {
+  private[graft] def minhashPairsCtes(docsRel: String): String =
+    minhashPairsCtesFromTri(shinglesSqlFrom(docsRel))
+
+  /** The same CTE chain over ANY (doc_id, sh) shingle SQL — the DuckDB
+    * mirror of [[bandsFromTri]] + [[pairsFromTriAndBands]]. */
+  private[graft] def minhashPairsCtesFromTri(triSql: String): String = {
     val nBands = NumHashes / BandRows
     val bandSelects = (0 until nBands).map { bIdx =>
       val sig = (0 until BandRows).map(r => s"m${bIdx * BandRows + r}").mkString("CONCAT_WS(',', ", ", ", ")")
       s"SELECT doc_id, $bIdx AS band, $sig AS sig FROM sigs"
     }.mkString(" UNION ALL ")
-    s"tri AS (${shinglesSqlFrom(docsRel)}), sigs AS (${signaturesSqlFromTri("tri")}), " +
+    s"tri AS ($triSql), sigs AS (${signaturesSqlFromTri("tri")}), " +
       s"bands AS ($bandSelects), " +
       "cands AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands " +
       "FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id GROUP BY 1, 2), " +

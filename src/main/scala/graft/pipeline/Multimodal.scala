@@ -144,15 +144,63 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
-  val frameSampleSql: String =
-    s"SELECT media_id, frame_idx, octet_length(encode(chunk))::BIGINT AS n_bytes, " +
-      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-      "list_transform(list_filter(string_split(chunk, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
-      "(acc, c) -> (acc * 31 + c) % 1000000007) AS frame_hash FROM " +
-      "(SELECT doc_id AS media_id, i AS frame_idx, " +
+  /** (media_id, frame_idx, chunk) — the sampled-chunk relation shared by
+    * the frame-sample oracle and the near-dup oracle. */
+  private val frameChunksSql: String =
+    "SELECT doc_id AS media_id, i AS frame_idx, " +
       s"substring(text, i * $FrameChars + 1, $FrameChars) AS chunk FROM " +
       s"(SELECT doc_id, text, unnest(range(0, CAST(ceil(length(text) * 1e0 / $FrameChars) AS INT))) AS i " +
-      s"FROM documents) g WHERE i % $SampleEvery = 0) f ORDER BY media_id, frame_idx"
+      s"FROM documents) g WHERE i % $SampleEvery = 0"
+
+  /** DuckDB twin of the stub codepoint rolling hash over a string column. */
+  private def rollHashSql(c: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(list_filter(string_split($c, ''), c -> c <> ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(acc, c) -> (acc * 31 + c) % 1000000007)"
+
+  val frameSampleSql: String =
+    s"SELECT media_id, frame_idx, octet_length(encode(chunk))::BIGINT AS n_bytes, " +
+      s"${rollHashSql("chunk")} AS frame_hash FROM " +
+      s"($frameChunksSql) f ORDER BY media_id, frame_idx"
+
+  // -------------------------------------------------- frame-set near-dup
+
+  /** NEAR-duplicate media via MinHash-LSH over the sampled FRAME-HASH SET —
+    * the perceptual-dedup plumbing [[mediaDedup]]'s exact hash can't give:
+    * two videos sharing most frames (re-encodes, trims, watermark edits in
+    * unsampled regions) collide in a band and verify by exact Jaccard of
+    * their frame sets, while the md5 gate only catches bit-identical
+    * payloads. Reuses the text pipeline's signature/band/verify machinery
+    * verbatim ([[Dedup.bandsFromTri]] / [[Dedup.pairsFromTriAndBands]])
+    * with frame hashes as the shingles — the hashing is md5-based, so any
+    * string set works.
+    *
+    * Scale shape inherits the LSH discipline: the payload is reduced to
+    * sampled frame hashes inside the decode mapPartitions (no shuffle ever
+    * carries media bytes), signatures are one groupBy over the frame
+    * frame, candidates come from band buckets — never an all-pairs join.
+    * Output: every band-colliding pair with its verified frame-set
+    * Jaccard (threshold-free, like `minhash_lsh`; consumers cut at their
+    * own line). */
+  def mediaNeardup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tri = mediaTable(spark, dir).mapPartitions(stubFrameSample(_)).toDF()
+      .select(col("media_id").as("doc_id"),
+        col("frame_hash").cast("string").as("sh"))
+      .distinct().cache()
+    Dedup.pairsFromTriAndBands(tri, Dedup.bandsFromTri(tri, _.cache()))
+      .selectExpr("doc_a AS media_a", "doc_b AS media_b",
+        "n_shared_bands", "jaccard")
+      .orderBy("media_a", "media_b")
+  }
+
+  val mediaNeardupSql: String = {
+    val triSql = "SELECT DISTINCT media_id AS doc_id, " +
+      s"CAST(${rollHashSql("chunk")} AS VARCHAR) AS sh FROM ($frameChunksSql) f"
+    s"WITH ${Dedup.minhashPairsCtesFromTri(triSql)} " +
+      "SELECT doc_a AS media_a, doc_b AS media_b, n_shared_bands, jaccard " +
+      "FROM nd_pairs ORDER BY media_a, media_b"
+  }
 
   // ------------------------------------------------------------- resize
 
@@ -198,6 +246,7 @@ object Multimodal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_meta" -> ((s, d) => mediaMeta(s, d)),
     "media_dedup" -> ((s, d) => mediaDedup(s, d)),
+    "media_neardup" -> ((s, d) => mediaNeardup(s, d)),
     "frame_sample" -> ((s, d) => frameSample(s, d)),
     "frame_resize" -> ((s, d) => frameResize(s, d)),
   )
@@ -205,6 +254,7 @@ object Multimodal {
   def oracles: Map[String, String] = Map(
     "media_meta" -> mediaMetaSql,
     "media_dedup" -> mediaDedupSql,
+    "media_neardup" -> mediaNeardupSql,
     "frame_sample" -> frameSampleSql,
     "frame_resize" -> frameResizeSql,
   )

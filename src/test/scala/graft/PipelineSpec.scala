@@ -916,6 +916,17 @@ class PipelineSpec extends SparkSpec {
     assert(groups.forall(_.getAs[String]("content_hash").matches("[0-9a-f]{32}")))
   }
 
+  test("multimodal frame-set near-dup surfaces the identical-payload pair at jaccard 1") {
+    val pairs = Multimodal.mediaNeardup(spark, fixtureDir).collect()
+    // docs 5 and 200 share a payload -> identical frame sets -> all 4
+    // bands collide and the verified frame-set Jaccard is exactly 1
+    val hit = pairs.find(p => p.getAs[Long]("media_a") == 5L &&
+      p.getAs[Long]("media_b") == 200L)
+    assert(hit.isDefined, s"missing (5,200): ${pairs.mkString(";")}")
+    assert(hit.get.getAs[Long]("n_shared_bands") == 4L)
+    assert(hit.get.getAs[Double]("jaccard") == 1.0)
+  }
+
   test("multimodal plumbing: payload bytes -> typed features via mapPartitions") {
     val feats = Multimodal.extractFeatures(spark, fixtureDir).collect()
     assert(feats.length == 24)
