@@ -276,7 +276,62 @@ object StreamingReplay {
       s"(${graft.pipeline.TextAnalysis.prepDocsSql}) f WHERE qual_ok " +
       "ORDER BY content_hash"
 
+  /** Dimensions and bucketing for the slice-monitor replay gate (the
+    * second dimension is a derived bucket, so the gate exercises the
+    * multi-dimension stack, not just a passthrough column). */
+  private val SliceBucket = "CAST(FLOOR(value / 100e0) AS BIGINT) AS vbucket"
+  private val SliceDims = Seq("event_type", "vbucket")
+  private val SliceThreshold = 0.1
+
+  /** [[StreamingSlices.monitor]] replayed with 1-day windows against
+    * reference stats fit on the pre-cutoff snapshot (the fit-batch /
+    * apply-stream deployment shape): one stateful agg covers every
+    * dimension. Deterministic end-to-end — the monitor accumulates exact
+    * DECIMAL(32,6) sums, win/ref means are single double divisions of
+    * identical exact values, and the pct change is the shared
+    * [[graft.drift.pctChangeSql]] text — so the purpose-built oracle
+    * hash-matches raw doubles with no per-engine rounding. */
+  def streamingSlices(spark: SparkSession, dir: String): DataFrame = {
+    import graft.drift.splits
+    val refSlices = StreamingSlices.referenceSlices(
+      graft.drift.table(spark, dir, "events")
+        .filter(splits.eventsRef).selectExpr("event_type", SliceBucket, "value"),
+      SliceDims, "value")
+    Replay.replayTable(spark, dir, "events",
+        Seq("ts", "event_type", SliceBucket, "value"),
+        StreamingSlices.monitor(_, refSlices, SliceDims, "value",
+          "1 day", "1 hour", SliceThreshold))
+      .filter(col("window_start") < lit(Replay.SentinelBaseTs)) // defensive
+      .select(date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+        col("dimension"), col("category"), col("n"), col("win_mean"),
+        col("ref_mean"), col("mean_pct_change"), col("drift_detected"))
+      .orderBy("day", "dimension", "category")
+  }
+
+  val streamingSlicesSql: String = {
+    val stacked =
+      "SELECT ts, 'event_type' AS dimension, CAST(event_type AS VARCHAR) AS category, value FROM ev " +
+        "UNION ALL SELECT ts, 'vbucket' AS dimension, CAST(vbucket AS VARCHAR) AS category, value FROM ev"
+    s"WITH ev AS (SELECT ts, event_type, $SliceBucket, value FROM events), " +
+      s"stacked AS ($stacked), " +
+      "ref AS (SELECT dimension, category, COUNT(*) AS ref_n, " +
+      "SUM(value::DECIMAL(32,6)) AS ref_sum FROM stacked " +
+      s"WHERE ${graft.drift.splits.eventsRefSql} GROUP BY 1, 2), " +
+      "win AS (SELECT date_trunc('day', ts) AS wstart, dimension, category, " +
+      "COUNT(*) AS n, SUM(value::DECIMAL(32,6)) AS win_sum FROM stacked GROUP BY 1, 2, 3), " +
+      "j AS (SELECT wstart, w.dimension, w.category, n, " +
+      "CAST(win_sum AS DOUBLE) / n AS win_mean, " +
+      "CAST(ref_sum AS DOUBLE) / ref_n AS ref_mean FROM win w " +
+      "LEFT JOIN ref r ON w.dimension = r.dimension AND w.category = r.category) " +
+      "SELECT strftime(wstart, '%Y-%m-%d') AS day, dimension, category, " +
+      "n::BIGINT AS n, win_mean, ref_mean, " +
+      s"${graft.drift.pctChangeSql("ref_mean", "win_mean")} AS mean_pct_change, " +
+      s"COALESCE(ABS(${graft.drift.pctChangeSql("ref_mean", "win_mean")}) > $SliceThreshold, false) AS drift_detected " +
+      "FROM j ORDER BY day, dimension, category"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_slices" -> ((s, d) => streamingSlices(s, d)),
     "streaming_prep" -> ((s, d) => streamingPrep(s, d)),
     "streaming_constraints" -> ((s, d) => streamingConstraints(s, d)),
     "streaming_lm_score" -> ((s, d) => streamingLmScore(s, d)),
@@ -291,6 +346,7 @@ object StreamingReplay {
 
   /** The batch twins' oracle SQL, verbatim — equivalence IS the gate. */
   def oracles: Map[String, String] = Map(
+    "streaming_slices" -> streamingSlicesSql,
     "streaming_prep" -> streamingPrepSql,
     "streaming_constraints" -> streamingConstraintsSql,
     "streaming_lm_score" -> graft.pipeline.LmScore.lmScoreSql,

@@ -102,6 +102,19 @@ class ReplaySpec extends SparkSpec {
     assert(got.nonEmpty) // the fixture feed must actually admit something
   }
 
+  test("streaming slices replay covers every dimension and flags a drifted slice") {
+    val rowsOut = StreamingReplay.streamingSlices(spark, sf).collect()
+    val dims = rowsOut.map(_.getAs[String]("dimension")).toSet
+    assert(dims == Set("event_type", "vbucket")) // both dims from ONE agg
+    // pre-cutoff windows compare a day against the whole ref period: some
+    // slices must sit inside the 10% band and the fixture must also show
+    // at least one genuinely drifted (flagged) slice
+    assert(rowsOut.exists(_.getAs[Boolean]("drift_detected")))
+    assert(rowsOut.exists(!_.getAs[Boolean]("drift_detected")))
+    // a slice absent from the reference never flags
+    rowsOut.filter(_.isNullAt(5)).foreach(r => assert(!r.getAs[Boolean]("drift_detected")))
+  }
+
   test("sentinel flush rows can never reach a replay sink projection") {
     // the raw sink of the windowed replay: sentinel windows must not have
     // finalized (nothing advances the watermark past them), so even the
