@@ -56,13 +56,13 @@ object Packing {
   // private[graft] so the streaming twin packs with the identical count
   private[graft] val tokSpark =
     s"size(regexp_extract_all(text, '${TextAnalysis.PretokenRegexSpark}', 0)) + 1L"
-  private val tokDuck =
+  private[graft] val tokDuck =
     s"len(regexp_extract_all(text, '${TextAnalysis.PretokenRegexDuck}')) + 1"
 
   // deterministic pseudo-random order shared by both engines: md5 of the
   // doc id rendered as a decimal string (same idiom as balancedMix)
   private[graft] val hSpark = "md5(cast(cast(doc_id AS STRING) AS BINARY))"
-  private val hDuck = "md5(doc_id::VARCHAR)"
+  private[graft] val hDuck = "md5(doc_id::VARCHAR)"
 
   // ------------------------------------------------------------- seq_pack
 

@@ -330,7 +330,41 @@ object StreamingReplay {
       "FROM j ORDER BY day, dimension, category"
   }
 
+  /** [[StreamingPack.packStream]] replayed: the per-document shard
+    * assignments an online packer emits. The stream packs in ARRIVAL
+    * order — doc_id order inside each (bucket, micro-batch) group — so a
+    * one-batch replay is fully deterministic and a purpose-built oracle
+    * replays the identical cursor arithmetic as a per-bucket cumulative
+    * window over doc_id order (the batch `seq_pack` intentionally packs
+    * in the md5 permutation instead, so its oracle does not apply). All
+    * outputs are exact integers / a boolean; flushes = 0 (the cursor
+    * state never needs eviction and assignments emit on arrival). */
+  def streamingPack(spark: SparkSession, dir: String): DataFrame =
+    Replay.replayTable(spark, dir, "documents", Seq("doc_id", "text"),
+        df => StreamingPack.packStream(df).toDF(), flushes = 0)
+      .filter(col("doc_id") =!= lit(Replay.SentinelId)) // defensive
+      .selectExpr("doc_id", "bucket", "CAST(tok AS BIGINT) AS tok",
+        "CAST(start_offset AS BIGINT) AS start_offset",
+        "CAST(first_window AS BIGINT) AS first_window",
+        "CAST(last_window AS BIGINT) AS last_window", "crosses_boundary")
+      .orderBy("doc_id")
+
+  val streamingPackSql: String = {
+    val w = graft.pipeline.Packing.WindowTokens
+    s"WITH d AS (SELECT doc_id, ${graft.pipeline.Packing.tokDuck} AS tok, " +
+      s"substr(${graft.pipeline.Packing.hDuck}, 1, 1) AS bucket FROM documents), " +
+      "c AS (SELECT doc_id, bucket, tok, " +
+      "SUM(tok) OVER (PARTITION BY bucket ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok " +
+      "AS start_offset FROM d) " +
+      "SELECT doc_id, bucket, tok::BIGINT AS tok, start_offset::BIGINT AS start_offset, " +
+      s"(start_offset // $w)::BIGINT AS first_window, " +
+      s"((start_offset + tok - 1) // $w)::BIGINT AS last_window, " +
+      s"(start_offset // $w) <> ((start_offset + tok - 1) // $w) AS crosses_boundary " +
+      "FROM c ORDER BY doc_id"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_pack" -> ((s, d) => streamingPack(s, d)),
     "streaming_slices" -> ((s, d) => streamingSlices(s, d)),
     "streaming_prep" -> ((s, d) => streamingPrep(s, d)),
     "streaming_constraints" -> ((s, d) => streamingConstraints(s, d)),
@@ -346,6 +380,7 @@ object StreamingReplay {
 
   /** The batch twins' oracle SQL, verbatim — equivalence IS the gate. */
   def oracles: Map[String, String] = Map(
+    "streaming_pack" -> streamingPackSql,
     "streaming_slices" -> streamingSlicesSql,
     "streaming_prep" -> streamingPrepSql,
     "streaming_constraints" -> streamingConstraintsSql,

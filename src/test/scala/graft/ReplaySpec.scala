@@ -115,6 +115,26 @@ class ReplaySpec extends SparkSpec {
     rowsOut.filter(_.isNullAt(5)).foreach(r => assert(!r.getAs[Boolean]("drift_detected")))
   }
 
+  test("streaming pack replay: cursors are gapless and windows follow the offsets") {
+    val a = StreamingReplay.streamingPack(spark, sf).collect()
+    assert(a.nonEmpty)
+    // per bucket: offsets in doc_id order tile the token stream exactly
+    a.groupBy(_.getAs[String]("bucket")).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("start_offset") == cum)
+        cum += r.getAs[Long]("tok")
+      }
+    }
+    a.foreach { r =>
+      val (s, t) = (r.getAs[Long]("start_offset"), r.getAs[Long]("tok"))
+      val w = pipeline.Packing.WindowTokens
+      assert(r.getAs[Long]("first_window") == s / w)
+      assert(r.getAs[Long]("last_window") == (s + t - 1) / w)
+      assert(r.getAs[Boolean]("crosses_boundary") == (s / w != (s + t - 1) / w))
+    }
+  }
+
   test("sentinel flush rows can never reach a replay sink projection") {
     // the raw sink of the windowed replay: sentinel windows must not have
     // finalized (nothing advances the watermark past them), so even the
