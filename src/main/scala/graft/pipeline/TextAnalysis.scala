@@ -356,6 +356,31 @@ object TextAnalysis {
       "FROM documents GROUP BY 1 ORDER BY 1"
   }
 
+  /** PII REDACTION — the write-half of [[piiScan]]: the cleaned-copy
+    * transform a release pipeline applies wherever it emits text. One
+    * sequential `regexp_replace` chain (email → IPv4 → phone, the same
+    * shared patterns the scan counts; email and IP first so the phone
+    * pattern can never eat digits of an already-classified hit) plus
+    * per-class hit counts from the ORIGINAL text, so the caller can audit
+    * redaction volume without re-scanning. Map-only — no shuffle, no
+    * state; at 100 TB this is a pure projection on the corpus write path.
+    *
+    * No oracle gate row: the driver testdata contains zero PII in any
+    * class (verified at every SF), so a gate row would hash an identity
+    * transform — PipelineSpec verifies the redaction semantics on planted
+    * documents instead. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    def hits(re: String) = s"size(regexp_extract_all(text, '$re', 0))"
+    val red = s"regexp_replace(regexp_replace(regexp_replace(text, " +
+      s"'$PiiEmailRegex', '[EMAIL]'), '$PiiIpv4Regex', '[IP]'), " +
+      s"'$PiiPhoneRegex', '[PHONE]')"
+    docs.selectExpr("doc_id",
+      s"CAST(${hits(PiiEmailRegex)} AS BIGINT) AS email_hits",
+      s"CAST(${hits(PiiIpv4Regex)} AS BIGINT) AS ip_hits",
+      s"CAST(${hits(PiiPhoneRegex)} AS BIGINT) AS phone_hits",
+      s"$red AS redacted_text")
+  }
+
   // ----------------------------------------------------- source balancing
 
   /** Rebalance the corpus to a uniform source mixture: every source is

@@ -916,6 +916,27 @@ class PipelineSpec extends SparkSpec {
     assert(groups.forall(_.getAs[String]("content_hash").matches("[0-9a-f]{32}")))
   }
 
+  test("pii redaction scrubs every class, counts hits, and leaves clean text untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "contact me at jane.doe+x@mail-host.example.org or on +1 (415) 555-0100 today"),
+      (2L, "server 192.168.1.100 and 10.0.0.1 were reached from a.b@c.io"),
+      (3L, "a perfectly clean sentence with the number 42")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("email_hits") == 1 && out(1L).getAs[Long]("phone_hits") == 1)
+    val r1 = out(1L).getAs[String]("redacted_text")
+    assert(r1.contains("[EMAIL]") && r1.contains("[PHONE]"))
+    assert(!r1.contains("@") && !r1.contains("555"))
+    assert(out(2L).getAs[Long]("ip_hits") == 2 && out(2L).getAs[Long]("email_hits") == 1)
+    val r2 = out(2L).getAs[String]("redacted_text")
+    assert(r2 == "server [IP] and [IP] were reached from [EMAIL]")
+    // a clean doc passes through byte-identical with zero counts
+    assert(out(3L).getAs[String]("redacted_text") == "a perfectly clean sentence with the number 42")
+    assert(Seq("email_hits", "ip_hits", "phone_hits").forall(out(3L).getAs[Long](_) == 0))
+  }
+
   test("multimodal frame-set near-dup surfaces the identical-payload pair at jaccard 1") {
     val pairs = Multimodal.mediaNeardup(spark, fixtureDir).collect()
     // docs 5 and 200 share a payload -> identical frame sets -> all 4
