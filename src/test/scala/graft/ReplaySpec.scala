@@ -148,6 +148,24 @@ class ReplaySpec extends SparkSpec {
     assert(sink.filter(s"event_type = '${Replay.SentinelLabel}'").count() == 0)
   }
 
+  test("replay over an empty snapshot terminates with an empty, schema-correct sink") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay-empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    // stateless path (flushes = 0): nothing to process at all
+    val dedup = StreamingReplay.streamingDedup(spark, dir)
+    assert(dedup.columns.toSeq == Seq("content_hash") && dedup.count() == 0)
+    // watermark path (flushes = 2): only sentinels flow, none may emit
+    val sink = Replay.replayTable(spark, dir, "documents",
+      Seq("timestampadd(SECOND, CAST(doc_id AS INT), TIMESTAMP'2024-01-01 00:00:00') AS ts",
+        "doc_id", "text"),
+      d => streaming.StreamingDedup.dedupStream(d, "24 hours"))
+    assert(sink.filter(col("doc_id") =!= Replay.SentinelId).count() == 0)
+  }
+
   test("exact µs round-trip: usToTs inverts eventUs including sub-ms residue") {
     val us = 1704067199123456L // ...:59.123456
     val ts = streaming.StreamingSessions.usToTs(us)
