@@ -293,10 +293,13 @@ object StreamingReplay {
     * hash-matches raw doubles with no per-engine rounding. */
   def streamingSlices(spark: SparkSession, dir: String): DataFrame = {
     import graft.drift.splits
+    // cache the static side: a stream-static join re-executes the static
+    // plan EVERY micro-batch, so an uncached reference fit would be paid
+    // once per batch instead of once per deployment
     val refSlices = StreamingSlices.referenceSlices(
       graft.drift.table(spark, dir, "events")
         .filter(splits.eventsRef).selectExpr("event_type", SliceBucket, "value"),
-      SliceDims, "value")
+      SliceDims, "value").cache()
     Replay.replayTable(spark, dir, "events",
         Seq("ts", "event_type", SliceBucket, "value"),
         StreamingSlices.monitor(_, refSlices, SliceDims, "value",
