@@ -88,7 +88,7 @@ object StreamingReplay {
         count(when(col("step") === "purchase", lit(1))).as("n_purchase_after_click"))
     graft.drift.table(spark, dir, "events")
       .agg(countDistinct("user_id").as("n_users"))
-      .crossJoin(steps) // both sides 1 row
+      .crossJoin(broadcast(steps)) // both sides 1 row (repo convention)
       .selectExpr(graft.pipeline.EventAnalytics.funnelFinalCols: _*)
   }
 
