@@ -5,17 +5,21 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.{Privacy, Sessions}
 
 /** Batch-replay equivalence gate rows: each query replays a streaming
-  * module over the `events` snapshot via [[Replay]] and emits EXACTLY the
-  * projection of an existing batch operator, so the existing DuckDB oracle
-  * hash-checks the streaming code path end-to-end (windowed state,
-  * watermark finalization, `flatMapGroupsWithState` timeouts — the parts a
-  * unit spec exercises only on toy rows).
+  * module over the `events` or `documents` snapshot via [[Replay]] and
+  * emits a projection a DuckDB oracle hash-checks — seven rows reuse
+  * their batch twin's oracle SQL verbatim, five carry purpose-built
+  * oracles where the stream deviates from (or has no) batch twin by
+  * design. Either way the streaming code path is gated end-to-end:
+  * windowed state, watermark finalization, `flatMapGroupsWithState`
+  * timeouts, stream-static joins — the parts a unit spec exercises only
+  * on toy rows.
   *
-  * Determinism contract per row is inherited from the batch twin: exact
-  * DECIMAL sums (event_window), exact integer µs/event counts with one
-  * final double division (sessionize), exact integer class math + pr6
-  * shares (k_anon_trend) — nothing new crosses an engine boundary, the
-  * streaming path must simply reproduce the batch bits.
+  * Determinism contract per row follows the repo recipe: exact DECIMAL
+  * sums (event_window, attribution, slices), exact integer µs/event/class
+  * counts with one final double division (sessionize, k_anon_trend, pack),
+  * pr6 shares for ratios (constraints), md5 strings (dedup, prep), and
+  * raw doubles only where both engines compute them from bit-identical
+  * exact inputs (slices means, LM log-probs).
   */
 object StreamingReplay {
 
