@@ -365,10 +365,10 @@ object TextAnalysis {
     * redaction volume without re-scanning. Map-only — no shuffle, no
     * state; at 100 TB this is a pure projection on the corpus write path.
     *
-    * No oracle gate row: the driver testdata contains zero PII in any
-    * class (verified at every SF), so a gate row would hash an identity
-    * transform — PipelineSpec verifies the redaction semantics on planted
-    * documents instead. */
+    * Gated by [[piiRedactGate]]: the driver testdata contains zero PII in
+    * any class (verified at every SF), so the gate row plants
+    * deterministic PII into the corpus first — otherwise it would hash an
+    * identity transform and never exercise the replace chain. */
   def piiRedact(docs: DataFrame): DataFrame = {
     def hits(re: String) = s"size(regexp_extract_all(text, '$re', 0))"
     val red = s"regexp_replace(regexp_replace(regexp_replace(text, " +
@@ -379,6 +379,50 @@ object TextAnalysis {
       s"CAST(${hits(PiiIpv4Regex)} AS BIGINT) AS ip_hits",
       s"CAST(${hits(PiiPhoneRegex)} AS BIGINT) AS phone_hits",
       s"$red AS redacted_text")
+  }
+
+  /** Planted-PII augmentation for the redaction gate: appends a
+    * deterministic email (doc_id % 3), IPv4 (doc_id % 5) and phone
+    * (doc_id % 7) to the document text, derived purely from doc_id so both
+    * engines synthesize byte-identical strings. The ONLY dialect split is
+    * the integer→string cast type name (STRING vs VARCHAR); digits render
+    * identically and `concat`/`lpad` share semantics. Plants start with a
+    * space and none of the three shapes can bleed into a neighbouring
+    * class (emails need `@`, IPs need dots, the phone class has neither). */
+  private def piiPlant(castType: String): String = {
+    def s(e: String) = s"CAST($e AS $castType)"
+    "concat(text, " +
+      s"CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', ${s("doc_id")}, '@example.com') ELSE '' END, " +
+      s"CASE WHEN doc_id % 5 = 0 THEN concat(' from 10.', ${s("doc_id % 256")}, '.0.1') ELSE '' END, " +
+      s"CASE WHEN doc_id % 7 = 0 THEN concat(' call +1 (555) 010-', lpad(${s("doc_id % 10000")}, 4, '0')) ELSE '' END)"
+  }
+
+  /** CORRECTNESS gate for [[piiRedact]] — the corpus carries no real PII,
+    * so the gate runs the production transform over the planted-PII copy
+    * ([[piiPlant]]) and hashes the md5 of each redacted text (compact, and
+    * any single-character divergence in the Java-vs-RE2 replace chain
+    * flips the row) plus the three audit counts. */
+  def piiRedactGate(spark: SparkSession, dir: String): DataFrame =
+    piiRedact(table(spark, dir, "documents")
+        .selectExpr("doc_id", s"${piiPlant("STRING")} AS text"))
+      .selectExpr("doc_id", "email_hits", "ip_hits", "phone_hits",
+        "md5(redacted_text) AS redacted_md5")
+      .orderBy("doc_id")
+
+  /** DuckDB mirror of [[piiRedactGate]]: same plant, same shared regex
+    * literals; DuckDB's `regexp_replace` replaces only the FIRST match
+    * unless the 'g' option is passed (Spark always replaces all), so the
+    * oracle chain carries 'g' explicitly. */
+  def piiRedactSql: String = {
+    def hits(re: String) = s"len(regexp_extract_all(text, '$re'))"
+    val red = "regexp_replace(regexp_replace(regexp_replace(text, " +
+      s"'$PiiEmailRegex', '[EMAIL]', 'g'), '$PiiIpv4Regex', '[IP]', 'g'), " +
+      s"'$PiiPhoneRegex', '[PHONE]', 'g')"
+    s"WITH aug AS (SELECT doc_id, ${piiPlant("VARCHAR")} AS text FROM documents) " +
+      s"SELECT doc_id, CAST(${hits(PiiEmailRegex)} AS BIGINT) AS email_hits, " +
+      s"CAST(${hits(PiiIpv4Regex)} AS BIGINT) AS ip_hits, " +
+      s"CAST(${hits(PiiPhoneRegex)} AS BIGINT) AS phone_hits, " +
+      s"md5($red) AS redacted_md5 FROM aug ORDER BY doc_id"
   }
 
   // ----------------------------------------------------- source balancing
@@ -1341,6 +1385,7 @@ object TextAnalysis {
     "corpus_prep_lm" -> ((s, d) => corpusPrepLm(s, d)),
     "corpus_balance" -> ((s, d) => balancedMix(s, d)),
     "pii_scan" -> ((s, d) => piiScan(s, d)),
+    "pii_redact" -> ((s, d) => piiRedactGate(s, d)),
     "repetition_signals" -> ((s, d) => repetitionSignals(s, d)),
     "gopher_quality" -> ((s, d) => gopherQuality(s, d)),
     "bpe_pairs" -> ((s, d) => bpePairs(s, d)),
@@ -1366,6 +1411,7 @@ object TextAnalysis {
     "corpus_prep_lm" -> corpusPrepLmSql,
     "corpus_balance" -> balancedMixSql,
     "pii_scan" -> piiScanSql,
+    "pii_redact" -> piiRedactSql,
     "repetition_signals" -> repetitionSignalsSql,
     "gopher_quality" -> gopherQualitySql,
     "bpe_pairs" -> bpePairsSql,

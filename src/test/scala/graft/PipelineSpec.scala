@@ -937,6 +937,20 @@ class PipelineSpec extends SparkSpec {
     assert(Seq("email_hits", "ip_hits", "phone_hits").forall(out(3L).getAs[Long](_) == 0))
   }
 
+  test("pii redaction gate plants deterministic PII and counts exactly one hit per planted class") {
+    // the real corpus carries zero PII (verified at every SF), so every
+    // hit the gate reports must come from its own doc_id-derived plant
+    val out = TextAnalysis.piiRedactGate(spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.forall { case (id, r) =>
+      r.getAs[Long]("email_hits") == (if (id % 3 == 0) 1L else 0L) &&
+        r.getAs[Long]("ip_hits") == (if (id % 5 == 0) 1L else 0L) &&
+        r.getAs[Long]("phone_hits") == (if (id % 7 == 0) 1L else 0L)
+    })
+    assert(out.forall(_.getAs[String]("redacted_md5").matches("[0-9a-f]{32}")))
+  }
+
   test("multimodal frame-set near-dup surfaces the identical-payload pair at jaccard 1") {
     val pairs = Multimodal.mediaNeardup(spark, fixtureDir).collect()
     // docs 5 and 200 share a payload -> identical frame sets -> all 4
