@@ -31,17 +31,30 @@ object StreamingEngagement {
   /** Per-user running integral for the streaming TWAP — the incremental
     * form of [[graft.pipeline.EventAnalytics.timeWeightedValue]]: the
     * piecewise-constant area accrues event-by-event, so state is FOUR
-    * scalars per user regardless of history length. The area accumulates
-    * in a double (each user's additions are sequential in one state cell,
-    * so there is no partial-sum-order nondeterminism — the batch
-    * operator's DECIMAL discipline guards a PARALLEL sum); the spec pins
+    * scalars per user regardless of history length. Round 12: the area
+    * accumulates in EXACT micro-value·µs integer units (a BigInteger the
+    * state store roundtrips as DECIMAL(38,0)) — the same discipline as the
+    * batch twin's DECIMAL(18,6)·µs sum, shifted by 10^6 — so the replay
+    * gate ([[StreamingReplay.streamingTwap]]) can face a DuckDB HUGEINT
+    * oracle with NO float anywhere: `twap_micro` is one truncating integer
+    * division, matching DuckDB's `//`. The double `twap` is derived from
+    * the exact area for the spec/consumer surface; the spec pins
     * stream == batch to 1e-6. In-order contract as the other gates:
     * events sort by the batch operator's exact (µs, event_id) key within
     * each microbatch. */
-  case class TwapState(firstUs: Long, lastUs: Long, lastValue: Double,
-      area: Double, nEvents: Long)
+  case class TwapState(firstUs: Long, lastUs: Long, lastVMicro: Long,
+      areaMicro: java.math.BigInteger, nEvents: Long)
 
-  case class TwapRow(user_id: Long, n_events: Long, span_us: Long, twap: Option[Double])
+  case class TwapRow(user_id: Long, n_events: Long, span_us: Long,
+      twap: Option[Double], twap_micro: Option[Long])
+
+  /** value → exact micro-units, replaying Spark's double→DECIMAL(18,6)
+    * cast (shortest decimal string, then HALF_UP at 6 dp — exact for the
+    * ≤6 dp values the corpus contract guarantees). */
+  private[streaming] def valueMicro(v: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(v))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
 
   import StreamingAttribution.AttrEvent
 
@@ -59,15 +72,24 @@ object StreamingEngagement {
           for (e <- rows.toSeq.sortBy(e => (StreamingSessions.eventUs(e.ts), e.event_id))) {
             val us = StreamingSessions.eventUs(e.ts)
             st =
-              if (st == null) TwapState(us, us, e.value, 0.0, 1L)
+              if (st == null)
+                TwapState(us, us, valueMicro(e.value), java.math.BigInteger.ZERO, 1L)
               else st.copy(
-                area = st.area + st.lastValue * (us - st.lastUs),
-                lastUs = us, lastValue = e.value, nEvents = st.nEvents + 1)
+                areaMicro = st.areaMicro.add(
+                  java.math.BigInteger.valueOf(st.lastVMicro)
+                    .multiply(java.math.BigInteger.valueOf(us - st.lastUs))),
+                lastUs = us, lastVMicro = valueMicro(e.value),
+                nEvents = st.nEvents + 1)
           }
           state.update(st)
           val span = st.lastUs - st.firstUs
           Iterator.single(TwapRow(userId, st.nEvents, span,
-            if (span > 0) Some(st.area / span) else None))
+            if (span > 0) Some(st.areaMicro.doubleValue() / (span * 1e6)) else None,
+            // truncating division toward zero == DuckDB's `//` on the
+            // non-negative areas this corpus produces
+            if (span > 0) Some(st.areaMicro
+              .divide(java.math.BigInteger.valueOf(span)).longValueExact())
+            else None))
       }
   }
 }

@@ -7,7 +7,7 @@ import graft.pipeline.{Privacy, Sessions}
 /** Batch-replay equivalence gate rows: each query replays a streaming
   * module over the `events` or `documents` snapshot via [[Replay]] and
   * emits a projection a DuckDB oracle hash-checks — seven rows reuse
-  * their batch twin's oracle SQL verbatim, five carry purpose-built
+  * their batch twin's oracle SQL verbatim, six carry purpose-built
   * oracles where the stream deviates from (or has no) batch twin by
   * design. Either way the streaming code path is gated end-to-end:
   * windowed state, watermark finalization, `flatMapGroupsWithState`
@@ -337,6 +337,41 @@ object StreamingReplay {
       "FROM j ORDER BY day, dimension, category"
   }
 
+  /** [[StreamingEngagement.twapGate]] (stateful per-user running TWAP
+    * integral) replayed: the exact half of the engagement module — the HLL
+    * `dauStream` half stays replay-ungated (sketches have no exact DuckDB
+    * twin), but the TWAP fold is pure integer arithmetic in a pinned
+    * (µs, event_id) order, so its purpose-built oracle replays the
+    * identical area as a per-user LEAD window over HUGEINT micro-value·µs
+    * products (the batch `time_weighted_value` twin's DECIMAL discipline,
+    * shifted by 10^6) and one truncating `//` division. Every output is an
+    * exact BIGINT — no float crosses the gate. flushes = 0: NoTimeout
+    * state never needs a watermark and the one-batch replay emits each
+    * user's full-history row on arrival. */
+  def streamingTwap(spark: SparkSession, dir: String): DataFrame =
+    Replay.replayTable(spark, dir, "events",
+        Seq("ts", "user_id", "event_type", "value", "event_id"),
+        df => {
+          import df.sparkSession.implicits._
+          StreamingEngagement.twapGate(
+            df.as[StreamingAttribution.AttrEvent]).toDF()
+        }, flushes = 0)
+      .filter(col("user_id") =!= lit(Replay.SentinelId)) // defensive
+      .selectExpr("user_id", "CAST(n_events AS BIGINT) AS n_events",
+        "CAST(span_us AS BIGINT) AS span_us", "twap_micro")
+      .orderBy("user_id")
+
+  val streamingTwapSql: String =
+    "WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events), " +
+      "seq AS (SELECT *, LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_us FROM ev), " +
+      "agg AS (SELECT user_id, COUNT(*) AS n_events, MIN(ts_us) AS first_us, MAX(ts_us) AS last_us, " +
+      "SUM(CASE WHEN next_us IS NOT NULL THEN CAST(value::DECIMAL(18,6) * 1000000 AS HUGEINT) " +
+      "* CAST(next_us - ts_us AS HUGEINT) END) AS area_micro FROM seq GROUP BY 1) " +
+      "SELECT user_id, CAST(n_events AS BIGINT) AS n_events, " +
+      "CAST(last_us - first_us AS BIGINT) AS span_us, " +
+      "CASE WHEN last_us > first_us THEN CAST(area_micro // (last_us - first_us) AS BIGINT) END AS twap_micro " +
+      "FROM agg ORDER BY user_id"
+
   /** [[StreamingPack.packStream]] replayed: the per-document shard
     * assignments an online packer emits. The stream packs in ARRIVAL
     * order — doc_id order inside each (bucket, micro-batch) group — so a
@@ -371,6 +406,7 @@ object StreamingReplay {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_twap" -> ((s, d) => streamingTwap(s, d)),
     "streaming_pack" -> ((s, d) => streamingPack(s, d)),
     "streaming_slices" -> ((s, d) => streamingSlices(s, d)),
     "streaming_prep" -> ((s, d) => streamingPrep(s, d)),
@@ -387,6 +423,7 @@ object StreamingReplay {
 
   /** The batch twins' oracle SQL, verbatim — equivalence IS the gate. */
   def oracles: Map[String, String] = Map(
+    "streaming_twap" -> streamingTwapSql,
     "streaming_pack" -> streamingPackSql,
     "streaming_slices" -> streamingSlicesSql,
     "streaming_prep" -> streamingPrepSql,

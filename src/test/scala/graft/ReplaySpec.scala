@@ -155,7 +155,8 @@ class ReplaySpec extends SparkSpec {
     Seq.empty[(Long, String, String, String, Long)]
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
-    // stateless path (flushes = 0): nothing to process at all
+    // the full dedup gate row (watermarked, default flushes = 2) on an
+    // empty corpus: only its own sentinels flow, and the gate filters them
     val dedup = StreamingReplay.streamingDedup(spark, dir)
     assert(dedup.columns.toSeq == Seq("content_hash") && dedup.count() == 0)
     // watermark path (flushes = 2): only sentinels flow, none may emit
@@ -164,6 +165,26 @@ class ReplaySpec extends SparkSpec {
         "doc_id", "text"),
       d => streaming.StreamingDedup.dedupStream(d, "24 hours"))
     assert(sink.filter(col("doc_id") =!= Replay.SentinelId).count() == 0)
+  }
+
+  test("streaming_twap gate replay matches the batch integral in exact micro-units") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val gate = StreamingReplay.streamingTwap(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val batch = graft.pipeline.EventAnalytics.timeWeightedValue(spark, sf)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(gate.keySet == batch.keySet && gate.nonEmpty)
+    batch.foreach { case (u, b) =>
+      val g = gate(u)
+      assert(g.getAs[Long]("n_events") == b.getLong(1), s"user $u n_events")
+      if (b.isNullAt(3)) assert(g.isNullAt(3), s"user $u twap_micro should be null")
+      else
+        // twap_micro truncates where the batch twin ROUNDs at 6 dp, so the
+        // two agree to one micro-unit; the exact-equality gate is DuckDB's
+        assert(math.abs(g.getAs[Long]("twap_micro") - b.getDouble(3) * 1e6) <= 1.0 + 1e-6,
+          s"user $u twap_micro=${g.getAs[Long]("twap_micro")} batch=${b.getDouble(3)}")
+    }
   }
 
   test("exact µs round-trip: usToTs inverts eventUs including sub-ms residue") {
