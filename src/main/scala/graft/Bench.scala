@@ -131,14 +131,14 @@ object Bench {
     // each family is failure-isolated (-1 marker) the same way the
     // per-query loop swallows a bad query: one broken prod path must never
     // discard the per-query timings already measured
+    // cleanup sits in a finally so a body that throws mid-run can't leak
+    // its per-run artifact dir for the rest of the process
     def familyMin(reset: => Unit)(body: => Unit)(cleanup: => Unit): Double =
       try {
-        reset; body; cleanup // warm-up (JIT + page cache), untimed
+        reset; try body finally cleanup // warm-up (JIT + page cache), untimed
         (1 to ProdTimedRuns).map { _ =>
           reset
-          val t = timed(body)
-          cleanup
-          t
+          try timed(body) finally cleanup // the finally runs untimed
         }.min
       } catch { case _: Throwable => -1.0 }
     val prodPeaks = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -36,6 +36,42 @@ import org.apache.spark.sql.types._
   */
 object Replay {
 
+  /** Every temp tree this JVM creates (per-replay dirs + staged snapshots),
+    * deleted on JVM exit: the returned DataFrame reads the sink lazily, so
+    * eager deletion is impossible, but a bench run (warm-up + min-of-3 over
+    * 13 replay rows) would otherwise leave ~50 snapshot+sink parquet copies
+    * in /tmp per JVM. */
+  private val tempTrees = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+
+  private def registerTemp(p: Path): Path = { tempTrees.add(p); p }
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      tempTrees.iterator().asScala.foreach { root =>
+        try Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+        catch { case _: Throwable => () }
+      }
+    }, "graft-replay-temp-cleanup"))
+  }
+
+  /** Opt-in per-stage wall timings on stderr (`GRAFT_REPLAY_PROFILE=1`):
+    * the replay rows carry a fixed engine overhead per gate (stream
+    * start/stop, per-micro-batch state commits, snapshot + sink IO) that
+    * this breaks down so a perf pass can see WHERE the seconds go instead
+    * of guessing. */
+  private val profile = sys.env.contains("GRAFT_REPLAY_PROFILE")
+
+  private def staged[T](label: String, tableName: String)(body: => T): T =
+    if (!profile) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[replay-profile] $tableName%s $label%s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   /** Event-time stamp of flush sentinel i (far past any testdata ts). */
   val SentinelBaseTs: Timestamp = Timestamp.valueOf("2100-01-01 00:00:00")
 
@@ -57,19 +93,37 @@ object Replay {
         s"replay sentinel: unsupported field type $dt")
     }))
 
-  /** Move a just-written frame's part files into the watched directory
-    * (atomic per file — the file source must never list a half-written
+  /** Copy a staged frame's part files into the watched directory via an
+    * atomic per-file move (the file source must never list a half-written
     * parquet). */
-  private def admit(df: DataFrame, stageDir: Path, watchDir: Path, label: String): Unit = {
-    df.write.mode("overwrite").parquet(stageDir.toString)
+  private def admitFiles(stagedDir: Path, watchDir: Path, label: String): Unit = {
     import scala.jdk.CollectionConverters._
-    Files.list(stageDir).iterator().asScala.toSeq
+    Files.list(stagedDir).iterator().asScala.toSeq
       .filter(_.getFileName.toString.endsWith(".parquet")).zipWithIndex
       .foreach { case (p, i) =>
-        Files.move(p, watchDir.resolve(s"$label-$i.parquet"),
+        val tmp = watchDir.resolve(s".$label-$i.parquet.tmp")
+        Files.copy(p, tmp, StandardCopyOption.REPLACE_EXISTING)
+        Files.move(tmp, watchDir.resolve(s"$label-$i.parquet"),
           StandardCopyOption.ATOMIC_MOVE)
       }
   }
+
+  /** Sentinel parquet files staged once per (schema, i) per JVM: a replay's
+    * sentinel admission is then a file copy instead of a Spark write job —
+    * the 1-row write was pure fixed overhead paid per watermarked gate per
+    * run (round-11 verdict item 4). Same trick for the empty sink seed,
+    * keyed by output schema. */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Path]()
+
+  private def stagedFrame(spark: SparkSession, key: String, schema: StructType,
+      rows: java.util.List[Row]): Path =
+    frameCache.computeIfAbsent(s"$key|${schema.json}", _ => {
+      val dir = registerTemp(Files.createTempDirectory("graft-replay-frame-"))
+      spark.createDataFrame(rows, schema).coalesce(1)
+        .write.mode("overwrite").parquet(dir.toString)
+      dir
+    })
 
   /** Staged snapshot part files per (dir, table, projection), written ONCE
     * per JVM and COPIED into each replay's fresh watch directory: the
@@ -85,8 +139,9 @@ object Replay {
   private def stagedSnapshot(spark: SparkSession, dir: String,
       tableName: String, fields: Seq[String]): Path =
     snapshotCache.computeIfAbsent(s"$dir|$tableName|${fields.mkString(";")}",
-      _ => {
-        val snap = Files.createTempDirectory(s"graft-replay-snap-$tableName-")
+      _ => staged("snapshot-write", tableName) {
+        val snap = registerTemp(
+          Files.createTempDirectory(s"graft-replay-snap-$tableName-"))
         graft.drift.table(spark, dir, tableName).selectExpr(fields: _*)
           .write.mode("overwrite").parquet(snap.toString)
         snap
@@ -102,24 +157,30 @@ object Replay {
     * commits per-partition state files to the checkpoint, so a gate replay
     * over a bounded snapshot pays (partitions × stateful ops × batches)
     * file commits of mostly-empty state at the session's full shuffle
-    * width. 8 keeps the replay parallel enough for the gate SFs while
-    * cutting the fixed harness overhead; results are partition-invariant
-    * (that is the point of the gate). A production stream sizes this to
-    * its key cardinality instead. */
-  val ReplayStatePartitions = 8
+    * width. 4 keeps the replay parallel enough for the gate SFs while
+    * cutting the fixed harness overhead (round 12: 8 → 4 halved the
+    * per-batch commit count with no measurable batch0 cost at sf0.1);
+    * results are partition-invariant (that is the point of the gate). A
+    * production stream sizes this to its key cardinality instead. */
+  val ReplayStatePartitions = 4
 
+  /** NOT thread-safe: the shuffle-width cap below mutates the SHARED
+    * session conf around `start()`, so a batch query planned concurrently
+    * on the same SparkSession could snapshot the reduced width. Verify and
+    * Bench (the only callers) run gate queries strictly sequentially; a
+    * concurrent harness must serialize its replayTable calls. */
   def replayTable(spark: SparkSession, dir: String, tableName: String,
       fields: Seq[String], transform: DataFrame => DataFrame,
       flushes: Int = 2): DataFrame = {
     // schema resolution only — no job runs on this frame
     val srcSchema = graft.drift.table(spark, dir, tableName)
       .selectExpr(fields: _*).schema
-    val tmp = Files.createTempDirectory(s"graft-replay-$tableName-")
-    val (watch, stage, sink, chk) = (tmp.resolve("in"), tmp.resolve("stage"),
-      tmp.resolve("out"), tmp.resolve("chk"))
+    val tmp = registerTemp(Files.createTempDirectory(s"graft-replay-$tableName-"))
+    val (watch, sink, chk) =
+      (tmp.resolve("in"), tmp.resolve("out"), tmp.resolve("chk"))
     Files.createDirectories(watch)
     // copy the once-written snapshot part files into this replay's watch dir
-    locally {
+    staged("snapshot-copy", tableName) {
       import scala.jdk.CollectionConverters._
       val snap = stagedSnapshot(spark, dir, tableName, fields)
       Files.list(snap).iterator().asScala.toSeq
@@ -130,34 +191,53 @@ object Replay {
     }
     val out = transform(spark.readStream.schema(srcSchema).parquet(watch.toString))
     // seed the sink with the output schema so an (impossible) all-empty run
-    // still reads back as an empty frame instead of a missing-path error
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], out.schema)
-      .write.mode("overwrite").parquet(sink.toString)
-    // the stateful plan snapshots the shuffle width at stream START, so the
-    // cap + restore brackets only the planning call; batch queries planned
-    // after this method keep the session's own width
+    // still reads back as an empty frame instead of a missing-path error;
+    // the empty seed file is staged once per schema per JVM and copied
+    Files.createDirectories(sink)
+    staged("sink-seed", tableName) {
+      admitFiles(stagedFrame(spark, "empty-seed", out.schema,
+        java.util.List.of[Row]()), sink, "seed")
+    }
+    // the streaming query CLONES the session at start(), freezing conf —
+    // so the cap + restore brackets only the planning call; batch queries
+    // planned after this method keep the session's own settings
     val widthKey = "spark.sql.shuffle.partitions"
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val sessionWidth = spark.conf.get(widthKey)
+    val sessionNoData = spark.conf.get(noDataKey)
     val query = try {
       spark.conf.set(widthKey,
         math.min(ReplayStatePartitions, sessionWidth.toInt).toString)
-      out.writeStream
-        .outputMode("append")
-        .option("checkpointLocation", chk.toString)
-        .foreachBatch { (batch: Dataset[Row], _: Long) =>
-          batch.write.mode("append").parquet(sink.toString)
-        }
-        .start()
-    } finally spark.conf.set(widthKey, sessionWidth)
-    try {
-      query.processAllAvailable() // micro-batch 0: the whole snapshot
-      (1 to flushes).foreach { i =>
-        admit(spark.createDataFrame(
-          java.util.List.of(sentinelRow(srcSchema, i)), srcSchema),
-          stage, watch, s"sentinel$i")
-        query.processAllAvailable()
+      // every emission this harness gates happens in a DATA batch (the
+      // sentinels advance the watermark explicitly), so the engine's
+      // trailing no-data batches — one after each watermark advance — are
+      // pure per-gate overhead here and are disabled for the replay clone
+      spark.conf.set(noDataKey, "false")
+      staged("stream-start", tableName) {
+        out.writeStream
+          .outputMode("append")
+          .option("checkpointLocation", chk.toString)
+          .foreachBatch { (batch: Dataset[Row], _: Long) =>
+            batch.write.mode("append").parquet(sink.toString)
+          }
+          .start()
       }
-    } finally query.stop()
+    } finally {
+      spark.conf.set(widthKey, sessionWidth)
+      spark.conf.set(noDataKey, sessionNoData)
+    }
+    try {
+      staged("batch0", tableName) {
+        query.processAllAvailable() // micro-batch 0: the whole snapshot
+      }
+      (1 to flushes).foreach { i =>
+        staged(s"sentinel$i", tableName) {
+          admitFiles(stagedFrame(spark, s"sentinel$i", srcSchema,
+            java.util.List.of(sentinelRow(srcSchema, i))), watch, s"sentinel$i")
+          query.processAllAvailable()
+        }
+      }
+    } finally staged("stream-stop", tableName) { query.stop() }
     spark.read.parquet(sink.toString)
   }
 }
