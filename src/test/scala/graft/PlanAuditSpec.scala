@@ -43,6 +43,19 @@ class PlanAuditSpec extends SparkSpec {
       s"wide payload column reaches an exchange:\n$exchangeLines")
   }
 
+  test("pii redaction plans map-only: no exchange on the corpus write path") {
+    // the production transform (not the planted gate, which adds an
+    // orderBy for the hash): regex counts + the replace chain must stay a
+    // pure projection — at 100 TB this runs on every output byte of the
+    // cleaned-copy write path, and any exchange here would shuffle the
+    // corpus text itself
+    val plan = planOf(TextAnalysis.piiRedact(
+      graft.drift.table(spark, sf, "documents")))
+    assert(!plan.contains("Exchange"),
+      s"pii_redact plans an exchange on the write path:\n$plan")
+    assert(plan.contains("Project"), s"no projection found:\n$plan")
+  }
+
   test("IVF centroid scan pushes the vec_id bound into parquet") {
     val plan = planOf(Similarity.ivfTopK(spark, sf))
     // the K-smallest-vec_id centroid set is a literal predicate at plan
