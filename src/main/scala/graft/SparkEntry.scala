@@ -138,6 +138,11 @@ object SparkEntry {
       // HLL sketches straight off the raw scan: the (user, day) universe is
       // never shuffled (sketches merge map-side)
       "active_users" -> ((s, d) => EventAnalytics.activeUsers(s, d, approx = true)),
+      // uniqueness/FK-coverage distinct counts via HLL sketches instead of
+      // exact COUNT(DISTINCT tuple) — the exact form shuffles every key
+      // tuple (the one 100 TB-hostile shuffle on the bench surface before
+      // round 12); approx-vs-exact pinned in ConstraintsSpec
+      "constraint_check" -> ((s, d) => Constraints.constraintCheck(s, d, approx = true)),
       "conversion_lag" -> ((s, d) => EventAnalytics.conversionLag(s, d, approx = true)),
       "revenue_concentration" -> ((s, d) => EventAnalytics.revenueConcentration(s, d, approx = true)),
       "embedding_audit" -> ((s, d) => EmbeddingDrift.embeddingAudit(s, d, approx = true)),
