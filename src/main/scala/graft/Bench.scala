@@ -244,8 +244,25 @@ object Bench {
         graft.pipeline.TextAnalysis.ensembleFamilyShared(spark, sfDir)
           .foreach(_.count())
       } {}
+      // the IVF index is built once on ingest and every search joins the
+      // artifact (build + one query-many-shaped search per run; fresh
+      // artifact dir per run so each timed run pays the real write+read)
+      var ivfTmp: java.nio.file.Path = null
+      def rmIvf(): Unit = try {
+        import scala.jdk.CollectionConverters._
+        if (ivfTmp != null)
+          java.nio.file.Files.walk(ivfTmp).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
+      val annIndex = prodFamily("ann_index_artifact") {
+        spark.catalog.clearCache()
+        ivfTmp = java.nio.file.Files.createTempDirectory("graft-bench-ivf")
+      } {
+        graft.pipeline.Similarity.writeIvfIndex(spark, sfDir, s"$ivfTmp/ivf")
+        graft.pipeline.Similarity.ivfTopKFromIndex(spark, sfDir, s"$ivfTmp/ivf").count()
+      } { rmIvf() }
       spark.catalog.clearCache()
-      Seq(report, neardup, lm, ensemble)
+      Seq(report, neardup, lm, ensemble, annIndex)
     } catch {
       case _: Throwable => Seq("prod_failed" -> RunMetrics(-1.0, -1.0, -1.0, -1.0))
     }

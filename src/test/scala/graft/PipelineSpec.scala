@@ -305,6 +305,16 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("IVF search from the persisted index artifact equals the inline query") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Similarity.writeIvfIndex(spark, fixtureDir, idx)
+    val inline = Similarity.ivfTopK(spark, fixtureDir).collect().toSeq
+    val fromIdx = Similarity.ivfTopKFromIndex(spark, fixtureDir, idx).collect().toSeq
+    // build-once/query-many must be a pure refactor of the plan's
+    // assignment stage: row-for-row identical output
+    assert(fromIdx == inline && inline.nonEmpty)
+  }
+
   test("IVF cell count scales with the corpus (bounded in-cell work)") {
     assert(Similarity.cellsForCorpus(0) == 1)
     assert(Similarity.cellsForCorpus(256) == 1)
