@@ -623,7 +623,12 @@ object CategoricalDrift {
       s"${severitySql(score)} AS drift_severity")
   }
 
-  def categoricalDrift(spark: SparkSession, dir: String): DataFrame = {
+  def categoricalDrift(spark: SparkSession, dir: String): DataFrame =
+    categoricalDriftFrame(spark, dir).orderBy("table_name", "column_name")
+
+  /** [[categoricalDrift]] without the final sort (see
+    * NumericDrift.driftScoreFrame for why Report's cache wants it). */
+  private[drift] def categoricalDriftFrame(spark: SparkSession, dir: String): DataFrame = {
     val per = S.categorical.map { sp =>
       // cache the per-(column, value, side) counts: three consumers below
       // (JS, chi-square, null props) would otherwise each re-scan the table;
@@ -650,7 +655,7 @@ object CategoricalDrift {
           expr("missing_k * 1e0 / NULLIF(ref_k, 0)").as("missing_ratio"))
         .selectExpr(o19Final: _*)
     }
-    per.reduce(_ union _).orderBy("table_name", "column_name")
+    per.reduce(_ union _)
   }
 
   def categoricalDriftSql: String = {

@@ -294,7 +294,14 @@ object GroupDrift {
       "max_null_drift >= 0.1 OR max_mean_change >= 0.2 OR max_median_change >= 0.2 OR " +
       "max_freq_drift >= 0.15 OR max_distinct_pct >= 0.25) AS drift_detected")
 
-  def groupDriftVerdict(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+  def groupDriftVerdict(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame =
+    groupDriftVerdictFrame(spark, dir, approx)
+      .orderBy("table_name", "dimension", "category")
+
+  /** [[groupDriftVerdict]] without the final sort (see
+    * NumericDrift.driftScoreFrame for why Report's cache wants it). */
+  private[drift] def groupDriftVerdictFrame(spark: SparkSession, dir: String,
+      approx: Boolean = false): DataFrame = {
     val per = specs.map { sp =>
       // cached: np feeds the four numeric component projections AND the
       // eligibility counts (uncached, the union replays the scan+agg DAG
@@ -334,7 +341,7 @@ object GroupDrift {
         .select(lit(sp.tableName).as("table_name"), lit(sp.dim).as("dimension"), col("*"))
         .selectExpr(verdictFinal: _*)
     }
-    per.reduce(_ union _).orderBy("table_name", "dimension", "category")
+    per.reduce(_ union _)
   }
 
   def groupDriftVerdictSql: String = {

@@ -501,7 +501,16 @@ object NumericDrift {
       names.map(n => s"ROUND($n, 6) AS $n")
   }
 
-  def driftScore(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
+  def driftScore(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame =
+    driftScoreFrame(spark, dir, approx).orderBy("table_name", "column_name")
+
+  /** [[driftScore]] without the final sort — the form Report's memoized
+    * union caches: a Sort directly under a cache materialization executes
+    * its child TWICE (the range partitioner's sampling pass plus the sort
+    * pass), so the cached consumer stack sorts on top of the tiny cached
+    * frame instead. */
+  private[drift] def driftScoreFrame(spark: SparkSession, dir: String,
+      approx: Boolean = false): DataFrame = {
     // cache the per-side stats: they feed both the score pivot and the
     // outlier bounds, and the percentiles are the expensive part
     val longs = S.numeric.map(sp => sp -> sideStatsLong(spark, dir, sp, approx).cache()).toMap
@@ -514,7 +523,6 @@ object NumericDrift {
       .join(outSide("curr"), Seq("table_name", "column_name"))
       .selectExpr(scoreStage: _*)
       .selectExpr(scoreFinal: _*)
-      .orderBy("table_name", "column_name")
   }
 
   def driftScoreSql: String =

@@ -27,14 +27,22 @@ object Report {
     * scores, one row per (table, column). `approx=true` runs the numeric
     * scoring on the `percentile_approx` sketch path (the 100 TB default;
     * exact kept for the DuckDB oracle). */
-  def driftResults(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
-    val num = NumericDrift.driftScore(spark, dir, approx)
+  def driftResults(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame =
+    flatResults(spark, dir, approx).orderBy("table_name", "column_name")
+
+  /** The unordered flat frame — what the memo CACHES: a Sort directly
+    * under a cache materialization executes the whole scoring DAG twice
+    * (the range partitioner's sampling pass, then the sort pass), so the
+    * cache holds the unsorted union and consumers order the few-dozen-row
+    * cached frame instead (round 12: drift_results executor CPU ~halved). */
+  private def flatResults(spark: SparkSession, dir: String, approx: Boolean): DataFrame = {
+    val num = NumericDrift.driftScoreFrame(spark, dir, approx)
       .selectExpr("table_name", "column_name", "column_type", "dimension_id",
         "drift_score", "drift_severity")
-    val cat = CategoricalDrift.categoricalDrift(spark, dir)
+    val cat = CategoricalDrift.categoricalDriftFrame(spark, dir)
       .selectExpr("table_name", "column_name", "'categorical' AS column_type",
         "'all' AS dimension_id", "drift_score", "drift_severity")
-    num.union(cat).orderBy("table_name", "column_name")
+    num.union(cat)
   }
 
   def driftResultsSql: String =
@@ -60,7 +68,15 @@ object Report {
     * serves stale results. */
   def driftResultsCached(spark: SparkSession, dir: String,
       approx: Boolean = false): DataFrame =
-    memo.computeIfAbsent((spark, dir, approx), k => driftResults(k._1, k._2, k._3).cache())
+    flatCached(spark, dir, approx).orderBy("table_name", "column_name")
+
+  /** The raw memoized+cached unordered frame ([[flatResults]]) — the
+    * summaries and the dimensional union consume this directly (their
+    * aggregates are order-insensitive and a sort under the dimensional
+    * cache would re-trigger the double-execution the split avoids). */
+  private def flatCached(spark: SparkSession, dir: String,
+      approx: Boolean): DataFrame =
+    memo.computeIfAbsent((spark, dir, approx), k => flatResults(k._1, k._2, k._3).cache())
 
   /** Drop the memoized frames for (session, dir): unpersists the Spark cache
     * and releases the retained references. Call when data under `dir`
@@ -88,12 +104,12 @@ object Report {
   def dimensionalResults(spark: SparkSession, dir: String,
       approx: Boolean = false): DataFrame =
     dimMemo.computeIfAbsent((spark, dir, approx), k => {
-      val groups = GroupDrift.groupDriftVerdict(k._1, k._2, k._3).selectExpr(
+      val groups = GroupDrift.groupDriftVerdictFrame(k._1, k._2, k._3).selectExpr(
         "table_name", "dimension AS column_name", "'group' AS column_type",
         "CONCAT(dimension, '=', category) AS dimension_id",
         "overall_drift_score AS drift_score",
         s"${severitySql("overall_drift_score")} AS drift_severity")
-      driftResultsCached(k._1, k._2, k._3).union(groups).cache()
+      flatCached(k._1, k._2, k._3).union(groups).cache()
     })
 
   private def dimensionalResultsSql: String = {
@@ -126,7 +142,7 @@ object Report {
 
   def driftSummary(spark: SparkSession, dir: String,
       approx: Boolean = false): DataFrame =
-    driftResultsCached(spark, dir, approx)
+    flatCached(spark, dir, approx)
       .agg(expr(summaryFinal.head), summaryFinal.tail.map(expr): _*)
       .selectExpr("'all' AS dimension_id" +: summaryCast: _*)
 
@@ -184,7 +200,7 @@ object Report {
     * tie-break on (column, table). */
   def topDriftedColumns(spark: SparkSession, dir: String,
       approx: Boolean = false): DataFrame =
-    driftResultsCached(spark, dir, approx)
+    flatCached(spark, dir, approx)
       .orderBy(col("drift_score").desc, col("column_name").asc, col("table_name").asc)
       .limit(5)
       .select("table_name", "column_name", "drift_score", "drift_severity")
