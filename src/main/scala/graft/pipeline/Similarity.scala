@@ -336,12 +336,21 @@ object Similarity {
 
   /** [[ivfTopK]] served from the persisted index: identical output frame
     * (spec-pinned equality) — only the assignment stage is replaced by an
-    * artifact read + join. */
+    * artifact read + join.
+    *
+    * Cache lifecycle (r12 ADVICE): the in-cell search consumes the joined
+    * frame on both sides, so it is cached per call — a build-once/
+    * query-many SERVICE issuing repeated searches must pass a
+    * [[graft.drift.CacheScope]] and `release()` it once each search's
+    * results are materialized, or the per-call caches accumulate for the
+    * session. The unscoped default matches Verify/Bench, which clear the
+    * whole cache between queries. */
   def ivfTopKFromIndex(spark: SparkSession, dir: String, path: String,
-      k: Int = TopK): DataFrame = {
+      k: Int = TopK, scope: Option[graft.drift.CacheScope] = None): DataFrame = {
     val emb = withNorm(table(spark, dir, "embeddings"), "c")
-    val cellVecs = emb.join(spark.read.parquet(path),
-      col("c_id") === col("vec_id")).drop("vec_id").cache()
+    val joined = emb.join(spark.read.parquet(path),
+      col("c_id") === col("vec_id")).drop("vec_id")
+    val cellVecs = scope.fold(joined.cache())(_.cached(joined))
     inCellTopK(cellVecs, k)
   }
 

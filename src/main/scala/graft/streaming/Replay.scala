@@ -172,6 +172,15 @@ object Replay {
   def replayTable(spark: SparkSession, dir: String, tableName: String,
       fields: Seq[String], transform: DataFrame => DataFrame,
       flushes: Int = 2): DataFrame = {
+    // flushes = 1 is unsound with no-data micro-batches disabled (below):
+    // the watermark available to batch N is computed from data through
+    // batch N−1, so state finalized by sentinel #1's watermark only EMITS
+    // in a LATER batch — one sentinel advances the clock but nothing
+    // flushes it. Watermarked gates need >= 2; stateless gates use 0.
+    require(flushes != 1,
+      "replayTable: flushes = 1 would silently drop the final watermark " +
+        "emission (no-data micro-batches are off for the replay clone); " +
+        "use 0 for stateless gates or >= 2 for watermarked ones")
     // schema resolution only — no job runs on this frame
     val srcSchema = graft.drift.table(spark, dir, tableName)
       .selectExpr(fields: _*).schema

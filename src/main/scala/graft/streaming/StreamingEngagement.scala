@@ -51,7 +51,7 @@ object StreamingEngagement {
   /** value → exact micro-units, replaying Spark's double→DECIMAL(18,6)
     * cast (shortest decimal string, then HALF_UP at 6 dp — exact for the
     * ≤6 dp values the corpus contract guarantees). */
-  private[streaming] def valueMicro(v: Double): Long =
+  private[graft] def valueMicro(v: Double): Long =
     new java.math.BigDecimal(java.lang.Double.toString(v))
       .setScale(6, java.math.RoundingMode.HALF_UP)
       .movePointRight(6).longValueExact()
@@ -83,10 +83,17 @@ object StreamingEngagement {
           }
           state.update(st)
           val span = st.lastUs - st.firstUs
+          // the truncate-toward-zero BigInteger division below matches
+          // DuckDB's `//` ONLY on non-negative areas (verified: DuckDB
+          // -7 // 2 = -3 locally, but the tie behavior is an engine
+          // internal we refuse to depend on) — so the non-negative
+          // contract is a loud check, not a comment (r12 verdict item 7)
+          require(st.areaMicro.signum >= 0,
+            s"twapGate: negative TWAP area for user $userId — truncating " +
+              "and flooring division diverge on negative areas; this gate's " +
+              "contract is non-negative values")
           Iterator.single(TwapRow(userId, st.nEvents, span,
             if (span > 0) Some(st.areaMicro.doubleValue() / (span * 1e6)) else None,
-            // truncating division toward zero == DuckDB's `//` on the
-            // non-negative areas this corpus produces
             if (span > 0) Some(st.areaMicro
               .divide(java.math.BigInteger.valueOf(span)).longValueExact())
             else None))

@@ -168,23 +168,68 @@ class ReplaySpec extends SparkSpec {
   }
 
   test("streaming_twap gate replay matches the batch integral in exact micro-units") {
-    import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
     val gate = StreamingReplay.streamingTwap(spark, sf).collect()
       .map(r => r.getAs[Long]("user_id") -> r).toMap
     val batch = graft.pipeline.EventAnalytics.timeWeightedValue(spark, sf)
       .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
     assert(gate.keySet == batch.keySet && gate.nonEmpty)
-    batch.foreach { case (u, b) =>
+    // EXACT integer expectation, recomputed from the snapshot via the same
+    // BigInteger micro-value·µs fold the gate runs (r12 ADVICE: comparing
+    // against the batch twin's rounded DOUBLE scaled by 1e6 flaked once
+    // twap magnitudes push the product's ULP past the fixed slack)
+    val expected = graft.drift.table(spark, sf, "events")
+      .selectExpr("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (streaming.StreamingSessions.eventUs(r.getAs[java.sql.Timestamp]("ts")),
+          r.getAs[Long]("event_id"),
+          streaming.StreamingEngagement.valueMicro(r.getAs[Double]("value")))))
+      .groupBy(_._1).map { case (u, evs) =>
+        val seq = evs.map(_._2).toSeq.sortBy(e => (e._1, e._2))
+        val area = seq.sliding(2).filter(_.size == 2).foldLeft(java.math.BigInteger.ZERO) {
+          case (acc, Seq((us0, _, v0), (us1, _, _))) =>
+            acc.add(java.math.BigInteger.valueOf(v0)
+              .multiply(java.math.BigInteger.valueOf(us1 - us0)))
+          case (acc, _) => acc
+        }
+        val span = seq.last._1 - seq.head._1
+        u -> (seq.size.toLong, span,
+          if (span > 0) Some(area.divide(java.math.BigInteger.valueOf(span)).longValueExact())
+          else None)
+      }
+    assert(gate.keySet == expected.keySet)
+    expected.foreach { case (u, (nEv, span, micro)) =>
       val g = gate(u)
-      assert(g.getAs[Long]("n_events") == b.getLong(1), s"user $u n_events")
-      if (b.isNullAt(3)) assert(g.isNullAt(3), s"user $u twap_micro should be null")
-      else
-        // twap_micro truncates where the batch twin ROUNDs at 6 dp, so the
-        // two agree to one micro-unit; the exact-equality gate is DuckDB's
-        assert(math.abs(g.getAs[Long]("twap_micro") - b.getDouble(3) * 1e6) <= 1.0 + 1e-6,
-          s"user $u twap_micro=${g.getAs[Long]("twap_micro")} batch=${b.getDouble(3)}")
+      assert(g.getAs[Long]("n_events") == nEv, s"user $u n_events")
+      assert(g.getAs[Long]("span_us") == span, s"user $u span_us")
+      micro match {
+        case None => assert(g.isNullAt(3), s"user $u twap_micro should be null")
+        case Some(m) =>
+          assert(g.getAs[Long]("twap_micro") == m, s"user $u twap_micro")
+      }
+      // and the batch twin's n_events still agrees (stream ≡ batch surface)
+      assert(batch(u).getLong(1) == nEv, s"user $u batch n_events")
     }
+  }
+
+  test("twapGate fails loud on negative areas (trunc-vs-floor divergence guard)") {
+    import spark.implicits._
+    // one user, two events, NEGATIVE value held over the interval →
+    // negative area → the gate's non-negative contract must throw, not
+    // silently emit a quotient whose rounding mode DuckDB may not share
+    val ds = Seq(
+      streaming.StreamingAttribution.AttrEvent(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", -5.0, 1L),
+      streaming.StreamingAttribution.AttrEvent(
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:10"), 7L, "view", 1.0, 2L))
+      .toDS()
+    val e = intercept[org.apache.spark.SparkException] {
+      streaming.StreamingEngagement.twapGate(ds).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("negative TWAP area")), s"unexpected: $e")
   }
 
   test("exact µs round-trip: usToTs inverts eventUs including sub-ms residue") {
