@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object StreamingEngagement {
 
+  /** Relative-error bound the [[StreamingReplay.streamingDau]] gate holds
+    * the sketch to, per finalized window: `approx_count_distinct`'s
+    * default relativeSD is 0.05, so 0.15 is a 3-sigma band — wide enough
+    * that the gate checks the TOLERANCE CONTRACT (the only thing a sketch
+    * can promise), tight enough that a broken sketch merge, a lost
+    * window, or a user-set leak into the wrong day flips it. The sketch
+    * is deterministic for a given input, so the gate row is
+    * deterministic too — this is a contract check, not a flaky bound. */
+  val DauTolerance = 0.15
+
   /** `events` needs (ts TIMESTAMP, user_id). Emits (day_start, dau). */
   def dauStream(events: DataFrame, lateness: String = "1 day"): DataFrame =
     events

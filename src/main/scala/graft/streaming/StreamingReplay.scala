@@ -5,11 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.{Privacy, Sessions}
 
 /** Batch-replay equivalence gate rows: each query replays a streaming
-  * module over the `events` or `documents` snapshot via [[Replay]] and
-  * emits a projection a DuckDB oracle hash-checks — seven rows reuse
-  * their batch twin's oracle SQL verbatim, six carry purpose-built
-  * oracles where the stream deviates from (or has no) batch twin by
-  * design. Either way the streaming code path is gated end-to-end:
+  * module over the `events`, `documents` or `embeddings` snapshot via
+  * [[Replay]] and emits a projection a DuckDB oracle hash-checks — some
+  * rows reuse their batch twin's oracle SQL verbatim, the rest carry
+  * purpose-built oracles where the stream deviates from (or has no)
+  * batch twin by design. Either way the streaming code path is gated
+  * end-to-end:
   * windowed state, watermark finalization, `flatMapGroupsWithState`
   * timeouts, stream-static joins — the parts a unit spec exercises only
   * on toy rows.
@@ -339,8 +340,9 @@ object StreamingReplay {
 
   /** [[StreamingEngagement.twapGate]] (stateful per-user running TWAP
     * integral) replayed: the exact half of the engagement module — the HLL
-    * `dauStream` half stays replay-ungated (sketches have no exact DuckDB
-    * twin), but the TWAP fold is pure integer arithmetic in a pinned
+    * `dauStream` half is gated as a tolerance decision ([[streamingDau]];
+    * sketch values have no exact DuckDB twin, so the CONTRACT is what the
+    * oracle checks), while the TWAP fold is pure integer arithmetic in a pinned
     * (µs, event_id) order, so its purpose-built oracle replays the
     * identical area as a per-user LEAD window over HUGEINT micro-value·µs
     * products (the batch `time_weighted_value` twin's DECIMAL discipline,
@@ -371,6 +373,94 @@ object StreamingReplay {
       "CAST(last_us - first_us AS BIGINT) AS span_us, " +
       "CASE WHEN last_us > first_us THEN CAST(area_micro // (last_us - first_us) AS BIGINT) END AS twap_micro " +
       "FROM agg ORDER BY user_id"
+
+  /** [[StreamingSemantic.semanticGate]] replayed — the semantic-dedup
+    * admission gate, the piece an ingest increment hits on every new
+    * embedding batch. The embeddings table is split deterministically by
+    * vec_id PARITY: even ids are the accepted static corpus (whose
+    * [[graft.pipeline.Similarity.cellStructure]] the gate broadcasts),
+    * odd ids the feed replayed through the stream. The gate is stateless
+    * (one broadcast centroid row + one stream-static LEFT ANTI join), so
+    * flushes = 0 and every admission emits in batch 0; the output is the
+    * admitted vec_id set, which pins the centroid fold, the cell argmax,
+    * and the threshold anti-join end-to-end. The purpose-built oracle
+    * replays the identical math the green `semantic_dedup`/`ann_ivf`
+    * oracles already replay bit-for-bit — prefix-stable centroids from
+    * the corpus count, rounded-cosine argmax (ties to lowest cent_id,
+    * matching the gate's strictly-greater fold over the cent_id-sorted
+    * array), and a NOT EXISTS on (same cell, cosine >= threshold). */
+  def streamingSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = graft.drift.table(spark, dir, "embeddings")
+      .filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+    Replay.replayTable(spark, dir, "embeddings", Seq("vec_id", "embedding"),
+        df => StreamingSemantic.semanticGate(
+          df.filter(col("vec_id") % 2 === 1), corpus),
+        flushes = 0)
+      .select("vec_id")
+      .orderBy("vec_id")
+  }
+
+  val streamingSemanticSql: String = {
+    import graft.pipeline.Similarity.{IvfTargetCell, MaxIvfCells, SemDedupThreshold}
+    def cos(a: String, b: String) =
+      s"ROUND(list_dot_product($a.v, $b.v) / NULLIF($a.nrm * $b.nrm, 0), 6)"
+    "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
+      "corpus AS (SELECT * FROM emb WHERE vec_id % 2 = 0), " +
+      "feed AS (SELECT * FROM emb WHERE vec_id % 2 = 1), " +
+      // prefix-stable centroid set sized from the CORPUS count (the gate
+      // builds cellStructure on the corpus side only)
+      s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
+      s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM corpus), " +
+      "cents AS (SELECT vec_id AS cent_id, v, nrm FROM corpus, cells_t WHERE vec_id < cells), " +
+      // corpus-side cell assignment (cellStructure: argmax with self-cell fallback)
+      "cassign AS (SELECT vec_id, cell FROM (SELECT c.vec_id, t.cent_id AS cell, " +
+      s"ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY ${cos("c", "t")} DESC, t.cent_id ASC) AS ark " +
+      "FROM corpus c, cents t) a WHERE ark = 1), " +
+      "cv AS (SELECT c.vec_id, c.v, c.nrm, COALESCE(a.cell, c.vec_id) AS cell " +
+      "FROM corpus c LEFT JOIN cassign a ON a.vec_id = c.vec_id), " +
+      // feed-side assignment: the gate's fold is argmax over non-NULL sims
+      // with ties to the lowest cent_id — the same ROW_NUMBER argmax
+      "fassign AS (SELECT vec_id, cell FROM (SELECT f.vec_id, t.cent_id AS cell, " +
+      s"ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY ${cos("f", "t")} DESC, t.cent_id ASC) AS ark " +
+      "FROM feed f, cents t) a WHERE ark = 1), " +
+      "fa AS (SELECT f.vec_id, f.v, f.nrm, a.cell FROM feed f LEFT JOIN fassign a ON a.vec_id = f.vec_id) " +
+      "SELECT fa.vec_id FROM fa WHERE NOT EXISTS (SELECT 1 FROM cv " +
+      s"WHERE cv.cell = fa.cell AND ${cos("fa", "cv")} >= $SemDedupThreshold) " +
+      "ORDER BY vec_id"
+  }
+
+  /** [[StreamingEngagement.dauStream]] (per-day HLL distinct users)
+    * replayed as a TOLERANCE DECISION — the honest gate for a sketch: the
+    * sketch value has no exact DuckDB twin, but the tolerance contract
+    * does. Per finalized day window the row carries the day, the exact
+    * distinct count recomputed batch-side, and a Spark-COMPUTED boolean
+    * `within_tol` (relative sketch error ≤ [[StreamingEngagement.DauTolerance]]);
+    * the oracle recomputes the exact counts and expects `within_tol =
+    * true` on every row. A broken sketch merge, a dropped or duplicated
+    * window, or users leaking across day windows flips the boolean (or
+    * the row set) and hash-fails the gate. The join is FULL outer so a
+    * day missing from either side surfaces as a row/hash mismatch
+    * instead of vanishing. */
+  def streamingDau(spark: SparkSession, dir: String): DataFrame = {
+    val sketch = Replay.replayTable(spark, dir, "events", Seq("ts", "user_id"),
+        StreamingEngagement.dauStream(_))
+      .filter(col("day_start") < lit(Replay.SentinelBaseTs)) // defensive; see Replay doc
+      .select(date_format(col("day_start"), "yyyy-MM-dd").as("day"), col("dau"))
+    val exact = graft.drift.table(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct("user_id").as("n_exact"))
+    exact.join(sketch, Seq("day"), "full_outer")
+      .selectExpr("day", "CAST(n_exact AS BIGINT) AS n_exact",
+        "COALESCE(ABS(CAST(dau AS DOUBLE) - CAST(n_exact AS DOUBLE)) / " +
+          s"CAST(n_exact AS DOUBLE) <= ${StreamingEngagement.DauTolerance}, false) AS within_tol")
+      .orderBy("day")
+  }
+
+  val streamingDauSql: String =
+    "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, " +
+      "COUNT(DISTINCT user_id)::BIGINT AS n_exact, true AS within_tol " +
+      "FROM events GROUP BY 1 ORDER BY day"
 
   /** [[StreamingPack.packStream]] replayed: the per-document shard
     * assignments an online packer emits. The stream packs in ARRIVAL
@@ -406,6 +496,8 @@ object StreamingReplay {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "streaming_semantic" -> ((s, d) => streamingSemantic(s, d)),
+    "streaming_dau" -> ((s, d) => streamingDau(s, d)),
     "streaming_twap" -> ((s, d) => streamingTwap(s, d)),
     "streaming_pack" -> ((s, d) => streamingPack(s, d)),
     "streaming_slices" -> ((s, d) => streamingSlices(s, d)),
@@ -423,6 +515,8 @@ object StreamingReplay {
 
   /** The batch twins' oracle SQL, verbatim — equivalence IS the gate. */
   def oracles: Map[String, String] = Map(
+    "streaming_semantic" -> streamingSemanticSql,
+    "streaming_dau" -> streamingDauSql,
     "streaming_twap" -> streamingTwapSql,
     "streaming_pack" -> streamingPackSql,
     "streaming_slices" -> streamingSlicesSql,

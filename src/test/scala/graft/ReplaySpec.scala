@@ -212,6 +212,37 @@ class ReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming semantic gate replay equals the batch execution of the same gate") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.drift.table(spark, sf, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+    val feed = emb.filter(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+    // semanticGate is stateless, so it also runs as a plain batch plan —
+    // the replayed admitted set must equal the batch execution's
+    val batch = streaming.StreamingSemantic.semanticGate(feed, corpus)
+      .select("vec_id").orderBy("vec_id")
+    val replayed = StreamingReplay.streamingSemantic(spark, sf)
+    assert(rows(replayed) == rows(batch) && replayed.count() > 0)
+    // and the gate actually drops something on this corpus (both branches live)
+    assert(replayed.count() < feed.count())
+  }
+
+  test("streaming dau tolerance gate: every finalized day within the sketch band") {
+    val out = StreamingReplay.streamingDau(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every row fully populated (full-outer join found both sides) and
+    // inside the tolerance contract the gate row hashes on
+    out.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("n_exact")), s"day ${r.getString(0)} lost its exact count")
+      assert(r.getAs[Boolean]("within_tol"), s"day ${r.getString(0)} outside tolerance")
+    }
+    // and the day key matches the batch daily grain (no window misalignment)
+    val days = graft.drift.table(spark, sf, "events")
+      .selectExpr("date_format(ts, 'yyyy-MM-dd') AS day").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(out.map(_.getString(0)).toSeq == days)
+  }
+
   test("twapGate fails loud on negative areas (trunc-vs-floor divergence guard)") {
     import spark.implicits._
     // one user, two events, NEGATIVE value held over the interval →
