@@ -224,12 +224,36 @@ object Dedup {
     (tri, bandsFromTri(tri, cached))
   }
 
+  /** Per-(band, signature) bucket membership ceiling — the band-join twin
+    * of [[MaxShingleDfAbs]] (round-12 verdict item 2). Banding bounds how
+    * many BUCKETS a doc lands in, and the df ceiling bounds shingle
+    * fan-out, but neither caps how many docs share one (band, sig)
+    * bucket: a duplicate-heavy shard at 100 TB puts B near-identical
+    * documents into the same bucket and the candidate equi-join emits
+    * B² pairs. Above the cap a bucket keeps only its [[MaxBandBucket]]
+    * lowest doc_ids (a deterministic representative set — evicted docs
+    * still participate through their other bands, where near-identical
+    * content collides again), so per-bucket join fan-out is bounded by
+    * ~10⁸ pairs regardless of duplicate density. A no-op on the gate
+    * corpora (max bucket ≈ tens at sf0.1 — DedupSpec pins it), exactly
+    * like the df ceiling. */
+  val MaxBandBucket = 10000L
+
   /** Per-doc (band, sig) rows from ANY (doc_id, sh) shingle frame — the
     * signature aggregation is shingle-agnostic (word trigrams here,
     * frame hashes in [[Multimodal.mediaNeardup]]: any string set works,
-    * since the shingle code is md5-based). */
+    * since the shingle code is md5-based). Bucket membership is bounded
+    * by `maxBucket` (see [[MaxBandBucket]]): over-cap buckets are found
+    * with one partial-aggregated count (map-side combine collapses even
+    * a pathologically hot key) into a tiny BROADCAST frame, and only
+    * THOSE buckets' rows pay the representative-selection window — on a
+    * healthy corpus the hot frame is empty and the guard costs two
+    * broadcast probes of an empty build side, never a full shuffle of
+    * the band frame (a first cut windowed everything and cost the family
+    * ~30% at gate SF for zero guarded rows). */
   private[graft] def bandsFromTri(tri: DataFrame,
-      cached: DataFrame => DataFrame): DataFrame = {
+      cached: DataFrame => DataFrame,
+      maxBucket: Long = MaxBandBucket): DataFrame = {
     val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
       expr(s"MIN(($a * x + $b) % $MinhashPrime)").as(s"m$i")
     }
@@ -243,7 +267,22 @@ object Dedup {
       val sig = (0 until BandRows).map(r => s"m${bIdx * BandRows + r}").mkString("concat_ws(',', ", ", ", ")")
       s"$bIdx, $sig"
     }.mkString(", ")
-    sigs.select(col("doc_id"), expr(s"stack($nBands, $bandRows) as (band, sig)"))
+    val banded = sigs.select(col("doc_id"),
+      expr(s"stack($nBands, $bandRows) as (band, sig)"))
+    val hot = banded.groupBy("band", "sig")
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+      .select("band", "sig")
+    val kept = banded.join(broadcast(hot), Seq("band", "sig"), "left_semi")
+      .withColumn("__bk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("band", "sig").orderBy("doc_id")))
+      .filter(col("__bk") <= maxBucket)
+      .drop("__bk")
+    // cached: the candidate self-join consumes the band frame on BOTH
+    // sides — uncached, the whole guard subtree (two hot-agg probes + the
+    // union) would execute once per side
+    cached(banded.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+      .unionByName(kept)
+      .select("doc_id", "band", "sig"))
   }
 
   /** Per-row (no-explode) MinHash band signatures over a pre-split token

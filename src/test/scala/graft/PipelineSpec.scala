@@ -70,6 +70,41 @@ class PipelineSpec extends SparkSpec {
       s"hottest shingle df $maxDf is within 10x of the ceiling")
   }
 
+  test("band-bucket guard: no-op on gate corpora, bounds a planted hot bucket") {
+    import spark.implicits._
+    // no-op pin (the MaxShingleDfAbs discipline): the guarded band frame
+    // equals the unguarded one row-for-row on real gate data, so every
+    // LSH gate hash is unchanged by the guard's existence
+    val tri = Dedup.shinglesOf(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")).cache()
+    val guarded = Dedup.bandsFromTri(tri, _.cache()).collect().map(_.toString).sorted.toSeq
+    val unguarded = Dedup.bandsFromTri(tri, _.cache(), maxBucket = Long.MaxValue)
+      .collect().map(_.toString).sorted.toSeq
+    assert(guarded == unguarded, "bucket cap excluded docs on a gate corpus")
+    // headroom: the hottest (band, sig) bucket sits far under the cap, so
+    // a data refresh hot enough to matter fails here first
+    val maxBucket = Dedup.bandsFromTri(tri, _.cache(), maxBucket = Long.MaxValue)
+      .groupBy("band", "sig").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucket < Dedup.MaxBandBucket / 10,
+      s"hottest band bucket $maxBucket is within 10x of the cap")
+    // planted hot bucket — the 100 TB duplicate-shard scenario: 50
+    // identical docs collapse into ONE bucket per band; cap 5 keeps the 5
+    // lowest doc_ids, so the candidate join emits C(5,2) pairs, not C(50,2)
+    val hotText = "alpha beta gamma delta eps zeta eta theta iota kappa lambda mu"
+    val hot = (0 until 50).map(i => (i.toLong, hotText)).toDF("doc_id", "text")
+    val hotTri = Dedup.shinglesOf(hot).cache()
+    val hotBands = Dedup.bandsFromTri(hotTri, _.cache(), maxBucket = 5L)
+    assert(hotBands.groupBy("band", "sig").count()
+      .agg(max("count")).collect()(0).getLong(0) <= 5L)
+    assert(hotBands.select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 5L).toSeq, "representatives must be the lowest doc_ids")
+    assert(Dedup.pairsFromTriAndBands(hotTri, hotBands).count() == 10L)
+    assert(Dedup.pairsFromTriAndBands(hotTri,
+      Dedup.bandsFromTri(hotTri, _.cache(), maxBucket = Long.MaxValue)).count() == 1225L,
+      "sanity: without the guard the hot bucket squares")
+  }
+
   test("MinHash LSH surfaces the same near-dup candidates with high jaccard") {
     val cands = Dedup.minhashLsh(spark, fixtureDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap

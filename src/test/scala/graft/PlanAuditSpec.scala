@@ -113,6 +113,25 @@ class PlanAuditSpec extends SparkSpec {
       "sanity: the uncapped baseline should have no ceiling filter")
   }
 
+  test("every band equi-join carries the bucket cardinality guard") {
+    // round-12 verdict item 2: banding bounds buckets-per-doc and the df
+    // ceiling bounds shingle fan-out, but only the bucket guard bounds
+    // docs-per-bucket — the B² candidate blowup a duplicate-heavy shard
+    // triggers. Every gate plan that equi-joins on (band, sig) must show
+    // the row_number window + the MaxBandBucket filter upstream.
+    // (neardup_clusters inherits the guard through the same
+    // pairsFromTriAndBands call, but its iterative component loop
+    // checkpoints the pair frame, so the final executed plan can't show
+    // the upstream window — covered by construction + PipelineSpec)
+    for (name <- Seq("minhash_lsh", "incremental_dedup",
+        "media_neardup", "dedup_quality")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      assert(plan.contains("row_number") &&
+        plan.contains(s"<= ${graft.pipeline.Dedup.MaxBandBucket}"),
+        s"$name band join has no bucket guard:\n${plan.take(1500)}")
+    }
+  }
+
   test("as-of join plans one key shuffle and no join node at all") {
     val plan = planOf(AsofJoin.purchaseAttribution(spark, sf))
     // the whole point of the union+window formulation: a temporal join with
