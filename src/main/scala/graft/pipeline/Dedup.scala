@@ -77,39 +77,18 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccardCapped(spark, dir, maxDfFrac = 1.0, maxDfAbs = MaxShingleDfAbs)
 
-  /** TRULY uncapped all-pairs baseline — TEST-ONLY since round 9: as a
-    * gate/bench query its O(df²) per-shingle fan-out was the one plan in
-    * the suite that dies at 100× (hot stopword trigrams). The gate name
-    * `ngram_jaccard` now routes through [[ngramJaccardCapped]] with
-    * maxDfFrac = 1.0 (no fractional exclusion — baseline semantics) and
-    * the absolute [[MaxShingleDfAbs]] skew ceiling, which DedupSpec pins
-    * as a no-op on the gate corpora (max shingle df ≈ 25 at sf0.1, two
-    * orders of magnitude under the ceiling) — so gate hashes are
-    * unchanged while the shipped plan is fan-out-bounded. */
-  private[graft] def ngramJaccardUncapped(spark: SparkSession, dir: String): DataFrame = {
-    val tri = shingles(spark, dir).cache()
-    val sz = tri.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = tri.as("a").join(tri.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sz.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sz.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .selectExpr("doc_a", "doc_b", "ROUND(i * 1e0 / (na + nb - i), 6) AS jaccard")
-      .filter(col("jaccard") >= JaccardThreshold)
-      .orderBy("doc_a", "doc_b")
-  }
+  // The TRULY uncapped all-pairs baseline was retired from the library in
+  // round 13 (it had been test-only since round 9): its O(df²) per-shingle
+  // fan-out is the one plan shape that dies at 100×, so src/main no longer
+  // ships any code path that can emit it. The capped≡uncapped verification
+  // pin lives in test scope (graft.TestBaselines) against bounded corpora.
+  // The gate name `ngram_jaccard` routes through [[ngramJaccardCapped]]
+  // with maxDfFrac = 1.0 (no fractional exclusion — baseline semantics)
+  // and the absolute [[MaxShingleDfAbs]] skew ceiling, which PipelineSpec
+  // pins as a no-op on the gate corpora (max shingle df ≈ 25 at sf0.1, two
+  // orders of magnitude under the ceiling).
 
   def ngramJaccardSql: String = ngramJaccardCappedSqlWith(1.0, MaxShingleDfAbs)
-
-  private[graft] def ngramJaccardUncappedSql: String =
-    s"WITH tri AS ($shinglesSql), sz AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1), " +
-      "inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i FROM tri a " +
-      "JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-      "SELECT doc_a, doc_b, ROUND(i * 1e0 / (sa.n + sb.n - i), 6) AS jaccard " +
-      "FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b " +
-      s"WHERE ROUND(i * 1e0 / (sa.n + sb.n - i), 6) >= $JaccardThreshold ORDER BY doc_a, doc_b"
 
   /** Corpus fraction above which a shingle is "hot" and excluded from the
     * capped variant's shingle universe. */

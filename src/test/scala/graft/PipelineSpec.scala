@@ -56,7 +56,7 @@ class PipelineSpec extends SparkSpec {
     for (dir <- Seq(fixtureDir, "/root/testdata/sf0.001")) {
       val capped = Dedup.ngramJaccard(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val uncapped = Dedup.ngramJaccardUncapped(spark, dir).collect()
+      val uncapped = TestBaselines.ngramJaccardUncapped(spark, dir).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(capped == uncapped, s"df ceiling excluded shingles at $dir")
     }

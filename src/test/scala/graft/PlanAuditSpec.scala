@@ -100,15 +100,16 @@ class PlanAuditSpec extends SparkSpec {
     // self-join pays O(df²) rows per key, so every gate query that joins
     // on `sh` must filter the shingle universe through the df ceiling
     // first — visible in the physical plan as the LEAST(frac·n, abs)
-    // comparison. The truly uncapped baseline is test-only
-    // (Dedup.ngramJaccardUncapped) and must NOT be reachable from
+    // comparison. The truly uncapped baseline no longer exists in
+    // src/main at all (round 13 — graft.TestBaselines carries the
+    // test-scope replica), so it CANNOT be reachable from
     // SparkEntry.queries.
     for (name <- Seq("ngram_jaccard", "ngram_jaccard_capped", "containment_pairs")) {
       val plan = planOf(SparkEntry.queries(name)(spark, sf))
       assert(plan.toLowerCase.contains("least("),
         s"$name gate plan joins shingles with no df ceiling:\n${plan.take(1500)}")
     }
-    val uncapped = planOf(graft.pipeline.Dedup.ngramJaccardUncapped(spark, sf))
+    val uncapped = planOf(TestBaselines.ngramJaccardUncapped(spark, sf))
     assert(!uncapped.toLowerCase.contains("least("),
       "sanity: the uncapped baseline should have no ceiling filter")
   }
