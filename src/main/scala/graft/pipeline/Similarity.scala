@@ -422,6 +422,123 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  // ------------------------------- deterministic Lloyd IVF (gated quantizer)
+
+  /** Lloyd iterations for [[lloydIvfTopK]]. Two refinement passes capture
+    * most of the balance win over the prefix init (classic k-means
+    * converges fastest in its first steps); each extra pass is one more
+    * corpus scan, and the DuckDB twin unrolls the same count. */
+  val LloydIters = 2
+
+  /** [[ivfTopK]] with centroids refined by [[LloydIters]] deterministic
+    * Lloyd passes — the trained-quantizer quality of [[kmeansIvfTopK]]
+    * with the bit-for-bit replayability of [[ivfTopK]], closing the gap
+    * between them: reproducible clustering is a real feature for a
+    * training-data pipeline (an index rebuilt from the same corpus must
+    * assign identically or incremental artifacts churn).
+    *
+    * Determinism recipe — every arithmetic step is exact or identically
+    * rounded in both engines:
+    *   - vectors are snapped to integer MICRO-UNITS (`ROUND(x·1e6, 0)`,
+    *     half-away-from-zero in both engines) held as doubles: components
+    *     ≤1e6, so 64-dim dots ≤6.4e13 < 2⁵³ — ALL sums/products stay
+    *     exactly representable and order-independent across Spark's
+    *     partial aggregation;
+    *   - assignment is the rounded-cosine argmax (6 dp, then cent_id
+    *     tie-break) both engines already replay in `ann_ivf`;
+    *   - the centroid update is `FLOOR(SUM(x)/COUNT(x))` per dimension —
+    *     exact while a cell holds <~1e10 members (sum <2⁵³), far beyond
+    *     the ~[[IvfTargetCell]] design load — so refined centroids remain
+    *     integer micro-vectors; a cell that loses all members keeps its
+    *     previous centroid (LEFT JOIN + COALESCE, both engines).
+    * Final in-cell search is the exact rounded-cosine top-k on the RAW
+    * double vectors, same as `ann_ivf`.
+    *
+    * Scale shape per iteration: one n×K broadcast assignment scan (same
+    * as [[ivfTopK]]) + one posexplode reduced map-side to cells×[[Dim]]
+    * rows — no vector ever meets another vector until the final bounded
+    * in-cell join. The centroid frame (≤[[MaxIvfCells]]×[[Dim]]) never
+    * collects to the driver. */
+  def lloydIvfTopK(spark: SparkSession, dir: String, k: Int = TopK,
+      iters: Int = LloydIters): DataFrame = {
+    val cells = cellsForCorpus(table(spark, dir, "embeddings").count())
+    // micro-unit frame: scanned by every assignment pass and the mean
+    // update, so cached once (Verify/Bench clear the cache per query)
+    val v2 = table(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("vm", expr("transform(v, x -> ROUND(x * 1e6, 0))"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+      .withColumn("nm", sqrt(vecDot(col("vm"), col("vm"))))
+      .cache()
+    def argmaxCell(cents: DataFrame): DataFrame =
+      v2.crossJoin(broadcast(cents))
+        .withColumn("sim",
+          round(vecDot(col("vm"), col("cm")) / expr("NULLIF(nm * cn, 0)"), 6))
+        .withColumn("ark", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)))
+        .filter(col("ark") === 1)
+        .select(col("vec_id"), col("cent_id").as("cell"))
+    var cents = v2.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cent_id"), col("vm").as("cm"), col("nm").as("cn"))
+    for (_ <- 1 to iters) {
+      val means = v2.join(argmaxCell(cents), "vec_id")
+        .select(col("cell"), posexplode(col("vm")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(expr("CAST(FLOOR(SUM(x) / COUNT(x)) AS DOUBLE)").as("m"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cm1"))
+      cents = cents.join(means, cents("cent_id") === means("cell"), "left")
+        .select(col("cent_id"), coalesce(col("cm1"), col("cm")).as("cm"))
+        .withColumn("cn", sqrt(vecDot(col("cm"), col("cm"))))
+    }
+    val cellVecs = v2.join(argmaxCell(cents), "vec_id")
+      .select(col("vec_id").as("c_id"), col("v").as("c_v"),
+        col("nrm").as("c_n"), col("cell"))
+      .cache()
+    inCellTopK(cellVecs, k)
+  }
+
+  /** DuckDB twin of [[lloydIvfTopK]]: the [[LloydIters]] passes unrolled
+    * as chained CTEs over the same micro-unit arithmetic. */
+  def lloydIvfTopKSql(k: Int = TopK): String = {
+    def assign(name: String, cents: String): String =
+      s"$name AS (SELECT vec_id, cell FROM (SELECT v2.vec_id, c.cent_id AS cell, " +
+        "ROW_NUMBER() OVER (PARTITION BY v2.vec_id ORDER BY " +
+        "ROUND(list_dot_product(v2.vm, c.cm) / NULLIF(v2.nm * c.cn, 0), 6) DESC, " +
+        s"c.cent_id ASC) AS ark FROM v2, $cents c) t WHERE ark = 1)"
+    def refine(i: Int, prevAssign: String, prevCents: String): String =
+      s"m$i AS (SELECT cell, FLOOR(SUM(x) / COUNT(x)) AS m, pos FROM " +
+        s"(SELECT cell, unnest(vm) AS x, unnest(range(1, len(vm) + 1)) AS pos " +
+        s"FROM v2 JOIN $prevAssign USING (vec_id)) lf GROUP BY cell, pos), " +
+        s"c$i AS (SELECT $prevCents.cent_id, COALESCE(g.cmn, $prevCents.cm) AS cm, " +
+        s"sqrt(list_dot_product(COALESCE(g.cmn, $prevCents.cm), COALESCE(g.cmn, $prevCents.cm))) AS cn " +
+        s"FROM $prevCents LEFT JOIN (SELECT cell, list(m ORDER BY pos) AS cmn " +
+        s"FROM m$i GROUP BY cell) g ON g.cell = $prevCents.cent_id)"
+    val passes = (1 to LloydIters).map(i =>
+      assign(s"a$i", s"c${i - 1}") + ", " + refine(i, s"a$i", s"c${i - 1}"))
+      .mkString(", ")
+    "WITH v2 AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
+      "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm, " +
+      "list_transform(embedding::DOUBLE[], x -> ROUND(x * 1e6, 0)) AS vm, " +
+      "sqrt(list_dot_product(list_transform(embedding::DOUBLE[], x -> ROUND(x * 1e6, 0)), " +
+      "list_transform(embedding::DOUBLE[], x -> ROUND(x * 1e6, 0)))) AS nm FROM embeddings), " +
+      s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
+      s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
+      "c0 AS (SELECT vec_id AS cent_id, vm AS cm, nm AS cn FROM v2, cells_t WHERE vec_id < cells), " +
+      passes + ", " +
+      // the SEARCH partition is the assignment under the FINAL refined
+      // centroids (one more pass than the last refine consumed — a$i only
+      // feeds c$i's mean update)
+      assign(s"a${LloydIters + 1}", s"c$LloydIters") + ", " +
+      s"cv AS (SELECT v2.vec_id, v2.v, v2.nrm, a${LloydIters + 1}.cell FROM v2 JOIN a${LloydIters + 1} USING (vec_id)), " +
+      "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+      "ROUND(list_dot_product(q.v, c.v) / NULLIF(q.nrm * c.nrm, 0), 6) AS cosine " +
+      "FROM cv q JOIN cv c ON q.cell = c.cell AND q.vec_id <> c.vec_id), " +
+      "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id " +
+      "ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored) " +
+      s"SELECT query_id, rk, neighbor_id, cosine FROM ranked WHERE rk <= $k ORDER BY query_id, rk"
+  }
+
   // ----------------------------------------------------------------- API
 
   // --------------------------------------------- embedding-space monitor
@@ -1004,6 +1121,7 @@ object Similarity {
     val preds = Seq(
       "ann_lsh" -> lshTopK(spark, dir),
       "ann_ivf" -> ivfTopK(spark, dir),
+      "ann_kmeans" -> lloydIvfTopK(spark, dir),
       "ann_ivfpq" -> ivfPqTopK(spark, dir),
       "pq_ann" -> pqAnnTopK(spark, dir),
       "pq_ann_rerank" -> pqAnnRerank(spark, dir))
@@ -1025,6 +1143,7 @@ object Similarity {
   def annQualitySql: String = {
     val unions = Seq(
       "ann_lsh" -> lshTopKSql(), "ann_ivf" -> ivfTopKSql(),
+      "ann_kmeans" -> lloydIvfTopKSql(),
       "ann_ivfpq" -> ivfPqTopKSql(), "pq_ann" -> pqAnnTopKSql(),
       "pq_ann_rerank" -> pqAnnRerankSql())
       .map { case (n, sql) => s"SELECT '$n' AS method, query_id, neighbor_id FROM ($sql) q_$n" }
@@ -1046,6 +1165,7 @@ object Similarity {
     "embed_neardup" -> ((s, d) => embedNeardup(s, d)),
     "ann_lsh" -> ((s, d) => lshTopK(s, d)),
     "ann_ivf" -> ((s, d) => ivfTopK(s, d)),
+    "ann_kmeans" -> ((s, d) => lloydIvfTopK(s, d)),
     "cluster_profile" -> ((s, d) => clusterProfile(s, d)),
     "pq_profile" -> ((s, d) => pqProfile(s, d)),
     "pq_ann" -> ((s, d) => pqAnnTopK(s, d)),
@@ -1061,6 +1181,7 @@ object Similarity {
     "embed_neardup" -> embedNeardupSql,
     "ann_lsh" -> lshTopKSql(),
     "ann_ivf" -> ivfTopKSql(),
+    "ann_kmeans" -> lloydIvfTopKSql(),
     "cluster_profile" -> clusterProfileSql,
     "pq_profile" -> pqProfileSql,
     "pq_ann" -> pqAnnTopKSql(),

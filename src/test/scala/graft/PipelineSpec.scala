@@ -424,6 +424,44 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("deterministic Lloyd IVF recalls the twins and reproduces bit-for-bit") {
+    val res = Similarity.lloydIvfTopK(spark, fixtureDir).collect().map(_.toSeq).toSeq
+    val q0 = res.filter(r => r.head == 0L)
+    assert(q0.nonEmpty && q0.head(2) == 100L)
+    val q1 = res.filter(r => r.head == 1L)
+    assert(q1.nonEmpty && q1.head(2) == 101L)
+    // reproducible clustering is the operator's contract: a second build
+    // from the same corpus must assign — and therefore rank — identically
+    val again = Similarity.lloydIvfTopK(spark, fixtureDir).collect().map(_.toSeq).toSeq
+    assert(again == res)
+  }
+
+  test("Lloyd refinement rebalances a skewed prefix init") {
+    // planted pathology for the prefix init: the first two vectors (the
+    // initial centroids) BOTH sit in cluster A, so iteration 0 splits A
+    // and lumps all of cluster B behind whichever centroid is closer —
+    // Lloyd must migrate one centroid toward B and shrink the biggest cell
+    val rnd = new scala.util.Random(7)
+    def around(base: Array[Double]): Array[Double] =
+      base.map(x => x + rnd.nextGaussian() * 0.05)
+    val a = Array.fill(64)(1.0); val b = Array.tabulate(64)(i => if (i < 32) -1.0 else 1.0)
+    val rows = (0 until 150).map(i => (i.toLong, around(a).map(_.toFloat), 0)) ++
+      (150 until 300).map(i => (i.toLong, around(b).map(_.toFloat), 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lloyd").toString
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def maxCell(df: org.apache.spark.sql.DataFrame): Long = {
+      val byCell = df.groupBy("query_id").count() // in-cell degree ~ cell size
+      byCell.agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    }
+    // 300 vectors -> 2 cells; prefix init (ivfTopK) leaves one cell with
+    // all 150 B-vectors plus part of A, Lloyd converges to the 150/150 cut
+    val lloyd = Similarity.lloydIvfTopK(spark, dir, k = 300)
+    val prefix = Similarity.ivfTopK(spark, dir, k = 300)
+    assert(maxCell(lloyd) <= maxCell(prefix))
+    assert(maxCell(lloyd) == 149L) // the true clusters, each its own cell
+  }
+
   test("embedding near-dup pass ranks the planted twins first") {
     val top2 = Similarity.embedNeardup(spark, fixtureDir).collect().take(2)
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

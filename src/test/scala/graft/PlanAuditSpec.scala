@@ -85,6 +85,7 @@ class PlanAuditSpec extends SparkSpec {
       Similarity.embedNeardup(spark, sf),
       Similarity.lshTopK(spark, sf),
       Similarity.ivfTopK(spark, sf),
+      Similarity.lloydIvfTopK(spark, sf),
       Dedup.ngramNovelty(spark, sf),
       Dedup.decontaminationBloom(spark, sf),
       Similarity.semanticDedup(spark, sf))

@@ -128,7 +128,8 @@ class QualityHarnessSpec extends SparkSpec {
   test("ann_quality ranks the index tiers as their scaladocs claim") {
     val rows = graft.pipeline.Similarity.annQuality(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
-    assert(rows.keySet == Set("ann_lsh", "ann_ivf", "ann_ivfpq", "pq_ann", "pq_ann_rerank"))
+    assert(rows.keySet == Set("ann_lsh", "ann_ivf", "ann_kmeans", "ann_ivfpq",
+      "pq_ann", "pq_ann_rerank"))
     rows.values.foreach { r =>
       assert(r.getLong(2) <= r.getLong(1), "hits cannot exceed returned")
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
@@ -139,8 +140,11 @@ class QualityHarnessSpec extends SparkSpec {
     // this fixture (ivf 0.72, ivfpq 0.66, rerank 0.88, pq_ann 0.22): a
     // tuning change that quietly craters an index tier fails here, the same
     // way dedup_quality pins the LSH banding
-    val floors = Map("ann_ivf" -> 0.65, "ann_ivfpq" -> 0.55,
+    val floors = Map("ann_ivf" -> 0.65, "ann_kmeans" -> 0.75, "ann_ivfpq" -> 0.55,
       "pq_ann_rerank" -> 0.8, "pq_ann" -> 0.15)
+    // the Lloyd refinement must EARN its extra passes: strictly better
+    // recall than the prefix-init quantizer on this fixture (0.82 vs 0.72)
+    assert(rows("ann_kmeans").getDouble(3) > rows("ann_ivf").getDouble(3))
     floors.foreach { case (m, f) =>
       assert(rows(m).getDouble(3) >= f,
         s"$m recall ${rows(m).getDouble(3)} dropped below its $f floor")
