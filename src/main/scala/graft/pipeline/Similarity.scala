@@ -481,15 +481,14 @@ object Similarity {
     var cents = v2.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cent_id"), col("vm").as("cm"), col("nm").as("cn"))
     for (_ <- 1 to iters) {
-      val means = v2.join(argmaxCell(cents), "vec_id")
-        .select(col("cell"), posexplode(col("vm")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg(expr("CAST(FLOOR(SUM(x) / COUNT(x)) AS DOUBLE)").as("m"))
-        .groupBy("cell")
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cm1"))
+      val means = lloydMeanUpdate(v2.join(argmaxCell(cents), "vec_id"))
+      // cached: iteration i+1's broadcast (and the final assignment) embed
+      // this frame as a subtree — uncached, each level would re-run every
+      // earlier pass, turning t iterations into O(t²) corpus scans
       cents = cents.join(means, cents("cent_id") === means("cell"), "left")
         .select(col("cent_id"), coalesce(col("cm1"), col("cm")).as("cm"))
         .withColumn("cn", sqrt(vecDot(col("cm"), col("cm"))))
+        .cache()
     }
     val cellVecs = v2.join(argmaxCell(cents), "vec_id")
       .select(col("vec_id").as("c_id"), col("v").as("c_v"),
@@ -497,6 +496,19 @@ object Similarity {
       .cache()
     inCellTopK(cellVecs, k)
   }
+
+  /** One Lloyd centroid mean update over a (cell, vm)-assigned micro-unit
+    * frame: posexplode → per-(cell, pos) FLOOR(SUM/COUNT) → re-listify.
+    * The SUM/COUNT partial-aggregates before the exchange (plan-pinned in
+    * PlanAuditSpec), so the shuffle carries cells×[[Dim]] partials, never
+    * the n×[[Dim]] exploded rows. */
+  private[graft] def lloydMeanUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("vm")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos")
+      .agg(expr("CAST(FLOOR(SUM(x) / COUNT(x)) AS DOUBLE)").as("m"))
+      .groupBy("cell")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("cm1"))
 
   /** DuckDB twin of [[lloydIvfTopK]]: the [[LloydIters]] passes unrolled
     * as chained CTEs over the same micro-unit arithmetic. */

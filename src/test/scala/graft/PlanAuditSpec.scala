@@ -66,6 +66,27 @@ class PlanAuditSpec extends SparkSpec {
       s"vec_id bound not pushed to the scan:\n$pushed")
   }
 
+  test("ann_kmeans centroid updates partial-aggregate the explode in place") {
+    // the Lloyd mean update posexplodes the corpus to (cell, pos, x); the
+    // SUM/COUNT must combine map-side so the exchange above the Generate
+    // carries cells×dim partials, never n×dim exploded rows (the full
+    // lloydIvfTopK plan hides this behind its cache boundaries, so the
+    // update stage is audited standalone on an equivalently-shaped frame)
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val assigned = graft.drift.table(spark, sf, "embeddings")
+      .select((col("vec_id") % 4).as("cell"),
+        expr("transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 1e6, 0))").as("vm"))
+    val plan = planOf(Similarity.lloydMeanUpdate(assigned))
+    val idx = plan.indexOf("Generate posexplode")
+    assert(idx >= 0, s"no explode in the mean-update plan:\n${plan.take(2000)}")
+    val prefix = plan.substring(0, idx)
+    val lastAgg = prefix.lastIndexOf("HashAggregate")
+    val lastExchange = prefix.lastIndexOf("Exchange")
+    assert(lastAgg > lastExchange,
+      "explode output crosses an exchange before aggregating " +
+        s"(agg@$lastAgg exchange@$lastExchange):\n${plan.take(3000)}")
+  }
+
   test("simhash top-20 plans TakeOrderedAndProject, not a global sort") {
     val plan = planOf(Dedup.simhashPairs(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),
