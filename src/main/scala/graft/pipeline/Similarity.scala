@@ -37,6 +37,38 @@ object Similarity {
       .withColumn(s"${prefix}_n",
         sqrt(vecDot(col(s"${prefix}_v"), col(s"${prefix}_v"))))
 
+  /** Candidate-side membership ceiling per search bucket/cell — the ANN
+    * twin of [[Dedup.MaxBandBucket]] (same round-12 hygiene class): LSH
+    * bit width and IVF cell count bound the EXPECTED bucket size, but
+    * nothing bounds a pathological one — a duplicate-heavy embedding
+    * shard at 100 TB puts B near-identical vectors in one bucket/cell and
+    * the search self-join emits B² pairs. Above the cap a bucket keeps
+    * only its [[MaxSearchBucket]] lowest vec_ids on the CANDIDATE side
+    * (queries are never dropped — every vector still gets results; an
+    * evicted vector just stops being findable in that bucket, the
+    * standard recall-for-boundedness trade). 16384 = 64×[[IvfTargetCell]]
+    * ≈ 2.7e8 pairs/cell worst case (a literal: forward-referencing the
+    * val would read 0 during object init); a no-op on the gate corpora
+    * (max cell ≈ hundreds at sf0.1 — PipelineSpec pins it). */
+  val MaxSearchBucket: Long = 16384L
+
+  /** Bound the candidate side of an in-bucket self-join at `cap` members
+    * per `key` group, keeping the lowest `id`s. Hot groups are found with
+    * one partial-aggregated count into a tiny BROADCAST frame and only
+    * their rows pay the representative-selection window — on a healthy
+    * corpus the guard is two broadcast probes of an empty build side
+    * (the [[Dedup.bandsFromTri]] shape, measured there within noise of
+    * unguarded). */
+  private[graft] def capCandidates(df: DataFrame, key: String, id: String,
+      cap: Long): DataFrame = {
+    val hot = df.groupBy(key).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap).select(key)
+    val kept = df.join(broadcast(hot), Seq(key), "left_semi")
+      .withColumn("__ck", row_number().over(Window.partitionBy(key).orderBy(id)))
+      .filter(col("__ck") <= cap).drop("__ck")
+    df.join(broadcast(hot), Seq(key), "left_anti").unionByName(kept)
+  }
+
   /** Brute-force cosine top-k for the first [[NumQueries]] vectors. */
   def annCosine(spark: SparkSession, dir: String): DataFrame = {
     val emb = table(spark, dir, "embeddings")
@@ -192,7 +224,8 @@ object Similarity {
 
   /** Bucketed top-k: exact cosine within each bucket only. Bit width scales
     * with the corpus size (one cheap count against the parquet footer). */
-  def lshTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
+  def lshTopK(spark: SparkSession, dir: String, k: Int = TopK,
+      maxBucket: Long = MaxSearchBucket): DataFrame = {
     val emb = table(spark, dir, "embeddings")
     val bits = bitsForCorpus(emb.count())
     // cached: both sides of the in-bucket self-join consume it; uncached
@@ -201,7 +234,8 @@ object Similarity {
     val b = lshBuckets(emb, bits)
       .withColumn("n", sqrt(vecDot(col("v"), col("v"))))
       .cache()
-    b.as("q").join(b.as("c"), col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
+    b.as("q").join(capCandidates(b, "bucket", "vec_id", maxBucket).as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("cosine",
         round(vecDot(col("q.v"), col("c.v")) / expr("NULLIF(q.n * c.n, 0)"), 6))
       .withColumn("rk", row_number().over(
@@ -278,8 +312,9 @@ object Similarity {
     * the query is hash-checked rather than recall-tested. For k-means-
     * trained centroids behind the same assignment/search plan see
     * [[kmeansIvfTopK]] (recall-tested, not oracle-checked). */
-  def ivfTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame =
-    inCellTopK(cellAssignedVecs(spark, dir), k)
+  def ivfTopK(spark: SparkSession, dir: String, k: Int = TopK,
+      maxCell: Long = MaxSearchBucket): DataFrame =
+    inCellTopK(cellAssignedVecs(spark, dir), k, maxCell)
 
   /** The IVF index content: every vector tagged with its nearest-centroid
     * cell (the n×K assignment scan — the expensive stage, shared verbatim
@@ -307,9 +342,12 @@ object Similarity {
 
   /** Exact cosine top-k within each cell (nprobe = 1) over a
     * cell-assigned vector frame — the query-side stage, shared by
-    * [[ivfTopK]] and [[ivfTopKFromIndex]]. */
-  private def inCellTopK(cellVecs: DataFrame, k: Int): DataFrame =
-    cellVecs.as("q").join(cellVecs.as("c"),
+    * [[ivfTopK]], [[ivfTopKFromIndex]] and [[lloydIvfTopK]]. The
+    * candidate side is bounded by [[MaxSearchBucket]] per cell (inert on
+    * gate corpora); the query side keeps every vector. */
+  private def inCellTopK(cellVecs: DataFrame, k: Int,
+      maxCell: Long = MaxSearchBucket): DataFrame =
+    cellVecs.as("q").join(capCandidates(cellVecs, "cell", "c_id", maxCell).as("c"),
         col("q.cell") === col("c.cell") && col("q.c_id") =!= col("c.c_id"))
       .withColumn("cosine",
         round(vecDot(col("q.c_v"), col("c.c_v")) / expr("NULLIF(q.c_n * c.c_n, 0)"), 6))
@@ -411,7 +449,8 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("cell"))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
       .cache()
-    assigned.as("q").join(assigned.as("c"),
+    assigned.as("q").join(
+        capCandidates(assigned, "cell", "vec_id", MaxSearchBucket).as("c"),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("cosine",
         round(vecDot(col("q.v"), col("c.v")) / expr("NULLIF(q.nrm * c.nrm, 0)"), 6))

@@ -462,6 +462,36 @@ class PipelineSpec extends SparkSpec {
     assert(maxCell(lloyd) == 149L) // the true clusters, each its own cell
   }
 
+  test("ANN candidate cap: no-op on gate corpora, bounds a planted hot cell") {
+    // the search-bucket twin of the band-bucket guard: inert by default
+    // (row-for-row identical output with the cap effectively off) ...
+    val guarded = Similarity.ivfTopK(spark, fixtureDir).collect().map(_.toSeq).toSeq
+    val uncapped = Similarity.ivfTopK(spark, fixtureDir, maxCell = Long.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    assert(guarded == uncapped && guarded.nonEmpty)
+    val lshG = Similarity.lshTopK(spark, fixtureDir).collect().map(_.toSeq).toSeq
+    val lshU = Similarity.lshTopK(spark, fixtureDir, maxBucket = Long.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    assert(lshG == lshU)
+    // ... and on a planted duplicate-heavy shard (60 near-identical
+    // vectors -> one cell) a cap of 5 keeps only the 5 lowest vec_ids as
+    // candidates: every neighbor is a representative and the join emits
+    // <= queries x cap rows instead of B^2
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(1.0)
+    val rows = (0 until 60).map(i =>
+      (i.toLong, base.map(x => (x + rnd.nextGaussian() * 0.01).toFloat), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotcell").toString
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val capped = Similarity.ivfTopK(spark, dir, k = 60, maxCell = 5L).collect()
+    assert(capped.forall(_.getAs[Long]("neighbor_id") < 5L))
+    assert(capped.length <= 60 * 5)
+    // sanity: without the guard the hot cell squares (every pair appears)
+    val free = Similarity.ivfTopK(spark, dir, k = 60, maxCell = Long.MaxValue).count()
+    assert(free == 60L * 59)
+  }
+
   test("embedding near-dup pass ranks the planted twins first") {
     val top2 = Similarity.embedNeardup(spark, fixtureDir).collect().take(2)
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

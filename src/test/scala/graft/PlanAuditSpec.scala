@@ -66,6 +66,18 @@ class PlanAuditSpec extends SparkSpec {
       s"vec_id bound not pushed to the scan:\n$pushed")
   }
 
+  test("every ANN search self-join carries the candidate cap guard") {
+    // the search twin of the band-bucket pin: every in-bucket/in-cell
+    // self-join plan must show the representative-selection window + the
+    // MaxSearchBucket filter on its candidate side
+    for (name <- Seq("ann_lsh", "ann_ivf", "ann_kmeans")) {
+      val plan = planOf(SparkEntry.queries(name)(spark, sf))
+      assert(plan.contains("row_number") &&
+        plan.contains(s"<= ${Similarity.MaxSearchBucket}"),
+        s"$name search join has no candidate cap:\n${plan.take(1500)}")
+    }
+  }
+
   test("ann_kmeans centroid updates partial-aggregate the explode in place") {
     // the Lloyd mean update posexplodes the corpus to (cell, pos, x); the
     // SUM/COUNT must combine map-side so the exchange above the Generate
