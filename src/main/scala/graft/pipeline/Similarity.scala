@@ -1108,7 +1108,13 @@ object Similarity {
     // both sides of the within-cell join read cellVecs — cache so the
     // n×K assignment runs once (the ivfTopK no-ReusedExchange discipline)
     val cellVecs = cellStructure(table(spark, dir, "embeddings"))._2.cache()
-    val dropped = cellVecs.as("a").join(cellVecs.as("b"),
+    // the LOWER-id side carries the candidate cap: b still drops when any
+    // of the cap lowest ids in its cell qualifies — for the hot-cell case
+    // the cap exists for (B near-identical vectors) the min-id keeper IS
+    // a representative, so the drop set is unchanged while the join emits
+    // B×cap rows instead of B²
+    val dropped = capCandidates(cellVecs, "cell", "c_id", MaxSearchBucket)
+      .as("a").join(cellVecs.as("b"),
         col("a.cell") === col("b.cell") && col("a.c_id") < col("b.c_id"))
       .withColumn("cosine",
         round(vecDot(col("a.c_v"), col("b.c_v")) / expr("NULLIF(a.c_n * b.c_n, 0)"), 6))

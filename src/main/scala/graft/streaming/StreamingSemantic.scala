@@ -49,8 +49,14 @@ object StreamingSemantic {
     // orders by the first field) — the argmax fold's broadcast input
     val centsRow = cents.agg(expr(
       "array_sort(collect_list(struct(cent_id, t_v, t_n))) AS __cents"))
+    // the static side carries the per-cell candidate cap (the ANN search
+    // guard): an increment row's anti-join probe pays at most
+    // MaxSearchBucket cosines per cell instead of the whole hot cell —
+    // for the near-identical hot cell the cap exists for, the lowest-id
+    // representatives ARE the duplicates a real dup would match
     gateWith(newVecs, centsRow,
-      cellVecs.select(col("cell"), col("c_v"), col("c_n")), threshold)
+      Similarity.capCandidates(cellVecs, "cell", "c_id", Similarity.MaxSearchBucket)
+        .select(col("cell"), col("c_v"), col("c_n")), threshold)
   }
 
   /** The same gate against PRECOMPUTED static artifacts — the production
