@@ -60,13 +60,18 @@ object Similarity {
     * (the [[Dedup.bandsFromTri]] shape, measured there within noise of
     * unguarded). */
   private[graft] def capCandidates(df: DataFrame, key: String, id: String,
-      cap: Long): DataFrame = {
-    val hot = df.groupBy(key).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > cap).select(key)
-    val kept = df.join(broadcast(hot), Seq(key), "left_semi")
-      .withColumn("__ck", row_number().over(Window.partitionBy(key).orderBy(id)))
+      cap: Long): DataFrame = capCandidatesBy(df, Seq(key), id, cap)
+
+  /** [[capCandidates]] over a composite group key (band, sig). */
+  private[graft] def capCandidatesBy(df: DataFrame, keys: Seq[String],
+      id: String, cap: Long): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > cap).select(keys.map(col): _*)
+    val kept = df.join(broadcast(hot), keys, "left_semi")
+      .withColumn("__ck", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(id)))
       .filter(col("__ck") <= cap).drop("__ck")
-    df.join(broadcast(hot), Seq(key), "left_anti").unionByName(kept)
+    df.join(broadcast(hot), keys, "left_anti").unionByName(kept)
   }
 
   /** Brute-force cosine top-k for the first [[NumQueries]] vectors. */
@@ -163,7 +168,11 @@ object Similarity {
       .select(col("vec_id"), posexplode(array(sigCols: _*)))
       .toDF("vec_id", "band", "sig")
       .cache()
-    val cands = bands.as("a").join(bands.as("b"),
+    // candidate side bounded per (band, sig) — the same guard as the ANN
+    // search joins; near-identical vectors share every band, so hot-bucket
+    // representatives still collide with every member
+    val cands = bands.as("a").join(
+        capCandidatesBy(bands, Seq("band", "sig"), "vec_id", MaxSearchBucket).as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))

@@ -70,7 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     // the search twin of the band-bucket pin: every in-bucket/in-cell
     // self-join plan must show the representative-selection window + the
     // MaxSearchBucket filter on its candidate side
-    for (name <- Seq("ann_lsh", "ann_ivf", "ann_kmeans")) {
+    for (name <- Seq("ann_lsh", "ann_ivf", "ann_kmeans", "embed_neardup",
+        "semantic_dedup")) {
       val plan = planOf(SparkEntry.queries(name)(spark, sf))
       assert(plan.contains("row_number") &&
         plan.contains(s"<= ${Similarity.MaxSearchBucket}"),
