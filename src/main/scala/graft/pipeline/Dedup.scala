@@ -200,7 +200,9 @@ object Dedup {
     // one cached shingle frame feeds signatures, sizes, and verification
     // (1 row per (doc, shingle) — bounded by the corpus token count)
     val tri = cached(shinglesOf(docs))
-    (tri, bandsFromTri(tri, cached))
+    // docs.count() is a parquet row-group-metadata job (no column reads)
+    // — the cheapest sound upper bound on any bucket's membership
+    (tri, bandsFromTri(tri, cached, docsUpperBound = docs.count()))
   }
 
   /** Per-(band, signature) bucket membership ceiling — the band-join twin
@@ -222,17 +224,22 @@ object Dedup {
     * signature aggregation is shingle-agnostic (word trigrams here,
     * frame hashes in [[Multimodal.mediaNeardup]]: any string set works,
     * since the shingle code is md5-based). Bucket membership is bounded
-    * by `maxBucket` (see [[MaxBandBucket]]): over-cap buckets are found
-    * with one partial-aggregated count (map-side combine collapses even
-    * a pathologically hot key) into a tiny BROADCAST frame, and only
-    * THOSE buckets' rows pay the representative-selection window — on a
-    * healthy corpus the hot frame is empty and the guard costs two
+    * by `maxBucket` (see [[MaxBandBucket]]) behind a TWO-LEVEL cheapness
+    * ladder: (1) a corpus of ≤ maxBucket docs cannot host an over-cap
+    * bucket, so one count() of the signature frame lets such corpora use
+    * the raw stack projection — the guard literally absent from their
+    * plans (at gate SF every always-on shape paid 1–6 s/query of fixed
+    * small-stage churn for a provably empty hot set); (2) an armed
+    * corpus finds actually-hot buckets with one partial-aggregated count
+    * (map-side combine collapses even a pathologically hot key) into a
+    * tiny BROADCAST frame, and only THOSE buckets' rows pay the
+    * representative-selection window — a healthy big corpus pays two
     * broadcast probes of an empty build side, never a full shuffle of
-    * the band frame (a first cut windowed everything and cost the family
-    * ~30% at gate SF for zero guarded rows). */
+    * the band frame. */
   private[graft] def bandsFromTri(tri: DataFrame,
       cached: DataFrame => DataFrame,
-      maxBucket: Long = MaxBandBucket): DataFrame = {
+      maxBucket: Long = MaxBandBucket,
+      docsUpperBound: Long = -1L): DataFrame = {
     val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
       expr(s"MIN(($a * x + $b) % $MinhashPrime)").as(s"m$i")
     }
@@ -248,20 +255,40 @@ object Dedup {
     }.mkString(", ")
     val banded = sigs.select(col("doc_id"),
       expr(s"stack($nBands, $bandRows) as (band, sig)"))
-    val hot = banded.groupBy("band", "sig")
-      .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-      .select("band", "sig")
-    val kept = banded.join(broadcast(hot), Seq("band", "sig"), "left_semi")
-      .withColumn("__bk", row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("band", "sig").orderBy("doc_id")))
-      .filter(col("__bk") <= maxBucket)
-      .drop("__bk")
-    // cached: the candidate self-join consumes the band frame on BOTH
-    // sides — uncached, the whole guard subtree (two hot-agg probes + the
-    // union) would execute once per side
-    cached(banded.join(broadcast(hot), Seq("band", "sig"), "left_anti")
-      .unionByName(kept)
-      .select("doc_id", "band", "sig"))
+    // A bucket can only exceed the cap if the CORPUS does: callers that
+    // know their doc count pass it (parquet footer metadata); otherwise
+    // one count() of the cached signature frame (work the query pays
+    // anyway — the cache materializes a moment early and is reused).
+    // Under-cap corpora get the RAW stack projection, fused into their
+    // consumers exactly as if the guard did not exist. Round-13
+    // profiling at sf0.1 (5 000 docs, nine-query family CPU) showed
+    // every always-on guard shape paying 1–6 s/query of fixed
+    // small-stage churn for a provably empty hot set: the hot-set split
+    // read 135 s vs 68 s unguarded, an eager over-cap probe ~124 s, a
+    // plain always-on window ~117 s; the count branch reads within noise
+    // of unguarded.
+    val bound = if (docsUpperBound >= 0L) docsUpperBound else sigs.count()
+    if (bound <= maxBucket) banded
+    else {
+      // armed path (corpus CAN host an over-cap bucket): find actually-hot
+      // buckets with one partial-aggregated count into a tiny broadcast
+      // frame and window ONLY their rows — a healthy big corpus pays two
+      // broadcast probes of an empty build side, never a full shuffle of
+      // the band frame
+      val hot = banded.groupBy("band", "sig")
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
+        .select("band", "sig")
+      val kept = banded.join(broadcast(hot), Seq("band", "sig"), "left_semi")
+        .withColumn("__bk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "sig").orderBy("doc_id")))
+        .filter(col("__bk") <= maxBucket)
+        .drop("__bk")
+      // cached: the candidate self-join consumes the band frame on BOTH
+      // sides — uncached, the guard subtree would execute once per side
+      cached(banded.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+        .unionByName(kept)
+        .select("doc_id", "band", "sig"))
+    }
   }
 
   /** Per-row (no-explode) MinHash band signatures over a pre-split token

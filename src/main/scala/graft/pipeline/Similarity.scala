@@ -53,26 +53,33 @@ object Similarity {
   val MaxSearchBucket: Long = 16384L
 
   /** Bound the candidate side of an in-bucket self-join at `cap` members
-    * per `key` group, keeping the lowest `id`s. Hot groups are found with
-    * one partial-aggregated count into a tiny BROADCAST frame and only
-    * their rows pay the representative-selection window — on a healthy
-    * corpus the guard is two broadcast probes of an empty build side
-    * (the [[Dedup.bandsFromTri]] shape, measured there within noise of
-    * unguarded). */
+    * per `key` group, keeping the lowest `id`s — the same two-level
+    * cheapness ladder as [[Dedup.bandsFromTri]]: a frame of ≤ cap rows
+    * cannot host an over-cap group (one count(), and the guard is absent
+    * from the plan); an armed frame windows only the actually-hot groups
+    * found by one partial-aggregated count into a broadcast frame. */
   private[graft] def capCandidates(df: DataFrame, key: String, id: String,
       cap: Long): DataFrame = capCandidatesBy(df, Seq(key), id, cap)
 
   /** [[capCandidates]] over a composite group key (band, sig). */
   private[graft] def capCandidatesBy(df: DataFrame, keys: Seq[String],
-      id: String, cap: Long): DataFrame = {
-    val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > cap).select(keys.map(col): _*)
-    val kept = df.join(broadcast(hot), keys, "left_semi")
-      .withColumn("__ck", row_number().over(
-        Window.partitionBy(keys.map(col): _*).orderBy(id)))
-      .filter(col("__ck") <= cap).drop("__ck")
-    df.join(broadcast(hot), keys, "left_anti").unionByName(kept)
-  }
+      id: String, cap: Long): DataFrame =
+    // a group can only exceed the cap if the frame does: one count() of
+    // the (caller-cached) frame — materialized a moment early, reused by
+    // the query — makes the guard structurally free on any corpus of
+    // ≤ cap vectors, the same branch as [[Dedup.bandsFromTri]]'s
+    if (df.count() <= cap) df
+    else {
+      // armed path: window only the actually-hot groups (broadcast hot
+      // set, empty on healthy corpora), mirroring Dedup.bandsFromTri
+      val hot = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > cap).select(keys.map(col): _*)
+      val kept = df.join(broadcast(hot), keys, "left_semi")
+        .withColumn("__ck", row_number().over(
+          Window.partitionBy(keys.map(col): _*).orderBy(id)))
+        .filter(col("__ck") <= cap).drop("__ck")
+      df.join(broadcast(hot), keys, "left_anti").unionByName(kept)
+    }
 
   /** Brute-force cosine top-k for the first [[NumQueries]] vectors. */
   def annCosine(spark: SparkSession, dir: String): DataFrame = {

@@ -66,17 +66,25 @@ class PlanAuditSpec extends SparkSpec {
       s"vec_id bound not pushed to the scan:\n$pushed")
   }
 
-  test("every ANN search self-join carries the candidate cap guard") {
-    // the search twin of the band-bucket pin: every in-bucket/in-cell
-    // self-join plan must show the representative-selection window + the
-    // MaxSearchBucket filter on its candidate side
+  test("ANN search joins pay the candidate cap only when the corpus can exceed it") {
+    // the search twin of the band-bucket pin, same two-level ladder: gate
+    // corpora (fewer vectors than MaxSearchBucket) must NOT carry the
+    // guard window...
     for (name <- Seq("ann_lsh", "ann_ivf", "ann_kmeans", "embed_neardup",
         "semantic_dedup")) {
       val plan = planOf(SparkEntry.queries(name)(spark, sf))
-      assert(plan.contains("row_number") &&
-        plan.contains(s"<= ${Similarity.MaxSearchBucket}"),
-        s"$name search join has no candidate cap:\n${plan.take(1500)}")
+      assert(!plan.contains("__ck"),
+        s"$name pays the cap window on an under-cap corpus:\n${plan.take(1500)}")
     }
+    // ...and an over-cap corpus arms it (plan carries the hot probe +
+    // window); behavior on a planted hot cell is pinned in PipelineSpec
+    val emb = graft.drift.table(spark, sf, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.lit(0).as("cell"))
+    val armed = Similarity.capCandidatesBy(emb, Seq("cell"), "vec_id", 5L)
+    val armedPlan = planOf(armed)
+    assert(armedPlan.contains("row_number") && armedPlan.contains("__ck"),
+      s"over-cap frame did not arm the candidate cap:\n${armedPlan.take(1500)}")
   }
 
   test("ann_kmeans centroid updates partial-aggregate the explode in place") {
@@ -149,23 +157,27 @@ class PlanAuditSpec extends SparkSpec {
       "sanity: the uncapped baseline should have no ceiling filter")
   }
 
-  test("every band equi-join carries the bucket cardinality guard") {
-    // round-12 verdict item 2: banding bounds buckets-per-doc and the df
-    // ceiling bounds shingle fan-out, but only the bucket guard bounds
-    // docs-per-bucket — the B² candidate blowup a duplicate-heavy shard
-    // triggers. Every gate plan that equi-joins on (band, sig) must show
-    // the row_number window + the MaxBandBucket filter upstream.
-    // (neardup_clusters inherits the guard through the same
-    // pairsFromTriAndBands call, but its iterative component loop
-    // checkpoints the pair frame, so the final executed plan can't show
-    // the upstream window — covered by construction + PipelineSpec)
+  test("band joins pay the bucket guard only when the corpus can host one") {
+    // round-12 verdict item 2, round-13 shape: a corpus of <= MaxBandBucket
+    // docs cannot host an over-cap bucket, so gate corpora must NOT carry
+    // the representative-selection window (always-on guard shapes paid
+    // 1-6 s/query of fixed small-stage churn for a provably empty hot
+    // set)...
     for (name <- Seq("minhash_lsh", "incremental_dedup",
         "media_neardup", "dedup_quality")) {
       val plan = planOf(SparkEntry.queries(name)(spark, sf))
-      assert(plan.contains("row_number") &&
-        plan.contains(s"<= ${graft.pipeline.Dedup.MaxBandBucket}"),
-        s"$name band join has no bucket guard:\n${plan.take(1500)}")
+      assert(!plan.contains("__bk"),
+        s"$name pays the guard window on an under-cap corpus:\n${plan.take(1500)}")
     }
+    // ...and a corpus bigger than the cap must arm it: the window + the
+    // hot-bucket probe appear in the band frame's plan
+    import spark.implicits._
+    val hotText = "alpha beta gamma delta eps zeta eta theta iota kappa"
+    val hot = (0 until 12).map(i => (i.toLong, hotText)).toDF("doc_id", "text")
+    val tri = Dedup.shinglesOf(hot).cache()
+    val hotPlan = planOf(Dedup.bandsFromTri(tri, _.cache(), maxBucket = 5L))
+    assert(hotPlan.contains("row_number") && hotPlan.contains("__bk"),
+      s"planted over-cap corpus did not arm the guard:\n${hotPlan.take(1500)}")
   }
 
   test("as-of join plans one key shuffle and no join node at all") {
