@@ -346,13 +346,14 @@ object Similarity {
     val cents = withNorm(
       table(spark, dir, "embeddings").filter(col("vec_id") < cells), "t")
       .select(col("t_id").as("cent_id"), col("t_v"), col("t_n"))
+    // max_by argmax — same selection as the row_number window, one
+    // partial aggregation instead of a shuffle+sort (see cellStructure)
     val assign = emb.crossJoin(broadcast(cents))
       .withColumn("sim",
         round(vecDot(col("c_v"), col("t_v")) / expr("NULLIF(c_n * t_n, 0)"), 6))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy("c_id").orderBy(col("sim").desc, col("cent_id").asc)))
-      .filter(col("ark") === 1)
-      .select(col("c_id").as("vec_id"), col("cent_id").as("cell"))
+      .groupBy(col("c_id"))
+      .agg(expr("max_by(cent_id, struct(sim, -cent_id))").as("cell"))
+      .select(col("c_id").as("vec_id"), col("cell"))
     emb.join(assign, col("c_id") === col("vec_id")).drop("vec_id").cache()
   }
 
@@ -529,10 +530,8 @@ object Similarity {
       v2.crossJoin(broadcast(cents))
         .withColumn("sim",
           round(vecDot(col("vm"), col("cm")) / expr("NULLIF(nm * cn, 0)"), 6))
-        .withColumn("ark", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cent_id").asc)))
-        .filter(col("ark") === 1)
-        .select(col("vec_id"), col("cent_id").as("cell"))
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cent_id, struct(sim, -cent_id))").as("cell"))
     var cents = v2.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cent_id"), col("vm").as("cm"), col("nm").as("cn"))
     for (_ <- 1 to iters) {
@@ -1106,13 +1105,16 @@ object Similarity {
     val cells = cellsForCorpus(emb0.count())
     val cents = withNorm(emb0.filter(col("vec_id") < cells), "t")
       .select(col("t_id").as("cent_id"), col("t_v"), col("t_n"))
+    // argmax as max_by over struct(sim, -cent_id): identical selection to
+    // a row_number window (max sim, then min cent_id; null sims sort
+    // below any value in struct order, matching NULLS LAST) but runs as
+    // one partial aggregation — map-side combined, no per-vector sort
     val assign = emb.crossJoin(broadcast(cents))
       .withColumn("sim",
         round(vecDot(col("c_v"), col("t_v")) / expr("NULLIF(c_n * t_n, 0)"), 6))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy("c_id").orderBy(col("sim").desc, col("cent_id").asc)))
-      .filter(col("ark") === 1)
-      .select(col("c_id").as("vec_id"), col("cent_id").as("cell"))
+      .groupBy(col("c_id"))
+      .agg(expr("max_by(cent_id, struct(sim, -cent_id))").as("cell"))
+      .select(col("c_id").as("vec_id"), col("cell"))
     val cellVecs = emb.join(assign, col("c_id") === col("vec_id"), "left")
       .withColumn("cell", coalesce(col("cell"), col("c_id")))
       .drop("vec_id")
