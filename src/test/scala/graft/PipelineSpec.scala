@@ -462,6 +462,30 @@ class PipelineSpec extends SparkSpec {
     assert(maxCell(lloyd) == 149L) // the true clusters, each its own cell
   }
 
+  test("zero-norm vectors assign to the smallest centroid id, deterministically") {
+    // pins the max_by null-ordering claim: a zero vector's cosine to every
+    // centroid is NULL (NULLIF norm product), and struct(sim, -cent_id)
+    // with a null first field orders below any non-null sim — so the
+    // argmax must fall back to the SMALLEST cent_id, exactly like the
+    // row_number window's NULLS LAST + cent_id ASC tie-break did
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 300).map { i =>
+      val v = if (i == 250) Array.fill(64)(0.0f)
+              else Array.fill(64)(rnd.nextGaussian().toFloat * 0.3f)
+      (i.toLong, v, 0)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-zerovec").toString
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // 300 vectors -> 2 cells; the zero vector (id 250) must land in cell 0
+    def cellOf250: Long = Similarity
+      .cellStructure(spark.read.parquet(s"$dir/embeddings.parquet"))._2
+      .filter(org.apache.spark.sql.functions.col("c_id") === 250L)
+      .collect().head.getAs[Long]("cell")
+    assert(cellOf250 == 0L)
+    assert(cellOf250 == 0L) // deterministic under re-execution
+  }
+
   test("ANN candidate cap: no-op on gate corpora, bounds a planted hot cell") {
     // the search-bucket twin of the band-bucket guard: inert by default
     // (row-for-row identical output with the cap effectively off) ...

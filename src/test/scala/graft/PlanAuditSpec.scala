@@ -56,6 +56,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Project"), s"no projection found:\n$plan")
   }
 
+  test("IVF assignment argmax partial-aggregates (no window over the scored crossjoin)") {
+    // round 13: the nearest-centroid pick is max_by, a real aggregate —
+    // the plan must show a partial_max_by below the exchange and NO
+    // row_number window over the n×K scored frame (the window shape
+    // shuffled+sorted the whole crossjoin per assignment pass)
+    val plan = planOf(Similarity.ivfTopK(spark, sf))
+    assert(plan.contains("partial_max_by") || plan.contains("max_by"),
+      s"assignment is not a max_by aggregate:\n${plan.take(2000)}")
+    val cellVecsPart = plan.substring(plan.indexOf("max_by"))
+    assert(!cellVecsPart.contains("windowspecdefinition(c_id"),
+      "a window argmax survives below the max_by assignment")
+  }
+
   test("IVF centroid scan pushes the vec_id bound into parquet") {
     val plan = planOf(Similarity.ivfTopK(spark, sf))
     // the K-smallest-vec_id centroid set is a literal predicate at plan
