@@ -90,7 +90,10 @@ object Bench {
       stable = if (cur == prev) stable + 1 else 0
       prev = cur
       val (s, e) = cur._2
-      if (stable >= 1 && s == e) return cur._1
+      // two consecutive quiet beats (matching the scaladoc): one quiet
+      // 10 ms read can land between a task's end event and a sibling's
+      // start event and bleed the straggler into the next run's delta
+      if (stable >= 2 && s == e) return cur._1
       tries += 1
     }
     prev._1

@@ -200,9 +200,7 @@ object Dedup {
     // one cached shingle frame feeds signatures, sizes, and verification
     // (1 row per (doc, shingle) — bounded by the corpus token count)
     val tri = cached(shinglesOf(docs))
-    // docs.count() is a parquet row-group-metadata job (no column reads)
-    // — the cheapest sound upper bound on any bucket's membership
-    (tri, bandsFromTri(tri, cached, docsUpperBound = docs.count()))
+    (tri, bandsFromTri(tri, cached))
   }
 
   /** Per-(band, signature) bucket membership ceiling — the band-join twin
@@ -223,23 +221,12 @@ object Dedup {
   /** Per-doc (band, sig) rows from ANY (doc_id, sh) shingle frame — the
     * signature aggregation is shingle-agnostic (word trigrams here,
     * frame hashes in [[Multimodal.mediaNeardup]]: any string set works,
-    * since the shingle code is md5-based). Bucket membership is bounded
-    * by `maxBucket` (see [[MaxBandBucket]]) behind a TWO-LEVEL cheapness
-    * ladder: (1) a corpus of ≤ maxBucket docs cannot host an over-cap
-    * bucket, so one count() of the signature frame lets such corpora use
-    * the raw stack projection — the guard literally absent from their
-    * plans (at gate SF every always-on shape paid 1–6 s/query of fixed
-    * small-stage churn for a provably empty hot set); (2) an armed
-    * corpus finds actually-hot buckets with one partial-aggregated count
-    * (map-side combine collapses even a pathologically hot key) into a
-    * tiny BROADCAST frame, and only THOSE buckets' rows pay the
-    * representative-selection window — a healthy big corpus pays two
-    * broadcast probes of an empty build side, never a full shuffle of
-    * the band frame. */
+    * since the shingle code is md5-based). Returns the RAW band frame —
+    * the bucket membership cap (see [[MaxBandBucket]]) is applied by the
+    * JOIN consumers via [[bandReps]] on ONE side only, so every doc
+    * remains reachable as the other side of a candidate pair. */
   private[graft] def bandsFromTri(tri: DataFrame,
-      cached: DataFrame => DataFrame,
-      maxBucket: Long = MaxBandBucket,
-      docsUpperBound: Long = -1L): DataFrame = {
+      cached: DataFrame => DataFrame): DataFrame = {
     val mins = hashCoefs.zipWithIndex.map { case ((a, b), i) =>
       expr(s"MIN(($a * x + $b) % $MinhashPrime)").as(s"m$i")
     }
@@ -255,37 +242,46 @@ object Dedup {
     }.mkString(", ")
     val banded = sigs.select(col("doc_id"),
       expr(s"stack($nBands, $bandRows) as (band, sig)"))
-    // A bucket can only exceed the cap if the CORPUS does: callers that
-    // know their doc count pass it (parquet footer metadata); otherwise
-    // one count() of the cached signature frame (work the query pays
-    // anyway — the cache materializes a moment early and is reused).
-    // Under-cap corpora get the RAW stack projection, fused into their
-    // consumers exactly as if the guard did not exist. Round-13
-    // profiling at sf0.1 (5 000 docs, nine-query family CPU) showed
-    // every always-on guard shape paying 1–6 s/query of fixed
-    // small-stage churn for a provably empty hot set: the hot-set split
-    // read 135 s vs 68 s unguarded, an eager over-cap probe ~124 s, a
-    // plain always-on window ~117 s; the count branch reads within noise
-    // of unguarded.
-    val bound = if (docsUpperBound >= 0L) docsUpperBound else sigs.count()
-    if (bound <= maxBucket) banded
+    banded
+  }
+
+  /** ONE-SIDED bucket representatives for a band-join's lower-id /
+    * candidate side: buckets over `maxBucket` keep their cap lowest
+    * doc_ids. Applied to one side only, a hot bucket of B docs emits
+    * B×cap candidate pairs instead of B² — and, unlike capping the whole
+    * band frame, EVERY doc stays reachable from the uncapped side, so a
+    * shard of B identical docs still flags all B−1 copies against the
+    * representatives (capping both sides silently let evicted duplicates
+    * skip dedup entirely — round-13 review finding).
+    *
+    * Cost is a two-level cheapness ladder: (1) a corpus of ≤ maxBucket
+    * docs cannot host an over-cap bucket — callers pass the doc count
+    * (cheap parquet count; fallback: bands-rows ÷ nBands off the cached
+    * frame) and under-cap corpora return the frame UNTOUCHED, the guard
+    * absent from their plans (round-13 profiling: every always-on shape
+    * paid 1–6 s/query of fixed small-stage churn at gate SF — hot-split
+    * 135 s vs 68 s unguarded family CPU, eager probe ~124 s, always-on
+    * window ~117 s; the count branch reads within noise of unguarded);
+    * (2) an armed corpus windows ONLY actually-hot buckets, found by one
+    * partial-aggregated count into a tiny broadcast frame — a healthy
+    * big corpus pays two broadcast probes of an empty build side. */
+  private[graft] def bandReps(bands: DataFrame,
+      cached: DataFrame => DataFrame,
+      maxBucket: Long = MaxBandBucket,
+      docsUpperBound: Long = -1L): DataFrame = {
+    val bound = if (docsUpperBound >= 0L) docsUpperBound
+      else bands.count() / (NumHashes / BandRows)
+    if (bound <= maxBucket) bands
     else {
-      // armed path (corpus CAN host an over-cap bucket): find actually-hot
-      // buckets with one partial-aggregated count into a tiny broadcast
-      // frame and window ONLY their rows — a healthy big corpus pays two
-      // broadcast probes of an empty build side, never a full shuffle of
-      // the band frame
-      val hot = banded.groupBy("band", "sig")
+      val hot = bands.groupBy("band", "sig")
         .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
         .select("band", "sig")
-      val kept = banded.join(broadcast(hot), Seq("band", "sig"), "left_semi")
+      val kept = bands.join(broadcast(hot), Seq("band", "sig"), "left_semi")
         .withColumn("__bk", row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("band", "sig").orderBy("doc_id")))
         .filter(col("__bk") <= maxBucket)
         .drop("__bk")
-      // cached: the candidate self-join consumes the band frame on BOTH
-      // sides — uncached, the guard subtree would execute once per side
-      cached(banded.join(broadcast(hot), Seq("band", "sig"), "left_anti")
+      cached(bands.join(broadcast(hot), Seq("band", "sig"), "left_anti")
         .unionByName(kept)
         .select("doc_id", "band", "sig"))
     }
@@ -372,14 +368,23 @@ object Dedup {
     // unscoped (Verify/Bench clear between queries)
     def cached(df: DataFrame) = scope.fold(df.cache())(_.cached(df))
     val (tri, bands) = triAndBands(docs, cached)
-    pairsFromTriAndBands(tri, bands)
+    // docs.count() (cheap, column-pruned) proves the cap a no-op for
+    // under-cap corpora — see the bandReps cheapness ladder
+    pairsFromTriAndBands(tri, bands, cached, docsUpperBound = docs.count())
   }
 
   /** Band self-join → candidate pairs → exact-Jaccard verification over
     * ANY (doc_id, sh) shingle frame + its band frame — the LSH pair
     * pipeline factored shingle-agnostic (see [[bandsFromTri]]). */
-  private[graft] def pairsFromTriAndBands(tri: DataFrame, bands: DataFrame): DataFrame = {
-    val cands = bands.as("a").join(bands.as("b"),
+  private[graft] def pairsFromTriAndBands(tri: DataFrame, bands: DataFrame,
+      cached: DataFrame => DataFrame = _.cache(),
+      maxBucket: Long = MaxBandBucket,
+      docsUpperBound: Long = -1L): DataFrame = {
+    // the LOWER-id side carries the bucket cap ([[bandReps]]): every doc
+    // still appears as doc_b, so a hot bucket's members all pair with the
+    // representatives (bounded B×cap) and none escapes dedup
+    val cands = bandReps(bands, cached, maxBucket, docsUpperBound).as("a")
+      .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -473,8 +478,16 @@ object Dedup {
       .select("doc_id")
     // gate 2: LSH band collision, exact-Jaccard verified, exact dups excluded
     val (tri, bands) = triAndBands(docs, _.cache())
+    // the CORPUS (candidate) side carries the bucket cap: a batch doc in a
+    // hot bucket probes the cap lowest corpus ids instead of the whole
+    // bucket — for the duplicate-shard case those representatives are
+    // exactly the content a real dup collides with, so the keep/drop
+    // decision is unchanged while the probe stays bounded
+    val corpusSide = Similarity.capCandidatesBy(
+      bands.join(corpusIds, "doc_id"), Seq("band", "sig"), "doc_id",
+      MaxBandBucket, sizeBound = docs.count())
     val cands = bands.join(batchIds, "doc_id").as("a")
-      .join(bands.join(corpusIds, "doc_id").as("b"),
+      .join(corpusSide.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .groupBy(col("a.doc_id").as("batch_doc"), col("b.doc_id").as("corpus_doc"))
       .agg(count(lit(1)).as("n_shared_bands"))

@@ -188,7 +188,10 @@ object Multimodal {
       .select(col("media_id").as("doc_id"),
         col("frame_hash").cast("string").as("sh"))
       .distinct().cache()
-    Dedup.pairsFromTriAndBands(tri, Dedup.bandsFromTri(tri, _.cache()))
+    // media count (cheap parquet count) = the bandReps ladder's upper
+    // bound on any frame-hash bucket's membership
+    Dedup.pairsFromTriAndBands(tri, Dedup.bandsFromTri(tri, _.cache()),
+        docsUpperBound = mediaTable(spark, dir).count())
       .selectExpr("doc_a AS media_a", "doc_b AS media_b",
         "n_shared_bands", "jaccard")
       .orderBy("media_a", "media_b")

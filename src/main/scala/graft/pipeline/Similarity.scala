@@ -59,16 +59,21 @@ object Similarity {
     * from the plan); an armed frame windows only the actually-hot groups
     * found by one partial-aggregated count into a broadcast frame. */
   private[graft] def capCandidates(df: DataFrame, key: String, id: String,
-      cap: Long): DataFrame = capCandidatesBy(df, Seq(key), id, cap)
+      cap: Long, sizeBound: Long = -1L): DataFrame =
+    capCandidatesBy(df, Seq(key), id, cap, sizeBound)
 
-  /** [[capCandidates]] over a composite group key (band, sig). */
+  /** [[capCandidates]] over a composite group key (band, sig).
+    * `sizeBound`: an upper bound on any group's membership known by the
+    * caller (e.g. the vector count when `df` has several rows per
+    * vector); -1 falls back to counting the (caller-cached) frame. */
   private[graft] def capCandidatesBy(df: DataFrame, keys: Seq[String],
-      id: String, cap: Long): DataFrame =
-    // a group can only exceed the cap if the frame does: one count() of
-    // the (caller-cached) frame — materialized a moment early, reused by
-    // the query — makes the guard structurally free on any corpus of
-    // ≤ cap vectors, the same branch as [[Dedup.bandsFromTri]]'s
-    if (df.count() <= cap) df
+      id: String, cap: Long, sizeBound: Long = -1L): DataFrame =
+    // a group can only exceed the cap if the frame does: the caller's
+    // bound (or one count() of the caller-cached frame — materialized a
+    // moment early, reused by the query) makes the guard structurally
+    // free on any corpus of ≤ cap members, the same ladder as
+    // [[Dedup.bandReps]]
+    if ((if (sizeBound >= 0L) sizeBound else df.count()) <= cap) df
     else {
       // armed path: window only the actually-hot groups (broadcast hot
       // set, empty on healthy corpora), mirroring Dedup.bandsFromTri
@@ -175,11 +180,16 @@ object Similarity {
       .select(col("vec_id"), posexplode(array(sigCols: _*)))
       .toDF("vec_id", "band", "sig")
       .cache()
-    // candidate side bounded per (band, sig) — the same guard as the ANN
-    // search joins; near-identical vectors share every band, so hot-bucket
-    // representatives still collide with every member
-    val cands = bands.as("a").join(
-        capCandidatesBy(bands, Seq("band", "sig"), "vec_id", MaxSearchBucket).as("b"),
+    // the LOWER-id side carries the per-(band, sig) cap: every vector
+    // still appears as the b side, so a hot bucket's members all pair
+    // with the lowest-id representatives (B×cap, never B²) and the
+    // strongest pair is never silently lost to eviction — capping the b
+    // side instead would cut evicted vectors out of EVERY pair
+    // (round-13 review finding). sizeBound = one row per vector in
+    // `emb`, so bands (4 rows/vector) can't mislead the arming count.
+    val cands = capCandidatesBy(bands, Seq("band", "sig"), "vec_id",
+        MaxSearchBucket, sizeBound = emb.count()).as("a")
+      .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("doc_a"), col("b.vec_id").as("doc_b"))
@@ -516,16 +526,22 @@ object Similarity {
     * in-cell join. The centroid frame (≤[[MaxIvfCells]]×[[Dim]]) never
     * collects to the driver. */
   def lloydIvfTopK(spark: SparkSession, dir: String, k: Int = TopK,
-      iters: Int = LloydIters): DataFrame = {
+      iters: Int = LloydIters,
+      scope: Option[graft.drift.CacheScope] = None): DataFrame = {
+    // cache lifecycle (the ivfTopKFromIndex discipline): a build-once/
+    // query-many service must pass a CacheScope and release() it, or the
+    // per-call caches (v2 + per-iteration centroids + cellVecs)
+    // accumulate; the unscoped default matches Verify/Bench, which clear
+    // the whole cache between queries
+    def cachedF(df: DataFrame): DataFrame = scope.fold(df.cache())(_.cached(df))
     val cells = cellsForCorpus(table(spark, dir, "embeddings").count())
     // micro-unit frame: scanned by every assignment pass and the mean
-    // update, so cached once (Verify/Bench clear the cache per query)
-    val v2 = table(spark, dir, "embeddings")
+    // update, so cached once
+    val v2 = cachedF(table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("vm", expr("transform(v, x -> ROUND(x * 1e6, 0))"))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
-      .withColumn("nm", sqrt(vecDot(col("vm"), col("vm"))))
-      .cache()
+      .withColumn("nm", sqrt(vecDot(col("vm"), col("vm")))))
     def argmaxCell(cents: DataFrame): DataFrame =
       v2.crossJoin(broadcast(cents))
         .withColumn("sim",
@@ -539,15 +555,13 @@ object Similarity {
       // cached: iteration i+1's broadcast (and the final assignment) embed
       // this frame as a subtree — uncached, each level would re-run every
       // earlier pass, turning t iterations into O(t²) corpus scans
-      cents = cents.join(means, cents("cent_id") === means("cell"), "left")
+      cents = cachedF(cents.join(means, cents("cent_id") === means("cell"), "left")
         .select(col("cent_id"), coalesce(col("cm1"), col("cm")).as("cm"))
-        .withColumn("cn", sqrt(vecDot(col("cm"), col("cm"))))
-        .cache()
+        .withColumn("cn", sqrt(vecDot(col("cm"), col("cm")))))
     }
-    val cellVecs = v2.join(argmaxCell(cents), "vec_id")
+    val cellVecs = cachedF(v2.join(argmaxCell(cents), "vec_id")
       .select(col("vec_id").as("c_id"), col("v").as("c_v"),
-        col("nrm").as("c_n"), col("cell"))
-      .cache()
+        col("nrm").as("c_n"), col("cell")))
     inCellTopK(cellVecs, k)
   }
 

@@ -44,7 +44,11 @@ object StreamingSemantic {
     * schema. */
   def semanticGate(newVecs: DataFrame, corpus: DataFrame,
       threshold: Double = Similarity.SemDedupThreshold): DataFrame = {
-    val (cents, cellVecs) = Similarity.cellStructure(corpus)
+    // cached: capCandidates' arming count materializes the n×K assignment
+    // once and every micro-batch's anti-join reuses it (uncached, the
+    // count threw the scan away and each batch re-ran it — r13 review)
+    val (cents, cellVecs0) = Similarity.cellStructure(corpus)
+    val cellVecs = cellVecs0.cache()
     // one row holding the centroid array sorted by cent_id (struct sort
     // orders by the first field) — the argmax fold's broadcast input
     val centsRow = cents.agg(expr(

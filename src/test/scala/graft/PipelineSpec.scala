@@ -72,36 +72,47 @@ class PipelineSpec extends SparkSpec {
 
   test("band-bucket guard: no-op on gate corpora, bounds a planted hot bucket") {
     import spark.implicits._
-    // no-op pin (the MaxShingleDfAbs discipline): the guarded band frame
-    // equals the unguarded one row-for-row on real gate data, so every
+    // no-op pin (the MaxShingleDfAbs discipline): the capped lower side
+    // equals the raw band frame row-for-row on real gate data, so every
     // LSH gate hash is unchanged by the guard's existence
     val tri = Dedup.shinglesOf(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .select("doc_id", "text")).cache()
-    val guarded = Dedup.bandsFromTri(tri, _.cache()).collect().map(_.toString).sorted.toSeq
-    val unguarded = Dedup.bandsFromTri(tri, _.cache(), maxBucket = Long.MaxValue)
-      .collect().map(_.toString).sorted.toSeq
-    assert(guarded == unguarded, "bucket cap excluded docs on a gate corpus")
+    val bands = Dedup.bandsFromTri(tri, _.cache())
+    val capped = Dedup.bandReps(bands, _.cache()).collect().map(_.toString).sorted.toSeq
+    val raw = bands.collect().map(_.toString).sorted.toSeq
+    assert(capped == raw, "bucket cap excluded docs on a gate corpus")
     // headroom: the hottest (band, sig) bucket sits far under the cap, so
     // a data refresh hot enough to matter fails here first
-    val maxBucket = Dedup.bandsFromTri(tri, _.cache(), maxBucket = Long.MaxValue)
+    val maxBucket = bands
       .groupBy("band", "sig").count().agg(max("count")).collect()(0).getLong(0)
     assert(maxBucket < Dedup.MaxBandBucket / 10,
       s"hottest band bucket $maxBucket is within 10x of the cap")
     // planted hot bucket — the 100 TB duplicate-shard scenario: 50
     // identical docs collapse into ONE bucket per band; cap 5 keeps the 5
-    // lowest doc_ids, so the candidate join emits C(5,2) pairs, not C(50,2)
+    // lowest doc_ids on the LOWER-id join side only, so the candidate
+    // join emits B×cap-bounded pairs (235, not C(50,2) = 1225) while
+    // EVERY copy still pairs with a representative — nothing escapes the
+    // dedup decision (capping both sides would silently free the evicted
+    // 45 copies)
     val hotText = "alpha beta gamma delta eps zeta eta theta iota kappa lambda mu"
     val hot = (0 until 50).map(i => (i.toLong, hotText)).toDF("doc_id", "text")
     val hotTri = Dedup.shinglesOf(hot).cache()
-    val hotBands = Dedup.bandsFromTri(hotTri, _.cache(), maxBucket = 5L)
-    assert(hotBands.groupBy("band", "sig").count()
+    val hotBands = Dedup.bandsFromTri(hotTri, _.cache())
+    val reps = Dedup.bandReps(hotBands, _.cache(), maxBucket = 5L)
+    assert(reps.groupBy("band", "sig").count()
       .agg(max("count")).collect()(0).getLong(0) <= 5L)
-    assert(hotBands.select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(reps.select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
       == (0L until 5L).toSeq, "representatives must be the lowest doc_ids")
-    assert(Dedup.pairsFromTriAndBands(hotTri, hotBands).count() == 10L)
-    assert(Dedup.pairsFromTriAndBands(hotTri,
-      Dedup.bandsFromTri(hotTri, _.cache(), maxBucket = Long.MaxValue)).count() == 1225L,
+    val pairs = Dedup.pairsFromTriAndBands(hotTri, hotBands, maxBucket = 5L)
+      .select("doc_a", "doc_b").collect()
+    // a = reps only; every non-minimum copy appears as doc_b
+    assert(pairs.map(_.getLong(0)).toSet.subsetOf((0L until 5L).toSet))
+    assert(pairs.map(_.getLong(1)).toSet == (1L until 50L).toSet,
+      "an evicted copy escaped the dedup decision")
+    assert(pairs.length == (0 until 5).map(a => 49 - a).sum) // 235
+    assert(Dedup.pairsFromTriAndBands(hotTri, hotBands,
+      maxBucket = Long.MaxValue).count() == 1225L,
       "sanity: without the guard the hot bucket squares")
   }
 

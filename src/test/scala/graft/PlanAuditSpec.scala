@@ -183,12 +183,13 @@ class PlanAuditSpec extends SparkSpec {
         s"$name pays the guard window on an under-cap corpus:\n${plan.take(1500)}")
     }
     // ...and a corpus bigger than the cap must arm it: the window + the
-    // hot-bucket probe appear in the band frame's plan
+    // hot-bucket probe appear in the lower-side representative frame
     import spark.implicits._
     val hotText = "alpha beta gamma delta eps zeta eta theta iota kappa"
     val hot = (0 until 12).map(i => (i.toLong, hotText)).toDF("doc_id", "text")
     val tri = Dedup.shinglesOf(hot).cache()
-    val hotPlan = planOf(Dedup.bandsFromTri(tri, _.cache(), maxBucket = 5L))
+    val hotPlan = planOf(Dedup.bandReps(
+      Dedup.bandsFromTri(tri, _.cache()), _.cache(), maxBucket = 5L))
     assert(hotPlan.contains("row_number") && hotPlan.contains("__bk"),
       s"planted over-cap corpus did not arm the guard:\n${hotPlan.take(1500)}")
   }

@@ -130,20 +130,27 @@ class SkewStressSpec extends SparkSpec {
     val cap = 100L
     val tri = Dedup.shinglesOf(
       graft.drift.table(spark, dir, "documents").select("doc_id", "text")).cache()
-    val bands = Dedup.bandsFromTri(tri, _.cache(), maxBucket = cap)
-    // every copy lands in ONE (band, sig) bucket per band; the guard must
-    // keep exactly `cap` representatives (the lowest doc_ids) per bucket
-    val hotBucketMax = bands.filter(col("doc_id") < NHotCopies)
+    val bands = Dedup.bandsFromTri(tri, _.cache())
+    // every copy lands in ONE (band, sig) bucket per band; the lower-side
+    // representative set must hold exactly `cap` lowest doc_ids per bucket
+    val reps = Dedup.bandReps(bands, _.cache(), maxBucket = cap)
+    val hotBucketMax = reps.filter(col("doc_id") < NHotCopies)
       .groupBy("band", "sig").count().agg(max("count")).collect()(0).getLong(0)
     assert(hotBucketMax == cap, s"guard did not fire: hot bucket holds $hotBucketMax")
-    val hotReps = bands.filter(col("doc_id") < NHotCopies)
+    val hotReps = reps.filter(col("doc_id") < NHotCopies)
       .select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
     assert(hotReps == (0L until cap).toSeq, "representatives must be the lowest doc_ids")
-    // candidate fan-out is C(cap,2) for the hot bucket, not C(1000,2):
-    // bounded to ~5k pairs instead of ~500k
-    val hotPairs = Dedup.pairsFromTriAndBands(tri, bands)
-      .filter(col("doc_a") < NHotCopies && col("doc_b") < NHotCopies).count()
-    assert(hotPairs == cap * (cap - 1) / 2, s"hot candidate pairs: $hotPairs")
+    // candidate fan-out is B×cap-bounded (94 950 pairs, not
+    // C(1000,2) = 499 500) AND no copy escapes: all 999 non-minimum
+    // copies still pair with a representative
+    val hotPairs = Dedup.pairsFromTriAndBands(tri, bands, maxBucket = cap)
+      .filter(col("doc_a") < NHotCopies && col("doc_b") < NHotCopies)
+      .select("doc_a", "doc_b").collect()
+    assert(hotPairs.length == (0 until cap.toInt).map(a => NHotCopies - 1 - a).sum,
+      s"hot candidate pairs: ${hotPairs.length}")
+    assert(hotPairs.map(_.getLong(0)).toSet.subsetOf((0L until cap).toSet))
+    assert(hotPairs.map(_.getLong(1)).toSet == (1L until NHotCopies.toLong).toSet,
+      "an evicted copy escaped the dedup decision")
   }
 
   test("sessionize under the 20% hot user stays exact") {
