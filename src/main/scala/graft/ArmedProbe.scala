@@ -1,0 +1,245 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Similarity}
+
+/** Bench-scale evidence for the bucket guards' ARMED path — round-13
+  * verdict item "Next round #2": every gate corpus sits under the caps
+  * (sf0.1: 5,000 docs < MaxBandBucket 10,000; 2,000 vectors <
+  * MaxSearchBucket 16,384), so until this probe the armed path's cost and
+  * semantics claims rested on spec-scale toy fixtures only. This main
+  * builds corpora that genuinely exceed the PRODUCTION caps and measures:
+  *
+  *  (a) armed-path overhead on a HEALTHY over-cap corpus — the "two
+  *      empty-build-side broadcast probes" claim: the same pipeline timed
+  *      unguarded (cap = Long.MaxValue routes level 1 to the raw frame)
+  *      vs armed at the production cap (level 2 runs, hot set empty);
+  *  (b) hot-bucket candidate output bounded to B×cap — a planted
+  *      duplicate shard / near-identical vector clump, capped vs
+  *      uncapped candidate counts and wall/cpu (the bound demo uses a
+  *      cap OVERRIDE of 500 so the uncapped B² baseline stays tractable
+  *      to actually execute; the arming logic is cap-independent);
+  *  (c) armed-with-empty-hot-set semantics — the armed healthy run's
+  *      results must equal the unguarded run's row-for-row (dedup) /
+  *      count+checksum (ANN), the bench-scale twin of PipelineSpec's
+  *      gate-corpus no-op pin.
+  *
+  * Emits ONE JSON line to stdout and `target/armed_probe.json`; the
+  * committed copy is `ARMED_PROBE.json`. Wall = min of 2 cache-cleared
+  * timed runs after a warm-up; cpu = median executor CPU of those runs
+  * (the Bench.scala discipline). Fixtures are seeded and deterministic.
+  */
+object ArmedProbe {
+
+  private class CpuListener extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+    }
+  }
+
+  private case class Timing(wallSec: Double, cpuSec: Double)
+
+  /** Warm-up + 2 timed cache-cleared runs; min wall, mean cpu. */
+  private def timed(spark: SparkSession, listener: CpuListener)(
+      body: => Unit): Timing = {
+    def once(): Timing = {
+      spark.catalog.clearCache()
+      Thread.sleep(50) // let the async listener bus settle
+      val c0 = listener.cpuNs.get
+      val t0 = System.nanoTime()
+      body
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(100)
+      Timing(wall, (listener.cpuNs.get - c0) / 1e9)
+    }
+    once() // warm-up
+    val runs = Seq(once(), once())
+    Timing(runs.map(_.wallSec).min,
+      runs.map(_.cpuSec).sum / runs.size)
+  }
+
+  private def r2(v: Double): Double = math.round(v * 100.0) / 100.0
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val listener = new CpuListener
+    spark.sparkContext.addSparkListener(listener)
+
+    // ---------------------------------------------------------- fixtures
+    // healthy corpus: 25,000 distinct docs (> MaxBandBucket, so the guard
+    // ARMS at the production cap) with 1,000 planted near-dup pairs so the
+    // verified-pair surface is non-trivial; buckets stay tiny (hot set
+    // empty). Seeded token soup over a 5,000-word vocab.
+    val NDocs = 25000
+    val rnd = new scala.util.Random(20260816L)
+    def tokens(): Array[String] = Array.fill(30)("w" + rnd.nextInt(5000))
+    val healthyRows = {
+      val base = Array.tabulate(NDocs)(i => (i.toLong, tokens()))
+      // docs 2i and 2i+1 (i < 1000) near-dup: one token differs
+      (0 until 1000).foreach { i =>
+        val t = base(2 * i)._2.clone(); t(29) = "w" + rnd.nextInt(5000)
+        base(2 * i + 1) = ((2 * i + 1).toLong, t)
+      }
+      base.map { case (id, t) => (id, t.mkString(" ")) }.toSeq
+    }
+    val healthy = healthyRows.toDF("doc_id", "text").repartition(32).cache()
+    // hot corpus: 2,000 copies of one doc at ids 0..1999 (every copy lands
+    // in the SAME (band, sig) bucket in all 4 bands) + 23,000 distinct
+    val hotText = Array.fill(30)("h" + rnd.nextInt(5000)).mkString(" ")
+    val hotRows = (0 until 2000).map(i => (i.toLong, hotText)) ++
+      (2000 until NDocs).map(i => (i.toLong, tokens().mkString(" ")))
+    val hotDocs = hotRows.toDF("doc_id", "text").repartition(32).cache()
+
+    // healthy vectors: 20,000 gaussians (> MaxSearchBucket 16,384 — armed
+    // at the production cap; ~79 IVF cells of ~253 members, hot set empty)
+    val NVecs = 20000
+    val vrnd = new scala.util.Random(7L)
+    def gauss(): Array[Double] = Array.fill(64)(vrnd.nextGaussian())
+    val healthyVecRows = Seq.tabulate(NVecs)(i => (i.toLong, gauss()))
+    val healthyVecs = healthyVecRows.toDF("vec_id", "embedding")
+      .repartition(32).cache()
+    // hot vectors: 18,000 gaussians at ids 0..17999 (so the prefix-stable
+    // centroids stay diverse) + a 2,000-vector near-identical clump at
+    // ids 18000..19999 — all assign to one cell
+    val clumpBase = gauss()
+    val hotVecRows = Seq.tabulate(18000)(i => (i.toLong, gauss())) ++
+      Seq.tabulate(2000)(i => ((18000 + i).toLong,
+        clumpBase.map(_ + vrnd.nextGaussian() * 1e-3)))
+    val hotVecs = hotVecRows.toDF("vec_id", "embedding").repartition(32).cache()
+    // materialize fixtures before any timing
+    Seq(healthy, hotDocs, healthyVecs, hotVecs).foreach(_.count())
+
+    // ------------------------------------------------- dedup band guard
+    def dedupPairs(docs: DataFrame, cap: Long): DataFrame = {
+      val (tri, bands) = Dedup.triAndBands(docs, _.cache())
+      Dedup.pairsFromTriAndBands(tri, bands, _.cache(),
+        maxBucket = cap, docsUpperBound = NDocs)
+    }
+    val dedupUnguarded = timed(spark, listener) {
+      dedupPairs(healthy, Long.MaxValue).count()
+    }
+    val dedupArmed = timed(spark, listener) {
+      dedupPairs(healthy, Dedup.MaxBandBucket).count()
+    }
+    // (c): armed-with-empty-hot-set results equal unguarded row-for-row
+    spark.catalog.clearCache()
+    val rowsU = dedupPairs(healthy, Long.MaxValue).collect()
+      .map(_.toString).sorted.toSeq
+    spark.catalog.clearCache()
+    val rowsA = dedupPairs(healthy, Dedup.MaxBandBucket).collect()
+      .map(_.toString).sorted.toSeq
+    val dedupEqual = rowsU == rowsA
+    require(dedupEqual, "armed empty-hot dedup changed results")
+    require(rowsU.nonEmpty, "healthy corpus produced no verified pairs")
+
+    // (b): planted 2,000-copy shard, cap override 500 so the uncapped B²
+    // baseline (C(2000,2) = 1,999,000 candidate pairs) is executable
+    val HotCap = 500L
+    val hotCapped = timed(spark, listener) {
+      dedupPairs(hotDocs, HotCap).count()
+    }
+    val hotUncapped = timed(spark, listener) {
+      dedupPairs(hotDocs, Long.MaxValue).count()
+    }
+    spark.catalog.clearCache()
+    val hotPairs = dedupPairs(hotDocs, HotCap)
+      .filter(col("doc_a") < 2000 && col("doc_b") < 2000)
+      .select("doc_a", "doc_b").collect()
+    val expectedCapped = (0 until HotCap.toInt).map(a => 1999 - a).sum
+    require(hotPairs.length == expectedCapped,
+      s"hot capped pairs ${hotPairs.length} != B×cap bound $expectedCapped")
+    require(hotPairs.map(_.getLong(1)).toSet == (1L until 2000L).toSet,
+      "an evicted copy escaped the dedup decision")
+    spark.catalog.clearCache()
+    val hotPairsUncapped = dedupPairs(hotDocs, Long.MaxValue)
+      .filter(col("doc_a") < 2000 && col("doc_b") < 2000).count()
+    require(hotPairsUncapped == 2000L * 1999 / 2,
+      s"uncapped hot pairs $hotPairsUncapped != C(2000,2)")
+
+    // --------------------------------------------------- ANN cell guard
+    // the semanticDedup/inCellTopK join shape: capped candidate side vs
+    // every vector on the other side
+    def annPairs(emb: DataFrame, cap: Long): DataFrame = {
+      val cellVecs = Similarity.cellStructure(emb)._2.cache()
+      Similarity.capCandidatesBy(cellVecs, Seq("cell"), "c_id", cap,
+          sizeBound = NVecs).as("a")
+        .join(cellVecs.as("b"),
+          col("a.cell") === col("b.cell") && col("a.c_id") < col("b.c_id"))
+        .select(col("a.c_id").as("ia"), col("b.c_id").as("ib"))
+    }
+    def annChecksum(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum("ia"), sum("ib")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val annUnguarded = timed(spark, listener) {
+      annPairs(healthyVecs, Long.MaxValue).count()
+    }
+    val annArmed = timed(spark, listener) {
+      annPairs(healthyVecs, Similarity.MaxSearchBucket).count()
+    }
+    spark.catalog.clearCache()
+    val sumU = annChecksum(annPairs(healthyVecs, Long.MaxValue))
+    spark.catalog.clearCache()
+    val sumA = annChecksum(annPairs(healthyVecs, Similarity.MaxSearchBucket))
+    val annEqual = sumU == sumA
+    require(annEqual, s"armed empty-hot ANN pairs changed: $sumU vs $sumA")
+    val annHotCapped = timed(spark, listener) {
+      annPairs(hotVecs, HotCap).count()
+    }
+    val annHotUncapped = timed(spark, listener) {
+      annPairs(hotVecs, Long.MaxValue).count()
+    }
+    spark.catalog.clearCache()
+    // per-cap-side group bound: no cell contributes more than cap
+    // candidates after arming
+    val cellVecsHot = Similarity.cellStructure(hotVecs)._2.cache()
+    val maxGroup = Similarity.capCandidatesBy(cellVecsHot, Seq("cell"),
+        "c_id", HotCap, sizeBound = NVecs)
+      .groupBy("cell").count().agg(max("count")).collect()(0).getLong(0)
+    require(maxGroup <= HotCap, s"armed candidate side holds $maxGroup > cap")
+    spark.catalog.clearCache()
+    val annHotPairsCapped = annPairs(hotVecs, HotCap).count()
+    spark.catalog.clearCache()
+    val annHotPairsUncapped = annPairs(hotVecs, Long.MaxValue).count()
+    require(annHotPairsCapped < annHotPairsUncapped,
+      "cap did not reduce hot-cell candidate fan-out")
+
+    def t(tm: Timing): String =
+      s"""{"wall_sec":${r2(tm.wallSec)},"cpu_sec":${r2(tm.cpuSec)}}"""
+    val json =
+      s"""{"n_docs":$NDocs,"n_vecs":$NVecs,""" +
+        s""""dedup_cap":${Dedup.MaxBandBucket},"ann_cap":${Similarity.MaxSearchBucket},"hot_cap":$HotCap,""" +
+        s""""dedup_healthy_unguarded":${t(dedupUnguarded)},""" +
+        s""""dedup_healthy_armed_empty_hot":${t(dedupArmed)},""" +
+        s""""dedup_armed_results_equal":$dedupEqual,""" +
+        s""""dedup_hot_capped":${t(hotCapped)},""" +
+        s""""dedup_hot_uncapped":${t(hotUncapped)},""" +
+        s""""dedup_hot_pairs_capped":${hotPairs.length},""" +
+        s""""dedup_hot_pairs_uncapped":$hotPairsUncapped,""" +
+        s""""ann_healthy_unguarded":${t(annUnguarded)},""" +
+        s""""ann_healthy_armed_empty_hot":${t(annArmed)},""" +
+        s""""ann_armed_results_equal":$annEqual,""" +
+        s""""ann_hot_capped":${t(annHotCapped)},""" +
+        s""""ann_hot_uncapped":${t(annHotUncapped)},""" +
+        s""""ann_hot_pairs_capped":$annHotPairsCapped,""" +
+        s""""ann_hot_pairs_uncapped":$annHotPairsUncapped,""" +
+        s""""note":"healthy corpora exceed the PRODUCTION caps (armed, hot set empty; results pinned equal to unguarded); the hot-shard bound demo overrides the cap to 500 so the uncapped B-squared baseline is executable. wall = min of 2 cache-cleared runs after warm-up; cpu = mean executor CPU of those runs."}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/armed_probe.json"), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
+    spark.stop()
+  }
+}

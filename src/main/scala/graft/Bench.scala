@@ -104,6 +104,22 @@ object Bench {
   private case class RunMetrics(wall: Double, cpu: Double,
       shuffleMb: Double, spillMb: Double)
 
+  /** Min-wall run with MEDIAN-cpu substitution (round-13 verdict item 1):
+    * reporting the min-wall run's cpu whole let run selection shape the
+    * cpu signal — the r13 artifact recorded a 2.1× dedup_quality "cpu
+    * regression" that was one noisy run happening to also be the
+    * fastest-wall one. Wall keeps min-of-n (load can only inflate wall);
+    * cpu takes the median across the same runs (robust to one outlier in
+    * either direction); shuffle/spill are plan-deterministic, so the
+    * min-wall run's values stand. */
+  private def minWallMedianCpu(runs: Seq[RunMetrics]): RunMetrics = {
+    val best = runs.minBy(_.wall)
+    val cpus = runs.map(_.cpu).sorted
+    val med = if (cpus.size % 2 == 1) cpus(cpus.size / 2)
+      else (cpus(cpus.size / 2 - 1) + cpus(cpus.size / 2)) / 2.0
+    best.copy(cpu = med)
+  }
+
   private def measured(listener: TaskMetricsListener)(body: => Unit): RunMetrics = {
     val (c0, sh0, sp0) = drained(listener)
     val t0 = System.nanoTime()
@@ -205,12 +221,11 @@ object Bench {
       }
       resetPeaks() // per-query peak-heap headroom (covers warm-up + timed)
       once() // warm-up (JIT + OS page cache)
-      // report the min-WALL run's metric row whole: its cpu/shuffle/spill
-      // belong to the same execution the wall number describes
-      val timed = (1 to TimedRuns).map { _ =>
+      // min-wall wall + MEDIAN cpu across the runs (see minWallMedianCpu)
+      val timed = minWallMedianCpu((1 to TimedRuns).map { _ =>
         spark.catalog.clearCache() // each timed run must pay the full plan
         once()
-      }.minBy(_.wall)
+      })
       spark.catalog.clearCache()
       peaks(name) = peakMb()
       name -> timed
@@ -237,10 +252,10 @@ object Bench {
     def familyMin(reset: => Unit)(body: => Unit)(cleanup: => Unit): RunMetrics =
       try {
         reset; try body finally cleanup // warm-up (JIT + page cache), untimed
-        (1 to ProdTimedRuns).map { _ =>
+        minWallMedianCpu((1 to ProdTimedRuns).map { _ =>
           reset
           try measured(listener)(body) finally cleanup // the finally runs untimed
-        }.minBy(_.wall)
+        })
       } catch { case _: Throwable => RunMetrics(-1.0, -1.0, -1.0, -1.0) }
     val prodPeaks = scala.collection.mutable.LinkedHashMap[String, Double]()
     def prodFamily(name: String)(reset: => Unit)(body: => Unit)(
@@ -312,6 +327,18 @@ object Bench {
     } catch {
       case _: Throwable => Seq("prod_failed" -> RunMetrics(-1.0, -1.0, -1.0, -1.0))
     }
+    // SECOND calibration anchor, after all measured work (round-14
+    // adjudication of the r13 "cpu doubling": a host-regime shift that
+    // arrives MID-RUN inflates every task's executor CPU — SMT sharing
+    // counts CPU while the core runs at half speed — while min-of-N wall
+    // rejects it and a start-only calib/loadavg never sees it. The r13
+    // artifact's cpu layer read +65% on identical code, identical wall,
+    // identical start-calib; an idle re-run reproduced r12's values
+    // exactly. calib_ms vs calib_ms_end bounds the regime WINDOW of the
+    // run: if they disagree, or either is far from the committed idle
+    // anchor, the cpu layer is regime-contaminated and only wall/shuffle
+    // are trustworthy.)
+    val calibEnd = calibMs()
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
     def jsonPairs(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -327,12 +354,15 @@ object Bench {
     // headroom, for the 10x scale step.
     val peakMax = if (peaks.nonEmpty) peaks.values.max else -1.0
     val note = "per-query min-wall of " + TimedRuns + " cache-cleared runs; " +
-      "cpu_total_sec = executor CPU of those runs, steadier than wall but " +
+      "cpu_sec = MEDIAN executor CPU across those runs (min-wall-run cpu was " +
+      "selection-noisy, r13); cpu_total_sec = sum of the medians, steadier than wall but " +
       "NOT load-proof: it inflates up to ~20% under heavy SMT/cache pressure " +
       "(r12 driver: +17% at load 11.5). calib_ms = fixed-work 1-thread loop " +
-      "timed before any Spark work; divide this run's calib_ms by the idle " +
-      "value in BENCH_DETAIL_HEAD.json and deflate cpu_total_sec by that " +
-      "ratio before calling a cpu delta a plan change. prod = report/LSH/LM " +
+      "timed before any Spark work, calib_ms_end after all of it; if the two " +
+      "disagree or either is far from the idle anchor in " +
+      "BENCH_DETAIL_HEAD.json, a mid-run regime shift contaminated the cpu " +
+      "layer (r13: +65% cpu on identical code/wall/start-calib) and only " +
+      "wall/shuffle are trustworthy. prod = report/LSH/LM " +
       "families run deployment-shape, warm-up + min of " + ProdTimedRuns +
       " state-reset runs each; peak_heap_mb = worst per-query summed-pool " +
       "JVM heap peak (per-query maps in target/bench_detail.json)"
@@ -343,14 +373,14 @@ object Bench {
     // cpu_total_sec is the load-invariant cross-check.
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""queries_run":${results.size},"load1m_start":$load1mStart,""" +
-      s""""cpu_total_sec":$cpuTotal,"calib_ms":$calib,""" +
+      s""""cpu_total_sec":$cpuTotal,"calib_ms":$calib,"calib_ms_end":$calibEnd,""" +
       s""""peak_heap_mb":$peakMax,"top5":$top5,"prod":${jsonPairs(walls(prod))},""" +
       s""""prod_peak_mb":${jsonPairs(prodPeaks.toSeq)},"note":"$note"}"""
     def metricMap(f: RunMetrics => Double)(rs: Seq[(String, RunMetrics)]) =
       jsonPairs(rs.map { case (k, m) => k -> r3(f(m)) })
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""load1m_start":$load1mStart,"cpu_total_sec":$cpuTotal,"calib_ms":$calib,""" +
-      s""""queries":$qs,"cpu_sec":${metricMap(_.cpu)(results)},""" +
+      s""""calib_ms_end":$calibEnd,"queries":$qs,"cpu_sec":${metricMap(_.cpu)(results)},""" +
       s""""shuffle_mb":${metricMap(_.shuffleMb)(results)},""" +
       s""""spill_mb":${metricMap(_.spillMb)(results)},""" +
       s""""prod":${jsonPairs(walls(prod))},"prod_cpu_sec":${metricMap(_.cpu)(prod)},""" +

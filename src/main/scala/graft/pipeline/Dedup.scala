@@ -264,7 +264,22 @@ object Dedup {
     * window ~117 s; the count branch reads within noise of unguarded);
     * (2) an armed corpus windows ONLY actually-hot buckets, found by one
     * partial-aggregated count into a tiny broadcast frame — a healthy
-    * big corpus pays two broadcast probes of an empty build side. */
+    * big corpus pays two broadcast probes of an empty build side.
+    *
+    * The armed path delegates to [[Similarity.capCandidatesBy]] — ONE
+    * implementation of the hot-probe + window + union guard for both the
+    * dedup and ANN families (two hand-kept copies drifted once already;
+    * round-13 ADVICE) — wrapping the armed result in `cached` because
+    * both sides of the band join consume it.
+    *
+    * Fallback-bound PRECONDITION (when `docsUpperBound` is omitted):
+    * `bands` must be a [[bandsFromTri]]-shaped frame — exactly
+    * NumHashes/BandRows rows per signed doc — for rows÷nBands to equal
+    * the doc count and hence bound any bucket's membership. On a frame
+    * with FEWER rows per doc the quotient UNDERESTIMATES membership and
+    * could skip arming on an over-cap corpus; every production call site
+    * therefore passes the explicit doc count (one parquet-footer read)
+    * and only bandsFromTri-shaped spec fixtures rely on the fallback. */
   private[graft] def bandReps(bands: DataFrame,
       cached: DataFrame => DataFrame,
       maxBucket: Long = MaxBandBucket,
@@ -272,19 +287,9 @@ object Dedup {
     val bound = if (docsUpperBound >= 0L) docsUpperBound
       else bands.count() / (NumHashes / BandRows)
     if (bound <= maxBucket) bands
-    else {
-      val hot = bands.groupBy("band", "sig")
-        .agg(count(lit(1)).as("__n")).filter(col("__n") > maxBucket)
-        .select("band", "sig")
-      val kept = bands.join(broadcast(hot), Seq("band", "sig"), "left_semi")
-        .withColumn("__bk", row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "sig").orderBy("doc_id")))
-        .filter(col("__bk") <= maxBucket)
-        .drop("__bk")
-      cached(bands.join(broadcast(hot), Seq("band", "sig"), "left_anti")
-        .unionByName(kept)
-        .select("doc_id", "band", "sig"))
-    }
+    else cached(Similarity.capCandidatesBy(bands, Seq("band", "sig"),
+        "doc_id", maxBucket, sizeBound = bound)
+      .select("doc_id", "band", "sig"))
   }
 
   /** Per-row (no-explode) MinHash band signatures over a pre-split token
@@ -480,9 +485,16 @@ object Dedup {
     val (tri, bands) = triAndBands(docs, _.cache())
     // the CORPUS (candidate) side carries the bucket cap: a batch doc in a
     // hot bucket probes the cap lowest corpus ids instead of the whole
-    // bucket — for the duplicate-shard case those representatives are
-    // exactly the content a real dup collides with, so the keep/drop
-    // decision is unchanged while the probe stays bounded
+    // bucket. This is a documented RECALL trade, not a free bound: for a
+    // bucket hot because of B near-identical corpus docs (the case the cap
+    // exists for) the lowest-id representatives carry the same content, so
+    // the keep/drop decision is unchanged — but a bucket hot from band
+    // collisions of DIVERSE docs can evict a batch doc's one true near-dup
+    // and admit the duplicate. The other 3 bands (where near-identical
+    // content collides again) are the mitigation, same as every LSH
+    // eviction; a deployment that can't accept the residual risk raises
+    // MaxBandBucket for the increment gate
+
     val corpusSide = Similarity.capCandidatesBy(
       bands.join(corpusIds, "doc_id"), Seq("band", "sig"), "doc_id",
       MaxBandBucket, sizeBound = docs.count())

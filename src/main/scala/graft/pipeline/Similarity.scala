@@ -65,7 +65,12 @@ object Similarity {
   /** [[capCandidates]] over a composite group key (band, sig).
     * `sizeBound`: an upper bound on any group's membership known by the
     * caller (e.g. the vector count when `df` has several rows per
-    * vector); -1 falls back to counting the (caller-cached) frame. */
+    * vector). Every production call site passes it — usually a
+    * parquet-footer count the caller already paid — because the -1
+    * fallback count()s `df` itself, which silently re-executes an
+    * expensive assignment/signature pipeline if the caller did not cache
+    * it (round-13 verdict: the fallback is a convention, not a contract;
+    * it remains only for ad-hoc frames with no cheaper bound). */
   private[graft] def capCandidatesBy(df: DataFrame, keys: Seq[String],
       id: String, cap: Long, sizeBound: Long = -1L): DataFrame =
     // a group can only exceed the cap if the frame does: the caller's
@@ -253,14 +258,19 @@ object Similarity {
   def lshTopK(spark: SparkSession, dir: String, k: Int = TopK,
       maxBucket: Long = MaxSearchBucket): DataFrame = {
     val emb = table(spark, dir, "embeddings")
-    val bits = bitsForCorpus(emb.count())
+    val nVecs = emb.count()
+    val bits = bitsForCorpus(nVecs)
     // cached: both sides of the in-bucket self-join consume it; uncached
     // each side re-scans the corpus and recomputes the bucket dots
     // (MEMORY_AND_DISK, so a corpus-sized frame spills instead of evicting)
     val b = lshBuckets(emb, bits)
       .withColumn("n", sqrt(vecDot(col("v"), col("v"))))
       .cache()
-    b.as("q").join(capCandidates(b, "bucket", "vec_id", maxBucket).as("c"),
+    // sizeBound: the already-paid corpus count (1 row/vector in b), so the
+    // guard never count()s the cached bucket frame itself — an uncached
+    // caller of a refactored variant can't silently re-run the bucket scan
+    b.as("q").join(capCandidates(b, "bucket", "vec_id", maxBucket,
+        sizeBound = nVecs).as("c"),
         col("q.bucket") === col("c.bucket") && col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("cosine",
         round(vecDot(col("q.v"), col("c.v")) / expr("NULLIF(q.n * c.n, 0)"), 6))
@@ -339,8 +349,10 @@ object Similarity {
     * trained centroids behind the same assignment/search plan see
     * [[kmeansIvfTopK]] (recall-tested, not oracle-checked). */
   def ivfTopK(spark: SparkSession, dir: String, k: Int = TopK,
-      maxCell: Long = MaxSearchBucket): DataFrame =
-    inCellTopK(cellAssignedVecs(spark, dir), k, maxCell)
+      maxCell: Long = MaxSearchBucket): DataFrame = {
+    val nVecs = table(spark, dir, "embeddings").count()
+    inCellTopK(cellAssignedVecs(spark, dir, nVecs), k, maxCell, sizeBound = nVecs)
+  }
 
   /** The IVF index content: every vector tagged with its nearest-centroid
     * cell (the n×K assignment scan — the expensive stage, shared verbatim
@@ -350,9 +362,10 @@ object Similarity {
     * uncached); 1 row/vector (id, vector, norm, cell), tiny next to the
     * corpus. Similarity is rounded BEFORE the argmax so Spark and DuckDB
     * break ties identically (then by cent_id). */
-  private def cellAssignedVecs(spark: SparkSession, dir: String): DataFrame = {
+  private def cellAssignedVecs(spark: SparkSession, dir: String,
+      nVecs: Long): DataFrame = {
     val emb = withNorm(table(spark, dir, "embeddings"), "c")
-    val cells = cellsForCorpus(table(spark, dir, "embeddings").count())
+    val cells = cellsForCorpus(nVecs)
     val cents = withNorm(
       table(spark, dir, "embeddings").filter(col("vec_id") < cells), "t")
       .select(col("t_id").as("cent_id"), col("t_v"), col("t_n"))
@@ -371,10 +384,15 @@ object Similarity {
     * cell-assigned vector frame — the query-side stage, shared by
     * [[ivfTopK]], [[ivfTopKFromIndex]] and [[lloydIvfTopK]]. The
     * candidate side is bounded by [[MaxSearchBucket]] per cell (inert on
-    * gate corpora); the query side keeps every vector. */
+    * gate corpora); the query side keeps every vector. `sizeBound` is the
+    * caller's vector count (one parquet-footer read it has already paid
+    * for the cell-count arithmetic) so the guard's arming decision never
+    * falls back to count()ing `cellVecs` — which would re-execute the
+    * n×K assignment pipeline if a caller ever passed it uncached. */
   private def inCellTopK(cellVecs: DataFrame, k: Int,
-      maxCell: Long = MaxSearchBucket): DataFrame =
-    cellVecs.as("q").join(capCandidates(cellVecs, "cell", "c_id", maxCell).as("c"),
+      maxCell: Long = MaxSearchBucket, sizeBound: Long = -1L): DataFrame =
+    cellVecs.as("q").join(capCandidates(cellVecs, "cell", "c_id", maxCell,
+        sizeBound = sizeBound).as("c"),
         col("q.cell") === col("c.cell") && col("q.c_id") =!= col("c.c_id"))
       .withColumn("cosine",
         round(vecDot(col("q.c_v"), col("c.c_v")) / expr("NULLIF(q.c_n * c.c_n, 0)"), 6))
@@ -396,7 +414,8 @@ object Similarity {
     * them from the source table (columnar scan) and joins on vec_id, so
     * the index stays small and never goes stale on vector payloads. */
   def writeIvfIndex(spark: SparkSession, dir: String, path: String): Unit =
-    cellAssignedVecs(spark, dir).select(col("c_id").as("vec_id"), col("cell"))
+    cellAssignedVecs(spark, dir, table(spark, dir, "embeddings").count())
+      .select(col("c_id").as("vec_id"), col("cell"))
       .write.mode("overwrite").parquet(path)
 
   /** [[ivfTopK]] served from the persisted index: identical output frame
@@ -416,7 +435,10 @@ object Similarity {
     val joined = emb.join(spark.read.parquet(path),
       col("c_id") === col("vec_id")).drop("vec_id")
     val cellVecs = scope.fold(joined.cache())(_.cached(joined))
-    inCellTopK(cellVecs, k)
+    // sizeBound = one parquet-footer count of the source table (1 row per
+    // vector in cellVecs) — the guard must never count() the joined frame
+    inCellTopK(cellVecs, k,
+      sizeBound = table(spark, dir, "embeddings").count())
   }
 
   /** DuckDB mirror of [[ivfTopK]]: K is data-adaptive, so the SQL recomputes
@@ -477,7 +499,8 @@ object Similarity {
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
       .cache()
     assigned.as("q").join(
-        capCandidates(assigned, "cell", "vec_id", MaxSearchBucket).as("c"),
+        capCandidates(assigned, "cell", "vec_id", MaxSearchBucket,
+          sizeBound = n).as("c"),
         col("q.cell") === col("c.cell") && col("q.vec_id") =!= col("c.vec_id"))
       .withColumn("cosine",
         round(vecDot(col("q.v"), col("c.v")) / expr("NULLIF(q.nrm * c.nrm, 0)"), 6))
@@ -534,7 +557,8 @@ object Similarity {
     // accumulate; the unscoped default matches Verify/Bench, which clear
     // the whole cache between queries
     def cachedF(df: DataFrame): DataFrame = scope.fold(df.cache())(_.cached(df))
-    val cells = cellsForCorpus(table(spark, dir, "embeddings").count())
+    val nVecs = table(spark, dir, "embeddings").count()
+    val cells = cellsForCorpus(nVecs)
     // micro-unit frame: scanned by every assignment pass and the mean
     // update, so cached once
     val v2 = cachedF(table(spark, dir, "embeddings")
@@ -562,7 +586,7 @@ object Similarity {
     val cellVecs = cachedF(v2.join(argmaxCell(cents), "vec_id")
       .select(col("vec_id").as("c_id"), col("v").as("c_v"),
         col("nrm").as("c_n"), col("cell")))
-    inCellTopK(cellVecs, k)
+    inCellTopK(cellVecs, k, sizeBound = nVecs)
   }
 
   /** One Lloyd centroid mean update over a (cell, vm)-assigned micro-unit
@@ -885,6 +909,15 @@ object Similarity {
     * identically. */
   def pqAnnTopK(spark: SparkSession, dir: String, k: Int = TopK): DataFrame = {
     val (emb, encoded) = pqEncodedFrame(spark, dir)
+    pqAnnTopKFrom(emb, encoded, k)
+  }
+
+  /** [[pqAnnTopK]] over a precomputed [[pqEncodedFrame]] — lets
+    * [[annQuality]] encode the corpus ONCE for its three PQ-family tiers
+    * instead of three times (round-13 verdict item 6: the eval harness was
+    * the bench's most expensive row largely on re-derived index frames). */
+  private def pqAnnTopKFrom(emb: DataFrame, encoded: DataFrame,
+      k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     encoded.join(broadcast(q), col("q_id") =!= col("c_id"))
@@ -921,6 +954,13 @@ object Similarity {
   def pqAnnRerank(spark: SparkSession, dir: String, k: Int = TopK,
       shortlist: Int = PqShortlist): DataFrame = {
     val (emb, encoded) = pqEncodedFrame(spark, dir)
+    pqAnnRerankFrom(emb, encoded, k, shortlist)
+  }
+
+  /** [[pqAnnRerank]] over a precomputed [[pqEncodedFrame]] (see
+    * [[pqAnnTopKFrom]]). */
+  private def pqAnnRerankFrom(emb: DataFrame, encoded: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
     val q = emb.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     val short = encoded.join(broadcast(q), col("q_id") =!= col("c_id"))
@@ -999,6 +1039,14 @@ object Similarity {
   def ivfPqTopK(spark: SparkSession, dir: String, k: Int = TopK,
       shortlist: Int = PqShortlist): DataFrame = {
     val (emb, encoded) = pqEncodedFrame(spark, dir)
+    ivfPqTopKFrom(spark, dir, emb, encoded, k, shortlist)
+  }
+
+  /** [[ivfPqTopK]] over a precomputed [[pqEncodedFrame]] (see
+    * [[pqAnnTopKFrom]]); the IVF cell assignment stays per-call — it is
+    * this tier's own coarse quantizer. */
+  private def ivfPqTopKFrom(spark: SparkSession, dir: String,
+      emb: DataFrame, encoded: DataFrame, k: Int, shortlist: Int): DataFrame = {
     // consumed by both the query frame and the candidate join — cache so
     // the n×K assignment (window over the corpus) runs once
     val cellOf = cellStructure(table(spark, dir, "embeddings"))._2
@@ -1144,8 +1192,11 @@ object Similarity {
     // of the cap lowest ids in its cell qualifies — for the hot-cell case
     // the cap exists for (B near-identical vectors) the min-id keeper IS
     // a representative, so the drop set is unchanged while the join emits
-    // B×cap rows instead of B²
-    val dropped = capCandidates(cellVecs, "cell", "c_id", MaxSearchBucket)
+    // B×cap rows instead of B². sizeBound = one parquet-footer count
+    // (1 row/vector in cellVecs), so the guard never executes the cached
+    // n×K assignment just to decide it is inert
+    val dropped = capCandidates(cellVecs, "cell", "c_id", MaxSearchBucket,
+        sizeBound = table(spark, dir, "embeddings").count())
       .as("a").join(cellVecs.as("b"),
         col("a.cell") === col("b.cell") && col("a.c_id") < col("b.c_id"))
       .withColumn("cosine",
@@ -1207,13 +1258,18 @@ object Similarity {
     // cached: the brute-force exact frame feeds both the hit join and the
     // n_exact count — uncached it executes twice
     val exact = annCosine(spark, dir).select("query_id", "neighbor_id").cache()
+    // ONE corpus encode for the three PQ-family tiers (its cached 8×16
+    // distance table is the harness's dominant re-derived frame); the
+    // per-tier quantizers (LSH buckets, prefix/Lloyd centroids) stay
+    // per-tier — they ARE what each tier measures
+    val (embQ, encodedQ) = pqEncodedFrame(spark, dir)
     val preds = Seq(
       "ann_lsh" -> lshTopK(spark, dir),
       "ann_ivf" -> ivfTopK(spark, dir),
       "ann_kmeans" -> lloydIvfTopK(spark, dir),
-      "ann_ivfpq" -> ivfPqTopK(spark, dir),
-      "pq_ann" -> pqAnnTopK(spark, dir),
-      "pq_ann_rerank" -> pqAnnRerank(spark, dir))
+      "ann_ivfpq" -> ivfPqTopKFrom(spark, dir, embQ, encodedQ, TopK, PqShortlist),
+      "pq_ann" -> pqAnnTopKFrom(embQ, encodedQ, TopK),
+      "pq_ann_rerank" -> pqAnnRerankFrom(embQ, encodedQ, TopK, PqShortlist))
       .map { case (n, df) =>
         df.select(col("query_id"), col("neighbor_id")).withColumn("method", lit(n))
       }.reduce(_ unionByName _)

@@ -41,14 +41,23 @@ object StreamingSemantic {
 
   /** Gate an unbounded (vec_id, embedding, …) stream against a static
     * embeddings-shaped corpus. Emits admitted rows with the input
-    * schema. */
+    * schema.
+    *
+    * Cache lifecycle (the [[Similarity.ivfTopKFromIndex]] discipline): the
+    * static cellVecs frame is cached so every micro-batch's anti-join
+    * reuses the n×K assignment. A service that rebuilds the gate per
+    * corpus refresh must pass a [[graft.drift.CacheScope]] and `release()`
+    * it when the previous gate's last batch has flushed, or each rebuild
+    * strands another cached corpus-sized frame for the session; the
+    * unscoped default matches Verify/Bench, which clear the whole cache
+    * between queries. */
   def semanticGate(newVecs: DataFrame, corpus: DataFrame,
-      threshold: Double = Similarity.SemDedupThreshold): DataFrame = {
-    // cached: capCandidates' arming count materializes the n×K assignment
-    // once and every micro-batch's anti-join reuses it (uncached, the
-    // count threw the scan away and each batch re-ran it — r13 review)
+      threshold: Double = Similarity.SemDedupThreshold,
+      scope: Option[graft.drift.CacheScope] = None): DataFrame = {
+    // cached: every micro-batch's anti-join reuses the n×K assignment
+    // (uncached, each batch re-ran the corpus scan — r13 review)
     val (cents, cellVecs0) = Similarity.cellStructure(corpus)
-    val cellVecs = cellVecs0.cache()
+    val cellVecs = scope.fold(cellVecs0.cache())(_.cached(cellVecs0))
     // one row holding the centroid array sorted by cent_id (struct sort
     // orders by the first field) — the argmax fold's broadcast input
     val centsRow = cents.agg(expr(
@@ -57,7 +66,11 @@ object StreamingSemantic {
     // guard): an increment row's anti-join probe pays at most
     // MaxSearchBucket cosines per cell instead of the whole hot cell —
     // for the near-identical hot cell the cap exists for, the lowest-id
-    // representatives ARE the duplicates a real dup would match
+    // representatives ARE the duplicates a real dup would match. The
+    // guard's arming count() runs against the CACHED frame deliberately
+    // (no sizeBound): it materializes the static side at gate-build time,
+    // before the first micro-batch arrives
+
     gateWith(newVecs, centsRow,
       Similarity.capCandidates(cellVecs, "cell", "c_id", Similarity.MaxSearchBucket)
         .select(col("cell"), col("c_v"), col("c_n")), threshold)

@@ -116,6 +116,30 @@ class PipelineSpec extends SparkSpec {
       "sanity: without the guard the hot bucket squares")
   }
 
+  test("an armed guard with an empty hot set is a row-for-row no-op") {
+    // the level-2 armed path a HEALTHY over-cap corpus pays (hot-probe
+    // finds nothing, both broadcast build sides empty) must not change
+    // the verified-pair surface. Bench-scale twin: the committed
+    // ARMED_PROBE.json runs this invariant at 25,000 docs / 20,000
+    // vectors over the PRODUCTION caps and records the armed path's
+    // measured overhead next to the unguarded baseline.
+    import spark.implicits._
+    val docs = (0 until 30).map { i =>
+      val rr = new scala.util.Random(100 + i)
+      (i.toLong, Array.fill(12)("t" + rr.nextInt(40)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val tri = Dedup.shinglesOf(docs).cache()
+    val bands = Dedup.bandsFromTri(tri, _.cache())
+    // maxBucket 20 < 30 docs arms the ladder; no bucket can host > 20
+    val armed = Dedup.pairsFromTriAndBands(tri, bands, _.cache(),
+        maxBucket = 20L, docsUpperBound = 30L)
+      .collect().map(_.toString).sorted.toSeq
+    val unguarded = Dedup.pairsFromTriAndBands(tri, bands, _.cache(),
+        maxBucket = Long.MaxValue, docsUpperBound = 30L)
+      .collect().map(_.toString).sorted.toSeq
+    assert(armed == unguarded, "armed empty-hot guard changed the pair surface")
+  }
+
   test("MinHash LSH surfaces the same near-dup candidates with high jaccard") {
     val cands = Dedup.minhashLsh(spark, fixtureDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jaccard")).toMap

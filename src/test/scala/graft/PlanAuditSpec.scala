@@ -179,7 +179,7 @@ class PlanAuditSpec extends SparkSpec {
     for (name <- Seq("minhash_lsh", "incremental_dedup",
         "media_neardup", "dedup_quality")) {
       val plan = planOf(SparkEntry.queries(name)(spark, sf))
-      assert(!plan.contains("__bk"),
+      assert(!plan.contains("__ck"),
         s"$name pays the guard window on an under-cap corpus:\n${plan.take(1500)}")
     }
     // ...and a corpus bigger than the cap must arm it: the window + the
@@ -190,7 +190,10 @@ class PlanAuditSpec extends SparkSpec {
     val tri = Dedup.shinglesOf(hot).cache()
     val hotPlan = planOf(Dedup.bandReps(
       Dedup.bandsFromTri(tri, _.cache()), _.cache(), maxBucket = 5L))
-    assert(hotPlan.contains("row_number") && hotPlan.contains("__bk"),
+    // bandReps delegates its armed path to capCandidatesBy (one guard
+    // implementation for both families — round-13 ADVICE), so the armed
+    // marker is the shared __ck window column
+    assert(hotPlan.contains("row_number") && hotPlan.contains("__ck"),
       s"planted over-cap corpus did not arm the guard:\n${hotPlan.take(1500)}")
   }
 

@@ -404,6 +404,45 @@ class StreamingDriftSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a scoped semantic gate releases its static caches on release()") {
+    // round-13 verdict item 5: semanticGate cache()d its static cellVecs
+    // unconditionally — a service rebuilding the gate per corpus refresh
+    // accumulated cached corpus-sized frames. With a CacheScope the
+    // static side caches for the gate's lifetime and release() drops it
+    // through the CacheManager (visible as the persistent-RDD set
+    // returning to its pre-gate size).
+    implicit val sqlCtx = spark.sqlContext
+    def vec(seed: Int) = {
+      val rr = new scala.util.Random(seed); Array.fill(64)(rr.nextGaussian().toFloat)
+    }
+    // a corpus PLAN-DISTINCT from every other test's (the CacheManager
+    // dedupes by plan, so reusing another test's corpus would no-op this
+    // gate's cache() and the persistent-RDD delta below would read 0);
+    // ids still start at 0 — the prefix-stable centroid set is vec_id < K
+    val corpus = (0 until 25).map(i => (i.toLong, vec(5000 + i), 0))
+      .toDF("vec_id", "embedding", "label")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val scope = new graft.drift.CacheScope
+    val input = MemoryStream[(Long, Array[Float])]
+    val out = graft.streaming.StreamingSemantic.semanticGate(
+      input.toDF().toDF("vec_id", "embedding"), corpus, threshold = 0.95,
+      scope = Some(scope))
+    val q = out.writeStream.format("memory").queryName("sem_scope_out")
+      .outputMode("append").start()
+    try {
+      input.addData((500L, vec(5003).map(x => x + 0.001f)), (501L, vec(777)))
+      q.processAllAvailable()
+      val kept = spark.table("sem_scope_out").collect()
+        .map(_.getAs[Long]("vec_id")).toSet
+      assert(kept == Set(501L), s"scoped gate admitted $kept")
+      assert(spark.sparkContext.getPersistentRDDs.size > before,
+        "gate did not cache its static side")
+    } finally q.stop()
+    scope.release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "release() left the gate's static caches behind")
+  }
+
   test("streaming semantic gate on an empty corpus admits everything (fallback)") {
     implicit val sqlCtx = spark.sqlContext
     def vec(seed: Int) = {
