@@ -385,6 +385,48 @@ object EventAnalytics {
        |SELECT d.day, d.dau, w.wau, ROUND(d.dau * 1e0 / w.wau, 6) AS stickiness
        |FROM dau d JOIN wau w ON d.day_idx = w.w_idx ORDER BY day""".stripMargin.replace("\n", " ")
 
+  /** Relative-error bound the [[activeUsersTol]] gate holds the HLL path
+    * to, per day row: `approx_count_distinct`'s default relativeSD is
+    * 0.05, so 0.15 is a 3-sigma band — the
+    * [[graft.streaming.StreamingEngagement.DauTolerance]] rationale
+    * applied to the batch sketch surface. */
+  val ActiveUsersTolerance = 0.15
+
+  /** The `approx = true` scale path of [[activeUsers]] gated as a
+    * TOLERANCE DECISION — the `streaming_dau` pattern applied to the
+    * batch sketch surface (round-13 verdict item 8): the bench runs the
+    * HLL form of every sketch-routed query, but until this row the batch
+    * sketches' tolerance contract was only spec-pinned, not on the
+    * driver's hash board. Each day row carries the exact DAU/WAU
+    * (DuckDB-replayable) plus Spark-COMPUTED booleans asserting the
+    * sketch landed within [[ActiveUsersTolerance]] of exact; the oracle
+    * recomputes the exact counts and expects both booleans true on every
+    * row. A broken sketch merge, a lost day, or cover-window leakage
+    * flips a boolean (or the row set — the join is FULL outer) and
+    * hash-fails the gate. Deterministic: HLL is deterministic for a
+    * given input, so this is a contract check, not a flaky bound. */
+  def activeUsersTol(spark: SparkSession, dir: String,
+      tol: Double = ActiveUsersTolerance): DataFrame = {
+    val exact = activeUsers(spark, dir, approx = false)
+      .select(col("day"), col("dau").as("dau_exact"), col("wau").as("wau_exact"))
+    val sketch = activeUsers(spark, dir, approx = true)
+      .select(col("day"), col("dau").as("dau_sketch"), col("wau").as("wau_sketch"))
+    exact.join(sketch, Seq("day"), "full_outer")
+      .selectExpr("day",
+        "CAST(dau_exact AS BIGINT) AS dau_exact",
+        "CAST(wau_exact AS BIGINT) AS wau_exact",
+        "COALESCE(ABS(CAST(dau_sketch AS DOUBLE) - CAST(dau_exact AS DOUBLE)) / " +
+          s"CAST(dau_exact AS DOUBLE) <= $tol, false) AS dau_within_tol",
+        "COALESCE(ABS(CAST(wau_sketch AS DOUBLE) - CAST(wau_exact AS DOUBLE)) / " +
+          s"CAST(wau_exact AS DOUBLE) <= $tol, false) AS wau_within_tol")
+      .orderBy("day")
+  }
+
+  def activeUsersTolSql: String =
+    "SELECT day, dau AS dau_exact, wau AS wau_exact, " +
+      "true AS dau_within_tol, true AS wau_within_tol " +
+      s"FROM ($activeUsersSql) t ORDER BY day"
+
   // ------------------------------------------------------ attribution
 
   /** Conversion event type for attribution. */
@@ -887,6 +929,7 @@ object EventAnalytics {
     "funnel" -> ((s, d) => funnel(s, d)),
     "rfm_segments" -> ((s, d) => rfmSegments(s, d)),
     "active_users" -> ((s, d) => activeUsers(s, d)),
+    "active_users_tol" -> ((s, d) => activeUsersTol(s, d)),
     "attribution" -> ((s, d) => attribution(s, d)),
     "conversion_lag" -> ((s, d) => conversionLag(s, d)),
     "next_event_transitions" -> ((s, d) => nextEventTransitions(s, d)),
@@ -905,6 +948,7 @@ object EventAnalytics {
     "funnel" -> funnelSql,
     "rfm_segments" -> rfmSegmentsSql,
     "active_users" -> activeUsersSql,
+    "active_users_tol" -> activeUsersTolSql,
     "attribution" -> attributionSql,
     "conversion_lag" -> conversionLagSql,
     "next_event_transitions" -> nextEventTransitionsSql,
