@@ -844,8 +844,19 @@ object Similarity {
 
   /** Raw vectors + PQ-reconstructed corpus for the ADC searches:
     * `(emb, encoded)` with emb = (vec_id, v) and encoded = (c_id,
-    * recon). Shared by [[pqAnnTopK]] and [[pqAnnRerank]]. */
-  private def pqEncodedFrame(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * recon). Shared by [[pqAnnTopK]] and [[pqAnnRerank]].
+    *
+    * `eager` materializes the cached distance table BEFORE returning —
+    * required when SEVERAL consumers of the frame execute inside one
+    * action ([[annQuality]]'s union of tiers): Spark submits their
+    * independent stages concurrently, and concurrent first-touch of an
+    * unmaterialized cache stampedes it (each stage computes the block,
+    * all but the first land on "already exists, not re-adding" discards
+    * — measured +5 s CPU on the ann_quality row when the r14 sharing
+    * refactor first landed without this). A single-consumer caller
+    * (pq_ann, pq_ann_rerank, ann_ivfpq standalone) skips the eager pass. */
+  private def pqEncodedFrame(spark: SparkSession, dir: String,
+      eager: Boolean = false): (DataFrame, DataFrame) = {
     val M = PqSubspaces
     val emb = table(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -871,6 +882,7 @@ object Similarity {
           s"zip_with(slice(v, m * $PqSubDim + 1, $PqSubDim), c, (x, y) -> (x - y) * (x - y)), " +
           "0D, (acc, x) -> acc + x), 6)))"))
       .select(col("vec_id"), col("dists")).cache()
+    if (eager) distsAll.count(): Unit
     val encoded = distsAll.crossJoin(broadcast(cbAll))
       .withColumn("codes", expr(
         s"transform(sequence(0, ${M - 1}), m -> " +
@@ -1255,14 +1267,20 @@ object Similarity {
     * query), which is exactly why the IVF and re-rank paths, not ann_lsh,
     * are the routed search defaults. */
   def annQuality(spark: SparkSession, dir: String): DataFrame = {
-    // cached: the brute-force exact frame feeds both the hit join and the
-    // n_exact count — uncached it executes twice
+    // cached AND eagerly counted: the count is the recall denominator
+    // anyway, and running it up front both materializes the brute-force
+    // frame once (the hit join would otherwise race a cold cache with
+    // the n_exact subtree — the stampede class pqEncodedFrame documents)
+    // and lets the denominator fold into the plan as a literal
     val exact = annCosine(spark, dir).select("query_id", "neighbor_id").cache()
+    val nExact = exact.count()
     // ONE corpus encode for the three PQ-family tiers (its cached 8×16
     // distance table is the harness's dominant re-derived frame); the
     // per-tier quantizers (LSH buckets, prefix/Lloyd centroids) stay
-    // per-tier — they ARE what each tier measures
-    val (embQ, encodedQ) = pqEncodedFrame(spark, dir)
+    // per-tier — they ARE what each tier measures. Eager: the tiers'
+    // stages run concurrently inside the one union action and would
+    // stampede a cold shared cache (see pqEncodedFrame)
+    val (embQ, encodedQ) = pqEncodedFrame(spark, dir, eager = true)
     val preds = Seq(
       "ann_lsh" -> lshTopK(spark, dir),
       "ann_ivf" -> ivfTopK(spark, dir),
@@ -1277,9 +1295,8 @@ object Similarity {
       .groupBy("method")
       .agg(count(lit(1)).as("n_returned"),
         sum(coalesce(col("__hit"), lit(0))).as("n_hits"))
-      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
       .selectExpr("method", "n_returned", "n_hits",
-        "ROUND(n_hits * 1e0 / n_exact, 6) AS recall_at_k")
+        s"ROUND(n_hits * 1e0 / ${nExact}L, 6) AS recall_at_k")
       .orderBy("method")
   }
 
