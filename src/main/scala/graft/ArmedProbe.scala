@@ -18,8 +18,9 @@ import graft.pipeline.{Dedup, Similarity}
   *  (b) hot-bucket candidate output bounded to B×cap — a planted
   *      duplicate shard / near-identical vector clump, capped vs
   *      uncapped candidate counts and wall/cpu (the bound demo uses a
-  *      cap OVERRIDE of 500 so the uncapped B² baseline stays tractable
-  *      to actually execute; the arming logic is cap-independent);
+  *      cap OVERRIDE of 100, B/cap = 20, so the uncapped B² baseline
+  *      stays tractable to actually execute; the arming logic is
+  *      cap-independent);
   *  (c) armed-with-empty-hot-set semantics — the armed healthy run's
   *      results must equal the unguarded run's row-for-row (dedup) /
   *      count+checksum (ANN), the bench-scale twin of PipelineSpec's
@@ -27,34 +28,61 @@ import graft.pipeline.{Dedup, Similarity}
   *
   * Emits ONE JSON line to stdout and `target/armed_probe.json`; the
   * committed copy is `ARMED_PROBE.json`. Wall = min of 2 cache-cleared
-  * timed runs after a warm-up; cpu = median executor CPU of those runs
-  * (the Bench.scala discipline). Fixtures are seeded and deterministic.
+  * timed runs after a warm-up; cpu = mean executor CPU of those runs.
+  * Fixtures are seeded, deterministic, and parquet-backed (see below).
   */
 object ArmedProbe {
 
   private class CpuListener extends org.apache.spark.scheduler.SparkListener {
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    // task balance, so the drain below can require no task in flight
+    // (the Bench.scala attribution discipline): a straggler ending after
+    // a fixed sleep would bleed its CPU into the next run's delta
+    val started = new java.util.concurrent.atomic.AtomicLong
+    val ended = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskStart(
+        t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+      started.incrementAndGet()
     override def onTaskEnd(
         t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+      ended.incrementAndGet()
     }
+  }
+
+  /** Poll until no task is in flight and the cpu counter held still for
+    * two 10 ms beats (bounded at 500 ms) — Bench.drained's contract. */
+  private def drained(l: CpuListener): Long = {
+    var prev = (l.cpuNs.get, l.started.get, l.ended.get)
+    var stable = 0
+    var tries = 0
+    while (tries < 50) {
+      Thread.sleep(10)
+      val cur = (l.cpuNs.get, l.started.get, l.ended.get)
+      stable = if (cur == prev) stable + 1 else 0
+      prev = cur
+      if (stable >= 2 && cur._2 == cur._3) return cur._1
+      tries += 1
+    }
+    prev._1
   }
 
   private case class Timing(wallSec: Double, cpuSec: Double)
 
-  /** Warm-up + 2 timed cache-cleared runs; min wall, mean cpu. */
+  /** Warm-up + 2 timed cache-cleared runs; min wall, mean cpu. The
+    * clearCache between runs wipes the PIPELINES' internal caches only —
+    * the fixtures live as parquet on disk (below), so runs re-pay the
+    * plan, never fixture construction. */
   private def timed(spark: SparkSession, listener: CpuListener)(
       body: => Unit): Timing = {
     def once(): Timing = {
       spark.catalog.clearCache()
-      Thread.sleep(50) // let the async listener bus settle
-      val c0 = listener.cpuNs.get
+      val c0 = drained(listener)
       val t0 = System.nanoTime()
       body
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(100)
-      Timing(wall, (listener.cpuNs.get - c0) / 1e9)
+      Timing(wall, (drained(listener) - c0) / 1e9)
     }
     once() // warm-up
     val runs = Seq(once(), once())
@@ -94,13 +122,23 @@ object ArmedProbe {
       }
       base.map { case (id, t) => (id, t.mkString(" ")) }.toSeq
     }
-    val healthy = healthyRows.toDF("doc_id", "text").repartition(32).cache()
+    // fixtures are written to TEMP PARQUET and read back: the timed runs
+    // clearCache() between executions, so a Spark-cached fixture would be
+    // silently rebuilt inside every timed run (a first version of this
+    // probe did exactly that) — a disk-backed fixture makes each run pay
+    // a parquet scan, the same input shape as the real pipelines
+    val fixDir = java.nio.file.Files.createTempDirectory("graft-armed").toString
+    def persisted(df: DataFrame, name: String): DataFrame = {
+      df.repartition(32).write.mode("overwrite").parquet(s"$fixDir/$name")
+      spark.read.parquet(s"$fixDir/$name")
+    }
+    val healthy = persisted(healthyRows.toDF("doc_id", "text"), "healthy")
     // hot corpus: 2,000 copies of one doc at ids 0..1999 (every copy lands
     // in the SAME (band, sig) bucket in all 4 bands) + 23,000 distinct
     val hotText = Array.fill(30)("h" + rnd.nextInt(5000)).mkString(" ")
     val hotRows = (0 until 2000).map(i => (i.toLong, hotText)) ++
       (2000 until NDocs).map(i => (i.toLong, tokens().mkString(" ")))
-    val hotDocs = hotRows.toDF("doc_id", "text").repartition(32).cache()
+    val hotDocs = persisted(hotRows.toDF("doc_id", "text"), "hot")
 
     // healthy vectors: 20,000 gaussians (> MaxSearchBucket 16,384 — armed
     // at the production cap; ~79 IVF cells of ~253 members, hot set empty)
@@ -108,8 +146,8 @@ object ArmedProbe {
     val vrnd = new scala.util.Random(7L)
     def gauss(): Array[Double] = Array.fill(64)(vrnd.nextGaussian())
     val healthyVecRows = Seq.tabulate(NVecs)(i => (i.toLong, gauss()))
-    val healthyVecs = healthyVecRows.toDF("vec_id", "embedding")
-      .repartition(32).cache()
+    val healthyVecs = persisted(
+      healthyVecRows.toDF("vec_id", "embedding"), "healthy_vecs")
     // hot vectors: 18,000 gaussians at ids 0..17999 (so the prefix-stable
     // centroids stay diverse) + a 2,000-vector near-identical clump at
     // ids 18000..19999 — all assign to one cell
@@ -117,8 +155,8 @@ object ArmedProbe {
     val hotVecRows = Seq.tabulate(18000)(i => (i.toLong, gauss())) ++
       Seq.tabulate(2000)(i => ((18000 + i).toLong,
         clumpBase.map(_ + vrnd.nextGaussian() * 1e-3)))
-    val hotVecs = hotVecRows.toDF("vec_id", "embedding").repartition(32).cache()
-    // materialize fixtures before any timing
+    val hotVecs = persisted(hotVecRows.toDF("vec_id", "embedding"), "hot_vecs")
+    // warm the page cache before any timing
     Seq(healthy, hotDocs, healthyVecs, hotVecs).foreach(_.count())
 
     // ------------------------------------------------- dedup band guard

@@ -72,7 +72,19 @@ object Similarity {
     * it (round-13 verdict: the fallback is a convention, not a contract;
     * it remains only for ad-hoc frames with no cheaper bound). */
   private[graft] def capCandidatesBy(df: DataFrame, keys: Seq[String],
-      id: String, cap: Long, sizeBound: Long = -1L): DataFrame =
+      id: String, cap: Long, sizeBound: Long = -1L): DataFrame = {
+    // A CACHED input is eagerly materialized before this guard returns it
+    // into a self-join: the join's child stages first-touch the cache
+    // concurrently and a cold cache gets STAMPEDED — each stage computes
+    // the block, all but one are discarded (see [[pqEncodedFrame]]; the
+    // round-14 sizeBound change silently removed the materialization the
+    // old count() fallback provided implicitly, and the capped-join
+    // family's CPU regressed until this restored it). An UNCACHED frame
+    // is the caller's business — counting it is the re-execution hazard
+    // sizeBound exists to avoid.
+    if (sizeBound >= 0L &&
+        df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      df.count(): Unit
     // a group can only exceed the cap if the frame does: the caller's
     // bound (or one count() of the caller-cached frame — materialized a
     // moment early, reused by the query) makes the guard structurally
@@ -90,6 +102,7 @@ object Similarity {
         .filter(col("__ck") <= cap).drop("__ck")
       df.join(broadcast(hot), keys, "left_anti").unionByName(kept)
     }
+  }
 
   /** Brute-force cosine top-k for the first [[NumQueries]] vectors. */
   def annCosine(spark: SparkSession, dir: String): DataFrame = {
