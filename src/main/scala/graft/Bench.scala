@@ -24,11 +24,31 @@ import org.apache.spark.sql.SparkSession
   * measures the deployment shape instead — and (round 11) with the same
   * warm-up + min-of-N discipline as the per-query loop, because its r10
   * single-shot numbers were load-hostage (21.0 s recorded vs 13.9 s idle
-  * on unchanged code). */
+  * on unchanged code).
+  *
+  * Execution action (round 15): [[exec]] iterates the final physical
+  * plan's rows instead of `df.count()`. count() rewrites the query to a
+  * grouping-less COUNT whose column pruning can legally DELETE the work
+  * being measured: a projection-final query degrades to a row-count scan,
+  * and a 1-row-report query whose flags come from unique-key left joins
+  * loses those joins to join elimination (round 15 caught
+  * incremental_dedup reading 0.1 s CPU for a full LSH pipeline after a
+  * report-shape refactor — the harness, not the query, was wrong).
+  * toRdd-iteration computes EVERY output column, costs nothing extra for
+  * the agg-final majority, and raises only the rows count() was
+  * under-measuring. */
 object Bench {
 
   /** Timed executions per query; the minimum is reported. */
   val TimedRuns = 3
+
+  /** Force full evaluation of every output column without a driver
+    * collect: iterate the executed plan's row RDD. See the object doc —
+    * `df.count()` lets Catalyst prune/eliminate exactly the work a
+    * benchmark exists to measure. */
+  private def exec(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.queryExecution.toRdd.foreach(_ => ()): Unit
+  }
 
   /** Timed executions per PROD FAMILY (each family run re-pays its whole
     * shared DAG, so it costs several per-query runs; 2 timed runs + the
@@ -143,6 +163,13 @@ object Bench {
     heapPools.foreach(p => try p.resetPeakUsage() catch { case _: Throwable => () })
   private def peakMb(): Double =
     math.round(heapPools.map(_.getPeakUsage.getUsed).sum / 1e5) / 10.0
+  /** Max SINGLE-pool peak (round-14 verdict item 7): the summed-pool
+    * figure overcounts the instantaneous footprint (pools peak at
+    * different moments — the 65.6 GB ensemble_family row reads as an OOM
+    * risk it isn't); the largest single pool is a tighter lower layer.
+    * True instantaneous footprint lies between the two. */
+  private def peakPoolMb(): Double =
+    math.round(heapPools.map(_.getPeakUsage.getUsed).max / 1e5) / 10.0
 
   /** Fixed-work CPU calibration (round-12 verdict item 4): the r12 driver
     * artifact proved executor CPU itself inflates ~17% under load ~11 on
@@ -168,6 +195,64 @@ object Bench {
     math.round(v * 10) / 10.0
   }
 
+  /** PARALLEL fixed-work anchor (round-14 verdict item 1 / what's-wrong
+    * #1): the r14 driver artifact proved a 1-thread calib loop is
+    * structurally blind to the regime that matters — at load 6.46 both
+    * single-thread anchors read ≈ the 106 ms idle value while PARALLEL
+    * executor CPU inflated +86% (ambient threads share SMT siblings and
+    * cache with OUR 32 executor threads, not with one pinned loop that
+    * mostly gets a core to itself). This runs `threads` copies of the
+    * same xorshift loop concurrently — the executor-pool contention shape
+    * — and reports the wall for ALL to finish, min of 3 after a warm-up
+    * round. Idle on this host it reads ≈ the 1-thread anchor (the 32
+    * cpus issue the pure-ALU loop with no visible SMT penalty; committed
+    * reference [[IdleCalibPar32Ms]]) — and it is SENSITIVE where the
+    * 1-thread loop is blind: at ambient load ~1 round-15 probes already
+    * read it at 2–5× idle while calib1 sat at 107 ms, the regime
+    * signature that inflated the r14 artifact's parallel executor CPU
+    * +86% past two clean 1-thread anchors. */
+  private def calibParMs(threads: Int): Double = {
+    // quiesce the JVM first: the END anchor runs inside a process that
+    // just churned an 8 GB heap for ~15 minutes, and concurrent GC
+    // threads steal exactly the cores the anchor measures — the first
+    // r15 idle run read end 185 ms vs start 133 ms (a 1.39x "drift")
+    // from GC alone and self-flagged contamination. One explicit full
+    // GC + settle beat before timing removes that artifact while
+    // leaving AMBIENT contention — the thing the anchor exists to see —
+    // untouched.
+    System.gc()
+    Thread.sleep(300)
+    val sink = new java.util.concurrent.atomic.AtomicLong
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { _ =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L
+          var i = 0
+          while (i < 50000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          sink.addAndGet(x): Unit
+        })
+      }
+      ts.foreach(_.start())
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
+    once() // warm-up round, untimed
+    val v = (1 to 3).map(_ => once()).min
+    if (sink.get == 42L) System.err.println("[bench] calib sink")
+    math.round(v * 10) / 10.0
+  }
+
+  /** Committed idle reference for [[calibParMs]] at 32 threads on this
+    * 32-cpu container, measured IN-BENCH (a bare-JVM probe reads ~116 ms,
+    * but inside the bench process — Spark threads parked, live heap —
+    * the idle START anchor reads ~130 ms at load 0.08; the in-process
+    * value is the right reference because that is where the gate samples
+    * it). Host-specific by construction — the bench only runs in this
+    * container; re-measure if the image changes. Used by the
+    * contamination gate below, NOT for normalizing numbers. */
+  val IdleCalibPar32Ms = 130.0
+
   def main(args: Array[String]): Unit = {
     // ambient 1-min load, sampled BEFORE any work starts: sampled at the
     // end it mostly measures this bench's own 32 threads (observed: a
@@ -179,8 +264,12 @@ object Bench {
       math.round(l * 100.0) / 100.0
     }
     val calib = calibMs() // before any Spark work: measures the host, not us
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the parallel anchor runs at the EXECUTOR-POOL width — that is the
+    // contention regime the artifact's cpu layer lives in
+    val calibThreads = try cpus.toInt catch { case _: Throwable => 4 }
+    val calibPar = calibParMs(calibThreads)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -213,11 +302,12 @@ object Bench {
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
     val peaks = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val peaksPool = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
       def once(): RunMetrics = measured(listener) {
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
       }
       resetPeaks() // per-query peak-heap headroom (covers warm-up + timed)
       once() // warm-up (JIT + OS page cache)
@@ -228,6 +318,7 @@ object Bench {
       })
       spark.catalog.clearCache()
       peaks(name) = peakMb()
+      peaksPool(name) = peakPoolMb()
       name -> timed
     }
     // ---- production-shape section (skipped for SPARK_GRAFT_ONLY subsets):
@@ -258,11 +349,13 @@ object Bench {
         })
       } catch { case _: Throwable => RunMetrics(-1.0, -1.0, -1.0, -1.0) }
     val prodPeaks = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val prodPeaksPool = scala.collection.mutable.LinkedHashMap[String, Double]()
     def prodFamily(name: String)(reset: => Unit)(body: => Unit)(
         cleanup: => Unit): (String, RunMetrics) = {
       resetPeaks()
       val t = familyMin(reset)(body)(cleanup)
       prodPeaks(name) = peakMb()
+      prodPeaksPool(name) = peakPoolMb()
       name -> t
     }
     val prod: Seq[(String, RunMetrics)] = if (only.nonEmpty) Seq.empty else try {
@@ -272,7 +365,7 @@ object Bench {
       } {
         Seq("drift_results", "drift_summary", "dimensional_summary",
           "top_dimensions", "top_drifted_columns")
-          .foreach(n => SparkEntry.benchQueries(n)(spark, sfDir).count())
+          .foreach(n => exec(SparkEntry.benchQueries(n)(spark, sfDir)))
       } {}
       // LSH clustering runs once, is persisted, and the leakage audit
       // consumes the artifact; a FRESH artifact dir per run so each timed
@@ -291,19 +384,19 @@ object Bench {
         graft.pipeline.Dedup.writeClusters(
           graft.pipeline.Dedup.neardupClusters(spark, sfDir), s"$tmp/clusters")
         val art = graft.pipeline.Dedup.readClusters(spark, s"$tmp/clusters")
-        graft.pipeline.DataSplit.splitLeakageNeardup(spark, sfDir,
-          precomputed = Some(art)).count()
+        exec(graft.pipeline.DataSplit.splitLeakageNeardup(spark, sfDir,
+          precomputed = Some(art)))
       } { rmTmp() }
       // the corpus is LM-scored once; per-doc, per-source and ppl-bucket
       // surfaces all aggregate the shared cached frame
       val lm = prodFamily("lm_family") { spark.catalog.clearCache() } {
-        graft.pipeline.LmScore.lmFamilyShared(spark, sfDir).foreach(_.count())
+        graft.pipeline.LmScore.lmFamilyShared(spark, sfDir).foreach(exec)
       } {}
       // the per-doc quality-ensemble frame scores once; the per-source
       // rollup and the snapshot-drift monitor aggregate the cached frame
       val ensemble = prodFamily("ensemble_family") { spark.catalog.clearCache() } {
         graft.pipeline.TextAnalysis.ensembleFamilyShared(spark, sfDir)
-          .foreach(_.count())
+          .foreach(exec)
       } {}
       // the IVF index is built once on ingest and every search joins the
       // artifact (build + one query-many-shaped search per run; fresh
@@ -320,7 +413,7 @@ object Bench {
         ivfTmp = java.nio.file.Files.createTempDirectory("graft-bench-ivf")
       } {
         graft.pipeline.Similarity.writeIvfIndex(spark, sfDir, s"$ivfTmp/ivf")
-        graft.pipeline.Similarity.ivfTopKFromIndex(spark, sfDir, s"$ivfTmp/ivf").count()
+        exec(graft.pipeline.Similarity.ivfTopKFromIndex(spark, sfDir, s"$ivfTmp/ivf"))
       } { rmIvf() }
       spark.catalog.clearCache()
       Seq(report, neardup, lm, ensemble, annIndex)
@@ -339,6 +432,27 @@ object Bench {
     // anchor, the cpu layer is regime-contaminated and only wall/shuffle
     // are trustworthy.)
     val calibEnd = calibMs()
+    val calibParEnd = calibParMs(calibThreads)
+    // Contamination gate (round-14 what's-wrong #1): the r14 driver
+    // artifact shipped with cpu_total_sec +86% at load 6.46 while BOTH
+    // 1-thread anchors read clean — the artifact's own note disqualified
+    // it, but nothing in the JSON said so up front. The gate stamps
+    // contaminated=true (with reasons) when the run started on a loaded
+    // host, when the parallel anchors drifted across the run (mid-run
+    // regime shift), or when either parallel anchor is far above the
+    // committed idle reference (sustained contention the load sample can
+    // miss). A contaminated artifact's wall/shuffle layers remain
+    // trustworthy (min-of-N + plan-determinism); its cpu layer is not.
+    val contamReasons = Seq(
+      (load1mStart > 2.0) -> s"load1m_start $load1mStart > 2.0",
+      (calibPar.max(calibParEnd) > calibPar.min(calibParEnd) * 1.5) ->
+        s"parallel anchors drifted ${calibPar} -> ${calibParEnd} ms",
+      (calibPar.min(calibParEnd) > IdleCalibPar32Ms * 1.5) ->
+        s"both parallel anchors > 1.5x idle reference $IdleCalibPar32Ms ms"
+    ).collect { case (true, r) => r }
+    val contaminated = contamReasons.nonEmpty
+    val contamJson = s""""contaminated":$contaminated,"contaminated_why":""" +
+      contamReasons.mkString("\"", "; ", "\"")
     def r3(v: Double): Double = math.round(v * 1000.0) / 1000.0
     def jsonPairs(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -354,18 +468,24 @@ object Bench {
     // headroom, for the 10x scale step.
     val peakMax = if (peaks.nonEmpty) peaks.values.max else -1.0
     val note = "per-query min-wall of " + TimedRuns + " cache-cleared runs; " +
-      "cpu_sec = MEDIAN executor CPU across those runs (min-wall-run cpu was " +
+      "ACTION CHANGE r15: each run iterates the plan's output rows (toRdd) " +
+      "instead of df.count() — count()'s column pruning deleted the measured " +
+      "work on projection-final and 1-row-report rows, so those rows rose to " +
+      "their true cost vs r14; agg-final rows are unaffected. " +
+      "cpu_sec = MEDIAN executor CPU across the runs (min-wall-run cpu was " +
       "selection-noisy, r13); cpu_total_sec = sum of the medians, steadier than wall but " +
       "NOT load-proof: it inflates up to ~20% under heavy SMT/cache pressure " +
-      "(r12 driver: +17% at load 11.5). calib_ms = fixed-work 1-thread loop " +
-      "timed before any Spark work, calib_ms_end after all of it; if the two " +
-      "disagree or either is far from the idle anchor in " +
-      "BENCH_DETAIL_HEAD.json, a mid-run regime shift contaminated the cpu " +
-      "layer (r13: +65% cpu on identical code/wall/start-calib) and only " +
-      "wall/shuffle are trustworthy. prod = report/LSH/LM " +
+      "(r12 driver: +17% at load 11.5). calib_ms(+_end) = fixed-work 1-thread " +
+      "loop before/after all Spark work; calib_par_ms(+_end) = the same loop " +
+      "on all executor-width threads at once — the 1-thread anchor read clean " +
+      "at load 6.46 while parallel cpu inflated +86% (r14), so the PARALLEL " +
+      "anchor is the one that certifies the cpu layer. contaminated=true " +
+      "(with reasons) means the cpu layer is untrustworthy; wall (min-of-N) " +
+      "and shuffle (plan-deterministic) remain usable. prod = report/LSH/LM " +
       "families run deployment-shape, warm-up + min of " + ProdTimedRuns +
       " state-reset runs each; peak_heap_mb = worst per-query summed-pool " +
-      "JVM heap peak (per-query maps in target/bench_detail.json)"
+      "JVM heap peak — an overcount; pool_peaks_mb in the detail file is the " +
+      "largest single pool (per-query maps in target/bench_detail.json)"
     // ambient load context (see load1mStart above): round 9 recorded a 38%
     // per-query "regression" on byte-identical code that was pure host
     // load (min-of-3 rejects spikes, not sustained load) — the artifact
@@ -374,18 +494,23 @@ object Bench {
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""queries_run":${results.size},"load1m_start":$load1mStart,""" +
       s""""cpu_total_sec":$cpuTotal,"calib_ms":$calib,"calib_ms_end":$calibEnd,""" +
+      s""""calib_par_ms":$calibPar,"calib_par_ms_end":$calibParEnd,$contamJson,""" +
       s""""peak_heap_mb":$peakMax,"top5":$top5,"prod":${jsonPairs(walls(prod))},""" +
       s""""prod_peak_mb":${jsonPairs(prodPeaks.toSeq)},"note":"$note"}"""
     def metricMap(f: RunMetrics => Double)(rs: Seq[(String, RunMetrics)]) =
       jsonPairs(rs.map { case (k, m) => k -> r3(f(m)) })
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""load1m_start":$load1mStart,"cpu_total_sec":$cpuTotal,"calib_ms":$calib,""" +
-      s""""calib_ms_end":$calibEnd,"queries":$qs,"cpu_sec":${metricMap(_.cpu)(results)},""" +
+      s""""calib_ms_end":$calibEnd,"calib_par_ms":$calibPar,""" +
+      s""""calib_par_ms_end":$calibParEnd,$contamJson,""" +
+      s""""queries":$qs,"cpu_sec":${metricMap(_.cpu)(results)},""" +
       s""""shuffle_mb":${metricMap(_.shuffleMb)(results)},""" +
       s""""spill_mb":${metricMap(_.spillMb)(results)},""" +
       s""""prod":${jsonPairs(walls(prod))},"prod_cpu_sec":${metricMap(_.cpu)(prod)},""" +
       s""""prod_shuffle_mb":${metricMap(_.shuffleMb)(prod)},""" +
-      s""""peaks_mb":${jsonPairs(peaks.toSeq)},"prod_peak_mb":${jsonPairs(prodPeaks.toSeq)}}"""
+      s""""peaks_mb":${jsonPairs(peaks.toSeq)},"pool_peaks_mb":${jsonPairs(peaksPool.toSeq)},""" +
+      s""""prod_peak_mb":${jsonPairs(prodPeaks.toSeq)},""" +
+      s""""prod_pool_peak_mb":${jsonPairs(prodPeaksPool.toSeq)}}"""
     // stdout carries EXACTLY ONE compact JSON line: the driver archives only
     // a 2000-char stdout tail, and every BENCH_r1..r6 artifact came back
     // parsed:null because the 5 KB per-query line overflowed that window.

@@ -256,8 +256,7 @@ object Dedup {
     *
     * Cost is a two-level cheapness ladder: (1) a corpus of ≤ maxBucket
     * docs cannot host an over-cap bucket — callers pass the doc count
-    * (cheap parquet count; fallback: bands-rows ÷ nBands off the cached
-    * frame) and under-cap corpora return the frame UNTOUCHED, the guard
+    * (cheap parquet count) and under-cap corpora return the frame UNTOUCHED, the guard
     * absent from their plans (round-13 profiling: every always-on shape
     * paid 1–6 s/query of fixed small-stage churn at gate SF — hot-split
     * 135 s vs 68 s unguarded family CPU, eager probe ~124 s, always-on
@@ -269,26 +268,27 @@ object Dedup {
     * The armed path delegates to [[Similarity.capCandidatesBy]] — ONE
     * implementation of the hot-probe + window + union guard for both the
     * dedup and ANN families (two hand-kept copies drifted once already;
-    * round-13 ADVICE) — wrapping the armed result in `cached` because
-    * both sides of the band join consume it.
+    * round-13 ADVICE) — wrapping the armed result in `cached` because the
+    * candidate-PAIR frame derived from it feeds both the
+    * shingle-intersection and final-join subtrees downstream (the band
+    * join itself consumes the armed frame on ONE side only, against the
+    * raw bands frame — round-14 ADVICE corrected this rationale).
     *
-    * Fallback-bound PRECONDITION (when `docsUpperBound` is omitted):
-    * `bands` must be a [[bandsFromTri]]-shaped frame — exactly
-    * NumHashes/BandRows rows per signed doc — for rows÷nBands to equal
-    * the doc count and hence bound any bucket's membership. On a frame
-    * with FEWER rows per doc the quotient UNDERESTIMATES membership and
-    * could skip arming on an over-cap corpus; every production call site
-    * therefore passes the explicit doc count (one parquet-footer read)
-    * and only bandsFromTri-shaped spec fixtures rely on the fallback. */
+    * `docsUpperBound` is REQUIRED (round-15; the r14 `-1` fallback
+    * divided bands-rows by nBands, which UNDERESTIMATES membership on
+    * any frame with fewer than NumHashes/BandRows rows per doc and could
+    * silently skip arming on an over-cap corpus — a documented footgun
+    * with no remaining caller: every production site already owns a
+    * cheap parquet-footer doc count, and specs know their fixture
+    * sizes). */
   private[graft] def bandReps(bands: DataFrame,
       cached: DataFrame => DataFrame,
       maxBucket: Long = MaxBandBucket,
-      docsUpperBound: Long = -1L): DataFrame = {
-    val bound = if (docsUpperBound >= 0L) docsUpperBound
-      else bands.count() / (NumHashes / BandRows)
-    if (bound <= maxBucket) bands
+      docsUpperBound: Long): DataFrame = {
+    require(docsUpperBound >= 0L, "bandReps needs a non-negative doc-count bound")
+    if (docsUpperBound <= maxBucket) bands
     else cached(Similarity.capCandidatesBy(bands, Seq("band", "sig"),
-        "doc_id", maxBucket, sizeBound = bound)
+        "doc_id", maxBucket, sizeBound = docsUpperBound)
       .select("doc_id", "band", "sig"))
   }
 
@@ -384,7 +384,7 @@ object Dedup {
   private[graft] def pairsFromTriAndBands(tri: DataFrame, bands: DataFrame,
       cached: DataFrame => DataFrame = _.cache(),
       maxBucket: Long = MaxBandBucket,
-      docsUpperBound: Long = -1L): DataFrame = {
+      docsUpperBound: Long): DataFrame = {
     // the LOWER-id side carries the bucket cap ([[bandReps]]): every doc
     // still appears as doc_b, so a hot bucket's members all pair with the
     // representatives (bounded B×cap) and none escapes dedup
@@ -508,22 +508,35 @@ object Dedup {
       .join(tri.as("a"), col("batch_doc") === col("a.doc_id"))
       .join(tri.as("b"), col("corpus_doc") === col("b.doc_id") && col("a.sh") === col("b.sh"))
       .groupBy("batch_doc", "corpus_doc").agg(count(lit(1)).as("i"))
-    val nearDup = cands.join(inter, Seq("batch_doc", "corpus_doc"))
+    // nearRaw deliberately OMITS the exact-dup exclusion: the report below
+    // derives near/kept from per-doc flags, so the exclusion is the
+    // expression `nr && !ex` — and the expensive verify subtree appears in
+    // the plan ONCE. (The r14 shape crossJoined five separate aggs, which
+    // evaluated nearDup twice and exactDup three times per run — the bulk
+    // of the round-14 bench row's wall on an idle host.)
+    val nearRaw = cands.join(inter, Seq("batch_doc", "corpus_doc"))
       .join(sz.withColumnRenamed("doc_id", "batch_doc").withColumnRenamed("n", "na"), "batch_doc")
       .join(sz.withColumnRenamed("doc_id", "corpus_doc").withColumnRenamed("n", "nb"), "corpus_doc")
       .filter(expr(s"ROUND(i * 1e0 / (na + nb - i), 6) >= $JaccardThreshold"))
       .select(col("batch_doc").as("doc_id")).distinct()
-      .join(exactDup, Seq("doc_id"), "left_anti")
-    val kept = batchIds
-      .join(exactDup, Seq("doc_id"), "left_anti")
-      .join(nearDup, Seq("doc_id"), "left_anti")
+    // one pass over the flagged batch: every gate count + the kept-id
+    // checksum from a single aggregation (exactDup and nearRaw are unique
+    // id sets, so the left joins cannot multiply batch rows)
+    val flags = batchIds
+      .join(exactDup.withColumn("ex0", lit(true)), Seq("doc_id"), "left")
+      .join(nearRaw.withColumn("nr0", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ex0"), lit(false)).as("ex"),
+        (coalesce(col("nr0"), lit(false)) && !coalesce(col("ex0"), lit(false))).as("nd"))
     bsrc
-      .crossJoin(batchIds.agg(count(lit(1)).as("n_batch")))
+      .crossJoin(flags.agg(
+        count(lit(1)).as("n_batch"),
+        coalesce(sum(when(col("ex"), 1L).otherwise(0L)), lit(0L)).as("n_exact_dup"),
+        coalesce(sum(when(col("nd"), 1L).otherwise(0L)), lit(0L)).as("n_near_dup"),
+        coalesce(sum(when(!col("ex") && !col("nd"), 1L).otherwise(0L)), lit(0L)).as("n_kept"),
+        coalesce(sum(when(!col("ex") && !col("nd"), col("doc_id")).otherwise(0L)), lit(0L))
+          .as("kept_id_sum")))
       .crossJoin(corpusIds.agg(count(lit(1)).as("n_corpus")))
-      .crossJoin(exactDup.agg(count(lit(1)).as("n_exact_dup")))
-      .crossJoin(nearDup.agg(count(lit(1)).as("n_near_dup")))
-      .crossJoin(kept.agg(count(lit(1)).as("n_kept"),
-        coalesce(sum("doc_id"), lit(0L)).as("kept_id_sum")))
       .select("batch_source", "n_batch", "n_corpus", "n_exact_dup",
         "n_near_dup", "n_kept", "kept_id_sum")
   }

@@ -404,7 +404,16 @@ object EventAnalytics {
     * row. A broken sketch merge, a lost day, or cover-window leakage
     * flips a boolean (or the row set — the join is FULL outer) and
     * hash-fails the gate. Deterministic: HLL is deterministic for a
-    * given input, so this is a contract check, not a flaky bound. */
+    * given input, so this is a contract check, not a flaky bound —
+    * but the 0.15 band is "3 sigma" of relativeSD 0.05 and HLL++ error
+    * is NOT bounded at 3 sigma, so the tolerance must be RE-VALIDATED
+    * whenever the gate dataset (or SF) changes: a deterministic estimate
+    * landing outside the band fails the gate with no code defect
+    * (round-14 ADVICE). For diagnosability the row also carries
+    * `dau/wau_err_if_out`: 0.0 while within tolerance (so the oracle can
+    * pin it), the rounded relative error when outside — a gate failure
+    * shows its magnitude in the Verify parquet dump instead of hiding it
+    * behind a boolean (-1.0 marks a day missing from either side). */
   def activeUsersTol(spark: SparkSession, dir: String,
       tol: Double = ActiveUsersTolerance): DataFrame = {
     val exact = activeUsers(spark, dir, approx = false)
@@ -415,16 +424,24 @@ object EventAnalytics {
       .selectExpr("day",
         "CAST(dau_exact AS BIGINT) AS dau_exact",
         "CAST(wau_exact AS BIGINT) AS wau_exact",
-        "COALESCE(ABS(CAST(dau_sketch AS DOUBLE) - CAST(dau_exact AS DOUBLE)) / " +
-          s"CAST(dau_exact AS DOUBLE) <= $tol, false) AS dau_within_tol",
-        "COALESCE(ABS(CAST(wau_sketch AS DOUBLE) - CAST(wau_exact AS DOUBLE)) / " +
-          s"CAST(wau_exact AS DOUBLE) <= $tol, false) AS wau_within_tol")
+        "ABS(CAST(dau_sketch AS DOUBLE) - CAST(dau_exact AS DOUBLE)) / " +
+          "CAST(dau_exact AS DOUBLE) AS dau_err",
+        "ABS(CAST(wau_sketch AS DOUBLE) - CAST(wau_exact AS DOUBLE)) / " +
+          "CAST(wau_exact AS DOUBLE) AS wau_err")
+      .selectExpr("day", "dau_exact", "wau_exact",
+        s"COALESCE(dau_err <= $tol, false) AS dau_within_tol",
+        s"COALESCE(wau_err <= $tol, false) AS wau_within_tol",
+        s"CASE WHEN COALESCE(dau_err <= $tol, false) THEN 0e0 " +
+          "ELSE ROUND(COALESCE(dau_err, -1e0), 4) END AS dau_err_if_out",
+        s"CASE WHEN COALESCE(wau_err <= $tol, false) THEN 0e0 " +
+          "ELSE ROUND(COALESCE(wau_err, -1e0), 4) END AS wau_err_if_out")
       .orderBy("day")
   }
 
   def activeUsersTolSql: String =
     "SELECT day, dau AS dau_exact, wau AS wau_exact, " +
-      "true AS dau_within_tol, true AS wau_within_tol " +
+      "true AS dau_within_tol, true AS wau_within_tol, " +
+      "0e0 AS dau_err_if_out, 0e0 AS wau_err_if_out " +
       s"FROM ($activeUsersSql) t ORDER BY day"
 
   // ------------------------------------------------------ attribution

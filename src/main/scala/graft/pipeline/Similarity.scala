@@ -59,8 +59,9 @@ object Similarity {
     * from the plan); an armed frame windows only the actually-hot groups
     * found by one partial-aggregated count into a broadcast frame. */
   private[graft] def capCandidates(df: DataFrame, key: String, id: String,
-      cap: Long, sizeBound: Long = -1L): DataFrame =
-    capCandidatesBy(df, Seq(key), id, cap, sizeBound)
+      cap: Long, sizeBound: Long = -1L,
+      materializeCached: Boolean = true): DataFrame =
+    capCandidatesBy(df, Seq(key), id, cap, sizeBound, materializeCached)
 
   /** [[capCandidates]] over a composite group key (band, sig).
     * `sizeBound`: an upper bound on any group's membership known by the
@@ -72,7 +73,8 @@ object Similarity {
     * it (round-13 verdict: the fallback is a convention, not a contract;
     * it remains only for ad-hoc frames with no cheaper bound). */
   private[graft] def capCandidatesBy(df: DataFrame, keys: Seq[String],
-      id: String, cap: Long, sizeBound: Long = -1L): DataFrame = {
+      id: String, cap: Long, sizeBound: Long = -1L,
+      materializeCached: Boolean = true): DataFrame = {
     // A CACHED input is eagerly materialized before this guard returns it
     // into a self-join: the join's child stages first-touch the cache
     // concurrently and a cold cache gets STAMPEDED — each stage computes
@@ -82,7 +84,16 @@ object Similarity {
     // family's CPU regressed until this restored it). An UNCACHED frame
     // is the caller's business — counting it is the re-execution hazard
     // sizeBound exists to avoid.
-    if (sizeBound >= 0L &&
+    //
+    // NOTE this makes the cached-caller QUERY BUILDERS (lshTopK, ivfTopK,
+    // semanticDedup, embedNeardup) EAGER: constructing their DataFrame
+    // runs a materialization job, even on the inert under-cap path —
+    // deliberate, because the inert path returns the cached frame
+    // straight into the same concurrent self-join (round-14 ADVICE asked
+    // for the laziness loss to be explicit). A caller composing plans
+    // without executing them (explain/plan audits) passes
+    // materializeCached = false.
+    if (materializeCached && sizeBound >= 0L &&
         df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       df.count(): Unit
     // a group can only exceed the cap if the frame does: the caller's

@@ -79,7 +79,10 @@ class PipelineSpec extends SparkSpec {
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         .select("doc_id", "text")).cache()
     val bands = Dedup.bandsFromTri(tri, _.cache())
-    val capped = Dedup.bandReps(bands, _.cache()).collect().map(_.toString).sorted.toSeq
+    val nDocs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").count()
+    val capped = Dedup.bandReps(bands, _.cache(), docsUpperBound = nDocs)
+      .collect().map(_.toString).sorted.toSeq
     val raw = bands.collect().map(_.toString).sorted.toSeq
     assert(capped == raw, "bucket cap excluded docs on a gate corpus")
     // headroom: the hottest (band, sig) bucket sits far under the cap, so
@@ -99,12 +102,14 @@ class PipelineSpec extends SparkSpec {
     val hot = (0 until 50).map(i => (i.toLong, hotText)).toDF("doc_id", "text")
     val hotTri = Dedup.shinglesOf(hot).cache()
     val hotBands = Dedup.bandsFromTri(hotTri, _.cache())
-    val reps = Dedup.bandReps(hotBands, _.cache(), maxBucket = 5L)
+    val reps = Dedup.bandReps(hotBands, _.cache(), maxBucket = 5L,
+      docsUpperBound = 50L)
     assert(reps.groupBy("band", "sig").count()
       .agg(max("count")).collect()(0).getLong(0) <= 5L)
     assert(reps.select("doc_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
       == (0L until 5L).toSeq, "representatives must be the lowest doc_ids")
-    val pairs = Dedup.pairsFromTriAndBands(hotTri, hotBands, maxBucket = 5L)
+    val pairs = Dedup.pairsFromTriAndBands(hotTri, hotBands,
+      maxBucket = 5L, docsUpperBound = 50L)
       .select("doc_a", "doc_b").collect()
     // a = reps only; every non-minimum copy appears as doc_b
     assert(pairs.map(_.getLong(0)).toSet.subsetOf((0L until 5L).toSet))
@@ -112,7 +117,7 @@ class PipelineSpec extends SparkSpec {
       "an evicted copy escaped the dedup decision")
     assert(pairs.length == (0 until 5).map(a => 49 - a).sum) // 235
     assert(Dedup.pairsFromTriAndBands(hotTri, hotBands,
-      maxBucket = Long.MaxValue).count() == 1225L,
+      maxBucket = Long.MaxValue, docsUpperBound = 50L).count() == 1225L,
       "sanity: without the guard the hot bucket squares")
   }
 

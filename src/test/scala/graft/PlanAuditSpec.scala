@@ -189,7 +189,8 @@ class PlanAuditSpec extends SparkSpec {
     val hot = (0 until 12).map(i => (i.toLong, hotText)).toDF("doc_id", "text")
     val tri = Dedup.shinglesOf(hot).cache()
     val hotPlan = planOf(Dedup.bandReps(
-      Dedup.bandsFromTri(tri, _.cache()), _.cache(), maxBucket = 5L))
+      Dedup.bandsFromTri(tri, _.cache()), _.cache(), maxBucket = 5L,
+      docsUpperBound = 12L))
     // bandReps delegates its armed path to capCandidatesBy (one guard
     // implementation for both families — round-13 ADVICE), so the armed
     // marker is the shared __ck window column

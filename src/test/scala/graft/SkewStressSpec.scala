@@ -133,7 +133,9 @@ class SkewStressSpec extends SparkSpec {
     val bands = Dedup.bandsFromTri(tri, _.cache())
     // every copy lands in ONE (band, sig) bucket per band; the lower-side
     // representative set must hold exactly `cap` lowest doc_ids per bucket
-    val reps = Dedup.bandReps(bands, _.cache(), maxBucket = cap)
+    val nDocs = graft.drift.table(spark, dir, "documents").count()
+    val reps = Dedup.bandReps(bands, _.cache(), maxBucket = cap,
+      docsUpperBound = nDocs)
     val hotBucketMax = reps.filter(col("doc_id") < NHotCopies)
       .groupBy("band", "sig").count().agg(max("count")).collect()(0).getLong(0)
     assert(hotBucketMax == cap, s"guard did not fire: hot bucket holds $hotBucketMax")
@@ -143,7 +145,8 @@ class SkewStressSpec extends SparkSpec {
     // candidate fan-out is B×cap-bounded (94 950 pairs, not
     // C(1000,2) = 499 500) AND no copy escapes: all 999 non-minimum
     // copies still pair with a representative
-    val hotPairs = Dedup.pairsFromTriAndBands(tri, bands, maxBucket = cap)
+    val hotPairs = Dedup.pairsFromTriAndBands(tri, bands, maxBucket = cap,
+      docsUpperBound = nDocs)
       .filter(col("doc_a") < NHotCopies && col("doc_b") < NHotCopies)
       .select("doc_a", "doc_b").collect()
     assert(hotPairs.length == (0 until cap.toInt).map(a => NHotCopies - 1 - a).sum,
