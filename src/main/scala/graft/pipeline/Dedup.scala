@@ -759,7 +759,12 @@ object Dedup {
     val docs = table(spark, dir, "documents")
     val evalSrc = docs.agg(min("source").as("eval_source"))
     val nDocs = docs.agg(count(lit(1)).as("n_all"))
-    val tri0 = shinglesOf(docs.select("doc_id", "text"))
+    // cached: the raw shingle frame feeds BOTH the df-cap aggregation and
+    // the capped-join rebuild — uncached, the explode+md5 shingle pass (the
+    // query's single most expensive expression) executed twice (round-15
+    // profiling, visible only once the bench action stopped letting
+    // count() prune the containment join away)
+    val tri0 = shinglesOf(docs.select("doc_id", "text")).cache()
     // cap floored at 2: on a tiny corpus frac·n < 1 would empty the shingle
     // universe, and a shingle must appear in ≥2 docs to witness containment
     val keepSh = tri0.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -839,7 +844,8 @@ object Dedup {
     val docs = table(spark, dir, "documents")
     val evalSrc = docs.agg(min("source").as("eval_source"))
     val nDocs = docs.agg(count(lit(1)).as("n_all"))
-    val tri0 = shinglesOf(docs.select("doc_id", "text"))
+    // cached for the same two-consumer reason as the exact operator above
+    val tri0 = shinglesOf(docs.select("doc_id", "text")).cache()
     val keepSh = tri0.groupBy("sh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") <= greatest(lit(2.0),
