@@ -759,12 +759,14 @@ object Dedup {
     val docs = table(spark, dir, "documents")
     val evalSrc = docs.agg(min("source").as("eval_source"))
     val nDocs = docs.agg(count(lit(1)).as("n_all"))
-    // cached: the raw shingle frame feeds BOTH the df-cap aggregation and
-    // the capped-join rebuild — uncached, the explode+md5 shingle pass (the
-    // query's single most expensive expression) executed twice (round-15
-    // profiling, visible only once the bench action stopped letting
-    // count() prune the containment join away)
-    val tri0 = shinglesOf(docs.select("doc_id", "text")).cache()
+    // tri0 is DELIBERATELY uncached although two subtrees consume it (the
+    // df-cap aggregation and the capped rebuild): an in-JVM alternating
+    // A/B (round 15, warm JIT, idle host) read the cached variant ~30%
+    // MORE cpu and ~25% more wall — columnar-cache materialization of the
+    // exploded frame costs more than re-running the codegen'd
+    // explode+md5 pass. The post-filter `tri` below IS cached: it is
+    // smaller (hot shingles dropped) and feeds the self-join twice.
+    val tri0 = shinglesOf(docs.select("doc_id", "text"))
     // cap floored at 2: on a tiny corpus frac·n < 1 would empty the shingle
     // universe, and a shingle must appear in ≥2 docs to witness containment
     val keepSh = tri0.groupBy("sh").agg(count(lit(1)).as("df"))
@@ -844,8 +846,9 @@ object Dedup {
     val docs = table(spark, dir, "documents")
     val evalSrc = docs.agg(min("source").as("eval_source"))
     val nDocs = docs.agg(count(lit(1)).as("n_all"))
-    // cached for the same two-consumer reason as the exact operator above
-    val tri0 = shinglesOf(docs.select("doc_id", "text")).cache()
+    // uncached for the same recompute-beats-cache reason as the exact
+    // operator above
+    val tri0 = shinglesOf(docs.select("doc_id", "text"))
     val keepSh = tri0.groupBy("sh").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") <= greatest(lit(2.0),
