@@ -504,4 +504,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles <= 2, s"expected <=2 exchanges, got $shuffles:\n${plan.take(2000)}")
     assert(treeScansOf(df, "documents") == 1, s"documents scanned more than once")
   }
+
+  test("bench-action rationale pin: count() join-eliminates a unique-key left join that row iteration retains") {
+    // Round-15 harness finding: Bench must execute queries by iterating
+    // the plan's rows (exec/toRdd), NOT df.count() — under the count
+    // rewrite, Catalyst's column pruning plus left-join elimination may
+    // legally DELETE the measured work (incremental_dedup's full LSH
+    // pipeline benched at 0.1 s CPU). This pins the Spark behavior the
+    // rationale rests on; if a Spark upgrade stops eliminating the join,
+    // this fails and the Bench scaladoc needs re-validating.
+    import spark.implicits._
+    val base = (1 to 10).toDF("id")
+    val uniq = base.groupBy("id").agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("n"))
+    val joined = base.join(
+      uniq.withColumn("flag", org.apache.spark.sql.functions.lit(true)),
+      Seq("id"), "left")
+    val underCount = joined.groupBy().count().queryExecution.optimizedPlan.toString
+    val direct = joined.queryExecution.optimizedPlan.toString
+    assert(!underCount.contains("Join"),
+      s"count() no longer eliminates the unique-key left join — bench could return to count():\n$underCount")
+    assert(direct.contains("Join"),
+      s"direct plan lost its join — test fixture broken:\n$direct")
+  }
 }
