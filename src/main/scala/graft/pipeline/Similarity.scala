@@ -91,8 +91,10 @@ object Similarity {
     // deliberate, because the inert path returns the cached frame
     // straight into the same concurrent self-join (round-14 ADVICE asked
     // for the laziness loss to be explicit). A caller composing plans
-    // without executing them (explain/plan audits) passes
-    // materializeCached = false.
+    // without executing them (explain/plan audits) MAY pass
+    // materializeCached = false — no production caller does today, since
+    // every cached caller self-joins the result; semantic equivalence of
+    // the two settings is spec-pinned (PipelineSpec).
     if (materializeCached && sizeBound >= 0L &&
         df.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
       df.count(): Unit

@@ -121,6 +121,21 @@ class PipelineSpec extends SparkSpec {
       "sanity: without the guard the hot bucket squares")
   }
 
+  test("capCandidatesBy: materializeCached=false changes laziness only, never results") {
+    // the flag exists for plan-composition callers (round-14 ADVICE): the
+    // eager path pre-materializes a cached input before a self-join, the
+    // lazy path skips that job — the RESULT rows must be identical on the
+    // armed path either way (no production caller passes false today;
+    // this pin keeps the contract honest for the one that eventually does)
+    import spark.implicits._
+    val df = (0 until 40).map(i => (i % 2, i.toLong)).toDF("key", "id").cache()
+    def rows(materialize: Boolean) =
+      Similarity.capCandidatesBy(df, Seq("key"), "id", 5L, sizeBound = 40L,
+        materializeCached = materialize).collect().map(_.toString).sorted.toSeq
+    try assert(rows(materialize = true) == rows(materialize = false))
+    finally { df.unpersist(): Unit }
+  }
+
   test("an armed guard with an empty hot set is a row-for-row no-op") {
     // the level-2 armed path a HEALTHY over-cap corpus pays (hot-probe
     // finds nothing, both broadcast build sides empty) must not change
