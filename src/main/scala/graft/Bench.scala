@@ -42,13 +42,11 @@ object Bench {
   /** Timed executions per query; the minimum is reported. */
   val TimedRuns = 3
 
-  /** Force full evaluation of every output column without a driver
-    * collect: iterate the executed plan's row RDD. See the object doc —
-    * `df.count()` lets Catalyst prune/eliminate exactly the work a
-    * benchmark exists to measure. */
-  private def exec(df: org.apache.spark.sql.DataFrame): Unit = {
-    df.queryExecution.toRdd.foreach(_ => ()): Unit
-  }
+  /** Force full evaluation of every output column — shared with
+    * ArmedProbe via [[Measure.exec]] (round-15 review: the probe still
+    * timed `.count()` after this main stopped, and its dedup timings
+    * silently excluded the join-eliminated verification stage). */
+  private def exec(df: org.apache.spark.sql.DataFrame): Unit = Measure.exec(df)
 
   /** Timed executions per PROD FAMILY (each family run re-pays its whole
     * shared DAG, so it costs several per-query runs; 2 timed runs + the
@@ -57,67 +55,16 @@ object Bench {
   val ProdTimedRuns = 2
 
   /** Load-invariant second signal (round-11 verdict item 3): per-query
-    * executor CPU time + shuffle-write + spill bytes accumulated from task
-    * metrics. Wall clock is hostage to whatever else the host runs that
-    * second (r10 and r11 both shipped load-inflated driver artifacts that
-    * needed an idle re-run to adjudicate); CPU time is not — a judge can
-    * read wall/cpu divergence on untouched queries as host load directly
-    * from the artifact. Shuffle bytes make the 100 TB story checkable
-    * row-by-row (round-11 verdict item 5): a family whose shuffle grows
-    * super-linearly with SF is a scale-killer no wall-clock ratio shows. */
-  private class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong
-    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-    val spillBytes = new java.util.concurrent.atomic.AtomicLong
-    // submitted/completed task counts: the drain below treats the bus as
-    // settled only when no task is in flight, not merely when one poll
-    // beat was quiet (a loaded host can stall a straggler's task-end event
-    // past any fixed quiet window — r12 ADVICE item)
-    val started = new java.util.concurrent.atomic.AtomicLong
-    val ended = new java.util.concurrent.atomic.AtomicLong
-    override def onTaskStart(
-        t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
-      started.incrementAndGet()
-    override def onTaskEnd(
-        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      val m = t.taskMetrics
-      if (m != null) {
-        cpuNs.addAndGet(m.executorCpuTime)
-        shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
-      }
-      ended.incrementAndGet()
-    }
-    def snapshot: (Long, Long, Long) = (cpuNs.get, shuffleBytes.get, spillBytes.get)
-    def inFlight: (Long, Long) = (started.get, ended.get)
-  }
-
-  /** The listener bus is asynchronous: poll until (a) the submitted task
-    * count equals the completed count — no task's metrics are still in
-    * flight — AND (b) every counter held still for two consecutive 10 ms
-    * beats, bounded at 500 ms. Keying on the task balance (not just a
-    * quiet beat) keeps per-query cpu/shuffle/spill deltas attributable
-    * under load; the bound keeps a dropped bus event (starts and ends are
-    * delivered best-effort under pressure) from hanging the drain. Runs
-    * OUTSIDE the wall timer — it costs artifact accuracy nothing. */
-  private def drained(listener: TaskMetricsListener): (Long, Long, Long) = {
-    var prev = (listener.snapshot, listener.inFlight)
-    var stable = 0
-    var tries = 0
-    while (tries < 50) {
-      Thread.sleep(10)
-      val cur = (listener.snapshot, listener.inFlight)
-      stable = if (cur == prev) stable + 1 else 0
-      prev = cur
-      val (s, e) = cur._2
-      // two consecutive quiet beats (matching the scaladoc): one quiet
-      // 10 ms read can land between a task's end event and a sibling's
-      // start event and bleed the straggler into the next run's delta
-      if (stable >= 2 && s == e) return cur._1
-      tries += 1
-    }
-    prev._1
-  }
+    * executor CPU time + shuffle-write + spill bytes from task metrics,
+    * accumulated by the SHARED [[Measure.TaskMetricsListener]] and
+    * attributed per run by the shared no-task-in-flight drain
+    * ([[Measure.drained]]) — one implementation for both mains. Wall is
+    * hostage to host load; CPU is not, and shuffle bytes make the 100 TB
+    * story checkable row-by-row (a family whose shuffle grows
+    * super-linearly with SF is a scale-killer no wall ratio shows). */
+  private type TaskMetricsListener = Measure.TaskMetricsListener
+  private def drained(l: TaskMetricsListener): (Long, Long, Long) =
+    Measure.drained(l)
 
   /** One measured execution: wall seconds plus the run's task-metric
     * deltas (cpu seconds, shuffle-write MB, spill MB). */
@@ -300,23 +247,31 @@ object Bench {
       System.err.println(s"[bench] unknown SPARK_GRAFT_ONLY names: ${unknown.mkString(", ")}")
       sys.exit(2)
     }
-    val listener = new TaskMetricsListener
+    val listener = new Measure.TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
     val peaks = scala.collection.mutable.LinkedHashMap[String, Double]()
     val peaksPool = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
+      // a run whose build or execution throws must NOT be recorded as a
+      // near-zero timing (round-15 review: a broken query read as a large
+      // speedup — the phantom class this harness exists to kill); failed
+      // runs poison the query's row to the prod families' -1 sentinel
+      var failed = false
       def once(): RunMetrics = measured(listener) {
-        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => () }
+        try { exec(fn(spark, sfDir)) } catch { case _: Throwable => failed = true }
       }
       resetPeaks() // per-query peak-heap headroom (covers warm-up + timed)
       once() // warm-up (JIT + OS page cache)
+      failed = false // a flaky warm-up doesn't poison measured runs
       // min-wall wall + MEDIAN cpu across the runs (see minWallMedianCpu)
-      val timed = minWallMedianCpu((1 to TimedRuns).map { _ =>
+      val runs = (1 to TimedRuns).map { _ =>
         spark.catalog.clearCache() // each timed run must pay the full plan
         once()
-      })
+      }
+      val timed = if (failed) RunMetrics(-1.0, -1.0, -1.0, -1.0)
+        else minWallMedianCpu(runs)
       spark.catalog.clearCache()
       peaks(name) = peakMb()
       peaksPool(name) = peakPoolMb()
@@ -448,7 +403,12 @@ object Bench {
       (load1mStart > 2.0) -> s"load1m_start $load1mStart > 2.0",
       (calibPar.max(calibParEnd) > calibPar.min(calibParEnd) * 1.5) ->
         s"parallel anchors drifted ${calibPar} -> ${calibParEnd} ms",
-      (calibPar.min(calibParEnd) > IdleCalibPar32Ms * 1.5) ->
+      // the absolute-reference comparison is only meaningful at the
+      // width the reference was measured at (round-15 review: a 4-thread
+      // anchor mostly gets free cores and reads near the 32-thread idle
+      // value even under load the 32-wide executor pool feels)
+      (calibThreads == 32 &&
+        calibPar.min(calibParEnd) > IdleCalibPar32Ms * 1.5) ->
         s"both parallel anchors > 1.5x idle reference $IdleCalibPar32Ms ms"
     ).collect { case (true, r) => r }
     val contaminated = contamReasons.nonEmpty
@@ -459,8 +419,12 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     def walls(rs: Seq[(String, RunMetrics)]) = rs.map { case (k, m) => k -> m.wall }
     val qs = jsonPairs(walls(results))
-    val total = if (results.nonEmpty) results.map(_._2.wall).sum else 0.0
-    val cpuTotal = r3(if (results.nonEmpty) results.map(_._2.cpu).sum else 0.0)
+    // failed queries carry the -1 sentinel (see the per-query loop); they
+    // stay visible in the per-query map but must not SUBTRACT from the
+    // totals a judge compares across rounds
+    val ok = results.filter(_._2.wall >= 0.0)
+    val total = if (ok.nonEmpty) ok.map(_._2.wall).sum else 0.0
+    val cpuTotal = r3(if (ok.nonEmpty) ok.map(_._2.cpu).sum else 0.0)
     val top5 = jsonPairs(walls(results.sortBy(-_._2.wall).take(5)))
     // peak-heap headroom (round-10 verdict item 5): the worst single
     // query's summed-pool peak + per-family peaks; per-query map in the

@@ -262,8 +262,14 @@ object Dedup {
     * 135 s vs 68 s unguarded family CPU, eager probe ~124 s, always-on
     * window ~117 s; the count branch reads within noise of unguarded);
     * (2) an armed corpus windows ONLY actually-hot buckets, found by one
-    * partial-aggregated count into a tiny broadcast frame — a healthy
-    * big corpus pays two broadcast probes of an empty build side.
+    * partial-aggregated count into a tiny broadcast frame. The healthy
+    * armed cost is NOT free (round-15 controlled in-JVM A/B at 250k
+    * docs: +28% wall / +26% cpu over unguarded — the hot-probe
+    * aggregation, two broadcast probes, and the armed-frame cache each
+    * pass the full band frame once); it buys a hard per-bucket output
+    * bound where the unguarded join is unbounded B² on a hot shard. The
+    * armed-result cache itself measured a wash at both 25k and 250k
+    * (kept: it also serves the twice-consumed candidate frame).
     *
     * The armed path delegates to [[Similarity.capCandidatesBy]] — ONE
     * implementation of the hot-probe + window + union guard for both the
