@@ -329,7 +329,7 @@ object ArmedProbe {
       s"""{"wall_sec":${r2(tm.wallSec)},"cpu_sec":${r2(tm.cpuSec)}}"""
     val json =
       s"""{"n_docs":$NDocs,"n_vecs":$NVecs,""" +
-        s""""dedup_cap":${Dedup.MaxBandBucket},"ann_cap":${Similarity.MaxSearchBucket},"hot_cap":$HotCap,""" +
+        s""""dedup_cap":${Dedup.MaxBandBucket},"ann_cap":${Similarity.MaxSearchBucket},"hot_cap":$HotCap,"ann_hot_cap":$AnnHotCap,""" +
         s""""dedup_healthy_unguarded":${t(dedupUnguarded)},""" +
         s""""dedup_healthy_armed_empty_hot":${t(dedupArmed)},""" +
         s""""dedup_armed_results_equal":$dedupEqual,""" +
