@@ -358,11 +358,113 @@ object Similarity {
     math.min(MaxIvfCells.toLong,
       math.max(1L, math.ceil(n.toDouble / targetCell).toLong)).toInt
 
+  /** Super-cell count for a K-cell coarse quantizer: ⌈√K⌉. K itself grows
+    * with the corpus ([[cellsForCorpus]]), so a FLAT nearest-of-K
+    * assignment pays n×K ≈ n²/256 dot products mid-range — the round-15
+    * decade probe measured it at 41× CPU for 10× vectors, the one
+    * super-linearity left in the engine. Two-level routing
+    * ([[hierAssign]]) costs n×(⌈√K⌉ + ⌈K/⌈√K⌉⌉) ≈ 2n√K instead: 14×
+    * fewer assignment dots at the probe's 200k vectors, 512× fewer at
+    * the [[MaxIvfCells]] clamp. */
+  def superCellsFor(cells: Int): Int =
+    math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt)
+
+  /** Children per super-cell: ⌈K / [[superCellsFor]]⌉. Groups are
+    * CONTIGUOUS cent_id ranges (group = cent_id DIV cps), so both engines
+    * replay the partition with integer arithmetic alone. */
+  def childrenPerSuper(cells: Int): Int =
+    math.max(1, math.ceil(cells.toDouble / superCellsFor(cells)).toInt)
+
+  /** Two-level (hierarchical) nearest-centroid assignment — the scale fix
+    * for the flat n×K argmax (see [[superCellsFor]]). The K centroids are
+    * partitioned into contiguous cent_id groups of [[childrenPerSuper]]
+    * children; each group's SUPER-centroid is its min-cent_id child
+    * (robust to id gaps — a missing prefix id cannot orphan a group). A
+    * vector first argmaxes over the ⌈√K⌉ supers (rounded cosine 6 dp,
+    * smaller group id on ties — the exact argmax arithmetic every IVF
+    * oracle already replays), then argmaxes only the chosen group's
+    * ≤⌈K/⌈√K⌉⌉ children. Deterministic and SQL-replayable
+    * ([[hierAssignCtes]]), so the IVF family stays hash-checked. The
+    * standard hierarchical-quantizer recall trade applies: a vector whose
+    * globally-nearest centroid lives in another group lands on its best
+    * same-group centroid instead — near-identical vectors still route
+    * IDENTICALLY (same arithmetic, same ties), which is the property the
+    * semantic-dedup / gate semantics actually require.
+    *
+    * Plan shape: two chained broadcast joins (supers, then the full
+    * centroid frame equi-keyed on the routed group) with max_by argmaxes
+    * keyed on c_id — ONE exchange total (the second groupBy reuses the
+    * first's hash partitioning); vector payloads cross it once inside
+    * any_value partial buffers. No window over the scored frame, no
+    * corpus-side shuffle join, no cartesian product. The stage-2
+    * broadcast is still the full K-row centroid frame (same
+    * [[MaxIvfCells]] ≈ 0.5 GB ceiling as the flat path) — the equi-join
+    * on the group id is what bounds the per-vector DOT count to the
+    * group's children.
+    *
+    * `vecs` must carry exactly (c_id, c_v, c_n) ++ carry; `cents` exactly
+    * (cent_id, t_v, t_n). Output: one row per input vector —
+    * (c_id [, c_v, c_n when keepVec] [, carry…], cell [, sim when
+    * withSim]); empty when `cents` is empty ([[cellStructure]] layers the
+    * self-cell fallback on top). */
+  private[graft] def hierAssign(vecs: DataFrame, cents: DataFrame,
+      cells: Int, withSim: Boolean = false, keepVec: Boolean = true,
+      carry: Seq[String] = Nil): DataFrame = {
+    val cps = childrenPerSuper(cells)
+    val cs = cents.withColumn("__g", expr(s"cent_id DIV $cps"))
+    val supers = cs.groupBy("__g")
+      .agg(expr("min_by(struct(t_v, t_n), cent_id)").as("__s"))
+      .select(col("__g").as("__sid"), col("__s.t_v").as("__sv"),
+        col("__s.t_n").as("__sn"))
+    val held = Seq("c_v", "c_n") ++ carry
+    def anyVals(cols: Seq[String]) =
+      cols.map(c => expr(s"any_value(`$c`)").as(c))
+    val routed = vecs.crossJoin(broadcast(supers))
+      .withColumn("__ssim",
+        round(vecDot(col("c_v"), col("__sv")) / expr("NULLIF(c_n * __sn, 0)"), 6))
+      .groupBy(col("c_id"))
+      .agg(expr("max_by(__sid, struct(__ssim, -__sid))").as("__g"),
+        anyVals(held): _*)
+    val scored = routed.join(broadcast(cs), "__g")
+      .withColumn("__sim",
+        round(vecDot(col("c_v"), col("t_v")) / expr("NULLIF(c_n * t_n, 0)"), 6))
+    val keep = (if (keepVec) Seq("c_v", "c_n") else Nil) ++ carry
+    val aggs = anyVals(keep) ++
+      Seq(expr("max_by(cent_id, struct(__sim, -cent_id))").as("cell")) ++
+      (if (withSim) Seq(max(col("__sim")).as("sim")) else Nil)
+    scored.groupBy(col("c_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DuckDB CTE chain replaying [[hierAssign]] over a prior CTE
+    * `v(vec_id, v, nrm, …)` — ONE string shared by every IVF-family
+    * oracle so the two-level arithmetic cannot drift between twins.
+    * Emits `cells_t`, `hier_t` (cps = ⌈cells / ⌈√cells⌉⌉), `cents`
+    * (prefix-stable, + group id), `supers` (min-cent_id child per
+    * group), `route` (stage-1 argmax) and `assign(vec_id, cell, sim)`
+    * (stage-2 argmax over the routed group's children). */
+  private[graft] def hierAssignCtes: String =
+    s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
+      s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
+      "hier_t AS (SELECT cells, CAST(CEIL(cells * 1e0 / CEIL(SQRT(cells))) AS BIGINT) AS cps FROM cells_t), " +
+      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn, vec_id // cps AS g " +
+      "FROM v, hier_t WHERE vec_id < cells), " +
+      "supers AS (SELECT g AS sid, cv AS sv, cn AS sn FROM " +
+      "(SELECT g, cv, cn, ROW_NUMBER() OVER (PARTITION BY g ORDER BY cent_id) AS srn FROM cents) s0 WHERE srn = 1), " +
+      "route AS (SELECT vec_id, sid FROM (SELECT v.vec_id, s.sid, " +
+      "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
+      "ROUND(list_dot_product(v.v, s.sv) / NULLIF(v.nrm * s.sn, 0), 6) DESC, s.sid ASC) AS rrk " +
+      "FROM v, supers s) r0 WHERE rrk = 1), " +
+      "assign AS (SELECT vec_id, cell, sim FROM (SELECT v.vec_id, c.cent_id AS cell, " +
+      "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) AS sim, " +
+      "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
+      "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) DESC, c.cent_id ASC) AS ark " +
+      "FROM v JOIN route r ON r.vec_id = v.vec_id JOIN cents c ON c.g = r.sid) a WHERE ark = 1)"
+
   /** IVF-style ANN: assign every vector to its nearest coarse centroid
-    * (one broadcast of K centroids × one scan — at 100 TB the
-    * assignment is embarrassingly parallel and the search then touches one
-    * cell, ~[[IvfTargetCell]] vectors, instead of the corpus), then exact
-    * cosine top-k within the cell (nprobe = 1). The cell count is
+    * via the TWO-LEVEL quantizer ([[hierAssign]]: route to one of ⌈√K⌉
+    * super-cells, then argmax that group's children — n×2√K dots, one
+    * broadcast × one scan, at 100 TB still embarrassingly parallel), then
+    * exact cosine top-k within the cell (nprobe = 1). The cell count is
     * data-adaptive ([[cellsForCorpus]] over one cheap parquet-footer count),
     * so the in-cell join stays linear as the corpus grows.
     *
@@ -380,14 +482,14 @@ object Similarity {
     inCellTopK(cellAssignedVecs(spark, dir, nVecs), k, maxCell, sizeBound = nVecs)
   }
 
-  /** The IVF index content: every vector tagged with its nearest-centroid
-    * cell (the n×K assignment scan — the expensive stage, shared verbatim
-    * by the inline query and the persisted artifact). Cached because the
-    * in-cell self-join consumes it on BOTH sides and Spark plans no
-    * exchange reuse across them (plan-verified: 6 scans, 0 ReusedExchange
-    * uncached); 1 row/vector (id, vector, norm, cell), tiny next to the
-    * corpus. Similarity is rounded BEFORE the argmax so Spark and DuckDB
-    * break ties identically (then by cent_id). */
+  /** The IVF index content: every vector tagged with its nearest-reachable
+    * cell under the TWO-LEVEL quantizer ([[hierAssign]] — n×2√K dots, not
+    * the flat n×K the round-15 decade probe measured at 41× CPU per 10×
+    * vectors). Cached because the in-cell self-join consumes it on BOTH
+    * sides and Spark plans no exchange reuse across them (plan-verified:
+    * 6 scans, 0 ReusedExchange uncached); 1 row/vector (id, vector, norm,
+    * cell), tiny next to the corpus. Similarities are rounded BEFORE each
+    * argmax so Spark and DuckDB break ties identically (then by id). */
   private def cellAssignedVecs(spark: SparkSession, dir: String,
       nVecs: Long): DataFrame = {
     val emb = withNorm(table(spark, dir, "embeddings"), "c")
@@ -395,15 +497,7 @@ object Similarity {
     val cents = withNorm(
       table(spark, dir, "embeddings").filter(col("vec_id") < cells), "t")
       .select(col("t_id").as("cent_id"), col("t_v"), col("t_n"))
-    // max_by argmax — same selection as the row_number window, one
-    // partial aggregation instead of a shuffle+sort (see cellStructure)
-    val assign = emb.crossJoin(broadcast(cents))
-      .withColumn("sim",
-        round(vecDot(col("c_v"), col("t_v")) / expr("NULLIF(c_n * t_n, 0)"), 6))
-      .groupBy(col("c_id"))
-      .agg(expr("max_by(cent_id, struct(sim, -cent_id))").as("cell"))
-      .select(col("c_id").as("vec_id"), col("cell"))
-    emb.join(assign, col("c_id") === col("vec_id")).drop("vec_id").cache()
+    hierAssign(emb, cents, cells).cache()
   }
 
   /** Exact cosine top-k within each cell (nprobe = 1) over a
@@ -468,18 +562,13 @@ object Similarity {
   }
 
   /** DuckDB mirror of [[ivfTopK]]: K is data-adaptive, so the SQL recomputes
-    * it from COUNT(*) with the same ceil/clamp arithmetic and takes the
-    * prefix-stable vec_id < K centroid set. */
+    * it from COUNT(*) with the same ceil/clamp arithmetic, takes the
+    * prefix-stable vec_id < K centroid set, and replays the TWO-LEVEL
+    * assignment via the shared [[hierAssignCtes]] chain. */
   def ivfTopKSql(k: Int = TopK): String =
     "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
       "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
-      s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
-      s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
-      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM v, cells_t WHERE vec_id < cells), " +
-      "assign AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c.cent_id AS cell, " +
-      "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
-      "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) DESC, c.cent_id ASC) AS ark " +
-      "FROM v, cents c) a WHERE ark = 1), " +
+      hierAssignCtes + ", " +
       "cv AS (SELECT v.*, a.cell FROM v JOIN assign a ON a.vec_id = v.vec_id), " +
       "scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
       "ROUND(list_dot_product(q.v, c.v) / NULLIF(q.nrm * c.nrm, 0), 6) AS cosine " +
@@ -592,12 +681,17 @@ object Similarity {
       .withColumn("vm", expr("transform(v, x -> ROUND(x * 1e6, 0))"))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
       .withColumn("nm", sqrt(vecDot(col("vm"), col("vm")))))
+    // two-level assignment per pass (hierAssign): groups are cent_id
+    // ranges fixed by `cells`, supers are each group's min-id REFINED
+    // centroid — so the routing tracks the refinement while both engines
+    // replay the same integer-group arithmetic
     def argmaxCell(cents: DataFrame): DataFrame =
-      v2.crossJoin(broadcast(cents))
-        .withColumn("sim",
-          round(vecDot(col("vm"), col("cm")) / expr("NULLIF(nm * cn, 0)"), 6))
-        .groupBy(col("vec_id"))
-        .agg(expr("max_by(cent_id, struct(sim, -cent_id))").as("cell"))
+      hierAssign(
+        v2.select(col("vec_id").as("c_id"), col("vm").as("c_v"),
+          col("nm").as("c_n")),
+        cents.select(col("cent_id"), col("cm").as("t_v"), col("cn").as("t_n")),
+        cells, keepVec = false)
+        .select(col("c_id").as("vec_id"), col("cell"))
     var cents = v2.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cent_id"), col("vm").as("cm"), col("nm").as("cn"))
     for (_ <- 1 to iters) {
@@ -631,11 +725,25 @@ object Similarity {
   /** DuckDB twin of [[lloydIvfTopK]]: the [[LloydIters]] passes unrolled
     * as chained CTEs over the same micro-unit arithmetic. */
   def lloydIvfTopKSql(k: Int = TopK): String = {
+    // two-level assignment per pass (the hierAssignCtes shape over the
+    // PER-ITERATION refined centroid CTE): supers = min-cent_id child of
+    // each cent_id DIV cps group, route to nearest super, argmax within
+    // the routed group's children
     def assign(name: String, cents: String): String =
-      s"$name AS (SELECT vec_id, cell FROM (SELECT v2.vec_id, c.cent_id AS cell, " +
+      s"${name}_s AS (SELECT g AS sid, cm AS sv, cn AS sn FROM " +
+        s"(SELECT cent_id // cps AS g, cm, cn, " +
+        "ROW_NUMBER() OVER (PARTITION BY cent_id // cps ORDER BY cent_id) AS srn " +
+        s"FROM $cents, hier_t) s0 WHERE srn = 1), " +
+        s"${name}_r AS (SELECT vec_id, sid FROM (SELECT v2.vec_id, s.sid, " +
+        "ROW_NUMBER() OVER (PARTITION BY v2.vec_id ORDER BY " +
+        "ROUND(list_dot_product(v2.vm, s.sv) / NULLIF(v2.nm * s.sn, 0), 6) DESC, " +
+        s"s.sid ASC) AS rrk FROM v2, ${name}_s s) r0 WHERE rrk = 1), " +
+        s"$name AS (SELECT vec_id, cell FROM (SELECT v2.vec_id, c.cent_id AS cell, " +
         "ROW_NUMBER() OVER (PARTITION BY v2.vec_id ORDER BY " +
         "ROUND(list_dot_product(v2.vm, c.cm) / NULLIF(v2.nm * c.cn, 0), 6) DESC, " +
-        s"c.cent_id ASC) AS ark FROM v2, $cents c) t WHERE ark = 1)"
+        s"c.cent_id ASC) AS ark FROM v2 JOIN ${name}_r r ON r.vec_id = v2.vec_id " +
+        s"JOIN (SELECT $cents.*, cent_id // cps AS g FROM $cents, hier_t) c " +
+        "ON c.g = r.sid) t WHERE ark = 1)"
     def refine(i: Int, prevAssign: String, prevCents: String): String =
       s"m$i AS (SELECT cell, FLOOR(SUM(x) / COUNT(x)) AS m, pos FROM " +
         s"(SELECT cell, unnest(vm) AS x, unnest(range(1, len(vm) + 1)) AS pos " +
@@ -654,6 +762,7 @@ object Similarity {
       "list_transform(embedding::DOUBLE[], x -> ROUND(x * 1e6, 0)))) AS nm FROM embeddings), " +
       s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
       s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
+      "hier_t AS (SELECT cells, CAST(CEIL(cells * 1e0 / CEIL(SQRT(cells))) AS BIGINT) AS cps FROM cells_t), " +
       "c0 AS (SELECT vec_id AS cent_id, vm AS cm, nm AS cn FROM v2, cells_t WHERE vec_id < cells), " +
       passes + ", " +
       // the SEARCH partition is the assignment under the FINAL refined
@@ -763,14 +872,12 @@ object Similarity {
     val cents = withNorm(
       table(spark, dir, "embeddings").filter(col("vec_id") < cells), "t")
       .select(col("t_id").as("cent_id"), col("t_v"), col("t_n"))
-    // sim rounded BEFORE the argmax so both engines break ties identically
-    val labeled = emb.crossJoin(broadcast(cents))
-      .withColumn("sim",
-        round(vecDot(col("c_v"), col("t_v")) / expr("NULLIF(c_n * t_n, 0)"), 6))
-      .withColumn("ark", row_number().over(
-        Window.partitionBy("c_id").orderBy(col("sim").desc, col("cent_id").asc)))
-      .filter(col("ark") === 1)
-      .select(col("c_id").as("vec_id"), col("cent_id").as("cell"), col("sim"), col("label"))
+    // two-level assignment (hierAssign) — sims rounded BEFORE each argmax
+    // so both engines break ties identically; label rides the carry so no
+    // corpus-sized join recovers it
+    val labeled = hierAssign(emb, cents, cells,
+        withSim = true, keepVec = false, carry = Seq("label"))
+      .select(col("c_id").as("vec_id"), col("cell"), col("sim"), col("label"))
     val cellAgg = labeled.groupBy("cell").agg(
       count(lit(1)).as("n_vecs"),
       round(avg("sim"), 6).as("cohesion"))
@@ -792,18 +899,12 @@ object Similarity {
   def clusterProfileSql: String =
     "WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v, " +
       "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
-      s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
-      s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
-      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM v, cells_t WHERE vec_id < cells), " +
-      "assign AS (SELECT vec_id, label, cell, sim FROM (SELECT v.vec_id, v.label, c.cent_id AS cell, " +
-      "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) AS sim, " +
-      "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
-      "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) DESC, c.cent_id ASC) AS ark " +
-      "FROM v, cents c) a WHERE ark = 1), " +
-      "ca AS (SELECT cell, COUNT(*) AS n_vecs, ROUND(AVG(sim), 6) AS cohesion FROM assign GROUP BY 1), " +
+      hierAssignCtes + ", " +
+      "lassign AS (SELECT a.vec_id, v.label, a.cell, a.sim FROM assign a JOIN v ON v.vec_id = a.vec_id), " +
+      "ca AS (SELECT cell, COUNT(*) AS n_vecs, ROUND(AVG(sim), 6) AS cohesion FROM lassign GROUP BY 1), " +
       "lc AS (SELECT cell, label AS top_label, n AS top_n FROM (SELECT cell, label, COUNT(*) AS n, " +
       "ROW_NUMBER() OVER (PARTITION BY cell ORDER BY COUNT(*) DESC, label ASC) AS lrk " +
-      "FROM assign GROUP BY cell, label) x WHERE lrk = 1) " +
+      "FROM lassign GROUP BY cell, label) x WHERE lrk = 1) " +
       "SELECT ca.cell, ca.n_vecs, ca.cohesion, lc.top_label, " +
       "ROUND(lc.top_n * 1e0 / ca.n_vecs, 6) AS purity " +
       "FROM ca JOIN lc ON ca.cell = lc.cell ORDER BY ca.cell"
@@ -1126,13 +1227,7 @@ object Similarity {
         s"($vec[$m * $PqSubDim + i] - c[i]))), 6))"
     "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
       "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
-      s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
-      s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
-      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM v, cells_t WHERE vec_id < cells), " +
-      "assign AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c.cent_id AS cell, " +
-      "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
-      "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) DESC, c.cent_id ASC) AS ark " +
-      "FROM v, cents c) a WHERE ark = 1), " +
+      hierAssignCtes + ", " +
       "cva AS (SELECT v.*, COALESCE(a.cell, v.vec_id) AS cell " +
       "FROM v LEFT JOIN assign a ON a.vec_id = v.vec_id), " +
       s"subs AS (SELECT vec_id, m, v[(m * $PqSubDim + 1):(m * $PqSubDim + $PqSubDim)] AS sv " +
@@ -1205,15 +1300,11 @@ object Similarity {
     val cells = cellsForCorpus(emb0.count())
     val cents = withNorm(emb0.filter(col("vec_id") < cells), "t")
       .select(col("t_id").as("cent_id"), col("t_v"), col("t_n"))
-    // argmax as max_by over struct(sim, -cent_id): identical selection to
-    // a row_number window (max sim, then min cent_id; null sims sort
-    // below any value in struct order, matching NULLS LAST) but runs as
-    // one partial aggregation — map-side combined, no per-vector sort
-    val assign = emb.crossJoin(broadcast(cents))
-      .withColumn("sim",
-        round(vecDot(col("c_v"), col("t_v")) / expr("NULLIF(c_n * t_n, 0)"), 6))
-      .groupBy(col("c_id"))
-      .agg(expr("max_by(cent_id, struct(sim, -cent_id))").as("cell"))
+    // two-level argmax (hierAssign): max_by over struct(sim, -id) at each
+    // level — identical selection to a row_number window (max sim, then
+    // min id; null sims sort below any value in struct order, matching
+    // NULLS LAST) but runs as partial aggregations, no per-vector sort
+    val assign = hierAssign(emb, cents, cells, keepVec = false)
       .select(col("c_id").as("vec_id"), col("cell"))
     val cellVecs = emb.join(assign, col("c_id") === col("vec_id"), "left")
       .withColumn("cell", coalesce(col("cell"), col("c_id")))
@@ -1255,13 +1346,7 @@ object Similarity {
   def semanticDedupSql(threshold: Double = SemDedupThreshold): String =
     "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, " +
       "sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm FROM embeddings), " +
-      s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
-      s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
-      "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM v, cells_t WHERE vec_id < cells), " +
-      "assign AS (SELECT vec_id, cell FROM (SELECT v.vec_id, c.cent_id AS cell, " +
-      "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
-      "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) DESC, c.cent_id ASC) AS ark " +
-      "FROM v, cents c) a WHERE ark = 1), " +
+      hierAssignCtes + ", " +
       "cv AS (SELECT v.*, COALESCE(a.cell, v.vec_id) AS cell " +
       "FROM v LEFT JOIN assign a ON a.vec_id = v.vec_id), " +
       "dropped AS (SELECT DISTINCT b.vec_id FROM cv a JOIN cv b " +
@@ -1286,12 +1371,15 @@ object Similarity {
     * Reading the output: `n_returned` spans each method's own query
     * universe (ann_ivf/ann_lsh search corpus-wide; the pq searches share
     * ann_cosine's fixed query set), while recall@k is always against the
-    * exact top-k on the SHARED queries. Observed at sf0.1: ann_ivf 0.82,
-    * pq_ann_rerank 0.60, ann_ivfpq 0.70, pq_ann 0.16, ann_lsh ≈0 — the
-    * last being the honest hyperplane-bucket regime on unstructured
-    * gaussian embeddings (candidates must share EVERY plane side with the
-    * query), which is exactly why the IVF and re-rank paths, not ann_lsh,
-    * are the routed search defaults. */
+    * exact top-k on the SHARED queries. Observed at sf0.1 under the
+    * two-level quantizer: ann_ivf/ann_kmeans 0.62 (0.82 under the flat
+    * n×K assignment round 15 retired — the standard hierarchical recall
+    * trade, paid for the 41×→~linear decade-scale CPU fix), pq_ann_rerank
+    * 0.60, ann_ivfpq 0.54, pq_ann 0.16, ann_lsh ≈0 — the last being the
+    * honest hyperplane-bucket regime on unstructured gaussian embeddings
+    * (candidates must share EVERY plane side with the query), which is
+    * exactly why the IVF and re-rank paths, not ann_lsh, are the routed
+    * search defaults. */
   def annQuality(spark: SparkSession, dir: String): DataFrame = {
     // cached AND eagerly counted: the count is the recall denominator
     // anyway, and running it up front both materializes the brute-force

@@ -386,9 +386,10 @@ object StreamingReplay {
     * and the threshold anti-join end-to-end. The purpose-built oracle
     * replays the identical math the green `semantic_dedup`/`ann_ivf`
     * oracles already replay bit-for-bit — prefix-stable centroids from
-    * the corpus count, rounded-cosine argmax (ties to lowest cent_id,
-    * matching the gate's strictly-greater fold over the cent_id-sorted
-    * array), and a NOT EXISTS on (same cell, cosine >= threshold). */
+    * the corpus count, the TWO-LEVEL rounded-cosine argmax chain
+    * (route-to-super then in-group argmax, ties to lowest id — matching
+    * the gate's strictly-greater folds over the id-sorted arrays), and a
+    * NOT EXISTS on (same cell, cosine >= threshold). */
   def streamingSemantic(spark: SparkSession, dir: String): DataFrame = {
     val corpus = graft.drift.table(spark, dir, "embeddings")
       .filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
@@ -412,18 +413,33 @@ object StreamingReplay {
       // builds cellStructure on the corpus side only)
       s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
       s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM corpus), " +
-      "cents AS (SELECT vec_id AS cent_id, v, nrm FROM corpus, cells_t WHERE vec_id < cells), " +
-      // corpus-side cell assignment (cellStructure: argmax with self-cell fallback)
+      "hier_t AS (SELECT cells, CAST(CEIL(cells * 1e0 / CEIL(SQRT(cells))) AS BIGINT) AS cps FROM cells_t), " +
+      "cents AS (SELECT vec_id AS cent_id, v, nrm, vec_id // cps AS g " +
+      "FROM corpus, hier_t WHERE vec_id < cells), " +
+      "supers AS (SELECT g AS sid, v AS sv, nrm AS sn FROM (SELECT g, v, nrm, " +
+      "ROW_NUMBER() OVER (PARTITION BY g ORDER BY cent_id) AS srn FROM cents) s0 WHERE srn = 1), " +
+      // corpus-side TWO-LEVEL assignment (cellStructure/hierAssign: route
+      // to the nearest super-centroid, argmax the routed group's children,
+      // self-cell fallback)
+      "croute AS (SELECT vec_id, sid FROM (SELECT c.vec_id, s.sid, " +
+      "ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY " +
+      "ROUND(list_dot_product(c.v, s.sv) / NULLIF(c.nrm * s.sn, 0), 6) DESC, s.sid ASC) AS rrk " +
+      "FROM corpus c, supers s) r0 WHERE rrk = 1), " +
       "cassign AS (SELECT vec_id, cell FROM (SELECT c.vec_id, t.cent_id AS cell, " +
       s"ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY ${cos("c", "t")} DESC, t.cent_id ASC) AS ark " +
-      "FROM corpus c, cents t) a WHERE ark = 1), " +
+      "FROM corpus c JOIN croute r ON r.vec_id = c.vec_id JOIN cents t ON t.g = r.sid) a WHERE ark = 1), " +
       "cv AS (SELECT c.vec_id, c.v, c.nrm, COALESCE(a.cell, c.vec_id) AS cell " +
       "FROM corpus c LEFT JOIN cassign a ON a.vec_id = c.vec_id), " +
-      // feed-side assignment: the gate's fold is argmax over non-NULL sims
-      // with ties to the lowest cent_id — the same ROW_NUMBER argmax
+      // feed-side assignment: the gate's two chained folds are each an
+      // argmax over non-NULL sims with ties to the lowest id — the same
+      // ROW_NUMBER argmaxes
+      "froute AS (SELECT vec_id, sid FROM (SELECT f.vec_id, s.sid, " +
+      "ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY " +
+      "ROUND(list_dot_product(f.v, s.sv) / NULLIF(f.nrm * s.sn, 0), 6) DESC, s.sid ASC) AS rrk " +
+      "FROM feed f, supers s) r0 WHERE rrk = 1), " +
       "fassign AS (SELECT vec_id, cell FROM (SELECT f.vec_id, t.cent_id AS cell, " +
       s"ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY ${cos("f", "t")} DESC, t.cent_id ASC) AS ark " +
-      "FROM feed f, cents t) a WHERE ark = 1), " +
+      "FROM feed f JOIN froute r ON r.vec_id = f.vec_id JOIN cents t ON t.g = r.sid) a WHERE ark = 1), " +
       "fa AS (SELECT f.vec_id, f.v, f.nrm, a.cell FROM feed f LEFT JOIN fassign a ON a.vec_id = f.vec_id) " +
       "SELECT fa.vec_id FROM fa WHERE NOT EXISTS (SELECT 1 FROM cv " +
       s"WHERE cv.cell = fa.cell AND ${cos("fa", "cv")} >= $SemDedupThreshold) " +

@@ -9,12 +9,16 @@ import graft.pipeline.Similarity
   * cell structure — the semantic analogue of
   * [[StreamingIncrement.incrementGate]]'s exact/fuzzy text gates.
   *
-  * Per incoming vector: (1) assign to the nearest corpus centroid with a
-  * STATELESS in-row argmax fold over the 1-row broadcast centroid array
-  * (a window/groupBy argmax would need per-batch aggregation state; the
+  * Per incoming vector: (1) assign to a corpus cell with a STATELESS
+  * in-row TWO-LEVEL argmax fold over the 1-row broadcast centroid
+  * arrays — route to the nearest super-centroid first, then argmax that
+  * group's children, the exact
+  * [[graft.pipeline.Similarity.hierAssign]] arithmetic the corpus side
+  * used, so a near-duplicate of a corpus vector routes to the SAME cell
+  * (a window/groupBy argmax would need per-batch aggregation state; each
   * fold replays the batch tie-break — highest rounded cosine, then
-  * lowest cent_id — because the array is sorted by cent_id and only a
-  * strictly greater similarity displaces the accumulator); (2) stream-
+  * lowest id — because the arrays are id-sorted and only a strictly
+  * greater similarity displaces the accumulator); (2) stream-
   * static LEFT ANTI join against that cell's corpus vectors on
   * `same cell ∧ cosine ≥ threshold` — any semantic duplicate of the
   * corpus is dropped, everything else is admitted unchanged.
@@ -30,7 +34,7 @@ import graft.pipeline.Similarity
   * At scale the static side is built once per corpus snapshot via
   * [[Similarity.cellStructure]] and persisted like
   * [[graft.pipeline.Dedup.writeClusters]]; per micro-batch cost is
-  * increment × (K-fold + one cell-keyed equi-join), never corpus².
+  * increment × (~2√K-fold + one cell-keyed equi-join), never corpus².
   */
 object StreamingSemantic {
 
@@ -54,14 +58,24 @@ object StreamingSemantic {
   def semanticGate(newVecs: DataFrame, corpus: DataFrame,
       threshold: Double = Similarity.SemDedupThreshold,
       scope: Option[graft.drift.CacheScope] = None): DataFrame = {
-    // cached: every micro-batch's anti-join reuses the n×K assignment
+    // cached: every micro-batch's anti-join reuses the corpus assignment
     // (uncached, each batch re-ran the corpus scan — r13 review)
     val (cents, cellVecs0) = Similarity.cellStructure(corpus)
     val cellVecs = scope.fold(cellVecs0.cache())(_.cached(cellVecs0))
-    // one row holding the centroid array sorted by cent_id (struct sort
-    // orders by the first field) — the argmax fold's broadcast input
-    val centsRow = cents.agg(expr(
-      "array_sort(collect_list(struct(cent_id, t_v, t_n))) AS __cents"))
+    // one row holding BOTH fold inputs: the centroid array (sorted by
+    // cent_id, tagged with its cent_id DIV cps group) and the super array
+    // (min-cent_id child per group, sorted by group id) — the broadcast
+    // the two-level fold routes through. cps mirrors cellStructure's
+    // hierAssign exactly (cells from the same corpus count).
+    val cps = Similarity.childrenPerSuper(
+      Similarity.cellsForCorpus(corpus.count()))
+    val centsG = cents.withColumn("__g", expr(s"cent_id DIV $cps"))
+    val centsRow = centsG
+      .agg(expr("array_sort(collect_list(struct(cent_id, t_v, t_n, __g))) AS __cents"))
+      .crossJoin(centsG.groupBy("__g")
+        .agg(expr("min_by(struct(t_v, t_n), cent_id)").as("__s"))
+        .agg(expr("array_sort(collect_list(named_struct(" +
+          "'sid', __g, 'sv', __s.t_v, 'sn', __s.t_n))) AS __supers")))
     // the static side carries the per-cell candidate cap (the ANN search
     // guard): an increment row's anti-join probe pays at most
     // MaxSearchBucket cosines per cell instead of the whole hot cell —
@@ -87,9 +101,19 @@ object StreamingSemantic {
       .withColumn("__n", sqrt(expr(
         "aggregate(zip_with(__v, __v, (x, y) -> x * y), 0D, (a, x) -> a + x)")))
       .crossJoin(broadcast(centsRow))
+      // stage 1: route to the nearest super-centroid (cosines computed
+      // once via transform, then a pure max fold)
+      .withColumn("__sid", expr(
+        s"aggregate(transform(__supers, st -> named_struct(" +
+          s"'sid', st.sid, 'sim', ${cosExpr("st.sv", "st.sn")})), " +
+          "named_struct('sid', CAST(NULL AS BIGINT), 'sim', CAST(NULL AS DOUBLE)), " +
+          "(acc, x) -> CASE WHEN acc.sim IS NULL OR x.sim > acc.sim " +
+          "THEN x ELSE acc END).sid"))
+      // stage 2: argmax over ONLY the routed group's children — the
+      // filter bounds the fold to ≤ cps cosines per row
       .withColumn("__cell", expr(
-        // each cosine computed once (transform), then a pure max fold
-        s"aggregate(transform(__cents, ct -> named_struct(" +
+        s"aggregate(transform(filter(__cents, ct -> ct.__g = __sid), " +
+          s"ct -> named_struct(" +
           s"'cid', ct.cent_id, 'sim', ${cosExpr("ct.t_v", "ct.t_n")})), " +
           "named_struct('cid', CAST(NULL AS BIGINT), 'sim', CAST(NULL AS DOUBLE)), " +
           "(acc, x) -> CASE WHEN acc.sim IS NULL OR x.sim > acc.sim " +

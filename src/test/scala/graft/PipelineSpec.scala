@@ -418,6 +418,45 @@ class PipelineSpec extends SparkSpec {
     assert(ks.zip(ks.tail).forall { case (a, b) => a <= b })
   }
 
+  test("two-level IVF assignment: ~sqrt geometry, degeneracy, same-route twins") {
+    // cps ≈ √K bounds per-vector assignment work to S + cps ≈ 2√K dots
+    assert(Similarity.superCellsFor(1) == 1 && Similarity.childrenPerSuper(1) == 1)
+    // K ≤ 2 → cps = 1: every centroid is its own super-centroid, so the
+    // two-level route degenerates to the flat argmax (sf0.01's K = 2 gate
+    // results are bit-unchanged by the round-16 hierarchy)
+    assert(Similarity.superCellsFor(2) == 2 && Similarity.childrenPerSuper(2) == 1)
+    assert(Similarity.superCellsFor(8) == 3 && Similarity.childrenPerSuper(8) == 3)
+    // at the MaxIvfCells clamp the flat path paid 2^20 dots per vector;
+    // two-level pays 2×2^10
+    assert(Similarity.superCellsFor(1 << 20) == 1024)
+    assert(Similarity.childrenPerSuper(1 << 20) == 1024)
+    // a genuinely two-level corpus (600 vectors → K=3, S=2, cps=2:
+    // groups {0,1},{2}): assignment is total (one cell per vector) and a
+    // planted near-identical pair routes to the SAME cell — identical
+    // arithmetic gives identical routes, the property semantic dedup and
+    // the streaming gate rely on
+    val rnd = new scala.util.Random(19)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    val rows = (0 until 598).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), 0)) ++
+      Seq((598L, base.map(_.toFloat), 0),
+        (599L, base.map(x => (x + rnd.nextGaussian() * 1e-3).toFloat), 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-hier").toString
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val cellVecs = Similarity
+      .cellStructure(spark.read.parquet(s"$dir/embeddings.parquet"))._2
+    val cells = cellVecs.collect()
+      .map(r => r.getAs[Long]("c_id") -> r.getAs[Long]("cell")).toMap
+    assert(cells.size == 600 && cells.values.forall(c => c >= 0L && c < 3L))
+    assert(cells(598L) == cells(599L), "near-identical twins routed apart")
+    // deterministic under re-execution (reproducible-index contract)
+    val again = Similarity
+      .cellStructure(spark.read.parquet(s"$dir/embeddings.parquet"))._2
+      .collect().map(r => r.getAs[Long]("c_id") -> r.getAs[Long]("cell")).toMap
+    assert(again == cells)
+  }
+
   test("PQ re-rank with a corpus-covering shortlist equals brute-force exactly") {
     // 32 vectors < PqShortlist: stage 1 keeps every candidate, so stage 2's
     // exact cosine re-rank must reproduce annCosine bit-for-bit — the
