@@ -64,19 +64,35 @@ object ArmedProbe {
     * wipes the PIPELINES' internal caches only — the fixtures live as
     * parquet on disk (below), so runs re-pay the plan, never fixture
     * construction. */
-  private def timed(spark: SparkSession, listener: CpuListener)(
+  private def onceTimed(spark: SparkSession, listener: CpuListener)(
       body: => Unit): Timing = {
-    def once(): Timing = {
-      spark.catalog.clearCache()
-      val c0 = drained(listener)
-      val t0 = System.nanoTime()
-      body
-      val wall = (System.nanoTime() - t0) / 1e9
-      Timing(wall, (drained(listener) - c0) / 1e9)
-    }
-    once() // warm-up
-    val runs = Seq(once(), once(), once())
-    Timing(runs.map(_.wallSec).min, runs.map(_.cpuSec).sorted.apply(1))
+    spark.catalog.clearCache()
+    val c0 = drained(listener)
+    val t0 = System.nanoTime()
+    body
+    val wall = (System.nanoTime() - t0) / 1e9
+    Timing(wall, (drained(listener) - c0) / 1e9)
+  }
+
+  /** ALTERNATING in-JVM A/B (round-16, verdict item 2): the previous
+    * back-to-back sequential sections measured each arm under whatever
+    * ambient regime its minute happened to have — the committed r15
+    * decade artifact read +87% armed dedup overhead where a controlled
+    * alternating A/B at the same scale read +28%, and its decade ANN
+    * pair read armed FASTER than unguarded. Interleaving the timed runs
+    * (A,B,A,B,…) samples both arms under the same regime at ZERO extra
+    * runtime (still one warm-up + 3 timed runs per arm); per-arm
+    * reduction is min wall / median cpu ([[Measure.medianOf]] — the
+    * r15-ADVICE fix for the hand-kept `sorted.apply(1)` that was only a
+    * median at exactly 3 runs). */
+  private def timedPair(spark: SparkSession, listener: CpuListener)(
+      bodyA: => Unit)(bodyB: => Unit): (Timing, Timing) = {
+    def once(body: => Unit): Timing = onceTimed(spark, listener)(body)
+    once(bodyA); once(bodyB) // warm-ups, untimed
+    val runs = Seq.fill(3)((once(bodyA), once(bodyB)))
+    def reduce(rs: Seq[Timing]): Timing =
+      Timing(rs.map(_.wallSec).min, Measure.medianOf(rs.map(_.cpuSec)))
+    (reduce(runs.map(_._1)), reduce(runs.map(_._2)))
   }
 
   private def r2(v: Double): Double = math.round(v * 100.0) / 100.0
@@ -154,10 +170,9 @@ object ArmedProbe {
       Dedup.pairsFromTriAndBands(tri, bands, _.cache(),
         maxBucket = cap, docsUpperBound = nDocs)
     }
-    val dedupUnguarded = timed(spark, listener) {
+    val (dedupUnguarded, dedupArmed) = timedPair(spark, listener) {
       Measure.exec(dedupPairs(healthy, Long.MaxValue))
-    }
-    val dedupArmed = timed(spark, listener) {
+    } {
       Measure.exec(dedupPairs(healthy, Dedup.MaxBandBucket))
     }
     // (c): armed-with-empty-hot-set results equal unguarded row-for-row
@@ -179,11 +194,10 @@ object ArmedProbe {
     // cost exceeding the B×cap savings — the honest crossover: the cap is
     // boundedness insurance against B ≫ cap, not a win at B ≈ cap.)
     val HotCap = 100L
-    val hotCapped = timed(spark, listener) {
-      Measure.exec(dedupPairs(hotDocs, HotCap))
-    }
-    val hotUncapped = timed(spark, listener) {
+    val (hotUncapped, hotCapped) = timedPair(spark, listener) {
       Measure.exec(dedupPairs(hotDocs, Long.MaxValue))
+    } {
+      Measure.exec(dedupPairs(hotDocs, HotCap))
     }
     spark.catalog.clearCache()
     val hotPairs = dedupPairs(hotDocs, HotCap)
@@ -218,10 +232,9 @@ object ArmedProbe {
         coalesce(sum("ib"), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    val annUnguarded = timed(spark, listener) {
+    val (annUnguarded, annArmed) = timedPair(spark, listener) {
       Measure.exec(annPairs(healthyVecs, Long.MaxValue))
-    }
-    val annArmed = timed(spark, listener) {
+    } {
       Measure.exec(annPairs(healthyVecs, Similarity.MaxSearchBucket))
     }
     spark.catalog.clearCache()
@@ -241,11 +254,10 @@ object ArmedProbe {
       .filter(col("count") > AnnHotCap).count()
     require(overCapCells == 1L,
       s"expected exactly the clump cell over AnnHotCap, found $overCapCells")
-    val annHotCapped = timed(spark, listener) {
-      Measure.exec(annPairs(hotVecs, AnnHotCap))
-    }
-    val annHotUncapped = timed(spark, listener) {
+    val (annHotUncapped, annHotCapped) = timedPair(spark, listener) {
       Measure.exec(annPairs(hotVecs, Long.MaxValue))
+    } {
+      Measure.exec(annPairs(hotVecs, AnnHotCap))
     }
     spark.catalog.clearCache()
     // per-cap-side group bound: no cell contributes more than cap
@@ -285,10 +297,9 @@ object ArmedProbe {
       healthyVec10Rows.toDF("vec_id", "embedding"), "healthy_vecs10")
     Seq(healthy10, healthyVecs10).foreach(_.count())
 
-    val dedupUnguarded10 = timed(spark, listener) {
+    val (dedupUnguarded10, dedupArmed10) = timedPair(spark, listener) {
       Measure.exec(dedupPairs(healthy10, Long.MaxValue, NDocs10))
-    }
-    val dedupArmed10 = timed(spark, listener) {
+    } {
       Measure.exec(dedupPairs(healthy10, Dedup.MaxBandBucket, NDocs10))
     }
     // equality at scale via order-free checksums (the base block already
@@ -307,10 +318,9 @@ object ArmedProbe {
     require(dedupEqual10, s"decade armed dedup changed results: $dSumU10 vs $dSumA10")
     require(dSumU10._1 > 0L, "decade corpus produced no verified pairs")
 
-    val annUnguarded10 = timed(spark, listener) {
+    val (annUnguarded10, annArmed10) = timedPair(spark, listener) {
       Measure.exec(annPairs(healthyVecs10, Long.MaxValue, NVecs10))
-    }
-    val annArmed10 = timed(spark, listener) {
+    } {
       Measure.exec(annPairs(healthyVecs10, Similarity.MaxSearchBucket, NVecs10))
     }
     spark.catalog.clearCache()
@@ -324,6 +334,14 @@ object ArmedProbe {
       (r2(b.wallSec / a.wallSec), r2(b.cpuSec / a.cpuSec))
     val (dedupWallX, dedupCpuX) = ratio(dedupArmed, dedupArmed10)
     val (annWallX, annCpuX) = ratio(annArmed, annArmed10)
+    // pairwise armed overheads from the SAME alternating A/B — the
+    // trustworthy numbers (r15 verdict item 3: they previously lived only
+    // in SURVEY prose while the JSON carried the regime-confounded
+    // sequential gap, so a reader of the artifact alone got +87% where
+    // the controlled figure was +28%)
+    def pct(base: Timing, v: Timing): String =
+      s"""{"wall_pct":${r2((v.wallSec / base.wallSec - 1) * 100)},""" +
+        s""""cpu_pct":${r2((v.cpuSec / base.cpuSec - 1) * 100)}}"""
 
     def t(tm: Timing): String =
       s"""{"wall_sec":${r2(tm.wallSec)},"cpu_sec":${r2(tm.cpuSec)}}"""
@@ -340,6 +358,8 @@ object ArmedProbe {
         s""""ann_healthy_unguarded":${t(annUnguarded)},""" +
         s""""ann_healthy_armed_empty_hot":${t(annArmed)},""" +
         s""""ann_armed_results_equal":$annEqual,""" +
+        s""""dedup_armed_overhead":${pct(dedupUnguarded, dedupArmed)},""" +
+        s""""ann_armed_overhead":${pct(annUnguarded, annArmed)},""" +
         s""""ann_hot_capped":${t(annHotCapped)},""" +
         s""""ann_hot_uncapped":${t(annHotUncapped)},""" +
         s""""ann_hot_pairs_capped":$annHotPairsCapped,""" +
@@ -353,20 +373,20 @@ object ArmedProbe {
         s""""ann_healthy_armed_empty_hot":${t(annArmed10)},""" +
         s""""ann_armed_results_equal":$annEqual10,""" +
         s""""ann_pairs":${aSumU10._1},""" +
+        s""""dedup_armed_overhead":${pct(dedupUnguarded10, dedupArmed10)},""" +
+        s""""ann_armed_overhead":${pct(annUnguarded10, annArmed10)},""" +
         s""""armed_10x_wall_ratio":{"dedup":$dedupWallX,"ann":$annWallX},""" +
         s""""armed_10x_cpu_ratio":{"dedup":$dedupCpuX,"ann":$annCpuX}},""" +
-        s""""note":"healthy corpora exceed the PRODUCTION caps (armed, hot set empty; results pinned equal to unguarded). Hot-shard bound demos: dedup cap overridden to 100 (B/cap = 20, B-squared baseline executable); ANN cap overridden to 500 - above the natural ~253-member healthy cells, so exactly the planted clump cell arms (pinned by a require). ROUND-15 CORRECTION, measured under the honest exec action (the previous count()-timed artifact had join-eliminated the dedup VERIFICATION stage out of every dedup timing): at B = 2,000 the capped dedup path reads ~1.9x faster wall / ~3.5x cheaper cpu than the uncapped B-squared baseline - verifying C(B,2) candidate pairs dominates, so the cap pays for itself well before the uncapped join becomes unrunnable (B = 1e6 is 5e11 pairs); the earlier 'guard costs more than it saves at this B' note was an artifact of the deleted verification stage. wall = min of 3 cache-cleared runs after warm-up; cpu = MEDIAN executor CPU of those runs. decade = the same healthy armed-vs-unguarded probe at 10x fixtures (250k docs / 200k vecs): dedup armed 10x ratios track the data step (3.5x wall / 7.7x cpu - sublinear wall); the ANN ratio is dominated by cellsForCorpus growing K with n (n x K assignment work, ~100x at 10x vectors), and at decade scale the armed ANN run read FASTER than unguarded (11.9 vs 16.3 s) - the two plans differ only by two broadcast probes, so treat the ANN armed-overhead claim as bounded by back-to-back run variance at these walls, not as a guard win."}"""
+        s""""note":"healthy corpora exceed the PRODUCTION caps (armed, hot set empty; results pinned equal to unguarded). ROUND 16: every unguarded/armed and uncapped/capped pair is measured as an ALTERNATING in-JVM A/B - one warm-up then 3 interleaved timed runs per arm (min wall, median executor cpu), so both arms sample the same ambient regime; the r15 sequential sections over-read armed decade dedup overhead (+87% recorded vs +28% controlled) and read the decade ANN pair armed-faster-than-unguarded, both regime artifacts. *_armed_overhead = (armed/unguarded - 1) from those same A/B pairs - the JSON now carries the trustworthy overhead story itself. Hot-shard bound demos: dedup cap overridden to 100 (B/cap = 20, so the uncapped B-squared baseline stays executable); ANN cap overridden to 500 - above the natural ~253-member healthy cells, so exactly the planted clump cell arms (pinned by a require); at B = 2,000 the capped dedup path beats the uncapped baseline outright under the honest exec action (verifying C(B,2) candidate pairs dominates; B = 1e6 would be 5e11 pairs). decade = the same probes at 10x fixtures (250k docs / 200k vecs); armed_10x_*_ratio = armed decade over armed base, the per-family cost of a 10x data step. ROUND 16: IVF coarse assignment is now hierarchical (two-level, ~2n*sqrt(K) dots - Similarity.hierAssign); the ANN decade cpu ratio, 41x under the flat n x K quantizer, now tracks the in-cell search instead of the assignment."}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/armed_probe.json"), json + "\n")
     catch { case _: Throwable => () }
     println(json)
     spark.stop()
     // fixtures are hundreds of MB at the decade scale; repeated probe
-    // runs must not accumulate them in /tmp (round-15 review)
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(fixDir)).iterator()
-        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch { case _: Throwable => () }
+    // runs must not accumulate them in /tmp (round-15 review), and a
+    // FAILED delete must say so instead of silently leaving them
+    // (round-15 ADVICE — closed walk stream, stderr diagnostic)
+    Measure.deleteRecursively(java.nio.file.Paths.get(fixDir))
   }
 }

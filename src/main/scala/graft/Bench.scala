@@ -79,13 +79,8 @@ object Bench {
     * cpu takes the median across the same runs (robust to one outlier in
     * either direction); shuffle/spill are plan-deterministic, so the
     * min-wall run's values stand. */
-  private def minWallMedianCpu(runs: Seq[RunMetrics]): RunMetrics = {
-    val best = runs.minBy(_.wall)
-    val cpus = runs.map(_.cpu).sorted
-    val med = if (cpus.size % 2 == 1) cpus(cpus.size / 2)
-      else (cpus(cpus.size / 2 - 1) + cpus(cpus.size / 2)) / 2.0
-    best.copy(cpu = med)
-  }
+  private def minWallMedianCpu(runs: Seq[RunMetrics]): RunMetrics =
+    runs.minBy(_.wall).copy(cpu = Measure.medianOf(runs.map(_.cpu)))
 
   private def measured(listener: TaskMetricsListener)(body: => Unit): RunMetrics = {
     val (c0, sh0, sp0) = drained(listener)
@@ -201,11 +196,31 @@ object Bench {
     * numbers. */
   val IdleCalibPar32Ms = 118.0
 
+  /** Bound on the pre-measurement idle wait (round-15 verdict item 3):
+    * the contamination gate made a loaded-host artifact DETECTABLE, but
+    * the driver's committed record should be LIKELY-clean — so before any
+    * measurement (calibration anchors included) the bench polls the 1-min
+    * load every 15 s until it drops below the gate's own 2.0 threshold,
+    * giving up after this bound and proceeding (the gate still stamps the
+    * run honestly). The time actually waited is recorded in the artifact
+    * (`idle_wait_sec`) so a reader sees whether the wait was exercised. */
+  val IdleWaitMaxMs = 600000L
+
   def main(args: Array[String]): Unit = {
-    // ambient 1-min load, sampled BEFORE any work starts: sampled at the
-    // end it mostly measures this bench's own 32 threads (observed: a
-    // faster run reading a HIGHER end-load than a slower one), which is
-    // useless for explaining cross-run variance. -1.0 if unavailable.
+    val idleWaitSec = {
+      val t0 = System.nanoTime()
+      def load(): Double = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      while (load() >= 2.0 && (System.nanoTime() - t0) < IdleWaitMaxMs * 1e6)
+        Thread.sleep(15000)
+      math.round((System.nanoTime() - t0) / 1e8) / 10.0
+    }
+    // ambient 1-min load, sampled BEFORE any work starts (but AFTER the
+    // bounded idle wait — the gate judges the state the run actually
+    // began in): sampled at the end it mostly measures this bench's own
+    // 32 threads (observed: a faster run reading a HIGHER end-load than a
+    // slower one), which is useless for explaining cross-run variance.
+    // -1.0 if unavailable.
     val load1mStart = {
       val l = java.lang.management.ManagementFactory
         .getOperatingSystemMXBean.getSystemLoadAverage
@@ -327,12 +342,8 @@ object Bench {
       // consumes the artifact; a FRESH artifact dir per run so each timed
       // run pays the real write+read+audit, with per-run cleanup untimed
       var tmp: java.nio.file.Path = null
-      def rmTmp(): Unit = try {
-        import scala.jdk.CollectionConverters._
-        if (tmp != null)
-          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: Throwable => () }
+      def rmTmp(): Unit =
+        if (tmp != null) Measure.deleteRecursively(tmp)
       val neardup = prodFamily("neardup_artifact") {
         spark.catalog.clearCache()
         tmp = java.nio.file.Files.createTempDirectory("graft-bench-prod")
@@ -358,12 +369,8 @@ object Bench {
       // artifact (build + one query-many-shaped search per run; fresh
       // artifact dir per run so each timed run pays the real write+read)
       var ivfTmp: java.nio.file.Path = null
-      def rmIvf(): Unit = try {
-        import scala.jdk.CollectionConverters._
-        if (ivfTmp != null)
-          java.nio.file.Files.walk(ivfTmp).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: Throwable => () }
+      def rmIvf(): Unit =
+        if (ivfTmp != null) Measure.deleteRecursively(ivfTmp)
       val annIndex = prodFamily("ann_index_artifact") {
         spark.catalog.clearCache()
         ivfTmp = java.nio.file.Files.createTempDirectory("graft-bench-ivf")
@@ -425,6 +432,13 @@ object Bench {
     val ok = results.filter(_._2.wall >= 0.0)
     val total = if (ok.nonEmpty) ok.map(_._2.wall).sum else 0.0
     val cpuTotal = r3(if (ok.nonEmpty) ok.map(_._2.cpu).sum else 0.0)
+    // explicit failure roster in the COMPACT artifact (round-15 ADVICE:
+    // failed queries were excluded from the totals but only the detail
+    // file carried the -1 sentinels — a cross-round judge comparing
+    // compact totals could read a broken query as a speedup, the phantom
+    // class this harness exists to kill)
+    val failedJson = (results ++ prod).filter(_._2.wall < 0.0).map(_._1)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val top5 = jsonPairs(walls(results.sortBy(-_._2.wall).take(5)))
     // peak-heap headroom (round-10 verdict item 5): the worst single
     // query's summed-pool peak + per-family peaks; per-query map in the
@@ -445,7 +459,9 @@ object Bench {
       "projection-final rows) - totals step up vs r14 by harness honesty. " +
       "cpu_sec=median across runs; calib_par_ms=all-thread anchor (1-thread " +
       "one is blind to parallel-cpu inflation, r14); contaminated=true => " +
-      "cpu layer untrustworthy, wall/shuffle stay usable. Full notes: " +
+      "cpu layer untrustworthy, wall/shuffle stay usable. r16: bounded " +
+      "idle-wait (up to 600s for load1m<2, idle_wait_sec) precedes all " +
+      "measurement; failed=[] lists -1-sentinel rows. Full notes: " +
       "target/bench_detail.json + BENCH_DETAIL_HEAD.json"
     // ambient load context (see load1mStart above): round 9 recorded a 38%
     // per-query "regression" on byte-identical code that was pure host
@@ -453,17 +469,22 @@ object Bench {
     // now carries the context needed to read its own numbers, and
     // cpu_total_sec is the load-invariant cross-check.
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s""""queries_run":${results.size},"load1m_start":$load1mStart,""" +
+      s""""queries_run":${results.size},"failed":$failedJson,""" +
+      s""""load1m_start":$load1mStart,"idle_wait_sec":$idleWaitSec,""" +
       s""""cpu_total_sec":$cpuTotal,"calib_ms":$calib,"calib_ms_end":$calibEnd,""" +
-      s""""calib_par_ms":$calibPar,"calib_par_ms_end":$calibParEnd,$contamJson,""" +
+      s""""calib_par_ms":$calibPar,"calib_par_ms_end":$calibParEnd,""" +
+      s""""calib_threads":$calibThreads,"calib_abs_gate":${calibThreads == 32},$contamJson,""" +
       s""""peak_heap_mb":$peakMax,"top5":$top5,"prod":${jsonPairs(walls(prod))},""" +
       s""""prod_peak_mb":${jsonPairs(prodPeaks.toSeq)},"note":"$note"}"""
     def metricMap(f: RunMetrics => Double)(rs: Seq[(String, RunMetrics)]) =
       jsonPairs(rs.map { case (k, m) => k -> r3(f(m)) })
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
-      s""""load1m_start":$load1mStart,"cpu_total_sec":$cpuTotal,"calib_ms":$calib,""" +
+      s""""load1m_start":$load1mStart,"idle_wait_sec":$idleWaitSec,""" +
+      s""""failed":$failedJson,""" +
+      s""""cpu_total_sec":$cpuTotal,"calib_ms":$calib,""" +
       s""""calib_ms_end":$calibEnd,"calib_par_ms":$calibPar,""" +
-      s""""calib_par_ms_end":$calibParEnd,$contamJson,""" +
+      s""""calib_par_ms_end":$calibParEnd,""" +
+      s""""calib_threads":$calibThreads,"calib_abs_gate":${calibThreads == 32},$contamJson,""" +
       s""""queries":$qs,"cpu_sec":${metricMap(_.cpu)(results)},""" +
       s""""shuffle_mb":${metricMap(_.shuffleMb)(results)},""" +
       s""""spill_mb":${metricMap(_.spillMb)(results)},""" +

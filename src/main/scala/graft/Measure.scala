@@ -21,6 +21,33 @@ private[graft] object Measure {
     df.queryExecution.toRdd.foreach(_ => ()): Unit
   }
 
+  /** Median of a sample — ONE implementation for the min-wall/median-cpu
+    * reduction both mains report (round-15 ADVICE: ArmedProbe hand-kept
+    * `sorted.apply(1)`, which is only the median for exactly 3 runs and
+    * would silently become a non-median if the run count changed). */
+  def medianOf(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Recursive delete with a CLOSED walk stream and a LOUD failure —
+    * round-15 ADVICE: the mains' fixture cleanups leaked the Files.walk
+    * stream and swallowed Throwable, so a partial delete (an open
+    * handle) left multi-hundred-MB decade fixtures in /tmp with no
+    * diagnostic, the very accumulation the cleanup was added to stop. */
+  def deleteRecursively(root: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[measure] cleanup of $root failed: $t")
+    }
+
   /** Per-task executor CPU / shuffle-write / spill accumulation plus the
     * started/ended task balance the drain keys on. */
   final class TaskMetricsListener extends org.apache.spark.scheduler.SparkListener {
