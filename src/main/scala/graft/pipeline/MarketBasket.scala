@@ -25,10 +25,26 @@ object MarketBasket {
 
   val TopPairs = 20
 
+  /** Candidate-side ceiling per order for the pair self-join — the basket
+    * twin of [[Similarity.MaxSearchBucket]] (round-15 verdict item 5):
+    * the op self-join is co-partitioned and bounded by Σ C(basket, 2) on
+    * healthy data, but one pathological MEGA-BASKET of B parts is the
+    * same B² class the LSH/ANN guards cap. The LOWER-key side keeps only
+    * the cap smallest part keys per order ([[Similarity.capCandidatesBy]]
+    * ladder: structurally absent when the lineitem footer count — an
+    * upper bound on any basket — fits the cap; armed with an empty hot
+    * set otherwise), so a mega-basket emits B×cap pairs, every part
+    * still appears on the b side, and only pairs BOTH of whose members
+    * sit above the cap inside one order are lost from the census. */
+  val MaxBasketSide = 10000L
+
   /** Top co-occurring part pairs with support, confidence (p(b|a)) and
     * lift. Output: part_a, part_b, n_orders_both, n_orders_a, n_orders_b,
-    * support, confidence, lift — ordered by (n_orders_both desc, pair). */
-  def basketPairs(spark: SparkSession, dir: String): DataFrame = {
+    * support, confidence, lift — ordered by (n_orders_both desc, pair).
+    * `cap` overrides [[MaxBasketSide]] (tests plant small mega-baskets;
+    * the arming logic is cap-independent). */
+  def basketPairs(spark: SparkSession, dir: String,
+      cap: Long = MaxBasketSide): DataFrame = {
     // the distinct basket frame feeds FOUR subtrees (both self-join sides,
     // the item frequencies, the order count) whose exchanges share no key,
     // so without a cache the fact scan + distinct would execute once per
@@ -39,7 +55,14 @@ object MarketBasket {
       .cache()
     val nOrders = op.agg(countDistinct(col("ok")).as("n_orders"))
     val itemFreq = op.groupBy(col("pk")).agg(count(lit(1)).as("n_ord"))
-    val top = op.as("a").join(op.as("b"), "ok")
+    // lower-key side carries the per-order candidate cap; sizeBound = one
+    // lineitem footer count (≥ any basket's membership), so the guard is
+    // plan-absent whenever the whole fact table fits the cap. The eager
+    // cached-frame materialization doubles as the stampede barrier for
+    // op's four concurrent consumers.
+    val top = Similarity.capCandidatesBy(op, Seq("ok"), "pk", cap,
+        sizeBound = table(spark, dir, "lineitem").count())
+      .as("a").join(op.as("b"), "ok")
       .filter(col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("part_a"), col("b.pk").as("part_b"))
       .agg(count(lit(1)).as("n_orders_both"))

@@ -59,21 +59,28 @@ object Similarity {
     * from the plan); an armed frame windows only the actually-hot groups
     * found by one partial-aggregated count into a broadcast frame. */
   private[graft] def capCandidates(df: DataFrame, key: String, id: String,
-      cap: Long, sizeBound: Long = -1L,
+      cap: Long, sizeBound: Long,
       materializeCached: Boolean = true): DataFrame =
     capCandidatesBy(df, Seq(key), id, cap, sizeBound, materializeCached)
 
+  /** Explicit opt-in sentinel for [[capCandidatesBy]]'s `sizeBound`:
+    * COUNT THE FRAME ITSELF to decide arming. Counting an uncached frame
+    * re-executes its whole pipeline — the hazard `sizeBound` exists to
+    * avoid — so this is for ad-hoc frames with no cheaper bound only; the
+    * one production caller ([[graft.streaming.StreamingSemantic]]) passes
+    * a CACHED frame and uses the count deliberately as its gate-build
+    * materialization barrier. (Round-15 verdict item 7: the silent `-1`
+    * default is retired — [[Dedup.bandReps]] made its bound required a
+    * round earlier; this is the same contract here.) */
+  private[graft] val SizeBoundByCounting = -1L
+
   /** [[capCandidates]] over a composite group key (band, sig).
-    * `sizeBound`: an upper bound on any group's membership known by the
-    * caller (e.g. the vector count when `df` has several rows per
-    * vector). Every production call site passes it — usually a
-    * parquet-footer count the caller already paid — because the -1
-    * fallback count()s `df` itself, which silently re-executes an
-    * expensive assignment/signature pipeline if the caller did not cache
-    * it (round-13 verdict: the fallback is a convention, not a contract;
-    * it remains only for ad-hoc frames with no cheaper bound). */
+    * `sizeBound` (REQUIRED): an upper bound on any group's membership
+    * known by the caller (e.g. the vector count when `df` has several
+    * rows per vector) — usually a parquet-footer count the caller already
+    * paid; [[SizeBoundByCounting]] opts into counting `df` itself. */
   private[graft] def capCandidatesBy(df: DataFrame, keys: Seq[String],
-      id: String, cap: Long, sizeBound: Long = -1L,
+      id: String, cap: Long, sizeBound: Long,
       materializeCached: Boolean = true): DataFrame = {
     // A CACHED input is eagerly materialized before this guard returns it
     // into a self-join: the join's child stages first-touch the cache

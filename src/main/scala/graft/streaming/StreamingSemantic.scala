@@ -86,7 +86,9 @@ object StreamingSemantic {
     // before the first micro-batch arrives
 
     gateWith(newVecs, centsRow,
-      Similarity.capCandidates(cellVecs, "cell", "c_id", Similarity.MaxSearchBucket)
+      Similarity.capCandidates(cellVecs, "cell", "c_id",
+          Similarity.MaxSearchBucket,
+          sizeBound = Similarity.SizeBoundByCounting)
         .select(col("cell"), col("c_v"), col("c_n")), threshold)
   }
 

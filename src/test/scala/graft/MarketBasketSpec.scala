@@ -59,6 +59,33 @@ class MarketBasketSpec extends SparkSpec {
     assert(r.getDouble(4) == 1.0)
   }
 
+  test("basket_pairs mega-basket: lower-key cap bounds the fan-out, b side keeps every part") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-megabk").toString
+    // one 40-part mega-basket (order 1) + two sane 3-part orders; with
+    // cap = 5 the a side of the self-join keeps only the 5 lowest pks of
+    // the mega-basket — B×cap pairs, never C(B,2)
+    val rows = (0 until 40).map(p => (1L, 100L + p)) ++
+      Seq((2L, 100L), (2L, 101L), (2L, 102L), (3L, 100L), (3L, 101L), (3L, 103L))
+    rows.toDF("l_orderkey", "l_partkey").withColumn("l_quantity", lit(1.0))
+      .write.parquet(s"$dir/lineitem.parquet")
+    val capped = MarketBasket.basketPairs(spark, dir, cap = 5L).collect()
+    // every surviving pair's LOWER key comes from the kept representative
+    // set (5 lowest mega pks, plus the sane orders' parts which sit under
+    // any cap); the upper key ranges over the whole basket
+    assert(capped.nonEmpty)
+    assert(capped.forall(_.getLong(0) <= 104L),
+      "an over-cap part escaped onto the capped a side")
+    assert(capped.exists(_.getLong(1) > 104L),
+      "the b side lost over-cap parts — eviction cut them from every pair")
+    // inert cap (above the corpus) reproduces the unguarded census
+    val free = MarketBasket.basketPairs(spark, dir, cap = Long.MaxValue)
+      .collect().map(_.toSeq).toSeq
+    val inert = MarketBasket.basketPairs(spark, dir, cap = 1000L)
+      .collect().map(_.toSeq).toSeq
+    assert(inert == free)
+  }
+
   test("basket_pairs plan: co-partitioned self-join, top-k heap, broadcast enrichments") {
     val plan = MarketBasket.basketPairs(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must not global-sort:\n${plan.take(2000)}")

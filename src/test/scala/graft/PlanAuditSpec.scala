@@ -94,7 +94,8 @@ class PlanAuditSpec extends SparkSpec {
     val emb = graft.drift.table(spark, sf, "embeddings")
       .select(org.apache.spark.sql.functions.col("vec_id"),
         org.apache.spark.sql.functions.lit(0).as("cell"))
-    val armed = Similarity.capCandidatesBy(emb, Seq("cell"), "vec_id", 5L)
+    val armed = Similarity.capCandidatesBy(emb, Seq("cell"), "vec_id", 5L,
+      sizeBound = Similarity.SizeBoundByCounting)
     val armedPlan = planOf(armed)
     assert(armedPlan.contains("row_number") && armedPlan.contains("__ck"),
       s"over-cap frame did not arm the candidate cap:\n${armedPlan.take(1500)}")
