@@ -377,7 +377,7 @@ object ArmedProbe {
         s""""ann_armed_overhead":${pct(annUnguarded10, annArmed10)},""" +
         s""""armed_10x_wall_ratio":{"dedup":$dedupWallX,"ann":$annWallX},""" +
         s""""armed_10x_cpu_ratio":{"dedup":$dedupCpuX,"ann":$annCpuX}},""" +
-        s""""note":"healthy corpora exceed the PRODUCTION caps (armed, hot set empty; results pinned equal to unguarded). ROUND 16: every unguarded/armed and uncapped/capped pair is measured as an ALTERNATING in-JVM A/B - one warm-up then 3 interleaved timed runs per arm (min wall, median executor cpu), so both arms sample the same ambient regime; the r15 sequential sections over-read armed decade dedup overhead (+87% recorded vs +28% controlled) and read the decade ANN pair armed-faster-than-unguarded, both regime artifacts. *_armed_overhead = (armed/unguarded - 1) from those same A/B pairs - the JSON now carries the trustworthy overhead story itself. Hot-shard bound demos: dedup cap overridden to 100 (B/cap = 20, so the uncapped B-squared baseline stays executable); ANN cap overridden to 500 - above the natural ~253-member healthy cells, so exactly the planted clump cell arms (pinned by a require); at B = 2,000 the capped dedup path beats the uncapped baseline outright under the honest exec action (verifying C(B,2) candidate pairs dominates; B = 1e6 would be 5e11 pairs). decade = the same probes at 10x fixtures (250k docs / 200k vecs); armed_10x_*_ratio = armed decade over armed base, the per-family cost of a 10x data step. ROUND 16: IVF coarse assignment is now hierarchical (two-level, ~2n*sqrt(K) dots - Similarity.hierAssign); the ANN decade cpu ratio, 41x under the flat n x K quantizer, now tracks the in-cell search instead of the assignment."}"""
+        s""""note":"healthy corpora exceed the PRODUCTION caps (armed, hot set empty; results pinned equal to unguarded). ROUND 16: every unguarded/armed and uncapped/capped pair is measured as an ALTERNATING in-JVM A/B - one warm-up then 3 interleaved timed runs per arm (min wall, median executor cpu), so both arms sample the same ambient regime; the r15 sequential sections over-read armed decade dedup overhead (+87% recorded vs +28% controlled) and read the decade ANN pair armed-faster-than-unguarded, both regime artifacts. *_armed_overhead = (armed/unguarded - 1) from those same A/B pairs - the JSON now carries the trustworthy overhead story itself. Hot-shard bound demos: dedup cap overridden to 100 (B/cap = 20, so the uncapped B-squared baseline stays executable); ANN cap overridden to 500 - above the natural ~253-member healthy cells, so exactly the planted clump cell arms (pinned by a require); at B = 2,000 the capped dedup path beats the uncapped baseline outright under the honest exec action (verifying C(B,2) candidate pairs dominates; B = 1e6 would be 5e11 pairs). decade = the same probes at 10x fixtures (250k docs / 200k vecs); armed_10x_*_ratio = armed decade over armed base, the per-family cost of a 10x data step. ROUND 16: IVF coarse assignment is now hierarchical (two-level top-2 multi-probe, ~4n*sqrt(K) dots - Similarity.hierAssign); the ANN decade cpu ratio, 41x under the flat n x K quantizer, now tracks the in-cell search instead of the assignment."}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/armed_probe.json"), json + "\n")
     catch { case _: Throwable => () }

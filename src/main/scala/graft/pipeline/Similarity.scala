@@ -370,9 +370,9 @@ object Similarity {
     * assignment pays n×K ≈ n²/256 dot products mid-range — the round-15
     * decade probe measured it at 41× CPU for 10× vectors, the one
     * super-linearity left in the engine. Two-level routing
-    * ([[hierAssign]]) costs n×(⌈√K⌉ + ⌈K/⌈√K⌉⌉) ≈ 2n√K instead: 14×
-    * fewer assignment dots at the probe's 200k vectors, 512× fewer at
-    * the [[MaxIvfCells]] clamp. */
+    * ([[hierAssign]], top-2 multi-probe) costs n×(2⌈√K⌉ + 2⌈K/⌈√K⌉⌉) ≈
+    * 4n√K instead: ~7× fewer assignment dots at the probe's 200k
+    * vectors, 256× fewer at the [[MaxIvfCells]] clamp. */
   def superCellsFor(cells: Int): Int =
     math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt)
 
@@ -387,27 +387,33 @@ object Similarity {
     * partitioned into contiguous cent_id groups of [[childrenPerSuper]]
     * children; each group's SUPER-centroid is its min-cent_id child
     * (robust to id gaps — a missing prefix id cannot orphan a group). A
-    * vector first argmaxes over the ⌈√K⌉ supers (rounded cosine 6 dp,
-    * smaller group id on ties — the exact argmax arithmetic every IVF
-    * oracle already replays), then argmaxes only the chosen group's
-    * ≤⌈K/⌈√K⌉⌉ children. Deterministic and SQL-replayable
+    * vector first ranks the ⌈√K⌉ supers (rounded cosine 6 dp, smaller
+    * group id on ties — the exact argmax arithmetic every IVF oracle
+    * already replays), keeps the TOP-2 groups (multi-probe routing: the
+    * nearest-centroid-in-another-group miss that costs a single-probe
+    * hierarchy its recall is overwhelmingly a boundary effect between
+    * the two best supers), then argmaxes over those groups'
+    * ≤2⌈K/⌈√K⌉⌉ children. Deterministic and SQL-replayable
     * ([[hierAssignCtes]]), so the IVF family stays hash-checked. The
-    * standard hierarchical-quantizer recall trade applies: a vector whose
-    * globally-nearest centroid lives in another group lands on its best
-    * same-group centroid instead — near-identical vectors still route
-    * IDENTICALLY (same arithmetic, same ties), which is the property the
-    * semantic-dedup / gate semantics actually require.
+    * residual hierarchical-quantizer recall trade applies only when the
+    * globally-nearest centroid lives outside BOTH routed groups —
+    * near-identical vectors still route IDENTICALLY (same arithmetic,
+    * same ties), which is the property the semantic-dedup / gate
+    * semantics actually require.
     *
-    * Plan shape: two chained broadcast joins (supers, then the full
-    * centroid frame equi-keyed on the routed group) with max_by argmaxes
-    * keyed on c_id — ONE exchange total (the second groupBy reuses the
-    * first's hash partitioning); vector payloads cross it once inside
-    * any_value partial buffers. No window over the scored frame, no
-    * corpus-side shuffle join, no cartesian product. The stage-2
-    * broadcast is still the full K-row centroid frame (same
-    * [[MaxIvfCells]] ≈ 0.5 GB ceiling as the flat path) — the equi-join
-    * on the group id is what bounds the per-vector DOT count to the
-    * group's children.
+    * Plan shape: three chained broadcast joins (supers twice — the
+    * second routing pass demotes the chosen group inside the max_by
+    * ordering rather than filtering rows, so a 1-group corpus cannot
+    * lose vectors — then the full centroid frame equi-keyed on the
+    * exploded routed groups) with max_by argmaxes keyed on c_id — ONE
+    * exchange total (every later groupBy reuses the first agg's hash
+    * partitioning); vector payloads cross it once inside any_value
+    * partial buffers. No window over the scored frame, no corpus-side
+    * shuffle join, no cartesian product. The stage-2 broadcast is still
+    * the full K-row centroid frame (same [[MaxIvfCells]] ≈ 0.5 GB
+    * ceiling as the flat path) — the equi-join on the group id is what
+    * bounds the per-vector DOT count to the two routed groups' children.
+    * Total ≈ n×(2⌈√K⌉ + 2cps) ≈ 4n√K dots, vs n×K flat.
     *
     * `vecs` must carry exactly (c_id, c_v, c_n) ++ carry; `cents` exactly
     * (cent_id, t_v, t_n). Output: one row per input vector —
@@ -426,13 +432,31 @@ object Similarity {
     val held = Seq("c_v", "c_n") ++ carry
     def anyVals(cols: Seq[String]) =
       cols.map(c => expr(s"any_value(`$c`)").as(c))
-    val routed = vecs.crossJoin(broadcast(supers))
-      .withColumn("__ssim",
-        round(vecDot(col("c_v"), col("__sv")) / expr("NULLIF(c_n * __sn, 0)"), 6))
+    def superSim = round(
+      vecDot(col("c_v"), col("__sv")) / expr("NULLIF(c_n * __sn, 0)"), 6)
+    val routed1 = vecs.crossJoin(broadcast(supers))
+      .withColumn("__ssim", superSim)
       .groupBy(col("c_id"))
-      .agg(expr("max_by(__sid, struct(__ssim, -__sid))").as("__g"),
+      .agg(expr("max_by(__sid, struct(__ssim, -__sid))").as("__g1"),
         anyVals(held): _*)
-    val scored = routed.join(broadcast(cs), "__g")
+    // second routing pass: the winner's rows are DEMOTED (null sim sorts
+    // below every real one in struct order) instead of filtered out, so
+    // max_by yields the rank-2 group — or __g1 again when it is the only
+    // group, which array_distinct collapses back to a single probe. A
+    // vector with no scorable super (null c_n) keeps __g1 = null and is
+    // dropped at the inner group join exactly as before.
+    val routed = routed1.crossJoin(broadcast(supers))
+      .withColumn("__ssim2",
+        when(col("__sid") <=> col("__g1"), lit(null).cast("double"))
+          .otherwise(superSim))
+      .groupBy(col("c_id"))
+      .agg(expr("max_by(__sid, struct(__ssim2, -__sid))").as("__g2"),
+        (anyVals(held :+ "__g1")): _*)
+      .withColumn("__gs", when(col("__g1").isNull, array(col("__g1")))
+        .otherwise(array_distinct(array(col("__g1"), col("__g2")))))
+    val probed = routed.select(
+      col("c_id") +: explode(col("__gs")).as("__g") +: held.map(col): _*)
+    val scored = probed.join(broadcast(cs), "__g")
       .withColumn("__sim",
         round(vecDot(col("c_v"), col("t_v")) / expr("NULLIF(c_n * t_n, 0)"), 6))
     val keep = (if (keepVec) Seq("c_v", "c_n") else Nil) ++ carry
@@ -447,8 +471,11 @@ object Similarity {
     * oracle so the two-level arithmetic cannot drift between twins.
     * Emits `cells_t`, `hier_t` (cps = ⌈cells / ⌈√cells⌉⌉), `cents`
     * (prefix-stable, + group id), `supers` (min-cent_id child per
-    * group), `route` (stage-1 argmax) and `assign(vec_id, cell, sim)`
-    * (stage-2 argmax over the routed group's children). */
+    * group), `route` (stage-1 TOP-2 ranking — rank 2 by (sim DESC, sid
+    * ASC) is exactly the demoted second max_by; one group → one row,
+    * matching array_distinct) and `assign(vec_id, cell, sim)` (stage-2
+    * argmax over both routed groups' children — groups are disjoint, so
+    * the candidate union is duplicate-free). */
   private[graft] def hierAssignCtes: String =
     s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
       s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
@@ -460,7 +487,7 @@ object Similarity {
       "route AS (SELECT vec_id, sid FROM (SELECT v.vec_id, s.sid, " +
       "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
       "ROUND(list_dot_product(v.v, s.sv) / NULLIF(v.nrm * s.sn, 0), 6) DESC, s.sid ASC) AS rrk " +
-      "FROM v, supers s) r0 WHERE rrk = 1), " +
+      "FROM v, supers s) r0 WHERE rrk <= 2), " +
       "assign AS (SELECT vec_id, cell, sim FROM (SELECT v.vec_id, c.cent_id AS cell, " +
       "ROUND(list_dot_product(v.v, c.cv) / NULLIF(v.nrm * c.cn, 0), 6) AS sim, " +
       "ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY " +
@@ -469,7 +496,7 @@ object Similarity {
 
   /** IVF-style ANN: assign every vector to its nearest coarse centroid
     * via the TWO-LEVEL quantizer ([[hierAssign]]: route to one of ⌈√K⌉
-    * super-cells, then argmax that group's children — n×2√K dots, one
+    * super-cells, then argmax the top-2 groups' children — n×4√K dots, one
     * broadcast × one scan, at 100 TB still embarrassingly parallel), then
     * exact cosine top-k within the cell (nprobe = 1). The cell count is
     * data-adaptive ([[cellsForCorpus]] over one cheap parquet-footer count),
@@ -490,7 +517,7 @@ object Similarity {
   }
 
   /** The IVF index content: every vector tagged with its nearest-reachable
-    * cell under the TWO-LEVEL quantizer ([[hierAssign]] — n×2√K dots, not
+    * cell under the TWO-LEVEL quantizer ([[hierAssign]] — n×4√K dots, not
     * the flat n×K the round-15 decade probe measured at 41× CPU per 10×
     * vectors). Cached because the in-cell self-join consumes it on BOTH
     * sides and Spark plans no exchange reuse across them (plan-verified:
@@ -734,8 +761,8 @@ object Similarity {
   def lloydIvfTopKSql(k: Int = TopK): String = {
     // two-level assignment per pass (the hierAssignCtes shape over the
     // PER-ITERATION refined centroid CTE): supers = min-cent_id child of
-    // each cent_id DIV cps group, route to nearest super, argmax within
-    // the routed group's children
+    // each cent_id DIV cps group, route to the TOP-2 supers, argmax over
+    // both routed groups' children
     def assign(name: String, cents: String): String =
       s"${name}_s AS (SELECT g AS sid, cm AS sv, cn AS sn FROM " +
         s"(SELECT cent_id // cps AS g, cm, cn, " +
@@ -744,7 +771,7 @@ object Similarity {
         s"${name}_r AS (SELECT vec_id, sid FROM (SELECT v2.vec_id, s.sid, " +
         "ROW_NUMBER() OVER (PARTITION BY v2.vec_id ORDER BY " +
         "ROUND(list_dot_product(v2.vm, s.sv) / NULLIF(v2.nm * s.sn, 0), 6) DESC, " +
-        s"s.sid ASC) AS rrk FROM v2, ${name}_s s) r0 WHERE rrk = 1), " +
+        s"s.sid ASC) AS rrk FROM v2, ${name}_s s) r0 WHERE rrk <= 2), " +
         s"$name AS (SELECT vec_id, cell FROM (SELECT v2.vec_id, c.cent_id AS cell, " +
         "ROW_NUMBER() OVER (PARTITION BY v2.vec_id ORDER BY " +
         "ROUND(list_dot_product(v2.vm, c.cm) / NULLIF(v2.nm * c.cn, 0), 6) DESC, " +
@@ -1379,10 +1406,14 @@ object Similarity {
     * universe (ann_ivf/ann_lsh search corpus-wide; the pq searches share
     * ann_cosine's fixed query set), while recall@k is always against the
     * exact top-k on the SHARED queries. Observed at sf0.1 under the
-    * two-level quantizer: ann_ivf/ann_kmeans 0.62 (0.82 under the flat
-    * n×K assignment round 15 retired — the standard hierarchical recall
-    * trade, paid for the 41×→~linear decade-scale CPU fix), pq_ann_rerank
-    * 0.60, ann_ivfpq 0.54, pq_ann 0.16, ann_lsh ≈0 — the last being the
+    * two-level TOP-2 multi-probe quantizer: ann_ivf 0.66 / ann_kmeans
+    * 0.52 (single-probe hierarchy read 0.62; the flat n×K assignment
+    * round 15 retired read 0.82 — the residual gap is the
+    * rank-3+-super boundary effect, at its worst on near-orthogonal
+    * gaussians where the super ranking is noisiest; kmeans moves
+    * independently because Lloyd TRAINS through the assignment, so new
+    * routing shifts the centroids themselves), pq_ann_rerank 0.60,
+    * ann_ivfpq 0.56, pq_ann 0.16, ann_lsh ≈0 — the last being the
     * honest hyperplane-bucket regime on unstructured gaussian embeddings
     * (candidates must share EVERY plane side with the query), which is
     * exactly why the IVF and re-rank paths, not ann_lsh, are the routed

@@ -419,24 +419,24 @@ object StreamingReplay {
       "supers AS (SELECT g AS sid, v AS sv, nrm AS sn FROM (SELECT g, v, nrm, " +
       "ROW_NUMBER() OVER (PARTITION BY g ORDER BY cent_id) AS srn FROM cents) s0 WHERE srn = 1), " +
       // corpus-side TWO-LEVEL assignment (cellStructure/hierAssign: route
-      // to the nearest super-centroid, argmax the routed group's children,
-      // self-cell fallback)
+      // to the TOP-2 super-centroids, argmax both routed groups'
+      // children, self-cell fallback)
       "croute AS (SELECT vec_id, sid FROM (SELECT c.vec_id, s.sid, " +
       "ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY " +
       "ROUND(list_dot_product(c.v, s.sv) / NULLIF(c.nrm * s.sn, 0), 6) DESC, s.sid ASC) AS rrk " +
-      "FROM corpus c, supers s) r0 WHERE rrk = 1), " +
+      "FROM corpus c, supers s) r0 WHERE rrk <= 2), " +
       "cassign AS (SELECT vec_id, cell FROM (SELECT c.vec_id, t.cent_id AS cell, " +
       s"ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY ${cos("c", "t")} DESC, t.cent_id ASC) AS ark " +
       "FROM corpus c JOIN croute r ON r.vec_id = c.vec_id JOIN cents t ON t.g = r.sid) a WHERE ark = 1), " +
       "cv AS (SELECT c.vec_id, c.v, c.nrm, COALESCE(a.cell, c.vec_id) AS cell " +
       "FROM corpus c LEFT JOIN cassign a ON a.vec_id = c.vec_id), " +
-      // feed-side assignment: the gate's two chained folds are each an
-      // argmax over non-NULL sims with ties to the lowest id — the same
-      // ROW_NUMBER argmaxes
+      // feed-side assignment: the gate's chained folds are a top-2
+      // ranking then an argmax over non-NULL sims with ties to the
+      // lowest id — the same ROW_NUMBER rankings
       "froute AS (SELECT vec_id, sid FROM (SELECT f.vec_id, s.sid, " +
       "ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY " +
       "ROUND(list_dot_product(f.v, s.sv) / NULLIF(f.nrm * s.sn, 0), 6) DESC, s.sid ASC) AS rrk " +
-      "FROM feed f, supers s) r0 WHERE rrk = 1), " +
+      "FROM feed f, supers s) r0 WHERE rrk <= 2), " +
       "fassign AS (SELECT vec_id, cell FROM (SELECT f.vec_id, t.cent_id AS cell, " +
       s"ROW_NUMBER() OVER (PARTITION BY f.vec_id ORDER BY ${cos("f", "t")} DESC, t.cent_id ASC) AS ark " +
       "FROM feed f JOIN froute r ON r.vec_id = f.vec_id JOIN cents t ON t.g = r.sid) a WHERE ark = 1), " +

@@ -11,8 +11,8 @@ import graft.pipeline.Similarity
   *
   * Per incoming vector: (1) assign to a corpus cell with a STATELESS
   * in-row TWO-LEVEL argmax fold over the 1-row broadcast centroid
-  * arrays — route to the nearest super-centroid first, then argmax that
-  * group's children, the exact
+  * arrays — route to the TOP-2 super-centroids first (multi-probe),
+  * then argmax those groups' children, the exact
   * [[graft.pipeline.Similarity.hierAssign]] arithmetic the corpus side
   * used, so a near-duplicate of a corpus vector routes to the SAME cell
   * (a window/groupBy argmax would need per-batch aggregation state; each
@@ -34,7 +34,7 @@ import graft.pipeline.Similarity
   * At scale the static side is built once per corpus snapshot via
   * [[Similarity.cellStructure]] and persisted like
   * [[graft.pipeline.Dedup.writeClusters]]; per micro-batch cost is
-  * increment × (~2√K-fold + one cell-keyed equi-join), never corpus².
+  * increment × (~4√K-fold + one cell-keyed equi-join), never corpus².
   */
 object StreamingSemantic {
 
@@ -103,18 +103,27 @@ object StreamingSemantic {
       .withColumn("__n", sqrt(expr(
         "aggregate(zip_with(__v, __v, (x, y) -> x * y), 0D, (a, x) -> a + x)")))
       .crossJoin(broadcast(centsRow))
-      // stage 1: route to the nearest super-centroid (cosines computed
-      // once via transform, then a pure max fold)
-      .withColumn("__sid", expr(
+      // stage 1: route to the TOP-2 super-centroids (cosines computed
+      // once via transform, then a pure top-2 fold: the arrays are
+      // id-sorted and only a strictly greater similarity displaces a
+      // slot, so s1/s2 land on rank-1/rank-2 of (sim DESC, sid ASC) —
+      // hierAssign's demoted second max_by)
+      .withColumn("__sids", expr(
         s"aggregate(transform(__supers, st -> named_struct(" +
           s"'sid', st.sid, 'sim', ${cosExpr("st.sv", "st.sn")})), " +
-          "named_struct('sid', CAST(NULL AS BIGINT), 'sim', CAST(NULL AS DOUBLE)), " +
-          "(acc, x) -> CASE WHEN acc.sim IS NULL OR x.sim > acc.sim " +
-          "THEN x ELSE acc END).sid"))
-      // stage 2: argmax over ONLY the routed group's children — the
-      // filter bounds the fold to ≤ cps cosines per row
+          "named_struct('s1', named_struct('sid', CAST(NULL AS BIGINT), 'sim', CAST(NULL AS DOUBLE)), " +
+          "'s2', named_struct('sid', CAST(NULL AS BIGINT), 'sim', CAST(NULL AS DOUBLE))), " +
+          "(acc, x) -> CASE " +
+          "WHEN acc.s1.sim IS NULL OR x.sim > acc.s1.sim " +
+          "THEN named_struct('s1', x, 's2', acc.s1) " +
+          "WHEN acc.s2.sim IS NULL OR x.sim > acc.s2.sim " +
+          "THEN named_struct('s1', acc.s1, 's2', x) " +
+          "ELSE acc END)"))
+      // stage 2: argmax over ONLY the two routed groups' children — the
+      // filter bounds the fold to ≤ 2·cps cosines per row
       .withColumn("__cell", expr(
-        s"aggregate(transform(filter(__cents, ct -> ct.__g = __sid), " +
+        s"aggregate(transform(filter(__cents, " +
+          "ct -> ct.__g = __sids.s1.sid OR ct.__g = __sids.s2.sid), " +
           s"ct -> named_struct(" +
           s"'cid', ct.cent_id, 'sim', ${cosExpr("ct.t_v", "ct.t_n")})), " +
           "named_struct('cid', CAST(NULL AS BIGINT), 'sim', CAST(NULL AS DOUBLE)), " +

@@ -457,6 +457,36 @@ class PipelineSpec extends SparkSpec {
     assert(again == cells)
   }
 
+  test("multi-probe routing recovers a nearest centroid in the rank-2 super's group") {
+    // 600 vectors → K=3, S=2, cps=2: groups {0,1} (super = cent 0) and
+    // {2} (super = cent 2). Centroids are the basis vectors e0/e1/e2; the
+    // planted query v = 0.8·e1 + 0.6·e2 ranks the supers (g1: 0.6) >
+    // (g0: 0.0) — a SINGLE-probe route lands in g1 and settles for cell 2
+    // (cos 0.6), missing its globally nearest centroid e1 (cos 0.8) in
+    // the rank-2 group. Top-2 probing must find cell 1 — the recall
+    // boundary effect the multi-probe exists to close.
+    def basis(i: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == i) 1f else 0f)
+    val rnd = new scala.util.Random(23)
+    val planted = Array.tabulate(64)(j =>
+      if (j == 1) 0.8f else if (j == 2) 0.6f else 0f)
+    val rows = Seq((0L, basis(0), 0), (1L, basis(1), 0), (2L, basis(2), 0)) ++
+      (3 until 599).map(i =>
+        (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat), 0)) ++
+      Seq((599L, planted, 0))
+    val dir = java.nio.file.Files.createTempDirectory("graft-mprobe").toString
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val cells = Similarity
+      .cellStructure(spark.read.parquet(s"$dir/embeddings.parquet"))._2
+      .collect().map(r => r.getAs[Long]("c_id") -> r.getAs[Long]("cell")).toMap
+    assert(cells(599L) == 1L,
+      s"multi-probe missed the rank-2 group's nearest centroid: got cell ${cells(599L)}")
+    // the centroids themselves are their own nearest cells (sanity that
+    // the demoted second routing pass never steals an exact self-match)
+    assert(cells(0L) == 0L && cells(1L) == 1L && cells(2L) == 2L)
+  }
+
   test("PQ re-rank with a corpus-covering shortlist equals brute-force exactly") {
     // 32 vectors < PqShortlist: stage 1 keeps every candidate, so stage 2's
     // exact cosine re-rank must reproduce annCosine bit-for-bit — the
