@@ -243,12 +243,26 @@ object ArmedProbe {
     val sumA = annChecksum(annPairs(healthyVecs, Similarity.MaxSearchBucket))
     val annEqual = sumU == sumA
     require(annEqual, s"armed empty-hot ANN pairs changed: $sumU vs $sumA")
-    // ANN cap override sits ABOVE the natural healthy-cell size (~253 at
-    // 79 cells over 20k vecs) and BELOW the planted clump cell, so the
-    // capped-vs-uncapped comparison isolates the clump instead of also
-    // capping all 78 healthy cells (round-15 review; the require below
-    // pins that exactly one cell is over this cap)
-    val AnnHotCap = 500L
+    // ANN cap override sits ABOVE the largest NATURAL cell and BELOW the
+    // planted clump cell, so the capped-vs-uncapped comparison isolates
+    // the clump instead of also capping natural cells. ADAPTIVE since
+    // the top-2 multi-probe quantizer: hierarchical routing on
+    // unstructured gaussians concentrates members on the SUPER cells
+    // (the routing beacon is itself a candidate centroid, so the group
+    // whose super scored highest tends to keep the vector in that very
+    // cell — measured ~700-780-member supers vs the flat path's ~253
+    // even spread at 20k vecs/79 cells, clump ≈ 2,700), which broke the
+    // fixed cap=500 assumption; the requires pin the separation the
+    // fixture needs rather than a distribution the quantizer no longer
+    // produces. Σcell² stays ≈ the even spread's (9 supers × ~700² <
+    // 79 × 253² × 2), so the skew is a routing-bias artifact, not an
+    // in-cell cost blow-up.
+    val topCells = Similarity.cellStructure(hotVecs)._2
+      .groupBy("cell").count()
+      .orderBy(col("count").desc).limit(2).collect().map(_.getLong(1))
+    require(topCells(0) >= 2 * topCells(1),
+      s"clump cell not distinctly hottest: ${topCells.mkString(",")}")
+    val AnnHotCap = topCells(1) + (topCells(0) - topCells(1)) / 4
     val overCapCells = Similarity.cellStructure(hotVecs)._2
       .groupBy("cell").count()
       .filter(col("count") > AnnHotCap).count()
@@ -377,7 +391,7 @@ object ArmedProbe {
         s""""ann_armed_overhead":${pct(annUnguarded10, annArmed10)},""" +
         s""""armed_10x_wall_ratio":{"dedup":$dedupWallX,"ann":$annWallX},""" +
         s""""armed_10x_cpu_ratio":{"dedup":$dedupCpuX,"ann":$annCpuX}},""" +
-        s""""note":"healthy corpora exceed the PRODUCTION caps (armed, hot set empty; results pinned equal to unguarded). ROUND 16: every unguarded/armed and uncapped/capped pair is measured as an ALTERNATING in-JVM A/B - one warm-up then 3 interleaved timed runs per arm (min wall, median executor cpu), so both arms sample the same ambient regime; the r15 sequential sections over-read armed decade dedup overhead (+87% recorded vs +28% controlled) and read the decade ANN pair armed-faster-than-unguarded, both regime artifacts. *_armed_overhead = (armed/unguarded - 1) from those same A/B pairs - the JSON now carries the trustworthy overhead story itself. Hot-shard bound demos: dedup cap overridden to 100 (B/cap = 20, so the uncapped B-squared baseline stays executable); ANN cap overridden to 500 - above the natural ~253-member healthy cells, so exactly the planted clump cell arms (pinned by a require); at B = 2,000 the capped dedup path beats the uncapped baseline outright under the honest exec action (verifying C(B,2) candidate pairs dominates; B = 1e6 would be 5e11 pairs). decade = the same probes at 10x fixtures (250k docs / 200k vecs); armed_10x_*_ratio = armed decade over armed base, the per-family cost of a 10x data step. ROUND 16: IVF coarse assignment is now hierarchical (two-level top-2 multi-probe, ~4n*sqrt(K) dots - Similarity.hierAssign); the ANN decade cpu ratio, 41x under the flat n x K quantizer, now tracks the in-cell search instead of the assignment."}"""
+        s""""note":"healthy corpora exceed the PRODUCTION caps (armed, hot set empty; results pinned equal to unguarded). ROUND 16: every unguarded/armed and uncapped/capped pair is measured as an ALTERNATING in-JVM A/B - one warm-up then 3 interleaved timed runs per arm (min wall, median executor cpu), so both arms sample the same ambient regime; the r15 sequential sections over-read armed decade dedup overhead (+87% recorded vs +28% controlled) and read the decade ANN pair armed-faster-than-unguarded, both regime artifacts. *_armed_overhead = (armed/unguarded - 1) from those same A/B pairs - the JSON now carries the trustworthy overhead story itself. Hot-shard bound demos: dedup cap overridden to 100 (B/cap = 20, so the uncapped B-squared baseline stays executable); ANN cap overridden ADAPTIVELY to sit between the largest natural cell and the planted clump (multi-probe routing concentrates members on super cells, so natural cells are no longer ~253-even; ann_hot_cap records the value used and requires pin that exactly the clump cell arms); at B = 2,000 the capped dedup path beats the uncapped baseline outright under the honest exec action (verifying C(B,2) candidate pairs dominates; B = 1e6 would be 5e11 pairs). decade = the same probes at 10x fixtures (250k docs / 200k vecs); armed_10x_*_ratio = armed decade over armed base, the per-family cost of a 10x data step. ROUND 16: IVF coarse assignment is now hierarchical (two-level top-2 multi-probe, ~4n*sqrt(K) dots - Similarity.hierAssign); the ANN decade cpu ratio, 41x under the flat n x K quantizer, now tracks the in-cell search instead of the assignment."}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/armed_probe.json"), json + "\n")
     catch { case _: Throwable => () }

@@ -263,11 +263,12 @@ object Dedup {
     * window ~117 s; the count branch reads within noise of unguarded);
     * (2) an armed corpus windows ONLY actually-hot buckets, found by one
     * partial-aggregated count into a tiny broadcast frame. The healthy
-    * armed cost is NOT free (round-15 controlled in-JVM A/B at 250k
-    * docs: +28% wall / +26% cpu over unguarded — the hot-probe
-    * aggregation, two broadcast probes, and the armed-frame cache each
-    * pass the full band frame once); it buys a hard per-bucket output
-    * bound where the unguarded join is unbounded B² on a hot shard. The
+    * armed cost is NOT free (round-16 ALTERNATING in-JVM A/Bs, recorded
+    * as `*_armed_overhead` in ARMED_PROBE.json: +12% cpu at 25k docs,
+    * +41% cpu / +35% wall at 250k — the hot-probe aggregation, two
+    * broadcast probes, and the armed-frame cache each pass the full
+    * band frame once); it buys a hard per-bucket output bound where
+    * the unguarded join is unbounded B² on a hot shard. The
     * armed-result cache itself measured a wash at both 25k and 250k
     * (kept: it also serves the twice-consumed candidate frame).
     *
