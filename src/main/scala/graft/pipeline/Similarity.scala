@@ -365,7 +365,25 @@ object Similarity {
     math.min(MaxIvfCells.toLong,
       math.max(1L, math.ceil(n.toDouble / targetCell).toLong)).toInt
 
-  /** Super-cell count for a K-cell coarse quantizer: ⌈√K⌉. K itself grows
+  /** Cell counts at or below this take the FLAT single-level argmax: with
+    * K ≤ 256 the flat path pays ≤ 256 dots/vector — within ~4× of the
+    * two-level route's 2⌈√K⌉ + 2cps and far below the point where
+    * assignment dots matter next to the in-cell search — while the
+    * two-level plan's extra stages (two routing aggregations, three
+    * broadcast builds per pass) are pure overhead. K ≤ 256 ⇔ n ≤ 65k
+    * ([[cellsForCorpus]]): every gate SF and the 25k probe take the flat
+    * plan (round-16 A/B: ann_kmeans 5.7 → 2.0 s at sf0.1); the 200k
+    * decade probe (K = 782) and every at-scale corpus take the
+    * hierarchy. The ladder is ONE arithmetic, not two semantics: at
+    * K ≤ 256 [[childrenPerSuper]] = K, so the two-level route
+    * DEGENERATES to the flat argmax (one group holds every centroid and
+    * top-2-of-1 probes it) — the oracle CTEs replay the same CASE and
+    * the flat plan is just the degenerate route with its no-op stages
+    * removed. */
+  val FlatAssignMaxCells: Int = 256
+
+  /** Super-cell count for a K-cell coarse quantizer: 1 (the flat ladder
+    * rung) for K ≤ [[FlatAssignMaxCells]], else ⌈√K⌉. K itself grows
     * with the corpus ([[cellsForCorpus]]), so a FLAT nearest-of-K
     * assignment pays n×K ≈ n²/256 dot products mid-range — the round-15
     * decade probe measured it at 41× CPU for 10× vectors, the one
@@ -374,7 +392,8 @@ object Similarity {
     * 4n√K instead: ~7× fewer assignment dots at the probe's 200k
     * vectors, 256× fewer at the [[MaxIvfCells]] clamp. */
   def superCellsFor(cells: Int): Int =
-    math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    if (cells <= FlatAssignMaxCells) 1
+    else math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt)
 
   /** Children per super-cell: ⌈K / [[superCellsFor]]⌉. Groups are
     * CONTIGUOUS cent_id ranges (group = cent_id DIV cps), so both engines
@@ -383,7 +402,12 @@ object Similarity {
     math.max(1, math.ceil(cells.toDouble / superCellsFor(cells)).toInt)
 
   /** Two-level (hierarchical) nearest-centroid assignment — the scale fix
-    * for the flat n×K argmax (see [[superCellsFor]]). The K centroids are
+    * for the flat n×K argmax (see [[superCellsFor]]) — with a FLAT fast
+    * path for K ≤ `flatMax` (default [[FlatAssignMaxCells]]): there the
+    * grouping arithmetic puts every centroid in one group, the route is a
+    * no-op, and the fast path evaluates the identical degenerate argmax
+    * as one broadcast × one aggregation (round-16; gate SFs and any
+    * corpus ≤ 65k vectors take it). The K centroids are
     * partitioned into contiguous cent_id groups of [[childrenPerSuper]]
     * children; each group's SUPER-centroid is its min-cent_id child
     * (robust to id gaps — a missing prefix id cannot orphan a group). A
@@ -422,16 +446,37 @@ object Similarity {
     * self-cell fallback on top). */
   private[graft] def hierAssign(vecs: DataFrame, cents: DataFrame,
       cells: Int, withSim: Boolean = false, keepVec: Boolean = true,
-      carry: Seq[String] = Nil): DataFrame = {
-    val cps = childrenPerSuper(cells)
+      carry: Seq[String] = Nil,
+      flatMax: Int = FlatAssignMaxCells): DataFrame = {
+    val held = Seq("c_v", "c_n") ++ carry
+    val keep = (if (keepVec) Seq("c_v", "c_n") else Nil) ++ carry
+    def anyVals(cols: Seq[String]) =
+      cols.map(c => expr(s"any_value(`$c`)").as(c))
+    // flat ladder rung (K ≤ flatMax ⇒ one super-group holds every
+    // centroid): the degenerate route probes that single group, so the
+    // two routing aggregations and their broadcast builds are no-op
+    // stages — this branch IS the degenerate arithmetic with those
+    // stages removed, one broadcast × one aggregation. The final filter
+    // mirrors the hierarchy's inner group join: a vector with no
+    // scorable centroid (null norm — impossible on real embeddings) is
+    // dropped, not emitted with a null cell.
+    if (cells <= flatMax) {
+      val scored = vecs.crossJoin(broadcast(cents))
+        .withColumn("__sim",
+          round(vecDot(col("c_v"), col("t_v")) / expr("NULLIF(c_n * t_n, 0)"), 6))
+      val aggs = anyVals(keep) ++
+        Seq(expr("max_by(cent_id, struct(__sim, -cent_id))").as("cell")) ++
+        (if (withSim) Seq(max(col("__sim")).as("sim")) else Nil)
+      return scored.groupBy(col("c_id")).agg(aggs.head, aggs.tail: _*)
+        .filter(col("cell").isNotNull)
+    }
+    val supersN = math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt)
+    val cps = math.max(1, math.ceil(cells.toDouble / supersN).toInt)
     val cs = cents.withColumn("__g", expr(s"cent_id DIV $cps"))
     val supers = cs.groupBy("__g")
       .agg(expr("min_by(struct(t_v, t_n), cent_id)").as("__s"))
       .select(col("__g").as("__sid"), col("__s.t_v").as("__sv"),
         col("__s.t_n").as("__sn"))
-    val held = Seq("c_v", "c_n") ++ carry
-    def anyVals(cols: Seq[String]) =
-      cols.map(c => expr(s"any_value(`$c`)").as(c))
     def superSim = round(
       vecDot(col("c_v"), col("__sv")) / expr("NULLIF(c_n * __sn, 0)"), 6)
     val routed1 = vecs.crossJoin(broadcast(supers))
@@ -459,7 +504,6 @@ object Similarity {
     val scored = probed.join(broadcast(cs), "__g")
       .withColumn("__sim",
         round(vecDot(col("c_v"), col("t_v")) / expr("NULLIF(c_n * t_n, 0)"), 6))
-    val keep = (if (keepVec) Seq("c_v", "c_n") else Nil) ++ carry
     val aggs = anyVals(keep) ++
       Seq(expr("max_by(cent_id, struct(__sim, -cent_id))").as("cell")) ++
       (if (withSim) Seq(max(col("__sim")).as("sim")) else Nil)
@@ -469,7 +513,10 @@ object Similarity {
   /** DuckDB CTE chain replaying [[hierAssign]] over a prior CTE
     * `v(vec_id, v, nrm, …)` — ONE string shared by every IVF-family
     * oracle so the two-level arithmetic cannot drift between twins.
-    * Emits `cells_t`, `hier_t` (cps = ⌈cells / ⌈√cells⌉⌉), `cents`
+    * Emits `cells_t`, `hier_t` (cps = cells on the flat ladder rung
+    * K ≤ [[FlatAssignMaxCells]] — one group, so the route degenerates to
+    * the flat argmax exactly as the Spark fast path — else
+    * ⌈cells / ⌈√cells⌉⌉), `cents`
     * (prefix-stable, + group id), `supers` (min-cent_id child per
     * group), `route` (stage-1 TOP-2 ranking — rank 2 by (sim DESC, sid
     * ASC) is exactly the demoted second max_by; one group → one row,
@@ -479,7 +526,8 @@ object Similarity {
   private[graft] def hierAssignCtes: String =
     s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
       s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
-      "hier_t AS (SELECT cells, CAST(CEIL(cells * 1e0 / CEIL(SQRT(cells))) AS BIGINT) AS cps FROM cells_t), " +
+      s"hier_t AS (SELECT cells, CAST(CASE WHEN cells <= $FlatAssignMaxCells THEN cells " +
+      "ELSE CEIL(cells * 1e0 / CEIL(SQRT(cells))) END AS BIGINT) AS cps FROM cells_t), " +
       "cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn, vec_id // cps AS g " +
       "FROM v, hier_t WHERE vec_id < cells), " +
       "supers AS (SELECT g AS sid, cv AS sv, cn AS sn FROM " +
@@ -718,28 +766,43 @@ object Similarity {
     // two-level assignment per pass (hierAssign): groups are cent_id
     // ranges fixed by `cells`, supers are each group's min-id REFINED
     // centroid — so the routing tracks the refinement while both engines
-    // replay the same integer-group arithmetic
-    def argmaxCell(cents: DataFrame): DataFrame =
+    // replay the same integer-group arithmetic.
+    //
+    // r16: the payload rides THROUGH the assignment (hierAssign's
+    // keepVec/carry any_value buffers) instead of a join-back on vec_id —
+    // the old `v2.join(argmaxCell(...), "vec_id")` re-attached vm (and v,
+    // nrm for the final pass) through a stats-blind sort-merge join per
+    // pass (3 SMJs: 2 exchanges + sorts each, on a unique-key join that
+    // is semantically a pass-through). Same rows, same values — only the
+    // attachment plan changed (gate A/B: ann_kmeans 5.7 → see
+    // OPTIMIZATION_r16.md).
+    def assigned(cents: DataFrame, carry: Seq[String]): DataFrame =
       hierAssign(
-        v2.select(col("vec_id").as("c_id"), col("vm").as("c_v"),
-          col("nm").as("c_n")),
+        v2.select((Seq(col("vec_id").as("c_id"), col("vm").as("c_v"),
+          col("nm").as("c_n")) ++ carry.map(col)): _*),
         cents.select(col("cent_id"), col("cm").as("t_v"), col("cn").as("t_n")),
-        cells, keepVec = false)
-        .select(col("c_id").as("vec_id"), col("cell"))
+        cells, keepVec = carry.isEmpty, carry = carry)
     var cents = v2.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cent_id"), col("vm").as("cm"), col("nm").as("cn"))
     for (_ <- 1 to iters) {
-      val means = lloydMeanUpdate(v2.join(argmaxCell(cents), "vec_id"))
+      // the mean update consumes the assignment's carried micro-vector
+      // directly: (cell, c_v) IS (cell, vm)
+      val means = lloydMeanUpdate(
+        assigned(cents, Nil).select(col("cell"), col("c_v").as("vm")))
       // cached: iteration i+1's broadcast (and the final assignment) embed
       // this frame as a subtree — uncached, each level would re-run every
-      // earlier pass, turning t iterations into O(t²) corpus scans
+      // earlier pass, turning t iterations into O(t²) corpus scans. Forced
+      // eagerly (K-row count) so the next pass's broadcast-build jobs and
+      // main stages read a warm cache instead of stampeding a cold one.
       cents = cachedF(cents.join(means, cents("cent_id") === means("cell"), "left")
         .select(col("cent_id"), coalesce(col("cm1"), col("cm")).as("cm"))
         .withColumn("cn", sqrt(vecDot(col("cm"), col("cm")))))
+      cents.count(): Unit
     }
-    val cellVecs = cachedF(v2.join(argmaxCell(cents), "vec_id")
-      .select(col("vec_id").as("c_id"), col("v").as("c_v"),
-        col("nrm").as("c_n"), col("cell")))
+    // final pass: raw v + nrm ride through the assignment as carry
+    // columns — the in-cell search scores RAW doubles, same as ann_ivf
+    val cellVecs = cachedF(assigned(cents, Seq("v", "nrm"))
+      .select(col("c_id"), col("v").as("c_v"), col("nrm").as("c_n"), col("cell")))
     inCellTopK(cellVecs, k, sizeBound = nVecs)
   }
 
@@ -796,7 +859,8 @@ object Similarity {
       "list_transform(embedding::DOUBLE[], x -> ROUND(x * 1e6, 0)))) AS nm FROM embeddings), " +
       s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
       s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM embeddings), " +
-      "hier_t AS (SELECT cells, CAST(CEIL(cells * 1e0 / CEIL(SQRT(cells))) AS BIGINT) AS cps FROM cells_t), " +
+      s"hier_t AS (SELECT cells, CAST(CASE WHEN cells <= $FlatAssignMaxCells THEN cells " +
+      "ELSE CEIL(cells * 1e0 / CEIL(SQRT(cells))) END AS BIGINT) AS cps FROM cells_t), " +
       "c0 AS (SELECT vec_id AS cent_id, vm AS cm, nm AS cn FROM v2, cells_t WHERE vec_id < cells), " +
       passes + ", " +
       // the SEARCH partition is the assignment under the FINAL refined
@@ -1329,7 +1393,13 @@ object Similarity {
     * 0), every vector becomes its own singleton cell — conservative
     * keep-everything instead of silently losing the corpus (a dedup may
     * under-drop, never under-keep). */
-  def cellStructure(emb0: DataFrame): (DataFrame, DataFrame) = {
+  def cellStructure(emb0: DataFrame): (DataFrame, DataFrame) =
+    cellStructure(emb0, FlatAssignMaxCells)
+
+  /** [[cellStructure]] with an explicit flat-ladder threshold — specs
+    * pass 0 to force the two-level route on small fixtures. */
+  private[graft] def cellStructure(emb0: DataFrame,
+      flatMax: Int): (DataFrame, DataFrame) = {
     val emb = withNorm(emb0, "c")
     val cells = cellsForCorpus(emb0.count())
     val cents = withNorm(emb0.filter(col("vec_id") < cells), "t")
@@ -1338,7 +1408,8 @@ object Similarity {
     // level — identical selection to a row_number window (max sim, then
     // min id; null sims sort below any value in struct order, matching
     // NULLS LAST) but runs as partial aggregations, no per-vector sort
-    val assign = hierAssign(emb, cents, cells, keepVec = false)
+    val assign = hierAssign(emb, cents, cells, keepVec = false,
+        flatMax = flatMax)
       .select(col("c_id").as("vec_id"), col("cell"))
     val cellVecs = emb.join(assign, col("c_id") === col("vec_id"), "left")
       .withColumn("cell", coalesce(col("cell"), col("c_id")))
@@ -1405,19 +1476,18 @@ object Similarity {
     * Reading the output: `n_returned` spans each method's own query
     * universe (ann_ivf/ann_lsh search corpus-wide; the pq searches share
     * ann_cosine's fixed query set), while recall@k is always against the
-    * exact top-k on the SHARED queries. Observed at sf0.1 under the
-    * two-level TOP-2 multi-probe quantizer: ann_ivf 0.66 / ann_kmeans
-    * 0.52 (single-probe hierarchy read 0.62; the flat n×K assignment
-    * round 15 retired read 0.82 — the residual gap is the
-    * rank-3+-super boundary effect, at its worst on near-orthogonal
-    * gaussians where the super ranking is noisiest; kmeans moves
-    * independently because Lloyd TRAINS through the assignment, so new
-    * routing shifts the centroids themselves), pq_ann_rerank 0.60,
-    * ann_ivfpq 0.56, pq_ann 0.16, ann_lsh ≈0 — the last being the
+    * exact top-k on the SHARED queries. Observed at sf0.1 (K = 8 ≤
+    * [[FlatAssignMaxCells]], so the quantizer takes the flat ladder
+    * rung): ann_ivf 0.82 / ann_kmeans 0.80 / ann_ivfpq 0.70 /
+    * pq_ann_rerank 0.60 / pq_ann 0.16 / ann_lsh ≈0 — the last being the
     * honest hyperplane-bucket regime on unstructured gaussian embeddings
     * (candidates must share EVERY plane side with the query), which is
     * exactly why the IVF and re-rank paths, not ann_lsh, are the routed
-    * search defaults. */
+    * search defaults. Above the rung the two-level TOP-2 multi-probe
+    * quantizer trades some recall for n×4√K assignment cost (measured
+    * 0.66/0.52 for ivf/kmeans when it was forced at sf0.1; the residual
+    * gap is the rank-3+-super boundary effect, at its worst on
+    * near-orthogonal gaussians where the super ranking is noisiest). */
   def annQuality(spark: SparkSession, dir: String): DataFrame = {
     // cached AND eagerly counted: the count is the recall denominator
     // anyway, and running it up front both materializes the brute-force

@@ -413,7 +413,8 @@ object StreamingReplay {
       // builds cellStructure on the corpus side only)
       s"cells_t AS (SELECT LEAST($MaxIvfCells, GREATEST(1, " +
       s"CAST(CEIL(COUNT(*) * 1e0 / $IvfTargetCell) AS BIGINT))) AS cells FROM corpus), " +
-      "hier_t AS (SELECT cells, CAST(CEIL(cells * 1e0 / CEIL(SQRT(cells))) AS BIGINT) AS cps FROM cells_t), " +
+      s"hier_t AS (SELECT cells, CAST(CASE WHEN cells <= ${graft.pipeline.Similarity.FlatAssignMaxCells} THEN cells " +
+      "ELSE CEIL(cells * 1e0 / CEIL(SQRT(cells))) END AS BIGINT) AS cps FROM cells_t), " +
       "cents AS (SELECT vec_id AS cent_id, v, nrm, vec_id // cps AS g " +
       "FROM corpus, hier_t WHERE vec_id < cells), " +
       "supers AS (SELECT g AS sid, v AS sv, nrm AS sn FROM (SELECT g, v, nrm, " +

@@ -419,13 +419,17 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("two-level IVF assignment: ~sqrt geometry, degeneracy, same-route twins") {
-    // cps ≈ √K bounds per-vector assignment work to S + cps ≈ 2√K dots
+    // flat ladder rung: K ≤ FlatAssignMaxCells collapses to ONE group
+    // (cps = K), so the route arithmetic degenerates to the flat argmax
+    // and the Spark fast path can skip the routing stages outright
     assert(Similarity.superCellsFor(1) == 1 && Similarity.childrenPerSuper(1) == 1)
-    // K ≤ 2 → cps = 1: every centroid is its own super-centroid, so the
-    // two-level route degenerates to the flat argmax (sf0.01's K = 2 gate
-    // results are bit-unchanged by the round-16 hierarchy)
-    assert(Similarity.superCellsFor(2) == 2 && Similarity.childrenPerSuper(2) == 1)
-    assert(Similarity.superCellsFor(8) == 3 && Similarity.childrenPerSuper(8) == 3)
+    assert(Similarity.superCellsFor(2) == 1 && Similarity.childrenPerSuper(2) == 2)
+    assert(Similarity.superCellsFor(8) == 1 && Similarity.childrenPerSuper(8) == 8)
+    assert(Similarity.superCellsFor(Similarity.FlatAssignMaxCells) == 1)
+    // above the rung: cps ≈ √K bounds per-vector assignment work to
+    // S + 2·cps ≈ 3√K dots
+    assert(Similarity.superCellsFor(Similarity.FlatAssignMaxCells + 1) == 17)
+    assert(Similarity.childrenPerSuper(Similarity.FlatAssignMaxCells + 1) == 16)
     // at the MaxIvfCells clamp the flat path paid 2^20 dots per vector;
     // two-level pays 2×2^10
     assert(Similarity.superCellsFor(1 << 20) == 1024)
@@ -445,14 +449,14 @@ class PipelineSpec extends SparkSpec {
     spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val cellVecs = Similarity
-      .cellStructure(spark.read.parquet(s"$dir/embeddings.parquet"))._2
+      .cellStructure(spark.read.parquet(s"$dir/embeddings.parquet"), flatMax = 0)._2
     val cells = cellVecs.collect()
       .map(r => r.getAs[Long]("c_id") -> r.getAs[Long]("cell")).toMap
     assert(cells.size == 600 && cells.values.forall(c => c >= 0L && c < 3L))
     assert(cells(598L) == cells(599L), "near-identical twins routed apart")
     // deterministic under re-execution (reproducible-index contract)
     val again = Similarity
-      .cellStructure(spark.read.parquet(s"$dir/embeddings.parquet"))._2
+      .cellStructure(spark.read.parquet(s"$dir/embeddings.parquet"), flatMax = 0)._2
       .collect().map(r => r.getAs[Long]("c_id") -> r.getAs[Long]("cell")).toMap
     assert(again == cells)
   }
@@ -478,7 +482,7 @@ class PipelineSpec extends SparkSpec {
     spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val cells = Similarity
-      .cellStructure(spark.read.parquet(s"$dir/embeddings.parquet"))._2
+      .cellStructure(spark.read.parquet(s"$dir/embeddings.parquet"), flatMax = 0)._2
       .collect().map(r => r.getAs[Long]("c_id") -> r.getAs[Long]("cell")).toMap
     assert(cells(599L) == 1L,
       s"multi-probe missed the rank-2 group's nearest centroid: got cell ${cells(599L)}")
