@@ -157,12 +157,15 @@ object Replay {
     * commits per-partition state files to the checkpoint, so a gate replay
     * over a bounded snapshot pays (partitions × stateful ops × batches)
     * file commits of mostly-empty state at the session's full shuffle
-    * width. 4 keeps the replay parallel enough for the gate SFs while
-    * cutting the fixed harness overhead (round 12: 8 → 4 halved the
-    * per-batch commit count with no measurable batch0 cost at sf0.1);
-    * results are partition-invariant (that is the point of the gate). A
-    * production stream sizes this to its key cardinality instead. */
-  val ReplayStatePartitions = 4
+    * width. 1 minimizes the fixed harness overhead — the r16 profile put
+    * each SENTINEL micro-batch (1 row, pure state/commit machinery) at
+    * ~0.6 s of which state+shuffle task fan-out is the bulk, and batch0's
+    * post-shuffle work at gate SFs is sub-second even single-task (scan
+    * parallelism is unaffected; round 12 had already measured 8 → 4 as
+    * free); results are partition-invariant (that is the point of the
+    * gate, re-verified against the oracle at width 1). A production
+    * stream sizes this to its key cardinality instead. */
+  val ReplayStatePartitions = 1
 
   /** NOT thread-safe: the shuffle-width cap below mutates the SHARED
     * session conf around `start()`, so a batch query planned concurrently
