@@ -634,8 +634,14 @@ object Dedup {
     * is content drifting far past any dedup contract. */
   def propagateMinLabels(nodes: DataFrame, pairs: DataFrame,
       maxIterations: Int = MaxCcIterations): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // symmetrize via ONE pass + explode: a `union` of two selects over
+    // `pairs` executes the (uncached) candidate pipeline once per branch —
+    // at gate scale that doubled the whole LSH verify join inside the
+    // first checkpoint (r16 profile)
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     // symmetric edges: every endpoint appears as src
     var labels = edges.select(col("src").as("doc_id")).distinct()
@@ -646,13 +652,15 @@ object Dedup {
     while (changed > 0 && iter < maxIterations) {
       val prop = labels.join(edges, col("doc_id") === col("src"))
         .groupBy(col("dst")).agg(min("cluster_id").as("nl"))
+      // the convergence flag rides the checkpointed frame (the old shape
+      // re-joined next⋈labels per round just to count label drops)
       val next = labels.join(prop, col("doc_id") === col("dst"), "left")
         .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("cluster_id"))
+          least(col("cluster_id"), coalesce(col("nl"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("nl"), col("cluster_id")) < col("cluster_id")).as("__chg"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("p"), "doc_id")
-        .filter(col("n.cluster_id") < col("p.cluster_id")).count()
-      labels = next
+      changed = next.filter(col("__chg")).count()
+      labels = next.select("doc_id", "cluster_id")
       iter += 1
     }
     nodes.select("doc_id")
