@@ -153,7 +153,8 @@ object Bench {
     * read it at 2–5× idle while calib1 sat at 107 ms, the regime
     * signature that inflated the r14 artifact's parallel executor CPU
     * +86% past two clean 1-thread anchors. */
-  private def calibParMs(threads: Int): Double = {
+  private def calibParMs(threads: Int, runs: Int = 3, warmup: Boolean = true,
+      settleMs: Long = 300): Double = {
     // quiesce the JVM first: the END anchor runs inside a process that
     // just churned an 8 GB heap for ~15 minutes, and concurrent GC
     // threads steal exactly the cores the anchor measures — the first
@@ -163,7 +164,7 @@ object Bench {
     // leaving AMBIENT contention — the thing the anchor exists to see —
     // untouched.
     System.gc()
-    Thread.sleep(300)
+    Thread.sleep(settleMs)
     val sink = new java.util.concurrent.atomic.AtomicLong
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -179,11 +180,24 @@ object Bench {
       ts.foreach(_.join())
       (System.nanoTime() - t0) / 1e6
     }
-    once() // warm-up round, untimed
-    val v = (1 to 3).map(_ => once()).min
+    if (warmup) once() // warm-up round, untimed
+    val v = (1 to runs).map(_ => once()).min
     if (sink.get == 42L) System.err.println("[bench] calib sink")
     math.round(v * 10) / 10.0
   }
+
+  /** Per-SEGMENT anchor cadence (round-16 verdict item 2): the start/end
+    * anchor pair bounds the whole run's regime window, so ONE noisy
+    * interval poisons the entire artifact's cpu layer (it has now eaten
+    * two rounds of 32-core totals). A single-shot parallel anchor after
+    * every [[SegmentQueries]] queries stamps WHICH slice of the run the
+    * drift covers — the cpu layer of the other segments stays readable.
+    * Single-shot (min-of-1, short settle) because a segment anchor is a
+    * locator, not a gate: a transient spike IS the signal here, and the
+    * global gate still keys on the quiesced min-of-3 start/end pair. Runs
+    * outside every timed region; costs ~1 s per segment of process wall,
+    * nothing of any recorded number. */
+  val SegmentQueries = 32
 
   /** Committed idle reference for [[calibParMs]] at 32 threads on this
     * 32-cpu container, measured IN-BENCH with the GC-quiesced anchors
@@ -266,9 +280,12 @@ object Bench {
     spark.sparkContext.addSparkListener(listener)
     val peaks = scala.collection.mutable.LinkedHashMap[String, Double]()
     val peaksPool = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+    // per-segment anchors, keyed by the LAST query of each segment (the
+    // anchor bounds the regime of the queries since the previous key)
+    val segAnchors = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val benchRoster = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .map { case (name, fn) =>
+    val results = benchRoster.zipWithIndex.map { case ((name, fn), idx) =>
       // a run whose build or execution throws must NOT be recorded as a
       // near-zero timing (round-15 review: a broken query read as a large
       // speedup — the phantom class this harness exists to kill); failed
@@ -290,6 +307,11 @@ object Bench {
       spark.catalog.clearCache()
       peaks(name) = peakMb()
       peaksPool(name) = peakPoolMb()
+      // segment boundary: one-shot anchor, outside every timed region (the
+      // final partial segment is covered by the end anchor instead)
+      if ((idx + 1) % SegmentQueries == 0 && idx + 1 < benchRoster.size)
+        segAnchors(name) = calibParMs(calibThreads, runs = 1, warmup = false,
+          settleMs = 150)
       name -> timed
     }
     // ---- production-shape section (skipped for SPARK_GRAFT_ONLY subsets):
@@ -406,6 +428,13 @@ object Bench {
     // committed idle reference (sustained contention the load sample can
     // miss). A contaminated artifact's wall/shuffle layers remain
     // trustworthy (min-of-N + plan-determinism); its cpu layer is not.
+    // segment drift (round-16 verdict item 2): a segment anchor far above
+    // the run's own cleanest parallel reading marks the slice of queries
+    // since the previous anchor as regime-contaminated — the reason names
+    // the slice, so the rest of the artifact's cpu layer stays readable
+    // instead of one noisy interval poisoning the whole run.
+    val segBase = (Seq(calibPar, calibParEnd) ++ segAnchors.values).min
+    val segDrifted = segAnchors.filter(_._2 > segBase * 1.5)
     val contamReasons = Seq(
       (load1mStart > 2.0) -> s"load1m_start $load1mStart > 2.0",
       (calibPar.max(calibParEnd) > calibPar.min(calibParEnd) * 1.5) ->
@@ -416,7 +445,10 @@ object Bench {
       // value even under load the 32-wide executor pool feels)
       (calibThreads == 32 &&
         calibPar.min(calibParEnd) > IdleCalibPar32Ms * 1.5) ->
-        s"both parallel anchors > 1.5x idle reference $IdleCalibPar32Ms ms"
+        s"both parallel anchors > 1.5x idle reference $IdleCalibPar32Ms ms",
+      segDrifted.nonEmpty ->
+        segDrifted.map { case (q, v) => s"..$q $v ms" }
+          .mkString("segment anchors drifted (cpu suspect only up to the named query): ", ", ", "")
     ).collect { case (true, r) => r }
     val contaminated = contamReasons.nonEmpty
     val contamJson = s""""contaminated":$contaminated,"contaminated_why":""" +
@@ -461,18 +493,22 @@ object Bench {
       "one is blind to parallel-cpu inflation, r14); contaminated=true => " +
       "cpu layer untrustworthy, wall/shuffle stay usable. r16: bounded " +
       "idle-wait (up to 600s for load1m<2, idle_wait_sec) precedes all " +
-      "measurement; failed=[] lists -1-sentinel rows. Full notes: " +
+      "measurement; failed=[] lists -1-sentinel rows. r17: calib_seg_ms " +
+      "stamps a 1-shot parallel anchor per 32 queries; drifted segments " +
+      "named in contaminated_why. Full notes: " +
       "target/bench_detail.json + BENCH_DETAIL_HEAD.json"
     // ambient load context (see load1mStart above): round 9 recorded a 38%
     // per-query "regression" on byte-identical code that was pure host
     // load (min-of-3 rejects spikes, not sustained load) — the artifact
     // now carries the context needed to read its own numbers, and
     // cpu_total_sec is the load-invariant cross-check.
+    val segJson = jsonPairs(segAnchors.toSeq)
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""queries_run":${results.size},"failed":$failedJson,""" +
       s""""load1m_start":$load1mStart,"idle_wait_sec":$idleWaitSec,""" +
       s""""cpu_total_sec":$cpuTotal,"calib_ms":$calib,"calib_ms_end":$calibEnd,""" +
       s""""calib_par_ms":$calibPar,"calib_par_ms_end":$calibParEnd,""" +
+      s""""calib_seg_ms":$segJson,""" +
       s""""calib_threads":$calibThreads,"calib_abs_gate":${calibThreads == 32},$contamJson,""" +
       s""""peak_heap_mb":$peakMax,"top5":$top5,"prod":${jsonPairs(walls(prod))},""" +
       s""""prod_peak_mb":${jsonPairs(prodPeaks.toSeq)},"note":"$note"}"""
@@ -483,7 +519,7 @@ object Bench {
       s""""failed":$failedJson,""" +
       s""""cpu_total_sec":$cpuTotal,"calib_ms":$calib,""" +
       s""""calib_ms_end":$calibEnd,"calib_par_ms":$calibPar,""" +
-      s""""calib_par_ms_end":$calibParEnd,""" +
+      s""""calib_par_ms_end":$calibParEnd,"calib_seg_ms":$segJson,""" +
       s""""calib_threads":$calibThreads,"calib_abs_gate":${calibThreads == 32},$contamJson,""" +
       s""""queries":$qs,"cpu_sec":${metricMap(_.cpu)(results)},""" +
       s""""shuffle_mb":${metricMap(_.shuffleMb)(results)},""" +
