@@ -137,12 +137,14 @@ object Replay {
     new java.util.concurrent.ConcurrentHashMap[String, Path]()
 
   private def stagedSnapshot(spark: SparkSession, dir: String,
-      tableName: String, fields: Seq[String]): Path =
-    snapshotCache.computeIfAbsent(s"$dir|$tableName|${fields.mkString(";")}",
+      tableName: String, fields: Seq[String], parts: Int): Path =
+    snapshotCache.computeIfAbsent(
+      s"$dir|$tableName|${fields.mkString(";")}|$parts",
       _ => staged("snapshot-write", tableName) {
         val snap = registerTemp(
           Files.createTempDirectory(s"graft-replay-snap-$tableName-"))
-        graft.drift.table(spark, dir, tableName).selectExpr(fields: _*)
+        val base = graft.drift.table(spark, dir, tableName).selectExpr(fields: _*)
+        (if (parts > 1) base.repartition(parts) else base)
           .write.mode("overwrite").parquet(snap.toString)
         snap
       })
@@ -172,9 +174,18 @@ object Replay {
     * on the same SparkSession could snapshot the reduced width. Verify and
     * Bench (the only callers) run gate queries strictly sequentially; a
     * concurrent harness must serialize its replayTable calls. */
+  /** `snapshotParts` (default 1): number of part files the staged snapshot
+    * is written in — micro-batch 0's scan parallelism, since the narrow
+    * per-row pipeline of a stateless gate never crosses an exchange and
+    * otherwise grinds the whole feed in ONE task (r17 profile:
+    * streaming_semantic batch0 = one 2.9 s task on a 32-core host). Only
+    * ORDER-INSENSITIVE gates may pass > 1: multiple files interleave
+    * arrival order inside the batch, which is invisible to per-row math
+    * and set-valued outputs but changes any gate that folds state in
+    * arrival order (streaming_pack's cursor, session splits). */
   def replayTable(spark: SparkSession, dir: String, tableName: String,
       fields: Seq[String], transform: DataFrame => DataFrame,
-      flushes: Int = 2): DataFrame = {
+      flushes: Int = 2, snapshotParts: Int = 1): DataFrame = {
     // flushes = 1 is unsound with no-data micro-batches disabled (below):
     // the watermark available to batch N is computed from data through
     // batch N−1, so state finalized by sentinel #1's watermark only EMITS
@@ -194,7 +205,7 @@ object Replay {
     // copy the once-written snapshot part files into this replay's watch dir
     staged("snapshot-copy", tableName) {
       import scala.jdk.CollectionConverters._
-      val snap = stagedSnapshot(spark, dir, tableName, fields)
+      val snap = stagedSnapshot(spark, dir, tableName, fields, snapshotParts)
       Files.list(snap).iterator().asScala.toSeq
         .filter(_.getFileName.toString.endsWith(".parquet")).zipWithIndex
         .foreach { case (p, i) =>

@@ -108,7 +108,11 @@ object StreamingReplay {
     * watermark plumbing. */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame =
     Replay.replayTable(spark, dir, "documents", Seq(SynthTs, "doc_id", "text"),
-        StreamingDedup.dedupStream(_, "24 hours"))
+        StreamingDedup.dedupStream(_, "24 hours"),
+        // set-valued output (distinct content fingerprints): which doc_id
+        // of a duplicate pair arrives first is already nondeterministic by
+        // contract, and the projection drops it — order-insensitive
+        snapshotParts = feedParts(spark))
       // the dedup admits in the ARRIVAL batch, so the sentinel text IS
       // admitted (unlike the windowed gates) — this filter is load-bearing
       .filter(col("doc_id") =!= lit(Replay.SentinelId))
@@ -141,7 +145,7 @@ object StreamingReplay {
       df => StreamingIncrement.incrementGate(
         df.filter(col("source") === lit(batchSource)).select("doc_id", "text"),
         corpus),
-      flushes = 0)
+      flushes = 0, snapshotParts = feedParts(spark))
   }
 
   def streamingIncrement(spark: SparkSession, dir: String): DataFrame =
@@ -168,6 +172,16 @@ object StreamingReplay {
       "SELECT COUNT(*)::BIGINT AS n_kept, " +
       "COALESCE(SUM(doc_id), 0)::BIGINT AS kept_id_sum FROM kept"
 
+  /** Snapshot part files for the ORDER-INSENSITIVE stateless gates (per-row
+    * math + set-valued output only — see Replay.replayTable's contract):
+    * batch 0's scan parallelism, derived from the session's own width (not
+    * a host constant) and capped so a small gate feed never fans into
+    * hundreds of near-empty files. The stateful/arrival-order gates
+    * (pack's cursor, sessionize, attribution, dedup/prep admission order)
+    * keep the single-file default. */
+  private def feedParts(spark: SparkSession): Int =
+    math.max(1, math.min(spark.sparkContext.defaultParallelism, 16))
+
   /** Deterministic synthetic event time for tables that carry none (the
     * documents corpus): the gate logic under replay is time-independent —
     * the clock is pure watermark plumbing. */
@@ -185,7 +199,8 @@ object StreamingReplay {
     val model = graft.pipeline.LmScore.trainModel(
       graft.drift.table(spark, dir, "documents").select("lang", "text"))
     Replay.replayTable(spark, dir, "documents", Seq(SynthTs, "doc_id", "text"),
-        StreamingLm.scoreStream(_, model, "24 hours"), flushes = 0)
+        StreamingLm.scoreStream(_, model, "24 hours"), flushes = 0,
+        snapshotParts = feedParts(spark))
       .filter(col("doc_id") =!= lit(Replay.SentinelId)) // defensive (stateless: none arrive)
       .select("doc_id", "n_bigrams", "bigram_hit_rate", "oov_rate",
         "avg_logprob", "ppl")
@@ -268,7 +283,10 @@ object StreamingReplay {
   def streamingPrep(spark: SparkSession, dir: String): DataFrame =
     Replay.replayTable(spark, dir, "documents",
         Seq(SynthTs, "doc_id", "source", "text"),
-        StreamingPrep.prepStream(_, "24 hours"))
+        StreamingPrep.prepStream(_, "24 hours"),
+        // set-valued output (distinct admitted content hashes) — same
+        // order-insensitivity argument as streamingDedup above
+        snapshotParts = feedParts(spark))
       // dedup admits in the ARRIVAL batch, so the sentinel row reaches the
       // gate (its 1-token text fails the quality gate today, but that is a
       // data property, not a contract) — filter is load-bearing
@@ -396,7 +414,7 @@ object StreamingReplay {
     Replay.replayTable(spark, dir, "embeddings", Seq("vec_id", "embedding"),
         df => StreamingSemantic.semanticGate(
           df.filter(col("vec_id") % 2 === 1), corpus),
-        flushes = 0)
+        flushes = 0, snapshotParts = feedParts(spark))
       .select("vec_id")
       .orderBy("vec_id")
   }

@@ -269,4 +269,28 @@ class ReplaySpec extends SparkSpec {
     assert(streaming.StreamingSessions.eventUs(ts) == us)
     assert(ts.getNanos == 123456000)
   }
+
+  test("snapshotParts is layout-only: a multi-file snapshot replay equals the single-file one") {
+    // the r17 scan-parallelism knob must never change what a gate computes:
+    // pin a stateless gate (per-row math + set output) and a WATERMARKED
+    // set-output gate at 1 vs 4 part files
+    import org.apache.spark.sql.functions._
+    def gate(parts: Int): Seq[String] = rows(
+      Replay.replayTable(spark, sf, "documents",
+          Seq("doc_id", "text"),
+          df => df.filter(length(col("text")) > 0)
+            .select(md5(col("text")).as("h")).dropDuplicates("h"),
+          flushes = 0, snapshotParts = parts)
+        .orderBy("h"))
+    assert(gate(1) == gate(4))
+    def dedupGate(parts: Int): Seq[String] = rows(
+      Replay.replayTable(spark, sf, "documents",
+          Seq("timestampadd(SECOND, CAST(doc_id % 3000 AS INT), " +
+            "TIMESTAMP'2024-01-01 00:00:00') AS ts", "doc_id", "text"),
+          streaming.StreamingDedup.dedupStream(_, "24 hours"),
+          snapshotParts = parts)
+        .filter(col("doc_id") =!= lit(Replay.SentinelId))
+        .select(col("fingerprint")).orderBy("fingerprint"))
+    assert(dedupGate(1) == dedupGate(4))
+  }
 }
