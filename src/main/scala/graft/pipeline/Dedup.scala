@@ -874,15 +874,21 @@ object Dedup {
       .crossJoin(broadcast(evalSrc)).cache()
     val trainTri = tri.filter(col("source") =!= col("eval_source"))
     val evalTri = tri.filter(col("source") === col("eval_source"))
-    val evalShingles = evalTri.select("sh").distinct()
-    val nEvalSh = evalShingles.count()
-    // an empty eval shingle set (eval docs too short to shingle) NPEs
-    // Spark's stat.bloomFilter — and means no train shingle can match,
-    // so the candidate stream is empty by construction
+    // Build the filter over the RAW (doc, shingle) rows, not a distinct
+    // set (r17): Bloom inserts are idempotent, so duplicates change
+    // nothing but the sizing — expectedNumItems = the row count (an upper
+    // bound on distinct shingles) just makes the filter a bit larger and
+    // its real fpp lower. The previous distinct() executed its exchange
+    // TWICE (once under count(), once under stat.bloomFilter — both
+    // actions re-ran the uncached distinct) for zero semantic gain.
+    val nEvalRows = evalTri.count()
+    // an empty eval side (eval docs too short to shingle) NPEs Spark's
+    // stat.bloomFilter — and means no train shingle can match, so the
+    // candidate stream is empty by construction
     val candTri =
-      if (nEvalSh == 0) trainTri.limit(0)
+      if (nEvalRows == 0) trainTri.limit(0)
       else {
-        val bf = evalShingles.stat.bloomFilter("sh", nEvalSh, fpp)
+        val bf = evalTri.stat.bloomFilter("sh", nEvalRows, fpp)
         val mightContain = udf((s: String) => s != null && bf.mightContain(s))
         trainTri.filter(mightContain(col("sh")))
       }
