@@ -157,8 +157,11 @@ object CategoricalDrift {
   /** Per-side value counts + relative frequency over non-null rows. */
   def valueCounts(spark: SparkSession, dir: String): DataFrame = {
     val per = S.categorical.map { sp =>
-      // cached: consumed by the totals agg and the join below
-      val cnts = sideCountsMulti(spark, dir, sp, nonNull = true).cache()
+      // UNCACHED (r17): consumed by the totals agg and the join below,
+      // whose shared exchange dedupes (ReusedExchange) — a fresh
+      // registered-cold cache got stampeded instead (see
+      // NumericDrift.driftScoreFrame)
+      val cnts = sideCountsMulti(spark, dir, sp, nonNull = true)
       val totals = cnts.groupBy("column_name", "side").agg(sum("cnt").as("total"))
       cnts.join(totals, Seq("column_name", "side"))
         .select(lit(sp.tableName).as("table_name"), col("column_name"),
@@ -195,11 +198,11 @@ object CategoricalDrift {
   def topkEntropy(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     val per = profileTables.map { case (t, cols) =>
       val rows = cols.map(c => s"'$c', CAST($c AS STRING)").mkString(", ")
-      // cached: the base profile and the entropy branch both consume it
+      // UNCACHED (r17): the base profile and the entropy branch share the
+      // count exchange (ReusedExchange) — see NumericDrift.driftScoreFrame
       val cnts = table(spark, dir, t)
         .select(expr(s"stack(${cols.size}, $rows) as (column_name, value)"))
         .groupBy("column_name", "value").agg(count(lit(1)).as("cnt"))
-        .cache()
       // exact: distinct_count = group count over the cnts frame. Scale path
       // (approx=true, the bench surface): an id-like profiled column makes
       // every per-value group survive into `cnts` only for the top-20 rank,
@@ -270,8 +273,10 @@ object CategoricalDrift {
   /** O16 distribution-diff summary per split column (top-20 supports). */
   def distDiff(spark: SparkSession, dir: String): DataFrame = {
     val per = S.categorical.map { sp =>
-      // cached: three consumers (top-20 sets, distinct counts, null props)
-      val all = sideCountsMulti(spark, dir, sp, nonNull = false).cache()
+      // UNCACHED (r17): three consumers (top-20 sets, distinct counts,
+      // null props) share the count exchange — see
+      // NumericDrift.driftScoreFrame
+      val all = sideCountsMulti(spark, dir, sp, nonNull = false)
       val sets = top20DistsMulti(all).groupBy("column_name").agg(
         sum(when(col("p").isNotNull, 1).otherwise(0)).as("ref_k"),
         sum(when(col("q").isNotNull, 1).otherwise(0)).as("curr_k"),
@@ -422,12 +427,12 @@ object CategoricalDrift {
     * (/root/reference/distribution_analyzer.py:287-299). */
   def topMovers(spark: SparkSession, dir: String): DataFrame = {
     val per = S.categorical.map { sp =>
-      // cached: the increased/decreased branches below each consume this
-      // (category-cardinality-sized) frame; uncached they re-scan the table
+      // UNCACHED (r17): the increased/decreased branches share every
+      // exchange below the dists projection (ReusedExchange), so the scan
+      // does NOT replay per branch — see NumericDrift.driftScoreFrame
       val dists = fullDistsMulti(sideCountsMulti(spark, dir, sp, nonNull = false))
         .filter(col("p").isNotNull && col("q").isNotNull)
         .withColumn("diff", col("q") - col("p"))
-        .cache()
       val inc = dists.filter(col("diff") > 0)
         .withColumn("rk", row_number().over(
           Window.partitionBy("column_name").orderBy(col("diff").desc, col("value").asc)))
@@ -630,11 +635,11 @@ object CategoricalDrift {
     * NumericDrift.driftScoreFrame for why Report's cache wants it). */
   private[drift] def categoricalDriftFrame(spark: SparkSession, dir: String): DataFrame = {
     val per = S.categorical.map { sp =>
-      // cache the per-(column, value, side) counts: three consumers below
-      // (JS, chi-square, null props) would otherwise each re-scan the table;
-      // cached, the unpivot scan runs ONCE per table and the consumers read
-      // a frame bounded by the columns' category cardinalities
-      val all = sideCountsMulti(spark, dir, sp, nonNull = false).cache()
+      // UNCACHED (r17): the three consumers below (JS, chi-square, null
+      // props) share the unpivot scan's count exchange (ReusedExchange), so
+      // the scan runs once either way and the registered-cold cache only
+      // added the stampede — see NumericDrift.driftScoreFrame
+      val all = sideCountsMulti(spark, dir, sp, nonNull = false)
       // JS over top-20 distributions (O17 as called by O19)
       val js = top20DistsMulti(all).groupBy("column_name")
         .agg(expr(s"SQRT(($jsKlPm + $jsKlQm) / 2)").as("js_divergence"),

@@ -137,9 +137,12 @@ object GroupDrift {
     * `quantile_cont` reproduces values. */
   def groupNumericMetrics(spark: SparkSession, dir: String, approx: Boolean = false): DataFrame = {
     val per = specs.map { sp =>
-      // cached: the frame feeds both the metric rows and the eligibility
-      // derivation — category×metric-sized, tiny at any corpus scale
-      val np = numPivot(spark, dir, sp, approx).cache()
+      // UNCACHED (r17): the frame feeds both the metric rows and the
+      // eligibility derivation, but a fresh registered-cold cache gets
+      // stampeded by concurrent consumers while the shared subtree's
+      // exchange dedupes uncached (ReusedExchange) — see
+      // NumericDrift.driftScoreFrame
+      val np = numPivot(spark, dir, sp, approx)
       np.join(eligibleFromCounts(countsFromNumPivot(np)).select("category"), "category")
         .select(lit(sp.tableName).as("table_name"), lit(sp.dim).as("dimension"), col("*"))
         .selectExpr(numFinal: _*)
@@ -217,9 +220,8 @@ object GroupDrift {
 
   def groupCatMetrics(spark: SparkSession, dir: String): DataFrame = {
     val per = for (sp <- specs; m <- sp.catMetrics) yield {
-      // cached: the value-count frame feeds the frequency pivot AND the
-      // eligibility counts — (side × category × value)-sized, tiny
-      val vc = vcFrame(spark, dir, sp, m).cache()
+      // UNCACHED (r17) — same rationale as groupNumericMetrics above
+      val vc = vcFrame(spark, dir, sp, m)
       catPivot(vc)
         .groupBy("category").agg(catAggs.map(expr).head, catAggs.map(expr).tail: _*)
         .join(eligibleFromCounts(countsFromVc(vc)).select("category"), "category")
@@ -303,10 +305,13 @@ object GroupDrift {
   private[drift] def groupDriftVerdictFrame(spark: SparkSession, dir: String,
       approx: Boolean = false): DataFrame = {
     val per = specs.map { sp =>
-      // cached: np feeds the four numeric component projections AND the
-      // eligibility counts (uncached, the union replays the scan+agg DAG
-      // once per branch); it is category×metric-sized
-      val np = numPivot(spark, dir, sp, approx).cache()
+      // UNCACHED (r17): np feeds the four numeric component projections
+      // AND the eligibility counts, but the branches' shared exchange
+      // dedupes (ReusedExchange) so only the tiny per-category final agg
+      // replays per branch, while a fresh registered-cold cache got
+      // stampeded by the concurrent consumers (see
+      // NumericDrift.driftScoreFrame; measured on the bench rows below)
+      val np = numPivot(spark, dir, sp, approx)
       val elig = eligibleFromCounts(countsFromNumPivot(np))
       val numComps = Seq(
         ("null", "ABS(curr_nulls * 1e0 / curr_n - ref_nulls * 1e0 / ref_n)"),
@@ -317,9 +322,9 @@ object GroupDrift {
         .reduce(_ union _)
       val catComps = sp.catMetrics.map { m =>
         // one scan for the whole categorical side: the frequency pivot AND
-        // the null census both derive from the cached value-count frame
-        // (the v-null group IS the null count)
-        val vc = vcFrame(spark, dir, sp, m).cache()
+        // the null census both derive from the shared value-count frame
+        // (the v-null group IS the null count); uncached — see np above
+        val vc = vcFrame(spark, dir, sp, m)
         val cm = catPivot(vc)
           .groupBy("category").agg(catAggs.map(expr).head, catAggs.map(expr).tail: _*)
         val cn = vc.groupBy("category").agg(

@@ -511,9 +511,16 @@ object NumericDrift {
     * frame instead. */
   private[drift] def driftScoreFrame(spark: SparkSession, dir: String,
       approx: Boolean = false): DataFrame = {
-    // cache the per-side stats: they feed both the score pivot and the
-    // outlier bounds, and the percentiles are the expensive part
-    val longs = S.numeric.map(sp => sp -> sideStatsLong(spark, dir, sp, approx).cache()).toMap
+    // UNCACHED per-side stats (r17): they feed both the score pivot and
+    // the outlier bounds, but a registered-cold cache gets STAMPEDED by
+    // the plan's concurrent broadcast futures (each consumer recomputes
+    // blocks and all but one are discarded), while uncached the shared
+    // subtree dedupes at its exchange (ReusedExchange) and only the cheap
+    // 2-group final agg runs per consumer. Measured on the bench row that
+    // re-registers fresh caches every run: numeric_drift_score cost MORE
+    // (4.7 s) than the SUPERSET drift_results row (3.6 s), whose memoized
+    // frame runs cache-free after clearCache.
+    val longs = S.numeric.map(sp => sp -> sideStatsLong(spark, dir, sp, approx)).toMap
     val long = S.numeric.map(longs).reduce(_ unionAll _)
     val outs = S.numeric.map(sp => outlierCounts(spark, dir, sp, longs(sp))).reduce(_ unionAll _)
     def outSide(s: String) = outs.filter(col("side") === s).drop("side")
